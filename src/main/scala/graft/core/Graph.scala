@@ -1,0 +1,146 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property-graph projection of the relational corpus (SURVEY §7.1,
+  * FIXTURES.md §B): the same rule shapes the reference's graph builder uses
+  * (`get_insert.py`), re-expressed as declarative Spark plans over the
+  * deterministic TPC-H-ish tables so every graph operator has DuckDB-oracle
+  * SQL.
+  *
+  *  - nodes      = `customer` (name = c_name, house = c_mktsegment,
+  *                 nid = c_custkey — the stable total-order id replacing
+  *                 Cypher's `id(n)`, get_insert.py:126,136)
+  *  - houses     = distinct mktsegments (get_insert.py:83-84)
+  *  - BELONGS_TO = person → house (get_insert.py:107-111)
+  *  - FRIEND_OF  = same-house self-join, `nid < nid2` dedup tiebreak
+  *                 (get_insert.py:132-138, J7)
+  *  - SAME_FAMILY= self-join on a derived family key, `<` tiebreak
+  *                 (get_insert.py:122-128, J6; family = c_custkey % 25)
+  *  - ENEMY_OF   = cross join of two houses, BOTH directions materialized
+  *                 (get_insert.py:141-145, J8)
+  *  - ROMANTIC_WITH = curated pair list, equality-or-contains fuzzy match,
+  *                 both directions (get_insert.py:15-43,147-163, J9)
+  *
+  * Everything here is a *lazy plan*, never a materialized table: filters on
+  * downstream queries push through the unions into the self-joins, so a
+  * one-person expansion never builds the full clique. At 100 TB the edge
+  * tables would be bucketed-by-src parquet written once by an ETL job
+  * (graft.etl.GraphBuilder); the derivations below are that job's plan.
+  */
+object Graph {
+  /** The two houses whose members are mutual enemies (≅ Gryffindor ×
+    * Slytherin, get_insert.py:141). */
+  val EnemyHouseA = "BUILDING"
+  val EnemyHouseB = "MACHINERY"
+
+  /** Family count for the derived SAME_FAMILY key. Customers with equal
+    * `c_custkey % FamilyMod` share a "last name" (J6's derived-key shape). */
+  val FamilyMod = 25
+
+  /** Curated romance pair list (≅ ROMANCES get_insert.py:15-43): custkey
+    * patterns matched with equality-or-contains (J9). All keys < 150 so the
+    * pairs exist at every scale factor. */
+  val Romances: Seq[(Int, Int)] =
+    Seq(1 -> 2, 3 -> 4, 5 -> 6, 7 -> 8, 9 -> 10, 11 -> 12,
+        20 -> 21, 30 -> 31, 40 -> 41, 50 -> 51, 60 -> 61, 100 -> 101)
+
+  /** 9-digit key pattern as it appears inside `c_name` ("Customer#%09d").
+    * With fixed-width padding, contains-match ≡ exact match — deterministic
+    * at every sf, while keeping the reference's fuzzy-match shape. */
+  def keyPat(k: Int): String = f"#$k%09d"
+
+  /** Person nodes: name (PK), house, nid (stable order id), nation, acctbal. */
+  def nodes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("nid"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("house"),
+      col("c_nationkey").as("nation"),
+      col("c_acctbal").as("acctbal"))
+
+  /** House nodes (broadcast-sized: 5 distinct segments). */
+  def houses(spark: SparkSession, sfDir: String): DataFrame =
+    nodes(spark, sfDir).select(col("house").as("name")).distinct()
+
+  private def edge(src: Column, dst: Column, relType: String): Seq[Column] =
+    Seq(src.as("src"), dst.as("dst"), lit(relType).as("relType"))
+
+  /** BELONGS_TO: person → house. */
+  def belongsTo(spark: SparkSession, sfDir: String): DataFrame =
+    nodes(spark, sfDir).select(edge(col("name"), col("house"), "BELONGS_TO"): _*)
+
+  /** FRIEND_OF: same-house pairs, canonical direction nid(a) < nid(b).
+    * Quadratic in house size by construction (the reference's same-house
+    * clique, get_insert.py:132-138) — consumers must filter BEFORE expanding;
+    * the lazy plan makes that automatic via predicate pushdown. */
+  def friendOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = nodes(spark, sfDir).select("nid", "name", "house")
+    val b = nodes(spark, sfDir).select(
+      col("nid").as("nid2"), col("name").as("name2"), col("house").as("house2"))
+    a.join(b, col("house") === col("house2") && col("nid") < col("nid2"))
+      .select(edge(col("name"), col("name2"), "FRIEND_OF"): _*)
+  }
+
+  /** SAME_FAMILY: equal derived family key, nid(a) < nid(b) (J6). */
+  def sameFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = nodes(spark, sfDir)
+      .select(col("nid"), col("name"), (col("nid") % FamilyMod).as("family"))
+    val m = n.select(col("nid").as("nid2"), col("name").as("name2"), col("family").as("family2"))
+    n.join(m, col("family") === col("family2") && col("nid") < col("nid2"))
+      .select(edge(col("name"), col("name2"), "SAME_FAMILY"): _*)
+  }
+
+  /** ENEMY_OF: genuine cross join of house A × house B, both directions
+    * (get_insert.py:141-145). Broadcast-nested-loop is the right physical
+    * plan for one small side; at equal large sides this is the one edge rule
+    * that cannot avoid a quadratic blow-up — exactly like the reference. */
+  def enemyOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = nodes(spark, sfDir)
+    val a = n.filter(col("house") === EnemyHouseA).select(col("name").as("na"))
+    val b = n.filter(col("house") === EnemyHouseB).select(col("name").as("nb"))
+    val oneWay = a.crossJoin(b)
+    oneWay.select(edge(col("na"), col("nb"), "ENEMY_OF"): _*)
+      .unionByName(oneWay.select(edge(col("nb"), col("na"), "ENEMY_OF"): _*))
+  }
+
+  /** ROMANTIC_WITH: curated pairs, equality-or-contains match on both ends,
+    * both directions (J9). Pairs are a literal local relation → broadcast
+    * nested loop against nodes, which is exactly right at any scale. */
+  def romanticWith(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = spark.createDataFrame(Romances.map { case (x, y) => (keyPat(x), keyPat(y)) })
+      .toDF("p1", "p2")
+    val n = nodes(spark, sfDir).select("name")
+    val left = n.join(broadcast(pairs),
+      col("name") === col("p1") || col("name").contains(col("p1")))
+      .select(col("name").as("na"), col("p2"))
+    val matched = left.join(n.withColumnRenamed("name", "nb"),
+      col("nb") === col("p2") || col("nb").contains(col("p2")))
+    matched.select(edge(col("na"), col("nb"), "ROMANTIC_WITH"): _*)
+      .unionByName(matched.select(edge(col("nb"), col("na"), "ROMANTIC_WITH"): _*))
+  }
+
+  /** All person↔person edges (BELONGS_TO excluded: it targets House nodes). */
+  def personEdges(spark: SparkSession, sfDir: String): DataFrame =
+    friendOf(spark, sfDir)
+      .unionByName(sameFamily(spark, sfDir))
+      .unionByName(enemyOf(spark, sfDir))
+      .unionByName(romanticWith(spark, sfDir))
+
+  /** Undirected closure: every Cypher `-[:T]-` pattern (app.py:220,257,288,
+    * 378) reads edges in both directions → union with the swap (SURVEY §2.6).
+    * ENEMY_OF / ROMANTIC_WITH are already stored both ways, so only the
+    * canonical-direction types get reversed. */
+  def undirected(edges: DataFrame): DataFrame = {
+    val sym = edges.filter(col("relType").isin("ENEMY_OF", "ROMANTIC_WITH"))
+    val canon = edges.filter(!col("relType").isin("ENEMY_OF", "ROMANTIC_WITH"))
+    canon
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst"), col("relType")))
+      .unionByName(sym)
+  }
+
+  /** Undirected view of one canonical-direction edge set (no relType mix). */
+  def undirectedOne(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("relType")))
+}

@@ -1,0 +1,26 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lazy accessors for the driver's relational corpus (`TESTDATA.md`).
+  *
+  * Each table is a plain parquet scan — no caching, no eager IO — so that
+  * Catalyst can push filters and prune columns all the way into the scan.
+  * At 100 TB the same access path holds: the scan is the unit the optimizer
+  * works with, and every operator in `graft.ops` composes on top of it.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
+  def events(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.Graph
+import graft.ops.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("nodes are unique by name (S4 constraint semantics)") {
+    val n = Graph.nodes(spark, sf)
+    assert(n.count() == n.select("name").distinct().count())
+  }
+
+  test("FRIEND_OF has no mirrored pairs and no self-loops (J7 tiebreak)") {
+    val f = Graph.friendOf(spark, sf)
+    assert(f.filter(col("src") === col("dst")).count() == 0)
+    val mirrored = f.as("a").join(f.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+    assert(mirrored.count() == 0)
+  }
+
+  test("ENEMY_OF is materialized in both directions (J8)") {
+    val e = Graph.enemyOf(spark, sf)
+    val oneWay = e.count()
+    val sym = e.as("a").join(e.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src")).count()
+    assert(oneWay == sym) // every edge has its reverse
+  }
+
+  test("ROMANTIC_WITH matches the curated pairs both ways (J9)") {
+    val r = Graph.romanticWith(spark, sf).collect().map(x => (x.getString(0), x.getString(1)))
+    assert(r.length == Graph.Romances.length * 2)
+    assert(r.contains(("Customer#000000001", "Customer#000000002")))
+    assert(r.contains(("Customer#000000002", "Customer#000000001")))
+  }
+
+  test("winder: candidates exclude the friend set; score <= |friends| (invariants, SURVEY §5.2)") {
+    val friends = Seq(1, 5, 9)
+    val out = GraphOps.winderTopK(spark, sf, friends, k = 100).collect()
+    val friendNames = friends.map(k => f"Customer#$k%09d").toSet
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      assert(!friendNames.contains(row.getString(0)))
+      assert(row.getLong(1) <= friends.size)
+    }
+  }
+
+  test("winder: hand-checked on a 5-node house") {
+    // Customers 1 and 5: both FURNITURE at sf0.001? Verified dynamically:
+    // candidates of {x} = all same-house members except x.
+    val n = Graph.nodes(spark, sf).select("nid", "name", "house").collect()
+    val byKey = n.map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val (fname, fhouse) = byKey(1L)
+    val expected = n.filter(r => r.getString(2) == fhouse && r.getString(1) != fname)
+      .map(_.getString(1)).sorted.take(3)
+    val got = GraphOps.winderTopK(spark, sf, Seq(1), k = 3)
+      .collect().map(_.getString(0))
+    assert(got.toSeq == expected.toSeq)
+  }
+}
