@@ -1,5 +1,6 @@
 package graft
 
+import graft.etl.GraphBuilder
 import graft.ops.GraphOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -12,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * total order so row sets (and order) are deterministic.
   */
 object SparkEntry {
+  import Oracle._
 
   /** Flagship: the reference's Winder common-neighbors top-k (app.py:206-245)
     * over the graph projection. Driver smoke-checks rows > 0 at sf0.001. */
@@ -22,14 +24,110 @@ object SparkEntry {
   val WinderFriends: Seq[Int] = Seq(1, 5, 9)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j1_winder_topk" -> ((s, d) => GraphOps.winderTopK(s, d, WinderFriends)),
+    // —— scans / sources (SURVEY §2.1) ——
     "s1_scan_persons" -> ((s, d) => GraphOps.scanPersons(s, d)),
+    "s2_ingest_clean" -> ((s, _) =>
+      GraphBuilder.cleanCharacters(GraphBuilder.readCharacters(s))
+        .select("name", "house", "species", "alive", "image").orderBy("name")),
+    "s5_upsert_person" -> ((s, d) => GraphOps.upsertPersons(s, d)),
+    "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
+    // —— projections / filters (§2.2) ——
+    "p1_filter_name_in" -> ((s, d) => GraphOps.filterNameIn(s, d, Seq(3, 7, 11, 42))),
+    "p2_anti_filter" -> ((s, d) => GraphOps.antiFilter(s, d, "FURNITURE", Seq(1, 5))),
     "p3_search_ci" -> ((s, d) => GraphOps.searchCi(s, d, "#00000014")),
+    "p4_filter_house_in" -> ((s, d) => GraphOps.filterHouseIn(s, d, Seq("AUTOMOBILE", "HOUSEHOLD"))),
+    "p5_house_known" -> ((s, d) => GraphOps.filterHouseKnown(s, d)),
+    "p6_exact_lookup" -> ((s, d) => GraphOps.exactLookup(s, d, 42)),
+    "p7_min_degree" -> ((s, d) => GraphOps.minDegree(s, d, 2)),
+    // —— joins (§2.3) ——
+    "j1_winder_topk" -> ((s, d) => GraphOps.winderTopK(s, d, WinderFriends)),
+    "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
+    "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
+    "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
+    "j5_houses_members" -> ((s, d) => GraphOps.housesWithMembers(s, d)),
+    "j6_same_family" -> ((s, d) => GraphOps.sameFamilySample(s, d, 3)),
+    "j7_friend_count_by_house" -> ((s, d) => GraphOps.friendCountByHouse(s, d)),
+    "j8_enemy_count" -> ((s, d) => GraphOps.enemyCountBySrcHouse(s, d)),
+    "j9_romance_pairs" -> ((s, d) => GraphOps.romancePairs(s, d)),
+    "j10_semi_house_counts" -> ((s, d) => GraphOps.semiHouseCounts(s, d, 1 to 8)),
+    "j11_upsert_edges" -> ((s, d) => GraphOps.upsertEdges(s, d)),
+    // —— aggregations (§2.4) ——
+    "a1_count_by_house" -> ((s, d) => GraphOps.countByHouse(s, d)),
+    "a4_collect_names" -> ((s, d) => GraphOps.collectNames(s, d, 25)),
+    // —— set ops (§2.6) ——
+    "setop_intersect" -> ((s, d) => GraphOps.setopIntersect(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
+    "setop_except" -> ((s, d) => GraphOps.setopExcept(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
+    // —— scalar functions (§2.7) ——
+    "fn_lastname_key" -> ((s, d) => GraphOps.lastNameKey(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s1_scan_persons" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, nation, acctbal FROM n ORDER BY name""".stripMargin,
+    "s2_ingest_clean" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_json_auto('${GraphBuilder.FixturePath}')
+         |  WHERE name IS NOT NULL AND name <> ''
+         |  QUALIFY row_number() OVER (PARTITION BY name ORDER BY id) = 1)
+         |SELECT name, coalesce(nullif(house, ''), 'Unknown') AS house, species,
+         |       coalesce(alive, true) AS alive, coalesce(image, '') AS image
+         |FROM raw ORDER BY name""".stripMargin,
+    "s5_upsert_person" ->
+      s"""WITH $nodesCte,
+         |upd(name, house, acctbal) AS (VALUES
+         |  ('Customer#000000003', 'BUILDING', 0.0), ('User#000000001', 'BUILDING', 10.0)),
+         |merged AS (
+         |  SELECT name, house, acctbal FROM upd
+         |  UNION ALL
+         |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd))
+         |SELECT name, house, round(acctbal, 2) AS acctbal FROM merged
+         |WHERE name IN ('Customer#000000003', 'User#000000001') ORDER BY name""".stripMargin,
+    "s7_graph_json" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |hop AS (SELECT src, dst, relType FROM pu WHERE src = 'Customer#000000003'),
+         |nn AS (SELECT DISTINCT name FROM (SELECT dst AS name FROM hop UNION ALL SELECT src AS name FROM hop)),
+         |nodes AS (
+         |  SELECT 'node' AS kind,
+         |         '{"data":{"id":"' || n.name || '","house":"' || n.house || '"}}' AS payload
+         |  FROM nn JOIN n ON nn.name = n.name),
+         |edges AS (
+         |  SELECT 'edge' AS kind,
+         |         '{"data":{"source":"' || src || '","target":"' || dst || '","relType":"' || relType || '"}}' AS payload
+         |  FROM hop)
+         |SELECT kind, payload FROM nodes UNION ALL SELECT kind, payload FROM edges
+         |ORDER BY kind, payload""".stripMargin,
+    "p1_filter_name_in" ->
+      s"""WITH $nodesCte
+         |SELECT name, house FROM n
+         |WHERE name IN ('Customer#000000003', 'Customer#000000007', 'Customer#000000011', 'Customer#000000042')
+         |ORDER BY name""".stripMargin,
+    "p2_anti_filter" ->
+      s"""WITH $nodesCte
+         |SELECT name, house FROM n
+         |WHERE house = 'FURNITURE' AND name NOT IN ('Customer#000000001', 'Customer#000000005')
+         |ORDER BY name""".stripMargin,
+    "p3_search_ci" ->
+      s"""WITH $nodesCte
+         |SELECT name, house FROM n
+         |WHERE contains(lower(name), '#00000014') ORDER BY name LIMIT 10""".stripMargin,
+    "p4_filter_house_in" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, nation FROM n
+         |WHERE house IN ('AUTOMOBILE', 'HOUSEHOLD') ORDER BY name""".stripMargin,
+    "p5_house_known" ->
+      s"""WITH $nodesCte
+         |SELECT house, count(*) AS members FROM n
+         |WHERE house <> '' AND house <> 'Unknown' GROUP BY house ORDER BY house""".stripMargin,
+    "p6_exact_lookup" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, nation, acctbal FROM n WHERE name = 'Customer#000000042'""".stripMargin,
+    "p7_min_degree" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte
+         |SELECT src AS name, count(*) AS total FROM pu GROUP BY src
+         |HAVING count(*) > 2 ORDER BY total DESC, name LIMIT 50""".stripMargin,
     "j1_winder_topk" ->
-      s"""WITH ${Oracle.nodesCte}, ${Oracle.friendsCte}, ${Oracle.friendsUndirCte},
+      s"""WITH $nodesCte, $friendsCte, $friendsUndirCte,
          |fr AS (SELECT name AS f_name FROM n WHERE nid IN (${WinderFriends.mkString(", ")})),
          |cand AS (
          |  SELECT fr.f_name, fu.dst AS candidate FROM fr JOIN fu ON fr.f_name = fu.src
@@ -38,12 +136,93 @@ object SparkEntry {
          |       array_to_string(list_sort(list(f_name)), ',') AS shared_with
          |FROM cand GROUP BY candidate
          |ORDER BY common_friends DESC, candidate LIMIT 3""".stripMargin,
-    "s1_scan_persons" ->
-      s"""WITH ${Oracle.nodesCte}
-         |SELECT name, house, nation, acctbal FROM n ORDER BY name""".stripMargin,
-    "p3_search_ci" ->
-      s"""WITH ${Oracle.nodesCte}
-         |SELECT name, house FROM n
-         |WHERE contains(lower(name), '#00000014') ORDER BY name LIMIT 10""".stripMargin,
+    "j2_expand_1hop" ->
+      s"""WITH $nodesCte, $personEdgesCte,
+         |ae AS (SELECT src, dst, relType FROM pe
+         |       UNION ALL SELECT name AS src, house AS dst, 'BELONGS_TO' AS relType FROM n),
+         |au AS (SELECT src, dst, relType FROM ae
+         |       UNION ALL SELECT dst AS src, src AS dst, relType FROM ae
+         |       WHERE relType IN ('FRIEND_OF', 'SAME_FAMILY', 'BELONGS_TO'))
+         |SELECT relType, dst AS neighbor FROM au WHERE src = 'Customer#000000007'
+         |ORDER BY relType, neighbor LIMIT 500""".stripMargin,
+    "j3_housemates_2hop" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT name AS src, house AS dst FROM n)
+         |SELECT b.src AS mate FROM b
+         |JOIN (SELECT src AS me, dst AS h FROM b WHERE src = 'Customer#000000007') x
+         |  ON b.dst = x.h AND b.src <> x.me
+         |ORDER BY mate LIMIT 100""".stripMargin,
+    "j4_house_subgraph" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |p AS (SELECT name, house FROM n WHERE house IN ('BUILDING', 'AUTOMOBILE')),
+         |e AS (SELECT pu.src, pu.relType, pu.dst FROM pu JOIN p m ON pu.dst = m.name)
+         |SELECT p.name, e.relType, e.dst AS neighbor
+         |FROM p LEFT JOIN e ON p.name = e.src
+         |ORDER BY p.name NULLS FIRST, e.relType NULLS FIRST, neighbor NULLS FIRST
+         |LIMIT 5000""".stripMargin,
+    "j5_houses_members" ->
+      s"""WITH $nodesCte,
+         |h AS (SELECT DISTINCT house AS name FROM n UNION ALL SELECT 'EMPTYHOUSE' AS name),
+         |b AS (SELECT name AS src, house AS dst FROM n)
+         |SELECT h.name AS house, count(b.src) AS members
+         |FROM h LEFT JOIN b ON h.name = b.dst GROUP BY h.name ORDER BY house""".stripMargin,
+    "j6_same_family" ->
+      s"""WITH $nodesCte, $familyCte
+         |SELECT src, dst FROM fam0
+         |WHERE CAST(string_split(src, '#')[-1] AS BIGINT) % ${graft.core.Graph.FamilyMod} = 3
+         |ORDER BY src, dst LIMIT 200""".stripMargin,
+    "j7_friend_count_by_house" ->
+      s"""WITH $nodesCte, $friendsCte
+         |SELECT n.house, count(*) AS friend_pairs FROM f0 JOIN n ON f0.src = n.name
+         |GROUP BY n.house ORDER BY n.house""".stripMargin,
+    "j8_enemy_count" ->
+      s"""WITH $nodesCte, $enemiesCte
+         |SELECT n.house, count(*) AS enemies FROM en JOIN n ON en.src = n.name
+         |GROUP BY n.house ORDER BY n.house""".stripMargin,
+    "j9_romance_pairs" ->
+      s"""WITH $nodesCte, $romanceCte
+         |SELECT src, dst FROM ro ORDER BY src, dst""".stripMargin,
+    "j10_semi_house_counts" ->
+      s"""WITH $nodesCte
+         |SELECT house, count(*) AS cnt FROM n
+         |WHERE name IN (${(1 to 8).map(k => f"'Customer#$k%09d'").mkString(", ")})
+         |GROUP BY house ORDER BY house""".stripMargin,
+    "j11_upsert_edges" ->
+      s"""WITH $nodesCte, $friendsCte,
+         |ne(src, dst, relType) AS (VALUES
+         |  ('User#000000001', 'Customer#000000002', 'FRIEND_OF'),
+         |  ('User#000000001', 'Customer#000000004', 'FRIEND_OF'),
+         |  ('User#000000001', 'Customer#000000006', 'FRIEND_OF'),
+         |  ('User#000000001', 'Customer#000000006', 'FRIEND_OF')),
+         |merged AS (
+         |  SELECT DISTINCT src, dst, relType FROM (
+         |    SELECT src, dst, 'FRIEND_OF' AS relType FROM f0
+         |    UNION ALL SELECT src, dst, relType FROM ne))
+         |SELECT src, dst, relType FROM merged
+         |WHERE src = 'User#000000001' OR dst = 'User#000000001'
+         |ORDER BY src, dst""".stripMargin,
+    "a1_count_by_house" ->
+      s"""WITH $nodesCte
+         |SELECT house, count(*) AS cnt FROM n GROUP BY house ORDER BY house""".stripMargin,
+    "a4_collect_names" ->
+      s"""WITH $nodesCte
+         |SELECT house, array_to_string(list_sort(list(name)), ',') AS names, count(*) AS n
+         |FROM n WHERE nid < 25 GROUP BY house ORDER BY house""".stripMargin,
+    "setop_intersect" ->
+      s"""WITH $nodesCte
+         |SELECT name FROM n WHERE acctbal > 5000.0
+         |INTERSECT
+         |SELECT name FROM n WHERE house IN ('BUILDING', 'FURNITURE')
+         |ORDER BY name""".stripMargin,
+    "setop_except" ->
+      s"""WITH $nodesCte
+         |SELECT name FROM n WHERE acctbal > 5000.0
+         |EXCEPT
+         |SELECT name FROM n WHERE house IN ('BUILDING', 'FURNITURE')
+         |ORDER BY name""".stripMargin,
+    "fn_lastname_key" ->
+      s"""WITH $nodesCte
+         |SELECT name, string_split(name, '#')[-1] AS key FROM n
+         |ORDER BY name LIMIT 20""".stripMargin,
   )
 }

@@ -128,13 +128,22 @@ object Graph {
       .unionByName(enemyOf(spark, sfDir))
       .unionByName(romanticWith(spark, sfDir))
 
+  /** Every edge including BELONGS_TO — the `(p)-[r]-(m)` any-type surface
+    * (app.py:257). */
+  def allEdges(spark: SparkSession, sfDir: String): DataFrame =
+    personEdges(spark, sfDir).unionByName(belongsTo(spark, sfDir))
+
+  /** Relationship types stored in BOTH directions already (get_insert.py
+    * materializes these symmetrically). */
+  val SymmetricTypes: Seq[String] = Seq("ENEMY_OF", "ROMANTIC_WITH")
+
   /** Undirected closure: every Cypher `-[:T]-` pattern (app.py:220,257,288,
     * 378) reads edges in both directions → union with the swap (SURVEY §2.6).
     * ENEMY_OF / ROMANTIC_WITH are already stored both ways, so only the
     * canonical-direction types get reversed. */
   def undirected(edges: DataFrame): DataFrame = {
-    val sym = edges.filter(col("relType").isin("ENEMY_OF", "ROMANTIC_WITH"))
-    val canon = edges.filter(!col("relType").isin("ENEMY_OF", "ROMANTIC_WITH"))
+    val sym = edges.filter(col("relType").isin(SymmetricTypes: _*))
+    val canon = edges.filter(!col("relType").isin(SymmetricTypes: _*))
     canon
       .unionByName(canon.select(col("dst").as("src"), col("src").as("dst"), col("relType")))
       .unionByName(sym)

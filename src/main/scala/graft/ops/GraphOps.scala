@@ -51,4 +51,239 @@ object GraphOps {
       .select("name", "house")
       .orderBy("name")
       .limit(limit)
+
+  /** P1 — parameterized `name IN [...]` list filter (app.py:63-64,218-219). */
+  def filterNameIn(spark: SparkSession, sfDir: String, keys: Seq[Int]): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .filter(col("name").isin(keys.map(k => f"Customer#$k%09d"): _*))
+      .select("name", "house")
+      .orderBy("name")
+
+  /** P2 — anti-predicate: members of a house NOT in an exclusion list
+    * (app.py:221), as a broadcast left-anti join (the at-scale form). */
+  def antiFilter(spark: SparkSession, sfDir: String, house: String, exclude: Seq[Int]): DataFrame = {
+    val ex = spark.createDataFrame(exclude.map(k => Tuple1(f"Customer#$k%09d"))).toDF("name")
+    Graph.nodes(spark, sfDir)
+      .filter(col("house") === house)
+      .join(broadcast(ex), Seq("name"), "left_anti")
+      .select("name", "house")
+      .orderBy("name")
+  }
+
+  /** P4 — `house IN [...]` (app.py:377, train_fix.py:20); partition-prunable
+    * when nodes are partitioned by house at scale. */
+  def filterHouseIn(spark: SparkSession, sfDir: String, houses: Seq[String]): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .filter(col("house").isin(houses: _*))
+      .select("name", "house", "nation")
+      .orderBy("name")
+
+  /** P5 — known-house guard `house <> '' AND house <> 'Unknown'`
+    * (get_insert.py:134), aggregated so the output is scale-stable. */
+  def filterHouseKnown(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .filter(col("house") =!= "" && col("house") =!= "Unknown")
+      .groupBy("house").agg(count(lit(1)).as("members"))
+      .orderBy("house")
+
+  /** P6 — exact-name node lookup (app.py:257,289): the unique-constraint
+    * index seek becomes a pushed-down parquet predicate. */
+  def exactLookup(spark: SparkSession, sfDir: String, key: Int): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .filter(col("name") === f"Customer#$key%09d")
+      .select("name", "house", "nation", "acctbal")
+
+  /** P7 — minimum-degree filter (train_fix.py:79-80): total connections > k.
+    * Degree = partial-aggregated count over the undirected edge closure;
+    * map-side combine keeps the shuffle at |nodes|, not |edges|. */
+  def minDegree(spark: SparkSession, sfDir: String, minConn: Int, limit: Int = 50): DataFrame =
+    Graph.undirected(Graph.personEdges(spark, sfDir))
+      .groupBy(col("src").as("name"))
+      .agg(count(lit(1)).as("total"))
+      .filter(col("total") > minConn)
+      .orderBy(desc("total"), asc("name"))
+      .limit(limit)
+
+  /** J2+T3 — 1-hop expansion over ANY relationship type, undirected, with
+    * the rel type in the output for the edge legend (app.py:253-261). */
+  def expand1HopAny(spark: SparkSession, sfDir: String, key: Int, limit: Int = 500): DataFrame =
+    Graph.undirected(Graph.allEdges(spark, sfDir))
+      .filter(col("src") === f"Customer#$key%09d")
+      .select(col("relType"), col("dst").as("neighbor"))
+      .orderBy("relType", "neighbor")
+      .limit(limit)
+
+  /** J3+T3 — 2-hop expansion through the house hub:
+    * `(p)-[:BELONGS_TO]->(h)<-[:BELONGS_TO]-(mate)` (app.py:288-292), as a
+    * self-join of BELONGS_TO on its dst. */
+  def housemates2Hop(spark: SparkSession, sfDir: String, key: Int, limit: Int = 100): DataFrame = {
+    val b = Graph.belongsTo(spark, sfDir)
+    val me = b.filter(col("src") === f"Customer#$key%09d")
+      .select(col("src").as("me"), col("dst").as("h"))
+    broadcast(me)
+      .join(b, col("h") === col("dst") && col("src") =!= col("me")) // mate <> p
+      .select(col("src").as("mate"))
+      .orderBy("mate")
+      .limit(limit)
+  }
+
+  /** J4+T3 — per-house subgraph: persons in the house list LEFT OUTER
+    * joined to intra-house-set edges (app.py:375-382). Null edge/neighbor
+    * preserved for isolated members (app.py:399 checks `if r and m`). */
+  def houseSubgraph(spark: SparkSession, sfDir: String, houses: Seq[String], limit: Int = 5000): DataFrame = {
+    val p = Graph.nodes(spark, sfDir).filter(col("house").isin(houses: _*)).select("name", "house")
+    val inSet = p.select(col("name").as("m_name"), col("house").as("m_house"))
+    val e = Graph.undirected(Graph.personEdges(spark, sfDir))
+      .join(inSet, col("dst") === col("m_name")) // m:Person AND m.house IN houses
+      .select(col("src"), col("relType"), col("m_name"))
+    p.join(e, col("name") === col("src"), "left_outer")
+      .select(col("name"), col("relType"), col("m_name").as("neighbor"))
+      .orderBy(asc_nulls_first("name"), asc_nulls_first("relType"), asc_nulls_first("neighbor"))
+      .limit(limit)
+  }
+
+  /** J5 — houses LEFT JOIN members, preserving empty houses
+    * (app.py:411-416); a synthetic empty house exercises null preservation. */
+  def housesWithMembers(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    val extra = spark2.createDataFrame(Seq(Tuple1("EMPTYHOUSE"))).toDF("name")
+    val h = Graph.houses(spark, sfDir).unionByName(extra)
+    val b = Graph.belongsTo(spark, sfDir)
+    h.join(b, h("name") === b("dst"), "left_outer")
+      .groupBy(h("name").as("house"))
+      .agg(count(col("src")).as("members")) // count(col) skips nulls → 0 for empty
+      .orderBy("house")
+  }
+
+  /** J6 — SAME_FAMILY derived-key self-join sample (get_insert.py:122-128):
+    * no mirrored pairs by the nid tiebreak. */
+  def sameFamilySample(spark: SparkSession, sfDir: String, family: Int): DataFrame =
+    Graph.sameFamily(spark, sfDir)
+      .filter(element_at(split(col("src"), "#"), -1).cast("long") % Graph.FamilyMod === family)
+      .select("src", "dst")
+      .orderBy("src", "dst")
+      .limit(200)
+
+  /** J7 — FRIEND_OF derivation volume by house: count of same-house pairs.
+    * Never materializes the clique — partial counts flow from the join. */
+  def friendCountByHouse(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))
+    Graph.friendOf(spark, sfDir)
+      .join(n, col("src") === col("name"))
+      .groupBy("house").agg(count(lit(1)).as("friend_pairs"))
+      .orderBy("house")
+  }
+
+  /** J8 — enemy cross-join cardinality per direction-source house. */
+  def enemyCountBySrcHouse(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))
+    Graph.enemyOf(spark, sfDir)
+      .join(n, col("src") === col("name"))
+      .groupBy("house").agg(count(lit(1)).as("enemies"))
+      .orderBy("house")
+  }
+
+  /** J9 — the curated fuzzy-matched romance pairs, both directions. */
+  def romancePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.romanticWith(spark, sfDir).select("src", "dst").orderBy("src", "dst")
+
+  /** J10+A1 — semi-join a name list then count by house (app.py:62-66):
+    * the `get_house_counts` building block of /predict. */
+  def semiHouseCounts(spark: SparkSession, sfDir: String, keys: Seq[Int]): DataFrame = {
+    val names = spark.createDataFrame(keys.map(k => Tuple1(f"Customer#$k%09d"))).toDF("name")
+    Graph.nodes(spark, sfDir)
+      .join(broadcast(names), Seq("name"), "left_semi")
+      .groupBy("house").agg(count(lit(1)).as("cnt"))
+      .orderBy("house")
+  }
+
+  /** A1 — count by house over all persons. */
+  def countByHouse(spark: SparkSession, sfDir: String): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .groupBy("house").agg(count(lit(1)).as("cnt"))
+      .orderBy("house")
+
+  /** A4+A5 — list aggregation: sorted member-name list + size per house over
+    * a bounded slice (collect order canonicalized; SURVEY §2.4 A4). */
+  def collectNames(spark: SparkSession, sfDir: String, maxNid: Int): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .filter(col("nid") < maxNid)
+      .groupBy("house")
+      .agg(array_join(array_sort(collect_list(col("name"))), ",").as("names"),
+           count(lit(1)).as("n"))
+      .orderBy("house")
+
+  /** S5 — MERGE/upsert of person rows (get_insert.py:87-103, app.py:103-106):
+    * new rows win over existing by name; expressed as union + anti-join,
+    * which is exactly a MERGE INTO at 100 TB (Delta/Iceberg). */
+  def upsertPersons(spark: SparkSession, sfDir: String): DataFrame = {
+    val updates = spark.createDataFrame(Seq(
+      ("Customer#000000003", "BUILDING", 0.0),     // existing node: house+bal rewrite
+      ("User#000000001", "BUILDING", 10.0)         // app-created user (app.py:103-106)
+    )).toDF("name", "house", "acctbal")
+    val existing = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+    val merged = updates.unionByName(existing.join(broadcast(updates.select("name")), Seq("name"), "left_anti"))
+    merged.filter(col("name").isin("Customer#000000003", "User#000000001"))
+      .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"))
+      .orderBy("name")
+  }
+
+  /** J11 — MERGE edges from a user to targets, idempotent via dedup
+    * (app.py:110-132). The duplicate in the batch proves MERGE semantics. */
+  def upsertEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val user = "User#000000001"
+    val targets = Seq(2, 4, 6, 6).map(k => (user, f"Customer#$k%09d", "FRIEND_OF"))
+    val newEdges = spark.createDataFrame(targets).toDF("src", "dst", "relType")
+    Graph.friendOf(spark, sfDir)
+      .unionByName(newEdges)
+      .dropDuplicates("src", "dst", "relType")
+      .filter(col("src") === user || col("dst") === user)
+      .orderBy("src", "dst")
+  }
+
+  /** §2.6 extension — set operations (Spark built-ins). */
+  def setopIntersect(spark: SparkSession, sfDir: String, minBal: Double, houses: Seq[String]): DataFrame = {
+    val n = Graph.nodes(spark, sfDir)
+    n.filter(col("acctbal") > minBal).select("name")
+      .intersect(n.filter(col("house").isin(houses: _*)).select("name"))
+      .orderBy("name")
+  }
+
+  def setopExcept(spark: SparkSession, sfDir: String, minBal: Double, houses: Seq[String]): DataFrame = {
+    val n = Graph.nodes(spark, sfDir)
+    n.filter(col("acctbal") > minBal).select("name")
+      .except(n.filter(col("house").isin(houses: _*)).select("name"))
+      .orderBy("name")
+  }
+
+  /** §2.7 — derived last-name key, the reference's `split(name,' ')[-1]`
+    * shape (get_insert.py:125) on the projected names. */
+  def lastNameKey(spark: SparkSession, sfDir: String, limit: Int = 20): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .select(col("name"), element_at(split(col("name"), "#"), -1).as("key"))
+      .orderBy("name")
+      .limit(limit)
+
+  /** S7 — graph-JSON sink shape (app.py:263-363): Cytoscape node/edge rows
+    * as JSON strings, deduped declaratively instead of the reference's
+    * python-side `added_nodes` set. */
+  def graphJson(spark: SparkSession, sfDir: String, key: Int): DataFrame = {
+    val me = f"Customer#$key%09d"
+    val hop = Graph.undirected(Graph.personEdges(spark, sfDir))
+      .filter(col("src") === me)
+    val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))
+    val nodeRows = hop.select(col("dst").as("name"))
+      .union(hop.select(col("src").as("name")))
+      .dropDuplicates("name")                       // the added_nodes set, set-oriented
+      .join(n, Seq("name"))
+      .select(lit("node").as("kind"),
+        concat(lit("""{"data":{"id":""""), col("name"),
+               lit("""","house":""""), col("house"), lit(""""}}""")).as("payload"))
+    val edgeRows = hop
+      .select(lit("edge").as("kind"),
+        concat(lit("""{"data":{"source":""""), col("src"),
+               lit("""","target":""""), col("dst"),
+               lit("""","relType":""""), col("relType"), lit(""""}}""")).as("payload"))
+    nodeRows.unionByName(edgeRows).orderBy("kind", "payload")
+  }
 }
