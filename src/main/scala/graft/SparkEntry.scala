@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.GraphBuilder
-import graft.ops.GraphOps
+import graft.ops.{GraphOps, RelOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,6 +59,34 @@ object SparkEntry {
     "setop_except" -> ((s, d) => GraphOps.setopExcept(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
     // —— scalar functions (§2.7) ——
     "fn_lastname_key" -> ((s, d) => GraphOps.lastNameKey(s, d)),
+    // —— text analysis (extension: BASELINE.json north star) ——
+    "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "tx_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "tx_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    // —— deduplication (extension) ——
+    "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
+    "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
+    // —— similarity search (extension) ——
+    "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
+    "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
+    "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopK(s, d)),
+    "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
+    // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
+    "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
+    "rq2_distinct_agg" -> ((s, d) => RelOps.distinctAgg(s, d)),
+    "rq3_rollup" -> ((s, d) => RelOps.rollupQty(s, d)),
+    "rq4_cube" -> ((s, d) => RelOps.cubeOrders(s, d)),
+    "rq5_windows" -> ((s, d) => RelOps.orderWindows(s, d)),
+    "rq6_revenue_by_nation" -> ((s, d) => RelOps.revenueByNation(s, d)),
+    "rq7_range_join" -> ((s, d) => RelOps.rangeJoinFollowups(s, d)),
+    "rq8_asof_join" -> ((s, d) => RelOps.asofJoin(s, d)),
+    "rq9_event_window" -> ((s, d) => RelOps.eventTumblingWindow(s, d)),
+    "rq10_sessionize" -> ((s, d) => RelOps.sessionize(s, d)),
+    "rq11_json_props" -> ((s, d) => RelOps.jsonProps(s, d)),
+    "rq12_approx_distinct" -> ((s, d) => RelOps.approxDistinct(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -224,5 +252,198 @@ object SparkEntry {
       s"""WITH $nodesCte
          |SELECT name, string_split(name, '#')[-1] AS key FROM n
          |ORDER BY name LIMIT 20""".stripMargin,
+    // —— text analysis ——
+    "tx_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(text), '\s+')) AS n_ws,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+        |  len(text) AS len
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "tx_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np
+         |  FROM documents WHERE doc_id < 100),
+         |q AS (
+         |  SELECT doc_id, len(text) AS len,
+         |    round(np * 1.0 / len(text), 4) AS punct_ratio,
+         |    round(len(list_filter(toks, x -> x IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(toks), 4) AS stop_ratio,
+         |    round((len(text) - len(toks) + 1) * 1.0 / len(toks), 4) AS avg_tok_len
+         |  FROM t)
+         |SELECT *, (len BETWEEN 50 AND 2000 AND punct_ratio < 0.2 AND avg_tok_len < 12.0) AS is_quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "tx_langid" -> {
+      val scores = TextOps.LangMarkers.map { case (l, m) =>
+        s"CAST((len(lo) - len(replace(lo, '$m', ''))) / ${m.length} AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      val best = "greatest(" + TextOps.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val cases = TextOps.LangMarkers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS lo FROM documents WHERE doc_id < 100),
+         |s AS (SELECT doc_id,
+         |    $scores
+         |  FROM t)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE $cases ELSE 'und' END AS pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "tx_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, md5(nt) AS fp_md5,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(nt, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (a, b) -> (a * ${TextOps.HashBase} + b) % ${TextOps.HashMod}) AS fp_roll
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // —— dedup ——
+    "dd_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |g AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |         min(doc_id) AS keep_id, count(*) AS copies
+        |  FROM d GROUP BY 1)
+        |SELECT count(*) AS n_unique, CAST(sum(copies) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |       max(keep_id) AS max_keep_id
+        |FROM g""".stripMargin,
+    "dd_ngram_jaccard" -> ngramJaccardSql(0.8),
+    "dd_minhash_lsh" -> ngramJaccardSql(0.85),
+    // —— similarity ——
+    "sim_cosine_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine
+         |FROM ne, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_neardup_pairs" ->
+      s"""WITH $embCte
+         |, p AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 300 AND b.vec_id < 300)
+         |SELECT src_id, dst_id, cosine FROM p WHERE cosine >= 0.4
+         |ORDER BY src_id, dst_id""".stripMargin,
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, i, v[i] AS val
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s),
+        |cl AS (SELECT label, i, avg(val) AS cx FROM x GROUP BY 1, 2),
+        |g AS (SELECT i, avg(val) AS gx FROM x GROUP BY 1),
+        |j AS (SELECT label, sum(cx * gx) AS dp, sqrt(sum(cx * cx)) AS ncl,
+        |             (SELECT sqrt(sum(gx * gx)) FROM g) AS ng
+        |      FROM cl JOIN g USING (i) GROUP BY label)
+        |SELECT label, round(dp / (ncl * ng), 6) AS cosine_to_global
+        |FROM j ORDER BY label""".stripMargin,
+    // —— relational / temporal ——
+    "rq1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rq2_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq3_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "rq4_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "rq5_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "rq6_revenue_by_nation" ->
+      """SELECT n_name AS nation,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq7_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 30),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT p_id, p_user, count(DISTINCT e.event_id) AS n_follow
+        |FROM p JOIN ev e ON e.user_id = p_user
+        |  AND e.ts >= p_ts AND e.ts < p_ts + INTERVAL 5 MINUTE AND e.event_id <> p_id
+        |GROUP BY 1, 2 ORDER BY p_id""".stripMargin,
+    "rq8_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 30),
+        |u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_p, event_id AS p_id FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, NULL FROM ev WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *, last_value(p_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, is_p DESC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_p
+        |  FROM u)
+        |SELECT event_id AS click_id, user_id, last_p AS purchase_id
+        |FROM w WHERE is_p = 0 ORDER BY click_id""".stripMargin,
+    "rq9_event_window" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rq10_sessionize" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 20),
+        |l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM ev),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    "rq11_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** Shared embeddings-with-norm CTE (doubles BEFORE any arithmetic). */
+  private val embCte: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |ne AS (SELECT vec_id, label, v,
+      |  sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nrm
+      |FROM e)""".stripMargin
+
+  /** Word-3-gram Jaccard pair SQL at a threshold — the oracle for both the
+    * exact inverted-index dedup and the MinHash+LSH path (whose band
+    * recall at J ≥ 0.85 is 1 - (1-0.85²)^8 ≈ 0.9999 and, with fixed
+    * deterministic hashes, exact on this corpus — verified at sf0.01). */
+  private def ngramJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS common,
+       |         any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT src_id, dst_id,
+       |       round(common * 1.0 / (na + nb - common), 4) AS jaccard
+       |FROM pairs WHERE round(common * 1.0 / (na + nb - common), 4) >= $threshold
+       |ORDER BY src_id, dst_id""".stripMargin
 }

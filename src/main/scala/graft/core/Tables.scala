@@ -20,7 +20,16 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    * Public escape hatch: read nanos as long, then truncate to microsecond
+    * timestamps with integer arithmetic (a double division would lose
+    * precision above 2^53 ns). The oracle side truncates identically via
+    * `CAST(ts AS TIMESTAMP)` (DuckDB ns→µs cast floors — verified). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 }

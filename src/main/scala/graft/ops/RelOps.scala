@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / temporal operators over the TPC-H-ish corpus — the
+  * aggregation, windowing, and join surface the reference never needed
+  * (SURVEY §2.4 note / §2.3 "missing-from-reference join kinds") but a
+  * warehouse-scale engine must have.
+  *
+  * Money aggregates are cast to DECIMAL before summing: double summation
+  * order differs between Spark's partial aggregation and any single-node
+  * oracle, so only exact decimal arithmetic is hash-comparable — and at
+  * 100 TB, decimal sums are also the only auditable answer.
+  */
+object RelOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Computed products (price × discount) carry 4 true decimal digits; a
+    * cast to scale 2 would land exactly between representable values and
+    * engines disagree on half-rounding. Scale 6 is exact for them. */
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1 shape: pricing summary by returnflag/linestatus — partial+final
+    * hash aggregation, no shuffle beyond the 6-group final. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct aggregation: supplier/part fan-out per return flag. */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(col("l_partkey")).as("n_part"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows,
+    * grouping nulls made explicit so ordering is deterministic. */
+  def rollupQty(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Window functions: per-customer order sequence + running total.
+    * One shuffle on o_custkey serves both window and sort. */
+  def orderWindows(spark: SparkSession, sfDir: String, maxCust: Int = 100): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < maxCust)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_total"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Multi-way join: revenue by nation (TPC-H Q5 shape). nation/region are
+    * broadcast; customer⋈orders and orders⋈lineitem are the real shuffles —
+    * co-partitionable on the keys at scale (bucket by custkey/orderkey). */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("nation")
+
+  /** Range join: events following a purchase within 5 minutes, same user.
+    * Implemented with the bucketed shape that survives scale: purchases
+    * exploded to two 300-second buckets, equi-join on (user, bucket), exact
+    * range predicate after — work is proportional to true matches, never an
+    * inequality-only nested loop. */
+  def rangeJoinFollowups(spark: SparkSession, sfDir: String, maxUser: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withColumn("bk", explode(array(floor(col("p_ts").cast("long") / 300),
+                                      floor(col("p_ts").cast("long") / 300) + 1)))
+    val e = ev.select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withColumn("bk", floor(col("e_ts").cast("long") / 300).cast("long"))
+    p.join(e, col("p_user") === col("e_user") && p("bk") === e("bk"))
+      .filter(col("e_ts") >= col("p_ts") &&
+              col("e_ts") < col("p_ts") + expr("INTERVAL 5 MINUTES") &&
+              col("e_id") =!= col("p_id"))
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(countDistinct(col("e_id")).as("n_follow"))
+      .orderBy("p_id")
+  }
+
+  /** As-of join: for each click, the most recent purchase at-or-before it by
+    * the same user — the union + running `last(ignoreNulls)` shape: one
+    * shuffle on user_id, no range join at all. Purchases sort before clicks
+    * at equal ts (is_p desc) so a same-instant purchase is visible. */
+  def asofJoin(spark: SparkSession, sfDir: String, maxUser: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"),
+        col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"),
+        lit(null).cast("long").as("p_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_p").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(c)
+      .withColumn("last_p", last(col("p_id"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id").as("click_id"), col("user_id"), col("last_p").as("purchase_id"))
+      .orderBy("click_id")
+  }
+
+  /** Event-time tumbling window aggregation (batch twin of the streaming
+    * query in graft.streaming): hourly counts + value sums. Window start
+    * emitted as a formatted string so timestamp precision can't diverge. */
+  def eventTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec6(col("value"))).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  /** Batch sessionization with session_window (10-minute gap): per-user
+    * session count + span. The same operator runs unchanged under
+    * Structured Streaming with a watermark. */
+  def sessionize(spark: SparkSession, sfDir: String, maxUser: Int = 20): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < maxUser)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sstart"),
+        col("n_events"))
+      .orderBy("user_id", "sstart")
+
+  /** JSON property extraction: native JSON-path access into `props`, summed
+    * per event type (get_json_object is codegen'd — no UDF json parsing). */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Approximate distinct: HLL sketch vs exact — the 100 TB cardinality
+    * answer. HLL implementations differ across engines → spec-verified
+    * (±5% of exact), not oracled. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim) —
+  * the ANN extension surface mandated by BASELINE.json.
+  *
+  * Spark-first design: dot products via `zip_with` + `aggregate` higher-order
+  * functions (whole-stage codegen, no UDF); floats cast to double BEFORE any
+  * arithmetic so results are bit-comparable with the DuckDB oracle; the
+  * scale path is sign-random-projection LSH — bucket keys turn the n² search
+  * into an equi-join, which is the only shape that survives 100 TB.
+  */
+object SimilarityOps {
+
+  /** embedding → double[] (float arithmetic would diverge from the oracle). */
+  private def vec(c: Column): Column = c.cast("array<double>")
+
+  /** dot(a, b) via zip_with + aggregate — sequential fold in index order,
+    * same order DuckDB's list_sum uses, so doubles match to the ulp. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Rows (vec_id, label, v, nrm) with the norm precomputed once. */
+  private def normed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k for one query vector (the exact baseline):
+    * broadcast the single query row, one scan over the corpus, top-k via
+    * TakeOrderedAndProject — no shuffle except the final k rows. */
+  def cosineTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = normed(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs over a bounded id range (the exact
+    * all-pairs form; the LSH path below is the at-scale variant). Filter is
+    * on the ROUNDED score so the oracle's boundary behavior is identical. */
+  def cosineNearDupPairs(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.4, maxId: Long = 300L): DataFrame = {
+    val e = normed(spark, sfDir).filter(col("vec_id") < maxId)
+    val a = e.select(col("vec_id").as("src_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("dst_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("src_id") < col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("src_id", "dst_id")
+  }
+
+  /** Fixed sign-random-projection hyperplanes: NumBits × dim, deterministic
+    * from a seeded generator (stable across JVMs — java.util.Random's
+    * algorithm is specified). */
+  val NumBits = 8
+  val Dim = 64
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(NumBits, Dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket key = the NumBits sign bits of v · h_j. Pure column arithmetic
+    * over literal hyperplane arrays — codegen'd, broadcast-free. */
+  private def lshKey(v: Column): Column =
+    (0 until NumBits).foldLeft(lit(0)) { (acc, j) =>
+      val h = array(hyperplanes(j).map(lit): _*)
+      acc.bitwiseOR(when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0)))
+    }
+
+  /** ANN top-k via LSH buckets with hamming ≤ 1 multiprobe: candidates are
+    * the vectors whose bucket key is in the query's probe set (an `isin` →
+    * pushed-down scan filter), then exact cosine within candidates. At
+    * 100 TB the bucketed table is written partitioned by key; a probe reads
+    * |probes| partitions instead of the corpus. Recall is spec-verified
+    * against the brute-force baseline (approximate by design → no oracle). */
+  def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = normed(spark, sfDir).withColumn("key", lshKey(col("v")))
+    val Array(qRow) = e.filter(col("vec_id") === queryId)
+      .select(col("key")).collect()
+    val qKey = qRow.getInt(0)
+    val probes = qKey +: (0 until NumBits).map(j => qKey ^ (1 << j))
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(col("key").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label centroid similarity: mean vector per label (element-wise via
+    * posexplode + re-assemble), then cosine of each label centroid against
+    * the global centroid — a grouped-vector-aggregation pattern every
+    * embedding pipeline needs (also the building block of IVF training). */
+  def labelCentroidSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), posexplode(vec(col("embedding"))).as(Seq("pos", "x")))
+    val byLabel = e.groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("cx")).as("cv"))
+    val global = e.groupBy("pos").agg(avg("x").as("gx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("gx")))).as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("gx")).as("gv"))
+    byLabel.crossJoin(broadcast(global))
+      .select(col("label"),
+        round(dot(col("cv"), col("gv")) / (norm(col("cv")) * norm(col("gv"))), 6).as("cosine_to_global"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,249 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline extension surface mandated by BASELINE.json
+  * (north star: "dedup, similarity search, multimodal columns, text
+  * analysis"), designed Spark-first:
+  *
+  *  - everything is built-in `functions._` (whole-stage codegen; no UDFs);
+  *  - near-dup detection is an inverted-index shingle join (the scalable
+  *    shape: explode → equi-join on shingle → pair-count), never an n²
+  *    cross join;
+  *  - MinHash/LSH banding turns the 100 TB all-pairs problem into
+  *    equi-joins on band keys — the only shape that survives scale-up.
+  *
+  * Everything is deterministic (fixed hash functions, canonical ordering)
+  * so results are oracle-comparable.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Whitespace tokens of the lowercased text. */
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Distinct word-3-gram shingles; empty when < 3 tokens (guard needed:
+    * Spark `sequence(1, 0)` is DEscending, unlike DuckDB's empty list). */
+  private def shingles3(t: Column): Column = array_distinct(
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array()))
+
+  /** doc_id → distinct shingle set (exploded), with set size carried. */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+
+  /** Inverted-index pair generation: docs sharing ≥1 shingle, with common
+    * count and both set sizes. THE scalable near-dup shape — the join key
+    * is the shingle, so work is proportional to true overlap, not |docs|².
+    * At 100 TB add frequency pruning (drop shingles appearing in > f docs)
+    * before the self-join; not done here to keep exact semantics. */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
+    val ex = shingleRows(docs)
+    val a = ex.select(col("doc_id").as("src_id"), col("s"), col("n").as("na"))
+    val b = ex.select(col("doc_id").as("dst_id"), col("s"), col("n").as("nb"))
+    a.join(b, Seq("s")).filter(col("src_id") < col("dst_id"))
+      .groupBy("src_id", "dst_id")
+      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard",
+        round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4))
+  }
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Occurrences of a literal substring (both engines: length difference). */
+  private def occ(c: Column, m: String): Column =
+    ((length(c) - length(replace(c, lit(m), lit("")))) / m.length).cast("long")
+
+  // ---------------------------------------------------- text analysis ops
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token stream
+    * (letter runs / digit runs / single symbols) + char count. */
+  def tokenCounts(spark: SparkSession, sfDir: String, maxDocId: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_ws"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe"),
+        length(col("text")).as("len"))
+      .orderBy("doc_id")
+
+  /** Stopword set for quality scoring (shared with the oracle SQL). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length, and a boolean gate — the standard pre-training heuristics. */
+  def qualityScore(spark: SparkSession, sfDir: String, maxDocId: Int = 100): DataFrame = {
+    val t = toks(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = size(filter(t, x => x.isin(Stopwords.map(lit): _*)))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        round(nPunct * lit(1.0) / length(col("text")), 4).as("punct_ratio"),
+        round(nStop * lit(1.0) / size(t), 4).as("stop_ratio"),
+        round((length(col("text")) - size(t) + 1) * lit(1.0) / size(t), 4).as("avg_tok_len"))
+      .withColumn("is_quality",
+        col("len").between(50, 2000) && col("punct_ratio") < 0.2 && col("avg_tok_len") < 12.0)
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID markers: (lang, substring whose occurrence count votes for
+    * that lang). A classic n-gram-profile heuristic, kept to a fixed tiny
+    * profile so the exact same arithmetic is expressible in the oracle. */
+  val LangMarkers: Seq[(String, String)] =
+    Seq("en" -> "th", "de" -> "er", "fr" -> "le", "es" -> "os")
+
+  /** Language ID: substring-occurrence votes per language, argmax with
+    * fixed priority order (en > de > fr > es on ties). */
+  def langId(spark: SparkSession, sfDir: String, maxDocId: Int = 100): DataFrame = {
+    val lo = lower(col("text"))
+    val scored = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id") +: LangMarkers.map { case (l, m) => occ(lo, m).as(s"s_$l") }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit("und")) { case ((l, _), el) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(el)
+    }
+    // foldRight gives en-first priority: en wins ties, then de, fr, es.
+    scored.withColumn("pred", pred).orderBy("doc_id")
+  }
+
+  /** Rolling-hash modulus/base shared with the oracle SQL and the native
+    * codegen expression (graft.functions.RollingHash). */
+  val HashMod = 1000000007L
+  val HashBase = 31L
+
+  /** Polynomial rolling hash over the normalized text's codepoints:
+    * fold(acc = acc*31 + code mod 1e9+7). Expressed with the `aggregate`
+    * higher-order function → stays inside codegen, no UDF. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      // filter: Java-regex split keeps a trailing "" (limit -1) that
+      // DuckDB's string_split does not produce.
+      transform(filter(split(normText(c), ""), ch => length(ch) > 0),
+        ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * HashBase + x) % HashMod)
+
+  /** Document fingerprinting: md5 of normalized text (cheap exact-dup key)
+    * + the rolling hash (locality-free 64-bit key). */
+  def fingerprints(spark: SparkSession, sfDir: String, maxDocId: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
+      .select(
+        col("doc_id"),
+        md5(normText(col("text"))).as("fp_md5"),
+        rollingHash(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ dedup ops
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint, min
+    * doc_id wins. The input is the corpus unioned with a re-keyed copy of
+    * itself (every text duplicated once) so the op demonstrably removes
+    * dups. Output: one summary row — scale-stable and oracle-checkable. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val doubled = d.unionByName(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val survivors = doubled
+      .groupBy(md5(normText(col("text"))).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+    survivors.agg(
+      count(lit(1)).as("n_unique"),
+      sum("copies").as("n_total"),
+      sum(when(col("copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+      max("keep_id").as("max_keep_id"))
+  }
+
+  /** Near-dup by word-3-gram Jaccard ≥ threshold over the inverted-index
+    * pair join. */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
+    jaccardPairs(Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .filter(col("jaccard") >= threshold)
+      .select("src_id", "dst_id", "jaccard")
+      .orderBy("src_id", "dst_id")
+
+  /** MinHash signature length and LSH banding: 16 hashes in 8 bands × 2
+    * rows. P[candidate | J=0.85] ≈ 1-(1-0.85²)^8 ≈ 0.9999 — with the exact
+    * verify step below the output equals the true Jaccard pairs (all fixed
+    * deterministic hashes, so this holds reproducibly on given data). */
+  val MinHashK = 16
+  val Bands = 8
+
+  /** MinHash + LSH near-dup: shingle → k minhashes (one pass, map-side) →
+    * band keys → equi-join on (band, key) → candidate pairs → exact-Jaccard
+    * verify. At 100 TB this is the canonical dedup plan: the only joins are
+    * on band keys and the verify join touches only candidate pairs. */
+  def dedupMinHashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.85): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val ex = shingleRows(docs)
+    // k minhash values per doc, computed in one aggregation pass.
+    val minhashAggs = (0 until MinHashK).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sig = ex.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    // 8 bands of 2 rows: band key = hash of its 2 signature slots.
+    val rowsPerBand = MinHashK / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("key"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
+      .distinct()
+    // Exact verify on candidates only (removes LSH false positives).
+    jaccardPairs(docs).join(cands, Seq("src_id", "dst_id"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+      .select("src_id", "dst_id", "jaccard")
+      .orderBy("src_id", "dst_id")
+  }
+
+  /** SimHash bit width and hamming threshold. */
+  val SimHashBits = 64
+  val HammingMax = 3
+
+  /** 64-bit SimHash per doc: sum of ±1 votes per bit over token hashes,
+    * reassembled into one long. Pairs found by banding the signature into
+    * 4 × 16-bit chunks (a pair within hamming ≤ 3 of a 64-bit key must
+    * agree exactly on ≥1 of 4 chunks — pigeonhole), then verifying the true
+    * hamming distance with bit_count(xor). Deterministic; xxhash64 is not
+    * reproducible in DuckDB so this entry is spec-verified, not oracled. */
+  def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitVotes = (0 until SimHashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until SimHashBits).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+    }
+    val signed = votes.select(col("doc_id"), sig.as("sig"))
+    val chunks = (0 until 4).map { i =>
+      struct(lit(i).as("ci"), shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("ck"))
+    }
+    val banded = signed.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+    banded.as("a").join(banded.as("b"), Seq("ci", "ck"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy("src_id", "dst_id")
+  }
+}
