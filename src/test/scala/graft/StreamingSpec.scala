@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics the batch oracle can't express: watermark
+  * late-data drop, within-watermark dedup, and the foreachBatch upsert
+  * (the reference's user-MERGE path, app.py:100-132, as a stream). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed agg with watermark drops data later than 1 hour (append mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingOps.windowedTypeCounts(events)
+    val q = out.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    // batch 1: two on-time events; watermark advances to 12:00 - 1h = 11:00
+    mem.addData((ts("2024-06-01 10:10:00"), "click", 1.0),
+                (ts("2024-06-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at 09:30 — behind the 11:00 watermark → dropped;
+    // and one at 13:00 to push the watermark past 12:00.
+    mem.addData((ts("2024-06-01 09:30:00"), "click", 99.0),
+                (ts("2024-06-01 13:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-06-01 15:00:00"), "click", 1.0)) // close the 13:00 window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_test").collect()
+    val emitted = rows.map(_.getAs[String]("wstart")).toSet
+    assert(emitted.contains("2024-06-01 10:00:00"))
+    assert(!emitted.contains("2024-06-01 09:00:00"), "late row must be dropped")
+    // the 10:00 window count is 1 — the late 09:30 row never reached it
+    val w10 = rows.filter(_.getAs[String]("wstart") == "2024-06-01 10:00:00")
+    assert(w10.head.getAs[Long]("n") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per key within the horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingOps.dedupUsersByType(events)
+      .writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").start()
+    mem.addData((ts("2024-06-01 10:00:00"), 1L, "click"),
+                (ts("2024-06-01 10:05:00"), 1L, "click"), // dup within watermark
+                (ts("2024-06-01 10:10:00"), 2L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dd_test").count()
+    assert(n == 2, s"expected 2 deduped rows, got $n")
+  }
+
+  test("foreachBatch upsert: last writer wins by name across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = Files.createTempDirectory("graft_upsert").toString
+    val dir = base + "/nodes"
+    val ckpt = base + "/ckpt"
+    val mem = MemoryStream[(String, String)]
+    val updates = mem.toDF().toDF("name", "house")
+    mem.addData(("alice", "BUILDING"), ("bob", "MACHINERY"))
+    StreamingOps.foreachBatchUpsert(spark, updates, dir, ckpt)
+    mem.addData(("alice", "FURNITURE")) // second batch overwrites alice
+    StreamingOps.foreachBatchUpsert(spark, updates, dir, ckpt)
+    val state = spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state == Map("alice" -> "FURNITURE", "bob" -> "MACHINERY"))
+  }
+
+  test("streamed window counts equal the batch twin (streaming/batch parity)") {
+    val streamed = StreamingOps.streamedWindowCounts(spark, sf)
+      .collect().map(_.toString).sorted
+    val batch = graft.ops.RelOps.eventTumblingWindow(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+}
