@@ -60,6 +60,14 @@ object Graph {
       col("c_nationkey").as("nation"),
       col("c_acctbal").as("acctbal"))
 
+  /** Spread a derivation's STREAMED side across the cluster. The node table
+    * arrives as few (locally: one) input splits; a broadcast-hash self-join
+    * then runs the whole quadratic expansion in that many tasks. Repartition
+    * the streamed side first so clique generation parallelizes — the 100 TB
+    * twin of this is bucketing the node table at write time. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** House nodes (broadcast-sized: 5 distinct segments). */
   def houses(spark: SparkSession, sfDir: String): DataFrame =
     nodes(spark, sfDir).select(col("house").as("name")).distinct()
@@ -73,21 +81,32 @@ object Graph {
 
   /** FRIEND_OF: same-house pairs, canonical direction nid(a) < nid(b).
     * Quadratic in house size by construction (the reference's same-house
-    * clique, get_insert.py:132-138) — consumers must filter BEFORE expanding;
-    * the lazy plan makes that automatic via predicate pushdown. */
-  def friendOf(spark: SparkSession, sfDir: String): DataFrame = {
-    val a = nodes(spark, sfDir).select("nid", "name", "house")
-    val b = nodes(spark, sfDir).select(
+    * clique, get_insert.py:132-138) — consumers must restrict the node set
+    * BEFORE expanding (use the `friendOfAmong` overload), never filter the
+    * expanded pairs. */
+  def friendOf(spark: SparkSession, sfDir: String): DataFrame =
+    friendOfAmong(nodes(spark, sfDir))
+
+  /** FRIEND_OF among an arbitrary (pre-filtered) node set. A filter applied
+    * to `among` reaches the parquet scans on BOTH join sides; filtering the
+    * pair output instead would first build the full clique. */
+  def friendOfAmong(among: DataFrame): DataFrame = {
+    val a = spread(among.select("nid", "name", "house"))
+    val b = among.select(
       col("nid").as("nid2"), col("name").as("name2"), col("house").as("house2"))
     a.join(b, col("house") === col("house2") && col("nid") < col("nid2"))
       .select(edge(col("name"), col("name2"), "FRIEND_OF"): _*)
   }
 
   /** SAME_FAMILY: equal derived family key, nid(a) < nid(b) (J6). */
-  def sameFamily(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = nodes(spark, sfDir)
-      .select(col("nid"), col("name"), (col("nid") % FamilyMod).as("family"))
-    val m = n.select(col("nid").as("nid2"), col("name").as("name2"), col("family").as("family2"))
+  def sameFamily(spark: SparkSession, sfDir: String): DataFrame =
+    sameFamilyAmong(nodes(spark, sfDir))
+
+  def sameFamilyAmong(among: DataFrame): DataFrame = {
+    val n = spread(among
+      .select(col("nid"), col("name"), (col("nid") % FamilyMod).as("family")))
+    val m = among.select(col("nid").as("nid2"), col("name").as("name2"),
+      (col("nid") % FamilyMod).as("family2"))
     n.join(m, col("family") === col("family2") && col("nid") < col("nid2"))
       .select(edge(col("name"), col("name2"), "SAME_FAMILY"): _*)
   }
@@ -96,10 +115,12 @@ object Graph {
     * (get_insert.py:141-145). Broadcast-nested-loop is the right physical
     * plan for one small side; at equal large sides this is the one edge rule
     * that cannot avoid a quadratic blow-up — exactly like the reference. */
-  def enemyOf(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = nodes(spark, sfDir)
-    val a = n.filter(col("house") === EnemyHouseA).select(col("name").as("na"))
-    val b = n.filter(col("house") === EnemyHouseB).select(col("name").as("nb"))
+  def enemyOf(spark: SparkSession, sfDir: String): DataFrame =
+    enemyOfAmong(nodes(spark, sfDir))
+
+  def enemyOfAmong(among: DataFrame): DataFrame = {
+    val a = spread(among.filter(col("house") === EnemyHouseA)).select(col("name").as("na"))
+    val b = among.filter(col("house") === EnemyHouseB).select(col("name").as("nb"))
     val oneWay = a.crossJoin(b)
     oneWay.select(edge(col("na"), col("nb"), "ENEMY_OF"): _*)
       .unionByName(oneWay.select(edge(col("nb"), col("na"), "ENEMY_OF"): _*))
@@ -108,10 +129,13 @@ object Graph {
   /** ROMANTIC_WITH: curated pairs, equality-or-contains match on both ends,
     * both directions (J9). Pairs are a literal local relation → broadcast
     * nested loop against nodes, which is exactly right at any scale. */
-  def romanticWith(spark: SparkSession, sfDir: String): DataFrame = {
+  def romanticWith(spark: SparkSession, sfDir: String): DataFrame =
+    romanticWithAmong(spark, nodes(spark, sfDir))
+
+  def romanticWithAmong(spark: SparkSession, among: DataFrame): DataFrame = {
     val pairs = spark.createDataFrame(Romances.map { case (x, y) => (keyPat(x), keyPat(y)) })
       .toDF("p1", "p2")
-    val n = nodes(spark, sfDir).select("name")
+    val n = among.select("name")
     val left = n.join(broadcast(pairs),
       col("name") === col("p1") || col("name").contains(col("p1")))
       .select(col("name").as("na"), col("p2"))
@@ -123,10 +147,17 @@ object Graph {
 
   /** All person↔person edges (BELONGS_TO excluded: it targets House nodes). */
   def personEdges(spark: SparkSession, sfDir: String): DataFrame =
-    friendOf(spark, sfDir)
-      .unionByName(sameFamily(spark, sfDir))
-      .unionByName(enemyOf(spark, sfDir))
-      .unionByName(romanticWith(spark, sfDir))
+    personEdgesAmong(spark, nodes(spark, sfDir))
+
+  /** Person↔person edges derived among a restricted node set — equal to
+    * filtering `personEdges` to pairs with BOTH endpoints in the set, but
+    * the restriction reaches the scans (SURVEY §7.3: filter before the
+    * clique, the only shape that survives 100 TB). */
+  def personEdgesAmong(spark: SparkSession, among: DataFrame): DataFrame =
+    friendOfAmong(among)
+      .unionByName(sameFamilyAmong(among))
+      .unionByName(enemyOfAmong(among))
+      .unionByName(romanticWithAmong(spark, among))
 
   /** Every edge including BELONGS_TO — the `(p)-[r]-(m)` any-type surface
     * (app.py:257). */

@@ -63,7 +63,11 @@ object MlOps {
   /** U1+U2: train the Sorting Hat (house classifier) on the graph features.
     * Returns (fitted pipeline model, feature frame). */
   def trainSortingHat(spark: SparkSession, sfDir: String): (org.apache.spark.ml.PipelineModel, DataFrame) = {
-    val features = featurePivot(spark, sfDir)
+    // The feature frame is |persons| rows but its plan expands every edge
+    // clique; RF fit + transform would re-run that expansion once per pass.
+    // Materialize the small aggregate once (at 100 TB: a feature table
+    // written by the ETL job).
+    val features = featurePivot(spark, sfDir).cache()
     val indexer = new StringIndexer().setInputCol("house").setOutputCol("label")
       .setStringOrderType("alphabetAsc") // deterministic label mapping
     val assembler = new VectorAssembler()
@@ -106,6 +110,7 @@ object MlOps {
         (col("acctbal") > 0).cast("double").as("label"))
       .join(deg, Seq("name"), "left_outer")
       .na.fill(0, Seq("friends_count", "enemy_count", "fam_count"))
+      .cache() // small aggregate; avoids re-expanding cliques per RF pass
     val indexer = new StringIndexer().setInputCol("house").setOutputCol("house_code")
       .setStringOrderType("alphabetAsc").setHandleInvalid("keep") // ≅ app.py:169-171 fallback
     val assembler = new VectorAssembler()

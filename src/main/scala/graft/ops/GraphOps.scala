@@ -20,15 +20,16 @@ object GraphOps {
     * the top-k is `TakeOrderedAndProject` (no global sort).
     */
   def winderTopK(spark: SparkSession, sfDir: String, friendKeys: Seq[Int], k: Int = 3): DataFrame = {
-    val friends = Graph.nodes(spark, sfDir)
-      .filter(col("nid").isin(friendKeys: _*))        // P6 exact lookups
-      .select(col("name").as("f_name"))
+    // Friend names are literals (P6 exact lookups): an `isin` literal filter
+    // pushes THROUGH the undirected union into both sides of the same-house
+    // self-join and down to the parquet scan, so the expansion is
+    // |friends| × house-size, never the full clique. (A friends-DF join
+    // could not push: Catalyst won't infer scan filters from a join side.)
+    val friendNames = friendKeys.map(k => f"Customer#$k%09d")
     val fu = Graph.undirectedOne(Graph.friendOf(spark, sfDir))
-    broadcast(friends)
-      .join(fu, col("f_name") === col("src"))          // J1 expand 1-hop typed
-      .select(col("f_name"), col("dst").as("candidate"))
-      .join(broadcast(friends.select(col("f_name").as("ex"))),
-            col("candidate") === col("ex"), "left_anti") // P2 anti-filter
+      .filter(col("src").isin(friendNames: _*))        // J1 expand 1-hop typed
+    fu.select(col("src").as("f_name"), col("dst").as("candidate"))
+      .filter(!col("candidate").isin(friendNames: _*)) // P2 anti-filter
       .groupBy("candidate")
       .agg(count(lit(1)).as("common_friends"),         // A2 score
            array_join(array_sort(collect_list("f_name")), ",").as("shared_with")) // A4
@@ -131,11 +132,14 @@ object GraphOps {
     * joined to intra-house-set edges (app.py:375-382). Null edge/neighbor
     * preserved for isolated members (app.py:399 checks `if r and m`). */
   def houseSubgraph(spark: SparkSession, sfDir: String, houses: Seq[String], limit: Int = 5000): DataFrame = {
-    val p = Graph.nodes(spark, sfDir).filter(col("house").isin(houses: _*)).select("name", "house")
-    val inSet = p.select(col("name").as("m_name"), col("house").as("m_house"))
-    val e = Graph.undirected(Graph.personEdges(spark, sfDir))
-      .join(inSet, col("dst") === col("m_name")) // m:Person AND m.house IN houses
-      .select(col("src"), col("relType"), col("m_name"))
+    val inHouses = Graph.nodes(spark, sfDir).filter(col("house").isin(houses: _*))
+    val p = inHouses.select("name", "house")
+    // Both endpoints must lie in the house set (app.py:375-382's two house
+    // filters), so derive the edges AMONG the restricted node set: the
+    // house literal reaches the scans on both self-join sides instead of
+    // first building every house's clique and filtering it away.
+    val e = Graph.undirected(Graph.personEdgesAmong(spark, inHouses))
+      .select(col("src"), col("relType"), col("dst").as("m_name"))
     p.join(e, col("name") === col("src"), "left_outer")
       .select(col("name"), col("relType"), col("m_name").as("neighbor"))
       .orderBy(asc_nulls_first("name"), asc_nulls_first("relType"), asc_nulls_first("neighbor"))

@@ -34,10 +34,28 @@ object TextOps {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array()))
 
-  /** doc_id → distinct shingle set (exploded), with set size carried. */
+  /** doc_id → distinct shingle set, one column. The token array is
+    * materialized behind its own projection FIRST: Spark does no common-
+    * subexpression elimination inside `transform` lambdas, so building
+    * shingles directly off `split(...)` re-runs the regex split once per
+    * shingle — O(tokens²) splits per document (measured 40× slower).
+    * CollapseProject keeps the boundary because the token array is
+    * referenced more than once and non-cheap. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles3(col("t")).as("sh"))
+
+  /** doc_id → distinct shingle set (exploded), with set size carried.
+    * `explode_outer` + post-generate null filter, NOT `explode`: a plain
+    * explode makes InferFiltersFromGenerate add `size(sh)>0 AND
+    * isnotnull(sh)`, which predicate-pushdown then sinks BELOW the token
+    * projection — re-inlining the whole O(tokens²) shingle expression into
+    * a pre-projection Filter, twice. The null filter on the generator
+    * output cannot sink, and outer generates infer no filter. */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+    shingleSets(docs)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s"), size(col("sh")).as("n"))
+      .filter(col("s").isNotNull)
 
   /** Inverted-index pair generation: docs sharing ≥1 shingle, with common
     * count and both set sizes. THE scalable near-dup shape — the join key
@@ -45,10 +63,13 @@ object TextOps {
     * At 100 TB add frequency pruning (drop shingles appearing in > f docs)
     * before the self-join; not done here to keep exact semantics. */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val ex = shingleRows(docs)
-    val a = ex.select(col("doc_id").as("src_id"), col("s"), col("n").as("na"))
-    val b = ex.select(col("doc_id").as("dst_id"), col("s"), col("n").as("nb"))
-    a.join(b, Seq("s")).filter(col("src_id") < col("dst_id"))
+    // Join on the shingle's 64-bit hash, not the string: same pairs (the
+    // shingle sets are distinct per doc; a cross-doc xxhash64 collision is
+    // ~n²/2⁶⁴), but the shuffle moves 8-byte keys instead of ~30-byte text.
+    val ex = shingleRows(docs).withColumn("hs", xxhash64(col("s"))).drop("s")
+    val a = ex.select(col("doc_id").as("src_id"), col("hs"), col("n").as("na"))
+    val b = ex.select(col("doc_id").as("dst_id"), col("hs"), col("n").as("nb"))
+    a.join(b, Seq("hs")).filter(col("src_id") < col("dst_id"))
       .groupBy("src_id", "dst_id")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
       .withColumn("jaccard",
@@ -206,8 +227,17 @@ object TextOps {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
       .distinct()
-    // Exact verify on candidates only (removes LSH false positives).
-    jaccardPairs(docs).join(cands, Seq("src_id", "dst_id"), "left_semi")
+    // Exact verify on CANDIDATES ONLY: join each pair to the two shingle
+    // sets and intersect — work ∝ |candidates|, never the full
+    // inverted-index pair join (which would defeat the point of LSH).
+    val sets = shingleSets(docs)
+    val verified = cands
+      .join(sets.select(col("doc_id").as("src_id"), col("sh").as("sa")), "src_id")
+      .join(sets.select(col("doc_id").as("dst_id"), col("sh").as("sb")), "dst_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(
+        col("common") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("common")), 4))
+    verified
       .filter(col("jaccard") >= threshold)
       .select("src_id", "dst_id", "jaccard")
       .orderBy("src_id", "dst_id")

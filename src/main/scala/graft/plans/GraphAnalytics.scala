@@ -25,11 +25,13 @@ object GraphAnalytics {
   /** FRIEND_OF edges as GraphX Edge[String] with nid endpoints, canonical
     * direction (nid src < dst by construction in Graph.friendOf). */
   private def friendEdges(spark: SparkSession, sfDir: String, maxNid: Long): XGraph[Int, Int] = {
-    val n = Graph.nodes(spark, sfDir).select(col("nid"), col("name"), col("house"))
-    val e = Graph.friendOf(spark, sfDir)
+    // Restrict the node set BEFORE the same-house self-join (the nid bound
+    // reaches the parquet scans); filtering the derived pairs instead would
+    // build the full clique first.
+    val n = Graph.nodes(spark, sfDir).filter(col("nid") < maxNid)
+    val e = Graph.friendOfAmong(n)
       .join(n.select(col("name").as("src"), col("nid").as("srcId")), "src")
       .join(n.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
-      .filter(col("srcId") < maxNid && col("dstId") < maxNid)
       .select(col("srcId").cast("long"), col("dstId").cast("long"))
     val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     XGraph.fromEdges(edges, defaultValue = 0,
@@ -53,9 +55,15 @@ object GraphAnalytics {
     * classes are complete subgraphs, so the expected component of a node is
     * min(nid) of its class — exactly what CC converges to (components are
     * labeled by min vertex id). Oracle-checkable. */
-  def familyComponents(spark: SparkSession, sfDir: String, maxOut: Long = 200): DataFrame = {
-    val n = Graph.nodes(spark, sfDir).select(col("nid"), col("name"))
-    val e = Graph.sameFamily(spark, sfDir)
+  def familyComponents(spark: SparkSession, sfDir: String, maxOut: Long = 200,
+                       maxNid: Long = 1000): DataFrame = {
+    // Family classes are nid % FamilyMod, so every class's minimum member
+    // (its eventual CC label) has nid ≤ FamilyMod: a bounded subgraph keeps
+    // the labels of the reported nid < maxOut slice exactly equal to the
+    // full graph's, while the self-join stays constant-size at any sf.
+    val n = Graph.nodes(spark, sfDir).filter(col("nid") < maxNid)
+      .select(col("nid"), col("name"))
+    val e = Graph.sameFamilyAmong(n)
       .join(n.select(col("name").as("src"), col("nid").as("srcId")), "src")
       .join(n.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
       .select(col("srcId").cast("long"), col("dstId").cast("long"))
