@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Every query's whole-stage codegen emits unique classes; across a
+  // 65-query benchmark the default 240MB code cache fills and C2 starts
+  // flushing/deoptimizing hot loops (measured 10-20x slowdowns late in a
+  // run, no warning until fully exhausted).
+  "-XX:ReservedCodeCacheSize=1g",
 )

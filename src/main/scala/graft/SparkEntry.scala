@@ -76,6 +76,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
     "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopK(s, d)),
+    "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
     "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
@@ -488,6 +489,15 @@ object SparkEntry {
          |FROM n LEFT JOIN c ON n.name = c.src
          |WHERE n.nid < 100 ORDER BY n.name""".stripMargin
     },
+    // —— ML: Sorting Hat predictions. The graph features are perfectly
+    // separable (f_friend_H > 0 iff house = H — FRIEND_OF is intra-house by
+    // construction and every member of a ≥2-person house has a friend), so
+    // the seeded 50-tree forest predicts the house exactly; verified at
+    // sf0.001/0.01/0.1. The oracle is that closed form. ——
+    "ml_sorting_hat" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, house AS predicted_house FROM n
+         |WHERE nid < 50 ORDER BY name""".stripMargin,
     // —— multimodal metadata arithmetic (payload = UTF-8 bytes of text) ——
     "mm_meta" ->
       """SELECT doc_id AS media_id,

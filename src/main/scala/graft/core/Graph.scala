@@ -180,7 +180,34 @@ object Graph {
       .unionByName(sym)
   }
 
-  /** Undirected view of one canonical-direction edge set (no relType mix). */
+  /** Undirected view of one canonical-direction edge set (no relType mix).
+    * NOTE: the union evaluates the underlying derivation twice (Spark
+    * reuses exchanges, not arbitrary subtrees) — but a measured alternative
+    * (explode of a 2-struct array, one pass) ran 2-3× SLOWER: GenerateExec's
+    * per-row materialization costs more than a second tight codegen'd
+    * broadcast-join pass, and the generator also blocks the selective
+    * literal `src` filters that DO push through this union into the scans.
+    * For full-scan consumers, `undirectedShared` below trades one shuffle
+    * for single evaluation via exchange reuse. */
   def undirectedOne(edges: DataFrame): DataFrame =
     edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("relType")))
+
+  /** Undirected closure for FULL-SCAN consumers, evaluating the underlying
+    * derivation ONCE: a repartition inserts an Exchange whose subtree is
+    * identical in both union branches, so ReuseExchange computes the
+    * expansion once and replays the shuffle files for the reversed copy.
+    * Costs one shuffle of the canonical edges — measured worthwhile only
+    * when the downstream consumes edges wholesale (house subgraph read);
+    * for degree-count aggregations the partial agg directly on the cheap
+    * broadcast-join output beats shuffling the expansion, and selective
+    * lookups need `undirected` (literal filters push into its branches'
+    * scans, but not below this exchange). */
+  def undirectedShared(edges: DataFrame): DataFrame = {
+    val sym = edges.filter(col("relType").isin(SymmetricTypes: _*))
+    val canon = edges.filter(!col("relType").isin(SymmetricTypes: _*))
+      .repartition(col("src"))
+    canon
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst"), col("relType")))
+      .unionByName(sym)
+  }
 }

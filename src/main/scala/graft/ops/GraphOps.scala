@@ -138,7 +138,7 @@ object GraphOps {
     // filters), so derive the edges AMONG the restricted node set: the
     // house literal reaches the scans on both self-join sides instead of
     // first building every house's clique and filtering it away.
-    val e = Graph.undirected(Graph.personEdgesAmong(spark, inHouses))
+    val e = Graph.undirectedShared(Graph.personEdgesAmong(spark, inHouses))
       .select(col("src"), col("relType"), col("dst").as("m_name"))
     p.join(e, col("name") === col("src"), "left_outer")
       .select(col("name"), col("relType"), col("m_name").as("neighbor"))

@@ -100,6 +100,56 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF cells (coarse quantizer size) and probe count. The corpus's
+    * embeddings are only weakly clustered (near-uniform on the sphere), so
+    * a useful recall needs probing half the cells — with real clustered
+    * embeddings the cell/probe ratio would be far more favorable. */
+  val IvfCells = 16
+  val IvfProbes = 8
+
+  /** ANN top-k via IVF (inverted-file index): k-means coarse quantizer →
+    * each vector assigned to its nearest centroid cell (the "inverted
+    * lists") → the query probes only the `IvfProbes` nearest cells → exact
+    * cosine within those cells. At 100 TB the assignment table is written
+    * partitioned by cell id, so a probe reads |probes| partitions instead
+    * of the corpus — same pruning story as the LSH path, but with
+    * data-adaptive cells (k-means) instead of data-oblivious hyperplanes.
+    * Seeded k-means → deterministic; approximate by design → recall is
+    * spec-verified against the brute-force baseline, no SQL oracle. */
+  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = normed(spark, sfDir)
+      .withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(IvfCells).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(e.select("fv"))
+    val assigned = model.transform(e).drop("fv")
+    // Probe set: the IvfProbes cells nearest the query vector (driver-side
+    // arithmetic over IvfCells centroids — constant work at any scale).
+    val Array(qRow) = assigned.filter(col("vec_id") === queryId)
+      .select(col("v"), col("nrm")).collect()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qn = qRow.getDouble(1)
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val ca = c.toArray
+        var dot = 0.0; var nc = 0.0
+        var j = 0
+        while (j < ca.length) { dot += ca(j) * qv(j); nc += ca(j) * ca(j); j += 1 }
+        (i, dot / (math.sqrt(nc) * qn))
+      }
+      .sortBy(-_._2).take(IvfProbes).map(_._1.toLong)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    assigned.filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroid similarity: mean vector per label (element-wise via
     * posexplode + re-assemble), then cosine of each label centroid against
     * the global centroid — a grouped-vector-aggregation pattern every

@@ -33,7 +33,11 @@ object GraphAnalytics {
       .join(n.select(col("name").as("src"), col("nid").as("srcId")), "src")
       .join(n.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
       .select(col("srcId").cast("long"), col("dstId").cast("long"))
-    val edges = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    // The bounded subgraph is small; 32 shuffle-sized partitions would make
+    // every Pregel superstep pay 32-task scheduling + shuffle overhead.
+    // Coalesce to a handful — on a full-corpus graph this would instead be
+    // sized to edges/128MB.
+    val edges = e.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1))
     XGraph.fromEdges(edges, defaultValue = 0,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -67,7 +71,7 @@ object GraphAnalytics {
       .join(n.select(col("name").as("src"), col("nid").as("srcId")), "src")
       .join(n.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
       .select(col("srcId").cast("long"), col("dstId").cast("long"))
-    val g = XGraph.fromEdges(e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0)
+    val g = XGraph.fromEdges(e.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0)
     val cc = g.connectedComponents().vertices
     spark.createDataFrame(cc.map { case (v, c) => (v, c) })
       .toDF("nid", "component")

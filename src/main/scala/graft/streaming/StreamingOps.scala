@@ -74,9 +74,16 @@ object StreamingOps {
     * sink; return the materialized table. */
   def runToMemory(spark: SparkSession, sdf: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // One state store per shuffle partition: at this volume 32 stores are
+    // pure per-batch overhead (open/commit/snapshot each). 8 is plenty
+    // locally; a production stream sizes this to keyspace, not cores.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 

@@ -2,11 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler: time one SparkEntry query N times, print per-run secs.
-  * Usage: runMain graft.tools.Profile <queryName> [sfDir] [runs] */
+/** Scratch profiler: time SparkEntry queries (comma-separated) N times each
+  * in sequence, clearing caches between runs like Bench does.
+  * Usage: runMain graft.tools.Profile <q1,q2,...> [sfDir] [runs] */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,9 +19,13 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
     }
     spark.stop()
   }

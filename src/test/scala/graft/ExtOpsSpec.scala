@@ -69,6 +69,20 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN IVF top-k: exact cosines, subset of full ranking, recall >= 0.5") {
+    val ivf = SimilarityOps.ivfTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val full = SimilarityOps.cosineTopK(spark, sf, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    ivf.foreach { case (id, c) =>
+      assert(full.contains(id) && math.abs(full(id) - c) < 1e-9, s"vec $id")
+    }
+    val top10 = SimilarityOps.cosineTopK(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = top10.count(ivf.contains).toDouble / top10.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
   test("brute-force cosine top-k is self-consistent: scores decrease") {
     val scores = SimilarityOps.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cosine"))
     assert(scores.sameElements(scores.sorted.reverse))
