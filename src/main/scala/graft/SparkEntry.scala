@@ -6,6 +6,7 @@ import graft.plans.GraphAnalytics
 import graft.functions.MlOps
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col => col_}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +107,8 @@ object SparkEntry {
     "ml_survival" -> ((s, d) => MlOps.survivalPredictions(s, d)),
     // —— multimodal columns (extension): binary payload + typed metadata ——
     "mm_meta" -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    "mm_resize" -> ((s, d) =>
+      MultimodalOps.resizeMeta(s, d).filter(col_("media_id") < 100).orderBy("media_id")),
     "mm_frame_counts" -> ((s, d) => MultimodalOps.frameCounts(s, d)),
     "mm_features" -> ((s, d) =>
       MultimodalOps.extractFeatures(s, d)
@@ -506,6 +509,12 @@ object SparkEntry {
         |  CAST(64 + (n_chars * 7) % 512 AS INT) AS height,
         |  CAST(n_chars // 32 + 1 AS INT) AS n_frames,
         |  octet_length(encode(text)) AS n_bytes
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(least(64 + n_chars % 512, 256) AS INT) AS width,
+        |  CAST(least(64 + (n_chars * 7) % 512, 256) AS INT) AS height
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
     "mm_frame_counts" ->
       """SELECT doc_id AS media_id,
