@@ -92,6 +92,8 @@ object SparkEntry {
     "rq10_sessionize" -> ((s, d) => RelOps.sessionize(s, d)),
     "rq11_json_props" -> ((s, d) => RelOps.jsonProps(s, d)),
     "rq12_approx_distinct" -> ((s, d) => RelOps.approxDistinct(s, d)),
+    "rq13_window_nav" -> ((s, d) => RelOps.windowNav(s, d)),
+    "rq14_top_per_group" -> ((s, d) => RelOps.topOrderPerFlag(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -439,6 +441,26 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart, count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    "rq13_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  rank() OVER wp AS price_rank,
+        |  dense_rank() OVER wp AS price_dense_rank,
+        |  ntile(4) OVER wp AS price_quartile
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rq14_top_per_group" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS p, l_orderkey,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_orderkey DESC) AS rn
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT r.l_returnflag, p AS max_price, l_orderkey AS max_price_orderkey, n
+        |FROM r JOIN c USING (l_returnflag) WHERE rn = 1 ORDER BY 1""".stripMargin,
     "rq11_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

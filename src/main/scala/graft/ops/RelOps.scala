@@ -174,6 +174,39 @@ object RelOps {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Window navigation: lag/lead/rank/dense_rank/ntile over the per-customer
+    * order sequence — the remaining window-function family (rq5 covers
+    * row_number + running sum). One shuffle on o_custkey serves them all. */
+  def windowNav(spark: SparkSession, sfDir: String, maxCust: Int = 50): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wp = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < maxCust)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        rank().over(wp).as("price_rank"),
+        dense_rank().over(wp).as("price_dense_rank"),
+        ntile(4).over(wp).as("price_quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-1-per-group without a join: the max-struct trick — max of a
+    * (price, orderkey) pair is the lexicographic argmax with a
+    * deterministic key tiebreak; same as min_by/max_by but total-ordered.
+    * One partial+final aggregation, no window, no self-join — the shape
+    * that replaces "greatest-n-per-group" subqueries at 100 TB. */
+  def topOrderPerFlag(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(max(struct(dec(col("l_extendedprice")).as("p"), col("l_orderkey").as("k"))).as("m"),
+           count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("m.p").as("max_price"),
+        col("m.k").as("max_price_orderkey"), col("n"))
+      .orderBy("l_returnflag")
+
   /** Approximate distinct: HLL sketch vs exact — the 100 TB cardinality
     * answer. HLL implementations differ across engines → spec-verified
     * (±5% of exact), not oracled. */
