@@ -103,6 +103,7 @@ object SparkEntry {
     // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
+    "st_sessions" -> ((s, d) => StreamingOps.streamedSessions(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
     "ml_feature_pivot" -> ((s, d) => MlOps.featurePivotSample(s, d)),
     "ml_sorting_hat" -> ((s, d) => MlOps.sortingHatPredictions(s, d)),
@@ -190,7 +191,8 @@ object SparkEntry {
          |  SELECT fr.f_name, fu.dst AS candidate FROM fr JOIN fu ON fr.f_name = fu.src
          |  WHERE fu.dst NOT IN (SELECT f_name FROM fr))
          |SELECT candidate, count(*) AS common_friends,
-         |       array_to_string(list_sort(list(f_name)), ',') AS shared_with
+         |       array_to_string(list_sort(list(f_name)), ',') AS shared_with,
+         |       count(*) * 10 AS likelihood
          |FROM cand GROUP BY candidate
          |ORDER BY common_friends DESC, candidate LIMIT 3""".stripMargin,
     "j2_expand_1hop" ->
@@ -498,6 +500,15 @@ object SparkEntry {
     "st_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st_sessions" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 20),
+        |l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM ev),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
     // —— ML: the A3 feature pivot (train_fix.py:25-52) ——
     "ml_feature_pivot" -> {
       val sums = (for { r <- MlOps.RelTypes; h <- MlOps.Houses } yield

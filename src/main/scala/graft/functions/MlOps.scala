@@ -66,8 +66,10 @@ object MlOps {
     // The feature frame is |persons| rows but its plan expands every edge
     // clique; RF fit + transform would re-run that expansion once per pass.
     // Materialize the small aggregate once (at 100 TB: a feature table
-    // written by the ETL job).
-    val features = featurePivot(spark, sfDir).cache()
+    // written by the ETL job), in few partitions: tree training runs one
+    // job per depth level, and 32 near-empty partitions make each a
+    // scheduling round-trip.
+    val features = featurePivot(spark, sfDir).coalesce(8).cache()
     val indexer = new StringIndexer().setInputCol("house").setOutputCol("label")
       .setStringOrderType("alphabetAsc") // deterministic label mapping
     val assembler = new VectorAssembler()
@@ -110,6 +112,7 @@ object MlOps {
         (col("acctbal") > 0).cast("double").as("label"))
       .join(deg, Seq("name"), "left_outer")
       .na.fill(0, Seq("friends_count", "enemy_count", "fam_count"))
+      .coalesce(8) // see trainSortingHat: few partitions for per-level jobs
       .cache() // small aggregate; avoids re-expanding cliques per RF pass
     val indexer = new StringIndexer().setInputCol("house").setOutputCol("house_code")
       .setStringOrderType("alphabetAsc").setHandleInvalid("keep") // ≅ app.py:169-171 fallback

@@ -33,6 +33,7 @@ object GraphOps {
       .groupBy("candidate")
       .agg(count(lit(1)).as("common_friends"),         // A2 score
            array_join(array_sort(collect_list("f_name")), ",").as("shared_with")) // A4
+      .withColumn("likelihood", col("common_friends") * 10) // U6 display transform (index.html:149)
       .orderBy(desc("common_friends"), asc("candidate")) // T1 top-k
       .limit(k)
   }

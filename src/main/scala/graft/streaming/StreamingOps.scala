@@ -103,6 +103,17 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
 
+  /** Driver entry: streamed session windows (10-minute gap) for a bounded
+    * user slice, complete mode so every session (including the last, not
+    * yet watermark-closed one) is emitted — equal to the batch
+    * `RelOps.sessionize` twin, which is the oracle. */
+  def streamedSessions(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark,
+      sessionCounts(readEventsStream(spark, sfDir).filter(col("user_id") < 20)),
+      "complete")
+      .select(col("user_id"), col("sstart"), col("n_events"))
+      .orderBy("user_id", "sstart")
+
   /** The reference's user-MERGE path (app.py:100-132) as a streaming
     * foreachBatch upsert: each micro-batch of (name, house) rows is merged
     * into a parquet nodes table, last-writer-wins by name. At 100 TB the

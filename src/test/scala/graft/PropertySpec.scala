@@ -1,0 +1,76 @@
+package graft
+
+import graft.core.Graph
+import graft.ops.{GraphOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.2 item 3): randomized inputs over
+  * the real sf0.001 corpus, pinning the algebraic laws the DuckDB oracle
+  * can't express for arbitrary parameters. ScalaCheck generators are
+  * sampled with a FIXED seed (deterministic CI) and asserted in plain
+  * ScalaTest — the scalatest+scalacheck bridge artifact isn't available
+  * offline.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val friendSetGen: Gen[Seq[Int]] =
+    Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, Gen.choose(1, 140))).map(_.distinct)
+
+  test("winder: score <= |friends|; candidates disjoint from the friend set (randomized)") {
+    samples(friendSetGen, 8).filter(_.nonEmpty).foreach { keys =>
+      val names = keys.map(k => f"Customer#$k%09d").toSet
+      val rows = GraphOps.winderTopK(spark, sf, keys, k = 10).collect()
+      rows.foreach { r =>
+        assert(r.getAs[Long]("common_friends") <= keys.size, s"keys=$keys")
+        assert(!names.contains(r.getAs[String]("candidate")), s"keys=$keys")
+        val shared = r.getAs[String]("shared_with").split(",").toSeq
+        assert(shared.forall(names.contains) && shared == shared.sorted, s"keys=$keys")
+      }
+    }
+  }
+
+  test("undirected closure is an involution: reversing twice is identity") {
+    Seq("FRIEND_OF", "SAME_FAMILY").foreach { rel =>
+      val e = Graph.personEdges(spark, sf).filter(col("relType") === rel)
+        .limit(500).cache()
+      val u = Graph.undirectedOne(e)
+      val uu = u.select(col("dst").as("src"), col("src").as("dst"), col("relType"))
+      assert(u.except(uu).count() == 0 && uu.except(u).count() == 0, rel)
+      e.unpersist()
+    }
+  }
+
+  test("edge upsert (J11 MERGE) is idempotent: applying twice equals once") {
+    val once = GraphOps.upsertEdges(spark, sf)
+    val twice = once.unionByName(once).dropDuplicates("src", "dst", "relType")
+    assert(once.count() == twice.count())
+  }
+
+  test("rolling hash respects the mod-space recurrence on concatenation (randomized)") {
+    // H(a ++ b) = (H(a) * B^|b| + H(b)) mod M
+    val g = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    def h(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * TextOps.HashBase + c.toLong) % TextOps.HashMod)
+    samples(Gen.zip(g, g), 25).foreach { case (a, b) =>
+      val powB = (1 to b.length).foldLeft(1L)((p, _) => p * TextOps.HashBase % TextOps.HashMod)
+      assert((h(a) * powB + h(b)) % TextOps.HashMod == h(a + b), s"a=$a b=$b")
+    }
+  }
+
+  test("semi-join house counts sum to the matched name-set size (randomized)") {
+    samples(friendSetGen, 5).filter(_.nonEmpty).foreach { keys =>
+      val total = GraphOps.semiHouseCounts(spark, sf, keys)
+        .agg(sum("cnt")).collect()(0).getLong(0)
+      val existing = Graph.nodes(spark, sf)
+        .filter(col("nid").isin(keys: _*)).count()
+      assert(total == existing, s"keys=$keys")
+    }
+  }
+}
