@@ -443,6 +443,10 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sstart, count(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+    "rq12_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS approx_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq13_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

@@ -208,12 +208,18 @@ object RelOps {
       .orderBy("l_returnflag")
 
   /** Approximate distinct: HLL sketch vs exact — the 100 TB cardinality
-    * answer. HLL implementations differ across engines → spec-verified
-    * (±5% of exact), not oracled. */
+    * answer. The raw sketch value is engine-specific, so the oracle-checked
+    * output carries the exact count plus the tolerance judgment (sketch
+    * within ±5% of exact, far beyond HLL's rsd=0.01): a wrong sketch flips
+    * the boolean and fails the hash compare. The spec additionally checks
+    * the raw values. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
 }
