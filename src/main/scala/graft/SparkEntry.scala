@@ -73,6 +73,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
+    "dd_cluster_canonical" -> ((s, d) => GraphAnalytics.dedupClusters(s, d)),
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
@@ -342,6 +343,7 @@ object SparkEntry {
         |FROM g""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSql(0.8),
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
+    "dd_cluster_canonical" -> dedupClusterSql(0.85),
     // —— similarity ——
     "sim_cosine_topk" ->
       s"""WITH $embCte
@@ -568,24 +570,44 @@ object SparkEntry {
       |  sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nrm
       |FROM e)""".stripMargin
 
+  /** Shared CTE chain ending in `pairs` (word-3-gram Jaccard pair stats). */
+  private val ngramPairStatsCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS common,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Word-3-gram Jaccard pair SQL at a threshold — the oracle for both the
     * exact inverted-index dedup and the MinHash+LSH path (whose band
     * recall at J ≥ 0.85 is 1 - (1-0.85²)^8 ≈ 0.9999 and, with fixed
     * deterministic hashes, exact on this corpus — verified at sf0.01). */
   private def ngramJaccardSql(threshold: Double): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-       |pairs AS (
-       |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS common,
-       |         any_value(a.n) AS na, any_value(b.n) AS nb
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+    s"""WITH $ngramPairStatsCtes
        |SELECT src_id, dst_id,
        |       round(common * 1.0 / (na + nb - common), 4) AS jaccard
        |FROM pairs WHERE round(common * 1.0 / (na + nb - common), 4) >= $threshold
        |ORDER BY src_id, dst_id""".stripMargin
+
+  /** Transitive near-dup clustering oracle: recursive min-label propagation
+    * over the Jaccard ≥ t pair graph — the exact fixpoint GraphX CC
+    * converges to (components labeled by min vertex id). */
+  private def dedupClusterSql(threshold: Double): String =
+    s"""WITH RECURSIVE $ngramPairStatsCtes,
+       |pr AS (SELECT src_id, dst_id FROM pairs
+       |       WHERE round(common * 1.0 / (na + nb - common), 4) >= $threshold),
+       |e AS (SELECT src_id AS a, dst_id AS b FROM pr
+       |      UNION ALL SELECT dst_id, src_id FROM pr),
+       |walk(a, m) AS (
+       |  SELECT a, a AS m FROM (SELECT DISTINCT a FROM e) t
+       |  UNION
+       |  SELECT e.a, w.m FROM e JOIN walk w ON e.b = w.a)
+       |SELECT a AS doc_id, min(m) AS keep_id, min(m) = a AS is_kept
+       |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin
 }

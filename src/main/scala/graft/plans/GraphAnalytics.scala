@@ -107,6 +107,26 @@ object GraphAnalytics {
       .orderBy("nid")
   }
 
+  /** Near-duplicate document clustering: connected components over the
+    * MinHash+LSH near-dup pair graph, canonical survivor = min doc_id per
+    * component (GraphX CC labels components by min vertex id, so the label
+    * IS the keep id). The last stage of a dedup pipeline: detect pairs →
+    * cluster transitively → keep one doc per cluster. Works on any pair
+    * graph — the non-clique chains LSH produces are exactly why a
+    * transitive step is required (keep-min-neighbor would split them).
+    * Oracle: DuckDB recursive CTE over the same pair set. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.ops.TextOps.dedupMinHashLsh(spark, sfDir)
+    val e = pairs.select(col("src_id").cast("long"), col("dst_id").cast("long"))
+    val g = XGraph.fromEdges(
+      e.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0)
+    val cc = g.connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (v, c) => (v, c) })
+      .toDF("doc_id", "keep_id")
+      .withColumn("is_kept", col("doc_id") === col("keep_id"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank over the bounded friend subgraph — the classic iterative
     * benchmark (numeric fixpoint; implementation-specific constants → spec
     * + rows-only check, no SQL oracle). */
