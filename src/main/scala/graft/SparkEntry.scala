@@ -95,6 +95,8 @@ object SparkEntry {
     "rq12_approx_distinct" -> ((s, d) => RelOps.approxDistinct(s, d)),
     "rq13_window_nav" -> ((s, d) => RelOps.windowNav(s, d)),
     "rq14_top_per_group" -> ((s, d) => RelOps.topOrderPerFlag(s, d)),
+    "rq15_supplier_by_region" -> ((s, d) => RelOps.supplierByRegion(s, d)),
+    "rq16_revenue_by_brand" -> ((s, d) => RelOps.revenueByBrand(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -469,6 +471,20 @@ object SparkEntry {
         |c AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
         |SELECT r.l_returnflag, p AS max_price, l_orderkey AS max_price_orderkey, n
         |FROM r JOIN c USING (l_returnflag) WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "rq15_supplier_by_region" ->
+      """SELECT r_name AS region, count(*) AS n_suppliers,
+        |  sum(CAST(s_acctbal AS DECIMAL(18,2))) AS total_acctbal,
+        |  max(CAST(s_acctbal AS DECIMAL(18,2))) AS max_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq16_revenue_by_brand" ->
+      """SELECT p_brand AS brand,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq11_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -207,6 +207,34 @@ object RelOps {
         col("m.k").as("max_price_orderkey"), col("n"))
       .orderBy("l_returnflag")
 
+  /** Suppliers rolled up to region: two broadcast dimension hops
+    * (supplier → nation → region) then aggregation — the snowflake-schema
+    * walk. nation/region are broadcast at any scale. */
+  def supplierByRegion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           sum(dec(col("s_acctbal"))).as("total_acctbal"),
+           max(dec(col("s_acctbal"))).as("max_acctbal"))
+      .orderBy("region")
+
+  /** Revenue by part brand: the lineitem ⋈ part fact-dimension join —
+    * part is broadcast-eligible; at 100 TB it would be bucket-joined on
+    * partkey instead. */
+  def revenueByBrand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("brand")
+
   /** Approximate distinct: HLL sketch vs exact — the 100 TB cardinality
     * answer. The raw sketch value is engine-specific, so the oracle-checked
     * output carries the exact count plus the tolerance judgment (sketch
