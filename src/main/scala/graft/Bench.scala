@@ -31,10 +31,13 @@ object Bench {
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       clearCaches()
-      name -> dt
+      // A failed query reports -1, never a normal-looking elapsed time.
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
