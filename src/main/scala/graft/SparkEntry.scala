@@ -68,6 +68,8 @@ object SparkEntry {
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "tx_langid" -> ((s, d) => TextOps.langId(s, d)),
     "tx_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "tx_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
+    "tx_len_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
     // —— deduplication (extension) ——
     "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -330,6 +332,18 @@ object SparkEntry {
          |      list_transform(string_split(nt, ''), c -> CAST(ord(c) AS BIGINT))),
          |    (a, b) -> (a * ${TextOps.HashBase} + b) % ${TextOps.HashMod}) AS fp_roll
          |FROM t ORDER BY doc_id""".stripMargin,
+    "tx_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        |SELECT token, count(*) AS freq FROM t WHERE token <> ''
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    "tx_len_quantiles" ->
+      """SELECT count(*) AS n_docs,
+        |  round(quantile_cont(len(text), 0.5), 4) AS p50,
+        |  round(quantile_cont(len(text), 0.9), 4) AS p90,
+        |  round(quantile_cont(len(text), 0.99), 4) AS p99,
+        |  min(len(text)) AS min_len, max(len(text)) AS max_len
+        |FROM documents""".stripMargin,
     // —— dedup ——
     "dd_exact" ->
       """WITH d AS (

@@ -170,6 +170,30 @@ object TextOps {
         graft.functions.RollingHash(normText(col("text"))).as("fp_roll"))
       .orderBy("doc_id")
 
+  /** Vocabulary statistics: global token frequencies, top-k — wordcount,
+    * the canonical map-side-combine aggregation (partial counts per
+    * partition, tiny final shuffle). Name tiebreak for determinism. */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+
+  /** Corpus length quantiles: exact `percentile` (continuous interpolation,
+    * same definition as DuckDB's quantile_cont) over document char lengths
+    * — the stats pass every corpus-curation pipeline starts with. */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(length(text), 0.5)"), 4).as("p50"),
+        round(expr("percentile(length(text), 0.9)"), 4).as("p90"),
+        round(expr("percentile(length(text), 0.99)"), 4).as("p99"),
+        min(length(col("text"))).as("min_len"),
+        max(length(col("text"))).as("max_len"))
+
   // ------------------------------------------------------------ dedup ops
 
   /** Exact dedup: hash-groupBy on the normalized-text fingerprint, min
