@@ -19,6 +19,8 @@ object Bench {
     def clearCaches(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // (Measured: an explicit System.gc() here costs ~30s across the run
+      // and does not improve the high-variance outliers — don't add one.)
     }
     // Unmeasured warmup pass (SPARK_GRAFT_WARMUP=0 disables): each query's
     // generated code is unique, so first execution pays catalyst analysis +
