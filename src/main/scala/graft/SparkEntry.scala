@@ -58,6 +58,7 @@ object SparkEntry {
     // —— aggregations (§2.4) ——
     "a1_count_by_house" -> ((s, d) => GraphOps.countByHouse(s, d)),
     "a4_collect_names" -> ((s, d) => GraphOps.collectNames(s, d, 25)),
+    "a3_native_pivot" -> ((s, d) => GraphOps.nationHousePivot(s, d)),
     // —— set ops (§2.6) ——
     "setop_intersect" -> ((s, d) => GraphOps.setopIntersect(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
     "setop_except" -> ((s, d) => GraphOps.setopExcept(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
@@ -272,6 +273,15 @@ object SparkEntry {
       s"""WITH $nodesCte
          |SELECT house, array_to_string(list_sort(list(name)), ',') AS names, count(*) AS n
          |FROM n WHERE nid < 25 GROUP BY house ORDER BY house""".stripMargin,
+    "a3_native_pivot" ->
+      s"""WITH $nodesCte
+         |SELECT nation,
+         |  CAST(sum(CASE WHEN house = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+         |  CAST(sum(CASE WHEN house = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+         |  CAST(sum(CASE WHEN house = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+         |  CAST(sum(CASE WHEN house = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+         |  CAST(sum(CASE WHEN house = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+         |FROM n GROUP BY nation ORDER BY nation""".stripMargin,
     "setop_intersect" ->
       s"""WITH $nodesCte
          |SELECT name FROM n WHERE acctbal > 5000.0

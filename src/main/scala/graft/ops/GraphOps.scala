@@ -218,6 +218,20 @@ object GraphOps {
            count(lit(1)).as("n"))
       .orderBy("house")
 
+  /** A3 (native form) — `groupBy().pivot(values)` with pinned pivot columns:
+    * person count per (nation, house). The pinned value list keeps the
+    * output schema static (required for both the oracle and any production
+    * consumer; an unpinned pivot adds a value-discovery job). */
+  def nationHousePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val houses = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Graph.nodes(spark, sfDir)
+      .groupBy("nation")
+      .pivot("house", houses)
+      .agg(count(lit(1)))
+      .na.fill(0, houses)
+      .orderBy("nation")
+  }
+
   /** S5 — MERGE/upsert of person rows (get_insert.py:87-103, app.py:103-106):
     * new rows win over existing by name; expressed as union + anti-join,
     * which is exactly a MERGE INTO at 100 TB (Delta/Iceberg). */
