@@ -41,10 +41,23 @@ object Bench {
       // A failed query reports -1, never a normal-looking elapsed time.
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failed queries are excluded from the total (a -1 sentinel must never
+    // IMPROVE the headline number) and reported as a count instead.
+    val failed = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     spark.stop()
+    // Belt and braces for the driver's log capture (round 1 clipped the
+    // stdout line mid-number): persist the JSON to a file as well, and keep
+    // the stdout JSON as the very last line the process prints.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(json)
   }
 }

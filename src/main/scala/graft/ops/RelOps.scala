@@ -24,15 +24,23 @@ object RelOps {
     * engines disagree on half-rounding. Scale 6 is exact for them. */
   private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
 
+  /** SUM escalates decimal precision differently per engine (Spark
+    * sum(decimal(18,2)) → decimal(28,2), DuckDB → decimal(38,2)), so the
+    * driver's type-inclusive hash diverges even when values agree. Every
+    * decimal SUM output is pinned back to the input type on BOTH sides —
+    * the oracle SQL carries the matching CAST(sum(..) AS DECIMAL(18,x)). */
+  private def sum2(c: org.apache.spark.sql.Column) = sum(dec(c)).cast("decimal(18,2)")
+  private def sum6(c: org.apache.spark.sql.Column) = sum(dec6(c)).cast("decimal(18,6)")
+
   /** TPC-H Q1 shape: pricing summary by returnflag/linestatus — partial+final
     * hash aggregation, no shuffle beyond the 6-group final. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        sum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -50,7 +58,7 @@ object RelOps {
   def rollupQty(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -61,7 +69,7 @@ object RelOps {
   def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -77,7 +85,8 @@ object RelOps {
       .select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).as("rn"),
-        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_total"))
+        sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)").as("run_total"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -92,7 +101,7 @@ object RelOps {
         col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+      .agg(sum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("nation")
 
@@ -146,7 +155,7 @@ object RelOps {
   def eventTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec6(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("wstart", "event_type")
@@ -218,7 +227,7 @@ object RelOps {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"))
       .agg(count(lit(1)).as("n_suppliers"),
-           sum(dec(col("s_acctbal"))).as("total_acctbal"),
+           sum2(col("s_acctbal")).as("total_acctbal"),
            max(dec(col("s_acctbal"))).as("max_acctbal"))
       .orderBy("region")
 
@@ -231,7 +240,7 @@ object RelOps {
       .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
-      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+      .agg(sum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("brand")
 

@@ -45,7 +45,11 @@ object StreamingOps {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      // sum output pinned back to decimal(18,6): engines escalate SUM's
+      // decimal precision differently (see RelOps.sum6), and the driver's
+      // hash is type-inclusive.
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 

@@ -3,6 +3,11 @@
 scale factor, then replay each oracle SQL in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, values compared).
 
+Hash-strict: both sides are read through Arrow, decimal columns must agree
+on precision AND scale (the driver's hash is type-inclusive — Spark
+decimal(28,2) vs DuckDB decimal(38,2) fails it even when values match),
+and non-float values are compared by exact string rendering.
+
 Usage: python3 tools/check.py [sfdir] [--skip-verify] [query ...]
 """
 import json, math, subprocess, sys
@@ -10,6 +15,8 @@ from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
 OUT = "/tmp/verify_out"
@@ -39,11 +46,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df.sort_values(list(df.columns), ignore_index=True) if len(df.columns) else df
 
+def decimal_types(tbl: pa.Table) -> dict:
+    return {f.name: str(f.type) for f in tbl.schema
+            if pa.types.is_decimal(f.type)}
+
 fails = 0
 names = [n for n in sorted(spark_dirs) if not only or n in only]
 for name in names:
     try:
-        sdf = pd.read_parquet(f"{OUT}/{name}")
+        st = pq.read_table(f"{OUT}/{name}")
+        sdf = st.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: spark output unreadable: {e}"); fails += 1; continue
     if name not in oracles:
@@ -52,9 +64,13 @@ for name in names:
         if len(sdf) == 0: fails += 1
         continue
     try:
-        odf = con.execute(oracles[name]).df()
+        ot = con.execute(oracles[name]).arrow()
+        odf = ot.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+    sdec, odec = decimal_types(st), decimal_types(ot)
+    if sdec != odec:
+        print(f"FAIL {name}: decimal types spark={sdec} oracle={odec}"); fails += 1; continue
     s, o = canon(sdf), canon(odf)
     if list(s.columns) != list(o.columns):
         print(f"FAIL {name}: columns spark={list(s.columns)} oracle={list(o.columns)}"); fails += 1; continue
@@ -63,10 +79,12 @@ for name in names:
     bad = None
     for c in s.columns:
         sv, ov = s[c], o[c]
-        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+        if sv.dtype.kind == "f" and ov.dtype.kind == "f":
+            # genuine doubles on both sides: bit-equality (NaN == NaN)
             eq = [(math.isnan(a) and math.isnan(b)) or a == b
                   for a, b in zip(sv.astype(float), ov.astype(float))]
         else:
+            # everything else (ints, strings, Decimal objects): exact rendering
             eq = (sv.astype(str) == ov.astype(str)).tolist()
         if not all(eq):
             i = eq.index(False)
