@@ -1,0 +1,34 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once ETL artifacts (ML models, ANN indexes, degree tables) keyed
+  * by scale-factor directory — the pattern that separates index/model
+  * CONSTRUCTION (a scheduled ETL job; full corpus pass) from the query
+  * path (probe/load only). Local filesystem here; at 100 TB the same
+  * layout lands on object storage behind a catalog entry, and `exists`
+  * becomes a catalog lookup.
+  */
+object Artifacts {
+
+  def root: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "/tmp/graft_artifacts")
+
+  def path(sfDir: String, name: String): String =
+    s"$root/${new java.io.File(sfDir).getName}/$name"
+
+  def exists(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
+
+  /** Read the artifact at `name`, building + persisting it first if absent.
+    * `partitionCols` become physical directories — an `isin` probe on them
+    * prunes partitions at the file listing, never scanning the corpus. */
+  def ensureParquet(spark: SparkSession, sfDir: String, name: String,
+                    partitionCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
+    val p = path(sfDir, name)
+    if (!exists(p)) {
+      val w = build.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(p)
+    }
+    spark.read.parquet(p)
+  }
+}

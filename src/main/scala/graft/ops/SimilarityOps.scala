@@ -79,16 +79,24 @@ object SimilarityOps {
       acc.bitwiseOR(when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0)))
     }
 
+  /** ETL: the LSH index — every vector with its norm and bucket key,
+    * physically partitioned by key so a probe's `isin` prunes to |probes|
+    * directories at file listing. Built once per scale factor. */
+  def lshIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "ann_lsh", Seq("key")) {
+      normed(spark, sfDir).withColumn("key", lshKey(col("v")))
+    }
+
   /** ANN top-k via LSH buckets with hamming ≤ 1 multiprobe: candidates are
-    * the vectors whose bucket key is in the query's probe set (an `isin` →
-    * pushed-down scan filter), then exact cosine within candidates. At
-    * 100 TB the bucketed table is written partitioned by key; a probe reads
-    * |probes| partitions instead of the corpus. Recall is spec-verified
-    * against the brute-force baseline (approximate by design → no oracle). */
+    * the vectors whose bucket key is in the query's probe set — partition
+    * pruning against the persisted index, then exact cosine within
+    * candidates only. The index is a build-once ETL artifact (`lshIndex`);
+    * the query path is probe-only. Recall is spec-verified against the
+    * brute-force baseline (approximate by design → no oracle). */
   def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val e = normed(spark, sfDir).withColumn("key", lshKey(col("v")))
+    val e = lshIndex(spark, sfDir)
     val Array(qRow) = e.filter(col("vec_id") === queryId)
-      .select(col("key")).collect()
+      .select(col("key"), col("v"), col("nrm")).collect()
     val qKey = qRow.getInt(0)
     val probes = qKey +: (0 until NumBits).map(j => qKey ^ (1 << j))
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"), col("nrm").as("qn"))
@@ -107,42 +115,59 @@ object SimilarityOps {
   val IvfCells = 16
   val IvfProbes = 8
 
-  /** ANN top-k via IVF (inverted-file index): k-means coarse quantizer →
-    * each vector assigned to its nearest centroid cell (the "inverted
-    * lists") → the query probes only the `IvfProbes` nearest cells → exact
-    * cosine within those cells. At 100 TB the assignment table is written
-    * partitioned by cell id, so a probe reads |probes| partitions instead
-    * of the corpus — same pruning story as the LSH path, but with
-    * data-adaptive cells (k-means) instead of data-oblivious hyperplanes.
-    * Seeded k-means → deterministic; approximate by design → recall is
-    * spec-verified against the brute-force baseline, no SQL oracle. */
+  /** ETL: the IVF index — seeded k-means coarse quantizer fit ONCE per
+    * scale factor; persists (a) the centroid table (IvfCells rows) and
+    * (b) the assignment table partitioned by cell id (the inverted lists).
+    * Returns (centroids, assigned). A per-query quantizer fit would be a
+    * full corpus pass per lookup — the definition of a scale-killer. */
+  def ivfIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.etl.Artifacts
+    val cPath = Artifacts.path(sfDir, "ann_ivf_centroids")
+    val aPath = Artifacts.path(sfDir, "ann_ivf_assigned")
+    if (!Artifacts.exists(cPath) || !Artifacts.exists(aPath)) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = normed(spark, sfDir).withColumn("fv", array_to_vector(col("v")))
+      val km = new KMeans().setK(IvfCells).setSeed(42)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+      val model = km.fit(e.select("fv"))
+      val centroidRows = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      import spark.implicits._
+      centroidRows.toDF("cell", "center").write.mode("overwrite").parquet(cPath)
+      model.transform(e).drop("fv").write.mode("overwrite")
+        .partitionBy("cell").parquet(aPath)
+    }
+    (spark.read.parquet(cPath), spark.read.parquet(aPath))
+  }
+
+  /** ANN top-k via IVF (inverted-file index): the query probes only the
+    * `IvfProbes` cells nearest its vector → exact cosine within those
+    * cells. The quantizer + assignment table are build-once ETL artifacts
+    * (`ivfIndex`, partitioned by cell → probe = partition pruning); the
+    * query path is centroid arithmetic over IvfCells rows plus a pruned
+    * scan. Seeded k-means → deterministic; approximate by design →
+    * recall is spec-verified against brute force, no SQL oracle. */
   def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = normed(spark, sfDir)
-      .withColumn("fv", array_to_vector(col("v")))
-    val km = new KMeans().setK(IvfCells).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(e.select("fv"))
-    val assigned = model.transform(e).drop("fv")
+    val (centroids, assigned) = ivfIndex(spark, sfDir)
     // Probe set: the IvfProbes cells nearest the query vector (driver-side
-    // arithmetic over IvfCells centroids — constant work at any scale).
+    // arithmetic over IvfCells centroid rows — constant work at any scale).
     val Array(qRow) = assigned.filter(col("vec_id") === queryId)
       .select(col("v"), col("nrm")).collect()
     val qv = qRow.getSeq[Double](0).toArray
     val qn = qRow.getDouble(1)
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val ca = c.toArray
+    val probes = centroids.select(col("cell"), col("center")).collect()
+      .map { r =>
+        val ca = r.getSeq[Double](1).toArray
         var dot = 0.0; var nc = 0.0
         var j = 0
         while (j < ca.length) { dot += ca(j) * qv(j); nc += ca(j) * ca(j); j += 1 }
-        (i, dot / (math.sqrt(nc) * qn))
+        (r.getInt(0), dot / (math.sqrt(nc) * qn))
       }
-      .sortBy(-_._2).take(IvfProbes).map(_._1.toLong)
+      .sortBy(-_._2).take(IvfProbes).map(_._1)
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qn"))
-    assigned.filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+    assigned.filter(col("cell").isin(probes.map(Int.box): _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
