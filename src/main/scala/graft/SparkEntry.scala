@@ -370,6 +370,42 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ngramJaccardSql(0.8),
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
+    // dd_simhash: full replay of the 60-bit SimHash (two polynomial rolling
+    // hash families → per-bit ±1 votes → signature → 4×15-bit chunk banding
+    // → bit_count(xor) verify) — expressible in DuckDB because the token
+    // hash is graft's rolling hash, not xxhash64.
+    "dd_simhash" -> {
+      val votes = (0 until TextOps.SimHashBits).map { j =>
+        val (h, bit) = if (j < 30) ("h1", j) else ("h2", j - 30)
+        s"sum(CASE WHEN (($h >> $bit) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(",\n    ")
+      val sig = (0 until TextOps.SimHashBits).map { j =>
+        s"(CASE WHEN v$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(tk, ''), c -> CAST(ord(c) AS BIGINT))),
+         |      (a, b) -> (a * ${TextOps.HashBase} + b) % ${TextOps.HashMod}) AS h1,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(tk, ''), c -> CAST(ord(c) AS BIGINT))),
+         |      (a, b) -> (a * ${TextOps.HashBase2} + b) % ${TextOps.HashMod2}) AS h2
+         |  FROM tok),
+         |v AS (SELECT doc_id,
+         |    $votes
+         |  FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $sig AS sig FROM v),
+         |b AS (SELECT doc_id, sig, ci, (sig >> (ci * 15)) & 32767 AS ck
+         |      FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ci) chunks),
+         |p AS (SELECT DISTINCT a.doc_id AS src_id, b2.doc_id AS dst_id,
+         |        CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+         |      FROM b a JOIN b b2 ON a.ci = b2.ci AND a.ck = b2.ck AND a.doc_id < b2.doc_id)
+         |SELECT src_id, dst_id, hamming FROM p WHERE hamming <= ${TextOps.HammingMax}
+         |ORDER BY src_id, dst_id""".stripMargin
+    },
     // —— similarity ——
     "sim_cosine_topk" ->
       s"""WITH $embCte
@@ -537,6 +573,13 @@ object SparkEntry {
          |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
          |SELECT nid, CAST((c - 1) * (c - 1) AS BIGINT) AS nbr_degree_sum
          |FROM s WHERE c > 1 ORDER BY nid""".stripMargin,
+    // gx_pagerank: the undirected friend subgraph is a union of cliques —
+    // degree-regular components — so PageRank's fixpoint is uniform; the
+    // closed form is "every vertex with >= 1 friend, rank == global mean".
+    "gx_pagerank" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
+         |SELECT nid, true AS rank_uniform FROM s WHERE c > 1 ORDER BY nid""".stripMargin,
     // —— streaming (executed as streaming queries; oracle = batch twin) ——
     "st_window_counts" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
@@ -580,6 +623,22 @@ object SparkEntry {
       s"""WITH $nodesCte
          |SELECT name, house, house AS predicted_house FROM n
          |WHERE nid < 50 ORDER BY name""".stripMargin,
+    // —— ML: survival feature frame (exact) + accuracy-beats-majority flag
+    // (the rq12 tolerance-judgment trick — a degenerate model flips it). ——
+    "ml_survival" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |d AS (SELECT src,
+         |  CAST(sum(CASE WHEN relType = 'FRIEND_OF' THEN 1 ELSE 0 END) AS BIGINT) AS friends_count,
+         |  CAST(sum(CASE WHEN relType = 'ENEMY_OF' THEN 1 ELSE 0 END) AS BIGINT) AS enemy_count,
+         |  CAST(sum(CASE WHEN relType = 'SAME_FAMILY' THEN 1 ELSE 0 END) AS BIGINT) AS fam_count
+         |  FROM pu GROUP BY src)
+         |SELECT n.name, CAST(n.acctbal > 0 AS DOUBLE) AS label,
+         |  coalesce(friends_count, 0) AS friends_count,
+         |  coalesce(enemy_count, 0) AS enemy_count,
+         |  coalesce(fam_count, 0) AS fam_count,
+         |  true AS acc_beats_majority
+         |FROM n LEFT JOIN d ON n.name = d.src
+         |WHERE n.nid < 50 ORDER BY n.name""".stripMargin,
     // —— multimodal metadata arithmetic (payload = UTF-8 bytes of text) ——
     "mm_meta" ->
       """SELECT doc_id AS media_id,

@@ -14,8 +14,13 @@ object Artifacts {
   def root: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "/tmp/graft_artifacts")
 
+  /** Bump when any artifact's derivation changes: artifacts outlive the
+    * process, so a code change without a version bump would silently serve
+    * stale tables built by the previous definition. */
+  val Version = "v1"
+
   def path(sfDir: String, name: String): String =
-    s"$root/${new java.io.File(sfDir).getName}/$name"
+    s"$root/$Version/${new java.io.File(sfDir).getName}/$name"
 
   def exists(p: String): Boolean = new java.io.File(s"$p/_SUCCESS").exists()
 

@@ -167,16 +167,35 @@ object MlOps {
     (model, data)
   }
 
-  /** Driver entry: survival predictions (rows-only; spec checks schema,
-    * determinism, and that training-set accuracy beats the majority class
-    * being inverted — i.e. the model is not degenerate). Model + feature
-    * table come from the ETL artifact layer — load + transform only. */
-  def survivalPredictions(spark: SparkSession, sfDir: String, maxNid: Int = 50): DataFrame = {
+  /** Raw per-row survival predictions — spec surface (RF output is not
+    * SQL-expressible, so the per-row predictions are ScalaTest-checked). */
+  def survivalPredictionRows(spark: SparkSession, sfDir: String, maxNid: Int = 50): DataFrame = {
     val (model, features) =
       ensureModel(spark, sfDir, "survival", trainSurvivalModel(spark, sfDir))
     model.transform(features)
       .filter(col("nid") < maxNid)
       .select(col("name"), col("label"), col("prediction"))
+      .orderBy("name")
+  }
+
+  /** Driver entry: the survival FEATURE FRAME (exact SQL oracle: label +
+    * per-type degree counts) plus `acc_beats_majority` — whether the
+    * model's full-training-set accuracy is at least the majority-class
+    * share (a degenerate or broken model flips the boolean and fails the
+    * hash compare; rq12's tolerance-judgment trick). Model + features come
+    * from the ETL artifact layer — load + transform only. */
+  def survivalPredictions(spark: SparkSession, sfDir: String, maxNid: Int = 50): DataFrame = {
+    val (model, features) =
+      ensureModel(spark, sfDir, "survival", trainSurvivalModel(spark, sfDir))
+    val scored = model.transform(features)
+    val flag = scored.agg(
+        avg((col("prediction") === col("label")).cast("double")).as("acc"),
+        greatest(avg(col("label")), lit(1.0) - avg(col("label"))).as("maj"))
+      .select((col("acc") >= col("maj")).as("acc_beats_majority"))
+    scored.filter(col("nid") < maxNid)
+      .crossJoin(broadcast(flag))
+      .select(col("name"), col("label"), col("friends_count"), col("enemy_count"),
+        col("fam_count"), col("acc_beats_majority"))
       .orderBy("name")
   }
 }

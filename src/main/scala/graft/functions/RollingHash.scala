@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * this loop touches each byte once. Identical results on ASCII input
   * (byte == codepoint); byte-based is the defined semantic at scale.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression,
+                       base: Long = graft.ops.TextOps.HashBase,
+                       mod: Long = graft.ops.TextOps.HashMod) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash"
@@ -30,7 +32,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var acc = 0L
     var i = 0
     while (i < bytes.length) {
-      acc = (acc * graft.ops.TextOps.HashBase + (bytes(i) & 0xff)) % graft.ops.TextOps.HashMod
+      acc = (acc * base + (bytes(i) & 0xff)) % mod
       i += 1
     }
     acc
@@ -45,8 +47,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
          |byte[] $bytes = $c.getBytes();
          |long $acc = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $acc = ($acc * ${graft.ops.TextOps.HashBase}L + ($bytes[$i] & 0xff))
-         |         % ${graft.ops.TextOps.HashMod}L;
+         |  $acc = ($acc * ${base}L + ($bytes[$i] & 0xff)) % ${mod}L;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -59,6 +60,11 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   /** Column-level accessor (no SQL registration needed). */
   def apply(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+
+  /** Parameterized variant — independent hash families for sketching ops
+    * (SimHash draws two; the constants live with the op that uses them). */
+  def apply(c: Column, base: Long, mod: Long): Column =
+    Bridge.column(RollingHash(Bridge.expression(c), base, mod))
 }
 
 /** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.GraftExtensions`

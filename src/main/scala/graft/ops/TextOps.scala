@@ -57,21 +57,46 @@ object TextOps {
       .select(col("doc_id"), explode_outer(col("sh")).as("s"), size(col("sh")).as("n"))
       .filter(col("s").isNotNull)
 
-  /** Inverted-index pair generation: docs sharing ≥1 shingle, with common
-    * count and both set sizes. THE scalable near-dup shape — the join key
-    * is the shingle, so work is proportional to true overlap, not |docs|².
-    * At 100 TB add frequency pruning (drop shingles appearing in > f docs)
-    * before the self-join; not done here to keep exact semantics. */
+  /** Hot-shingle cutoff: shingles appearing in more documents than this are
+    * dropped from CANDIDATE GENERATION (a shingle in f docs yields f² join
+    * rows — boilerplate like license headers makes that quadratic blow-up
+    * real at 100 TB). Exactness contract: a pair is found iff it shares at
+    * least one shingle with df ≤ MaxShingleDf; its Jaccard is then computed
+    * from the FULL shingle sets, so surviving pairs are exact. A true
+    * near-dup pair escapes only when EVERY shared shingle is in > 1000
+    * docs, i.e. the pair is itself part of a >1000-strong dup cluster —
+    * which exact dedup (dd_exact) or MinHash banding should have collapsed
+    * first. Measured max df on this corpus: 25 (sf0.1) — no pair lost. */
+  val MaxShingleDf = 1000
+
+  /** Inverted-index pair generation: docs sharing ≥1 (rare) shingle, with
+    * common count and both set sizes. THE scalable near-dup shape — the
+    * join key is the shingle, so work is proportional to true overlap, not
+    * |docs|², and the df-pruned index bounds any one shingle's join
+    * contribution at MaxShingleDf². */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
     // Join on the shingle's 64-bit hash, not the string: same pairs (the
     // shingle sets are distinct per doc; a cross-doc xxhash64 collision is
     // ~n²/2⁶⁴), but the shuffle moves 8-byte keys instead of ~30-byte text.
-    val ex = shingleRows(docs).withColumn("hs", xxhash64(col("s"))).drop("s")
-    val a = ex.select(col("doc_id").as("src_id"), col("hs"), col("n").as("na"))
-    val b = ex.select(col("doc_id").as("dst_id"), col("hs"), col("n").as("nb"))
-    a.join(b, Seq("hs")).filter(col("src_id") < col("dst_id"))
-      .groupBy("src_id", "dst_id")
-      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+    val ex = shingleRows(docs).withColumn("hs", xxhash64(col("s"))).drop("s", "n")
+    val hot = ex.groupBy("hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("hs")
+    // The hot list is tiny by construction (heavy-hitters) → broadcast anti.
+    val pruned = ex.join(broadcast(hot), Seq("hs"), "left_anti")
+    val cands = pruned.select(col("doc_id").as("src_id"), col("hs"))
+      .join(pruned.select(col("doc_id").as("dst_id"), col("hs")), Seq("hs"))
+      .filter(col("src_id") < col("dst_id"))
+      .select("src_id", "dst_id")
+      .distinct()
+    // Exact Jaccard from the FULL shingle sets, candidates only — same
+    // verify shape as dedupMinHashLsh, immune to the pruning above.
+    val sets = shingleSets(docs)
+    cands
+      .join(sets.select(col("doc_id").as("src_id"), col("sh").as("sa")), "src_id")
+      .join(sets.select(col("doc_id").as("dst_id"), col("sh").as("sb")), "dst_id")
+      .select(col("src_id"), col("dst_id"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .withColumn("jaccard",
         round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4))
   }
@@ -267,40 +292,50 @@ object TextOps {
       .orderBy("src_id", "dst_id")
   }
 
-  /** SimHash bit width and hamming threshold. */
-  val SimHashBits = 64
+  /** SimHash bit width and hamming threshold. 60 bits = two independent
+    * 30-bit polynomial rolling hashes per token (bases/mods below) — both
+    * replayable in DuckDB, so this op has a full SQL oracle (xxhash64, the
+    * obvious alternative, is not reproducible outside Spark). */
+  val SimHashBits = 60
   val HammingMax = 3
+  val SimHashChunks = 4            // 4 × 15-bit chunks; pigeonhole for ≤ 3
+  val HashBase2 = 131L             // second hash family for bits 30..59
+  val HashMod2 = 998244353L
 
-  /** 64-bit SimHash per doc: sum of ±1 votes per bit over token hashes,
-    * reassembled into one long. Pairs found by banding the signature into
-    * 4 × 16-bit chunks (a pair within hamming ≤ 3 of a 64-bit key must
-    * agree exactly on ≥1 of 4 chunks — pigeonhole), then verifying the true
-    * hamming distance with bit_count(xor). Deterministic; xxhash64 is not
-    * reproducible in DuckDB so this entry is spec-verified, not oracled. */
+  /** 60-bit SimHash per doc: sum of ±1 votes per bit over token hashes,
+    * reassembled into one long. Bits 0..29 come from the (31, 1e9+7)
+    * rolling hash, bits 30..59 from the (131, 998244353) family. Pairs
+    * found by banding the signature into 4 × 15-bit chunks (a pair within
+    * hamming ≤ 3 must agree exactly on ≥ 1 of 4 chunks — pigeonhole), then
+    * verifying the true hamming distance with bit_count(xor). */
   def dedupSimHash(spark: SparkSession, sfDir: String, maxDocId: Long = 200): DataFrame = {
     // Bounded id range: shared-vocabulary corpora make SimHash signatures
     // collide broadly, so the unbounded pair set is quadratic on this data.
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < maxDocId).select("doc_id", "text")
     val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h1", graft.functions.RollingHash(col("t")))
+      .withColumn("h2", graft.functions.RollingHash(col("t"), HashBase2, HashMod2))
     val bitVotes = (0 until SimHashBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
+      val (src, bit) = if (j < 30) (col("h1"), j) else (col("h2"), j - 30)
+      sum(when(shiftright(src, bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
     }
     val votes = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
     val sig = (0 until SimHashBits).foldLeft(lit(0L)) { (acc, j) =>
       acc.bitwiseOR(when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
     }
     val signed = votes.select(col("doc_id"), sig.as("sig"))
-    val chunks = (0 until 4).map { i =>
-      struct(lit(i).as("ci"), shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("ck"))
+    val chunkBits = SimHashBits / SimHashChunks
+    val chunks = (0 until SimHashChunks).map { i =>
+      struct(lit(i).as("ci"),
+        shiftright(col("sig"), i * chunkBits).bitwiseAND((1L << chunkBits) - 1).as("ck"))
     }
     val banded = signed.select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.ck").as("ck"))
     banded.as("a").join(banded.as("b"), Seq("ci", "ck"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= HammingMax)
       .orderBy("src_id", "dst_id")

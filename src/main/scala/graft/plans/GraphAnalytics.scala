@@ -128,15 +128,28 @@ object GraphAnalytics {
   }
 
   /** PageRank over the bounded friend subgraph — the classic iterative
-    * benchmark (numeric fixpoint; implementation-specific constants → spec
-    * + rows-only check, no SQL oracle). */
-  def pageRankTop(spark: SparkSession, sfDir: String, maxNid: Long = 300, k: Int = 20): DataFrame = {
+    * benchmark. The graph is made genuinely undirected (both edge
+    * directions), so every vertex of a clique component is degree-regular
+    * and PageRank's fixpoint is UNIFORM across all vertices — a closed
+    * form the oracle can state: the output carries per-vertex membership
+    * plus `rank_uniform` (rank within 1e-6 of the global mean). A
+    * misconverged or direction-biased PageRank flips the boolean and fails
+    * the hash compare (rq12's tolerance-judgment trick); the spec
+    * additionally asserts rank mass conservation on the raw values. */
+  def pageRankRaw(spark: SparkSession, sfDir: String, maxNid: Long = 300): DataFrame = {
     val g = friendEdges(spark, sfDir, maxNid)
-    val pr = g.staticPageRank(10).vertices
+    val und = XGraph.fromEdges(
+      g.edges.flatMap(e => Iterator(e, Edge(e.dstId, e.srcId, e.attr))), 0)
+    val pr = und.staticPageRank(10).vertices
     spark.createDataFrame(pr.map { case (v, r) => (v, r) })
       .toDF("nid", "rank")
-      .select(col("nid"), round(col("rank"), 6).as("rank"))
-      .orderBy(desc("rank"), asc("nid"))
-      .limit(k)
+  }
+
+  def pageRankTop(spark: SparkSession, sfDir: String, maxNid: Long = 300, k: Int = 20): DataFrame = {
+    val ranks = pageRankRaw(spark, sfDir, maxNid)
+    val mean = ranks.agg(avg("rank").as("mean"))
+    ranks.crossJoin(broadcast(mean))
+      .select(col("nid"), (abs(col("rank") - col("mean")) <= 1e-6).as("rank_uniform"))
+      .orderBy("nid")
   }
 }

@@ -118,7 +118,7 @@ class ExtOpsSpec extends AnyFunSuite {
   // -------------------------------------------------------- graph analytics
 
   test("PageRank mass is conserved (sum of ranks ~ vertex count)") {
-    val g = GraphAnalytics.pageRankTop(spark, sf, maxNid = 300, k = 1000).collect()
+    val g = GraphAnalytics.pageRankRaw(spark, sf, maxNid = 300).collect()
     val n = g.length.toDouble
     val total = GraphAnalytics.degreeHistogram(spark, sf, maxNid = 300)
       .agg(sum("n_nodes")).collect().head.getLong(0).toDouble

@@ -44,8 +44,13 @@ class MlSpec extends AnyFunSuite {
   }
 
   test("survival: output schema and value domain") {
-    val out = MlOps.survivalPredictions(spark, sf)
+    val out = MlOps.survivalPredictionRows(spark, sf)
     assert(out.columns.toSeq == Seq("name", "label", "prediction"))
     assert(out.filter(!col("prediction").isin(0.0, 1.0)).count() == 0)
+  }
+
+  test("survival: registry entry reports accuracy beating the majority class") {
+    val out = MlOps.survivalPredictions(spark, sf)
+    assert(out.filter(!col("acc_beats_majority")).count() == 0)
   }
 }
