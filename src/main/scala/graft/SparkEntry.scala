@@ -55,6 +55,13 @@ object SparkEntry {
     "j9_romance_pairs" -> ((s, d) => GraphOps.romancePairs(s, d)),
     "j10_semi_house_counts" -> ((s, d) => GraphOps.semiHouseCounts(s, d, 1 to 8)),
     "j11_upsert_edges" -> ((s, d) => GraphOps.upsertEdges(s, d)),
+    "j12_predict_flow" -> ((s, d) => MlOps.predictFlow(s, d)),
+    "j13_houses_payload" -> ((s, d) =>
+      GraphOps.housesGraphPayload(s, d, Seq("BUILDING", "AUTOMOBILE"))),
+    "j14_typed_filter" -> ((s, d) =>
+      GraphOps.expand1HopTyped(s, d, 7,
+        Seq("SAME_FAMILY", "ROMANTIC_WITH", "SAME_WAND_MATERIAL"))),
+    "p8_graph_fallback" -> ((s, d) => GraphOps.graphWithFallback(s, d, "#00000014")),
     // —— aggregations (§2.4) ——
     "a1_count_by_house" -> ((s, d) => GraphOps.countByHouse(s, d)),
     "a4_collect_names" -> ((s, d) => GraphOps.collectNames(s, d, 25)),
@@ -195,12 +202,17 @@ object SparkEntry {
          |fr AS (SELECT name AS f_name FROM n WHERE nid IN (${WinderFriends.mkString(", ")})),
          |cand AS (
          |  SELECT fr.f_name, fu.dst AS candidate FROM fr JOIN fu ON fr.f_name = fu.src
-         |  WHERE fu.dst NOT IN (SELECT f_name FROM fr))
-         |SELECT candidate, count(*) AS common_friends,
-         |       array_to_string(list_sort(list(f_name)), ',') AS shared_with,
-         |       count(*) * 10 AS likelihood
-         |FROM cand GROUP BY candidate
-         |ORDER BY common_friends DESC, candidate LIMIT 3""".stripMargin,
+         |  WHERE fu.dst NOT IN (SELECT f_name FROM fr)),
+         |tk AS (
+         |  SELECT candidate, count(*) AS common_friends,
+         |         array_to_string(list_sort(list(f_name)), ',') AS shared_with,
+         |         count(*) * 10 AS likelihood
+         |  FROM cand GROUP BY candidate
+         |  ORDER BY common_friends DESC, candidate LIMIT 3)
+         |SELECT candidate, n.house, 'img/' || candidate || '.png' AS image,
+         |       common_friends, shared_with, likelihood
+         |FROM tk JOIN n ON tk.candidate = n.name
+         |ORDER BY common_friends DESC, candidate""".stripMargin,
     "j2_expand_1hop" ->
       s"""WITH $nodesCte, $personEdgesCte,
          |ae AS (SELECT src, dst, relType FROM pe
@@ -266,6 +278,72 @@ object SparkEntry {
          |SELECT src, dst, relType FROM merged
          |WHERE src = 'User#000000001' OR dst = 'User#000000001'
          |ORDER BY src, dst""".stripMargin,
+    // j12: the lists mirror a BUILDING member's own neighborhood (all of
+    // BUILDING as friends, all of MACHINERY as enemies — the training
+    // rows' separable features at their training-scale magnitudes), so the
+    // forest's closed-form prediction is BUILDING at any sf — verified at
+    // sf0.001/0.01/0.1.
+    "j12_predict_flow" ->
+      s"""WITH $nodesCte,
+         |f AS (SELECT name, 'FRIEND_OF' AS t FROM n WHERE house = 'BUILDING'),
+         |e AS (SELECT name, 'ENEMY_OF' AS t FROM n WHERE house = 'MACHINERY'),
+         |fam AS (SELECT name, 'SAME_FAMILY' AS t FROM (SELECT name FROM n WHERE house = 'FURNITURE' ORDER BY nid LIMIT 2)),
+         |pr AS (SELECT name, 'ROMANTIC_WITH' AS t FROM (SELECT name FROM n WHERE house = 'HOUSEHOLD' ORDER BY nid LIMIT 1)),
+         |m AS (SELECT * FROM f UNION ALL SELECT * FROM e UNION ALL SELECT * FROM fam UNION ALL SELECT * FROM pr)
+         |SELECT * FROM (
+         |  SELECT 'node' AS kind, 'User#000000099' AS a, 'BUILDING' AS b, 'PERSON' AS t
+         |  UNION ALL
+         |  SELECT 'edge' AS kind, 'User#000000099' AS a, name AS b, t FROM m)
+         |ORDER BY kind, t, b""".stripMargin,
+    "j13_houses_payload" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |p AS (SELECT name, house FROM n WHERE house IN ('BUILDING', 'AUTOMOBILE')),
+         |e AS (SELECT pu.src, pu.relType, pu.dst FROM pu JOIN p m ON pu.dst = m.name),
+         |d AS (SELECT p.name, e.relType, e.dst AS neighbor
+         |      FROM p LEFT JOIN e ON p.name = e.src
+         |      ORDER BY p.name NULLS FIRST, e.relType NULLS FIRST, neighbor NULLS FIRST
+         |      LIMIT 5000),
+         |pn AS (SELECT DISTINCT name FROM (
+         |  SELECT name FROM d UNION ALL SELECT neighbor AS name FROM d WHERE relType IS NOT NULL)),
+         |rows AS (
+         |  SELECT 'node' AS kind,
+         |         '{"data":{"id":"' || pn.name || '","group":"person","house":"' || n.house || '"}}' AS payload
+         |  FROM pn JOIN n ON pn.name = n.name
+         |  UNION ALL
+         |  SELECT 'node', '{"data":{"id":"' || h || '","group":"house"}}'
+         |  FROM (SELECT unnest(['BUILDING', 'AUTOMOBILE']) AS h)
+         |  UNION ALL
+         |  SELECT 'edge', '{"data":{"source":"' || name || '","target":"' || neighbor || '","label":"' || relType || '"}}'
+         |  FROM d WHERE relType IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'edge', '{"data":{"source":"' || pn.name || '","target":"' || n.house || '","label":"BELONGS_TO"}}'
+         |  FROM pn JOIN n ON pn.name = n.name)
+         |SELECT DISTINCT kind, payload FROM rows ORDER BY kind, payload""".stripMargin,
+    "j14_typed_filter" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte
+         |SELECT relType, dst AS neighbor FROM pu
+         |WHERE src = 'Customer#000000007'
+         |  AND relType IN ('SAME_FAMILY', 'ROMANTIC_WITH')
+         |ORDER BY relType, neighbor LIMIT 500""".stripMargin,
+    "p8_graph_fallback" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |t AS (SELECT name FROM (
+         |    SELECT name, 0 AS pri FROM n WHERE name = '#00000014'
+         |    UNION ALL
+         |    SELECT name, 1 AS pri FROM n WHERE contains(lower(name), '#00000014'))
+         |  ORDER BY pri, name LIMIT 1),
+         |hop AS (SELECT src, dst, relType FROM pu JOIN t ON pu.src = t.name),
+         |nn AS (SELECT DISTINCT name FROM (SELECT dst AS name FROM hop UNION ALL SELECT src AS name FROM hop)),
+         |nodes AS (
+         |  SELECT 'node' AS kind,
+         |         '{"data":{"id":"' || n.name || '","house":"' || n.house || '"}}' AS payload
+         |  FROM nn JOIN n ON nn.name = n.name),
+         |edges AS (
+         |  SELECT 'edge' AS kind,
+         |         '{"data":{"source":"' || src || '","target":"' || dst || '","relType":"' || relType || '"}}' AS payload
+         |  FROM hop)
+         |SELECT kind, payload FROM nodes UNION ALL SELECT kind, payload FROM edges
+         |ORDER BY kind, payload""".stripMargin,
     "a1_count_by_house" ->
       s"""WITH $nodesCte
          |SELECT house, count(*) AS cnt FROM n GROUP BY house ORDER BY house""".stripMargin,

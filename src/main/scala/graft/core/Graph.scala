@@ -51,6 +51,16 @@ object Graph {
     * at every sf, while keeping the reference's fuzzy-match shape. */
   def keyPat(k: Int): String = f"#$k%09d"
 
+  /** Full node name for a customer key — the single source for the name
+    * format (queries that bake literal names derive them here, so a naming
+    * change cannot silently de-sync a query from the node table). */
+  def fullName(k: Int): String = s"Customer${keyPat(k)}"
+
+  /** The reference UI's image property (app.py:222-227 returns it with
+    * match cards): not present in the relational corpus, so the projection
+    * defines it as a deterministic URL derived from the name. */
+  def imageUrl(c: Column): Column = concat(lit("img/"), c, lit(".png"))
+
   /** Person nodes: name (PK), house, nid (stable order id), nation, acctbal. */
   def nodes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(

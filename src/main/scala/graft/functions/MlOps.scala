@@ -167,6 +167,49 @@ object MlOps {
     (model, data)
   }
 
+  /** The reference's /predict endpoint as ONE dataflow (app.py:41-132):
+    * four relationship name-lists → per-list house counts
+    * (`get_house_counts`, app.py:58-73) → feature vector in training
+    * column order (app.py:85-99) → RF predict → MERGE the user node with
+    * the predicted house plus one edge per listed person (app.py:100-132).
+    * Output = the user's post-merge subgraph (node row + edge rows).
+    *
+    * The name lists are deterministic selections that MIRROR a BUILDING
+    * member's own neighborhood — all of BUILDING as friends, all of
+    * MACHINERY as enemies (exactly the training rows' separable features,
+    * whose decision thresholds scale with house size) — so every tree
+    * routes the vector to its BUILDING leaf and the closed-form prediction
+    * is BUILDING at any scale factor; verified at sf0.001/0.01/0.1. A
+    * small fixed-count list would sit below the forest's scale-dependent
+    * split thresholds and the prediction would not be closed-form. */
+  def predictFlow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, _) = ensureModel(spark, sfDir, "sorting_hat", trainSortingHat(spark, sfDir))
+    val n = Graph.nodes(spark, sfDir)
+    val groups = Seq(("FRIEND_OF", "BUILDING", None), ("ENEMY_OF", "MACHINERY", None),
+                     ("SAME_FAMILY", "FURNITURE", Some(2)), ("ROMANTIC_WITH", "HOUSEHOLD", Some(1)))
+    val members = groups.map { case (rel, house, kOpt) =>
+      val base = n.filter(col("house") === house)
+      kOpt.fold(base)(k => base.orderBy("nid").limit(k))
+        .select(col("name"), lit(rel).as("relType"))
+    }.reduce(_ unionByName _)
+    // get_house_counts ×4 collapsed into one aggregation over the lists.
+    val counts = members.join(n.select("name", "house"), "name")
+      .groupBy("relType", "house").agg(count(lit(1)).as("cnt"))
+    val aggs = for { r <- RelTypes; h <- Houses } yield
+      sum(when(col("relType") === r && col("house") === h, col("cnt")).otherwise(0))
+        .as(featureCol(r, h))
+    val featureRow = counts.groupBy().agg(aggs.head, aggs.tail: _*)
+      .withColumn("house", lit(Houses.head)) // indexer input; ignored by predict
+    val user = "User#000000099"
+    val nodeRow = model.transform(featureRow)
+      .select(lit("node").as("kind"), lit(user).as("a"),
+        col("predicted_house").as("b"), lit("PERSON").as("t"))
+    val edgeRows = members
+      .select(lit("edge").as("kind"), lit(user).as("a"),
+        col("name").as("b"), col("relType").as("t"))
+    nodeRow.unionByName(edgeRows).orderBy("kind", "t", "b")
+  }
+
   /** Raw per-row survival predictions — spec surface (RF output is not
     * SQL-expressible, so the per-row predictions are ScalaTest-checked). */
   def survivalPredictionRows(spark: SparkSession, sfDir: String, maxNid: Int = 50): DataFrame = {

@@ -25,10 +25,10 @@ object GraphOps {
     // self-join and down to the parquet scan, so the expansion is
     // |friends| × house-size, never the full clique. (A friends-DF join
     // could not push: Catalyst won't infer scan filters from a join side.)
-    val friendNames = friendKeys.map(k => f"Customer#$k%09d")
+    val friendNames = friendKeys.map(Graph.fullName)
     val fu = Graph.undirectedOne(Graph.friendOf(spark, sfDir))
       .filter(col("src").isin(friendNames: _*))        // J1 expand 1-hop typed
-    fu.select(col("src").as("f_name"), col("dst").as("candidate"))
+    val topk = fu.select(col("src").as("f_name"), col("dst").as("candidate"))
       .filter(!col("candidate").isin(friendNames: _*)) // P2 anti-filter
       .groupBy("candidate")
       .agg(count(lit(1)).as("common_friends"),         // A2 score
@@ -36,6 +36,15 @@ object GraphOps {
       .withColumn("likelihood", col("common_friends") * 10) // U6 display transform (index.html:149)
       .orderBy(desc("common_friends"), asc("candidate")) // T1 top-k
       .limit(k)
+    // Payload parity (app.py:222-227): the reference returns the candidate's
+    // house and image with each match card. Joined AFTER the top-k so the
+    // k-row result broadcasts against nodes — the expansion is unchanged.
+    val n = Graph.nodes(spark, sfDir)
+      .select(col("name").as("candidate"), col("house"),
+        Graph.imageUrl(col("name")).as("image"))
+    broadcast(topk).join(n, "candidate")
+      .select("candidate", "house", "image", "common_friends", "shared_with", "likelihood")
+      .orderBy(desc("common_friends"), asc("candidate"))
   }
 
   /** S1+P8+T2 — full node scan, project the person card, sort by name
@@ -57,14 +66,14 @@ object GraphOps {
   /** P1 — parameterized `name IN [...]` list filter (app.py:63-64,218-219). */
   def filterNameIn(spark: SparkSession, sfDir: String, keys: Seq[Int]): DataFrame =
     Graph.nodes(spark, sfDir)
-      .filter(col("name").isin(keys.map(k => f"Customer#$k%09d"): _*))
+      .filter(col("name").isin(keys.map(Graph.fullName): _*))
       .select("name", "house")
       .orderBy("name")
 
   /** P2 — anti-predicate: members of a house NOT in an exclusion list
     * (app.py:221), as a broadcast left-anti join (the at-scale form). */
   def antiFilter(spark: SparkSession, sfDir: String, house: String, exclude: Seq[Int]): DataFrame = {
-    val ex = spark.createDataFrame(exclude.map(k => Tuple1(f"Customer#$k%09d"))).toDF("name")
+    val ex = spark.createDataFrame(exclude.map(k => Tuple1(Graph.fullName(k)))).toDF("name")
     Graph.nodes(spark, sfDir)
       .filter(col("house") === house)
       .join(broadcast(ex), Seq("name"), "left_anti")
@@ -92,7 +101,7 @@ object GraphOps {
     * index seek becomes a pushed-down parquet predicate. */
   def exactLookup(spark: SparkSession, sfDir: String, key: Int): DataFrame =
     Graph.nodes(spark, sfDir)
-      .filter(col("name") === f"Customer#$key%09d")
+      .filter(col("name") === Graph.fullName(key))
       .select("name", "house", "nation", "acctbal")
 
   /** ETL: per-person degree over the undirected edge closure, persisted
@@ -120,7 +129,7 @@ object GraphOps {
     * the rel type in the output for the edge legend (app.py:253-261). */
   def expand1HopAny(spark: SparkSession, sfDir: String, key: Int, limit: Int = 500): DataFrame =
     Graph.undirected(Graph.allEdges(spark, sfDir))
-      .filter(col("src") === f"Customer#$key%09d")
+      .filter(col("src") === Graph.fullName(key))
       .select(col("relType"), col("dst").as("neighbor"))
       .orderBy("relType", "neighbor")
       .limit(limit)
@@ -130,7 +139,7 @@ object GraphOps {
     * self-join of BELONGS_TO on its dst. */
   def housemates2Hop(spark: SparkSession, sfDir: String, key: Int, limit: Int = 100): DataFrame = {
     val b = Graph.belongsTo(spark, sfDir)
-    val me = b.filter(col("src") === f"Customer#$key%09d")
+    val me = b.filter(col("src") === Graph.fullName(key))
       .select(col("src").as("me"), col("dst").as("h"))
     broadcast(me)
       .join(b, col("h") === col("dst") && col("src") =!= col("me")) // mate <> p
@@ -213,7 +222,7 @@ object GraphOps {
   /** J10+A1 — semi-join a name list then count by house (app.py:62-66):
     * the `get_house_counts` building block of /predict. */
   def semiHouseCounts(spark: SparkSession, sfDir: String, keys: Seq[Int]): DataFrame = {
-    val names = spark.createDataFrame(keys.map(k => Tuple1(f"Customer#$k%09d"))).toDF("name")
+    val names = spark.createDataFrame(keys.map(k => Tuple1(Graph.fullName(k)))).toDF("name")
     Graph.nodes(spark, sfDir)
       .join(broadcast(names), Seq("name"), "left_semi")
       .groupBy("house").agg(count(lit(1)).as("cnt"))
@@ -269,7 +278,7 @@ object GraphOps {
     * (app.py:110-132). The duplicate in the batch proves MERGE semantics. */
   def upsertEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val user = "User#000000001"
-    val targets = Seq(2, 4, 6, 6).map(k => (user, f"Customer#$k%09d", "FRIEND_OF"))
+    val targets = Seq(2, 4, 6, 6).map(k => (user, Graph.fullName(k), "FRIEND_OF"))
     val newEdges = spark.createDataFrame(targets).toDF("src", "dst", "relType")
     Graph.friendOf(spark, sfDir)
       .unionByName(newEdges)
@@ -301,11 +310,87 @@ object GraphOps {
       .orderBy("name")
       .limit(limit)
 
+  /** J2 with a TYPE LIST filter — the graph UI's relationship-type filter
+    * surface (templates/graph.html:51,82,166). Every advertised type is
+    * accepted, including the vestigial SAME_WAND_MATERIAL (nothing in the
+    * reference ever creates one, app-wide grep — so it contributes zero
+    * rows but must not error; SURVEY §1.1). */
+  val AcceptedRelTypes: Seq[String] =
+    Seq("FRIEND_OF", "ENEMY_OF", "SAME_FAMILY", "ROMANTIC_WITH", "SAME_WAND_MATERIAL")
+
+  def expand1HopTyped(spark: SparkSession, sfDir: String, key: Int,
+                      types: Seq[String], limit: Int = 500): DataFrame = {
+    val accepted = types.filter(AcceptedRelTypes.contains)
+    Graph.undirected(Graph.personEdges(spark, sfDir))
+      .filter(col("src") === Graph.fullName(key) && col("relType").isin(accepted: _*))
+      .select(col("relType"), col("dst").as("neighbor"))
+      .orderBy("relType", "neighbor")
+      .limit(limit)
+  }
+
+  /** Partial-match fallback composition (app.py:269-277): the exact name
+    * lookup, falling back to case-insensitive CONTAINS when empty; the
+    * first match (reference `records[0]`, made deterministic by name order)
+    * becomes the subject of the S7 graph payload. The target resolution is
+    * a bounded two-row-trip probe (exactly the reference's two queries);
+    * collecting ONE name keeps the expansion behind a pushed literal. */
+  def graphWithFallback(spark: SparkSession, sfDir: String, q: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir)
+    val target = n.filter(col("name") === q)
+      .select(col("name"), lit(0).as("pri"))
+      .unionByName(
+        n.filter(lower(col("name")).contains(lit(q.toLowerCase)))
+          .select(col("name"), lit(1).as("pri")))
+      .orderBy("pri", "name").limit(1)
+      .collect()
+    require(target.nonEmpty, s"no person matches '$q'")
+    graphJsonFor(spark, sfDir, target.head.getString(0))
+  }
+
+  /** Combined houses-subgraph payload (app.py:365-434): the J4 intra-house
+    * person subgraph and the J5 house hub assembled into one Cytoscape
+    * payload — person nodes, person↔person edges, house nodes, BELONGS_TO
+    * edges. Bounded by J4's 5000-row direct slice (the reference's LIMIT
+    * 5000); BELONGS_TO edges are emitted for the persons appearing in that
+    * slice so the payload stays deterministic and scale-stable. */
+  def housesGraphPayload(spark: SparkSession, sfDir: String,
+                         houses: Seq[String], limit: Int = 5000): DataFrame = {
+    val direct = houseSubgraph(spark, sfDir, houses, limit)
+    val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))
+    val personNames = direct.select(col("name"))
+      .union(direct.filter(col("relType").isNotNull).select(col("neighbor").as("name")))
+      .dropDuplicates("name")
+    val personNodes = personNames.join(n, Seq("name"))
+      .select(lit("node").as("kind"),
+        concat(lit("""{"data":{"id":""""), col("name"),
+               lit("""","group":"person","house":""""), col("house"), lit(""""}}""")).as("payload"))
+    val houseNodes = houses.foldLeft(Option.empty[DataFrame]) { (acc, h) =>
+      val row = spark.range(1).select(lit("node").as("kind"),
+        lit(s"""{"data":{"id":"$h","group":"house"}}""").as("payload"))
+      Some(acc.fold(row)(_ unionByName row))
+    }.get
+    val personEdges = direct.filter(col("relType").isNotNull)
+      .select(lit("edge").as("kind"),
+        concat(lit("""{"data":{"source":""""), col("name"),
+               lit("""","target":""""), col("neighbor"),
+               lit("""","label":""""), col("relType"), lit(""""}}""")).as("payload"))
+    val belongs = personNames.join(n, Seq("name"))
+      .select(lit("edge").as("kind"),
+        concat(lit("""{"data":{"source":""""), col("name"),
+               lit("""","target":""""), col("house"),
+               lit("""","label":"BELONGS_TO"}}""")).as("payload"))
+    personNodes.unionByName(houseNodes).unionByName(personEdges).unionByName(belongs)
+      .dropDuplicates("kind", "payload")
+      .orderBy("kind", "payload")
+  }
+
   /** S7 — graph-JSON sink shape (app.py:263-363): Cytoscape node/edge rows
     * as JSON strings, deduped declaratively instead of the reference's
     * python-side `added_nodes` set. */
-  def graphJson(spark: SparkSession, sfDir: String, key: Int): DataFrame = {
-    val me = f"Customer#$key%09d"
+  def graphJson(spark: SparkSession, sfDir: String, key: Int): DataFrame =
+    graphJsonFor(spark, sfDir, Graph.fullName(key))
+
+  def graphJsonFor(spark: SparkSession, sfDir: String, me: String): DataFrame = {
     val hop = Graph.undirected(Graph.personEdges(spark, sfDir))
       .filter(col("src") === me)
     val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))

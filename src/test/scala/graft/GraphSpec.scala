@@ -57,8 +57,8 @@ class GraphSpec extends AnyFunSuite {
     val friendNames = friends.map(k => f"Customer#$k%09d").toSet
     assert(out.nonEmpty)
     out.foreach { row =>
-      assert(!friendNames.contains(row.getString(0)))
-      assert(row.getLong(1) <= friends.size)
+      assert(!friendNames.contains(row.getAs[String]("candidate")))
+      assert(row.getAs[Long]("common_friends") <= friends.size)
     }
   }
 
