@@ -248,8 +248,7 @@ object RelOps {
     * answer. The raw sketch value is engine-specific, so the oracle-checked
     * output carries the exact count plus the tolerance judgment (sketch
     * within ±5% of exact, far beyond HLL's rsd=0.01): a wrong sketch flips
-    * the boolean and fails the hash compare. The spec additionally checks
-    * the raw values. */
+    * the boolean and fails the hash compare. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")

@@ -78,7 +78,14 @@ object TextOps {
     // Join on the shingle's 64-bit hash, not the string: same pairs (the
     // shingle sets are distinct per doc; a cross-doc xxhash64 collision is
     // ~n²/2⁶⁴), but the shuffle moves 8-byte keys instead of ~30-byte text.
-    val ex = shingleRows(docs).withColumn("hs", xxhash64(col("s"))).drop("s", "n")
+    //
+    // The exploded shingle rows feed three consumers (the df aggregation
+    // and both self-join sides); cache them once — the expansion is the
+    // expensive part, and a window-over-hs alternative (tried) collapses
+    // into millions of single-row sort partitions and runs 2-4× slower.
+    val ex = shingleRows(docs)
+      .withColumn("hs", xxhash64(col("s"))).drop("s", "n")
+      .cache()
     val hot = ex.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("hs")
     // The hot list is tiny by construction (heavy-hitters) → broadcast anti.
@@ -88,9 +95,14 @@ object TextOps {
       .filter(col("src_id") < col("dst_id"))
       .select("src_id", "dst_id")
       .distinct()
-    // Exact Jaccard from the FULL shingle sets, candidates only — same
-    // verify shape as dedupMinHashLsh, immune to the pruning above.
-    val sets = shingleSets(docs)
+    // Exact Jaccard from the FULL (unpruned) shingle sets, candidates only
+    // — same verify shape as dedupMinHashLsh, immune to the pruning above.
+    // The sets are rebuilt from the CACHED hash rows (per-doc shingles are
+    // already distinct), not re-derived from text: one heavy tokenize+
+    // shingle pass for the whole operator. Intersecting 8-byte hashes is
+    // equivalent to intersecting shingle strings up to ~n²/2⁶⁴ cross-doc
+    // collisions.
+    val sets = ex.groupBy("doc_id").agg(collect_list("hs").as("sh"))
     cands
       .join(sets.select(col("doc_id").as("src_id"), col("sh").as("sa")), "src_id")
       .join(sets.select(col("doc_id").as("dst_id"), col("sh").as("sb")), "dst_id")
