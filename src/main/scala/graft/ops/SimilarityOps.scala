@@ -18,9 +18,14 @@ object SimilarityOps {
   /** embedding → double[] (float arithmetic would diverge from the oracle). */
   private def vec(c: Column): Column = c.cast("array<double>")
 
-  /** dot(a, b) via zip_with + aggregate — sequential fold in index order,
-    * same order DuckDB's list_sum uses, so doubles match to the ulp. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) — native codegen'd expression (graft.functions.DotProduct):
+    * sequential fused multiply-add in index order, the same order DuckDB's
+    * list_sum uses, so doubles match to the ulp. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** Higher-order-function twin (zip_with + aggregate), kept for the spec
+    * cross-check against the native expression — identical fold order. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))

@@ -83,6 +83,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("native dot expression is bit-equal to the HOF formulation") {
+    // Same fold order (index-sequential, acc from 0.0) ⇒ exact equality,
+    // not tolerance: any codegen deviation (reordering, fma contraction)
+    // would flip a bit and fail this.
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 30 && col("b.vec_id") < 30)
+      .select(
+        SimilarityOps.dot(col("a.v"), col("b.v")).as("native"),
+        SimilarityOps.dotHof(col("a.v"), col("b.v")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
   test("brute-force cosine top-k is self-consistent: scores decrease") {
     val scores = SimilarityOps.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cosine"))
     assert(scores.sameElements(scores.sorted.reverse))

@@ -62,6 +62,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("house subgraph: prefix limit-pushdown plan equals the naive full expansion (J4)") {
+    // The optimized plan expands only the name prefix whose summed
+    // lower-bound row count covers the limit; the naive plan expands the
+    // whole restricted clique. Both must produce the identical top-limit
+    // row set for any limit — including limits that land mid-person.
+    val houses = Seq("BUILDING", "AUTOMOBILE")
+    val inHouses = Graph.nodes(spark, sf).filter(col("house").isin(houses: _*))
+    for (limit <- Seq(7, 500, 5000)) {
+      val naive = inHouses.select("name", "house")
+        .join(
+          Graph.undirectedShared(Graph.personEdgesAmong(spark, inHouses))
+            .select(col("src"), col("relType"), col("dst").as("m_name")),
+          col("name") === col("src"), "left_outer")
+        .select(col("name"), col("relType"), col("m_name").as("neighbor"))
+        .orderBy(asc_nulls_first("name"), asc_nulls_first("relType"), asc_nulls_first("neighbor"))
+        .limit(limit)
+        .collect().map(_.toString).sorted
+      val optimized = GraphOps.houseSubgraph(spark, sf, houses, limit)
+        .collect().map(_.toString).sorted
+      assert(optimized.sameElements(naive), s"limit=$limit")
+    }
+  }
+
   test("winder: hand-checked on a 5-node house") {
     // Customers 1 and 5: both FURNITURE at sf0.001? Verified dynamically:
     // candidates of {x} = all same-house members except x.
