@@ -117,6 +117,10 @@ object SparkEntry {
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
     "st_sessions" -> ((s, d) => StreamingOps.streamedSessions(s, d)),
+    "st_user_stats" -> ((s, d) => StreamingOps.streamedUserStats(s, d)),
+    // —— textual-SQL entry point (spark.sql over registered views) ——
+    "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
+    "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
     "ml_feature_pivot" -> ((s, d) => MlOps.featurePivotSample(s, d)),
     "ml_sorting_hat" -> ((s, d) => MlOps.sortingHatPredictions(s, d)),
@@ -667,6 +671,31 @@ object SparkEntry {
     "st_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st_user_stats: custom flatMapGroupsWithState accumulator; one
+    // AvailableNow batch ⇒ the emitted per-user summary equals the batch
+    // aggregation, which is the oracle.
+    "st_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
+        |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+        |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq17_sql_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fn_sql_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, md5(nt) AS fp_md5,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(nt, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (a, b) -> (a * ${TextOps.HashBase} + b) % ${TextOps.HashMod}) AS fp_roll
+         |FROM t ORDER BY doc_id""".stripMargin,
     "st_sessions" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 20),
         |l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM ev),

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The textual-SQL entry point (`spark.sql`) over the engine's tables —
+  * the API surface a reference user gets "for free" from an engine built
+  * on Spark: register the corpus as views, run ANSI SQL, and Catalyst
+  * produces the same plan as the DataFrame formulation.
+  *
+  * Two registry entries prove it end-to-end: a plain SQL pipeline
+  * (identical text to the DuckDB oracle modulo dialect), and one that
+  * calls graft's own `SparkSessionExtensions`-registered function
+  * (`graft_rolling_hash`) from SQL text.
+  */
+object SqlSurface {
+
+  /** TPC-H Q1 shape via spark.sql — same decimal pinning as
+    * RelOps.pricingSummary (the plan Catalyst derives is identical). */
+  def pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM graft_lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Document fingerprints via SQL text calling the extension-registered
+    * native expression — the `SparkSessionExtensions` path end-to-end. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\\s+', ' '))) AS fp_md5,
+        |  graft_rolling_hash(trim(regexp_replace(lower(text), '\\s+', ' '))) AS fp_roll
+        |FROM graft_documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+  }
+}

@@ -72,6 +72,36 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sstart"),
         col("n_events"))
 
+  /** Custom arbitrary state via flatMapGroupsWithState — the §2.8 API for
+    * semantics the built-in windows can't express (per-key accumulators
+    * that survive across micro-batches). State here is (n, first, last)
+    * per user; each batch folds its rows into the state and emits the
+    * updated summary. Unlike the windowed aggs, this state never closes —
+    * at scale it is bounded by |users|, and a production job would add a
+    * GroupStateTimeout to retire idle keys. */
+  def userStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_s")
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          val (n0, f0, l0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+          var n = n0; var first = f0; var last = l0
+          rows.foreach { case (_, t) =>
+            n += 1
+            if (t < first) first = t
+            if (t > last) last = t
+          }
+          state.update((n, first, last))
+          Iterator((uid, n, first, last))
+      }
+      .toDF("user_id", "n_events", "first_s", "last_s")
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
@@ -117,6 +147,16 @@ object StreamingOps {
       "complete")
       .select(col("user_id"), col("sstart"), col("n_events"))
       .orderBy("user_id", "sstart")
+
+  /** Driver entry: per-user custom-state summary, executed as a real
+    * streaming query (Append + the whole file as one AvailableNow batch →
+    * one emitted summary per user, equal to the batch aggregation, which
+    * is the oracle). */
+  def streamedUserStats(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark,
+      userStats(readEventsStream(spark, sfDir).filter(col("user_id") < 50)),
+      "append")
+      .orderBy("user_id")
 
   /** The reference's user-MERGE path (app.py:100-132) as a streaming
     * foreachBatch upsert: each micro-batch of (name, house) rows is merged

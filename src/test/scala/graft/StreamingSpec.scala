@@ -46,6 +46,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(w10.head.getAs[Long]("n") == 1L)
   }
 
+  test("flatMapGroupsWithState accumulates per-key state ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = StreamingOps.userStats(events)
+    val q = out.writeStream.format("memory").queryName("ustats_test")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:05:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-06-01 09:00:00"))) // second batch, same key
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ustats_test").filter(col("user_id") === 1L)
+      .orderBy("n_events").collect()
+    // one emission per batch; the second carries state folded across both
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2L)
+    assert(rows(1).getAs[Long]("n_events") == 3L, "state must survive the batch boundary")
+    assert(rows(1).getAs[Long]("first_s") == ts("2024-06-01 09:00:00").getTime / 1000)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per key within the horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
