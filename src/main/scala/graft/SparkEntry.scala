@@ -107,6 +107,7 @@ object SparkEntry {
     "rq14_top_per_group" -> ((s, d) => RelOps.topOrderPerFlag(s, d)),
     "rq15_supplier_by_region" -> ((s, d) => RelOps.supplierByRegion(s, d)),
     "rq16_revenue_by_brand" -> ((s, d) => RelOps.revenueByBrand(s, d)),
+    "rq18_bucketed_join" -> ((s, d) => RelOps.bucketedRevenueByPriority(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -626,6 +627,12 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq18_bucketed_join" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq11_json_props" ->
       """SELECT event_type,

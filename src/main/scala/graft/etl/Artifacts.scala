@@ -36,4 +36,32 @@ object Artifacts {
     }
     spark.read.parquet(p)
   }
+
+  /** Bucketed-table artifact: data written once hash-bucketed (+ sorted)
+    * on the join key; later sessions re-attach the bucket spec with an
+    * external CREATE TABLE over the same files. Joins between tables
+    * bucketed on the same key run with NO shuffle exchange — the 100 TB
+    * co-located-join layout (fact tables bucketed at ingest, every
+    * key-join afterwards exchange-free). Returns the catalog table name. */
+  def ensureBucketed(spark: SparkSession, sfDir: String, name: String,
+                     bucketCol: String, buckets: Int)(build: => DataFrame): String = {
+    val table = s"graft_${name}_${new java.io.File(sfDir).getName.replace('.', '_')}"
+    val p = path(sfDir, s"bucketed_$name")
+    if (!exists(p)) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      build.write.mode("overwrite")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .option("path", p).format("parquet").saveAsTable(table)
+    } else if (!spark.catalog.tableExists(table)) {
+      // Fresh session, files already on disk: re-attach the bucket spec
+      // (bucket ids live in the file names; the catalog entry makes the
+      // reader trust them).
+      val ddl = spark.read.parquet(p).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($ddl) USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+           |LOCATION '$p'""".stripMargin)
+    }
+    table
+  }
 }

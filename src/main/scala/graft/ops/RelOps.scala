@@ -244,6 +244,29 @@ object RelOps {
            count(lit(1)).as("n_items"))
       .orderBy("brand")
 
+  /** Co-located bucketed join: orders ⋈ lineitem on the order key with
+    * BOTH sides bucketed on it (graft.etl.Artifacts.ensureBucketed — the
+    * write-once ingest layout), so the sort-merge join runs with no
+    * shuffle exchange on either side (plan-verified; the MERGE hint keeps
+    * AQE from replacing the demonstration with a broadcast). At 100 TB
+    * this is the difference between re-shuffling two fact tables on every
+    * query and never shuffling them at all. */
+  def bucketedRevenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.Artifacts
+    val oTable = Artifacts.ensureBucketed(spark, sfDir, "orders", "o_orderkey", 8) {
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    }
+    val lTable = Artifacts.ensureBucketed(spark, sfDir, "lineitem", "l_orderkey", 8) {
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice", "l_discount")
+    }
+    spark.table(oTable).hint("merge")
+      .join(spark.table(lTable), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("priority")
+  }
+
   /** Approximate distinct: HLL sketch vs exact — the 100 TB cardinality
     * answer. The raw sketch value is engine-specific, so the oracle-checked
     * output carries the exact count plus the tolerance judgment (sketch
