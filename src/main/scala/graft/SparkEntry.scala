@@ -518,11 +518,15 @@ object SparkEntry {
         |SELECT label, round(dp / (ncl * ng), 6) AS cosine_to_global
         |FROM j ORDER BY label""".stripMargin,
     // —— relational / temporal ——
+    // Money sums on BOTH sides are BIGINT minor units (cents / micros for
+    // the scale-6 products) — summed-DECIMAL columns fail the driver's
+    // hash channel even when values are bit-identical (r3 forensics).
+    // DuckDB's sum(BIGINT) returns HUGEINT, hence the outer CAST.
     "rq1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rq2_distinct_agg" ->
@@ -531,25 +535,25 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq3_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "rq4_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
-        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  count(*) AS n, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "rq5_windows" ->
       """SELECT o_custkey, o_orderkey,
-        |  row_number() OVER w AS rn,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_total
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
     "rq6_revenue_by_nation" ->
       """SELECT n_name AS nation,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -579,7 +583,8 @@ object SparkEntry {
     "rq9_event_window" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
-        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rq10_sessionize" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 20),
@@ -616,7 +621,7 @@ object SparkEntry {
         |FROM r JOIN c USING (l_returnflag) WHERE rn = 1 ORDER BY 1""".stripMargin,
     "rq15_supplier_by_region" ->
       """SELECT r_name AS region, count(*) AS n_suppliers,
-        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal,
+        |  CAST(sum(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_acctbal,
         |  max(CAST(s_acctbal AS DECIMAL(18,2))) AS max_acctbal
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
@@ -624,13 +629,13 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq16_revenue_by_brand" ->
       """SELECT p_brand AS brand,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq18_bucketed_join" ->
       """SELECT o_orderpriority AS priority,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS revenue,
         |  count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -673,7 +678,8 @@ object SparkEntry {
     "st_window_counts" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
-        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
@@ -688,9 +694,9 @@ object SparkEntry {
         |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "fn_sql_fingerprint" ->

@@ -15,15 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlSurface {
 
-  /** TPC-H Q1 shape via spark.sql — same decimal pinning as
-    * RelOps.pricingSummary (the plan Catalyst derives is identical). */
+  /** TPC-H Q1 shape via spark.sql — same exact-decimal-per-row /
+    * BIGINT-minor-unit-aggregate representation as RelOps.pricingSummary
+    * (the plan Catalyst derives is identical). */
   def pricing(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_qty,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_base_price,
+        |  sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM graft_lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }

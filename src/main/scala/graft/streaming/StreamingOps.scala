@@ -45,11 +45,11 @@ object StreamingOps {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      // sum output pinned back to decimal(18,6): engines escalate SUM's
-      // decimal precision differently (see RelOps.sum6), and the driver's
-      // hash is type-inclusive.
+      // Money/value sums leave as BIGINT micros, never summed DECIMAL —
+      // the driver's hash channel rejects summed-decimal columns even
+      // when values are identical (see RelOps.sum6).
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_value"))
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("long")).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 
