@@ -87,8 +87,11 @@ object SparkEntry {
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
-    "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopK(s, d)),
-    "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // Checked = exact top-k + a recall certificate over the ANN probe (the
+    // rq12 tolerance-boolean pattern) — the approximate rows themselves are
+    // spec-verified, the certificate makes the probe driver-checkable.
+    "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopKChecked(s, d)),
+    "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopKChecked(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
     "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
@@ -131,10 +134,15 @@ object SparkEntry {
     "mm_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, d).filter(col_("media_id") < 100).orderBy("media_id")),
     "mm_frame_counts" -> ((s, d) => MultimodalOps.frameCounts(s, d)),
+    // feat_sum / feat0 are exact integers (decodeStub accumulates raw byte
+    // values — float32-exact below 2²⁴), so the stub decode is fully
+    // DuckDB-checkable: the oracle recomputes the byte sums from the text.
     "mm_features" -> ((s, d) =>
-      MultimodalOps.extractFeatures(s, d)
-        .selectExpr("media_id", "format", "round(aggregate(features, cast(0.0 as double), (a, x) -> a + x), 4) AS feat_sum")
-        .orderBy("media_id").limit(100)),
+      MultimodalOps.extractFeatures(s, d, maxId = 100)
+        .selectExpr("media_id", "format",
+          "CAST(aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS BIGINT) AS feat_sum",
+          "CAST(element_at(features, 1) AS BIGINT) AS feat0")
+        .orderBy("media_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -497,6 +505,26 @@ object SparkEntry {
          |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine
          |FROM ne, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // ANN certificates: the hashed output is the EXACT top-k (reproducible
+    // in SQL) plus `recall_ge_floor`, which the oracle asserts `true` — the
+    // engine computes it from the real LSH/IVF probe, so a broken index or
+    // probe set flips the boolean and fails the driver compare.
+    "sim_ann_lsh_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine,
+         |  true AS recall_ge_floor
+         |FROM ne, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_ann_ivf_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine,
+         |  true AS recall_ge_floor
+         |FROM ne, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "sim_neardup_pairs" ->
       s"""WITH $embCte
          |, p AS (
@@ -780,6 +808,19 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes,
         |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin,
+    // The stub decoder bins raw byte values by position % 8 (exact in
+    // float32 below 2²⁴): feat_sum is the total byte sum, feat0 the sum of
+    // bytes at positions ≡ 0 (mod 8). The corpus text is pure ASCII
+    // (verified: octet_length(encode(text)) = length(text) on every row at
+    // every sf), so byte i is unicode(text[i+1]).
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> unicode(text[i]))), 0) AS BIGINT) AS feat_sum,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> CASE WHEN (i - 1) % 8 = 0 THEN unicode(text[i]) ELSE 0 END)), 0) AS BIGINT) AS feat0
+        |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
   )
 
   /** Shared embeddings-with-norm CTE (doubles BEFORE any arithmetic). */

@@ -42,12 +42,18 @@ object MultimodalOps {
   /** STUB decoder: a real implementation would JNI/library-decode the bytes
     * (JPEG → pixels, PCM → samples) here; this fake derives FeatureDim
     * deterministic floats from byte statistics so the pipeline shape,
-    * schema, and batching are fully exercised and testable. */
+    * schema, and batching are fully exercised and testable.
+    *
+    * The bins accumulate RAW byte values (integers): every partial sum is an
+    * exact float32 as long as a bin stays below 2²⁴ (payloads ≤ ~65 KiB —
+    * the corpus max is 577 bytes), which makes the stub's output not merely
+    * deterministic but reproducible from SQL over the same bytes — the
+    * mm_features DuckDB oracle recomputes the per-bin sums exactly. */
   private[ops] def decodeStub(content: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var i = 0
     while (i < content.length) {
-      out(i % FeatureDim) += (content(i) & 0xff).toFloat / 255f
+      out(i % FeatureDim) += (content(i) & 0xff).toFloat
       i += 1
     }
     out
@@ -62,8 +68,12 @@ object MultimodalOps {
     * explicit batch size — the Scala analogue of a batched (pandas-style)
     * UDF: amortizes any per-batch decoder setup, bounds memory, and keeps
     * the whole stage distributed (nothing touches the driver). */
-  def extractFeatures(spark: SparkSession, sfDir: String, batchSize: Int = 64): DataFrame = {
-    val media = mediaTable(spark, sfDir)
+  def extractFeatures(spark: SparkSession, sfDir: String, batchSize: Int = 64,
+                      maxId: Long = Long.MaxValue): DataFrame = {
+    // The id bound is applied BEFORE the opaque mapPartitions stage — a
+    // filter after it cannot push through, and decode is the expensive step
+    // a real pipeline bounds first.
+    val media = mediaTable(spark, sfDir).filter(col("media_id") < maxId)
       .select(col("media_id"), col("meta.format").as("format"), col("content"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     media.mapPartitions { rows =>

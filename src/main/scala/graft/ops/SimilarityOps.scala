@@ -66,52 +66,105 @@ object SimilarityOps {
       .orderBy("src_id", "dst_id")
   }
 
-  /** Fixed sign-random-projection hyperplanes: NumBits × dim, deterministic
-    * from a seeded generator (stable across JVMs — java.util.Random's
-    * algorithm is specified). */
+  /** Multi-table sign-random-projection LSH: NumTables independent 8-bit
+    * keys per vector. One table's recall on weakly-clustered embeddings is
+    * poor by nature (per-bit collision ≈ 1 - θ/π; at the rank-10 neighbor's
+    * angle here that is ~0.2 per table even with multiprobe) — the textbook
+    * scale path is L independent tables, 1-(1-p)^L: measured recall@10 went
+    * 0.0-0.2 (single table) → ≥0.8 (8 tables) at sf0.001-0.1. Hyperplanes
+    * are deterministic from a seeded generator (stable across JVMs —
+    * java.util.Random's algorithm is specified). */
   val NumBits = 8
+  val NumTables = 8
   val Dim = 64
-  lazy val hyperplanes: Array[Array[Double]] = {
+  lazy val hyperplanes: Array[Array[Array[Double]]] = {
     val rnd = new java.util.Random(42)
-    Array.fill(NumBits, Dim)(rnd.nextGaussian())
+    Array.fill(NumTables, NumBits, Dim)(rnd.nextGaussian())
   }
 
-  /** Bucket key = the NumBits sign bits of v · h_j. Pure column arithmetic
-    * over literal hyperplane arrays — codegen'd, broadcast-free. */
-  private def lshKey(v: Column): Column =
+  /** Table t's bucket key = the NumBits sign bits of v · h_tj. Pure column
+    * arithmetic over literal hyperplane arrays — codegen'd, broadcast-free. */
+  private def lshKey(v: Column, t: Int): Column =
     (0 until NumBits).foldLeft(lit(0)) { (acc, j) =>
-      val h = array(hyperplanes(j).map(lit): _*)
+      val h = array(hyperplanes(t)(j).map(lit): _*)
       acc.bitwiseOR(when(dot(v, h) > 0, lit(1 << j)).otherwise(lit(0)))
     }
 
-  /** ETL: the LSH index — every vector with its norm and bucket key,
-    * physically partitioned by key so a probe's `isin` prunes to |probes|
-    * directories at file listing. Built once per scale factor. */
+  /** ETL: the LSH index — every vector replicated once per table with its
+    * (t, key) bucket, physically partitioned by (t, key) so a probe's
+    * per-table key predicates prune to |probes| directories at file
+    * listing. NumTables × corpus rows: the classic LSH space-for-recall
+    * trade, built once per scale factor. */
   def lshIndex(spark: SparkSession, sfDir: String): DataFrame =
-    graft.etl.Artifacts.ensureParquet(spark, sfDir, "ann_lsh", Seq("key")) {
-      normed(spark, sfDir).withColumn("key", lshKey(col("v")))
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "ann_lsh", Seq("t", "key")) {
+      normed(spark, sfDir).select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        posexplode(array((0 until NumTables).map(t => lshKey(col("v"), t)): _*))
+          .as(Seq("t", "key")))
     }
 
-  /** ANN top-k via LSH buckets with hamming ≤ 1 multiprobe: candidates are
-    * the vectors whose bucket key is in the query's probe set — partition
-    * pruning against the persisted index, then exact cosine within
-    * candidates only. The index is a build-once ETL artifact (`lshIndex`);
-    * the query path is probe-only. Recall is spec-verified against the
-    * brute-force baseline (approximate by design → no oracle). */
+  /** ANN top-k via multi-table LSH with hamming ≤ 1 multiprobe per table:
+    * candidates are the vectors sharing a (t, probe-key) bucket with the
+    * query in ANY table — an OR of per-table partition predicates prunes
+    * the persisted index to L × (NumBits+1) directories, candidates are
+    * deduped across tables, then exact cosine within candidates only. The
+    * index is a build-once ETL artifact (`lshIndex`); the query path is
+    * probe-only. Recall is spec-verified against the brute-force baseline;
+    * the driver-facing entry wraps this in a recall certificate
+    * (`annTopKChecked`). */
   def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = lshIndex(spark, sfDir)
-    val Array(qRow) = e.filter(col("vec_id") === queryId)
-      .select(col("key"), col("v"), col("nrm")).collect()
-    val qKey = qRow.getInt(0)
-    val probes = qKey +: (0 until NumBits).map(j => qKey ^ (1 << j))
-    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"), col("nrm").as("qn"))
-    e.filter(col("key").isin(probes: _*) && col("vec_id") =!= queryId)
+    val qRows = e.filter(col("vec_id") === queryId).select(col("t"), col("key")).collect()
+    require(qRows.nonEmpty, s"query vector $queryId not in the LSH index")
+    val probe = qRows.map { r =>
+      val (t, key) = (r.getInt(0), r.getInt(1))
+      val keys = key +: (0 until NumBits).map(j => key ^ (1 << j))
+      col("t") === t && col("key").isin(keys: _*)
+    }.reduce(_ || _)
+    val q = e.filter(col("vec_id") === queryId).limit(1)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(probe && col("vec_id") =!= queryId)
+      .dropDuplicates("vec_id") // a candidate can collide in several tables
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Recall floor asserted by the checked ANN entries. Measured recall@10
+    * (tools.RecallProbe): LSH 0.7-0.8, IVF 0.6-1.0 at sf0.001-0.1, so 0.5
+    * leaves a ≥2-hit margin at every measured sf while still failing on any
+    * real index breakage (a wrong bucket key or probe set craters recall —
+    * the single-table index measured 0.0-0.2). */
+  val RecallFloor = 0.5
+
+  /** The rq12 tolerance-certificate pattern applied to ANN: the output is
+    * the EXACT top-k (DuckDB-expressible, hash-checkable) plus one boolean
+    * column asserting the ANN probe's recall against it — the oracle emits
+    * `true`, so an index/probe regression flips the boolean and fails the
+    * driver compare, while the approximate result itself (which no SQL
+    * oracle can reproduce) never enters the hash. Both inputs are ≤ k rows;
+    * the exact side is locally checkpointed so its corpus scan runs once
+    * for the hit count and the output. */
+  private def withRecallCertificate(exact: DataFrame, ann: DataFrame,
+                                    k: Int, floor: Double): DataFrame = {
+    val e = exact.localCheckpoint()
+    val hits = e.select("vec_id").join(ann.select("vec_id"), "vec_id").count()
+    e.withColumn("recall_ge_floor", lit(hits >= math.ceil(k * floor).toLong))
+  }
+
+  /** Driver-checkable LSH ANN: runs the LSH probe (`annTopK`) and certifies
+    * its recall@k against the exact ranking. */
+  def annTopKChecked(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                     k: Int = 10, floor: Double = RecallFloor): DataFrame =
+    withRecallCertificate(
+      cosineTopK(spark, sfDir, queryId, k), annTopK(spark, sfDir, queryId, k), k, floor)
+
+  /** Driver-checkable IVF ANN: same certificate over the IVF probe. */
+  def ivfTopKChecked(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                     k: Int = 10, floor: Double = RecallFloor): DataFrame =
+    withRecallCertificate(
+      cosineTopK(spark, sfDir, queryId, k), ivfTopK(spark, sfDir, queryId, k), k, floor)
 
   /** IVF cells (coarse quantizer size) and probe count. The corpus's
     * embeddings are only weakly clustered (near-uniform on the sphere), so
