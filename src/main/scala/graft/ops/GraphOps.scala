@@ -383,10 +383,15 @@ object GraphOps {
   def housesGraphPayload(spark: SparkSession, sfDir: String,
                          houses: Seq[String], limit: Int = 5000): DataFrame = {
     // The bounded direct slice feeds four branches (person nodes via both
-    // endpoints, person edges, BELONGS_TO edges); without caching, each
+    // endpoints, person edges, BELONGS_TO edges); without reuse, each
     // branch re-runs the whole house-clique expansion + top-5000 — measured
-    // 25.7 s vs 6.5 s at sf0.1. The cache is ≤ `limit` rows by construction.
-    val direct = houseSubgraph(spark, sfDir, houses, limit).cache()
+    // 25.7 s vs 6.5 s at sf0.1. localCheckpoint, not cache(): the slice is
+    // ≤ `limit` rows, materializing it eagerly truncates the lineage so
+    // all four branches plan against the tiny materialized relation — and
+    // unlike a cache() entry it cannot be partially evicted under memory
+    // pressure into silently re-running the expansion per branch (the
+    // round-3/4 driver-bench spike class).
+    val direct = houseSubgraph(spark, sfDir, houses, limit).localCheckpoint()
     val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))
     val personNames = direct.select(col("name"))
       .union(direct.filter(col("relType").isNotNull).select(col("neighbor").as("name")))

@@ -91,15 +91,21 @@ object SimilarityOps {
     }
 
   /** ETL: the LSH index — every vector replicated once per table with its
-    * (t, key) bucket, physically partitioned by (t, key) so a probe's
-    * per-table key predicates prune to |probes| directories at file
-    * listing. NumTables × corpus rows: the classic LSH space-for-recall
-    * trade, built once per scale factor. */
+    * (t, key) bucket. Physically: partition directories on `t` only (a
+    * bounded 8), rows SORTED by `key` within each table's files — a probe's
+    * key predicates then prune parquet row groups via min/max stats. A
+    * (t, key) directory layout was measured first and rejected: 2048
+    * partition directories of tiny files put a multi-second listing tax on
+    * every probe at test scale, and at 100 TB the sorted-key row-group skip
+    * gives the same IO pruning without the small-file explosion.
+    * NumTables × corpus rows: the classic LSH space-for-recall trade,
+    * built once per scale factor. */
   def lshIndex(spark: SparkSession, sfDir: String): DataFrame =
-    graft.etl.Artifacts.ensureParquet(spark, sfDir, "ann_lsh", Seq("t", "key")) {
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "ann_lsh", Seq("t")) {
       normed(spark, sfDir).select(col("vec_id"), col("label"), col("v"), col("nrm"),
         posexplode(array((0 until NumTables).map(t => lshKey(col("v"), t)): _*))
           .as(Seq("t", "key")))
+        .repartition(col("t")).sortWithinPartitions("key")
     }
 
   /** ANN top-k via multi-table LSH with hamming ≤ 1 multiprobe per table:
@@ -112,16 +118,29 @@ object SimilarityOps {
     * the driver-facing entry wraps this in a recall certificate
     * (`annTopKChecked`). */
   def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val e = lshIndex(spark, sfDir)
-    val qRows = e.filter(col("vec_id") === queryId).select(col("t"), col("key")).collect()
-    require(qRows.nonEmpty, s"query vector $queryId not in the LSH index")
-    val probe = qRows.map { r =>
-      val (t, key) = (r.getInt(0), r.getInt(1))
+    // Resolve the query VECTOR from the base table (one pushed-down id
+    // lookup against a single parquet file), then derive its bucket keys
+    // DRIVER-SIDE from the literal hyperplanes — scanning the exploded
+    // index to recover the query's keys would read all |tables| × |keys|
+    // partition directories twice before the pruned probe even starts
+    // (measured: that was ~3 s of a 4.5 s query). Sign bits only, so the
+    // driver-side dot needs no particular fold order.
+    val Array(qRow) = normed(spark, sfDir).filter(col("vec_id") === queryId)
+      .select(col("v"), col("nrm")).collect()
+    val qv = qRow.getSeq[Double](0).toArray
+    val probe = (0 until NumTables).map { t =>
+      val key = (0 until NumBits).foldLeft(0) { (acc, j) =>
+        var d = 0.0
+        var i = 0
+        while (i < qv.length) { d += qv(i) * hyperplanes(t)(j)(i); i += 1 }
+        if (d > 0) acc | (1 << j) else acc
+      }
       val keys = key +: (0 until NumBits).map(j => key ^ (1 << j))
       col("t") === t && col("key").isin(keys: _*)
     }.reduce(_ || _)
-    val q = e.filter(col("vec_id") === queryId).limit(1)
-      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val e = lshIndex(spark, sfDir)
+    val q = spark.range(1)
+      .select(typedlit(qv.toSeq).as("qv"), lit(qRow.getDouble(1)).as("qn"))
     e.filter(probe && col("vec_id") =!= queryId)
       .dropDuplicates("vec_id") // a candidate can collide in several tables
       .crossJoin(broadcast(q))

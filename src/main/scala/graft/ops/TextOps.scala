@@ -79,13 +79,18 @@ object TextOps {
     // shingle sets are distinct per doc; a cross-doc xxhash64 collision is
     // ~n²/2⁶⁴), but the shuffle moves 8-byte keys instead of ~30-byte text.
     //
-    // The exploded shingle rows feed three consumers (the df aggregation
-    // and both self-join sides); cache them once — the expansion is the
-    // expensive part, and a window-over-hs alternative (tried) collapses
-    // into millions of single-row sort partitions and runs 2-4× slower.
+    // The exploded shingle rows feed three consumers (the df aggregation,
+    // both self-join sides, and the verify sets) — materialize them ONCE.
+    // localCheckpoint, not cache(): under memory pressure a partially
+    // evicted cache silently re-runs the O(tokens²) expansion per consumer
+    // (the round-3 driver bench measured 87 s for this query against 3-5 s
+    // in adjacent identical-code runs); eager disk-backed blocks with
+    // truncated lineage cannot. A window-over-hs single-pass alternative
+    // (tried) collapses into millions of single-row sort partitions and
+    // runs 2-4× slower.
     val ex = shingleRows(docs)
       .withColumn("hs", xxhash64(col("s"))).drop("s", "n")
-      .cache()
+      .localCheckpoint()
     val hot = ex.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("hs")
     // The hot list is tiny by construction (heavy-hitters) → broadcast anti.
