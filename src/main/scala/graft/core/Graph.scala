@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   *  - ROMANTIC_WITH = curated pair list, equality-or-contains fuzzy match,
   *                 both directions (get_insert.py:15-43,147-163, J9)
   *
-  * Everything here is a *lazy plan*, never a materialized table: filters on
-  * downstream queries push through the unions into the self-joins, so a
-  * one-person expansion never builds the full clique. At 100 TB the edge
-  * tables would be bucketed-by-src parquet written once by an ETL job
-  * (graft.etl.GraphBuilder); the derivations below are that job's plan.
+  * The derivations here are *lazy plans*: filters on downstream queries
+  * push through the unions into the self-joins, so a one-person expansion
+  * never builds the full clique. Restricted expansions (`*Among`) stay on
+  * that path. Wholesale consumers — full-scan aggregations and
+  * single-person lookups over the complete edge set — instead read
+  * `personEdgesU`: the undirected closure written ONCE per scale factor as
+  * a bucketed-by-src table (the 100 TB layout this header always promised),
+  * so no repeated query pays the clique expansion, src-equality lookups
+  * prune to one bucket, and src-keyed aggregations shuffle nothing.
   */
 object Graph {
   /** The two houses whose members are mutual enemies (≅ Gryffindor ×
@@ -173,6 +177,34 @@ object Graph {
     * (app.py:257). */
   def allEdges(spark: SparkSession, sfDir: String): DataFrame =
     personEdges(spark, sfDir).unionByName(belongsTo(spark, sfDir))
+
+  /** ETL: the UNDIRECTED person↔person closure, materialized once per
+    * scale factor as a parquet table hash-bucketed AND sorted on `src`
+    * (32 buckets). This is the write-once edge table of the module doc:
+    *  - `src = literal` lookups (1-hop expansions, graph payloads) prune
+    *    to one bucket file, then to row groups via the sort — never
+    *    touching the quadratic derivation;
+    *  - `groupBy(src)` aggregations (degree, ML feature pivots) run with
+    *    NO shuffle exchange on the bucketed scan;
+    *  - queries lose the multi-ten-second variance of re-deriving the
+    *    clique expansion per run (the round-3 driver-bench spike class).
+    * The build itself is the lazy derivation below — executed exactly
+    * once, repartitioned to align tasks with buckets (same murmur hash →
+    * 32 files). Restricted expansions keep using `personEdgesAmong`: a
+    * pre-filtered derivation reads less than the full artifact. */
+  def personEdgesU(spark: SparkSession, sfDir: String): DataFrame = {
+    // Keep bucketed scans ON even for filter-only plans: the auto-disable
+    // heuristic only looks for joins/aggregations, and turning the bucketed
+    // layout off forfeits bucket PRUNING — the whole point of this table
+    // for `src = literal` lookups (measured: Bucketed: false reads all 32
+    // buckets; with pruning, 1 of 32).
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val table = graft.etl.Artifacts.ensureBucketed(spark, sfDir, "edges_und", "src", 32) {
+      undirected(personEdgesAmong(spark, nodes(spark, sfDir)))
+        .repartition(32, col("src"))
+    }
+    spark.table(table)
+  }
 
   /** Relationship types stored in BOTH directions already (get_insert.py
     * materializes these symmetrically). */

@@ -42,7 +42,7 @@ object MlOps {
     * (the OPTIONAL MATCH semantics → left join + na.fill(0)). */
   def featurePivot(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Graph.nodes(spark, sfDir)
-    val nbrHouse = Graph.undirected(Graph.personEdges(spark, sfDir))
+    val nbrHouse = Graph.personEdgesU(spark, sfDir)
       .join(n.select(col("name").as("dst"), col("house").as("nbr_house")), "dst")
     val aggs = for { r <- RelTypes; h <- Houses } yield
       sum(when(col("relType") === r && col("nbr_house") === h, 1).otherwise(0))
@@ -143,7 +143,8 @@ object MlOps {
   def trainSurvivalModel(spark: SparkSession, sfDir: String)
       : (org.apache.spark.ml.PipelineModel, DataFrame) = {
     val n = Graph.nodes(spark, sfDir)
-    val deg = Graph.undirected(Graph.personEdges(spark, sfDir))
+    // Bucketed artifact: the groupBy(src) below shuffles nothing.
+    val deg = Graph.personEdgesU(spark, sfDir)
       .groupBy(col("src").as("name"))
       .agg(
         sum(when(col("relType") === "FRIEND_OF", 1).otherwise(0)).as("friends_count"),

@@ -26,7 +26,11 @@ object GraphOps {
     // |friends| × house-size, never the full clique. (A friends-DF join
     // could not push: Catalyst won't infer scan filters from a join side.)
     val friendNames = friendKeys.map(Graph.fullName)
-    val fu = Graph.undirectedOne(Graph.friendOf(spark, sfDir))
+    // The artifact read replaces the live FRIEND_OF derivation: an `isin`
+    // on the bucket column prunes to |friends| bucket files, and relType
+    // filtering rides the dictionary — same pushed shape, no expansion.
+    val fu = Graph.personEdgesU(spark, sfDir)
+      .filter(col("relType") === "FRIEND_OF")
       .filter(col("src").isin(friendNames: _*))        // J1 expand 1-hop typed
     val topk = fu.select(col("src").as("f_name"), col("dst").as("candidate"))
       .filter(!col("candidate").isin(friendNames: _*)) // P2 anti-filter
@@ -111,7 +115,9 @@ object GraphOps {
     * with the edge tables, never recomputed per query. */
   def degreeTable(spark: SparkSession, sfDir: String): DataFrame =
     graft.etl.Artifacts.ensureParquet(spark, sfDir, "degree") {
-      Graph.undirected(Graph.personEdges(spark, sfDir))
+      // Built FROM the edge artifact: bucketed on src, so this groupBy
+      // runs shuffle-free — and the clique expansion is never re-derived.
+      Graph.personEdgesU(spark, sfDir)
         .groupBy(col("src").as("name"))
         .agg(count(lit(1)).as("total"))
     }
@@ -128,7 +134,11 @@ object GraphOps {
   /** J2+T3 — 1-hop expansion over ANY relationship type, undirected, with
     * the rel type in the output for the edge legend (app.py:253-261). */
   def expand1HopAny(spark: SparkSession, sfDir: String, key: Int, limit: Int = 500): DataFrame =
-    Graph.undirected(Graph.allEdges(spark, sfDir))
+    // Person↔person edges from the bucketed artifact (src lookup = one
+    // bucket file); BELONGS_TO stays a live nodes-scan derivation — it is
+    // linear, and the literal pushes into the scan on both union sides.
+    Graph.personEdgesU(spark, sfDir)
+      .unionByName(Graph.undirected(Graph.belongsTo(spark, sfDir)))
       .filter(col("src") === Graph.fullName(key))
       .select(col("relType"), col("dst").as("neighbor"))
       .orderBy("relType", "neighbor")
@@ -348,7 +358,7 @@ object GraphOps {
   def expand1HopTyped(spark: SparkSession, sfDir: String, key: Int,
                       types: Seq[String], limit: Int = 500): DataFrame = {
     val accepted = types.filter(AcceptedRelTypes.contains)
-    Graph.undirected(Graph.personEdges(spark, sfDir))
+    Graph.personEdgesU(spark, sfDir)
       .filter(col("src") === Graph.fullName(key) && col("relType").isin(accepted: _*))
       .select(col("relType"), col("dst").as("neighbor"))
       .orderBy("relType", "neighbor")
@@ -427,7 +437,7 @@ object GraphOps {
     graphJsonFor(spark, sfDir, Graph.fullName(key))
 
   def graphJsonFor(spark: SparkSession, sfDir: String, me: String): DataFrame = {
-    val hop = Graph.undirected(Graph.personEdges(spark, sfDir))
+    val hop = Graph.personEdgesU(spark, sfDir)
       .filter(col("src") === me)
     val n = Graph.nodes(spark, sfDir).select(col("name"), col("house"))
     val nodeRows = hop.select(col("dst").as("name"))
