@@ -39,10 +39,13 @@ object MultimodalOps {
   /** Feature dimension of the stubbed decoder. */
   val FeatureDim = 8
 
-  /** STUB decoder: a real implementation would JNI/library-decode the bytes
-    * (JPEG → pixels, PCM → samples) here; this fake derives FeatureDim
-    * deterministic floats from byte statistics so the pipeline shape,
-    * schema, and batching are fully exercised and testable.
+  /** Byte-statistics decoder — the FALLBACK leg of the pluggable
+    * `MediaDecoders` mux (real RIFF/WAVE-PCM and BMP parsers claim their
+    * containers first; compressed codecs like JPEG would need a library
+    * this sandbox doesn't have). Derives FeatureDim deterministic floats
+    * from byte statistics so opaque payloads — including this corpus's
+    * synthetic text bytes — keep the pipeline shape fully exercised and
+    * oracle-checkable.
     *
     * The bins accumulate RAW byte values (integers): every partial sum is an
     * exact float32 as long as a bin stays below 2²⁴ (payloads ≤ ~65 KiB —
@@ -67,7 +70,14 @@ object MultimodalOps {
   /** Batched decode/feature-extract over partitions: `mapPartitions` with an
     * explicit batch size — the Scala analogue of a batched (pandas-style)
     * UDF: amortizes any per-batch decoder setup, bounds memory, and keeps
-    * the whole stage distributed (nothing touches the driver). */
+    * the whole stage distributed (nothing touches the driver).
+    *
+    * Decoding is PLUGGABLE (`MediaDecoders`): payloads are container-
+    * sniffed, RIFF/WAVE PCM and uncompressed BMP parse for real
+    * (dependency-free, spec-verified byte-level), and opaque payloads —
+    * including this corpus's synthetic text bytes — fall back to the
+    * deterministic byte-stats decoder that the mm_features oracle
+    * reproduces in SQL. */
   def extractFeatures(spark: SparkSession, sfDir: String, batchSize: Int = 64,
                       maxId: Long = Long.MaxValue): DataFrame = {
     // The id bound is applied BEFORE the opaque mapPartitions stage — a
@@ -81,7 +91,7 @@ object MultimodalOps {
         // per-batch decoder setup would happen here (e.g. codec init)
         batch.iterator.map { r =>
           Row(r.getLong(0), r.getString(1),
-            decodeStub(r.getAs[Array[Byte]]("content")).toSeq)
+            MediaDecoders.decode(r.getAs[Array[Byte]]("content")).toSeq)
         }
       }
     }(enc)

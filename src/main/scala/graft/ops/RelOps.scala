@@ -30,17 +30,25 @@ object RelOps {
     * sides (round-3 forensics: the perfect discriminator across all 83
     * registry entries was "column produced by sum(decimal)"). So money
     * SUMs leave the engine as BIGINT minor units — ×100 fixed-point for
-    * scale-2 inputs, ×1e6 for the price×discount products (which carry
-    * ≤4 true decimal digits, so micros are lossless). The per-row
-    * arithmetic is still exact decimal; only the aggregate's output
-    * representation is integer, and summing longs is itself exact and
-    * engine-neutral. Oracle SQL carries the matching
-    * CAST(sum(CAST(dec*unit AS BIGINT)) AS BIGINT). */
-  private def sum2(c: org.apache.spark.sql.Column) = sum((dec(c) * 100).cast("long"))
-  private def sum6(c: org.apache.spark.sql.Column) = sum((dec6(c) * 1000000).cast("long"))
+    * scale-2 inputs ("_x100" semantics), ×1e6 for the price×discount
+    * products (which carry ≤4 true decimal digits, so micros are
+    * lossless). The per-row arithmetic is exact decimal, and the
+    * ACCUMULATION is DECIMAL(38,0) — not long — so a group would need to
+    * exceed 10³⁸ minor units before anything can overflow (micros rows
+    * carry ~1e11, so sum(long) would wrap SILENTLY past ~9×10⁷ rows per
+    * group with ANSI mode off — a real group size at 100 TB). Only the
+    * final aggregate is cast to BIGINT at the output boundary, exactly
+    * mirroring the oracle side, where DuckDB accumulates sum(BIGINT) as
+    * HUGEINT and the oracle SQL pins CAST(sum(..) AS BIGINT). */
+  private def sum2(c: org.apache.spark.sql.Column) =
+    sum((dec(c) * 100).cast("decimal(38,0)")).cast("long")
+  private def sum6(c: org.apache.spark.sql.Column) =
+    sum((dec6(c) * 1000000).cast("decimal(38,0)")).cast("long")
 
   /** TPC-H Q1 shape: pricing summary by returnflag/linestatus — partial+final
-    * hash aggregation, no shuffle beyond the 6-group final. */
+    * hash aggregation, no shuffle beyond the 6-group final.
+    * UNITS: sum_qty / sum_base_price are ×100 minor units (cents for money,
+    * centi-units for quantity), sum_disc_price is ×1e6 micros — see sum2/sum6. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag", "l_linestatus")
@@ -61,7 +69,8 @@ object RelOps {
       .orderBy("l_returnflag")
 
   /** ROLLUP over (returnflag, linestatus): subtotal + grand-total rows,
-    * grouping nulls made explicit so ordering is deterministic. */
+    * grouping nulls made explicit so ordering is deterministic.
+    * UNITS: sum_qty is ×100 centi-units (sum2). */
   def rollupQty(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .rollup("l_returnflag", "l_linestatus")
@@ -72,7 +81,7 @@ object RelOps {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
-  /** CUBE over (orderstatus, orderpriority). */
+  /** CUBE over (orderstatus, orderpriority). UNITS: total is ×100 cents. */
   def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .cube("o_orderstatus", "o_orderpriority")
@@ -84,7 +93,9 @@ object RelOps {
       .orderBy("status", "priority")
 
   /** Window functions: per-customer order sequence + running total.
-    * One shuffle on o_custkey serves both window and sort. */
+    * One shuffle on o_custkey serves both window and sort.
+    * UNITS: run_total is ×100 cents, accumulated DECIMAL(38,0) and cast
+    * to BIGINT per row (the sum2 convention over a window frame). */
   def orderWindows(spark: SparkSession, sfDir: String, maxCust: Int = 100): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     Tables.orders(spark, sfDir)
@@ -92,15 +103,17 @@ object RelOps {
       .select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).cast("long").as("rn"),
-        sum((dec(col("o_totalprice")) * 100).cast("long"))
+        sum((dec(col("o_totalprice")) * 100).cast("decimal(38,0)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long")
           .as("run_total"))
       .orderBy("o_custkey", "rn")
   }
 
   /** Multi-way join: revenue by nation (TPC-H Q5 shape). nation/region are
     * broadcast; customer⋈orders and orders⋈lineitem are the real shuffles —
-    * co-partitionable on the keys at scale (bucket by custkey/orderkey). */
+    * co-partitionable on the keys at scale (bucket by custkey/orderkey).
+    * UNITS: revenue is ×1e6 micros (sum6). */
   def revenueByNation(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
       .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
@@ -159,7 +172,8 @@ object RelOps {
 
   /** Event-time tumbling window aggregation (batch twin of the streaming
     * query in graft.streaming): hourly counts + value sums. Window start
-    * emitted as a formatted string so timestamp precision can't diverge. */
+    * emitted as a formatted string so timestamp precision can't diverge.
+    * UNITS: sum_value is ×1e6 micros (sum6). */
   def eventTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -226,7 +240,9 @@ object RelOps {
 
   /** Suppliers rolled up to region: two broadcast dimension hops
     * (supplier → nation → region) then aggregation — the snowflake-schema
-    * walk. nation/region are broadcast at any scale. */
+    * walk. nation/region are broadcast at any scale.
+    * UNITS: total_acctbal is ×100 cents (sum2); max_acctbal stays a plain
+    * DECIMAL dollar amount (max, not sum — the hash channel accepts it). */
   def supplierByRegion(spark: SparkSession, sfDir: String): DataFrame =
     Tables.supplier(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)),
@@ -241,7 +257,7 @@ object RelOps {
 
   /** Revenue by part brand: the lineitem ⋈ part fact-dimension join —
     * part is broadcast-eligible; at 100 TB it would be bucket-joined on
-    * partkey instead. */
+    * partkey instead. UNITS: revenue is ×1e6 micros (sum6). */
   def revenueByBrand(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
@@ -258,7 +274,8 @@ object RelOps {
     * shuffle exchange on either side (plan-verified; the MERGE hint keeps
     * AQE from replacing the demonstration with a broadcast). At 100 TB
     * this is the difference between re-shuffling two fact tables on every
-    * query and never shuffling them at all. */
+    * query and never shuffling them at all.
+    * UNITS: revenue is ×1e6 micros (sum6). */
   def bucketedRevenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.Artifacts
     val oTable = Artifacts.ensureBucketed(spark, sfDir, "orders", "o_orderkey", 8) {

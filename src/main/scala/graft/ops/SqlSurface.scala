@@ -17,14 +17,23 @@ object SqlSurface {
 
   /** TPC-H Q1 shape via spark.sql — same exact-decimal-per-row /
     * BIGINT-minor-unit-aggregate representation as RelOps.pricingSummary
-    * (the plan Catalyst derives is identical). */
+    * (the plan Catalyst derives is identical; columns are ×100 minor
+    * units / ×1e6 micros, see RelOps.sum2/sum6).
+    *
+    * Accumulation is DECIMAL(38,0) with only the FINAL aggregate cast to
+    * BIGINT, mirroring both RelOps (same helpers' shape) and the DuckDB
+    * oracle — where sum(BIGINT) returns HUGEINT and the registry oracle
+    * pins CAST(sum(..) AS BIGINT). A sum(BIGINT) formulation here would
+    * happen to type-match in Spark (sum(long) → long) but wrap silently
+    * on overflow, and copying it to the oracle side would change the
+    * DuckDB output type — keep all three sides on this one convention. */
   def pricing(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_qty,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS BIGINT) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM graft_lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }

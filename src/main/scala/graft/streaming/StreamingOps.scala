@@ -45,11 +45,14 @@ object StreamingOps {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      // Money/value sums leave as BIGINT micros, never summed DECIMAL —
-      // the driver's hash channel rejects summed-decimal columns even
-      // when values are identical (see RelOps.sum6).
+      // Money/value sums leave as BIGINT micros (×1e6), never summed
+      // DECIMAL — the driver's hash channel rejects summed-decimal columns
+      // even when values are identical. Accumulate DECIMAL(38,0), cast the
+      // FINAL aggregate: sum(long) would wrap silently at 100 TB group
+      // sizes (see RelOps.sum6 — same convention).
       .agg(count(lit(1)).as("n"),
-        sum((col("value").cast("decimal(18,6)") * 1000000).cast("long")).as("sum_value"))
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)"))
+          .cast("long").as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 

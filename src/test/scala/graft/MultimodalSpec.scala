@@ -41,6 +41,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  // ---------------------------------------------------- pluggable decoders
+
+  /** Hand-assembled RIFF/WAVE, 16-bit PCM mono: 4 samples. */
+  private def wavBytes(samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)          // PCM, mono
+      .putInt(8000).putInt(16000)       // sample rate, byte rate
+      .putShort(2).putShort(16)         // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  /** Hand-assembled uncompressed 24-bit BMP, w×h pixels of one BGR color. */
+  private def bmpBytes(w: Int, h: Int, bgr: (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val total = 54 + stride * h
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("BM".getBytes("US-ASCII")).putInt(total)
+      .putInt(0).putInt(54)             // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)   // BITMAPINFOHEADER
+      .putShort(1).putShort(24)         // planes, bpp
+      .putInt(0).putInt(stride * h)     // BI_RGB, image size
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (_ <- 0 until h; c <- 0 until stride)
+      buf.put(if (c < w * 3) (c % 3 match {
+        case 0 => bgr._1; case 1 => bgr._2; case _ => bgr._3
+      }).toByte else 0.toByte)
+    buf.array()
+  }
+
+  test("WAV PCM decoder really parses: per-bucket |sample| sums, exact") {
+    import graft.ops.MediaDecoders
+    val samples = Seq[Short](16384, -16384, 32767, -32768, 0, 8192, -8192, 4096, 2048)
+    val feats = MediaDecoders.decode(wavBytes(samples))
+    assert(feats.length == MultimodalOps.FeatureDim)
+    // bucket b = Σ |s_i|/32768 over i ≡ b (mod 8): 9 samples wrap once.
+    val expected = Array.tabulate(8)(b =>
+      samples.zipWithIndex.collect { case (s, i) if i % 8 == b =>
+        math.abs(s.toInt).toFloat / 32768f }.sum)
+    assert(feats.toSeq == expected.toSeq)
+    // corrupt data-chunk size (offset 40: 12 + fmt(8+16) + "data".length)
+    // overruns the payload → declined, byte-stats fallback takes over
+    val broken = wavBytes(samples); broken(40) = 0x7f
+    assert(MediaDecoders.WavPcmDecoder.decode(broken).isEmpty)
+    assert(MediaDecoders.decode(broken).toSeq ==
+      MediaDecoders.ByteStatsDecoder.decode(broken).get.toSeq)
+  }
+
+  test("BMP decoder really parses: channel means + dimensions, exact") {
+    import graft.ops.MediaDecoders
+    val feats = MediaDecoders.decode(bmpBytes(3, 2, (10, 200, 45)))
+    assert(feats(0) == 10f && feats(1) == 200f && feats(2) == 45f) // B,G,R means
+    assert(feats(3) == 6f && feats(4) == 3f && feats(5) == 2f)     // n, w, h
+    // ASCII text starting with "BM" must NOT misparse (size check fails)
+    val impostor = "BMarvolo Gaunt's ring was a horcrux".getBytes("UTF-8")
+    assert(MediaDecoders.BmpDecoder.decode(impostor).isEmpty)
+    assert(MediaDecoders.decode(impostor).toSeq ==
+      MediaDecoders.ByteStatsDecoder.decode(impostor).get.toSeq) // fallback leg
+  }
+
+  test("decoder mux selects by container and falls back for opaque bytes") {
+    import graft.ops.MediaDecoders
+    val wav = wavBytes(Seq[Short](1000, -1000))
+    val bmp = bmpBytes(2, 2, (1, 2, 3))
+    val txt = "plain opaque bytes".getBytes("UTF-8")
+    assert(MediaDecoders.decode(wav)(0) == 1000f / 32768f) // WAV leg
+    assert(MediaDecoders.decode(bmp)(3) == 4f)             // BMP leg (n px)
+    assert(MediaDecoders.decode(txt).toSeq == MediaDecoders.ByteStatsDecoder.decode(txt).get.toSeq)
+  }
+
   test("native RollingHash == HOF formulation == SQL-registered function") {
     val docs = graft.core.Tables.documents(spark, sf).filter(col("doc_id") < 30)
     GraftExtensions.register(spark)
