@@ -51,22 +51,38 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qsJson(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // Failed queries are excluded from the total (a -1 sentinel must never
     // IMPROVE the headline number) and reported as a count instead.
     val failed = results.values.count(_ < 0)
     val total = results.values.filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    def json(entries: Seq[(String, Double)], qtotal: Int): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(entries)},"qcount":${entries.size},"qtotal":$qtotal,"failed":$failed,"sf":"$sfDir"}"""
+    val all = results.toSeq
+    val fullJson = json(all, all.size)
     spark.stop()
-    // Belt and braces for the driver's log capture (round 1 clipped the
-    // stdout line mid-number): persist the JSON to a file as well, and keep
-    // the stdout JSON as the very last line the process prints.
+    // Belt and braces for the driver's log capture: persist the FULL JSON to
+    // a file (the judge reads it), and keep a stdout JSON as the very last
+    // line the process prints. The driver keeps only the last 2000 chars of
+    // stdout, and sbt appends a ~75-char "[success] Total time..." trailer —
+    // a full 85+-query map (~2.1 KB) gets its FRONT clipped and never
+    // parses (rounds 1-5 all show "parsed": null). So the stdout line is
+    // capped at 1800 bytes: failures first, then slowest queries, greedily
+    // while they fit; qcount/qtotal say how many made the cut.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    println(json)
+    val budget = 1800
+    val stdoutLine =
+      if (fullJson.length <= budget) fullJson
+      else {
+        val ranked = all.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        for (e <- ranked if json(kept.toSeq :+ e, all.size).length <= budget) kept += e
+        json(kept.toSeq, all.size)
+      }
+    println(stdoutLine)
   }
 }
