@@ -78,9 +78,13 @@ object SparkEntry {
     "tx_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     "tx_len_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
+    "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
+    "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     // —— deduplication (extension) ——
     "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    "dd_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
     "dd_cluster_canonical" -> ((s, d) => GraphAnalytics.dedupClusters(s, d)),
@@ -438,6 +442,66 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
         |SELECT token, count(*) AS freq FROM t WHERE token <> ''
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+    "tx_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (
+        |  SELECT doc_id, t,
+        |    list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_tok_uniq,
+        |         len(g) AS n_gram, len(list_distinct(g)) AS n_gram_uniq
+        |  FROM g)
+        |SELECT doc_id, n_tok, n_tok_uniq, n_gram, n_gram_uniq,
+        |  round(1.0 - n_tok_uniq * 1.0 / n_tok, 4) AS dup_tok_frac,
+        |  CASE WHEN n_gram = 0 THEN 0.0
+        |       ELSE round(1.0 - n_gram_uniq * 1.0 / n_gram, 4) END AS dup_gram_frac,
+        |  (CASE WHEN n_gram = 0 THEN 0.0
+        |        ELSE round(1.0 - n_gram_uniq * 1.0 / n_gram, 4) END) > 0.5 AS is_repetitive
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "tx_sample_hash" ->
+      """SELECT doc_id,
+        |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) < '29'
+        |ORDER BY doc_id""".stripMargin,
+    "tx_curate" -> {
+      val scores = TextOps.LangMarkers.map { case (l, m) =>
+        s"CAST((len(lo) - len(replace(lo, '$m', ''))) / ${m.length} AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      val best = "greatest(" + TextOps.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val cases = TextOps.LangMarkers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, lang, lower(text) AS lo,
+         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |         string_split_regex(lower(text), '\\s+') AS toks,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np
+         |  FROM documents),
+         |k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY 1),
+         |s AS (SELECT d.*, k.keep_id,
+         |    $scores
+         |  FROM d JOIN k USING (fp)),
+         |v AS (
+         |  SELECT doc_id, keep_id, lang,
+         |    CASE $cases ELSE 'und' END AS pred,
+         |    (len(text) BETWEEN 50 AND 2000
+         |     AND round(np * 1.0 / len(text), 4) < 0.2
+         |     AND round((len(text) - len(toks) + 1) * 1.0 / len(toks), 4) < 12.0) AS is_q
+         |  FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
+         |       WHEN pred <> lang THEN 'lang_mismatch'
+         |       WHEN NOT is_q THEN 'low_quality'
+         |       ELSE 'ok' END AS reason,
+         |  (CASE WHEN doc_id <> keep_id THEN 'duplicate'
+         |        WHEN pred <> lang THEN 'lang_mismatch'
+         |        WHEN NOT is_q THEN 'low_quality'
+         |        ELSE 'ok' END) = 'ok' AS keep
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "tx_len_quantiles" ->
       """SELECT count(*) AS n_docs,
         |  round(quantile_cont(len(text), 0.5), 4) AS p50,
@@ -459,6 +523,12 @@ object SparkEntry {
         |       max(keep_id) AS max_keep_id
         |FROM g""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSql(0.8),
+    "dd_containment" ->
+      s"""WITH $ngramPairStatsCtes
+         |SELECT src_id, dst_id,
+         |       round(common * 1.0 / least(na, nb), 4) AS containment
+         |FROM pairs WHERE round(common * 1.0 / least(na, nb), 4) >= 0.9
+         |ORDER BY src_id, dst_id""".stripMargin,
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
     // dd_simhash: full replay of the 60-bit SimHash (two polynomial rolling

@@ -213,6 +213,48 @@ object TextOps {
     scored.withColumn("pred", pred).orderBy("doc_id")
   }
 
+  /** Within-document repetition stats — the Gopher/MassiveText-family
+    * quality signal: a doc whose 3-grams repeat heavily is boilerplate or
+    * degenerate generation, independent of its cross-corpus dup status.
+    * Pure per-row map work (no shuffle before the final sort): the shape
+    * that costs one corpus scan at 100 TB. Token and gram arrays are
+    * materialized behind their own projections (no CSE inside lambdas —
+    * see shingleSets). */
+  def repetitionStats(spark: SparkSession, sfDir: String, maxDocId: Int = 100): DataFrame = {
+    val grams = when(size(col("t")) >= 3,
+      transform(sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))).otherwise(array())
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), grams.as("g"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tok"),
+        size(array_distinct(col("t"))).as("n_tok_uniq"),
+        size(col("g")).as("n_gram"),
+        size(array_distinct(col("g"))).as("n_gram_uniq"))
+      .withColumn("dup_tok_frac",
+        round(lit(1.0) - col("n_tok_uniq") * lit(1.0) / col("n_tok"), 4))
+      .withColumn("dup_gram_frac",
+        when(col("n_gram") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("n_gram_uniq") * lit(1.0) / col("n_gram"), 4)))
+      .withColumn("is_repetitive", col("dup_gram_frac") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash sampling: keep a doc iff the md5 of its normalized
+    * text starts below a hex threshold — '29' ≈ 16% of the keyspace. The
+    * sampling decision is a pure function of content (reproducible across
+    * engines, runs, and scale; no RNG state to coordinate across 1000
+    * executors), and the filter is map-side — one scan, no shuffle. */
+  def sampleByHash(spark: SparkSession, sfDir: String, prefixLt: String = "29"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(md5(normText(col("text"))), 1, 2).as("bucket"))
+      .filter(col("bucket") < lit(prefixLt))
+      .orderBy("doc_id")
+
   /** Rolling-hash modulus/base shared with the oracle SQL and the native
     * codegen expression (graft.functions.RollingHash). */
   val HashMod = 1000000007L
@@ -291,6 +333,21 @@ object TextOps {
     jaccardPairs(spark, sfDir, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select("src_id", "dst_id", "jaccard")
+      .orderBy("src_id", "dst_id")
+
+  /** Near-dup by CONTAINMENT: common / min(|A|, |B|) ≥ threshold — catches
+    * a small document embedded inside a larger one (quoting, concatenated
+    * shards), which Jaccard structurally misses: a doc 5× the length of
+    * the text it engulfs caps their Jaccard at 0.2 while containment is
+    * 1.0. Same inverted-index pair machinery as dedupNgramJaccard, but the
+    * size-ratio length filter must stay OFF — it is exactly the
+    * asymmetric-size pairs this operator exists to find. */
+  def dedupContainment(spark: SparkSession, sfDir: String, threshold: Double = 0.9): DataFrame =
+    jaccardPairs(spark, sfDir)
+      .withColumn("containment",
+        round(col("common") * lit(1.0) / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("src_id", "dst_id", "containment")
       .orderBy("src_id", "dst_id")
 
   /** MinHash signature length and LSH banding: 16 hashes in 8 bands × 2
@@ -392,5 +449,45 @@ object TextOps {
       .distinct()
       .filter(col("hamming") <= HammingMax)
       .orderBy("src_id", "dst_id")
+  }
+
+  // ------------------------------------------------------- curation verdict
+
+  /** End-to-end curation verdict: one row per document with a keep/drop
+    * decision and the FIRST failing rule as the reason — the composition a
+    * training-data pipeline actually ships (each individual signal is its
+    * own oracle-checked operator above: dd_exact's fingerprint, langId,
+    * qualityScore). Rule order: exact-duplicate (min doc_id per fingerprint
+    * survives) → language mismatch (n-gram vote vs declared lang) →
+    * quality gate. One shuffle total (the fingerprint group); everything
+    * else is map-side — at 100 TB this is a scan + one hash aggregation. */
+  def curateVerdicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      .withColumn("fp", md5(normText(col("text"))))
+    // Exact-dup keeper: min doc_id per fingerprint (dd_exact's rule).
+    val keepers = d.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    // Language vote (langId's arithmetic, full corpus).
+    val lo = lower(col("text"))
+    val scored = LangMarkers.map { case (l, m) => occ(lo, m).as(s"s_$l") }
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit("und")) { case ((l, _), el) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(el)
+    }
+    // Quality gate (qualityScore's is_quality arithmetic).
+    val t = toks(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val isQuality = length(col("text")).between(50, 2000) &&
+      round(nPunct * lit(1.0) / length(col("text")), 4) < 0.2 &&
+      round((length(col("text")) - size(t) + 1) * lit(1.0) / size(t), 4) < 12.0
+    d.select(col("doc_id") +: col("lang") +: col("fp") +: col("text") +: scored: _*)
+      .withColumn("pred", pred)
+      .join(keepers, "fp")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keep_id"), lit("duplicate"))
+          .when(col("pred") =!= col("lang"), lit("lang_mismatch"))
+          .when(!isQuality, lit("low_quality"))
+          .otherwise(lit("ok")))
+      .select(col("doc_id"), col("reason"), (col("reason") === "ok").as("keep"))
+      .orderBy("doc_id")
   }
 }

@@ -49,6 +49,57 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(sh.filter(col("hamming") === 0).count() >= 0)
   }
 
+  test("containment dominates Jaccard and is canonical") {
+    // containment = common/min(na,nb) ≥ common/(na+nb-common) = jaccard,
+    // so at equal thresholds the containment pair set is a superset.
+    val cont = TextOps.dedupContainment(spark, sf, threshold = 0.9)
+    assert(cont.filter(col("containment") > 1.0 || col("containment") <= 0.0).count() == 0)
+    assert(cont.filter(col("src_id") >= col("dst_id")).count() == 0)
+    val jPairs = TextOps.dedupNgramJaccard(spark, sf, threshold = 0.9)
+      .select("src_id", "dst_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cPairs = cont.select("src_id", "dst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jPairs.subsetOf(cPairs))
+  }
+
+  test("hash sampling is deterministic, content-keyed, and near the nominal rate") {
+    val a = TextOps.sampleByHash(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val b = TextOps.sampleByHash(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(a == b) // pure function of content — no RNG state
+    val total = graft.core.Tables.documents(spark, sf).count().toDouble
+    val frac = a.size / total
+    assert(frac > 0.05 && frac < 0.30, s"sample frac $frac vs nominal 0x29/0x100 ≈ 0.16")
+  }
+
+  test("repetition stats match a plain Scala reference on sampled docs") {
+    val rows = TextOps.repetitionStats(spark, sf, maxDocId = 20).collect()
+    val texts = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id")).toLowerCase.split("\\s+").toSeq
+      val g = if (t.size >= 3) t.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      assert(r.getAs[Int]("n_tok") == t.size)
+      assert(r.getAs[Int]("n_tok_uniq") == t.distinct.size)
+      assert(r.getAs[Int]("n_gram") == g.size)
+      assert(r.getAs[Int]("n_gram_uniq") == g.distinct.size)
+    }
+  }
+
+  test("curation: one survivor per exact-dup group, keep iff reason ok") {
+    val v = TextOps.curateVerdicts(spark, sf)
+    assert(v.filter(col("keep") =!= (col("reason") === "ok")).count() == 0)
+    // Exactly the min doc_id of each fingerprint group escapes 'duplicate'.
+    val d = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val expectDup = d.join(d.groupBy("fp").agg(min("doc_id").as("keep_id")), "fp")
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gotDup = v.filter(col("reason") === "duplicate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotDup == expectDup)
+  }
+
   test("exact dedup is idempotent and removes exactly the planted copies") {
     val row = TextOps.dedupExact(spark, sf).collect().head
     val nUnique = row.getAs[Long]("n_unique")
