@@ -126,6 +126,7 @@ object SparkEntry {
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
     "st_sessions" -> ((s, d) => StreamingOps.streamedSessions(s, d)),
     "st_user_stats" -> ((s, d) => StreamingOps.streamedUserStats(s, d)),
+    "st_click_attrib" -> ((s, d) => StreamingOps.streamedClickAttribution(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
     "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
@@ -790,6 +791,16 @@ object SparkEntry {
         |  CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
         |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
         |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st_click_attrib: stream-stream interval join; inner join + one
+    // AvailableNow batch ⇒ output equals the batch interval join.
+    "st_click_attrib" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+        |                                 AND CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p_id, c_id""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -105,6 +105,34 @@ object StreamingOps {
       .toDF("user_id", "n_events", "first_s", "last_s")
   }
 
+  /** Stream-stream interval join — the attribution shape: each purchase
+    * joined to the same user's clicks in the 10 minutes before it. Both
+    * sides carry watermarks and the join condition is time-bounded in both
+    * directions, so Spark can expire join state: a click older than
+    * (watermark − 10 min) can never match a future purchase and is dropped
+    * from the state store. Without the time bound the state grows with the
+    * stream — the unbounded-join mistake this operator exists to show
+    * avoided. Works identically on a batch DataFrame (the oracle). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("user_id"))
+  }
+
+  /** Driver entry: the stream-stream join executed as a real streaming
+    * query (append mode — inner interval joins emit as matches arrive). */
+  def streamedClickAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, purchaseClickJoin(readEventsStream(spark, sfDir)), "append")
+      .orderBy("p_id", "c_id")
+
   private val runId = new AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory

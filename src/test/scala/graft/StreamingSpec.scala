@@ -46,6 +46,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(w10.head.getAs[Long]("n") == 1L)
   }
 
+  test("stream-stream interval join matches clicks across micro-batches, bounds the interval") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val out = StreamingOps.purchaseClickJoin(events)
+    val q = out.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    // batch 1: clicks only — join state must survive to the next batch
+    mem.addData((1L, ts("2024-06-01 10:00:00"), 7L, "click"),
+                (2L, ts("2024-06-01 09:00:00"), 7L, "click"))
+    q.processAllAvailable()
+    // batch 2: purchase 5 min after click 1 (match), 65 min after click 2
+    // (outside the 10-min interval); user 8 purchase has no click at all.
+    mem.addData((10L, ts("2024-06-01 10:05:00"), 7L, "purchase"),
+                (11L, ts("2024-06-01 10:05:00"), 8L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssj_test").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    assert(pairs == Set((10L, 1L)))
+  }
+
   test("flatMapGroupsWithState accumulates per-key state ACROSS micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
