@@ -79,6 +79,7 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     "tx_len_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
     "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     // —— deduplication (extension) ——
@@ -88,6 +89,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
     "dd_cluster_canonical" -> ((s, d) => GraphAnalytics.dedupClusters(s, d)),
+    "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
@@ -463,6 +465,23 @@ object SparkEntry {
         |  (CASE WHEN n_gram = 0 THEN 0.0
         |        ELSE round(1.0 - n_gram_uniq * 1.0 / n_gram, 4) END) > 0.5 AS is_repetitive
         |FROM c ORDER BY doc_id""".stripMargin,
+    "tx_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tk
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tfall AS (SELECT doc_id, tk, count(*) AS cnt FROM tok2 GROUP BY 1, 2),
+        |dft AS (SELECT tk, count(*) AS dfv FROM tfall GROUP BY 1),
+        |tf AS (SELECT * FROM tfall WHERE doc_id < 20),
+        |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.tk, tf.cnt,
+        |    round((tf.cnt * 1.0 / dl.n_tok) * ln(n.n_docs * 1.0 / dft.dfv), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.cnt DESC, tf.tk) AS rnk
+        |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (tk) CROSS JOIN n)
+        |SELECT doc_id, rnk, tk AS term, cnt, tfidf
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "tx_sample_hash" ->
       """SELECT doc_id,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
@@ -532,6 +551,24 @@ object SparkEntry {
          |ORDER BY src_id, dst_id""".stripMargin,
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
+    // dd_semantic_cluster: recursive min-label propagation over the
+    // embedding-cosine >= 0.4 pair graph (same fixpoint as GraphX CC).
+    "dd_semantic_cluster" ->
+      s"""WITH RECURSIVE $embCte,
+         |p AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id < 300 AND b.vec_id < 300),
+         |pr AS (SELECT src_id, dst_id FROM p WHERE cosine >= 0.4),
+         |ed AS (SELECT src_id AS a, dst_id AS b FROM pr
+         |       UNION ALL SELECT dst_id, src_id FROM pr),
+         |walk(a, m) AS (
+         |  SELECT a, a AS m FROM (SELECT DISTINCT a FROM ed) t
+         |  UNION
+         |  SELECT ed.a, w.m FROM ed JOIN walk w ON ed.b = w.a)
+         |SELECT a AS vec_id, min(m) AS keep_id, min(m) = a AS is_kept
+         |FROM walk GROUP BY a ORDER BY vec_id""".stripMargin,
     // dd_simhash: full replay of the 60-bit SimHash (two polynomial rolling
     // hash families → per-bit ±1 votes → signature → 4×15-bit chunk banding
     // → bit_count(xor) verify) — expressible in DuckDB because the token

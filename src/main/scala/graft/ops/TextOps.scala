@@ -244,6 +244,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-k terms per document: tf = term count / doc length, idf =
+    * ln(N / document frequency) with df over the FULL corpus (the
+    * restriction to an output doc slice must not change any score).
+    * Ranking is by the INTEGER term count with the token as tie-break, so
+    * row_number is engine-exact regardless of float ulps; the tf-idf
+    * score itself is emitted rounded. Two aggregations over one token
+    * explosion + a 1-row corpus-size broadcast — at 100 TB the df table
+    * is the classic shared IDF dictionary artifact. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String,
+                    maxDocId: Int = 20, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+    val tfAll = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("cnt"))
+    val dfT = tfAll.groupBy("tk").agg(count(lit(1)).as("dfv"))
+    val tf = tfAll.filter(col("doc_id") < maxDocId)
+    val dl = tf.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cnt").desc, col("tk").asc)
+    tf.join(broadcast(dl), "doc_id")
+      .join(dfT, "tk")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("cnt") * lit(1.0) / col("n_tok")) *
+          log(col("n_docs") * lit(1.0) / col("dfv")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tk").as("term"), col("cnt"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Deterministic hash sampling: keep a doc iff the md5 of its normalized
     * text starts below a hex threshold — '29' ≈ 16% of the keyspace. The
     * sampling decision is a pure function of content (reproducible across

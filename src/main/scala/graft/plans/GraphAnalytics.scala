@@ -115,16 +115,31 @@ object GraphAnalytics {
     * graph — the non-clique chains LSH produces are exactly why a
     * transitive step is required (keep-min-neighbor would split them).
     * Oracle: DuckDB recursive CTE over the same pair set. */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = graft.ops.TextOps.dedupMinHashLsh(spark, sfDir)
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOverPairs(spark, graft.ops.TextOps.dedupMinHashLsh(spark, sfDir), "doc_id")
+
+  /** SEMANTIC dedup clustering: connected components over the
+    * embedding-cosine near-dup pair graph — the vector-space twin of
+    * `dedupClusters` (two docs can be near-identical in meaning with zero
+    * shared 3-grams; cosine pairs catch those, the transitive CC step then
+    * collapses paraphrase CHAINS a pairwise threshold would split). Same
+    * min-id-survivor rule, same recursive-CTE oracle shape. */
+  def semanticClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersOverPairs(spark, graft.ops.SimilarityOps.cosineNearDupPairs(spark, sfDir), "vec_id")
+
+  /** GraphX CC over any canonical (src_id < dst_id) pair set; component
+    * label = min member id = the survivor (GraphX labels components by min
+    * vertex id, so the label IS the keep id). */
+  private def clustersOverPairs(spark: SparkSession, pairs: DataFrame,
+                                idName: String): DataFrame = {
     val e = pairs.select(col("src_id").cast("long"), col("dst_id").cast("long"))
     val g = XGraph.fromEdges(
       e.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0)
     val cc = g.connectedComponents().vertices
     spark.createDataFrame(cc.map { case (v, c) => (v, c) })
-      .toDF("doc_id", "keep_id")
-      .withColumn("is_kept", col("doc_id") === col("keep_id"))
-      .orderBy("doc_id")
+      .toDF(idName, "keep_id")
+      .withColumn("is_kept", col(idName) === col("keep_id"))
+      .orderBy(idName)
   }
 
   /** PageRank over the bounded friend subgraph — the classic iterative

@@ -100,6 +100,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(gotDup == expectDup)
   }
 
+  test("semantic clusters: pair endpoints share a label, label = min member") {
+    val pairs = SimilarityOps.cosineNearDupPairs(spark, sf)
+      .select("src_id", "dst_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = GraphAnalytics.semanticClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keep_id")).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    label.foreach { case (v, k) => assert(k <= v) }
+    // every label is itself a member with that label (canonical survivor)
+    label.values.toSet.foreach { (k: Long) => assert(label(k) == k) }
+  }
+
+  test("tf-idf: rank follows integer counts; idf monotone in df") {
+    val rows = TextOps.tfidfTopTerms(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      // counts non-increasing with rank
+      assert(byRank.sliding(2).forall {
+        case Array(x, y) => x.getAs[Long]("cnt") >= y.getAs[Long]("cnt")
+        case _ => true
+      })
+    }
+    assert(rows.forall(_.getAs[Double]("tfidf") >= 0.0)) // df ≤ N ⇒ idf ≥ 0
+  }
+
   test("exact dedup is idempotent and removes exactly the planted copies") {
     val row = TextOps.dedupExact(spark, sf).collect().head
     val nUnique = row.getAs[Long]("n_unique")
