@@ -130,6 +130,7 @@ object SparkEntry {
     "st_user_stats" -> ((s, d) => StreamingOps.streamedUserStats(s, d)),
     "st_click_attrib" -> ((s, d) => StreamingOps.streamedClickAttribution(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
+    "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
     "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
@@ -735,6 +736,10 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  true AS approx_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq19_quantile_sketch" ->
+      """SELECT count(*) AS n_rows,
+        |  true AS ok_p50, true AS ok_p90, true AS ok_p99
+        |FROM lineitem""".stripMargin,
     "rq13_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

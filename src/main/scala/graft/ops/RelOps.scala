@@ -306,4 +306,30 @@ object RelOps {
         (abs(col("approx_parts") - col("exact_parts")) <=
           col("exact_parts") * 0.05).as("approx_within_5pct"))
       .orderBy("l_returnflag")
+
+  /** Quantile sketch vs exact — the mergeable-sketch family's second
+    * member (rq12 = HLL cardinality; this = Greenwald-Khanna percentiles).
+    * At 100 TB the sketch is the ONLY viable shape (exact percentiles need
+    * a full sort; GK state is O(1/ε) per partition and merges
+    * associatively), so what must be certified is its error. Same
+    * tolerance-boolean oracle pattern as rq12: emit |approx-exact|/exact ≤
+    * 1% per probed quantile; the oracle asserts `true` (and anchors the
+    * row count so the certificate is data-dependent). */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val probs = Seq(0.5, 0.9, 0.99)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      percentile_approx(col("x"),
+        array(probs.map(lit): _*), lit(10000)).as("ap"),
+      expr(s"percentile(x, array(${probs.mkString("D, ")}D))").as("ex"))
+    agg.select(
+      col("n_rows") +:
+        probs.zipWithIndex.map { case (p, i) =>
+          val pct = (p * 100).toInt
+          (abs(element_at(col("ap"), i + 1) - element_at(col("ex"), i + 1)) <=
+            abs(element_at(col("ex"), i + 1)) * 0.01).as(s"ok_p$pct")
+        }: _*)
+  }
 }
