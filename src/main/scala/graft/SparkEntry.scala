@@ -131,6 +131,7 @@ object SparkEntry {
     "st_click_attrib" -> ((s, d) => StreamingOps.streamedClickAttribution(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
+    "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
     "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
     "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
@@ -740,6 +741,10 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |  true AS ok_p50, true AS ok_p90, true AS ok_p99
         |FROM lineitem""".stripMargin,
+    "rq20_welford_var" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  true AS custom_matches_builtin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq13_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

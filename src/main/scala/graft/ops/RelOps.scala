@@ -332,4 +332,23 @@ object RelOps {
             abs(element_at(col("ex"), i + 1)) * 0.01).as(s"ok_p$pct")
         }: _*)
   }
+
+  /** Custom typed-Aggregator UDAF (graft.functions.WelfordVar) vs the
+    * builtin var_samp, per return flag — certifies the custom aggregate's
+    * MERGE correctness under real partial/final distributed aggregation
+    * (32 partitions ⇒ 32 map-side partials merged in an arbitrary tree).
+    * Tolerance-boolean oracle (rq12 pattern), anchored by group counts. */
+  def welfordVariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val wv = udaf(graft.functions.WelfordVar)
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        wv(col("x")).as("custom_var"),
+        var_samp(col("x")).as("builtin_var"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("custom_var") - col("builtin_var")) <=
+          abs(col("builtin_var")) * 1e-9).as("custom_matches_builtin"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -100,6 +100,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(gotDup == expectDup)
   }
 
+  test("Welford aggregator: exact on a known set, partition-count invariant") {
+    import spark.implicits._
+    val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0) // var_samp = 32/7
+    val wv = udaf(graft.functions.WelfordVar)
+    def varOn(parts: Int): Double =
+      xs.toDF("x").repartition(parts).agg(wv(col("x"))).collect().head.getDouble(0)
+    assert(math.abs(varOn(1) - 32.0 / 7.0) < 1e-12)
+    // merge associativity: any partitioning gives the same answer
+    assert(math.abs(varOn(7) - varOn(1)) < 1e-12)
+    assert(varOn(1).isNaN == false)
+    assert(Seq(1.0).toDF("x").agg(wv(col("x"))).collect().head.getDouble(0).isNaN)
+  }
+
   test("semantic clusters: pair endpoints share a label, label = min member") {
     val pairs = SimilarityOps.cosineNearDupPairs(spark, sf)
       .select("src_id", "dst_id").collect().map(r => (r.getLong(0), r.getLong(1)))
