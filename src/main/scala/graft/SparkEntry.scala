@@ -132,6 +132,8 @@ object SparkEntry {
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
+    "rq21_grouping_sets" -> ((s, d) => RelOps.groupingSetsQty(s, d)),
+    "rq22_funnel" -> ((s, d) => RelOps.funnelStages(s, d)),
     "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
     "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
@@ -745,6 +747,36 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  true AS custom_matches_builtin
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq21_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+    "rq22_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+        |  FROM events),
+        |s AS (SELECT user_id, min(ts_s) AS signup_s FROM ev
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(ev.ts_s) AS click_s
+        |      FROM ev JOIN s USING (user_id)
+        |      WHERE ev.event_type = 'click' AND ev.ts_s >= s.signup_s GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(ev.ts_s) AS purchase_s
+        |      FROM ev JOIN c USING (user_id)
+        |      WHERE ev.event_type = 'purchase' AND ev.ts_s >= c.click_s GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id, s.signup_s, c.click_s, p.purchase_s,
+        |  CAST(CASE WHEN p.purchase_s IS NOT NULL THEN 3
+        |            WHEN c.click_s IS NOT NULL THEN 2
+        |            WHEN s.signup_s IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN s USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "rq13_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

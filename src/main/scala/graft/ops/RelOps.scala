@@ -333,6 +333,56 @@ object RelOps {
         }: _*)
   }
 
+  /** GROUPING SETS ((rf), (ls)) — two independent aggregations in ONE scan
+    * and one shuffle, a shape neither rollup nor cube expresses (rollup
+    * nests, cube crosses; this is a union of disjoint groupings that would
+    * otherwise be two scans + a union at 100 TB). Grouped-away columns are
+    * coalesced to 'ALL' (neither column is nullable here), keeping the
+    * output engine-neutral — no grouping_id() bit-order dependency.
+    * UNITS: sum_qty is ×100 centi-units (sum2). */
+  def groupingSetsQty(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  /** Sequential funnel over the event stream: per user, the first signup,
+    * the first click AT OR AFTER it, the first purchase at or after that
+    * click — the ordered-pattern analytic sessionization can't express.
+    * Three conditional-min aggregations, each over the (tiny) per-user
+    * stage frontier broadcast back onto the events scan: at 100 TB this is
+    * three passes over a date-pruned events partition, never a sort. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_s"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_s").as("signup_s"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(s), "user_id")
+      .filter(col("ts_s") >= col("signup_s"))
+      .groupBy("user_id").agg(min("ts_s").as("click_s"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("ts_s") >= col("click_s"))
+      .groupBy("user_id").agg(min("ts_s").as("purchase_s"))
+    ev.select("user_id").distinct()
+      .join(s, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("purchase_s").isNotNull, 3)
+          .when(col("click_s").isNotNull, 2)
+          .when(col("signup_s").isNotNull, 1)
+          .otherwise(0).cast("long"))
+      .orderBy("user_id")
+  }
+
   /** Custom typed-Aggregator UDAF (graft.functions.WelfordVar) vs the
     * builtin var_samp, per return flag — certifies the custom aggregate's
     * MERGE correctness under real partial/final distributed aggregation
