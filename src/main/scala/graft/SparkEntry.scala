@@ -133,6 +133,7 @@ object SparkEntry {
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
     "rq21_grouping_sets" -> ((s, d) => RelOps.groupingSetsQty(s, d)),
+    "rq23_range_frame" -> ((s, d) => RelOps.rangeFrameHourly(s, d)),
     "rq22_funnel" -> ((s, d) => RelOps.funnelStages(s, d)),
     "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
     "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
@@ -755,6 +756,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY rf, ls""".stripMargin,
+    "rq23_range_frame" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic
+        |  FROM events WHERE user_id < 20)
+        |SELECT event_id, user_id, ts_s,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(vmic) OVER w AS BIGINT) AS sum_value_micros_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin,
     "rq22_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

@@ -383,6 +383,24 @@ object RelOps {
       .orderBy("user_id")
   }
 
+  /** Time-RANGE window frame: per event, count and value-sum of the same
+    * user's events in the PRECEDING HOUR — a frame defined by the ORDER
+    * VALUE (seconds), not row count, so peers at the same timestamp share
+    * a frame and gaps shrink it; rowsBetween can't express this. Sums are
+    * integer micros inside the frame (exact, engine-neutral, and the hash
+    * channel rejects summed decimals); one shuffle on user_id. */
+  def rangeFrameHourly(spark: SparkSession, sfDir: String, maxUserId: Long = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .filter(col("user_id") < maxUserId)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)").as("vmic"))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("vmic")).over(w).cast("long").as("sum_value_micros_1h"))
+      .orderBy("user_id", "ts_s", "event_id")
+  }
+
   /** Custom typed-Aggregator UDAF (graft.functions.WelfordVar) vs the
     * builtin var_samp, per return flag — certifies the custom aggregate's
     * MERGE correctness under real partial/final distributed aggregation
