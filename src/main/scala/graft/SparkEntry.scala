@@ -82,6 +82,7 @@ object SparkEntry {
     "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
+    "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     // —— deduplication (extension) ——
     "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -117,18 +118,26 @@ object SparkEntry {
     "rq15_supplier_by_region" -> ((s, d) => RelOps.supplierByRegion(s, d)),
     "rq16_revenue_by_brand" -> ((s, d) => RelOps.revenueByBrand(s, d)),
     "rq18_bucketed_join" -> ((s, d) => RelOps.bucketedRevenueByPriority(s, d)),
+    "rq24_unpivot" -> ((s, d) => RelOps.unpivotPricing(s, d)),
+    "rq25_exists" -> ((s, d) => RelOps.ordersWithReturns(s, d)),
+    "rq26_below_avg" -> ((s, d) => RelOps.belowPartAvg(s, d)),
+    "rq27_salted_join" -> ((s, d) => RelOps.saltedRevenueBySegment(s, d)),
+    "rq28_quartiles" -> ((s, d) => RelOps.quantityQuartiles(s, d)),
+    "rq29_full_outer" -> ((s, d) => RelOps.fullOuterOrderCounts(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
+    "gx_shortest_paths" -> ((s, d) => GraphAnalytics.shortestHops(s, d)),
     // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
     "st_sessions" -> ((s, d) => StreamingOps.streamedSessions(s, d)),
     "st_user_stats" -> ((s, d) => StreamingOps.streamedUserStats(s, d)),
     "st_click_attrib" -> ((s, d) => StreamingOps.streamedClickAttribution(s, d)),
+    "st_segment_counts" -> ((s, d) => StreamingOps.streamedSegmentCounts(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
@@ -791,6 +800,60 @@ object SparkEntry {
         |FROM u LEFT JOIN s USING (user_id) LEFT JOIN c USING (user_id)
         |       LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "rq24_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_x100,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_x100,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, val FROM (
+        |  SELECT l_returnflag, 'qty_x100' AS measure, qty_x100 AS val FROM a
+        |  UNION ALL SELECT l_returnflag, 'price_x100', price_x100 FROM a
+        |  UNION ALL SELECT l_returnflag, 'n', n FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "rq25_exists" ->
+      """WITH w AS (SELECT o_orderpriority, count(*) AS n_with_returns FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM lineitem
+        |                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |  GROUP BY 1),
+        |t AS (SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT t.o_orderpriority AS priority, n_orders,
+        |  COALESCE(n_with_returns, 0) AS n_with_returns,
+        |  n_orders - COALESCE(n_with_returns, 0) AS n_without
+        |FROM t LEFT JOIN w USING (o_orderpriority) ORDER BY 1""".stripMargin,
+    "rq26_below_avg" ->
+      """WITH la AS (SELECT l_partkey,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem),
+        |lw AS (SELECT l_partkey, cents,
+        |  count(*) OVER (PARTITION BY l_partkey) AS n_part,
+        |  sum(cents) OVER (PARTITION BY l_partkey) AS sum_cents FROM la)
+        |SELECT p_brand AS brand,
+        |  CAST(count(*) FILTER (WHERE 10 * cents * n_part < 9 * sum_cents) AS BIGINT) AS n_below,
+        |  count(*) AS n_items
+        |FROM lw JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq27_salted_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_x100
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq28_quartiles" ->
+      """SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS p25_x100,
+        |  CAST(round(quantile_cont(l_quantity, 0.50) * 100) AS BIGINT) AS p50_x100,
+        |  CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS p75_x100,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rq29_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 80),
+        |oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |       WHERE o_custkey >= 40 AND o_custkey < 120 GROUP BY 1)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(c_mktsegment, 'NO_CUSTOMER') AS segment,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  c_custkey IS NOT NULL AS has_customer
+        |FROM c FULL OUTER JOIN oc ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "rq13_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,
@@ -866,6 +929,27 @@ object SparkEntry {
       s"""WITH $nodesCte,
          |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
          |SELECT nid, true AS rank_uniform FROM s WHERE c > 1 ORDER BY nid""".stripMargin,
+    // gx_shortest_paths: recursive-CTE BFS over the same derived
+    // FRIEND_OF ∪ SAME_FAMILY edge set (UNION-distinct recursion keeps the
+    // frontier a set of (nid, dist) pairs — bounded, not walk-counting).
+    "gx_shortest_paths" ->
+      s"""WITH RECURSIVE nn AS (
+         |  SELECT c_custkey AS nid, c_mktsegment AS house FROM customer WHERE c_custkey < 120),
+         |e0 AS (
+         |  SELECT a.nid AS src, b.nid AS dst FROM nn a JOIN nn b
+         |    ON a.house = b.house AND a.nid < b.nid
+         |  UNION
+         |  SELECT a.nid, b.nid FROM nn a JOIN nn b
+         |    ON a.nid % ${graft.core.Graph.FamilyMod} = b.nid % ${graft.core.Graph.FamilyMod}
+         |   AND a.nid < b.nid),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |bfs(nid, dist) AS (
+         |  SELECT CAST(1 AS BIGINT) AS nid, 0 AS dist
+         |  UNION
+         |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.nid
+         |  WHERE bfs.dist < 8)
+         |SELECT nid, CAST(min(dist) AS BIGINT) AS dist
+         |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
     // —— streaming (executed as streaming queries; oracle = batch twin) ——
     "st_window_counts" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
@@ -894,6 +978,18 @@ object SparkEntry {
         | AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
         |                                 AND CAST(p.ts AS TIMESTAMP)
         |ORDER BY p_id, c_id""".stripMargin,
+    // st_segment_counts: stream-static broadcast join; complete mode +
+    // AvailableNow ⇒ totals equal the batch join, which is the oracle.
+    "st_segment_counts" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_events,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tx_pii_scrub" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

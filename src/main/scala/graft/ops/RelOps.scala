@@ -401,6 +401,130 @@ object RelOps {
       .orderBy("user_id", "ts_s", "event_id")
   }
 
+  /** UNPIVOT / melt: the per-flag pricing measures rotated wide → long —
+    * the inverse of pivot (a3_native_pivot), needed whenever a 100 TB
+    * pipeline normalizes a wide metrics table into (key, measure, value)
+    * rows for a generic sink. Spark's native `unpivot` keeps the melt
+    * inside whole-stage codegen (an Expand node — no UDF, no union of N
+    * scans; ONE pass emits all measures).
+    * UNITS: qty_x100/price_x100 are ×100 minor units (sum2); n is a count. */
+  def unpivotPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(sum2(col("l_quantity")).as("qty_x100"),
+           sum2(col("l_extendedprice")).as("price_x100"),
+           count(lit(1)).as("n"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_x100"), col("price_x100"), col("n")),
+        "measure", "val")
+      .orderBy("l_returnflag", "measure")
+
+  /** EXISTS / NOT EXISTS as semi-join counts: per order priority, how many
+    * orders have ≥1 returned lineitem (l_returnflag = 'R'). The correlated
+    * EXISTS subquery becomes a LEFT SEMI join on the order key — one
+    * shuffle, no row duplication (semi stops at first match, so a 7-item
+    * order costs the same as a 1-item order), then n_without = total −
+    * n_with, avoiding a second anti-join pass over lineitem entirely. */
+  def ordersWithReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val withR = o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_with_returns"))
+    o.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(withR), Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority").as("priority"), col("n_orders"),
+        coalesce(col("n_with_returns"), lit(0L)).as("n_with_returns"),
+        (col("n_orders") - coalesce(col("n_with_returns"), lit(0L))).as("n_without"))
+      .orderBy("priority")
+  }
+
+  /** Correlated scalar subquery ("items priced below 90% of their part's
+    * average", TPC-H Q17 shape) decorrelated into ONE window pass: count
+    * and sum over PARTITION BY l_partkey reuse a single shuffle instead of
+    * the aggregate-then-self-join plan (two shuffles of the fact table).
+    * The avg comparison is multiplied through — 10·cents·n < 9·Σcents — so
+    * the arithmetic is exact integers on both engines, no division, no
+    * decimal-avg representation to disagree on. */
+  def belowPartAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .select(col("l_partkey"), col("cents"),
+        count(lit(1)).over(w).as("n_part"),
+        sum(col("cents")).over(w).as("sum_cents"))
+    li.join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(when(lit(10) * col("cents") * col("n_part") <
+             lit(9) * col("sum_cents"), 1)).as("n_below"),
+           count(lit(1)).as("n_items"))
+      .orderBy("brand")
+  }
+
+  /** Skew-salted repartition join: orders ⋈ customer where the build side
+    * is REPLICATED across NSalt salt values and the probe side picks a
+    * deterministic salt per row — each hot customer key spreads over NSalt
+    * reducers instead of one straggler task. This is the manual form of
+    * AQE's skew-join split (which only triggers on observed partition-size
+    * skew; salting is the a-priori answer when the hot keys are known).
+    * The MERGE hint pins a real shuffle join — broadcasting the small
+    * replicated side would silently bypass the salting demonstration.
+    * Result is salt-invariant and equals the plain join (the oracle).
+    * UNITS: total_x100 is ×100 cents (sum2). */
+  def saltedRevenueBySegment(spark: SparkSession, sfDir: String, nSalt: Int = 8): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(nSalt)).cast("int").as("salt"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(array((0 until nSalt).map(lit): _*)))
+    o.hint("merge")
+      .join(dim, col("o_custkey") === col("c_custkey") && o("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("total_x100"))
+      .orderBy("segment")
+  }
+
+  /** Exact per-group quartiles (percentile_cont semantics): the non-sketch
+    * twin of rq19 — at 100 TB you run the GK sketch; this exact operator is
+    * the certification path at audit scale. l_quantity is integral, so the
+    * interpolated quartiles land on halves and ×100 is exact in BIGINT. */
+  def quantityQuartiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"),
+           count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1) * 100).cast("long").as("p25_x100"),
+        round(element_at(col("q"), 2) * 100).cast("long").as("p50_x100"),
+        round(element_at(col("q"), 3) * 100).cast("long").as("p75_x100"),
+        col("n"))
+      .orderBy("l_returnflag")
+
+  /** FULL OUTER join over partially-overlapping key ranges: customers
+    * [0,80) vs per-customer order counts over custkeys [40,120) — both
+    * unmatched sides survive with explicit fallbacks. The pre-aggregation
+    * (orders collapsed to one row per key BEFORE the outer join) is the
+    * scale shape: the outer join then moves |keys| rows, not |orders|. */
+  def fullOuterOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") < 80)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oc = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") >= 40 && col("o_custkey") < 120)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("c_custkey").isNotNull.as("has_customer"))
+      .orderBy("custkey")
+  }
+
   /** Custom typed-Aggregator UDAF (graft.functions.WelfordVar) vs the
     * builtin var_samp, per return flag — certifies the custom aggregate's
     * MERGE correctness under real partial/final distributed aggregation

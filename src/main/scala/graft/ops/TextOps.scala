@@ -522,4 +522,20 @@ object TextOps {
       .select(col("doc_id"), col("reason"), (col("reason") === "ok").as("keep"))
       .orderBy("doc_id")
   }
+
+  /** PII-style redaction: every digit run in the payload replaced with a
+    * placeholder, plus the match count — the scrub-before-training pass an
+    * LLM data pipeline runs over raw documents. Demonstrated on
+    * `events.props` (the documents corpus is synthetic stopword text with
+    * no digit-shaped tokens; props carries real numbers). regexp_replace /
+    * regexp_count are codegen'd native expressions — the scrub runs inside
+    * whole-stage codegen, no UDF — and the pattern is kept to the regex
+    * subset whose semantics are identical across engines. */
+  def piiScrub(spark: SparkSession, sfDir: String, maxId: Long = 300): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_id") < maxId)
+      .select(col("event_id"),
+        regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_nums"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"))
+      .orderBy("event_id")
 }

@@ -142,6 +142,47 @@ object GraphAnalytics {
       .orderBy(idName)
   }
 
+  /** Single-source BFS hop distances via Pregel over the FRIEND_OF ∪
+    * SAME_FAMILY union graph (family edges bridge houses, so distances
+    * genuinely reach 2-3 hops — not the 0/1 closed form of one clique).
+    * This is the raw Pregel API (the other algorithms here use GraphX's
+    * prepackaged lib.*): vertex state = best-known distance, messages =
+    * dist+1 along both directions, convergence when no vertex improves —
+    * the message-passing shape Cypher's variable-length paths compile to
+    * at scale. Unreached vertices are dropped (no infinite rows).
+    * Oracle: DuckDB recursive-CTE BFS over the same derived edge set. */
+  def shortestHops(spark: SparkSession, sfDir: String,
+                   srcNid: Long = 1, maxNid: Long = 120): DataFrame = {
+    val n = Graph.nodes(spark, sfDir).filter(col("nid") < maxNid)
+      .select(col("nid"), col("house"), (col("nid") % Graph.FamilyMod).as("fam"))
+    val b = n.select(col("nid").as("nid2"), col("house").as("house2"),
+      col("fam").as("fam2"))
+    // Canonical-direction pairs on either shared key; one distinct pass.
+    val pairs = n.join(b, col("house") === col("house2") && col("nid") < col("nid2"))
+      .select(col("nid").as("src"), col("nid2").as("dst"))
+      .union(n.join(b, col("fam") === col("fam2") && col("nid") < col("nid2"))
+        .select(col("nid").as("src"), col("nid2").as("dst")))
+      .distinct()
+    val edges = pairs.rdd.coalesce(8)
+      .flatMap(r => Iterator(Edge(r.getLong(0), r.getLong(1), 1),
+                             Edge(r.getLong(1), r.getLong(0), 1)))
+    val g = XGraph.fromEdges(edges, defaultValue = Int.MaxValue,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id == srcNid) 0 else Int.MaxValue)
+    val dist = g.pregel(Int.MaxValue)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + 1))
+           else Iterator.empty,
+      (a, b) => math.min(a, b))
+    spark.createDataFrame(
+        dist.vertices.filter(_._2 != Int.MaxValue)
+          .map { case (v, d) => (v, d.toLong) })
+      .toDF("nid", "dist")
+      .orderBy("nid")
+  }
+
   /** PageRank over the bounded friend subgraph — the classic iterative
     * benchmark. The graph is made genuinely undirected (both edge
     * directions), so every vertex of a clique component is degree-regular

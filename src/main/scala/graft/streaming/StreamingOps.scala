@@ -133,6 +133,31 @@ object StreamingOps {
     runToMemory(spark, purchaseClickJoin(readEventsStream(spark, sfDir)), "append")
       .orderBy("p_id", "c_id")
 
+  /** Stream-static join — the enrichment shape: each micro-batch of events
+    * is joined against a STATIC dimension (customer → segment) that is
+    * re-resolved per batch but carries no streaming state at all (unlike
+    * the stream-stream join above, nothing is watermarked or buffered).
+    * The dim side is broadcast: at 100 TB of stream, the per-batch join
+    * cost is the batch size, never the history. Aggregation runs in
+    * complete mode so the final totals equal the batch twin (the oracle). */
+  def segmentValueCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))), Seq("user_id"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)"))
+          .cast("long").as("sum_value_micros"))
+
+  /** Driver entry: stream-static enrichment executed as a real streaming
+    * query (events stream ⋈ static customer parquet). */
+  def streamedSegmentCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark,
+      segmentValueCounts(readEventsStream(spark, sfDir),
+        graft.core.Tables.customer(spark, sfDir)),
+      "complete")
+      .orderBy("segment")
+
   private val runId = new AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory

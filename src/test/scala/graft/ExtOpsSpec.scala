@@ -236,4 +236,90 @@ class ExtOpsSpec extends AnyFunSuite {
     val mass = g.map(_.getAs[Double]("rank")).sum
     assert(math.abs(mass - total) / total < 0.01, s"mass=$mass n=$n total=$total")
   }
+
+  test("Pregel BFS: dist 0 at source, dist-1 set = direct neighbors, no gaps") {
+    val out = GraphAnalytics.shortestHops(spark, sf, srcNid = 1, maxNid = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L)
+    // direct neighbors of nid 1: same house or same family key, nid < 120
+    val n = graft.core.Graph.nodes(spark, sf).filter(col("nid") < 120)
+      .select("nid", "house").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val h1 = n(1L)
+    val nbrs = n.keySet.filter(k => k != 1L &&
+      (n(k) == h1 || k % graft.core.Graph.FamilyMod == 1L % graft.core.Graph.FamilyMod))
+    assert(out.filter(_._2 == 1L).keySet == nbrs)
+    // BFS levels have no gaps: every dist d>0 node coexists with some d-1 node
+    val dists = out.values.toSet
+    (1L to dists.max).foreach(d => assert(dists.contains(d - 1), s"gap below $d"))
+  }
+
+  // ------------------------------------------------------ relational extras
+
+  test("salted join equals the plain join for any salt width") {
+    val plain = RelOps.saltedRevenueBySegment(spark, sf, nSalt = 1).collect().map(_.toString)
+    val salted = RelOps.saltedRevenueBySegment(spark, sf, nSalt = 8).collect().map(_.toString)
+    assert(plain.sameElements(salted))
+  }
+
+  test("unpivot pivots back to the wide table (melt round-trip)") {
+    val wide = RelOps.unpivotPricing(spark, sf)
+      .groupBy("l_returnflag").pivot("measure").agg(first("val"))
+    val direct = graft.core.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val joined = wide.join(direct.withColumnRenamed("n", "n_direct"), "l_returnflag")
+    assert(joined.filter(col("n") =!= col("n_direct")).count() == 0)
+    assert(wide.columns.sorted.sameElements(Array("l_returnflag", "n", "price_x100", "qty_x100")))
+  }
+
+  test("EXISTS semi-counts are consistent and match a distinct-key join") {
+    val out = RelOps.ordersWithReturns(spark, sf)
+    assert(out.filter(col("n_with_returns") + col("n_without") =!= col("n_orders")).count() == 0)
+    val alt = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.lineitem(spark, sf)
+          .filter(col("l_returnflag") === "R").select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority")).agg(count(lit(1)).as("n_alt"))
+    val bad = out.join(alt, "priority")
+      .filter(col("n_with_returns") =!= col("n_alt"))
+    assert(bad.count() == 0)
+  }
+
+  test("below-part-avg window plan equals the aggregate-then-join plan") {
+    val win = RelOps.belowPartAvg(spark, sf).collect().map(_.toString)
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val pa = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_part"), sum("cents").as("sum_cents"))
+    val alt = li.join(pa, "l_partkey")
+      .join(graft.core.Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(when(lit(10) * col("cents") * col("n_part") <
+             lit(9) * col("sum_cents"), 1)).as("n_below"),
+           count(lit(1)).as("n_items"))
+      .orderBy("brand").collect().map(_.toString)
+    assert(win.sameElements(alt))
+  }
+
+  test("full outer join keeps both unmatched sides with fallbacks") {
+    val out = RelOps.fullOuterOrderCounts(spark, sf).collect()
+    val noCust = out.filter(!_.getAs[Boolean]("has_customer"))
+    assert(noCust.forall(r => r.getAs[String]("segment") == "NO_CUSTOMER" &&
+      r.getAs[Long]("custkey") >= 80))
+    val noOrders = out.filter(r => r.getAs[Long]("n_orders") == 0)
+    assert(noOrders.forall(r => r.getAs[Boolean]("has_customer") &&
+      r.getAs[Long]("custkey") < 40))
+    assert(out.map(_.getAs[Long]("custkey")).distinct.length == out.length)
+  }
+
+  test("exact quartiles are ordered and bounded by the data range") {
+    val rows = RelOps.quantityQuartiles(spark, sf).collect()
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Long]("p25_x100"), r.getAs[Long]("p50_x100"),
+        r.getAs[Long]("p75_x100"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p25 >= 100 && p75 <= 5000) // quantities are 1..50
+    }
+  }
 }

@@ -132,4 +132,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(streamed.sameElements(batch))
   }
+
+  test("stream-static join enriches every micro-batch against the static dim") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val out = StreamingOps.segmentValueCounts(events, dim)
+    val q = out.writeStream.format("memory").queryName("ss_test")
+      .outputMode("complete").start()
+    mem.addData((1L, 1.5), (2L, 2.0), (3L, 9.9)) // user 3 has no dim row → dropped
+    q.processAllAvailable()
+    mem.addData((1L, 0.5)) // second micro-batch folds into user 1's segment
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_test").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map("SEG_A" -> ((2L, 2000000L)), "SEG_B" -> ((1L, 2000000L))))
+  }
 }
