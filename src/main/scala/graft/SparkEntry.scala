@@ -35,6 +35,9 @@ object SparkEntry {
         .select("name", "house", "species", "alive", "image").orderBy("name")),
     "s5_upsert_person" -> ((s, d) => GraphOps.upsertPersons(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
+    "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
+    "s9_jsonl_roundtrip" -> ((s, d) => graft.sources.FileFormats.jsonlRoundTrip(s, d)),
+    "s10_partition_prune" -> ((s, d) => graft.sources.FileFormats.partitionPrunedScan(s, d)),
     // —— projections / filters (§2.2) ——
     "p1_filter_name_in" -> ((s, d) => GraphOps.filterNameIn(s, d, Seq(3, 7, 11, 42))),
     "p2_anti_filter" -> ((s, d) => GraphOps.antiFilter(s, d, "FURNITURE", Seq(1, 5))),
@@ -990,6 +993,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+    // s8-s10: the oracle sees only the ORIGINAL parquet; a hash match
+    // certifies the engine's sink→source round-trip end-to-end.
+    "s8_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "s9_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |FROM events WHERE event_id < 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s10_partition_prune" ->
+      """SELECT user_id % 10 AS user_bucket, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
+        |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.core.Tables
+import graft.etl.Artifacts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interchange-format sources/sinks beyond parquet (SURVEY §2.1 extension:
+  * the reference ingests JSON over HTTP and serves JSON payloads; a
+  * warehouse engine additionally needs CSV and JSON-lines round-trips and
+  * a partition-pruned columnar layout). Each op WRITES through the sink,
+  * reads back through the source, and aggregates — so the driver's oracle
+  * (which sees only the original parquet) certifies the whole round-trip:
+  * any encode/decode drift changes the output and fails the hash.
+  *
+  * Outputs land in the build-once artifact tree (graft.etl.Artifacts):
+  * the write happens once per sf, later runs only exercise the read path —
+  * matching how an ingest job materializes a layout once and every query
+  * thereafter is read-only.
+  */
+object FileFormats {
+
+  /** CSV sink → CSV source round-trip over the nation dimension, read back
+    * with an EXPLICIT schema (header-driven inference is a correctness
+    * hazard — a production reader pins types). Values pass through the
+    * quoted-CSV escape path; the aggregate joins region to prove the
+    * round-tripped keys still join. */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Artifacts.path(sfDir, "nation_csv")
+    if (!Artifacts.exists(p))
+      Tables.nation(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(p)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    spark.read.schema(schema).option("header", "true").csv(p)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  /** JSON-lines sink → source round-trip over an events slice. Doubles
+    * survive exactly (Spark's JSON writer emits a shortest round-trip
+    * rendering; the reader parses back to the identical bit pattern), and
+    * the oracle's micros sum over the ORIGINAL parquet certifies it.
+    * Timestamps are written as epoch micros (a LONG column) rather than a
+    * formatted string — string-timestamp parsing is the classic JSON
+    * interchange divergence, integer epochs are engine-neutral. */
+  def jsonlRoundTrip(spark: SparkSession, sfDir: String, maxId: Long = 2000): DataFrame = {
+    val p = Artifacts.path(sfDir, "events_jsonl")
+    if (!Artifacts.exists(p))
+      Tables.events(spark, sfDir).filter(col("event_id") < maxId)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .coalesce(1).write.mode("overwrite").json(p)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts_us", LongType)))
+    spark.read.schema(schema).json(p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)"))
+          .cast("long").as("sum_value_micros"),
+        min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      .orderBy("event_type")
+  }
+
+  /** Partitioned parquet sink + partition-PRUNED scan: events written once
+    * as `event_type=<v>/` directories; the filtered read touches only the
+    * matching directory — the file listing itself is the filter, no data
+    * file of another type is opened. At 100 TB this (plus date
+    * partitioning) is the difference between scanning a corpus and
+    * scanning a slice. The spec asserts the pruning is visible in the
+    * physical plan; the oracle certifies the slice's content. */
+  def partitionPrunedScan(spark: SparkSession, sfDir: String,
+                          eventType: String = "click"): DataFrame =
+    partitionedEvents(spark, sfDir)
+      .filter(col("event_type") === eventType)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)"))
+          .cast("long").as("sum_value_micros"))
+      .orderBy("user_bucket")
+
+  /** The partitioned layout, built once per sf (exposed for the spec). */
+  def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.ensureParquet(spark, sfDir, "events_by_type",
+      partitionCols = Seq("event_type")) {
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    }
+}

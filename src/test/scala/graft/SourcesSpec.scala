@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.FileFormats
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Interchange sources/sinks: properties the DuckDB oracle can't see —
+  * the physical pruning and the per-value exactness of round-trips. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("CSV round-trip preserves every nation row exactly") {
+    val back = FileFormats.csvRoundTrip(spark, sf)
+      .select("n_nationkey", "n_name").collect().map(_.toString).sorted
+    val orig = graft.core.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect().map(_.toString).sorted
+    assert(back.sameElements(orig))
+  }
+
+  test("JSONL round-trip preserves doubles bit-exactly") {
+    // Per-row equality, not just aggregate: join the round-tripped rows
+    // back to the source on event_id and compare the raw doubles.
+    val p = graft.etl.Artifacts.path(sf, "events_jsonl")
+    FileFormats.jsonlRoundTrip(spark, sf) // ensure written
+    val back = spark.read
+      .schema("event_id LONG, value DOUBLE").json(p)
+      .select(col("event_id"), col("value").as("v_back"))
+    val orig = graft.core.Tables.events(spark, sf)
+      .filter(col("event_id") < 2000).select("event_id", "value")
+    val diff = orig.join(back, "event_id")
+      .filter(col("value") =!= col("v_back") ||
+        col("value").isNull =!= col("v_back").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("partitioned scan prunes to the one event_type directory") {
+    val df = FileFormats.partitionPrunedScan(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "partition filter did not reach the scan")
+    // The pruned scan must read strictly fewer files than the full layout.
+    val all = FileFormats.partitionedEvents(spark, sf)
+    val allScan = all.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val prunedScan = scans.head
+    assert(prunedScan.selectedPartitions.totalNumberOfFiles <
+      allScan.selectedPartitions.totalNumberOfFiles)
+  }
+}
