@@ -74,6 +74,9 @@ object SparkEntry {
     "setop_except" -> ((s, d) => GraphOps.setopExcept(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
     // —— scalar functions (§2.7) ——
     "fn_lastname_key" -> ((s, d) => GraphOps.lastNameKey(s, d)),
+    "fn_string_suite" -> ((s, d) => graft.ops.ScalarSuites.stringSuite(s, d)),
+    "fn_datetime_suite" -> ((s, d) => graft.ops.ScalarSuites.datetimeSuite(s, d)),
+    "fn_array_suite" -> ((s, d) => graft.ops.ScalarSuites.arraySuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -127,6 +130,8 @@ object SparkEntry {
     "rq27_salted_join" -> ((s, d) => RelOps.saltedRevenueBySegment(s, d)),
     "rq28_quartiles" -> ((s, d) => RelOps.quantityQuartiles(s, d)),
     "rq29_full_outer" -> ((s, d) => RelOps.fullOuterOrderCounts(s, d)),
+    "rq30_heavy_hitters" -> ((s, d) => RelOps.heavyHitters(s, d)),
+    "rq31_window_dist" -> ((s, d) => RelOps.windowDistributions(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -1009,6 +1014,62 @@ object SparkEntry {
       """SELECT user_id % 10 AS user_bucket, count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
         |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq30: the sketch guarantees freq>support values appear; event types
+    // run ~2× the support, so in_sketch is deterministically true.
+    "rq30_heavy_hitters" ->
+      """SELECT event_type, n, true AS in_sketch FROM (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        |  ORDER BY n DESC, event_type LIMIT 3)
+        |ORDER BY event_type""".stripMargin,
+    "rq31_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER wf AS top_order,
+        |  last_value(o_orderkey) OVER wf AS bottom_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "fn_string_suite" ->
+      """SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
+        |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,
+        |  lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS pad6,
+        |  split_part(c_name, '#', 2) AS num_part,
+        |  translate(c_name, '0C', 'xY') AS tr,
+        |  replace(c_name, 'Customer', 'Cust') AS repl,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  concat_ws('|', c_name, upper(c_name)) AS joined,
+        |  md5(c_name) AS digest
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
+    "fn_datetime_suite" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_orderkey < 200)
+        |SELECT o_orderkey,
+        |  CAST(year(d) AS BIGINT) AS y, CAST(quarter(d) AS BIGINT) AS q,
+        |  CAST(month(d) AS BIGINT) AS m, CAST(day(d) AS BIGINT) AS d,
+        |  CAST(dayofyear(d) AS BIGINT) AS doy,
+        |  dayname(d) AS dow_name,
+        |  strftime(d, '%Y-%m-%d') AS iso,
+        |  strftime(d + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  strftime(last_day(d), '%Y-%m-%d') AS eom,
+        |  strftime(date_trunc('month', d), '%Y-%m-%d') AS som,
+        |  date_diff('day', DATE '1995-01-01', d) AS days_since
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    "fn_array_suite" ->
+      s"""WITH $nodesCte,
+         |g AS (SELECT house, list_sort(list(name)) AS ns, count(*) AS n
+         |      FROM n WHERE nid < 25 GROUP BY house)
+         |SELECT house,
+         |  array_to_string(list_slice(ns, 1, 3), ',') AS top3, n,
+         |  list_contains(ns, '${graft.core.Graph.fullName(1)}') AS has_c1,
+         |  ns[1] AS first_name, ns[len(ns)] AS last_name,
+         |  array_to_string(list_transform(list_slice(ns, 1, 2), x -> upper(x)), ',') AS up2,
+         |  CAST(len(list_filter(ns, x -> x LIKE '%0')) AS BIGINT) AS n_ending_0
+         |FROM g ORDER BY house""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -525,6 +525,50 @@ object RelOps {
       .orderBy("custkey")
   }
 
+  /** Heavy hitters: single-pass frequent-items sketch (Karp-Papadimitriou-
+    * Shenker via DataFrame.stat.freqItems — mergeable, O(1/support) state
+    * per partition) certified against the exact top-k. The sketch
+    * GUARANTEES every value with frequency > support appears; event types
+    * run ~20% ≫ 10%, so `in_sketch` is deterministically true and a broken
+    * sketch fails the hash. At 100 TB the sketch pass is the only
+    * affordable first pass; the exact count then runs on the sketch's
+    * few survivors, not the full keyspace. */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+                   support: Double = 0.1, k: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_type")
+    val sketch = ev.stat.freqItems(Seq("event_type"), support)
+      .collect()(0).getSeq[String](0).toSet
+    ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type").asc)
+      .limit(k)
+      .select(col("event_type"), col("n"),
+        col("event_type").isin(sketch.toSeq: _*).as("in_sketch"))
+      .orderBy("event_type")
+  }
+
+  /** Distribution window functions — the family rq13 doesn't cover:
+    * percent_rank / cume_dist (rank normalized to [0,1]; exact rational
+    * arithmetic in double, engine-identical), and the frame-addressed
+    * value functions first/last/nth over the FULL partition frame (the
+    * default running frame would make last_value ≡ current row — the
+    * classic window-frame trap, avoided explicitly). One shuffle on
+    * o_custkey serves all six. */
+  def windowDistributions(spark: SparkSession, sfDir: String, maxCust: Int = 50): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < maxCust)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(wf).as("top_order"),
+        last(col("o_orderkey")).over(wf).as("bottom_order"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Custom typed-Aggregator UDAF (graft.functions.WelfordVar) vs the
     * builtin var_samp, per return flag — certifies the custom aggregate's
     * MERGE correctness under real partial/final distributed aggregation

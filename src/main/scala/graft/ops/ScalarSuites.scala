@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.core.{Graph, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function families (SURVEY §2.7 extension): the string, datetime,
+  * and array/higher-order surfaces a user of the reference's Cypher
+  * functions (`toLower`, `CONTAINS`, `split`, `id()`, …) would expect a
+  * replacement engine to carry. Every function here is a codegen'd native
+  * expression — one projection node, no UDFs — and every column is pinned
+  * to a representation both engines render identically (LONG for counts
+  * and date parts, formatted strings for dates, flattened strings for
+  * arrays — the oracle channel has no typed-list or date32 comparison).
+  */
+object ScalarSuites {
+
+  /** String-function sweep over customer names: case mapping, slicing,
+    * padding, splitting, translation, search, hashing. One codegen'd
+    * projection; functions chosen for cross-engine-identical semantics
+    * (1-based positions, negative-index-free). */
+  def stringSuite(spark: SparkSession, sfDir: String, maxKey: Long = 50): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") < maxKey)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        reverse(col("c_name")).as("rev"),
+        expr("left(c_name, 8)").as("l8"),
+        expr("right(c_name, 4)").as("r4"),
+        lpad(col("c_custkey").cast("string"), 6, "0").as("pad6"),
+        expr("split_part(c_name, '#', 2)").as("num_part"),
+        translate(col("c_name"), "0C", "xY").as("tr"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("repl"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        length(col("c_name")).cast("long").as("len"),
+        concat_ws("|", col("c_name"), upper(col("c_name"))).as("joined"),
+        md5(col("c_name")).as("digest"))
+      .orderBy("c_custkey")
+
+  /** Datetime-function sweep over order dates: part extraction, arithmetic,
+    * boundary snapping, differences. Date results leave as formatted
+    * strings (engine-neutral — no date32-vs-timestamp hash hazard), parts
+    * and diffs as LONG. Day-of-week is deliberately absent: Spark and
+    * standard SQL disagree on week-start numbering, so the portable form
+    * is date_format's textual day name, included instead. */
+  def datetimeSuite(spark: SparkSession, sfDir: String, maxKey: Long = 200): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < maxKey)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("som"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Array/higher-order sweep over per-house name lists: collect → sort →
+    * slice/index/search, plus a lambda transform (the higher-order-function
+    * family: `transform` runs a codegen'd expression per element — the
+    * Spark-native form of Cypher's list comprehensions). Arrays leave
+    * flattened to strings (a4's convention — the compare channel is
+    * scalar-only). */
+  def arraySuite(spark: SparkSession, sfDir: String, maxNid: Long = 25): DataFrame =
+    Graph.nodes(spark, sfDir)
+      .filter(col("nid") < maxNid)
+      .groupBy("house")
+      .agg(sort_array(collect_list(col("name"))).as("ns"),
+           count(lit(1)).as("n"))
+      .select(
+        col("house"),
+        array_join(slice(col("ns"), 1, 3), ",").as("top3"),
+        col("n"),
+        array_contains(col("ns"), Graph.fullName(1)).as("has_c1"),
+        element_at(col("ns"), 1).as("first_name"),
+        element_at(col("ns"), size(col("ns"))).as("last_name"),
+        array_join(expr("transform(slice(ns, 1, 2), x -> upper(x))"), ",").as("up2"),
+        size(expr("filter(ns, x -> x like '%0')")).cast("long").as("n_ending_0"))
+      .orderBy("house")
+}
