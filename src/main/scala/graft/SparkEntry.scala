@@ -89,6 +89,8 @@ object SparkEntry {
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "tx_pack" -> ((s, d) => TextOps.packSequences(s, d)),
+    "tx_mix" -> ((s, d) => TextOps.mixCorpus(s, d)),
     // —— deduplication (extension) ——
     "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -998,6 +1000,25 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+    "tx_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM t)
+        |SELECT source, CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tx_mix" ->
+      """WITH d AS (SELECT source,
+        |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket,
+        |  CAST(substr(source, 4) AS INT) % 4 AS idx FROM documents),
+        |k AS (SELECT source, bucket, (['40', '80', 'c0', 'zz'])[idx + 1] AS thr FROM d)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(count(*) FILTER (WHERE bucket < thr) AS BIGINT) AS n_kept
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // s8-s10: the oracle sees only the ORIGINAL parquet; a hash match
     // certifies the engine's sink→source round-trip end-to-end.
     "s8_csv_roundtrip" ->

@@ -523,6 +523,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the concat-then-chunk pass that turns a document
+    * corpus into fixed-budget training sequences: docs are laid out in a
+    * deterministic order (doc_id) within each source shard, each doc's
+    * starting offset is the running token count, and its pack is
+    * floor(offset / target). Contiguous, gapless, deterministic — and one
+    * window pass per shard (PARTITION BY source ⇒ shards pack in
+    * parallel; at 100 TB the shard is the unit of packing work, there is
+    * never a global sort). Boundary docs spill their pack past `target`
+    * by design (greedy offset assignment — the standard packing rule;
+    * splitting a doc across packs is the tokenizer stage's job). */
+  def packSequences(spark: SparkSession, sfDir: String, target: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("cum_before") / target).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** Deterministic corpus mixing: each source shard is down-sampled at its
+    * own rate (here 25/50/75/100% cycling by source number) using the
+    * content-keyed md5-bucket rule of `sampleByHash` — no RNG state, so
+    * any executor, any retry, any engine selects the identical subset,
+    * and re-mixing with new rates never reshuffles previously kept docs
+    * (the bucket is a property of the text). This is the mixture-weights
+    * pass of a training-data pipeline, expressed as one scan + one
+    * aggregation. */
+  def mixCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val thresholds = array(lit("40"), lit("80"), lit("c0"), lit("zz")) // hex-prefix rates: 25/50/75/100%
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        substring(md5(normText(col("text"))), 1, 2).as("bucket"),
+        (substring(col("source"), 4, 10).cast("int") % 4).as("idx"))
+      .withColumn("keep", col("bucket") < element_at(thresholds, col("idx") + 1))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), count(when(col("keep"), 1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** PII-style redaction: every digit run in the payload replaced with a
     * placeholder, plus the match count — the scrub-before-training pass an
     * LLM data pipeline runs over raw documents. Demonstrated on

@@ -313,6 +313,30 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("custkey")).distinct.length == out.length)
   }
 
+  test("sequence packing conserves tokens and packs contiguously") {
+    val packs = TextOps.packSequences(spark, sf).collect()
+    val totalPacked = packs.map(_.getAs[Long]("tokens")).sum
+    val totalDirect = graft.core.Tables.documents(spark, sf)
+      .select(size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(totalPacked == totalDirect) // every token lands in exactly one pack
+    // pack ids per source are contiguous from 0 (no empty bins)
+    packs.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (id, i) => id == i }, src)
+    }
+  }
+
+  test("corpus mixing keeps a content-keyed subset at the per-source rate") {
+    val m = TextOps.mixCorpus(spark, sf).collect()
+    m.foreach { r =>
+      val (kept, total) = (r.getAs[Long]("n_kept"), r.getAs[Long]("n_total"))
+      assert(kept <= total)
+      val idx = r.getAs[String]("source").drop(3).toInt % 4
+      if (idx == 3) assert(kept == total) // 'zz' threshold keeps everything
+    }
+  }
+
   test("exact quartiles are ordered and bounded by the data range") {
     val rows = RelOps.quantityQuartiles(spark, sf).collect()
     rows.foreach { r =>
