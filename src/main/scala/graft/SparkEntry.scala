@@ -72,6 +72,7 @@ object SparkEntry {
     // —— set ops (§2.6) ——
     "setop_intersect" -> ((s, d) => GraphOps.setopIntersect(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
     "setop_except" -> ((s, d) => GraphOps.setopExcept(s, d, 5000.0, Seq("BUILDING", "FURNITURE"))),
+    "setop_multiset" -> ((s, d) => RelOps.multisetSetops(s, d)),
     // —— scalar functions (§2.7) ——
     "fn_lastname_key" -> ((s, d) => GraphOps.lastNameKey(s, d)),
     "fn_string_suite" -> ((s, d) => graft.ops.ScalarSuites.stringSuite(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "st_user_stats" -> ((s, d) => StreamingOps.streamedUserStats(s, d)),
     "st_click_attrib" -> ((s, d) => StreamingOps.streamedClickAttribution(s, d)),
     "st_segment_counts" -> ((s, d) => StreamingOps.streamedSegmentCounts(s, d)),
+    "st_closed_windows" -> ((s, d) => StreamingOps.streamedClosedWindows(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
@@ -988,6 +990,29 @@ object SparkEntry {
         | AND CAST(c.ts AS TIMESTAMP) BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
         |                                 AND CAST(p.ts AS TIMESTAMP)
         |ORDER BY p_id, c_id""".stripMargin,
+    "setop_multiset" ->
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'),
+        |i AS (SELECT qty, count(*) AS n_intersect_all
+        |      FROM (SELECT qty FROM a INTERSECT ALL SELECT qty FROM b) GROUP BY 1),
+        |e AS (SELECT qty, count(*) AS n_except_all
+        |      FROM (SELECT qty FROM a EXCEPT ALL SELECT qty FROM b) GROUP BY 1)
+        |SELECT COALESCE(i.qty, e.qty) AS qty,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        |  COALESCE(n_except_all, 0) AS n_except_all
+        |FROM i FULL OUTER JOIN e ON i.qty = e.qty ORDER BY qty""".stripMargin,
+    // st_closed_windows: append mode emits only watermark-closed windows —
+    // those whose end is at or below max(ts) − 1 h (the no-data micro-batch
+    // advances the watermark after the file batch and flushes them).
+    "st_closed_windows" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS mts FROM ev)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value
+        |FROM ev, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // st_segment_counts: stream-static broadcast join; complete mode +
     // AvailableNow ⇒ totals equal the batch join, which is the oracle.
     "st_segment_counts" ->

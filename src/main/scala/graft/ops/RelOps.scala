@@ -569,6 +569,27 @@ object RelOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (the distinct variants live in `setop_*`): the R-flag
+    * and A-flag quantity multisets compared with bag semantics, summarized
+    * per quantity value. Spark plans both as a single hash aggregation
+    * computing per-row min/difference of the two sides' counts — one
+    * shuffle each, no join, the same shape at any scale. */
+  def multisetSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    def side(flag: String) = li.filter(col("l_returnflag") === flag)
+      .select(col("l_quantity").cast("long").as("qty"))
+    val a = side("R")
+    val b = side("A")
+    val i = a.intersectAll(b).groupBy("qty").agg(count(lit(1)).as("n_intersect_all"))
+    val e = a.exceptAll(b).groupBy("qty").agg(count(lit(1)).as("n_except_all"))
+    i.join(e, Seq("qty"), "full_outer")
+      .select(col("qty"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+      .orderBy("qty")
+  }
+
   /** Custom typed-Aggregator UDAF (graft.functions.WelfordVar) vs the
     * builtin var_samp, per return flag — certifies the custom aggregate's
     * MERGE correctness under real partial/final distributed aggregation

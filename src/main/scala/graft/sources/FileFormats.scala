@@ -85,6 +85,20 @@ object FileFormats {
           .cast("long").as("sum_value_micros"))
       .orderBy("user_bucket")
 
+  /** PERMISSIVE-mode JSON source with corrupt-record capture: malformed
+    * lines land in `_corrupt_record` instead of failing the job — the
+    * 100 TB ingest reality (a petabyte of scraped JSONL always contains
+    * garbage; FAILFAST on file 1-of-100k wastes the cluster, silent DROP
+    * hides data loss; capture quarantines). Spec-verified: counts split
+    * exactly, the bad line's text survives for the quarantine sink. */
+  def readJsonlPermissive(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** The partitioned layout, built once per sf (exposed for the spec). */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.ensureParquet(spark, sfDir, "events_by_type",

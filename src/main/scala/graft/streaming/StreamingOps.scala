@@ -158,6 +158,19 @@ object StreamingOps {
       "complete")
       .orderBy("segment")
 
+  /** Driver entry: the same windowed aggregation in APPEND mode — only
+    * watermark-CLOSED windows are emitted (the no-data micro-batch after
+    * the file batch advances the watermark to max(ts) − 1 h and flushes
+    * every window whose end is at or below it; windows inside the final
+    * hour stay open and never appear). This is the late-data-safe
+    * emission contract a downstream incremental consumer relies on —
+    * complete mode (st_window_counts) re-emits everything, append emits
+    * each window exactly once, finalized. Oracle: batch twin filtered to
+    * closed windows. */
+  def streamedClosedWindows(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, windowedTypeCounts(readEventsStream(spark, sfDir)), "append")
+      .orderBy("wstart", "event_type")
+
   private val runId = new AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory

@@ -34,6 +34,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("PERMISSIVE JSON read quarantines corrupt lines, drops none") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_bad_records")
+    Files.writeString(Paths.get(dir.toString, "part.json"),
+      """{"id": 1, "v": 1.5}
+        |{"id": 2 "v": BROKEN
+        |{"id": 3, "v": 3.0}
+        |""".stripMargin)
+    val df = FileFormats.readJsonlPermissive(spark, dir.toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+      .cache() // Spark disallows projecting _corrupt_record alone off a lazy scan
+    try {
+      assert(df.count() == 3) // nothing silently dropped
+      assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").collect()
+      assert(bad.length == 1 && bad.head.getString(0).contains("BROKEN"))
+    } finally df.unpersist()
+  }
+
   test("partitioned scan prunes to the one event_type directory") {
     val df = FileFormats.partitionPrunedScan(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {
