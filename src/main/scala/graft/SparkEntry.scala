@@ -38,6 +38,7 @@ object SparkEntry {
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
     "s9_jsonl_roundtrip" -> ((s, d) => graft.sources.FileFormats.jsonlRoundTrip(s, d)),
     "s10_partition_prune" -> ((s, d) => graft.sources.FileFormats.partitionPrunedScan(s, d)),
+    "s11_orc_roundtrip" -> ((s, d) => graft.sources.FileFormats.orcRoundTrip(s, d)),
     // —— projections / filters (§2.2) ——
     "p1_filter_name_in" -> ((s, d) => GraphOps.filterNameIn(s, d, Seq(3, 7, 11, 42))),
     "p2_anti_filter" -> ((s, d) => GraphOps.antiFilter(s, d, "FURNITURE", Seq(1, 5))),
@@ -1060,6 +1061,10 @@ object SparkEntry {
       """SELECT user_id % 10 AS user_bucket, count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
         |FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s11_orc_roundtrip" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_x100
+        |FROM orders WHERE o_orderkey < 5000 GROUP BY 1 ORDER BY 1""".stripMargin,
     // rq30: the sketch guarantees freq>support values appear; event types
     // run ~2× the support, so in_sketch is deterministically true.
     "rq30_heavy_hitters" ->

@@ -85,6 +85,25 @@ object FileFormats {
           .cast("long").as("sum_value_micros"))
       .orderBy("user_bucket")
 
+  /** ORC sink → source round-trip (the second columnar format Spark
+    * carries natively — the interchange answer when a downstream system
+    * is Hive/ORC-native). Typed columns survive exactly: the aggregate's
+    * cents arithmetic over the round-tripped doubles must hash-match the
+    * oracle computed on the ORIGINAL parquet. */
+  def orcRoundTrip(spark: SparkSession, sfDir: String, maxKey: Long = 5000): DataFrame = {
+    val p = Artifacts.path(sfDir, "orders_orc")
+    if (!Artifacts.exists(p))
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") < maxKey)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(p)
+    spark.read.orc(p)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
+          .cast("long").as("total_x100"))
+      .orderBy("status")
+  }
+
   /** PERMISSIVE-mode JSON source with corrupt-record capture: malformed
     * lines land in `_corrupt_record` instead of failing the job — the
     * 100 TB ingest reality (a petabyte of scraped JSONL always contains

@@ -56,6 +56,46 @@ class SourcesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic twin of rq27's salting)") {
+    import spark.implicits._
+    // One hot key carrying ~90% of the fact side, sized to cross the
+    // (deliberately lowered) skew thresholds; wide payload so partition
+    // byte sizes differ by orders of magnitude.
+    val fact = spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, lit(777L)).otherwise(col("id")).as("k"),
+        concat_ws("", Seq.fill(8)(md5(col("id").cast("string"))): _*).as("pad"))
+    val dim = spark.range(0, 1000).select(col("id").as("k"), md5(col("id").cast("string")).as("d"))
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      // Global (keyless) aggregate only: any keyed aggregate after the join
+      // would REQUIRE hash-partitioning on k and legally veto the skew
+      // split (splitting breaks key-clustering) — the constraint that makes
+      // rq27's a-priori salting still necessary when the consumer needs the
+      // join key's partitioning. sum(length(pad)) keeps the wide payload
+      // alive through the shuffle — column pruning would otherwise shrink
+      // the "skewed" partition below any detection threshold.
+      val joined = fact.hint("merge").join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      val Array(row) = joined.collect()
+      // 18000 hot-key (777) matches + the 100 id%10==0 keys below 1000
+      assert(row.getLong(0) == 18100)
+      // AQE marks the split sort-merge join with skew=true
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-split in plan:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitioned scan prunes to the one event_type directory") {
     val df = FileFormats.partitionPrunedScan(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {
