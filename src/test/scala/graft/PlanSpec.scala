@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression: the physical plans the 100 TB design depends on,
+  * pinned so a refactor that silently loses a pushdown, a broadcast, or an
+  * exchange-free join fails CI — results alone would still be correct,
+  * which is exactly why the plan needs its own assertions. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // Materialize first: under AQE the final plan (and its codegen stage
+  // markers, the `*(n)` prefixes) exists only after execution.
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p6 exact lookup pushes the key predicate into the parquet scan") {
+    val p = plan(graft.ops.GraphOps.exactLookup(spark, sf, 42))
+    assert(p.contains("PushedFilters: [IsNotNull(c_name), EqualTo(c_name,"),
+      s"key filter not pushed:\n$p")
+  }
+
+  test("rq6 joins dimension tables by broadcast, never shuffling nation") {
+    val p = plan(graft.ops.RelOps.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("rq18 bucketed join runs with no shuffle exchange on either side") {
+    val p = plan(graft.ops.RelOps.bucketedRevenueByPriority(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"bucketed join not sort-merge:\n$p")
+    // The aggregation after the join may exchange on `priority`; the join
+    // KEYS must never be re-shuffled — that is what the bucket layout buys.
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+           !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed sides re-shuffled:\n$p")
+  }
+
+  test("rq1 aggregates inside whole-stage codegen (no UDF breaks the span)") {
+    val p = plan(graft.ops.RelOps.pricingSummary(spark, sf))
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"interpreted UDF in the hot path:\n$p")
+  }
+
+  test("tx_tokens text pipeline stays codegen'd end-to-end") {
+    val p = plan(graft.ops.TextOps.tokenCounts(spark, sf))
+    assert(p.contains("*(1)") && !p.contains("ScalaUDF"),
+      s"text ops fell out of codegen:\n$p")
+  }
+
+  test("s1 scan reads only the projected columns (pruned ReadSchema)") {
+    // The person card drops the nid column: c_custkey must be pruned out
+    // of the parquet ReadSchema even though Graph.nodes selects it.
+    val p = plan(graft.ops.GraphOps.scanPersons(spark, sf))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.nonEmpty && !rs.contains("c_custkey"),
+      s"scan reads unprojected columns:\n$rs")
+  }
+}
