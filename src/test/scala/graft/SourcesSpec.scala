@@ -56,6 +56,45 @@ class SourcesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("dynamic partition pruning: a dim filter prunes the fact's partition listing at runtime") {
+    import spark.implicits._
+    val ev = FileFormats.partitionedEvents(spark, sf)
+    // DPP needs a real (file-backed) filtered dim — a LocalRelation's
+    // filter constant-folds away and leaves no selective predicate to
+    // derive the pruning subquery from.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("click", 1), ("view", 0), ("error", 0), ("signup", 0), ("purchase", 0))
+      .toDF("etype", "flag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("flag") === 1)
+    val q = ev.join(dim, col("event_type") === col("etype")).agg(count(lit(1)).as("n"))
+    val Array(row) = q.collect()
+    val direct = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(row.getLong(0) == direct)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in plan:\n$p")
+  }
+
+  test("runtime bloom filter from a selective dim prunes the fact scan's shuffle") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join the filter exists for
+    try {
+      val li = graft.core.Tables.lineitem(spark, sf)
+      val part = graft.core.Tables.part(spark, sf).filter(col("p_size") === 1)
+      val q = li.join(part, col("l_partkey") === col("p_partkey")).agg(count(lit(1)).as("n"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("bloom"), s"no runtime bloom filter in plan:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("AQE splits a skewed join partition at runtime (the automatic twin of rq27's salting)") {
     import spark.implicits._
     // One hot key carrying ~90% of the fact side, sized to cross the
