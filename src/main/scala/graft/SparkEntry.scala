@@ -143,6 +143,7 @@ object SparkEntry {
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
     "gx_shortest_paths" -> ((s, d) => GraphAnalytics.shortestHops(s, d)),
+    "gx_kcore" -> ((s, d) => GraphAnalytics.kCore(s, d)),
     // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
@@ -942,6 +943,13 @@ object SparkEntry {
       s"""WITH $nodesCte,
          |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
          |SELECT nid, true AS rank_uniform FROM s WHERE c > 1 ORDER BY nid""".stripMargin,
+    // gx_kcore: on a union of same-house cliques the k-core closed form is
+    // exact — a clique of size c survives iff c-1 >= k, in-core degree c-1.
+    "gx_kcore" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
+         |SELECT nid, CAST(c - 1 AS BIGINT) AS core_degree
+         |FROM s WHERE c - 1 >= 10 ORDER BY nid""".stripMargin,
     // gx_shortest_paths: recursive-CTE BFS over the same derived
     // FRIEND_OF ∪ SAME_FAMILY edge set (UNION-distinct recursion keeps the
     // frontier a set of (nid, dist) pairs — bounded, not walk-counting).

@@ -183,6 +183,31 @@ object GraphAnalytics {
       .orderBy("nid")
   }
 
+  /** k-core decomposition by iterative peeling over the bounded FRIEND_OF
+    * graph: repeatedly remove vertices with degree < k until a fixpoint —
+    * the standard coreness algorithm, expressed as a degree-recompute loop
+    * over `subgraph` (each round is one aggregateMessages pass; the loop
+    * runs at most diameter·k rounds and each round strictly shrinks the
+    * vertex set or terminates). On a union of same-house cliques the
+    * k-core closed form is exact — a clique of size c survives iff
+    * c − 1 ≥ k — which is the oracle.
+    * Output: surviving vertices with their in-core degree. */
+  def kCore(spark: SparkSession, sfDir: String, k: Int = 10, maxNid: Long = 300): DataFrame = {
+    var g = friendEdges(spark, sfDir, maxNid)
+    var done = false
+    while (!done) {
+      // Degree becomes the vertex attribute (vertices missing from
+      // `degrees` have degree 0); the peel is a distributed subgraph
+      // predicate — no driver-side vertex set, works at any graph size.
+      val withDeg = g.outerJoinVertices(g.degrees)((_, _, d) => d.getOrElse(0))
+      val before = withDeg.numVertices
+      g = withDeg.subgraph(vpred = (_, d) => d >= k)
+      done = g.numVertices == before || g.numVertices == 0
+    }
+    val result = g.degrees.map { case (v, d) => (v, d.toLong) }
+    spark.createDataFrame(result).toDF("nid", "core_degree").orderBy("nid")
+  }
+
   /** PageRank over the bounded friend subgraph — the classic iterative
     * benchmark. The graph is made genuinely undirected (both edge
     * directions), so every vertex of a clique component is degree-regular
