@@ -34,6 +34,9 @@ object SparkEntry {
       GraphBuilder.cleanCharacters(GraphBuilder.readCharacters(s))
         .select("name", "house", "species", "alive", "image").orderBy("name")),
     "s5_upsert_person" -> ((s, d) => GraphOps.upsertPersons(s, d)),
+    // Transactional MERGE (copy-on-write TxTable): create → merge → read
+    // back in-session; proves read-your-writes, not just merge dataflow.
+    "s12_merge_visible" -> ((s, d) => GraphOps.mergeVisible(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
     "s9_jsonl_roundtrip" -> ((s, d) => graft.sources.FileFormats.jsonlRoundTrip(s, d)),
@@ -202,6 +205,21 @@ object SparkEntry {
          |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd))
          |SELECT name, house, round(acctbal, 2) AS acctbal FROM merged
          |WHERE name IN ('Customer#000000003', 'User#000000001') ORDER BY name""".stripMargin,
+    // s12: the engine runs the merge through the transactional TxTable
+    // (copy-on-write buckets + manifest log) and reads its own committed
+    // snapshot; the oracle states the post-MERGE table contents. v = the
+    // committed version (create=0, the single merge=1).
+    "s12_merge_visible" ->
+      s"""WITH $nodesCte,
+         |upd(name, house, acctbal) AS (VALUES
+         |  ('Customer#000000003', 'BUILDING', 0.0), ('User#000000001', 'BUILDING', 10.0)),
+         |merged AS (
+         |  SELECT name, house, acctbal FROM upd
+         |  UNION ALL
+         |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd))
+         |SELECT name, house, round(acctbal, 2) AS acctbal, CAST(1 AS BIGINT) AS v FROM merged
+         |WHERE name IN ('Customer#000000002', 'Customer#000000003',
+         |               'Customer#000000004', 'User#000000001') ORDER BY name""".stripMargin,
     "s7_graph_json" ->
       s"""WITH $nodesCte, $personEdgesUndirCte,
          |hop AS (SELECT src, dst, relType FROM pu WHERE src = 'Customer#000000003'),

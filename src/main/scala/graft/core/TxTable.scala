@@ -1,0 +1,167 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Transactional MERGE-upsert table with read-your-writes visibility — the
+  * storage half of the reference's write path (`app.py:100-132`,
+  * `get_insert.py:87-111`: MERGE a node/edge, immediately readable by the
+  * next query). The relational registry entries (s5/j11) express WHAT a
+  * MERGE computes; this table makes the merge DURABLE and IMMEDIATELY
+  * VISIBLE, which Neo4j gives the reference for free and plain parquet
+  * does not.
+  *
+  * Shape (a deliberately small Delta/Iceberg-style log over parquet):
+  *
+  *   dir/_log/v00000000.txt     one manifest per committed version:
+  *                              lines "bucketId<TAB>commitDirName"
+  *   dir/data/<commit>/_b=K/    the data, hash-bucketed by key
+  *
+  * - **Copy-on-write at bucket granularity.** Rows are hash-bucketed on the
+  *   key (`pmod(xxhash64(keys), numBuckets)`); a MERGE rewrites ONLY the
+  *   buckets its update keys hash into and re-points those bucket ids in
+  *   the next manifest — untouched buckets keep their existing files. At
+  *   100 TB the merge cost is O(touched buckets), never O(table); the
+  *   key→bucket map is exact (no min/max-range false positives).
+  * - **Atomic commit, optimistic concurrency.** A commit materializes its
+  *   manifest to a temp file and publishes it with an atomic
+  *   create-exclusive hard link to `v{n+1}`. If another writer got there
+  *   first the link fails, and the merge REBASES: re-reads the new latest
+  *   snapshot and re-runs — the Delta/Iceberg optimistic-retry protocol.
+  *   Readers always resolve the highest fully-published manifest, so a
+  *   reader never observes a half-written commit.
+  * - **Read-your-writes.** `snapshot()` resolves the latest manifest at
+  *   call time; a merge returns only after its manifest is published, so
+  *   the very next query in the same session sees the merged rows.
+  *
+  * Losers of a commit race leave an unreferenced data dir behind; a real
+  * deployment vacuums those by manifest reachability (out of scope here —
+  * they are invisible to readers either way).
+  */
+final class TxTable private (spark: SparkSession, dir: String,
+                             keyCols: Seq[String], numBuckets: Int) {
+
+  private val logDir = Paths.get(dir, "_log")
+  private val dataDir = Paths.get(dir, "data")
+
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+
+  /** Highest published version, or -1 for an empty log. */
+  def version: Long =
+    if (!Files.isDirectory(logDir)) -1L
+    else Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toLong }
+      .foldLeft(-1L)(math.max)
+
+  /** bucketId → absolute bucket directory, as of version `v`. */
+  private def manifest(v: Long): Map[Long, String] =
+    Files.readAllLines(logDir.resolve(f"v$v%08d.txt"), StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty)
+      .map { line =>
+        val Array(b, c) = line.split('\t')
+        b.toLong -> dataDir.resolve(c).resolve(s"_b=$b").toString
+      }.toMap
+
+  /** The table as of the latest committed version. Bucket dirs are read as
+    * leaf parquet directories, so the physical `_b` layout never leaks
+    * into the schema. */
+  def snapshot(): DataFrame = {
+    val paths = manifest(version).values.toSeq.sorted
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Buckets actually written by a commit (partitionBy leaves one `_b=K`
+    * directory per non-empty bucket). */
+  private def bucketsIn(commit: String): Seq[Long] = {
+    val d = dataDir.resolve(commit)
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("_b=") => s.stripPrefix("_b=").toLong }
+      .toSeq
+  }
+
+  private def writeCommit(df: DataFrame): String = {
+    val commit = s"t-${UUID.randomUUID().toString.take(12)}"
+    df.withColumn("_b", bucketCol)
+      .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+    commit
+  }
+
+  /** Publish `lines` as version `v` — atomic create-exclusive via hard
+    * link, so exactly one writer can own a version number. */
+  private def publish(v: Long, lines: Seq[String]): Boolean = {
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try { Files.createLink(logDir.resolve(f"v$v%08d.txt"), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** MERGE `updates` into the table: matched keys are replaced (update
+    * wins), unmatched keys are inserted. Returns the committed version.
+    * Duplicate keys within one batch are collapsed first — a MERGE
+    * source must bind each key once (the same rule Delta enforces). */
+  def merge(updates: DataFrame): Long = {
+    val upd = updates.dropDuplicates(keyCols).localCheckpoint()
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val m = manifest(v)
+      // Exact bucket pruning: only buckets an update key hashes into are
+      // candidates. Bounded by numBuckets rows — driver-side by design.
+      val touched = upd.select(bucketCol.as("_b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val candidatePaths = touched.toSeq.sorted.flatMap(m.get)
+      val keep =
+        if (candidatePaths.isEmpty) upd.limit(0)
+        else spark.read.parquet(candidatePaths: _*)
+          .join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val commit = writeCommit(upd.unionByName(keep))
+      val next = (m.view.mapValues(p => Paths.get(p).getParent.getFileName.toString).toMap
+        -- touched) ++ bucketsIn(commit).map(_ -> commit)
+      val lines = next.toSeq.sortBy(_._1).map { case (b, c) => s"$b\t$c" }
+      if (publish(v + 1, lines)) committed = v + 1
+      // else: lost the commit race — rebase on the new latest and retry.
+    }
+    committed
+  }
+}
+
+object TxTable {
+
+  /** Create a new table at `dir` from `base` (version 0). */
+  def create(spark: SparkSession, dir: String, base: DataFrame,
+             keyCols: Seq[String], numBuckets: Int = 16): TxTable = {
+    val t = new TxTable(spark, dir, keyCols, numBuckets)
+    require(t.version < 0, s"table already exists at $dir")
+    val commit = t.writeCommit(base)
+    require(t.publish(0L, t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),
+      s"concurrent create at $dir")
+    t
+  }
+
+  /** Attach to an existing table (manifest log already present). */
+  def open(spark: SparkSession, dir: String,
+           keyCols: Seq[String], numBuckets: Int = 16): TxTable =
+    new TxTable(spark, dir, keyCols, numBuckets)
+
+  /** Recursively delete a table directory (test/teardown helper). */
+  def drop(dir: String): Unit = {
+    def rec(p: Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Files.list(p).iterator().asScala.toList.foreach(rec)
+      Files.deleteIfExists(p)
+    }
+    rec(Paths.get(dir))
+  }
+}

@@ -324,6 +324,37 @@ object GraphOps {
       .orderBy("src", "dst")
   }
 
+  /** S12 — the S5 MERGE executed through the TRANSACTIONAL table
+    * (graft.core.TxTable): create the persons table, MERGE the same update
+    * batch the reference's write path issues (app.py:100-132), then read
+    * the table back IN THE SAME SESSION. The returned rows prove
+    * read-your-writes: the updated/inserted rows are visible alongside
+    * untouched neighbors, and `v` carries the committed version (create=0,
+    * merge=1). The relational s5 entry expresses what MERGE computes; this
+    * entry proves the durable copy-on-write + atomic-commit path computes
+    * the same thing. The table is built in a fresh temp dir per invocation
+    * (a MUTATED table cannot be a shared artifact), and the bounded output
+    * is eagerly checkpointed so the dir can be dropped before returning. */
+  def mergeVisible(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s12").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      val updates = spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0),
+        ("User#000000001", "BUILDING", 10.0)
+      )).toDF("name", "house", "acctbal")
+      val v = t.merge(updates)
+      t.snapshot()
+        .filter(col("name").isin("Customer#000000002", "Customer#000000003",
+          "Customer#000000004", "User#000000001"))
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(v).as("v"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** §2.6 extension — set operations (Spark built-ins). */
   def setopIntersect(spark: SparkSession, sfDir: String, minBal: Double, houses: Seq[String]): DataFrame = {
     val n = Graph.nodes(spark, sfDir)

@@ -35,6 +35,113 @@ class EtlSpec extends AnyFunSuite {
     assert(out.length == 3) // 4 inserts incl. 1 dup → 3 edges
   }
 
+  // —— S12: transactional MERGE (graft.core.TxTable) ——
+
+  private def freshDir() = java.nio.file.Files.createTempDirectory("graft_tx_spec").toString
+
+  test("TxTable: create + snapshot round-trips the base table (v0)") {
+    val dir = freshDir()
+    try {
+      val base = graft.core.Graph.nodes(spark, sf).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      assert(t.version == 0L)
+      assert(t.snapshot().count() == base.count())
+      assert(t.snapshot().columns.toSeq == Seq("name", "house", "acctbal")) // no _b leak
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable MERGE: read-your-writes — update + insert visible to the next query") {
+    val dir = freshDir()
+    try {
+      val base = graft.core.Graph.nodes(spark, sf).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      val upd = spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0), ("User#000000001", "BUILDING", 10.0)
+      )).toDF("name", "house", "acctbal")
+      assert(t.merge(upd) == 1L)
+      val snap = t.snapshot() // same session, immediately after commit
+      assert(snap.count() == base.count() + 1) // 1 update in place + 1 insert
+      val c3 = snap.filter(col("name") === "Customer#000000003").collect()
+      assert(c3.length == 1 && c3.head.getString(1) == "BUILDING" && c3.head.getDouble(2) == 0.0)
+      assert(snap.filter(col("name") === "User#000000001").count() == 1)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable MERGE is idempotent: same batch twice equals once (and bumps only the version)") {
+    val dir = freshDir()
+    try {
+      val base = graft.core.Graph.nodes(spark, sf).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      val upd = spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0), ("User#000000001", "BUILDING", 10.0)
+      )).toDF("name", "house", "acctbal")
+      t.merge(upd)
+      val once = t.snapshot().orderBy("name").collect().toSeq
+      assert(t.merge(upd) == 2L)
+      val twice = t.snapshot().orderBy("name").collect().toSeq
+      assert(once == twice)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable MERGE rewrites only the buckets the update keys hash into (copy-on-write pruning)") {
+    val dir = freshDir()
+    try {
+      val base = graft.core.Graph.nodes(spark, sf).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      val upd = spark.createDataFrame(Seq(Tuple3("Customer#000000003", "BUILDING", 0.0)))
+        .toDF("name", "house", "acctbal")
+      t.merge(upd)
+      // v1's manifest must re-point exactly the one touched bucket; every
+      // other bucket entry still references the v0 commit directory.
+      val log = java.nio.file.Paths.get(dir, "_log")
+      def dirsOf(v: String) = java.nio.file.Files.readAllLines(log.resolve(v)).toArray
+        .map(_.toString.split('\t')).map(a => a(0).toLong -> a(1)).toMap
+      val v0 = dirsOf("v00000000.txt"); val v1 = dirsOf("v00000001.txt")
+      val repointed = v1.filter { case (b, c) => v0.get(b).exists(_ != c) }
+      assert(repointed.size == 1, s"expected 1 rewritten bucket, got ${repointed.size}")
+      assert((v1 -- repointed.keys).forall { case (b, c) => v0(b) == c })
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable MERGE with a composite edge key dedups the j11 batch (src,dst,relType)") {
+    val dir = freshDir()
+    try {
+      val edges = graft.core.Graph.friendOf(spark, sf).select("src", "dst", "relType")
+      val t = graft.core.TxTable.create(spark, dir, edges, Seq("src", "dst", "relType"), 8)
+      val user = "User#000000001"
+      val batch = spark.createDataFrame(Seq(2, 4, 6, 6).map(k =>
+        (user, graft.core.Graph.fullName(k), "FRIEND_OF"))).toDF("src", "dst", "relType")
+      t.merge(batch)
+      assert(t.snapshot().filter(col("src") === user).count() == 3) // dup collapsed
+      assert(t.snapshot().count() == edges.count() + 3)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable: concurrent writers both land via optimistic rebase-retry") {
+    val dir = freshDir()
+    try {
+      val base = graft.core.Graph.nodes(spark, sf).select("name", "house", "acctbal")
+      graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def mergeOne(name: String) = Future {
+        val t = graft.core.TxTable.open(spark, dir, Seq("name"))
+        t.merge(spark.createDataFrame(Seq((name, "BUILDING", 1.0)))
+          .toDF("name", "house", "acctbal"))
+      }
+      val vs = Await.result(
+        Future.sequence(Seq(mergeOne("User#000000077"), mergeOne("User#000000088"))),
+        5.minutes)
+      assert(vs.toSet == Set(1L, 2L)) // exactly one writer per version: loser rebased
+      val t = graft.core.TxTable.open(spark, dir, Seq("name"))
+      assert(t.version == 2L)
+      val snap = t.snapshot()
+      assert(snap.filter(col("name").isin("User#000000077", "User#000000088")).count() == 2)
+      assert(snap.count() == base.count() + 2)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("S3 writeCanonical: overwrite produces partitioned edges readable back") {
     val out = java.nio.file.Files.createTempDirectory("graft_canon").toString
     GraphBuilder.writeCanonical(spark, sf, out)
