@@ -1066,7 +1066,7 @@ object SparkEntry {
     "tx_mix" ->
       """WITH d AS (SELECT source,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket,
-        |  CAST(substr(source, 4) AS INT) % 4 AS idx FROM documents),
+        |  TRY_CAST(substr(source, 4) AS INT) % 4 AS idx FROM documents),
         |k AS (SELECT source, bucket, (['40', '80', 'c0', 'zz'])[idx + 1] AS thr FROM d)
         |SELECT source, count(*) AS n_total,
         |  CAST(count(*) FILTER (WHERE bucket < thr) AS BIGINT) AS n_kept

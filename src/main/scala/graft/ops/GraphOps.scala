@@ -162,6 +162,7 @@ object GraphOps {
     * joined to intra-house-set edges (app.py:375-382). Null edge/neighbor
     * preserved for isolated members (app.py:399 checks `if r and m`). */
   def houseSubgraph(spark: SparkSession, sfDir: String, houses: Seq[String], limit: Int = 5000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val inHouses = Graph.nodes(spark, sfDir).filter(col("house").isin(houses: _*))
     // LIMIT PUSHDOWN THROUGH THE JOIN. The output is ordered by person
     // name, and person p contributes at least max(|house(p)|−1, 1) rows
@@ -170,32 +171,33 @@ object GraphOps {
     // reaches `limit` fully covers the top-`limit` rows, and only P needs
     // expanding. Work becomes |P|·|house| ≈ `limit` instead of the full
     // Σ|house|² clique — the difference between a plan that survives a
-    // 100× scale-up and one that does not. The probe below is bounded by
-    // `limit` rows + one 5-row aggregate, independent of corpus size.
-    val sizes = inHouses.groupBy("house").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val prefix = inHouses.select("name", "house").orderBy("name").limit(limit).collect()
-    var acc = 0L
-    val pNames = prefix.takeWhile { r =>
-      val take = acc < limit
-      acc += math.max(sizes(r.getString(1)) - 1, 1L)
-      take
-    }.map(_.getString(0)).toSeq
+    // 100× scale-up and one that does not. The prefix is computed INSIDE
+    // the plan (no driver collects): each person contributes ≥1 output
+    // row, so only the first `limit` names can matter — a top-`limit`
+    // slice (TakeOrderedAndProject) joined to the 5-row house sizes, then
+    // a running-sum window takes names while the lower bound accumulated
+    // BEFORE them is still under `limit`. The window runs over ≤ `limit`
+    // already-collapsed rows — bounded at any corpus size.
+    val sizes = inHouses.groupBy("house").agg(count(lit(1)).as("hsize"))
+    val wAcc = Window.orderBy("name").rowsBetween(Window.unboundedPreceding, -1)
+    val pn = inHouses.select("name", "house")
+      .orderBy("name").limit(limit)
+      .join(broadcast(sizes), "house")
+      .withColumn("acc",
+        coalesce(sum(greatest(col("hsize") - 1, lit(1L))).over(wAcc), lit(0L)))
+      .filter(col("acc") < limit)
+      .select("name")
     val p = inHouses.select("name", "house")
     // Both endpoints must lie in the house set (app.py:375-382's two house
     // filters), so derive the edges AMONG the restricted node set: the
     // house literal reaches the scans on both self-join sides instead of
     // first building every house's clique and filtering it away. The
-    // prefix restriction is a literal isin → it pushes through the
-    // undirected union into the scans too (unless P is degenerate-large,
-    // where the full-set plan is used).
-    val (pSel, eBase) =
-      if (pNames.size <= 512) {
-        (p.filter(col("name").isin(pNames: _*)),
-         Graph.undirected(Graph.personEdgesAmong(spark, inHouses))
-           .filter(col("src").isin(pNames: _*)))
-      } else
-        (p, Graph.undirectedShared(Graph.personEdgesAmong(spark, inHouses)))
+    // prefix restriction is a broadcast semi-join (names are unique, so
+    // inner ≡ semi) applied on both the person and edge sides — ≤ `limit`
+    // rows broadcast, no driver round-trip.
+    val pSel = p.join(broadcast(pn), Seq("name"))
+    val eBase = Graph.undirected(Graph.personEdgesAmong(spark, inHouses))
+      .join(broadcast(pn.select(col("name").as("src"))), Seq("src"))
     val e = eBase.select(col("src"), col("relType"), col("dst").as("m_name"))
     pSel.join(e, col("name") === col("src"), "left_outer")
       .select(col("name"), col("relType"), col("m_name").as("neighbor"))

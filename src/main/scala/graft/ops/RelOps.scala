@@ -538,7 +538,14 @@ object RelOps {
     val ev = Tables.events(spark, sfDir).select("event_type")
     val sketch = ev.stat.freqItems(Seq("event_type"), support)
       .collect()(0).getSeq[String](0).toSet
-    ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // The exact pass probes ONLY the sketch's survivors: the isin literal
+    // pushes to the scan, so the second pass aggregates O(1/support)
+    // distinct keys however large the keyspace — any key with frequency
+    // > support is guaranteed present in the sketch, so the top-k among
+    // survivors IS the global top-k (k and support are chosen together:
+    // k ≤ the ≥1/support guaranteed survivors).
+    ev.filter(col("event_type").isin(sketch.toSeq: _*))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type").asc)
       .limit(k)
       .select(col("event_type"), col("n"),

@@ -81,9 +81,15 @@ object TextOps {
     * rows are fixed 16-byte (doc_id, hs) pairs. */
   private def shingleHashRows(spark: SparkSession, sfDir: String): DataFrame =
     graft.etl.Artifacts.ensureParquet(spark, sfDir, "shingle_hashes") {
-      shingleRows(Tables.documents(spark, sfDir).select("doc_id", "text"))
-        .select(col("doc_id"), xxhash64(col("s")).as("hs"))
+      shingleHashRowsOf(Tables.documents(spark, sfDir).select("doc_id", "text"))
     }
+
+  /** The index derivation over an arbitrary docs relation — exposed so the
+    * adversarial dedup stress spec can build the same index over a planted
+    * corpus (boilerplate headers + true near-dups) without the artifact
+    * cache. */
+  private[graft] def shingleHashRowsOf(docs: DataFrame): DataFrame =
+    shingleRows(docs).select(col("doc_id"), xxhash64(col("s")).as("hs"))
 
   /** Inverted-index pair generation: docs sharing ≥1 (rare) shingle, with
     * common count and both set sizes. THE scalable near-dup shape — the
@@ -91,15 +97,24 @@ object TextOps {
     * |docs|², and the df-pruned index bounds any one shingle's join
     * contribution at MaxShingleDf². */
   private def jaccardPairs(spark: SparkSession, sfDir: String,
-                           minJaccard: Double = 0.0): DataFrame = {
+                           minJaccard: Double = 0.0): DataFrame =
     // The index rows feed three consumers (the df aggregation, both
     // self-join sides, and the verify sets) — each is a cheap scan of the
     // small artifact parquet, with lineage truncated at the file boundary
     // (no recompute risk; the round-3 driver bench measured an 87 s
     // cache-eviction recompute of the in-query expansion this replaces).
-    val ex = shingleHashRows(spark, sfDir)
+    jaccardPairsFrom(shingleHashRows(spark, sfDir), minJaccard, MaxShingleDf)
+
+  /** The pair pipeline over an arbitrary (doc_id, hs) index with an
+    * explicit df cutoff — the exactness contract above is parametric in
+    * the cutoff, which is what the stress spec exercises at a small scale
+    * (planted boilerplate with df > cutoff, true near-dups with rare
+    * shingles). */
+  private[graft] def jaccardPairsFrom(index: DataFrame, minJaccard: Double,
+                                      maxDf: Int): DataFrame = {
+    val ex = index
     val hot = ex.groupBy("hs").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("hs")
+      .filter(col("df") > maxDf).select("hs")
     // The hot list is tiny by construction (heavy-hitters) → broadcast anti.
     val pruned = ex.join(broadcast(hot), Seq("hs"), "left_anti")
     // Per-doc FULL set size and hot-shingle count (tiny → broadcast onto
@@ -561,7 +576,11 @@ object TextOps {
     Tables.documents(spark, sfDir)
       .select(col("source"),
         substring(md5(normText(col("text"))), 1, 2).as("bucket"),
-        (substring(col("source"), 4, 10).cast("int") % 4).as("idx"))
+        // try_cast + to-end-of-string substring on BOTH engine and oracle:
+        // a non-numeric source suffix yields NULL idx on both sides
+        // (plain cast would hard-error in DuckDB and under ANSI Spark),
+        // so the two parses stay identical if source naming ever changes.
+        (expr("try_cast(substring(source, 4) AS INT)") % 4).as("idx"))
       .withColumn("keep", col("bucket") < element_at(thresholds, col("idx") + 1))
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"), count(when(col("keep"), 1)).as("n_kept"))

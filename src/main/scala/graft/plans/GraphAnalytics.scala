@@ -193,19 +193,49 @@ object GraphAnalytics {
     * c − 1 ≥ k — which is the oracle.
     * Output: surviving vertices with their in-core degree. */
   def kCore(spark: SparkSession, sfDir: String, k: Int = 10, maxNid: Long = 300): DataFrame = {
-    var g = friendEdges(spark, sfDir, maxNid)
-    var done = false
+    val g = peelKCore(friendEdges(spark, sfDir, maxNid), k)
+    val result = g.degrees.map { case (v, d) => (v, d.toLong) }
+    val out = spark.createDataFrame(result).toDF("nid", "core_degree").orderBy("nid")
+      .localCheckpoint() // materialize before the peeled graph is unpersisted
+    g.unpersist(blocking = false)
+    out
+  }
+
+  /** The k-core peel loop, lineage-bounded: each round's graph is cached
+    * and materialized with ONE action (the vertex count doubles as next
+    * round's `before`), the superseded graph is unpersisted, and every
+    * `checkpointEvery` rounds the graph is CHECKPOINTED to files —
+    * truncating lineage. Without this, round R's action replays all R−1
+    * prior subgraph/outerJoinVertices rounds (O(R²) recompute) and the
+    * serialized lineage grows with peel depth — fine on a clique union
+    * that converges in ~1 round, a driver/lineage blow-up on a graph with
+    * deep cores (a path graph peels in Θ(|V|) rounds; see GraphSpec's
+    * adversarial case). Returns the cached fixpoint graph; callers
+    * unpersist it when done. */
+  def peelKCore(g0: XGraph[Int, Int], k: Int,
+                checkpointEvery: Int = 5): XGraph[Int, Int] = {
+    val sc = g0.vertices.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    var g = g0.cache()
+    var n = g.numVertices
+    var round = 0
+    var done = n == 0
     while (!done) {
       // Degree becomes the vertex attribute (vertices missing from
       // `degrees` have degree 0); the peel is a distributed subgraph
       // predicate — no driver-side vertex set, works at any graph size.
       val withDeg = g.outerJoinVertices(g.degrees)((_, _, d) => d.getOrElse(0))
-      val before = withDeg.numVertices
-      g = withDeg.subgraph(vpred = (_, d) => d >= k)
-      done = g.numVertices == before || g.numVertices == 0
+      val g2 = withDeg.subgraph(vpred = (_, d) => d >= k).cache()
+      round += 1
+      if (round % checkpointEvery == 0) g2.checkpoint()
+      val n2 = g2.numVertices // one action: materializes g2 (+ checkpoint)
+      g.unpersist(blocking = false)
+      done = n2 == n || n2 == 0
+      g = g2; n = n2
     }
-    val result = g.degrees.map { case (v, d) => (v, d.toLong) }
-    spark.createDataFrame(result).toDF("nid", "core_degree").orderBy("nid")
+    g
   }
 
   /** PageRank over the bounded friend subgraph — the classic iterative

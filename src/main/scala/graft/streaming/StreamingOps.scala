@@ -75,32 +75,57 @@ object StreamingOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sstart"),
         col("n_events"))
 
+  /** Event-time TTL for `userStats` state: a user idle (no events) past
+    * this horizon of event time has its state EVICTED. Without eviction,
+    * per-key state grows with the all-time distinct-user count — the
+    * unbounded-state mistake that kills a 100 TB stream; with it, state is
+    * bounded by the users active within one TTL window. */
+  val UserStatsTtlMs: Long = 2 * 3600 * 1000L
+
   /** Custom arbitrary state via flatMapGroupsWithState — the §2.8 API for
     * semantics the built-in windows can't express (per-key accumulators
     * that survive across micro-batches). State here is (n, first, last)
     * per user; each batch folds its rows into the state and emits the
-    * updated summary. Unlike the windowed aggs, this state never closes —
-    * at scale it is bounded by |users|, and a production job would add a
-    * GroupStateTimeout to retire idle keys. */
+    * updated summary. The input is watermarked and every update arms an
+    * EventTimeTimeout at last-seen + TTL: when the watermark passes it,
+    * the key's state is dropped (emitting nothing — the summary rows
+    * already went out), so state size tracks ACTIVE users, not all-time
+    * users. The watermark also drops rows later than 1 hour before
+    * reaching the state function — the same late-data contract as the
+    * windowed aggs. */
   def userStats(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_s")
-      .as[(Long, Long)]
+    val typed = events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
-          val (n0, f0, l0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
-          var n = n0; var first = f0; var last = l0
-          rows.foreach { case (_, t) =>
-            n += 1
-            if (t < first) first = t
-            if (t > last) last = t
+          if (state.hasTimedOut) {
+            // Idle past the TTL: evict. The per-batch summaries were already
+            // emitted, so eviction changes state size, not output.
+            state.remove()
+            Iterator.empty
+          } else {
+            val (n0, f0, l0) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            var n = n0; var first = f0; var last = l0
+            rows.foreach { case (_, t) =>
+              val s = t.getTime / 1000 // floor-seconds, = CAST(ts AS LONG)
+              n += 1
+              if (s < first) first = s
+              if (s > last) last = s
+            }
+            state.update((n, first, last))
+            // Arm the TTL at last-seen event time (clamped above the
+            // current watermark — setTimeoutTimestamp rejects timestamps
+            // at or behind it).
+            state.setTimeoutTimestamp(
+              math.max(last * 1000, state.getCurrentWatermarkMs() + 1) + UserStatsTtlMs)
+            Iterator((uid, n, first, last))
           }
-          state.update((n, first, last))
-          Iterator((uid, n, first, last))
       }
       .toDF("user_id", "n_events", "first_s", "last_s")
   }

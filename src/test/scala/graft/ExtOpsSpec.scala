@@ -251,6 +251,72 @@ class ExtOpsSpec extends AnyFunSuite {
     // BFS levels have no gaps: every dist d>0 node coexists with some d-1 node
     val dists = out.values.toSet
     (1L to dists.max).foreach(d => assert(dists.contains(d - 1), s"gap below $d"))
+    // The DuckDB oracle bounds its recursive CTE at dist < 8; the Spark
+    // Pregel run is unbounded — assert the observed eccentricity stays
+    // safely below the cap so the two can never silently diverge.
+    assert(dists.max < 7, s"eccentricity ${dists.max} approaching the oracle's dist<8 cap")
+  }
+
+  test("k-core peel is lineage-bounded on a deep-core adversarial graph (path peels in Θ(|V|) rounds)") {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val sc = spark.sparkContext
+    // A 60-vertex path has NO 2-core, but peeling strips only the two
+    // endpoints per round — ~30 rounds, the depth that blows up an
+    // unbounded-lineage loop. The 20-vertex cycle IS its own 2-core.
+    val pathEdges = (1L until 60L).map(i => Edge(i, i + 1, 1))
+    val cycleEdges = (0 until 20).map(i => Edge(100L + i, 100L + (i + 1) % 20, 1))
+    val g = XGraph.fromEdges(sc.parallelize(pathEdges ++ cycleEdges, 4), 0)
+    val core = GraphAnalytics.peelKCore(g, k = 2, checkpointEvery = 5)
+    val verts = core.degrees.collect().toMap
+    core.unpersist(blocking = false)
+    assert(verts.keySet == (0 until 20).map(100L + _).toSet,
+      "2-core must be exactly the cycle (path fully peeled)")
+    assert(verts.values.forall(_ == 2), "every cycle vertex keeps in-core degree 2")
+  }
+
+  test("adversarial dedup stress: hot boilerplate pruned, true near-dups exact, escape contract holds") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // Scala reference: same tokenize (lowercase whitespace) + distinct
+    // word-3-gram shingles as the engine, full-set Jaccard.
+    def sh(text: String): Set[String] =
+      text.toLowerCase.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (sh(a), sh(b)); (sa & sb).size.toDouble / (sa | sb).size
+    }
+    val boiler = "the quick brown fox jumps over the lazy" // 8 words → 6 internal shingles
+    // 30 docs share the boilerplate header (df = 32 ≫ cutoff 10 → hot)
+    // with fully distinct fillers — the license-header blow-up scenario.
+    val boilerDocs = (0 until 30).map(i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+    // True near-dup pair INSIDE the cluster (boiler + rare tail, one word
+    // changed) and one OUTSIDE it (all-rare text, one word changed).
+    val nd1 = (100L, s"$boiler alpha beta gamma delta epsilon zeta eta theta")
+    val nd2 = (101L, s"$boiler alpha beta gamma delta epsilon zeta eta iota")
+    val nd3 = (200L, "red orange yellow green blue indigo violet magenta cyan")
+    val nd4 = (201L, "red orange yellow green blue indigo violet magenta teal")
+    val docs = (boilerDocs :+ nd1 :+ nd2 :+ nd3 :+ nd4).toDF("doc_id", "text")
+    val index = TextOps.shingleHashRowsOf(docs).localCheckpoint()
+    def pairsAt(maxDf: Int) =
+      TextOps.jaccardPairsFrom(index, minJaccard = 0.3, maxDf = maxDf)
+        .select("src_id", "dst_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = pairsAt(10)
+    // 1. Both planted near-dup pairs recovered (recall 1.0 on true pairs)
+    //    with EXACT full-set Jaccard — for (100,101) both docs hold the
+    //    same hot set, so the upper-bound correction is tight as documented.
+    assert(math.abs(pruned((100L, 101L)) - jac(nd1._2, nd2._2)) < 6e-5,
+      s"in-cluster near-dup Jaccard ${pruned.get((100L, 101L))} != ${jac(nd1._2, nd2._2)}")
+    assert(math.abs(pruned((200L, 201L)) - jac(nd3._2, nd4._2)) < 6e-5)
+    // 2. The documented escape: a pair sharing ONLY hot shingles is not
+    //    generated under the cutoff...
+    assert(!pruned.contains((0L, 1L)), "boilerplate-only pair must be pruned")
+    // 3. ...and reappears with the cutoff lifted, at the exact Jaccard —
+    //    proving the prune (not the pipeline) removed it, and that such
+    //    pairs sit far below near-dup thresholds anyway (J = 6/18).
+    val unpruned = pairsAt(1000)
+    assert(math.abs(unpruned((0L, 1L)) - jac(boilerDocs(0)._2, boilerDocs(1)._2)) < 6e-5)
+    assert(unpruned((0L, 1L)) < 0.4, "boilerplate-only overlap is not a near-dup")
   }
 
   // ------------------------------------------------------ relational extras

@@ -38,6 +38,30 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed sides re-shuffled:\n$p")
   }
 
+  test("j4 house subgraph builds its plan with ZERO driver jobs (prefix computed in-plan)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.add(j.stageInfos.map(_.name).mkString(";"))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = graft.ops.GraphOps.houseSubgraph(spark, sf, Seq("BUILDING", "AUTOMOBILE"))
+      Thread.sleep(1000) // listener events are async — drain before counting
+      // The parquet READER runs a constant-cost footer/schema job per
+      // spark.read.parquet — that is the read path, not query logic. What
+      // must be absent is any data-dependent job (the old 5-row size
+      // aggregate + name-prefix collect probes).
+      val queryJobs = jobs.toArray(Array.empty[String]).filterNot(_.startsWith("parquet at"))
+      assert(queryJobs.isEmpty,
+        s"houseSubgraph ran driver query job(s) during plan construction: ${queryJobs.toSeq}")
+      assert(df.limit(1).count() == 1) // and the plan still executes
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("rq1 aggregates inside whole-stage codegen (no UDF breaks the span)") {
     val p = plan(graft.ops.RelOps.pricingSummary(spark, sf))
     assert(p.contains("*(1)"), s"no codegen span:\n$p")

@@ -79,7 +79,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").start()
     mem.addData((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:05:00")))
     q.processAllAvailable()
-    mem.addData((1L, ts("2024-06-01 09:00:00"))) // second batch, same key
+    mem.addData((1L, ts("2024-06-01 10:30:00"))) // second batch, same key, on time
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("ustats_test").filter(col("user_id") === 1L)
@@ -88,7 +88,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows(0).getAs[Long]("n_events") == 2L)
     assert(rows(1).getAs[Long]("n_events") == 3L, "state must survive the batch boundary")
-    assert(rows(1).getAs[Long]("first_s") == ts("2024-06-01 09:00:00").getTime / 1000)
+    assert(rows(1).getAs[Long]("first_s") == ts("2024-06-01 10:00:00").getTime / 1000)
+  }
+
+  test("userStats state TTL: a user idle past the TTL is EVICTED (counter restarts)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = StreamingOps.userStats(events)
+      .writeStream.format("memory").queryName("ustats_ttl_test")
+      .outputMode("append").start()
+    // batch 1: user 1 active at 10:00 → state (n=2), timeout armed ~12:05.
+    mem.addData((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:05:00")))
+    q.processAllAvailable()
+    // batch 2: only user 2, far in the future → watermark 19:00 ≫ user 1's
+    // timeout. User 1 has no data this batch.
+    mem.addData((2L, ts("2024-06-01 20:00:00")))
+    q.processAllAvailable()
+    // batch 3: still only user 2 — executed with the 19:00 watermark, so
+    // user 1's armed timeout FIRES here (hasTimedOut → state removed,
+    // nothing emitted).
+    mem.addData((2L, ts("2024-06-01 20:30:00")))
+    q.processAllAvailable()
+    // batch 4: user 1 returns → state must have been evicted: n restarts.
+    mem.addData((1L, ts("2024-06-01 21:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("ustats_ttl_test").filter(col("user_id") === 1L)
+      .select("n_events", "first_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // n=2 from batch 1, then n=1 (NOT 3) after eviction — and first_s
+    // restarts at 21:00, proving the old (n, first, last) state is gone.
+    assert(u1 == Set((2L, ts("2024-06-01 10:00:00").getTime / 1000),
+                     (1L, ts("2024-06-01 21:00:00").getTime / 1000)),
+      s"expected evicted-and-restarted state, got $u1")
   }
 
   test("dropDuplicatesWithinWatermark keeps one row per key within the horizon") {
