@@ -17,7 +17,7 @@ object Artifacts {
   /** Bump when any artifact's derivation changes: artifacts outlive the
     * process, so a code change without a version bump would silently serve
     * stale tables built by the previous definition. */
-  val Version = "v2" // v2: multi-table LSH index (t, key) layout
+  val Version = "v3" // v3: LSH index widened to 12 tables (recall ≥0.9 floor)
 
   def path(sfDir: String, name: String): String =
     s"$root/$Version/${new java.io.File(sfDir).getName}/$name"

@@ -17,13 +17,19 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queryIds = Seq(0L, 7L, 23L, 42L, 99L)
     for (sf <- sfs) {
-      val exact = SimilarityOps.cosineTopK(spark, sf).select("vec_id").collect()
-        .map(_.getLong(0)).toSet
-      def recall(ids: Array[Long]): Double = ids.count(exact).toDouble / exact.size
-      val lsh = SimilarityOps.annTopK(spark, sf).select("vec_id").collect().map(_.getLong(0))
-      val ivf = SimilarityOps.ivfTopK(spark, sf).select("vec_id").collect().map(_.getLong(0))
-      println(f"[recall] $sf lsh=${recall(lsh)}%.2f ivf=${recall(ivf)}%.2f")
+      def recallsOf(probe: (SparkSession, String, Long, Int) => org.apache.spark.sql.DataFrame) =
+        queryIds.map { q =>
+          val exact = SimilarityOps.cosineTopK(spark, sf, q, 10).select("vec_id")
+            .collect().map(_.getLong(0)).toSet
+          val got = probe(spark, sf, q, 10).select("vec_id").collect().map(_.getLong(0))
+          got.count(exact).toDouble / exact.size
+        }
+      val lsh = recallsOf(SimilarityOps.annTopK)
+      val ivf = recallsOf(SimilarityOps.ivfTopK)
+      def fmt(rs: Seq[Double]) = f"min=${rs.min}%.2f mean=${rs.sum / rs.size}%.2f"
+      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)}  (q=${queryIds.mkString(",")})")
     }
     spark.stop()
   }
