@@ -113,20 +113,39 @@ final class TxTable private (spark: SparkSession, dir: String,
     * source must bind each key once (the same rule Delta enforces). */
   def merge(updates: DataFrame): Long = {
     val upd = updates.dropDuplicates(keyCols).localCheckpoint()
+    rewriteTouched(upd) { keep => upd.unionByName(keep) }
+  }
+
+  /** DELETE by key (the MERGE matched-delete clause): rows whose key
+    * appears in `keys` are removed via the same copy-on-write bucket
+    * rewrite; absent keys are a no-op. A bucket whose rows are all
+    * deleted drops out of the manifest entirely. */
+  def delete(keys: DataFrame): Long = {
+    val del = keys.select(keyCols.map(col): _*)
+      .dropDuplicates(keyCols).localCheckpoint()
+    rewriteTouched(del)(keep => keep)
+  }
+
+  /** Copy-on-write commit loop shared by merge/delete: prune to the
+    * buckets `keySource` hashes into, anti-join the matched keys out of
+    * those buckets' rows, let `build` shape the replacement rows, publish
+    * — rebasing on a fresh snapshot if another writer commits first. */
+  private def rewriteTouched(keySource: DataFrame)
+                            (build: DataFrame => DataFrame): Long = {
     var committed = -1L
     while (committed < 0) {
       val v = version
       val m = manifest(v)
-      // Exact bucket pruning: only buckets an update key hashes into are
+      // Exact bucket pruning: only buckets a source key hashes into are
       // candidates. Bounded by numBuckets rows — driver-side by design.
-      val touched = upd.select(bucketCol.as("_b")).distinct()
+      val touched = keySource.select(bucketCol.as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet
       val candidatePaths = touched.toSeq.sorted.flatMap(m.get)
       val keep =
-        if (candidatePaths.isEmpty) upd.limit(0)
+        if (candidatePaths.isEmpty) keySource.limit(0)
         else spark.read.parquet(candidatePaths: _*)
-          .join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val commit = writeCommit(upd.unionByName(keep))
+          .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val commit = writeCommit(build(keep))
       val next = (m.view.mapValues(p => Paths.get(p).getParent.getFileName.toString).toMap
         -- touched) ++ bucketsIn(commit).map(_ -> commit)
       val lines = next.toSeq.sortBy(_._1).map { case (b, c) => s"$b\t$c" }
@@ -134,6 +153,21 @@ final class TxTable private (spark: SparkSession, dir: String,
       // else: lost the commit race — rebase on the new latest and retry.
     }
     committed
+  }
+
+  /** Drop data directories unreferenced by the LATEST manifest (commit-
+    * race losers and superseded copy-on-write buckets). Readers/writers
+    * only ever resolve the latest manifest, and an in-flight writer's
+    * commit references latest-manifest dirs plus its own new dir, so
+    * vacuuming concurrently with writers is safe; there is no time-travel
+    * read surface to preserve. Returns the number of dirs removed. */
+  def vacuum(): Int = {
+    val live = manifest(version).values
+      .map(p => Paths.get(p).getParent.getFileName.toString).toSet
+    val dead = Files.list(dataDir).iterator().asScala
+      .filter(d => !live.contains(d.getFileName.toString)).toList
+    dead.foreach(d => TxTable.drop(d.toString))
+    dead.size
   }
 }
 

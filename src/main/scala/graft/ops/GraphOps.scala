@@ -171,33 +171,42 @@ object GraphOps {
     // reaches `limit` fully covers the top-`limit` rows, and only P needs
     // expanding. Work becomes |P|·|house| ≈ `limit` instead of the full
     // Σ|house|² clique — the difference between a plan that survives a
-    // 100× scale-up and one that does not. The prefix is computed INSIDE
-    // the plan (no driver collects): each person contributes ≥1 output
-    // row, so only the first `limit` names can matter — a top-`limit`
-    // slice (TakeOrderedAndProject) joined to the 5-row house sizes, then
-    // a running-sum window takes names while the lower bound accumulated
-    // BEFORE them is still under `limit`. The window runs over ≤ `limit`
-    // already-collapsed rows — bounded at any corpus size.
+    // 100× scale-up and one that does not. The prefix is computed as ONE
+    // bounded job (a top-`limit` slice joined to the 5-row house sizes,
+    // running-sum window, ≤ `limit` rows collected) — and then pushed as
+    // LITERALS, deliberately: a no-collect variant restricting the
+    // expansion via a broadcast semi-join was built and measured in r7 —
+    // j4 0.3→4.4 s, j13 1.1→5.1 s at sf0.1 — because Catalyst does not
+    // infer scan filters from a join side, so the full clique expansion
+    // ran before the prefix filter. The literal isin reaches the parquet
+    // scans on both self-join sides (PlanSpec pins this); the one
+    // ≤`limit`-row collect is the price of that pruning and is bounded at
+    // any corpus size.
     val sizes = inHouses.groupBy("house").agg(count(lit(1)).as("hsize"))
     val wAcc = Window.orderBy("name").rowsBetween(Window.unboundedPreceding, -1)
-    val pn = inHouses.select("name", "house")
+    val pNames = inHouses.select("name", "house")
       .orderBy("name").limit(limit)
       .join(broadcast(sizes), "house")
       .withColumn("acc",
         coalesce(sum(greatest(col("hsize") - 1, lit(1L))).over(wAcc), lit(0L)))
       .filter(col("acc") < limit)
       .select("name")
+      .collect().map(_.getString(0)).toSeq
     val p = inHouses.select("name", "house")
     // Both endpoints must lie in the house set (app.py:375-382's two house
     // filters), so derive the edges AMONG the restricted node set: the
     // house literal reaches the scans on both self-join sides instead of
     // first building every house's clique and filtering it away. The
-    // prefix restriction is a broadcast semi-join (names are unique, so
-    // inner ≡ semi) applied on both the person and edge sides — ≤ `limit`
-    // rows broadcast, no driver round-trip.
-    val pSel = p.join(broadcast(pn), Seq("name"))
-    val eBase = Graph.undirected(Graph.personEdgesAmong(spark, inHouses))
-      .join(broadcast(pn.select(col("name").as("src"))), Seq("src"))
+    // prefix restriction is a literal isin → it pushes through the
+    // undirected union into the scans too (unless P is degenerate-large,
+    // where the full-set plan is used).
+    val (pSel, eBase) =
+      if (pNames.size <= 512) {
+        (p.filter(col("name").isin(pNames: _*)),
+         Graph.undirected(Graph.personEdgesAmong(spark, inHouses))
+           .filter(col("src").isin(pNames: _*)))
+      } else
+        (p, Graph.undirectedShared(Graph.personEdgesAmong(spark, inHouses)))
     val e = eBase.select(col("src"), col("relType"), col("dst").as("m_name"))
     pSel.join(e, col("name") === col("src"), "left_outer")
       .select(col("name"), col("relType"), col("m_name").as("neighbor"))

@@ -256,28 +256,26 @@ object StreamingOps {
       .orderBy("user_id")
 
   /** The reference's user-MERGE path (app.py:100-132) as a streaming
-    * foreachBatch upsert: each micro-batch of (name, house) rows is merged
-    * into a parquet nodes table, last-writer-wins by name. At 100 TB the
-    * body becomes MERGE INTO on Delta/Iceberg; the batch-function shape is
-    * identical. Returns the final table for assertion. */
+    * foreachBatch upsert: each micro-batch of (name, house) rows is MERGEd
+    * into a graft.core.TxTable, last-writer-wins by name — the streaming
+    * twin of the s12 transactional path. The per-batch body IS `MERGE
+    * INTO` (copy-on-write buckets + atomic manifest commit), so a crash
+    * between batches leaves the last committed version intact and the
+    * checkpoint replays only unprocessed batches — unlike the previous
+    * overwrite-and-swap parquet cycle, which had a window where the table
+    * directory held a half-written state. At 100 TB the TxTable becomes
+    * Delta/Iceberg; the batch-function shape is identical. */
   def foreachBatchUpsert(spark: SparkSession, updates: DataFrame, tablePath: String,
                          checkpoint: String): Unit = {
+    import graft.core.TxTable
     val q = updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint) // resume → process only new batches
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val existing =
-          try spark.read.parquet(tablePath)
-          catch { case _: Throwable => spark.emptyDataFrame }
-        val merged =
-          if (existing.columns.isEmpty) batch
-          else batch.unionByName(
-            existing.join(batch.select("name"), Seq("name"), "left_anti"))
-        // Write-read-modify cycle: stage to a temp dir then swap, because
-        // overwriting a parquet dir that is also the read source truncates it.
-        val tmp = tablePath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(tablePath)
+        if (new java.io.File(s"$tablePath/_log").exists())
+          TxTable.open(spark, tablePath, Seq("name")).merge(batch)
+        else
+          TxTable.create(spark, tablePath, batch, Seq("name"))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -117,6 +117,29 @@ class EtlSpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable DELETE removes matched keys only; vacuum drops superseded commit dirs") {
+    val dir = freshDir()
+    try {
+      val base = graft.core.Graph.nodes(spark, sf).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      t.merge(spark.createDataFrame(Seq(("User#000000001", "BUILDING", 10.0)))
+        .toDF("name", "house", "acctbal"))
+      val del = spark.createDataFrame(
+        Seq(Tuple1("Customer#000000003"), Tuple1("User#000000001"), Tuple1("NoSuchKey")))
+        .toDF("name")
+      assert(t.delete(del) == 2L)
+      val snap = t.snapshot()
+      assert(snap.filter(col("name").isin("Customer#000000003", "User#000000001")).count() == 0)
+      assert(snap.count() == base.count() - 1) // -upserted row, -existing key; NoSuchKey no-op
+      // Superseded bucket copies + the delete's rewrite leave dead dirs;
+      // vacuum removes them and the snapshot is unchanged.
+      val before = snap.orderBy("name").collect().toSeq
+      assert(t.vacuum() > 0)
+      assert(graft.core.TxTable.open(spark, dir, Seq("name"))
+        .snapshot().orderBy("name").collect().toSeq == before)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable: concurrent writers both land via optimistic rebase-retry") {
     val dir = freshDir()
     try {

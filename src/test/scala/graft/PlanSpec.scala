@@ -38,7 +38,7 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed sides re-shuffled:\n$p")
   }
 
-  test("j4 house subgraph builds its plan with ZERO driver jobs (prefix computed in-plan)") {
+  test("j4 house subgraph: prefix literals reach the scans; construction = one bounded probe") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val l = new SparkListener {
@@ -51,14 +51,19 @@ class PlanSpec extends AnyFunSuite {
     try {
       val df = graft.ops.GraphOps.houseSubgraph(spark, sf, Seq("BUILDING", "AUTOMOBILE"))
       Thread.sleep(1000) // listener events are async — drain before counting
-      // The parquet READER runs a constant-cost footer/schema job per
-      // spark.read.parquet — that is the read path, not query logic. What
-      // must be absent is any data-dependent job (the old 5-row size
-      // aggregate + name-prefix collect probes).
+      // Construction may run ONLY the single bounded prefix probe (plus
+      // constant-cost parquet footer/schema reads). The r6 shape ran two
+      // probes; a no-collect broadcast-restriction variant ran zero but
+      // lost scan pushdown entirely (j4 0.3→4.4 s at sf0.1) — this pins
+      // the measured optimum: one probe, literals pushed.
       val queryJobs = jobs.toArray(Array.empty[String]).filterNot(_.startsWith("parquet at"))
-      assert(queryJobs.isEmpty,
-        s"houseSubgraph ran driver query job(s) during plan construction: ${queryJobs.toSeq}")
-      assert(df.limit(1).count() == 1) // and the plan still executes
+      assert(queryJobs.size <= 4, // one probe; AQE runs it as a few sub-jobs
+        s"houseSubgraph ran ${queryJobs.size} query jobs during construction: ${queryJobs.toSeq}")
+      // The property the probe buys: the prefix-name literals are pushed
+      // into the node scans feeding the clique self-join.
+      val p = plan(df)
+      assert(p.contains("PushedFilters: [In(c_name") || p.contains("In(c_name,"),
+        s"prefix literals not pushed into the scan:\n$p")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 

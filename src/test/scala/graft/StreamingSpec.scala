@@ -154,9 +154,13 @@ class StreamingSpec extends AnyFunSuite {
     StreamingOps.foreachBatchUpsert(spark, updates, dir, ckpt)
     mem.addData(("alice", "FURNITURE")) // second batch overwrites alice
     StreamingOps.foreachBatchUpsert(spark, updates, dir, ckpt)
-    val state = spark.read.parquet(dir).collect()
+    val t = graft.core.TxTable.open(spark, dir, Seq("name"))
+    val state = t.snapshot().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(state == Map("alice" -> "FURNITURE", "bob" -> "MACHINERY"))
+    // batch 1 = create (v0), batch 2 = one MERGE commit (v1); the
+    // checkpoint guarantees a batch is merged exactly once.
+    assert(t.version == 1L)
   }
 
   test("streamed window counts equal the batch twin (streaming/batch parity)") {
