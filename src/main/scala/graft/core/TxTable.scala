@@ -74,8 +74,16 @@ final class TxTable private (spark: SparkSession, dir: String,
   /** The table as of the latest committed version. Bucket dirs are read as
     * leaf parquet directories, so the physical `_b` layout never leaks
     * into the schema. */
-  def snapshot(): DataFrame = {
-    val paths = manifest(version).values.toSeq.sorted
+  def snapshot(): DataFrame = snapshotAt(version)
+
+  /** Time travel: the table exactly as of committed version `v`. Every
+    * manifest is immutable and copy-on-write never rewrites a referenced
+    * file in place, so any still-present version reconstructs exactly —
+    * until `vacuum()` reclaims dirs the LATEST manifest no longer
+    * references (the same retention trade Delta/Iceberg make). */
+  def snapshotAt(v: Long): DataFrame = {
+    require(v >= 0 && v <= version, s"version $v not in [0, $version]")
+    val paths = manifest(v).values.toSeq.sorted
     spark.read.parquet(paths: _*)
   }
 

@@ -163,12 +163,14 @@ object SimilarityOps {
   /** Recall floors asserted by the checked ANN entries. Measured recall@10
     * (tools.RecallProbe, 5 query points × 3 scale factors):
     * LSH (12 tables, radius-2 multiprobe) min 0.9 / mean 0.98–1.0 → floor
-    * 0.9; IVF 0.6–1.0 (8-of-16 cells probed on near-uniform embeddings) →
-    * floor 0.5 keeps a ≥2-hit margin while still failing on any real index
+    * 0.9; IVF min 0.7 / mean 0.86–0.92 (10-of-16 cells probed — on these
+    * near-uniform embeddings the cell/probe ratio is inherently
+    * unfavorable; clustered real embeddings would probe far fewer) →
+    * floor 0.6 keeps a 1-hit margin while still failing on any real index
     * breakage (a wrong bucket key or probe set craters recall — the
     * single-table index measured 0.0-0.2). */
   val LshRecallFloor = 0.9
-  val RecallFloor = 0.5
+  val RecallFloor = 0.6
 
   /** The rq12 tolerance-certificate pattern applied to ANN: the output is
     * the EXACT top-k (DuckDB-expressible, hash-checkable) plus one boolean
@@ -203,7 +205,7 @@ object SimilarityOps {
     * a useful recall needs probing half the cells — with real clustered
     * embeddings the cell/probe ratio would be far more favorable. */
   val IvfCells = 16
-  val IvfProbes = 8
+  val IvfProbes = 10
 
   /** ETL: the IVF index — seeded k-means coarse quantizer fit ONCE per
     * scale factor; persists (a) the centroid table (IvfCells rows) and

@@ -166,7 +166,7 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= SimilarityOps.LshRecallFloor, s"LSH recall@10 = $recall")
   }
 
-  test("ANN IVF top-k: exact cosines, subset of full ranking, recall >= 0.5") {
+  test("ANN IVF top-k: exact cosines, subset of full ranking, recall >= 0.6") {
     val ivf = SimilarityOps.ivfTopK(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
     val full = SimilarityOps.cosineTopK(spark, sf, k = 500).collect()
@@ -177,7 +177,7 @@ class ExtOpsSpec extends AnyFunSuite {
     val top10 = SimilarityOps.cosineTopK(spark, sf, k = 10).collect()
       .map(_.getAs[Long]("vec_id")).toSet
     val recall = top10.count(ivf.contains).toDouble / top10.size
-    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+    assert(recall >= SimilarityOps.RecallFloor, s"IVF recall@10 = $recall")
   }
 
   test("native dot expression is bit-equal to the HOF formulation") {

@@ -64,6 +64,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TxTable is a faithful keyed map under random merge/delete sequences (model-based)") {
+    import spark.implicits._
+    // Model: an in-memory Map[key -> value]. Ops draw keys from a small
+    // pool so merges genuinely overwrite and deletes genuinely hit; after
+    // every op the snapshot must equal the model, and at the end each
+    // historical version must replay exactly (time travel).
+    val keyGen = Gen.choose(0, 24).map(i => f"K$i%02d")
+    val batchGen: Gen[(Boolean, Seq[(String, Long)])] = for {
+      isDelete <- Gen.frequency(3 -> false, 1 -> true)
+      n <- Gen.chooseNum(1, 6)
+      keys <- Gen.listOfN(n, keyGen)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 999L))
+    } yield (isDelete, keys.zip(vals))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_prop").toString
+    try {
+      var model = (0 until 10).map(i => f"K$i%02d" -> i.toLong).toMap
+      val t = graft.core.TxTable.create(spark, dir,
+        model.toSeq.toDF("k", "v"), Seq("k"), numBuckets = 8)
+      var history = List(0L -> model)
+      samples(batchGen, 8).foreach { case (isDelete, batch) =>
+        val v =
+          if (isDelete) {
+            model --= batch.map(_._1)
+            t.delete(batch.map(_._1).distinct.toDF("k"))
+          } else {
+            // dropDuplicates inside merge keeps ONE row per key
+            // nondeterministically; make the batch key-unique so the
+            // model is well-defined.
+            val uniq = batch.toMap.toSeq
+            model ++= uniq
+            t.merge(uniq.toDF("k", "v"))
+          }
+        val snap = t.snapshot().as[(String, Long)].collect().toMap
+        assert(snap == model, s"after v$v: $snap != $model")
+        history ::= v -> model
+      }
+      history.foreach { case (v, m) =>
+        val replay = t.snapshotAt(v).as[(String, Long)].collect().toMap
+        assert(replay == m, s"time travel to v$v diverged")
+      }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("semi-join house counts sum to the matched name-set size (randomized)") {
     samples(friendSetGen, 5).filter(_.nonEmpty).foreach { keys =>
       val total = GraphOps.semiHouseCounts(spark, sf, keys)
