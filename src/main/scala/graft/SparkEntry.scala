@@ -102,6 +102,7 @@ object SparkEntry {
     "dd_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
+    "dd_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "dd_cluster_canonical" -> ((s, d) => GraphAnalytics.dedupClusters(s, d)),
     "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
@@ -595,6 +596,22 @@ object SparkEntry {
          |       round(common * 1.0 / least(na, nb), 4) AS containment
          |FROM pairs WHERE round(common * 1.0 / least(na, nb), 4) >= 0.9
          |ORDER BY src_id, dst_id""".stripMargin,
+    // dd_contamination: eval-side directional containment between the
+    // eval source and every other source; worst offender per eval doc.
+    "dd_contamination" ->
+      s"""WITH $ngramPairStatsCtes,
+         |src AS (SELECT doc_id, source FROM documents),
+         |ori AS (
+         |  SELECT CASE WHEN sa.source = 'src0' THEN src_id ELSE dst_id END AS eval_id,
+         |         CASE WHEN sa.source = 'src0' THEN dst_id ELSE src_id END AS train_id,
+         |         CASE WHEN sa.source = 'src0' THEN sb.source ELSE sa.source END AS train_source,
+         |         round(common * 1.0 / CASE WHEN sa.source = 'src0' THEN na ELSE nb END, 4) AS contamination
+         |  FROM pairs JOIN src sa ON sa.doc_id = src_id JOIN src sb ON sb.doc_id = dst_id
+         |  WHERE (sa.source = 'src0') <> (sb.source = 'src0')),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY contamination DESC, train_id) AS rn
+         |       FROM ori WHERE contamination >= 0.4)
+         |SELECT eval_id, train_id, train_source, contamination FROM rk WHERE rn = 1
+         |ORDER BY eval_id""".stripMargin,
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
     // dd_semantic_cluster: recursive min-label propagation over the

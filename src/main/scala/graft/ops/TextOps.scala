@@ -397,6 +397,40 @@ object TextOps {
       .select("src_id", "dst_id", "containment")
       .orderBy("src_id", "dst_id")
 
+  /** Train/eval CONTAMINATION detection — the decontamination pass every
+    * LLM training pipeline runs before trusting an eval: an eval-set
+    * document (source = `evalSource`) is contaminated when a document
+    * from any OTHER source shares ≥ `threshold` of the EVAL doc's 3-gram
+    * shingles (directional containment of the eval side — a training doc
+    * that quotes a whole benchmark question scores 1.0 no matter how much
+    * else it contains, which symmetric Jaccard structurally understates).
+    * Built on the same inverted-index pair machinery as the dedup family,
+    * so work scales with true shingle overlap, never |train| × |eval|.
+    * Output: one row per contaminated eval doc with its worst offender
+    * (ties broken by lowest train doc id). */
+  def contamination(spark: SparkSession, sfDir: String, evalSource: String = "src0",
+                    threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcOf = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val isEvalSrc = col("src_source") === evalSource
+    val withSrc = jaccardPairs(spark, sfDir)
+      .join(srcOf.select(col("doc_id").as("src_id"), col("source").as("src_source")), "src_id")
+      .join(srcOf.select(col("doc_id").as("dst_id"), col("source").as("dst_source")), "dst_id")
+      .filter((col("src_source") === evalSource) =!= (col("dst_source") === evalSource))
+    val oriented = withSrc.select(
+      when(isEvalSrc, col("src_id")).otherwise(col("dst_id")).as("eval_id"),
+      when(isEvalSrc, col("dst_id")).otherwise(col("src_id")).as("train_id"),
+      when(isEvalSrc, col("dst_source")).otherwise(col("src_source")).as("train_source"),
+      round(col("common") * lit(1.0) /
+        when(isEvalSrc, col("na")).otherwise(col("nb")), 4).as("contamination"))
+      .filter(col("contamination") >= threshold)
+    val w = Window.partitionBy("eval_id")
+      .orderBy(col("contamination").desc, col("train_id").asc)
+    oriented.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("eval_id", "train_id", "train_source", "contamination")
+      .orderBy("eval_id")
+  }
+
   /** MinHash signature length and LSH banding: 16 hashes in 8 bands × 2
     * rows. P[candidate | J=0.85] ≈ 1-(1-0.85²)^8 ≈ 0.9999 — with the exact
     * verify step below the output equals the true Jaccard pairs (all fixed

@@ -275,6 +275,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(verts.values.forall(_ == 2), "every cycle vertex keeps in-core degree 2")
   }
 
+  test("contamination: one row per eval doc, oriented eval->train, bounded score") {
+    val src = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.contamination(spark, sf).collect()
+    assert(rows.nonEmpty, "planted cross-source near-dups must be flagged")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one worst offender per eval doc")
+    rows.foreach { r =>
+      assert(src(r.getLong(0)) == "src0", "eval side must be the eval source")
+      assert(r.getString(2) != "src0" && src(r.getLong(1)) == r.getString(2),
+        "train side must carry its true non-eval source")
+      val c = r.getDouble(3)
+      assert(c >= 0.4 && c <= 1.0, s"contamination $c out of range")
+    }
+  }
+
   test("adversarial dedup stress: hot boilerplate pruned, true near-dups exact, escape contract holds") {
     import spark.implicits._
     import graft.ops.TextOps
