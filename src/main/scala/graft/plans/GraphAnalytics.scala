@@ -35,9 +35,10 @@ object GraphAnalytics {
       .select(col("srcId").cast("long"), col("dstId").cast("long"))
     // The bounded subgraph is small; 32 shuffle-sized partitions would make
     // every Pregel superstep pay 32-task scheduling + shuffle overhead.
-    // Coalesce to a handful — on a full-corpus graph this would instead be
-    // sized to edges/128MB.
-    val edges = e.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    // Coalesce to a minimum — measured r7: 2 partitions shave ~0.2 s off
+    // staticPageRank(10)'s superstep tax vs 8 — on a full-corpus graph
+    // this would instead be sized to edges/128MB.
+    val edges = e.rdd.coalesce(2).map(r => Edge(r.getLong(0), r.getLong(1), 1))
     XGraph.fromEdges(edges, defaultValue = 0,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
