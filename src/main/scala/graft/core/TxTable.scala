@@ -53,11 +53,19 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def bucketCol: org.apache.spark.sql.Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
 
+  /** List a directory's entry names, closing the stream (Files.list leaks
+    * an FD per call otherwise — merge() in a streaming foreachBatch would
+    * exhaust the process limit). */
+  private def listNames(p: Path): Seq[String] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toList
+    finally s.close()
+  }
+
   /** Highest published version, or -1 for an empty log. */
   def version: Long =
     if (!Files.isDirectory(logDir)) -1L
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(logDir)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toLong }
       .foldLeft(-1L)(math.max)
@@ -80,22 +88,24 @@ final class TxTable private (spark: SparkSession, dir: String,
     * manifest is immutable and copy-on-write never rewrites a referenced
     * file in place, so any still-present version reconstructs exactly —
     * until `vacuum()` reclaims dirs the LATEST manifest no longer
-    * references (the same retention trade Delta/Iceberg make). */
+    * references (the same retention trade Delta/Iceberg make). A version
+    * whose manifest is empty (every row deleted) yields an empty table
+    * with the schema persisted at create time. */
   def snapshotAt(v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"version $v not in [0, $version]")
     val paths = manifest(v).values.toSeq.sorted
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          Files.readString(logDir.resolve("schema.ddl"))))
+    else spark.read.parquet(paths: _*)
   }
 
   /** Buckets actually written by a commit (partitionBy leaves one `_b=K`
     * directory per non-empty bucket). */
-  private def bucketsIn(commit: String): Seq[Long] = {
-    val d = dataDir.resolve(commit)
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+  private def bucketsIn(commit: String): Seq[Long] =
+    listNames(dataDir.resolve(commit))
       .collect { case s if s.startsWith("_b=") => s.stripPrefix("_b=").toLong }
-      .toSeq
-  }
 
   private def writeCommit(df: DataFrame): String = {
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
@@ -164,17 +174,22 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** Drop data directories unreferenced by the LATEST manifest (commit-
-    * race losers and superseded copy-on-write buckets). Readers/writers
-    * only ever resolve the latest manifest, and an in-flight writer's
-    * commit references latest-manifest dirs plus its own new dir, so
-    * vacuuming concurrently with writers is safe; there is no time-travel
-    * read surface to preserve. Returns the number of dirs removed. */
-  def vacuum(): Int = {
+    * race losers and superseded copy-on-write buckets). An in-flight
+    * writer's freshly written commit dir is ALSO unreferenced until its
+    * manifest publishes — deleting it would corrupt the commit — so only
+    * dirs older than `retainMs` are reclaimed (the Delta/Iceberg
+    * retention rule): any concurrent write finishes publish long before
+    * the window expires. Time-travel reads of versions whose dirs are
+    * reclaimed stop working. Returns the number of dirs removed. */
+  def vacuum(retainMs: Long = 10 * 60 * 1000L): Int = {
     val live = manifest(version).values
       .map(p => Paths.get(p).getParent.getFileName.toString).toSet
-    val dead = Files.list(dataDir).iterator().asScala
-      .filter(d => !live.contains(d.getFileName.toString)).toList
-    dead.foreach(d => TxTable.drop(d.toString))
+    val cutoff = System.currentTimeMillis() - retainMs
+    val dead = listNames(dataDir).filter { name =>
+      !live.contains(name) &&
+        Files.getLastModifiedTime(dataDir.resolve(name)).toMillis < cutoff
+    }
+    dead.foreach(name => TxTable.drop(dataDir.resolve(name).toString))
     dead.size
   }
 }
@@ -189,6 +204,9 @@ object TxTable {
     val commit = t.writeCommit(base)
     require(t.publish(0L, t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),
       s"concurrent create at $dir")
+    // Persist the schema so an all-rows-deleted version can still serve an
+    // empty snapshot with correct columns.
+    Files.writeString(Paths.get(dir, "_log", "schema.ddl"), base.schema.toDDL)
     t
   }
 
@@ -200,8 +218,11 @@ object TxTable {
   /** Recursively delete a table directory (test/teardown helper). */
   def drop(dir: String): Unit = {
     def rec(p: Path): Unit = {
-      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        Files.list(p).iterator().asScala.toList.foreach(rec)
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        val children = try s.iterator().asScala.toList finally s.close()
+        children.foreach(rec)
+      }
       Files.deleteIfExists(p)
     }
     rec(Paths.get(dir))

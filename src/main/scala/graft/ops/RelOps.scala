@@ -540,14 +540,29 @@ object RelOps {
       .collect()(0).getSeq[String](0).toSet
     // The exact pass probes ONLY the sketch's survivors: the isin literal
     // pushes to the scan, so the second pass aggregates O(1/support)
-    // distinct keys however large the keyspace — any key with frequency
-    // > support is guaranteed present in the sketch, so the top-k among
-    // survivors IS the global top-k (k and support are chosen together:
-    // k ≤ the ≥1/support guaranteed survivors).
-    ev.filter(col("event_type").isin(sketch.toSeq: _*))
+    // distinct keys however large the keyspace. The sketch guarantees
+    // presence only for frequency > support — a true top-k member AT or
+    // BELOW support could be absent, silently promoting a lower count. So
+    // the pruned result self-certifies: it is globally correct iff its
+    // kth count exceeds support × total rows (then no absent key can
+    // displace it); otherwise fall back to the exact full aggregation.
+    // On this corpus event types run ~2× support, so the pruned path is
+    // the one that executes; the fallback is the correctness net.
+    val pruned = ev.filter(col("event_type").isin(sketch.toSeq: _*))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type").asc)
       .limit(k)
+      .localCheckpoint() // ≤ k rows; reused by the certificate and output
+    val prunedCounts = pruned.select("n").collect().map(_.getLong(0)) // ≤ k values
+    val total = ev.count()
+    val certified = prunedCounts.length >= k &&
+      prunedCounts.min > (support * total).toLong
+    val topk =
+      if (certified) pruned
+      else ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type").asc)
+        .limit(k)
+    topk
       .select(col("event_type"), col("n"),
         col("event_type").isin(sketch.toSeq: _*).as("in_sketch"))
       .orderBy("event_type")

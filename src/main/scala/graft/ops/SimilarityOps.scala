@@ -93,7 +93,7 @@ object SimilarityOps {
 
   /** ETL: the LSH index — every vector replicated once per table with its
     * (t, key) bucket. Physically: partition directories on `t` only (a
-    * bounded 8), rows SORTED by `key` within each table's files — a probe's
+    * bounded NumTables = 12), rows SORTED by `key` within each table's files — a probe's
     * key predicates then prune parquet row groups via min/max stats. A
     * (t, key) directory layout was measured first and rejected: 2048
     * partition directories of tiny files put a multi-second listing tax on
@@ -113,14 +113,14 @@ object SimilarityOps {
     * candidates are the vectors sharing a (t, probe-key) bucket with the
     * query in ANY table — an OR of per-table key-set predicates prunes
     * the persisted index (t partition dirs, then sorted-key row-group
-    * skipping) to L × (1 + B + C(B,2)) = 8 × 37 buckets, candidates are
+    * skipping) to L × (1 + B + C(B,2)) = 12 × 37 buckets, candidates are
     * deduped across tables, then exact cosine within candidates only.
     * Radius-2 multiprobe is the textbook recall lever that costs NO index
     * space (unlike more tables): per-table collision for the rank-10
     * neighbor ≈ P[≤2 of 8 sign bits flip], measured recall@10 went
     * 0.7–0.8 (radius 1) → ≥0.9 (radius 2) across sf and query points
     * while the probed fraction of the corpus stays ~bounded by
-    * 37/256 per table. The index is a build-once ETL artifact
+    * 37/256 of the key space per table. The index is a build-once ETL artifact
     * (`lshIndex`); the query path is probe-only. Recall is spec-verified
     * against the brute-force baseline; the driver-facing entry wraps this
     * in a recall certificate (`annTopKChecked`). */

@@ -132,11 +132,28 @@ class EtlSpec extends AnyFunSuite {
       assert(snap.filter(col("name").isin("Customer#000000003", "User#000000001")).count() == 0)
       assert(snap.count() == base.count() - 1) // -upserted row, -existing key; NoSuchKey no-op
       // Superseded bucket copies + the delete's rewrite leave dead dirs;
-      // vacuum removes them and the snapshot is unchanged.
+      // vacuum removes them and the snapshot is unchanged. retainMs = 0:
+      // no concurrent writers here, so the in-flight-commit protection
+      // window can be waived (the default 10 min would reclaim nothing).
       val before = snap.orderBy("name").collect().toSeq
-      assert(t.vacuum() > 0)
+      assert(t.vacuum(retainMs = 0) > 0)
       assert(graft.core.TxTable.open(spark, dir, Seq("name"))
         .snapshot().orderBy("name").collect().toSeq == before)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable: deleting every row yields an empty snapshot with the persisted schema") {
+    val dir = freshDir()
+    try {
+      val base = spark.createDataFrame(Seq(("a", 1.0), ("b", 2.0))).toDF("name", "x")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), 4)
+      t.delete(spark.createDataFrame(Seq(Tuple1("a"), Tuple1("b"))).toDF("name"))
+      val snap = t.snapshot()
+      assert(snap.count() == 0)
+      assert(snap.columns.toSeq == Seq("name", "x")) // schema survives emptiness
+      // and the table recovers: a merge into the empty table works
+      t.merge(spark.createDataFrame(Seq(("c", 3.0))).toDF("name", "x"))
+      assert(t.snapshot().count() == 1)
     } finally graft.core.TxTable.drop(dir)
   }
 
