@@ -37,6 +37,9 @@ object SparkEntry {
     // Transactional MERGE (copy-on-write TxTable): create → merge → read
     // back in-session; proves read-your-writes, not just merge dataflow.
     "s12_merge_visible" -> ((s, d) => GraphOps.mergeVisible(s, d)),
+    // The streaming twin: stream → foreachBatch MERGE into the TxTable →
+    // read back in-session (the reference's user write path as a stream).
+    "s13_stream_merge" -> ((s, d) => StreamingOps.streamedTxMerge(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
     "s9_jsonl_roundtrip" -> ((s, d) => graft.sources.FileFormats.jsonlRoundTrip(s, d)),
@@ -206,6 +209,30 @@ object SparkEntry {
          |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd))
          |SELECT name, house, round(acctbal, 2) AS acctbal FROM merged
          |WHERE name IN ('Customer#000000003', 'User#000000001') ORDER BY name""".stripMargin,
+    // s13: the engine streams the event slice, MERGEs each micro-batch
+    // into the transactional TxTable via foreachBatch, and reads its own
+    // committed snapshot; the oracle states the post-MERGE table over the
+    // same derived upsert set.
+    "s13_stream_merge" ->
+      s"""WITH $nodesCte,
+         |upd AS (
+         |  SELECT DISTINCT CASE WHEN user_id % 3 = 0
+         |    THEN 'Customer#' || lpad(CAST(user_id AS VARCHAR), 9, '0')
+         |    ELSE 'User#' || CAST(user_id AS VARCHAR) END AS name
+         |  FROM events WHERE event_id < 500),
+         |u2 AS (SELECT name, 'STREAMED' AS house, CAST(0.0 AS DOUBLE) AS acctbal FROM upd),
+         |merged AS (
+         |  SELECT name, house, acctbal FROM u2
+         |  UNION ALL
+         |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd)),
+         |probe AS (
+         |  SELECT DISTINCT CASE WHEN user_id % 3 = 0
+         |    THEN 'Customer#' || lpad(CAST(user_id AS VARCHAR), 9, '0')
+         |    ELSE 'User#' || CAST(user_id AS VARCHAR) END AS name
+         |  FROM events WHERE event_id < 500 AND user_id <= 30
+         |  UNION SELECT 'Customer#000000002' UNION SELECT 'Customer#000000004')
+         |SELECT m.name, m.house, round(m.acctbal, 2) AS acctbal
+         |FROM merged m JOIN probe USING (name) ORDER BY m.name""".stripMargin,
     // s12: the engine runs the merge through the transactional TxTable
     // (copy-on-write buckets + manifest log) and reads its own committed
     // snapshot; the oracle states the post-MERGE table contents. v = the

@@ -255,6 +255,59 @@ object StreamingOps {
       "append")
       .orderBy("user_id")
 
+  /** S13 — the STREAMING twin of s12: a streaming dedup over the events
+    * file MERGEd into the transactional table (graft.core.TxTable) via
+    * foreachBatch, then read back IN THE SAME SESSION. Each distinct user
+    * in the event slice becomes one upsert row — users whose id maps onto
+    * an existing customer key UPDATE that node (house → STREAMED), the
+    * rest INSERT app-created users (the reference's app.py:100-132 user
+    * path, arriving as a stream). The probe output shows updated,
+    * inserted, and untouched rows side by side; the oracle states the
+    * post-MERGE table. Table + checkpoint live in fresh temp dirs per
+    * invocation (a mutated table cannot be a shared artifact); the
+    * bounded output is checkpointed so the dirs can be dropped. */
+  def streamedTxMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.core.{Graph, TxTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_tx_s13").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = TxTable.create(spark, s"$root/table", base, Seq("name"))
+      def nameOf(uid: org.apache.spark.sql.Column) =
+        when(uid % 3 === 0, concat(lit("Customer#"), lpad(uid.cast("string"), 9, "0")))
+          .otherwise(concat(lit("User#"), uid.cast("string")))
+      val upd = readEventsStream(spark, sfDir)
+        .filter(col("event_id") < 500)
+        .select(nameOf(col("user_id")).as("name"))
+        .dropDuplicates("name") // one upsert row per user (single batch here)
+        .select(col("name"), lit("STREAMED").as("house"),
+          lit(0.0).cast("double").as("acctbal"))
+      val q = upd.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          t.merge(batch)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Bounded probe: the streamed names for user_id <= 30 plus two
+      // untouched customers — updated, inserted, and unmodified rows in
+      // one deterministic slice.
+      val probe = graft.core.Tables.events(spark, sfDir)
+        .filter(col("event_id") < 500 && col("user_id") <= 30)
+        .select(nameOf(col("user_id")).as("name")).distinct()
+        .unionByName(spark.createDataFrame(Seq(
+          Tuple1("Customer#000000002"), Tuple1("Customer#000000004"))).toDF("name"))
+        .distinct()
+      t.snapshot()
+        .join(probe, Seq("name"))
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(root)
+  }
+
   /** The reference's user-MERGE path (app.py:100-132) as a streaming
     * foreachBatch upsert: each micro-batch of (name, house) rows is MERGEd
     * into a graft.core.TxTable, last-writer-wins by name — the streaming
