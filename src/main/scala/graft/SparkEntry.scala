@@ -40,6 +40,7 @@ object SparkEntry {
     // The streaming twin: stream → foreachBatch MERGE into the TxTable →
     // read back in-session (the reference's user write path as a stream).
     "s13_stream_merge" -> ((s, d) => StreamingOps.streamedTxMerge(s, d)),
+    "s14_stream_file_sink" -> ((s, d) => StreamingOps.streamedFileSink(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
     "s9_jsonl_roundtrip" -> ((s, d) => graft.sources.FileFormats.jsonlRoundTrip(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "fn_string_suite" -> ((s, d) => graft.ops.ScalarSuites.stringSuite(s, d)),
     "fn_datetime_suite" -> ((s, d) => graft.ops.ScalarSuites.datetimeSuite(s, d)),
     "fn_array_suite" -> ((s, d) => graft.ops.ScalarSuites.arraySuite(s, d)),
+    "fn_bitwise_suite" -> ((s, d) => graft.ops.ScalarSuites.bitwiseSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -94,6 +96,7 @@ object SparkEntry {
     "tx_len_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
     "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "tx_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(s, d)),
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
@@ -106,6 +109,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
     "dd_contamination" -> ((s, d) => TextOps.contamination(s, d)),
+    "dd_incremental" -> ((s, d) => TextOps.incrementalDedup(s, d)),
     "dd_cluster_canonical" -> ((s, d) => GraphAnalytics.dedupClusters(s, d)),
     "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
@@ -117,6 +121,7 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopKChecked(s, d)),
     "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopKChecked(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
+    "sim_quantize_int8" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
     "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
     "rq2_distinct_agg" -> ((s, d) => RelOps.distinctAgg(s, d)),
@@ -143,6 +148,7 @@ object SparkEntry {
     "rq29_full_outer" -> ((s, d) => RelOps.fullOuterOrderCounts(s, d)),
     "rq30_heavy_hitters" -> ((s, d) => RelOps.heavyHitters(s, d)),
     "rq31_window_dist" -> ((s, d) => RelOps.windowDistributions(s, d)),
+    "rq32_concurrency" -> ((s, d) => RelOps.maxConcurrency(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -176,6 +182,7 @@ object SparkEntry {
     "mm_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, d).filter(col_("media_id") < 100).orderBy("media_id")),
     "mm_frame_counts" -> ((s, d) => MultimodalOps.frameCounts(s, d)),
+    "mm_shard_pack" -> ((s, d) => MultimodalOps.shardManifest(s, d)),
     // feat_sum / feat0 are exact integers (decodeStub accumulates raw byte
     // values — float32-exact below 2²⁴), so the stub decode is fully
     // DuckDB-checkable: the oracle recomputes the byte sums from the text.
@@ -233,6 +240,21 @@ object SparkEntry {
          |  UNION SELECT 'Customer#000000002' UNION SELECT 'Customer#000000004')
          |SELECT m.name, m.house, round(m.acctbal, 2) AS acctbal
          |FROM merged m JOIN probe USING (name) ORDER BY m.name""".stripMargin,
+    // s14: append-mode streaming parquet FILE sink → batch read-back. Only
+    // watermark-closed windows land in the files (same exclusion rule as
+    // st_closed_windows); the consumer aggregation runs over the read-back.
+    "s14_stream_file_sink" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS mts FROM ev),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value
+        |  FROM ev, mx
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts - INTERVAL 1 HOUR
+        |  GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_windows, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sum_value) AS BIGINT) AS sum_value_micros
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // s12: the engine runs the merge through the transactional TxTable
     // (copy-on-write buckets + manifest log) and reads its own committed
     // snapshot; the oracle states the post-MERGE table contents. v = the
@@ -556,6 +578,23 @@ object SparkEntry {
         |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (tk) CROSS JOIN n)
         |SELECT doc_id, rnk, tk AS term, cnt, tfidf
         |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // tx_ngram_lm: add-one-smoothed bigram LM trained on the corpus itself;
+    // the 20 least-fluent docs. Ordered by the ROUNDED mean log-prob so the
+    // cutoff is deterministic despite summation-order drift in avg().
+    "tx_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |       i -> {'w1': t[i], 'w2': t[i+1]})) AS b FROM toks),
+        |bge AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bge GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS vsz FROM bge),
+        |sc AS (SELECT d.doc_id, count(*) AS n_bigrams,
+        |         avg(ln((big.c12 + 1.0) / (uni.c1 + v.vsz))) AS lp
+        |       FROM bge d JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(lp, 4) AS avg_logprob
+        |FROM sc ORDER BY avg_logprob, doc_id LIMIT 20""".stripMargin,
     "tx_sample_hash" ->
       """SELECT doc_id,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
@@ -639,6 +678,26 @@ object SparkEntry {
          |       FROM ori WHERE contamination >= 0.4)
          |SELECT eval_id, train_id, train_source, contamination FROM rk WHERE rn = 1
          |ORDER BY eval_id""".stripMargin,
+    // dd_incremental: batch-vs-corpus asymmetric near-dup — each src3 doc's
+    // best Jaccard >= 0.8 match among NON-src3 docs (the engine probes the
+    // source-partitioned index; the oracle recomputes from scratch).
+    "dd_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks),
+        |ex AS (SELECT doc_id, source, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS common,
+        |         any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = 'src3' AND b.source <> 'src3'
+        |  GROUP BY 1, 2),
+        |j AS (SELECT doc_id, dup_of, round(common * 1.0 / (na + nb - common), 4) AS jaccard
+        |      FROM pairs WHERE round(common * 1.0 / (na + nb - common), 4) >= 0.8),
+        |r AS (SELECT doc_id, dup_of, jaccard,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rn FROM j)
+        |SELECT doc_id, dup_of, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
     // dd_semantic_cluster: recursive min-label propagation over the
@@ -743,6 +802,24 @@ object SparkEntry {
         |      FROM cl JOIN g USING (i) GROUP BY label)
         |SELECT label, round(dp / (ncl * ng), 6) AS cosine_to_global
         |FROM j ORDER BY label""".stripMargin,
+    // sim_quantize_int8: absmax int8 quantization; quantized dot and norms
+    // are integer-exact (no float drift), exact cosine rides along as the
+    // error report. round() ties go away-from-zero on both engines.
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |qz AS (SELECT vec_id, label, v,
+        |       127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS sc FROM e),
+        |qq AS (SELECT vec_id, label, v,
+        |       list_transform(v, x -> CAST(round(x * sc) AS BIGINT)) AS qv FROM qz),
+        |n AS (SELECT vec_id, label, v, qv,
+        |      sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nq,
+        |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM qq),
+        |q AS (SELECT qv AS query_qv, v AS query_v, nq AS qnq, nrm AS qnrm FROM n WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * query_qv[i])) AS DOUBLE) / (nq * qnq), 6) AS q_cosine,
+        |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * query_v[i])) / (nrm * qnrm), 6) AS cosine
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY q_cosine DESC, vec_id LIMIT 10""".stripMargin,
     // —— relational / temporal ——
     // Money sums on BOTH sides are BIGINT minor units (cents / micros for
     // the scale-6 products) — summed-DECIMAL columns fail the driver's
@@ -1030,7 +1107,7 @@ object SparkEntry {
          |  SELECT CAST(1 AS BIGINT) AS nid, 0 AS dist
          |  UNION
          |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.nid
-         |  WHERE bfs.dist < 8)
+         |  WHERE bfs.dist < 120)
          |SELECT nid, CAST(min(dist) AS BIGINT) AS dist
          |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
     // —— streaming (executed as streaming queries; oracle = batch twin) ——
@@ -1154,6 +1231,24 @@ object SparkEntry {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // rq32_concurrency: sweep-line peak concurrent sessions per day. The
+    // oracle replays the session rule (same >= 10 min break as rq10), then
+    // one global running sum — the engine does the two-level prefix sum.
+    "rq32_concurrency" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM ev),
+        |f AS (SELECT user_id, ts,
+        |  CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        |sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) + INTERVAL 10 MINUTE AS en
+        |         FROM s GROUP BY 1, 2),
+        |d AS (SELECT t, CAST(sum(dd) AS BIGINT) AS d FROM (
+        |      SELECT st AS t, 1 AS dd FROM sess UNION ALL SELECT en, -1 FROM sess) GROUP BY 1),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run FROM d)
+        |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+        |       CAST(max(run) AS BIGINT) AS peak_concurrency
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "fn_string_suite" ->
       """SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
         |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,
@@ -1191,6 +1286,18 @@ object SparkEntry {
          |  array_to_string(list_transform(list_slice(ns, 1, 2), x -> upper(x)), ',') AS up2,
          |  CAST(len(list_filter(ns, x -> x LIKE '%0')) AS BIGINT) AS n_ending_0
          |FROM g ORDER BY house""".stripMargin,
+    // fn_bitwise_suite: two's-complement integral bit ops — identical
+    // semantics both engines; DuckDB's bit_count returns TINYINT, cast.
+    "fn_bitwise_suite" ->
+      """SELECT c_custkey,
+        |  c_custkey & 255 AS and_ff,
+        |  c_custkey | 256 AS or_256,
+        |  xor(c_custkey, 85) AS xor_55,
+        |  CAST(c_custkey << 3 AS BIGINT) AS shl3,
+        |  CAST(c_custkey >> 2 AS BIGINT) AS shr2,
+        |  CAST(bit_count(c_custkey) AS BIGINT) AS popcount,
+        |  c_custkey & 31 AS bucket32
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1279,6 +1386,18 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes,
         |  CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents WHERE doc_id < 50 ORDER BY media_id""".stripMargin,
+    // mm_shard_pack: greedy per-format shard packing (4 KiB budget) — the
+    // WebDataset-style manifest; same cumulative-sum-before rule as tx_pack.
+    "mm_shard_pack" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT *, sum(n_bytes) OVER (PARTITION BY format ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS cum_before FROM m),
+        |s AS (SELECT format, CAST(cum_before // 4096 AS BIGINT) AS shard_id, media_id, n_bytes FROM c)
+        |SELECT format, shard_id, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  min(media_id) AS first_id, max(media_id) AS last_id
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The stub decoder bins raw byte values by position % 8 (exact in
     // float32 below 2²⁴): feat_sum is the total byte sum, feat0 the sum of
     // bytes at positions ≡ 0 (mod 8). The corpus text is pure ASCII

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -141,4 +142,29 @@ object MultimodalOps {
         col("meta.n_frames").as("n_frames"),
         length(col("content")).as("n_bytes"))
       .orderBy("media_id")
+
+  /** WebDataset-style shard manifest: pack media items into fixed-budget
+    * shards (greedy by id order, new shard when the running byte total
+    * crosses the budget) and emit the manifest a training loader consumes —
+    * (format, shard_id, item count, byte total, id range). The mechanics
+    * mirror `tx_pack`: one window per FORMAT partition (fully parallel —
+    * the per-format greedy scan is the same cumulative-sum-before trick,
+    * no global sort, no driver loop), one aggregation for the manifest.
+    * At 100 TB the id range per shard is what lets the loader fetch a
+    * shard with a single range scan of the id-sorted store. */
+  def shardManifest(spark: SparkSession, sfDir: String,
+                    targetBytes: Long = 4096): DataFrame = {
+    val w = Window.partitionBy("format").orderBy("media_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mediaTable(spark, sfDir)
+      .select(col("media_id"), col("meta.format").as("format"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .withColumn("cum_before", sum("n_bytes").over(w) - col("n_bytes"))
+      .withColumn("shard_id", floor(col("cum_before") / targetBytes).cast("long"))
+      .groupBy("format", "shard_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum("n_bytes").as("total_bytes"),
+        min("media_id").as("first_id"), max("media_id").as("last_id"))
+      .orderBy("format", "shard_id")
+  }
 }

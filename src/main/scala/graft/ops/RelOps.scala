@@ -630,4 +630,44 @@ object RelOps {
           abs(col("builtin_var")) * 1e-9).as("custom_matches_builtin"))
       .orderBy("l_returnflag")
   }
+
+  /** Peak concurrent sessions per day — interval concurrency WITHOUT an
+    * interval self-join (the O(n²) trap) and WITHOUT a single global sort
+    * (the single-reducer trap). Sweep-line as a two-level prefix sum:
+    *
+    *  1. sessions → ±1 boundary deltas, collapsed per distinct timestamp
+    *     (so the sweep order is deterministic and end-exclusive: a session
+    *     ending exactly when another starts nets to zero at that instant);
+    *  2. per-DAY delta totals get a running carry via a window over days —
+    *     one row per day, the only unpartitioned window in the plan, and
+    *     at 100 TB still just ~thousands of rows on one reducer;
+    *  3. the within-day running total is a window PARTITIONED BY day —
+    *     fully parallel — plus the day's carry-in.
+    *
+    * This is the classic distributed prefix-sum decomposition: local scan +
+    * tiny exclusive scan of block totals + local rescan. Session intervals
+    * come from `session_window` (same 10-minute gap rule as rq10). */
+  def maxConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s"), col("w.end").as("e"))
+    val deltas = sess.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select(col("e").as("t"), lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("d"))
+      .withColumn("day", to_date(col("t")))
+    val wDays = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy("day").agg(sum("d").as("dsum"))
+      .withColumn("carry", coalesce(sum("dsum").over(wDays), lit(0L)))
+      .select("day", "carry")
+    val wInDay = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(carry, "day")
+      .withColumn("run", col("carry") + sum("d").over(wInDay))
+      .groupBy("day").agg(max("run").as("peak_concurrency"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("peak_concurrency"))
+      .orderBy("day")
+  }
 }

@@ -84,4 +84,23 @@ object ScalarSuites {
         array_join(expr("transform(slice(ns, 1, 2), x -> upper(x))"), ",").as("up2"),
         size(expr("filter(ns, x -> x like '%0')")).cast("long").as("n_ending_0"))
       .orderBy("house")
+
+  /** Bitwise-function sweep over customer keys: and/or/xor, shifts,
+    * popcount, and the mask/bucket idioms they serve (hash partitioning,
+    * bloom-filter bit math, flag words — all bit ops at heart). Every
+    * operator here is a codegen'd integral expression with identical
+    * two's-complement semantics on both engines; results stay LONG. */
+  def bitwiseSuite(spark: SparkSession, sfDir: String, maxKey: Long = 100): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") < maxKey)
+      .select(
+        col("c_custkey"),
+        (col("c_custkey").bitwiseAND(lit(0xFFL))).as("and_ff"),
+        (col("c_custkey").bitwiseOR(lit(0x100L))).as("or_256"),
+        (col("c_custkey").bitwiseXOR(lit(0x55L))).as("xor_55"),
+        shiftleft(col("c_custkey"), 3).cast("long").as("shl3"),
+        shiftright(col("c_custkey"), 2).cast("long").as("shr2"),
+        bit_count(col("c_custkey")).cast("long").as("popcount"),
+        (col("c_custkey").bitwiseAND(lit(31L))).as("bucket32"))
+      .orderBy("c_custkey")
 }

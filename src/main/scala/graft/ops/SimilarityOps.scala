@@ -285,4 +285,39 @@ object SimilarityOps {
         round(dot(col("cv"), col("gv")) / (norm(col("cv")) * norm(col("gv"))), 6).as("cosine_to_global"))
       .orderBy("label")
   }
+
+  /** Int8-quantized cosine top-k — the memory-scaling leg of similarity
+    * search: per-vector symmetric quantization (scale = 127/max|v|, the
+    * classic absmax scheme) shrinks a 100 TB float corpus ~4× and turns
+    * the inner loop into exact INTEGER arithmetic, which is what makes the
+    * result bit-reproducible across engines — the quantized dot and both
+    * quantized norms are integer-exact, so `q_cosine` carries none of the
+    * float-summation-order drift the exact path has to round away. The
+    * exact cosine rides along per row so the output doubles as a
+    * quantization-error report (top-k by q_cosine, exact score visible).
+    * Quantization itself is deterministic: double ops are IEEE-identical
+    * on both engines and round() ties go away-from-zero on both. */
+  def quantizedTopK(spark: SparkSession, sfDir: String,
+                    queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = normed(spark, sfDir)
+      .withColumn("sc", lit(127.0) / greatest(
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)),
+        lit(1e-12))) // zero-vector guard, same literal as the oracle
+      .withColumn("qv", transform(col("v"), x => round(x * col("sc"), 0).cast("long")))
+      .withColumn("nq", sqrt(
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x)
+          .cast("double")))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("qv").as("q_qv"), col("v").as("q_v"),
+        col("nq").as("q_nq"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          / (col("nq") * col("q_nq")), 6).as("q_cosine"),
+        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6).as("cosine"))
+      .orderBy(desc("q_cosine"), asc("vec_id"))
+      .limit(k)
+  }
 }

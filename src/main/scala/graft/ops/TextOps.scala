@@ -636,4 +636,104 @@ object TextOps {
         regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_nums"),
         regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"))
       .orderBy("event_id")
+
+  /** Source-partitioned shingle index — the incremental-ingest layout: each
+    * crawl batch lands in its own `source=<s>/` partition directory, so (a)
+    * indexing a new batch touches ONLY its own partition (append, never
+    * rewrite), and (b) a probe that excludes the probing batch prunes that
+    * partition at the FILE LISTING. Same rows as `shingle_hashes` plus the
+    * partition column; the per-batch derivation joins the source back onto
+    * the exploded hashes (build-time ETL cost, amortized once). */
+  private def shingleHashesBySource(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "shingle_hashes_by_src",
+      partitionCols = Seq("source")) {
+      val docs = Tables.documents(spark, sfDir)
+      shingleHashRowsOf(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    }
+
+  /** Incremental (new-batch) dedup — the daily-ingest pass of a 100 TB
+    * pipeline: today's crawl (`batchSource`) is checked against the
+    * EXISTING corpus without rebuilding anything. The corpus side is the
+    * source-partitioned index above with the batch partition pruned away at
+    * the listing; the batch side's shingles are computed inline (the batch
+    * is not indexed yet — cost is proportional to the batch, not the
+    * corpus). The df-prune uses corpus-side stats only, mirroring the
+    * hot-shingle contract of `jaccardPairsFrom` (this corpus has no hot
+    * shingles — max df 25 ≪ 1000 — so every emitted Jaccard is exact).
+    * The batch side is explicitly broadcast: one day's distinct shingles
+    * fit executor memory long after the corpus stopped fitting anywhere;
+    * if a batch ever outgrows that, drop the hint and the same plan runs
+    * as a shuffle join on `hs`. Output: each near-dup batch doc with its
+    * best existing match (highest Jaccard, ties to the smallest doc_id). */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       batchSource: String = "src3",
+                       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = shingleHashesBySource(spark, sfDir)
+    val corpus = idx.filter(col("source") =!= batchSource) // partition-pruned
+    val batch = shingleHashRowsOf(
+      Tables.documents(spark, sfDir)
+        .filter(col("source") === batchSource).select("doc_id", "text"))
+    val hot = corpus.groupBy("hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("hs")
+    val corpusPruned = corpus.join(broadcast(hot), Seq("hs"), "left_anti")
+    val batchPruned = batch.join(broadcast(hot), Seq("hs"), "left_anti")
+    // Full (unpruned) set sizes on both sides — the Jaccard denominator is
+    // over true sets; pruning only thins CANDIDATE generation.
+    val na = batch.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val nb = corpus.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val common = corpusPruned.select(col("doc_id").as("dup_of"), col("hs"))
+      .join(broadcast(batchPruned.select(col("doc_id"), col("hs"))), "hs")
+      .groupBy("doc_id", "dup_of").agg(count(lit(1)).as("common"))
+    val scored = common
+      .join(broadcast(na), "doc_id")
+      .join(nb.withColumnRenamed("doc_id", "dup_of"), "dup_of")
+      .withColumn("jaccard",
+        round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("dup_of").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "dup_of", "jaccard")
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model scoring — the KenLM-style fluency signal of a
+    * training-data quality pipeline: train add-one-smoothed bigram
+    * probabilities on the corpus itself, then surface the least-likely
+    * documents (lowest mean log P(w_i | w_{i-1})). Everything is joins and
+    * aggregations — the "model" is two count tables that at 100 TB live
+    * partitioned by `w1` so the scoring join co-partitions with them; the
+    * vocab size joins in as a broadcast 1-row aggregate, never a driver
+    * action. Bigrams keep multiplicity (LM counts, unlike shingle SETS).
+    * Ordering is on the ROUNDED score so the top-k cutoff is deterministic
+    * across engines despite last-ulp summation-order drift in `avg`. */
+  def ngramLmScore(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    // Token array behind its own projection, explode_outer + null filter —
+    // same two pitfalls as `shingleRows` (no CSE inside lambdas; plain
+    // explode re-inlines the split below the projection via inferred
+    // filters).
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode_outer(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2"))))
+          .otherwise(array())).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bg.agg(countDistinct("w2").as("vsz"))
+    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c12") + lit(1.0)) / (col("c1") + col("vsz")))).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("lp"), 4).as("avg_logprob"))
+      .orderBy(col("avg_logprob").asc, col("doc_id").asc)
+      .limit(k)
+  }
 }

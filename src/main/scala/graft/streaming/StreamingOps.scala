@@ -308,6 +308,44 @@ object StreamingOps {
     } finally graft.core.TxTable.drop(root)
   }
 
+  /** Append-mode streaming PARQUET FILE SINK round-trip — the production
+    * stream→lake handoff (memory sinks demo; file sinks ship). Watermark-
+    * closed hourly windows are written exactly-once to a parquet directory
+    * with a streaming checkpoint, then read back as a batch source and
+    * re-aggregated per type (the downstream consumer stand-in). Two pieces
+    * make this the at-scale shape: the sink's `_spark_metadata` commit log
+    * means readers see only files of COMMITTED batches (a crashed batch's
+    * orphans are invisible), and the checkpoint makes re-runs incremental —
+    * a second invocation over the same input writes NO new files (spec-
+    * verified). Only closed windows are emitted in append mode, so the
+    * oracle applies the same `window end <= max ts - watermark` rule as
+    * st_closed_windows before the consumer aggregation. */
+  def streamedFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s14_sink").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = windowedTypeCounts(readEventsStream(spark, sfDir))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$root/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum("n").cast("long").as("n_events"),
+          sum("sum_value").cast("long").as("sum_value_micros"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.core.TxTable.drop(root)
+    }
+  }
+
   /** The reference's user-MERGE path (app.py:100-132) as a streaming
     * foreachBatch upsert: each micro-batch of (name, house) rows is MERGEd
     * into a graft.core.TxTable, last-writer-wins by name — the streaming

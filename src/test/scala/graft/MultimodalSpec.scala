@@ -118,6 +118,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaDecoders.decode(txt).toSeq == MediaDecoders.ByteStatsDecoder.decode(txt).get.toSeq)
   }
 
+  test("shard manifest: complete partition, contiguous id ranges, boundary rule") {
+    val target = 4096L
+    val m = graft.ops.MultimodalOps.shardManifest(spark, sf, target).collect()
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(m.map(_.getAs[Long]("n_items")).sum == total, "every item lands in a shard")
+    m.groupBy(_.getString(0)).foreach { case (fmt, shards) =>
+      val s = shards.sortBy(_.getAs[Long]("shard_id"))
+      // shard ids are dense from 0
+      assert(s.map(_.getAs[Long]("shard_id")).sameElements(s.indices.map(_.toLong)), fmt)
+      // id ranges are disjoint and ordered — a loader can range-scan each
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_id") < b.getAs[Long]("first_id"), fmt)
+        case _ =>
+      }
+      // greedy boundary rule: a new shard opens only once the running byte
+      // total has crossed the budget, so the cumulative bytes through
+      // shard k reach at least (k+1)*target for every non-final shard.
+      val cum = s.map(_.getAs[Long]("total_bytes")).scanLeft(0L)(_ + _).drop(1)
+      s.init.zip(cum.init).foreach { case (sh, c) =>
+        assert(c >= (sh.getAs[Long]("shard_id") + 1) * target,
+          s"$fmt shard ${sh.getAs[Long]("shard_id")} closed early at $c bytes")
+      }
+    }
+  }
+
   test("native RollingHash == HOF formulation == SQL-registered function") {
     val docs = graft.core.Tables.documents(spark, sf).filter(col("doc_id") < 30)
     GraftExtensions.register(spark)

@@ -116,4 +116,27 @@ class PropertySpec extends AnyFunSuite {
       assert(total == existing, s"keys=$keys")
     }
   }
+
+  test("shard packing conserves items and bytes for arbitrary budgets (randomized)") {
+    val m = graft.ops.MultimodalOps.mediaTable(spark, sf)
+      .select(col("meta.format").as("format"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    samples(Gen.chooseNum(256L, 65536L), 6).foreach { target =>
+      val shards = graft.ops.MultimodalOps.shardManifest(spark, sf, target).collect()
+      // conservation: every item and byte lands in exactly one shard,
+      // whatever the budget
+      val byFmt = shards.groupBy(_.getString(0))
+      assert(byFmt.keySet == m.keySet, s"target=$target")
+      byFmt.foreach { case (fmt, ss) =>
+        assert(ss.map(_.getAs[Long]("n_items")).sum == m(fmt)._1, s"$fmt@$target")
+        assert(ss.map(_.getAs[Long]("total_bytes")).sum == m(fmt)._2, s"$fmt@$target")
+        // budget law: every non-final shard closes only after crossing the
+        // target, so shard count is at most ceil(bytes/target) + 1 slack
+        assert(ss.length <= (m(fmt)._2 / target + 2).toInt, s"$fmt@$target")
+      }
+    }
+  }
 }

@@ -152,4 +152,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(prunedScan.selectedPartitions.totalNumberOfFiles <
       allScan.selectedPartitions.totalNumberOfFiles)
   }
+
+  test("incremental dedup probes prune the batch partition at the listing") {
+    val df = graft.ops.TextOps.incrementalDedup(spark, sf)
+    val idxScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("shingle_hashes_by_src")) => f
+    }
+    assert(idxScans.nonEmpty, "no scan over the source-partitioned index")
+    // every corpus-side probe excludes source=src3 in the partition filter,
+    // i.e. the filter reached the FILE LISTING, not a post-scan Filter node
+    val full = spark.read.parquet(graft.etl.Artifacts.path(sf, "shingle_hashes_by_src"))
+    val fullFiles = full.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head.selectedPartitions.totalNumberOfFiles
+    idxScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, s"unpruned index scan: $f")
+      assert(f.selectedPartitions.totalNumberOfFiles < fullFiles,
+        "batch partition directory was not pruned from the listing")
+    }
+  }
 }

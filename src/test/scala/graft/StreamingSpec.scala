@@ -190,4 +190,33 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(rows == Map("SEG_A" -> ((2L, 2000000L)), "SEG_B" -> ((1L, 2000000L))))
   }
+
+  test("parquet file sink: commit log present, re-run with same checkpoint adds no files") {
+    val root = Files.createTempDirectory("graft_sink_spec").toString
+    def listFiles() = {
+      val d = new java.io.File(s"$root/out")
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    def runOnce(): Unit = {
+      val q = StreamingOps.windowedTypeCounts(StreamingOps.readEventsStream(spark, sf))
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce()
+      // the sink's transaction log makes the directory exactly-once readable
+      assert(new java.io.File(s"$root/out/_spark_metadata").exists(),
+        "file sink wrote no _spark_metadata commit log")
+      val first = listFiles()
+      assert(first.nonEmpty)
+      val rows1 = spark.read.parquet(s"$root/out").count()
+      // re-run against the SAME checkpoint: input unchanged → no new batch,
+      // no new files, identical read-back (incremental restart semantics)
+      runOnce()
+      assert(listFiles() == first, "re-run duplicated sink output files")
+      assert(spark.read.parquet(s"$root/out").count() == rows1)
+    } finally graft.core.TxTable.drop(root)
+  }
 }
