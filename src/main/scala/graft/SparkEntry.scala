@@ -87,6 +87,7 @@ object SparkEntry {
     "fn_datetime_suite" -> ((s, d) => graft.ops.ScalarSuites.datetimeSuite(s, d)),
     "fn_array_suite" -> ((s, d) => graft.ops.ScalarSuites.arraySuite(s, d)),
     "fn_bitwise_suite" -> ((s, d) => graft.ops.ScalarSuites.bitwiseSuite(s, d)),
+    "fn_agg_suite" -> ((s, d) => graft.ops.ScalarSuites.aggSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "tx_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(s, d)),
+    "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
@@ -595,6 +597,18 @@ object SparkEntry {
         |       GROUP BY 1)
         |SELECT doc_id, n_bigrams, round(lp, 4) AS avg_logprob
         |FROM sc ORDER BY avg_logprob, doc_id LIMIT 20""".stripMargin,
+    // tx_zipf_fit: log-log least-squares over the rank/frequency curve —
+    // slope = regr_slope = cov/var, r2 = corr². The synthetic corpus is
+    // deliberately non-Zipfian (slope ~ -0.2) — the health check firing.
+    "tx_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tk FROM documents),
+        |tf AS (SELECT tk, count(*) AS c FROM tok WHERE tk <> '' GROUP BY 1),
+        |rk AS (SELECT tk, c, row_number() OVER (ORDER BY c DESC, tk) AS r FROM tf),
+        |pts AS (SELECT ln(r * 1.0) AS x, ln(c * 1.0) AS y FROM rk)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(regr_slope(y, x), 4) AS zipf_slope,
+        |  round(regr_r2(y, x), 4) AS r2
+        |FROM pts""".stripMargin,
     "tx_sample_hash" ->
       """SELECT doc_id,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
@@ -1298,6 +1312,17 @@ object SparkEntry {
         |  CAST(bit_count(c_custkey) AS BIGINT) AS popcount,
         |  c_custkey & 31 AS bucket32
         |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    // fn_agg_suite: conditional/boolean/exact-median/distinct aggregates —
+    // all partial-combinable hash aggs except median (exact percentile;
+    // the rq19 sketch is the 100 TB twin).
+    "fn_agg_suite" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  round(median(l_quantity), 2) AS med_qty,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

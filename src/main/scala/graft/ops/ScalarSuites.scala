@@ -85,6 +85,23 @@ object ScalarSuites {
         size(expr("filter(ns, x -> x like '%0')")).cast("long").as("n_ending_0"))
       .orderBy("house")
 
+  /** Aggregate-function sweep per return flag: conditional counting
+    * (`count_if`), boolean reduction (`bool_and`/`bool_or` — Cypher's
+    * all()/any() predicates as aggregates), exact `median`, and distinct
+    * counting. All are single-pass hash aggregates with partial (map-side)
+    * combine except median, which Spark evaluates as an exact percentile —
+    * the one to swap for a KLL sketch at 100 TB (rq19 is that twin). */
+  def aggSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_bulk"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        round(median(col("l_quantity")), 2).as("med_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("l_returnflag")
+
   /** Bitwise-function sweep over customer keys: and/or/xor, shifts,
     * popcount, and the mask/bucket idioms they serve (hash partitioning,
     * bloom-filter bit math, flag words — all bit ops at heart). Every

