@@ -167,6 +167,7 @@ object SparkEntry {
     "st_click_attrib" -> ((s, d) => StreamingOps.streamedClickAttribution(s, d)),
     "st_segment_counts" -> ((s, d) => StreamingOps.streamedSegmentCounts(s, d)),
     "st_closed_windows" -> ((s, d) => StreamingOps.streamedClosedWindows(s, d)),
+    "st_incremental_dedup" -> ((s, d) => StreamingOps.streamedIncrementalDedup(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
@@ -695,23 +696,11 @@ object SparkEntry {
     // dd_incremental: batch-vs-corpus asymmetric near-dup — each src3 doc's
     // best Jaccard >= 0.8 match among NON-src3 docs (the engine probes the
     // source-partitioned index; the oracle recomputes from scratch).
-    "dd_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks),
-        |ex AS (SELECT doc_id, source, unnest(shingles) AS s, len(shingles) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS common,
-        |         any_value(a.n) AS na, any_value(b.n) AS nb
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = 'src3' AND b.source <> 'src3'
-        |  GROUP BY 1, 2),
-        |j AS (SELECT doc_id, dup_of, round(common * 1.0 / (na + nb - common), 4) AS jaccard
-        |      FROM pairs WHERE round(common * 1.0 / (na + nb - common), 4) >= 0.8),
-        |r AS (SELECT doc_id, dup_of, jaccard,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rn FROM j)
-        |SELECT doc_id, dup_of, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dd_incremental" -> incrementalDedupSql,
+    // st_incremental_dedup: the SAME probe executed per micro-batch inside
+    // foreachBatch (continuous-ingest dedup) — one AvailableNow batch here,
+    // so the emitted matches equal the batch op's, which is the oracle.
+    "st_incremental_dedup" -> incrementalDedupSql,
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
     // dd_semantic_cluster: recursive min-label propagation over the
@@ -1463,6 +1452,27 @@ object SparkEntry {
     * exact inverted-index dedup and the MinHash+LSH path (whose band
     * recall at J ≥ 0.85 is 1 - (1-0.85²)^8 ≈ 0.9999 and, with fixed
     * deterministic hashes, exact on this corpus — verified at sf0.01). */
+  /** Batch-vs-corpus asymmetric near-dup oracle: each src3 doc's best
+    * Jaccard >= 0.8 match among non-src3 docs — shared by the batch probe
+    * (dd_incremental) and its streaming foreachBatch twin. */
+  private val incrementalDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles FROM toks),
+      |ex AS (SELECT doc_id, source, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS common,
+      |         any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.source = 'src3' AND b.source <> 'src3'
+      |  GROUP BY 1, 2),
+      |j AS (SELECT doc_id, dup_of, round(common * 1.0 / (na + nb - common), 4) AS jaccard
+      |      FROM pairs WHERE round(common * 1.0 / (na + nb - common), 4) >= 0.8),
+      |r AS (SELECT doc_id, dup_of, jaccard,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, dup_of) AS rn FROM j)
+      |SELECT doc_id, dup_of, jaccard FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private def ngramJaccardSql(threshold: Double): String =
     s"""WITH $ngramPairStatsCtes
        |SELECT src_id, dst_id,

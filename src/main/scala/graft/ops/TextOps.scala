@@ -668,13 +668,22 @@ object TextOps {
     * best existing match (highest Jaccard, ties to the smallest doc_id). */
   def incrementalDedup(spark: SparkSession, sfDir: String,
                        batchSource: String = "src3",
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8): DataFrame =
+    incrementalDedupOf(spark, sfDir,
+      Tables.documents(spark, sfDir).filter(col("source") === batchSource),
+      batchSource, threshold)
+
+  /** The probe over an arbitrary batch relation of (doc_id, text) rows —
+    * the form the STREAMING ingest path calls per micro-batch
+    * (`StreamingOps.streamedIncrementalDedup`): the arriving batch is
+    * whatever the stream delivered, not a slice of the documents table. */
+  private[graft] def incrementalDedupOf(spark: SparkSession, sfDir: String,
+                                        batchDocs: DataFrame, batchSource: String,
+                                        threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val idx = shingleHashesBySource(spark, sfDir)
     val corpus = idx.filter(col("source") =!= batchSource) // partition-pruned
-    val batch = shingleHashRowsOf(
-      Tables.documents(spark, sfDir)
-        .filter(col("source") === batchSource).select("doc_id", "text"))
+    val batch = shingleHashRowsOf(batchDocs.select("doc_id", "text"))
     val hot = corpus.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("hs")
     val corpusPruned = corpus.join(broadcast(hot), Seq("hs"), "left_anti")

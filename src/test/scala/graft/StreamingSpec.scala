@@ -191,6 +191,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("SEG_A" -> ((2L, 2000000L)), "SEG_B" -> ((1L, 2000000L))))
   }
 
+  test("streamed incremental dedup emits exactly the batch probe's matches") {
+    def tuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed = tuples(StreamingOps.streamedIncrementalDedup(spark, sf).collect())
+    val batch = tuples(graft.ops.TextOps.incrementalDedup(spark, sf).collect())
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("parquet file sink: commit log present, re-run with same checkpoint adds no files") {
     val root = Files.createTempDirectory("graft_sink_spec").toString
     def listFiles() = {
