@@ -328,7 +328,6 @@ object StreamingOps {
     * `write.mode("append")` with the same layout. */
   def streamedIncrementalDedup(spark: SparkSession, sfDir: String,
                                batchSource: String = "src3"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
       .filter(col("source") === batchSource)
