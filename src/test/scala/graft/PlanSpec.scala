@@ -89,6 +89,31 @@ class PlanSpec extends AnyFunSuite {
       s"text ops fell out of codegen:\n$p")
   }
 
+  test("rq32 sweep-line: the only single-partition window runs over per-day rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.ops.RelOps.maxConcurrency(spark, sf)
+    // sparkPlan, not executedPlan: AQE's adaptive wrapper hides children
+    // from collect(), and window partitioning is decided before AQE anyway
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // exactly ONE unpartitioned window — the carry scan over the tiny
+    // one-row-per-day table; every other window is partitioned (parallel)
+    assert(unpartitioned.length == 1,
+      s"expected exactly one day-level carry window, got ${unpartitioned.length}")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the within-day running total must be a partitioned window")
+  }
+
+  test("mm_shard_pack packs with a per-format partitioned window only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.ops.MultimodalOps.shardManifest(spark, sf)
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "shard packing must never run a global (single-partition) window")
+  }
+
   test("s1 scan reads only the projected columns (pruned ReadSchema)") {
     // The person card drops the nid column: c_custkey must be pruned out
     // of the parquet ReadSchema even though Graph.nodes selects it.
