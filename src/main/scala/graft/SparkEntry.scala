@@ -168,6 +168,7 @@ object SparkEntry {
     "st_segment_counts" -> ((s, d) => StreamingOps.streamedSegmentCounts(s, d)),
     "st_closed_windows" -> ((s, d) => StreamingOps.streamedClosedWindows(s, d)),
     "st_incremental_dedup" -> ((s, d) => StreamingOps.streamedIncrementalDedup(s, d)),
+    "st_user_stats_tws" -> ((s, d) => StreamingOps.streamedUserStatsTws(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
@@ -1127,6 +1128,13 @@ object SparkEntry {
     // AvailableNow batch ⇒ the emitted per-user summary equals the batch
     // aggregation, which is the oracle.
     "st_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
+        |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
+        |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st_user_stats_tws: identical semantics on the transformWithState API
+    // (RocksDB state store, named ValueState, timer-based TTL) — same oracle.
+    "st_user_stats_tws" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
         |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s

@@ -130,6 +130,84 @@ object StreamingOps {
       .toDF("user_id", "n_events", "first_s", "last_s")
   }
 
+  /** `userStats` on the MODERN arbitrary-state API — Spark 4's
+    * `transformWithState` (the successor to flatMapGroupsWithState):
+    * explicit named state handles (`ValueState`) on the RocksDB state
+    * store, first-class timers instead of a single per-key timeout slot,
+    * and per-state TTL configs. Semantics are kept IDENTICAL to
+    * `userStats` — fold (n, first, last) per user, re-arm an event-time
+    * eviction timer at last-seen + TTL, clear state on expiry — so the two
+    * APIs are directly comparable (spec asserts row parity) and the
+    * migration path is demonstrated. The RocksDB provider is what makes
+    * this the 100 TB shape: state spills off-heap and snapshots
+    * incrementally instead of living in executor heap. */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      // TTL here rides on the event-time TIMER below (TTLConfig TTLs are
+      // processing-time only — wall-clock, wrong for replay determinism).
+      state = getHandle.getValueState[(Long, Long, Long)]("stats",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val (n0, f0, l0) =
+        if (state.exists()) state.get() else (0L, Long.MaxValue, Long.MinValue)
+      var n = n0; var first = f0; var last = l0
+      rows.foreach { case (_, t) =>
+        val s = t.getTime / 1000 // floor-seconds, = CAST(ts AS LONG)
+        n += 1
+        if (s < first) first = s
+        if (s > last) last = s
+      }
+      state.update((n, first, last))
+      // One live eviction timer per key: replace, then re-arm at last-seen
+      // event time + TTL (clamped above the watermark, as timers must be).
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(last * 1000, tv.getCurrentWatermarkInMs() + 1) + UserStatsTtlMs)
+      Iterator((uid, n, first, last))
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      state.clear() // idle past TTL: evict; summaries already emitted
+      Iterator.empty
+    }
+  }
+
+  /** The transformWithState pipeline over a watermarked event stream. */
+  def userStatsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "first_s", "last_s")
+  }
+
+  /** Driver entry: userStatsTws on the RocksDB state store (required by
+    * transformWithState), provider restored afterwards so the sibling
+    * streaming entries keep their default HDFS-backed store. */
+  def streamedUserStatsTws(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(spark,
+        userStatsTws(readEventsStream(spark, sfDir).filter(col("user_id") < 50)),
+        "append")
+        .orderBy("user_id")
+        .localCheckpoint()
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** Stream-stream interval join — the attribution shape: each purchase
     * joined to the same user's clicks in the 10 minutes before it. Both
     * sides carry watermarks and the join condition is time-bounded in both

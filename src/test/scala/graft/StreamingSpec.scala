@@ -191,6 +191,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("SEG_A" -> ((2L, 2000000L)), "SEG_B" -> ((1L, 2000000L))))
   }
 
+  test("transformWithState user stats == flatMapGroupsWithState user stats (API parity)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val tws = rows(StreamingOps.streamedUserStatsTws(spark, sf))
+    val fmg = rows(StreamingOps.streamedUserStats(spark, sf))
+    assert(tws.nonEmpty && tws == fmg)
+  }
+
   test("streamed incremental dedup emits exactly the batch probe's matches") {
     def tuples(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
