@@ -98,6 +98,7 @@ object SparkEntry {
     "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "tx_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(s, d)),
+    "tx_chunk" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     // spec-verified, the certificate makes the probe driver-checkable.
     "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopKChecked(s, d)),
     "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopKChecked(s, d)),
+    "sim_ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopKChecked(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
     "sim_quantize_int8" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
@@ -151,6 +153,7 @@ object SparkEntry {
     "rq30_heavy_hitters" -> ((s, d) => RelOps.heavyHitters(s, d)),
     "rq31_window_dist" -> ((s, d) => RelOps.windowDistributions(s, d)),
     "rq32_concurrency" -> ((s, d) => RelOps.maxConcurrency(s, d)),
+    "rq33_decay" -> ((s, d) => RelOps.halfLifeDecay(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -599,6 +602,20 @@ object SparkEntry {
         |       GROUP BY 1)
         |SELECT doc_id, n_bigrams, round(lp, 4) AS avg_logprob
         |FROM sc ORDER BY avg_logprob, doc_id LIMIT 20""".stripMargin,
+    // tx_chunk: sliding 50-token windows at stride 40 — same
+    // generate_series start positions, list_slice == Spark slice, md5 of
+    // the space-rejoined chunk text hashed on both engines.
+    "tx_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE doc_id < 500),
+        |st AS (
+        |  SELECT doc_id, t, n, unnest(generate_series(0, greatest(n - 1, 0), 40)) AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
+        |  CAST(least(s + 50, n) - s AS BIGINT) AS n_toks,
+        |  md5(array_to_string(list_slice(t, s + 1, least(s + 50, n)), ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     // tx_zipf_fit: log-log least-squares over the rank/frequency curve —
     // slope = regr_slope = cov/var, r2 = corr². The synthetic corpus is
     // deliberately non-Zipfian (slope ~ -0.2) — the health check firing.
@@ -779,6 +796,14 @@ object SparkEntry {
          |FROM ne, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ann_ivf_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine,
+         |  true AS recall_ge_floor
+         |FROM ne, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_ann_pq_topk" ->
       s"""WITH $embCte
          |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
          |SELECT vec_id, label,
@@ -1260,6 +1285,16 @@ object SparkEntry {
         |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
         |       CAST(max(run) AS BIGINT) AS peak_concurrency
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq33_decay: half-life-decayed engagement — integer-exponent
+    // pow(0.5, d) is exact, per-term micro-unit BIGINT fixing makes the
+    // sum order-independent; epoch(ts) == Spark cast(ts as double).
+    "rq33_decay" ->
+      """WITH mx AS (SELECT max(ts) AS tmax FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CAST(round(value * pow(0.5, floor((epoch(tmax) - epoch(ts)) / 86400.0)) * 1e6) AS BIGINT)) AS BIGINT) AS decayed_micro,
+        |  count(*) AS n_events
+        |FROM events, mx WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fn_string_suite" ->
       """SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
         |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,

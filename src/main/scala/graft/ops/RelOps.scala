@@ -670,4 +670,33 @@ object RelOps {
         col("peak_concurrency"))
       .orderBy("day")
   }
+
+  /** Half-life-decayed engagement score per user — the recency-weighted
+    * feature every ranking/curation pipeline derives from an event log:
+    * each event's value weighted by 0.5^⌊age_days⌋ against the corpus max
+    * timestamp. The weight's exponent is an INTEGER day count, so
+    * pow(0.5, d) is exact in binary and the per-event term is one
+    * deterministic IEEE multiply — engine-identical with DuckDB. Terms are
+    * then fixed to micro-unit BIGINTs BEFORE the sum, making the aggregate
+    * order-independent (summing raw doubles would drift in the last ulp
+    * with partial-aggregation order — the money-sum rule applied to a
+    * derived feature). Plan shape: one global max (partial-agged, 1 row,
+    * broadcast back), one scan, one hash aggregation on user_id with
+    * map-side partial sums — two scans total, no join shuffle, unchanged
+    * at 100 TB. Timestamps enter as `cast(ts as double)` = fractional
+    * epoch seconds, bit-identical to the oracle's epoch(). */
+  def halfLifeDecay(spark: SparkSession, sfDir: String, maxUser: Long = 100L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val mx = ev.agg(max("ts").as("tmax"))
+    ev.filter(col("user_id") < maxUser)
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        round(col("value") *
+          pow(lit(0.5),
+            floor((col("tmax").cast("double") - col("ts").cast("double")) / 86400.0)) *
+          lit(1e6)).cast("long").as("term"))
+      .groupBy("user_id")
+      .agg(sum("term").as("decayed_micro"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
 }

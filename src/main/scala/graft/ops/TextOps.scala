@@ -770,4 +770,35 @@ object TextOps {
       .orderBy(col("avg_logprob").asc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Sliding-window document chunking — the context-window prep pass of an
+    * LLM training/RAG pipeline: each document split into `window`-token
+    * chunks advancing by `stride` tokens (window − stride tokens of
+    * overlap), emitted as (doc_id, chunk_idx, n_toks, md5-of-chunk). The
+    * whole pass is narrow — split + sequence + explode + slice, all
+    * codegen'd native expressions inside one whole-stage-codegen span, NO
+    * shuffle until the presentation-only orderBy — so at 100 TB it scales
+    * with input partitions, shuffle-free. Chunk start positions come from
+    * `sequence(0, n-1, stride)` (identical to the oracle's
+    * generate_series), so the final short tail chunk is kept, and an empty
+    * doc still yields one empty chunk on both engines. */
+  def chunkDocuments(spark: SparkSession, sfDir: String, window: Int = 50,
+                     stride: Int = 40, maxId: Long = 500L): DataFrame = {
+    // Token array behind its own projection (same CSE pitfall as
+    // shingleRows: lambda-free projection first, explode above it).
+    val toks = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxId)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+    toks
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / stride).cast("int").as("chunk_idx"),
+        (least(col("s") + window, col("n")) - col("s")).cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("s") + 1,
+            least(col("s") + window, col("n")) - col("s")))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

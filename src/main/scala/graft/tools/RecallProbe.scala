@@ -28,8 +28,9 @@ object RecallProbe {
         }
       val lsh = recallsOf(SimilarityOps.annTopK)
       val ivf = recallsOf(SimilarityOps.ivfTopK)
+      val pq = recallsOf(SimilarityOps.pqTopK)
       def fmt(rs: Seq[Double]) = f"min=${rs.min}%.2f mean=${rs.sum / rs.size}%.2f"
-      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)}  (q=${queryIds.mkString(",")})")
+      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)} pq ${fmt(pq)}  (q=${queryIds.mkString(",")})")
     }
     spark.stop()
   }

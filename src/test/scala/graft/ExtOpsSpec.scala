@@ -180,6 +180,69 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= SimilarityOps.RecallFloor, s"IVF recall@10 = $recall")
   }
 
+  test("ANN PQ top-k: exact cosines, subset of full ranking, recall >= 0.9") {
+    val pq = SimilarityOps.pqTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val full = SimilarityOps.cosineTopK(spark, sf, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    pq.foreach { case (id, c) =>
+      assert(full.contains(id) && math.abs(full(id) - c) < 1e-9, s"vec $id")
+    }
+    // 1024-deep ADC shortlist (tools.RecallProbe: min/mean 1.00 over 5
+    // query points × 3 sfs; 64-deep measured down to 0.5 — this assert
+    // pins the PqRecallFloor contract).
+    val top10 = SimilarityOps.cosineTopK(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = top10.count(pq.contains).toDouble / top10.size
+    assert(recall >= SimilarityOps.PqRecallFloor, s"PQ recall@10 = $recall")
+  }
+
+  test("PQ codes: 8 codes per vector, every code within [0, PqK)") {
+    val (cb, codes) = SimilarityOps.pqIndex(spark, sf)
+    assert(cb.count() == SimilarityOps.PqM.toLong * SimilarityOps.PqK)
+    val bad = codes.filter(size(col("codes")) =!= SimilarityOps.PqM ||
+      exists(col("codes"), c => c < 0 || c >= SimilarityOps.PqK)).count()
+    assert(bad == 0)
+    assert(codes.count() == graft.core.Tables.embeddings(spark, sf).count())
+  }
+
+  test("chunking: strided windows tile each doc, tail kept, md5 matches reference") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 30).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.chunkDocuments(spark, sf, maxId = 30).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    texts.foreach { case (id, text) =>
+      val t = text.split(" ", -1)
+      val starts = 0 to math.max(t.length - 1, 0) by 40
+      val chunks = got(id).sortBy(_.getAs[Int]("chunk_idx"))
+      assert(chunks.length == starts.length, s"doc $id chunk count")
+      chunks.zip(starts).foreach { case (r, s) =>
+        val sliceTxt = t.slice(s, math.min(s + 50, t.length)).mkString(" ")
+        assert(r.getAs[Long]("n_toks") == math.min(s + 50, t.length) - s)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(sliceTxt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getAs[String]("chunk_md5") == md5, s"doc $id start $s")
+      }
+    }
+  }
+
+  test("half-life decay matches a plain Scala reference per user") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val tmax = ev.agg(max(col("ts").cast("double"))).collect()(0).getDouble(0)
+    val raw = ev.filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts").cast("double"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val ref = raw.groupBy(_._1).map { case (u, rows) =>
+      u -> (rows.map { case (_, s, v) =>
+        math.round(v * math.pow(0.5, math.floor((tmax - s) / 86400.0)) * 1e6)
+      }.sum, rows.length.toLong)
+    }
+    val got = RelOps.halfLifeDecay(spark, sf, maxUser = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == ref)
+  }
+
   test("native dot expression is bit-equal to the HOF formulation") {
     // Same fold order (index-sequential, acc from 0.0) ⇒ exact equality,
     // not tolerance: any codegen deviation (reordering, fma contraction)
