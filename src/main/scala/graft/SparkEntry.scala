@@ -124,6 +124,7 @@ object SparkEntry {
     "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopKChecked(s, d)),
     "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopKChecked(s, d)),
     "sim_ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopKChecked(s, d)),
+    "sim_ann_ivfpq_topk" -> ((s, d) => SimilarityOps.ivfPqTopKChecked(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
     "sim_quantize_int8" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
@@ -796,6 +797,14 @@ object SparkEntry {
          |FROM ne, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ann_ivf_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine,
+         |  true AS recall_ge_floor
+         |FROM ne, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_ann_ivfpq_topk" ->
       s"""WITH $embCte
          |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
          |SELECT vec_id, label,

@@ -390,23 +390,10 @@ object SimilarityOps {
     (spark.read.parquet(cbPath), spark.read.parquet(cdPath))
   }
 
-  /** ANN top-k via PQ + ADC (asymmetric distance computation): the query
-    * stays un-quantized; each subspace's 16 centroid dot-products are
-    * computed DRIVER-SIDE (128 eight-dim dots — constant work) and become
-    * literal lookup tables, so the corpus-side score is 8 array lookups +
-    * 7 adds per row inside codegen, over the 16×-compressed codes table.
-    * The ADC shortlist (64 ids) then re-ranks EXACTLY: the collected ids
-    * push into the base-table scan as an `isin` literal (measured pattern
-    * in this repo: literal pushdown beats a broadcast-join restriction —
-    * Catalyst infers no scan filter from a join side). Recall is
-    * spec-verified; the driver entry wraps the recall certificate. */
-  def pqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val (cb, codes) = pqIndex(spark, sfDir)
-    val Array(qRow) = normed(spark, sfDir).filter(col("vec_id") === queryId)
-      .select(col("v"), col("nrm")).collect()
-    val qv = qRow.getSeq[Double](0).toArray
-    val qn = qRow.getDouble(1)
-    val qu = qv.map(_ / qn)
+  /** Driver-side ADC lookup tables for a unit query vector: adc(m)(c) =
+    * dot(q_m, centroid_mc) — PqM × PqK eight-dim dots, constant work at
+    * any corpus size. */
+  private def adcTables(cb: DataFrame, qu: Array[Double]): Array[Array[Double]] = {
     val adc = Array.ofDim[Double](PqM, PqK)
     cb.collect().foreach { r =>
       val m = r.getInt(0); val c = r.getInt(1)
@@ -416,9 +403,29 @@ object SimilarityOps {
       while (i < PqSubDim) { d += qu(m * PqSubDim + i) * cent(i); i += 1 }
       adc(m)(c) = d
     }
-    val approx = (0 until PqM).map { m =>
+    adc
+  }
+
+  /** Corpus-side approximate score over a `codes` column: 8 literal-array
+    * lookups + 7 adds per row, entirely inside whole-stage codegen. */
+  private def adcScore(adc: Array[Array[Double]]): Column =
+    (0 until PqM).map { m =>
       element_at(typedlit(adc(m).toSeq), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
+
+  /** ANN top-k via PQ + ADC (asymmetric distance computation): the query
+    * stays un-quantized; each subspace's 16 centroid dot-products become
+    * driver-side literal lookup tables (`adcTables`), so the corpus-side
+    * score is pure codegen arithmetic over the 16×-compressed codes table.
+    * The ADC shortlist then re-ranks EXACTLY against the base vectors.
+    * Recall is spec-verified; the driver entry wraps the certificate. */
+  def pqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val (cb, codes) = pqIndex(spark, sfDir)
+    val Array(qRow) = normed(spark, sfDir).filter(col("vec_id") === queryId)
+      .select(col("v"), col("nrm")).collect()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qn = qRow.getDouble(1)
+    val approx = adcScore(adcTables(cb, qv.map(_ / qn)))
     // Shortlist stays distributed: TakeOrderedAndProject over the ADC
     // scores, then a BROADCAST semi-join onto the base table for the exact
     // re-rank — no driver round-trip, and unlike the selective-expansion
@@ -428,9 +435,16 @@ object SimilarityOps {
       .select(col("vec_id"), approx.as("approx"))
       .orderBy(desc("approx"), asc("vec_id")).limit(PqCandidates)
       .select("vec_id")
+    rerankExact(spark, sfDir, short, qv, qn, k)
+  }
+
+  /** Exact cosine re-rank of a distributed shortlist (≤ PqCandidates ids):
+    * broadcast semi-join onto the base vectors, exact dot, top-k. */
+  private def rerankExact(spark: SparkSession, sfDir: String, shortlist: DataFrame,
+                          qv: Array[Double], qn: Double, k: Int): DataFrame = {
     val q = spark.range(1)
       .select(typedlit(qv.toSeq).as("qv"), lit(qn).as("qn"))
-    normed(spark, sfDir).join(broadcast(short), "vec_id")
+    normed(spark, sfDir).join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
@@ -449,4 +463,57 @@ object SimilarityOps {
                     k: Int = 10, floor: Double = PqRecallFloor): DataFrame =
     withRecallCertificate(
       cosineTopK(spark, sfDir, queryId, k), pqTopK(spark, sfDir, queryId, k), k, floor)
+
+  // —— IVF-PQ — the composed 100 TB ANN layout ——
+
+  /** ETL: PQ codes carrying their IVF cell, physically partitioned by
+    * cell — one join of the two existing artifacts at build time. This is
+    * the layout every billion-vector deployment converges on: the coarse
+    * quantizer prunes the LISTING (only probed cell directories are even
+    * enumerated), and within a cell the scan reads 16×-compressed codes,
+    * so a probe touches probes/cells of the corpus × 1/16 of the bytes. */
+  def ivfPqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "ann_ivfpq_codes", Seq("cell")) {
+      val (_, codes) = pqIndex(spark, sfDir)
+      val (_, assigned) = ivfIndex(spark, sfDir)
+      codes.join(assigned.select("vec_id", "cell"), "vec_id")
+    }
+
+  /** ANN top-k via IVF-PQ: probe-cell selection is driver-side centroid
+    * arithmetic (as `ivfTopK`), the ADC sweep runs only over the probed
+    * cells' partition directories, and the shortlist re-ranks exactly.
+    * Recall is capped by the IVF stage (the true neighbor must live in a
+    * probed cell) — the PQ stage at 1024-deep adds no further loss
+    * (measured: ivfpq tracks ivf to within one hit). */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val (centroids, assigned) = ivfIndex(spark, sfDir)
+    val (cb, _) = pqIndex(spark, sfDir)
+    val Array(qRow) = assigned.filter(col("vec_id") === queryId)
+      .select(col("v"), col("nrm")).collect()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qn = qRow.getDouble(1)
+    val probes = centroids.select(col("cell"), col("center")).collect()
+      .map { r =>
+        val ca = r.getSeq[Double](1).toArray
+        var d = 0.0; var nc = 0.0
+        var j = 0
+        while (j < ca.length) { d += ca(j) * qv(j); nc += ca(j) * ca(j); j += 1 }
+        (r.getInt(0), d / (math.sqrt(nc) * qn))
+      }
+      .sortBy(-_._2).take(IvfProbes).map(_._1)
+    val approx = adcScore(adcTables(cb, qv.map(_ / qn)))
+    val short = ivfPqIndex(spark, sfDir)
+      .filter(col("cell").isin(probes.map(Int.box): _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), approx.as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(PqCandidates)
+      .select("vec_id")
+    rerankExact(spark, sfDir, short, qv, qn, k)
+  }
+
+  /** Driver-checkable IVF-PQ ANN: exact top-k + recall certificate at the
+    * IVF floor (the coarse stage is the binding recall constraint). */
+  def ivfPqTopKChecked(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                       k: Int = 10, floor: Double = RecallFloor): DataFrame =
+    withRecallCertificate(
+      cosineTopK(spark, sfDir, queryId, k), ivfPqTopK(spark, sfDir, queryId, k), k, floor)
 }

@@ -29,8 +29,9 @@ object RecallProbe {
       val lsh = recallsOf(SimilarityOps.annTopK)
       val ivf = recallsOf(SimilarityOps.ivfTopK)
       val pq = recallsOf(SimilarityOps.pqTopK)
+      val ivfpq = recallsOf(SimilarityOps.ivfPqTopK)
       def fmt(rs: Seq[Double]) = f"min=${rs.min}%.2f mean=${rs.sum / rs.size}%.2f"
-      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)} pq ${fmt(pq)}  (q=${queryIds.mkString(",")})")
+      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)} pq ${fmt(pq)} ivfpq ${fmt(ivfpq)}  (q=${queryIds.mkString(",")})")
     }
     spark.stop()
   }

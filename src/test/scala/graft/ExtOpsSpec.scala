@@ -197,6 +197,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= SimilarityOps.PqRecallFloor, s"PQ recall@10 = $recall")
   }
 
+  test("ANN IVF-PQ top-k: exact cosines, within the probed cells' PQ shortlist recall") {
+    val got = SimilarityOps.ivfPqTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val full = SimilarityOps.cosineTopK(spark, sf, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    got.foreach { case (id, c) =>
+      assert(full.contains(id) && math.abs(full(id) - c) < 1e-9, s"vec $id")
+    }
+    val top10 = SimilarityOps.cosineTopK(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = top10.count(got.contains).toDouble / top10.size
+    assert(recall >= SimilarityOps.RecallFloor, s"IVF-PQ recall@10 = $recall")
+    // The composed index cannot beat its coarse stage: every returned id
+    // must live in a probed cell, i.e. be reachable by plain IVF (k set
+    // past the spec corpus size so the reachable set is the full probed
+    // population, not a rank cutoff).
+    val ivfReach = SimilarityOps.ivfTopK(spark, sf, k = 1000000)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.keySet.subsetOf(ivfReach))
+  }
+
   test("PQ codes: 8 codes per vector, every code within [0, PqK)") {
     val (cb, codes) = SimilarityOps.pqIndex(spark, sf)
     assert(cb.count() == SimilarityOps.PqM.toLong * SimilarityOps.PqK)
