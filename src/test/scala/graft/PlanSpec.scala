@@ -114,6 +114,25 @@ class PlanSpec extends AnyFunSuite {
       "shard packing must never run a global (single-partition) window")
   }
 
+  test("tx_chunk is shuffle-free up to the presentation sort") {
+    val p = plan(graft.ops.TextOps.chunkDocuments(spark, sf))
+    // Chunking itself is narrow (split/sequence/explode/slice in one
+    // codegen span); the only exchange allowed is the final orderBy's
+    // range partitioning — a hash exchange would mean a grouping crept in.
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    // the whole scan→split→explode→slice→md5 pipeline is ONE codegen span
+    assert(p.contains("*(1) Project") && p.contains("*(1) Generate"),
+      s"chunk pipeline not codegen'd:\n$p")
+  }
+
+  test("rq33 decay aggregates with map-side partial sums and a broadcast max") {
+    val p = plan(graft.ops.RelOps.halfLifeDecay(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global max not broadcast:\n$p")
+  }
+
   test("s1 scan reads only the projected columns (pruned ReadSchema)") {
     // The person card drops the nid column: c_custkey must be pruned out
     // of the parquet ReadSchema even though Graph.nodes selects it.

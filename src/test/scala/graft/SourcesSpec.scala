@@ -172,4 +172,22 @@ class SourcesSpec extends AnyFunSuite {
         "batch partition directory was not pruned from the listing")
     }
   }
+
+  test("IVF-PQ probe prunes the codes listing to the probed cell directories") {
+    val df = graft.ops.SimilarityOps.ivfPqTopK(spark, sf)
+    val codeScans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("ann_ivfpq_codes")) => f
+    }
+    assert(codeScans.nonEmpty, "no scan over the cell-partitioned codes")
+    val full = spark.read.parquet(graft.etl.Artifacts.path(sf, "ann_ivfpq_codes"))
+    val fullFiles = full.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head.selectedPartitions.totalNumberOfFiles
+    codeScans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, s"unpruned codes scan: $f")
+      assert(f.selectedPartitions.totalNumberOfFiles < fullFiles,
+        "unprobed cell directories were not pruned from the listing")
+    }
+  }
 }
