@@ -87,6 +87,7 @@ object SparkEntry {
     "fn_datetime_suite" -> ((s, d) => graft.ops.ScalarSuites.datetimeSuite(s, d)),
     "fn_array_suite" -> ((s, d) => graft.ops.ScalarSuites.arraySuite(s, d)),
     "fn_bitwise_suite" -> ((s, d) => graft.ops.ScalarSuites.bitwiseSuite(s, d)),
+    "fn_map_suite" -> ((s, d) => graft.ops.ScalarSuites.mapSuite(s, d)),
     "fn_agg_suite" -> ((s, d) => graft.ops.ScalarSuites.aggSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -1353,6 +1354,25 @@ object SparkEntry {
         |  CAST(bit_count(c_custkey) AS BIGINT) AS popcount,
         |  c_custkey & 31 AS bucket32
         |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+    // fn_map_suite: map construction/extraction/lookup/membership/entries —
+    // map-typed columns never reach the output (no canonical cross-engine
+    // map rendering); everything flattens to sorted strings or scalars.
+    "fn_map_suite" ->
+      """WITH m AS (
+        |  SELECT c_custkey,
+        |    map(['seg', 'nat', 'name'],
+        |        [c_mktsegment, CAST(c_nationkey AS VARCHAR), c_name]) AS mp
+        |  FROM customer WHERE c_custkey < 40)
+        |SELECT c_custkey,
+        |  CAST(cardinality(mp) AS INT) AS n_keys,
+        |  array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+        |  array_to_string(list_sort(map_values(mp)), ',') AS vals_sorted,
+        |  mp['seg'][1] AS seg,
+        |  coalesce(mp['missing'][1], 'none') AS missing_dflt,
+        |  list_contains(map_keys(mp), 'nat') AS has_nat,
+        |  array_to_string(list_sort(list_transform(map_entries(mp),
+        |    e -> e.key || '=' || e.value)), ';') AS entries_sorted
+        |FROM m ORDER BY c_custkey""".stripMargin,
     // fn_agg_suite: conditional/boolean/exact-median/distinct aggregates —
     // all partial-combinable hash aggs except median (exact percentile;
     // the rq19 sketch is the 100 TB twin).

@@ -120,4 +120,33 @@ object ScalarSuites {
         bit_count(col("c_custkey")).cast("long").as("popcount"),
         (col("c_custkey").bitwiseAND(lit(31L))).as("bucket32"))
       .orderBy("c_custkey")
+
+  /** Map-function sweep — the last §2.7 family (string/datetime/array/
+    * bitwise/agg covered by the sibling suites): construction, key/value
+    * extraction, lookup with and without a default, membership, and an
+    * entries→string flattening via a higher-order lambda. Map-typed
+    * columns never reach the output (the oracle channel has no canonical
+    * map rendering — key order is engine-dependent); every projection
+    * flattens to sorted strings or scalars first. `try_element_at` for
+    * lookups: ANSI-mode `element_at` hard-errors on an absent key, the
+    * map twin of the try_cast rule in `mixCorpus`. */
+  def mapSuite(spark: SparkSession, sfDir: String, maxKey: Long = 40): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") < maxKey)
+      .withColumn("mp", map(
+        lit("seg"), col("c_mktsegment"),
+        lit("nat"), col("c_nationkey").cast("string"),
+        lit("name"), col("c_name")))
+      .select(
+        col("c_custkey"),
+        size(col("mp")).as("n_keys"),
+        concat_ws(",", array_sort(map_keys(col("mp")))).as("keys_sorted"),
+        concat_ws(",", array_sort(map_values(col("mp")))).as("vals_sorted"),
+        try_element_at(col("mp"), lit("seg")).as("seg"),
+        coalesce(try_element_at(col("mp"), lit("missing")), lit("none")).as("missing_dflt"),
+        array_contains(map_keys(col("mp")), "nat").as("has_nat"),
+        concat_ws(";", array_sort(transform(map_entries(col("mp")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))))
+          .as("entries_sorted"))
+      .orderBy("c_custkey")
 }
