@@ -89,6 +89,7 @@ object SparkEntry {
     "fn_bitwise_suite" -> ((s, d) => graft.ops.ScalarSuites.bitwiseSuite(s, d)),
     "fn_map_suite" -> ((s, d) => graft.ops.ScalarSuites.mapSuite(s, d)),
     "fn_agg_suite" -> ((s, d) => graft.ops.ScalarSuites.aggSuite(s, d)),
+    "fn_stat_suite" -> ((s, d) => graft.ops.ScalarSuites.statSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "tx_ngram_lm" -> ((s, d) => TextOps.ngramLmScore(s, d)),
     "tx_chunk" -> ((s, d) => TextOps.chunkDocuments(s, d)),
     "tx_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
+    "tx_pmi" -> ((s, d) => TextOps.pmiCollocations(s, d)),
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
@@ -128,6 +130,8 @@ object SparkEntry {
     "sim_ann_ivfpq_topk" -> ((s, d) => SimilarityOps.ivfPqTopKChecked(s, d)),
     "sim_label_centroids" -> ((s, d) => SimilarityOps.labelCentroidSimilarity(s, d)),
     "sim_quantize_int8" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
+    "sim_radius_search" -> ((s, d) => SimilarityOps.radiusSearch(s, d)),
+    "sim_batch_topk" -> ((s, d) => SimilarityOps.batchTopK(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
     "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
     "rq2_distinct_agg" -> ((s, d) => RelOps.distinctAgg(s, d)),
@@ -156,6 +160,9 @@ object SparkEntry {
     "rq31_window_dist" -> ((s, d) => RelOps.windowDistributions(s, d)),
     "rq32_concurrency" -> ((s, d) => RelOps.maxConcurrency(s, d)),
     "rq33_decay" -> ((s, d) => RelOps.halfLifeDecay(s, d)),
+    "rq34_streaks" -> ((s, d) => RelOps.streaks(s, d)),
+    "rq35_forward_fill" -> ((s, d) => RelOps.forwardFill(s, d)),
+    "rq36_mad_outliers" -> ((s, d) => RelOps.madOutliers(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -630,6 +637,26 @@ object SparkEntry {
         |  round(regr_slope(y, x), 4) AS zipf_slope,
         |  round(regr_r2(y, x), 4) AS r2
         |FROM pts""".stripMargin,
+    // tx_pmi: PMI collocations — bigram probability vs independent unigram
+    // margins, min-count floor, top-k on the ROUNDED score.
+    "tx_pmi" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT sum(c) AS total FROM uni),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        |  WHERE len(t) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT sum(c12) AS total FROM big)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+        |  round(ln((c12 * 1.0 / nb.total) / ((u1.c * 1.0 / n.total) * (u2.c * 1.0 / n.total))), 4) AS pmi
+        |FROM big, n, nb
+        |JOIN uni u1 ON big.w1 = u1.token JOIN uni u2 ON big.w2 = u2.token
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
     "tx_sample_hash" ->
       """SELECT doc_id,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
@@ -859,6 +886,28 @@ object SparkEntry {
         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * query_v[i])) / (nrm * qnrm), 6) AS cosine
         |FROM n, q WHERE vec_id <> 0
         |ORDER BY q_cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // sim_radius_search: membership filtered on the ROUNDED cosine (the
+    // sim_neardup_pairs rule) — boundary inclusion cannot diverge.
+    "sim_radius_search" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine
+         |FROM ne, q WHERE vec_id <> 0
+         |  AND round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) >= 0.25
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
+    // sim_batch_topk: one scan, many queries — rank within query.
+    "sim_batch_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM ne WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.qid, ne.vec_id, ne.label,
+         |    round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine
+         |  FROM ne, q WHERE ne.vec_id <> q.qid),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, label, cosine
+         |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     // —— relational / temporal ——
     // Money sums on BOTH sides are BIGINT minor units (cents / micros for
     // the scale-6 products) — summed-DECIMAL columns fail the driver's
@@ -1305,6 +1354,67 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events, mx WHERE user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // rq34_streaks: gaps-and-islands — day minus per-user rank is constant
+    // within a consecutive run.
+    "rq34_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE user_id < 200),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS run_len, min(day) AS run_start
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(max(run_len) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  strftime(min(run_start), '%Y-%m-%d') AS first_day
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq35_forward_fill: hourly-grid resample; per-hour sums fixed to
+    // BIGINT micro-units before aggregation (money-sum rule), fill =
+    // last_value IGNORE NULLS over an unbounded-preceding row frame.
+    "rq35_forward_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS obs_micro
+        |  FROM events WHERE user_id < 3 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+        |grid AS (
+        |  SELECT u.user_id, g.hr
+        |  FROM (SELECT DISTINCT user_id FROM hourly) u,
+        |       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds) g),
+        |joined AS (
+        |  SELECT grid.user_id, grid.hr, hourly.obs_micro
+        |  FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND grid.hr = hourly.hr)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  obs_micro IS NOT NULL AS observed,
+        |  coalesce(last_value(obs_micro IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    CAST(-1 AS BIGINT)) AS filled_micro
+        |FROM joined ORDER BY user_id, hr""".stripMargin,
+    // rq36_mad_outliers: median/MAD robust outliers; the threshold product
+    // is written in the engine's exact multiplication order so the
+    // boundary compare is bit-identical.
+    "rq36_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, median(abs(e.value - med.med)) AS mad
+        |  FROM events e JOIN med ON e.event_type = med.event_type GROUP BY 1),
+        |j AS (
+        |  SELECT e.event_type, e.value, med.med, mad.mad, med.n
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |                JOIN mad ON e.event_type = mad.event_type)
+        |SELECT event_type,
+        |  round(any_value(med), 4) AS med,
+        |  round(any_value(mad), 4) AS mad,
+        |  CAST(any_value(n) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE abs(value - med) > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers,
+        |  round(max(abs(value - med) / (1.4826 * mad)), 4) AS max_robust_z
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "fn_string_suite" ->
       """SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
         |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,
@@ -1384,6 +1494,40 @@ object SparkEntry {
         |  round(median(l_quantity), 2) AS med_qty,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fn_stat_suite: Spark's skewness/kurtosis are POPULATION formulas;
+    // DuckDB's built-ins are sample-corrected, so the oracle derives them
+    // from two-pass raw moments. `+ 0` collapses IEEE −0.0 to +0.0 on
+    // both sides (a hair-below-zero value rounds to −0.0 otherwise).
+    "fn_stat_suite" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag AS flag, avg(l_quantity) AS m FROM lineitem GROUP BY 1),
+        |mom AS (
+        |  SELECT l.l_returnflag AS flag,
+        |    avg(pow(l.l_quantity - mu.m, 2)) AS m2,
+        |    avg(pow(l.l_quantity - mu.m, 3)) AS m3,
+        |    avg(pow(l.l_quantity - mu.m, 4)) AS m4
+        |  FROM lineitem l JOIN mu ON l.l_returnflag = mu.flag GROUP BY 1),
+        |st AS (
+        |  SELECT l_returnflag AS flag,
+        |    corr(l_extendedprice, l_quantity) AS corr_pq,
+        |    covar_pop(l_extendedprice, l_quantity) AS covp,
+        |    covar_samp(l_extendedprice, l_quantity) AS covs,
+        |    stddev_samp(l_quantity) AS sd,
+        |    regr_slope(l_extendedprice, l_quantity) AS slope,
+        |    regr_intercept(l_extendedprice, l_quantity) AS icept,
+        |    regr_r2(l_extendedprice, l_quantity) AS r2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT st.flag AS l_returnflag,
+        |  round(corr_pq, 4) + 0 AS corr_pq,
+        |  round(covp, 2) + 0 AS covar_pop_pq,
+        |  round(covs, 2) + 0 AS covar_samp_pq,
+        |  round(sd, 4) + 0 AS stddev_qty,
+        |  round(m3 / pow(m2, 1.5), 4) + 0 AS skew_qty,
+        |  round(m4 / (m2 * m2) - 3, 4) + 0 AS kurt_qty,
+        |  round(slope, 4) + 0 AS slope,
+        |  round(icept, 4) + 0 AS intercept,
+        |  round(r2, 4) + 0 AS r2
+        |FROM st JOIN mom ON st.flag = mom.flag ORDER BY 1""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

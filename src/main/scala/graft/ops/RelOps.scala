@@ -699,4 +699,94 @@ object RelOps {
       .agg(sum("term").as("decayed_micro"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Gaps-and-islands: longest consecutive-day activity streak per user.
+    * The classic trick — day minus its per-user rank is constant within a
+    * consecutive run — turns streak detection into one window pass plus
+    * two hash aggregations, no self-join, no iteration. Plan: distinct on
+    * (user, day) collapses the event log first (the only big shuffle,
+    * map-side partial), then the window and both aggs all share the
+    * user_id partitioning — AQE coalesces them into one exchange. Scales
+    * as the distinct (user, day) domain, not the event count. */
+  def streaks(spark: SparkSession, sfDir: String, maxUser: Long = 200L): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .filter(col("user_id") < maxUser)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    d.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("run_len"), min("day").as("run_start"))
+      .groupBy("user_id")
+      .agg(max("run_len").as("longest_streak"),
+        count(lit(1)).as("n_runs"),
+        date_format(min("run_start"), "yyyy-MM-dd").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  /** Forward-fill over a regular hourly grid — the gap-filling resample
+    * every time-series feature pipeline needs (sensors and event logs
+    * emit irregularly; models consume fixed-step series). Grid = one
+    * `sequence(h0, h1, 1 hour)` exploded per user (the bounds are a 1-row
+    * broadcast aggregate, never a driver action); observed per-hour sums
+    * are fixed to BIGINT micro-units BEFORE aggregation (the money-sum
+    * rule — double sums drift with partial-agg order); the fill itself is
+    * `last(_, ignoreNulls)` over an unbounded-preceding row frame. Plan:
+    * the grid explode and the window share the user_id partitioning; per-
+    * user state is one sort — at 100 TB this scales as users × horizon,
+    * and the horizon is bounded by the retention window. */
+  def forwardFill(spark: SparkSession, sfDir: String, maxUser: Long = 3L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev.filter(col("user_id") < maxUser)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("obs_micro"))
+    val bounds = ev.agg(
+      date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1"))
+    val grid = hourly.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("obs_micro").isNotNull.as("observed"),
+        coalesce(last("obs_micro", ignoreNulls = true).over(w), lit(-1L))
+          .as("filled_micro"))
+      .orderBy("user_id", "hr")
+  }
+
+  /** Robust outlier detection via median / MAD — the outlier gate a
+    * curation pipeline runs before z-scoring anything (mean/stddev are
+    * themselves corrupted by the outliers they're meant to find; the
+    * median absolute deviation is 50%-breakdown robust). Two exact-median
+    * passes (value, then |value − med|), then one counting pass — three
+    * scans, each a hash/sort agg on event_type, with the 5-row median
+    * tables broadcast back. The 1.4826 factor rescales MAD to σ under
+    * normality; the threshold product is written in the oracle's exact
+    * multiplication order so the boundary compare is bit-identical. At
+    * 100 TB exact per-group medians become the rq19 KLL-sketch quantile —
+    * same shape, sketch instead of sort. */
+  def madOutliers(spark: SparkSession, sfDir: String, k: Double = 3.0): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val med = ev.groupBy("event_type")
+      .agg(median(col("value")).as("med"), count(lit(1)).as("n"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(median(abs(col("value") - col("med"))).as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        round(first("med"), 4).as("med"),
+        round(first("mad"), 4).as("mad"),
+        first("n").as("n"),
+        sum(when(abs(col("value") - col("med")) >
+          lit(k) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("value") - col("med")) /
+          (lit(1.4826) * col("mad"))), 4).as("max_robust_z"))
+      .orderBy("event_type")
+  }
 }

@@ -149,4 +149,34 @@ object ScalarSuites {
           e => concat(e.getField("key"), lit("="), e.getField("value")))))
           .as("entries_sorted"))
       .orderBy("c_custkey")
+
+  /** Statistical-aggregate sweep per return flag: correlation, both
+    * covariances, sample stddev, population skewness/kurtosis, and the
+    * regr_* linear-fit family — the moment surface a feature-engineering
+    * pass computes per segment. All are single-pass partial-combinable
+    * aggregates (Catalyst's central-moment updates merge across
+    * partitions), so one scan, one hash agg, 3 groups out. Spark's
+    * skewness/kurtosis are the POPULATION formulas (m3/m2^1.5,
+    * m4/m2²−3); the oracle replicates them from raw two-pass moments
+    * because DuckDB's built-ins are the sample-bias-corrected variants.
+    * Every output is rounded then `+0`-normalized: a true value a hair
+    * below zero rounds to IEEE −0.0, which hashes differently from the
+    * other engine's +0.0 — adding 0.0 collapses both to +0.0. */
+  def statSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = round(c, 4) + lit(0.0)
+    def r2c(c: org.apache.spark.sql.Column) = round(c, 2) + lit(0.0)
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+        r2c(covar_pop(col("l_extendedprice"), col("l_quantity"))).as("covar_pop_pq"),
+        r2c(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("covar_samp_pq"),
+        r4(stddev_samp(col("l_quantity"))).as("stddev_qty"),
+        r4(skewness(col("l_quantity"))).as("skew_qty"),
+        r4(kurtosis(col("l_quantity"))).as("kurt_qty"),
+        r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+        r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("intercept"),
+        r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+      .orderBy("l_returnflag")
+  }
 }

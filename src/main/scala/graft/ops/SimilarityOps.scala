@@ -516,4 +516,52 @@ object SimilarityOps {
                        k: Int = 10, floor: Double = RecallFloor): DataFrame =
     withRecallCertificate(
       cosineTopK(spark, sfDir, queryId, k), ivfPqTopK(spark, sfDir, queryId, k), k, floor)
+
+  /** Radius (range) search: every vector within a cosine threshold of the
+    * query — retrieval's "all sufficiently similar", vs top-k's "best k".
+    * Same broadcast-query single-scan shape as `cosineTopK`, but the
+    * result size is data-dependent, so the filter is on the ROUNDED score
+    * (the `cosineNearDupPairs` rule): both engines compare the identical
+    * 6-decimal value, so membership at the boundary cannot diverge. No
+    * limit — the radius itself bounds the output (and at 100 TB the IVF
+    * cell index prunes the scan to cells whose centroid-distance bound
+    * can reach the radius; this is the exact baseline). */
+  def radiusSearch(spark: SparkSession, sfDir: String,
+                   queryId: Long = 0L, minCosine: Double = 0.25): DataFrame = {
+    val e = normed(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(desc("cosine"), asc("vec_id"))
+  }
+
+  /** Batched top-k: one scan answers MANY queries at once — the shape a
+    * retrieval service actually runs (per-query scans would re-read the
+    * corpus per request). The query block broadcasts (bounded: nQ rows ×
+    * dim), the corpus streams through one cross-score projection, and
+    * rank-within-query is a window partitioned on qid. At production
+    * query volume the window's per-qid partitions are the ANN index's
+    * job (each query probes its cells independently); this exact form is
+    * the recall baseline and the right plan for nQ small enough that
+    * nQ × corpus fits a scan budget. */
+  def batchTopK(spark: SparkSession, sfDir: String,
+                nQueries: Long = 5L, k: Int = 3): DataFrame = {
+    val e = normed(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy("qid", "rnk")
+  }
 }

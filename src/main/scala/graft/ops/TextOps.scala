@@ -801,4 +801,47 @@ object TextOps {
             least(col("s") + window, col("n")) - col("s")))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Pointwise-mutual-information collocations — the statistically-bound
+    * phrase detector (Church & Hanks 1990) a tokenizer-training or
+    * phrase-mining pass runs over a corpus: PMI(w1,w2) =
+    * ln(p(w1w2) / (p(w1)·p(w2))), bigram probability against independent
+    * unigram margins. Reuses `ngramLmScore`'s adjacent-bigram explode
+    * (same two CSE pitfalls documented there). Plan: one token explode
+    * feeds the unigram agg, one bigram explode feeds the pair agg; both
+    * corpus totals are 1-row broadcast aggregates (never driver
+    * actions); the final join keys on the FILTERED pair table (≥ minCount
+    * kills the hapax tail before the unigram joins, so join input is the
+    * collocation candidates, not the full bigram vocabulary). The min-
+    * count floor also makes PMI's low-frequency bias harmless. Top-k
+    * cutoff orders on the ROUNDED score — deterministic across engines. */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+                      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    val tk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val tok = tk.select(explode(col("t")).as("token"))
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n_total"))
+    val bg = tk
+      .select(explode_outer(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2"))))
+          .otherwise(array())).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nb = big.agg(sum("c12").as("nb_total"))
+    big.filter(col("c12") >= minCount)
+      .join(uni.select(col("token").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12").as("pair_count"),
+        round(log((col("c12") * lit(1.0) / col("nb_total")) /
+          ((col("c1") * lit(1.0) / col("n_total")) *
+           (col("c2") * lit(1.0) / col("n_total")))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
 }

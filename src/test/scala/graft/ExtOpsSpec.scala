@@ -590,4 +590,50 @@ class ExtOpsSpec extends AnyFunSuite {
       assert(peak <= bound, s"$day: peak $peak > active-user bound $bound")
     }
   }
+
+  test("streaks match a plain Scala run-length reference per user") {
+    val days = graft.core.Tables.events(spark, sf)
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), to_date(col("ts"))).distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+    val ref = days.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.map(_._2).sortBy(_.toEpochDay)
+    }
+    val got = RelOps.streaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    ref.foreach { case (u, ds) =>
+      var longest = 1L; var cur = 1L; var runsN = 1L
+      ds.sliding(2).filter(_.length == 2).foreach { w =>
+        if (w(1).toEpochDay == w(0).toEpochDay + 1) {
+          cur += 1; longest = math.max(longest, cur)
+        } else { cur = 1; runsN += 1 }
+      }
+      longest = math.max(longest, cur)
+      assert(got(u) == ((longest, runsN)), s"user $u")
+    }
+  }
+
+  test("forward-fill: observed hours carry their own value, gaps the last one") {
+    val rows = RelOps.forwardFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      var lastSeen = -1L
+      rs.sortBy(_.getString(1)).foreach { r =>
+        if (r.getBoolean(2)) lastSeen = r.getLong(3)
+        assert(r.getLong(3) == lastSeen, s"fill broke at ${r.getString(1)}")
+      }
+    }
+    assert(rows.count(_.getBoolean(2)) > 0 && rows.count(!_.getBoolean(2)) > 0)
+  }
+
+  test("radius search returns exactly the top-k prefix above its threshold") {
+    // Radius and top-k must agree on their overlap: every top-10 hit with
+    // cosine ≥ 0.25 appears in the radius result with the same score.
+    val radius = SimilarityOps.radiusSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(radius.values.forall(_ >= 0.25))
+    SimilarityOps.cosineTopK(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.25)
+      .foreach(r => assert(radius(r.getLong(0)) == r.getAs[Double]("cosine")))
+  }
 }

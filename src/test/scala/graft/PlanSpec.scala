@@ -141,4 +141,38 @@ class PlanSpec extends AnyFunSuite {
     assert(rs.nonEmpty && !rs.contains("c_custkey"),
       s"scan reads unprojected columns:\n$rs")
   }
+
+  test("rq34/rq35 windows are all user-partitioned (no global sort state)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (df <- Seq(graft.ops.RelOps.streaks(spark, sf),
+                   graft.ops.RelOps.forwardFill(spark, sf))) {
+      val ws = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(ws.nonEmpty)
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        "gaps-and-islands / forward-fill must never run an unpartitioned window")
+    }
+  }
+
+  test("rq36 MAD broadcasts both 5-row median tables, never shuffling events") {
+    val p = plan(graft.ops.RelOps.madOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"median tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events shuffled for a 5-row join:\n$p")
+  }
+
+  test("fn_stat_suite is one scan with partial-combinable moment aggregates") {
+    val p = graft.ops.ScalarSuites.statSuite(spark, sf).queryExecution.sparkPlan.toString
+    assert(p.contains("partial_corr"), s"moments not partially aggregated:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"stat suite should read lineitem exactly once:\n$p")
+  }
+
+  test("sim_batch_topk broadcasts the query block and ranks per query") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = graft.ops.SimilarityOps.batchTopK(spark, sf).queryExecution.sparkPlan
+    assert(p.toString.contains("BroadcastNestedLoopJoin"),
+      s"query block not broadcast:\n$p")
+    val ws = p.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "per-query rank must partition on qid")
+  }
 }
