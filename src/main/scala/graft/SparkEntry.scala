@@ -40,6 +40,7 @@ object SparkEntry {
     // The streaming twin: stream → foreachBatch MERGE into the TxTable →
     // read back in-session (the reference's user write path as a stream).
     "s13_stream_merge" -> ((s, d) => StreamingOps.streamedTxMerge(s, d)),
+    "s15_time_travel" -> ((s, d) => GraphOps.timeTravel(s, d)),
     "s14_stream_file_sink" -> ((s, d) => StreamingOps.streamedFileSink(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
@@ -132,6 +133,7 @@ object SparkEntry {
     "sim_quantize_int8" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     "sim_radius_search" -> ((s, d) => SimilarityOps.radiusSearch(s, d)),
     "sim_batch_topk" -> ((s, d) => SimilarityOps.batchTopK(s, d)),
+    "sim_cosine_hist" -> ((s, d) => SimilarityOps.cosineHistogram(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
     "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
     "rq2_distinct_agg" -> ((s, d) => RelOps.distinctAgg(s, d)),
@@ -163,6 +165,7 @@ object SparkEntry {
     "rq34_streaks" -> ((s, d) => RelOps.streaks(s, d)),
     "rq35_forward_fill" -> ((s, d) => RelOps.forwardFill(s, d)),
     "rq36_mad_outliers" -> ((s, d) => RelOps.madOutliers(s, d)),
+    "rq37_histogram" -> ((s, d) => RelOps.valueHistogram(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -171,6 +174,7 @@ object SparkEntry {
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
     "gx_shortest_paths" -> ((s, d) => GraphAnalytics.shortestHops(s, d)),
     "gx_kcore" -> ((s, d) => GraphAnalytics.kCore(s, d)),
+    "gx_lpa" -> ((s, d) => GraphAnalytics.labelPropagation(s, d)),
     // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
@@ -181,6 +185,7 @@ object SparkEntry {
     "st_closed_windows" -> ((s, d) => StreamingOps.streamedClosedWindows(s, d)),
     "st_incremental_dedup" -> ((s, d) => StreamingOps.streamedIncrementalDedup(s, d)),
     "st_user_stats_tws" -> ((s, d) => StreamingOps.streamedUserStatsTws(s, d)),
+    "st_topk_per_window" -> ((s, d) => StreamingOps.streamedTopkPerWindow(s, d)),
     // —— textual-SQL entry point (spark.sql over registered views) ——
     "rq19_quantile_sketch" -> ((s, d) => RelOps.quantileSketch(s, d)),
     "rq20_welford_var" -> ((s, d) => RelOps.welfordVariance(s, d)),
@@ -286,6 +291,24 @@ object SparkEntry {
          |SELECT name, house, round(acctbal, 2) AS acctbal, CAST(1 AS BIGINT) AS v FROM merged
          |WHERE name IN ('Customer#000000002', 'Customer#000000003',
          |               'Customer#000000004', 'User#000000001') ORDER BY name""".stripMargin,
+    // s15_time_travel: every committed version reconstructed — v0 base,
+    // v1 first merge, v2 second merge overwriting the first.
+    "s15_time_travel" ->
+      s"""WITH $nodesCte,
+         |u1(name, house, acctbal) AS (VALUES
+         |  ('Customer#000000003', 'BUILDING', 0.0), ('User#000000001', 'BUILDING', 10.0)),
+         |u2(name, house, acctbal) AS (VALUES
+         |  ('Customer#000000003', 'MACHINERY', 99.5), ('User#000000002', 'AUTOMOBILE', 20.0)),
+         |v0 AS (SELECT name, house, acctbal FROM n),
+         |v1 AS (SELECT * FROM u1 UNION ALL SELECT * FROM v0 WHERE name NOT IN (SELECT name FROM u1)),
+         |v2 AS (SELECT * FROM u2 UNION ALL SELECT * FROM v1 WHERE name NOT IN (SELECT name FROM u2)),
+         |allv AS (
+         |  SELECT CAST(0 AS BIGINT) AS v, * FROM v0
+         |  UNION ALL SELECT CAST(1 AS BIGINT), * FROM v1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM v2)
+         |SELECT v, name, house, round(acctbal, 2) AS acctbal FROM allv
+         |WHERE name IN ('Customer#000000003', 'User#000000001', 'User#000000002')
+         |ORDER BY v, name""".stripMargin,
     "s7_graph_json" ->
       s"""WITH $nodesCte, $personEdgesUndirCte,
          |hop AS (SELECT src, dst, relType FROM pu WHERE src = 'Customer#000000003'),
@@ -908,6 +931,18 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, label, cosine
          |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // sim_cosine_hist: pairwise-cosine histogram over the bounded sample;
+    // bucket membership on the ROUNDED score.
+    "sim_cosine_hist" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |           sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+         |           FROM embeddings WHERE vec_id < 300),
+         |p AS (
+         |  SELECT round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT CAST(least(greatest(floor((cos + 1.0) * 5), 0), 9) AS BIGINT) AS bucket,
+         |  count(*) AS n, round(min(cos), 6) AS lo, round(max(cos), 6) AS hi
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // —— relational / temporal ——
     // Money sums on BOTH sides are BIGINT minor units (cents / micros for
     // the scale-6 products) — summed-DECIMAL columns fail the driver's
@@ -1177,6 +1212,15 @@ object SparkEntry {
          |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)
          |SELECT nid, CAST(c - 1 AS BIGINT) AS core_degree
          |FROM s WHERE c - 1 >= 10 ORDER BY nid""".stripMargin,
+    // gx_lpa: sync LPA with (count DESC, label ASC) tie-break provably
+    // converges to each house-clique's MIN nid — the closed form.
+    "gx_lpa" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT house, min(nid) AS lbl FROM n WHERE nid < 300
+         |      GROUP BY house HAVING count(*) > 1)
+         |SELECT n.nid, CAST(s.lbl AS BIGINT) AS label
+         |FROM n JOIN s ON n.house = s.house
+         |WHERE n.nid < 300 ORDER BY n.nid""".stripMargin,
     // gx_shortest_paths: recursive-CTE BFS over the same derived
     // FRIEND_OF ∪ SAME_FAMILY edge set (UNION-distinct recursion keeps the
     // frontier a set of (nid, dist) pairs — bounded, not walk-counting).
@@ -1223,6 +1267,19 @@ object SparkEntry {
         |  CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_s,
         |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_s
         |FROM events WHERE user_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st_topk_per_window: streamed hourly per-user sums (complete mode ⇒
+    // equals batch agg), ranked downstream of the sink — same split as the
+    // engine (rank state is not streaming state).
+    "st_topk_per_window" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, user_id,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+        |    count(*) AS n_events
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY sum_micro DESC, user_id) AS rnk FROM agg)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS wstart, CAST(rnk AS INT) AS rnk,
+        |  user_id, sum_micro, n_events
+        |FROM rk WHERE rnk <= 3 ORDER BY wstart, rnk""".stripMargin,
     // st_click_attrib: stream-stream interval join; inner join + one
     // AvailableNow batch ⇒ output equals the batch interval join.
     "st_click_attrib" ->
@@ -1415,6 +1472,14 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE abs(value - med) > 3.0 * 1.4826 * mad) AS BIGINT) AS n_outliers,
         |  round(max(abs(value - med) / (1.4826 * mad)), 4) AS max_robust_z
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq37_histogram: clamped floor-bucket width-10 histogram — identical
+    // formula both engines (DuckDB has no width_bucket).
+    "rq37_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(greatest(floor(value / 10.0), 0), 9) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "fn_string_suite" ->
       """SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
         |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,

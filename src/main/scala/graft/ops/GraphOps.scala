@@ -366,6 +366,35 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Time travel over the transactional table: the same MERGE path as s12,
+    * but the probe reads EVERY committed version (`snapshotAt`) — create
+    * (v0), first merge (v1), second merge overwriting the first (v2) — and
+    * returns the union tagged by version. Proves the copy-on-write log
+    * reconstructs historical states exactly: v0 has no User rows, v1 shows
+    * the first upsert, v2 shows the second winning (Delta/Iceberg
+    * `VERSION AS OF` semantics; retention is `vacuum`'s trade, tested in
+    * PropertySpec). Snapshots differ only in pruned bucket DIRECTORIES, so
+    * each read costs one bucket listing, not a log replay. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s15").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0),
+        ("User#000000001", "BUILDING", 10.0))).toDF("name", "house", "acctbal"))
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "MACHINERY", 99.5),
+        ("User#000000002", "AUTOMOBILE", 20.0))).toDF("name", "house", "acctbal"))
+      val probe = Seq("Customer#000000003", "User#000000001", "User#000000002")
+      (0L to 2L).map { v =>
+        t.snapshotAt(v).filter(col("name").isin(probe: _*))
+          .select(lit(v).as("v"), col("name"), col("house"),
+            round(col("acctbal"), 2).as("acctbal"))
+      }.reduce(_ unionAll _).orderBy("v", "name").localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** §2.6 extension — set operations (Spark built-ins). */
   def setopIntersect(spark: SparkSession, sfDir: String, minBal: Double, houses: Seq[String]): DataFrame = {
     val n = Graph.nodes(spark, sfDir)

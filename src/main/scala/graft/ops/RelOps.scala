@@ -769,6 +769,23 @@ object RelOps {
     * multiplication order so the boundary compare is bit-identical. At
     * 100 TB exact per-group medians become the rq19 KLL-sketch quantile —
     * same shape, sketch instead of sort. */
+  /** Fixed-width value histogram per event type — the distribution profile
+    * a data-quality pass computes before choosing normalization. Bucket =
+    * clamped floor(value/width) (DuckDB has no width_bucket; the identical
+    * floor-formula on both sides sidesteps the boundary-semantics
+    * question), the top bucket doubles as the overflow bin. Per-bucket
+    * micro-unit sums make the averages exact. One scan, one hash agg,
+    * fully partial-combinable — the at-scale histogram IS this plan. */
+  def valueHistogram(spark: SparkSession, sfDir: String, width: Double = 10.0,
+                     nBuckets: Int = 10): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        least(greatest(floor(col("value") / width), lit(0)), lit(nBuckets - 1))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("sum_micro"))
+      .orderBy("event_type", "bucket")
+
   def madOutliers(spark: SparkSession, sfDir: String, k: Double = 3.0): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val med = ev.groupBy("event_type")

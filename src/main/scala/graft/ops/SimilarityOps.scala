@@ -539,6 +539,26 @@ object SimilarityOps {
       .orderBy(desc("cosine"), asc("vec_id"))
   }
 
+  /** Pairwise-cosine histogram over a bounded sample — the embedding-space
+    * health check (anisotropy / collapse shows up as mass piling far from
+    * 0) run before trusting any ANN index. Buckets are clamped
+    * floor((cos+1)·5) over [−1, 1]; min/max per bucket ride along as the
+    * exact envelope. The all-pairs join is the SAMPLE's cost by design —
+    * at 100 TB the sample stays fixed-size while the corpus grows; scoring
+    * runs on the rounded cosine so bucket membership is engine-identical. */
+  def cosineHistogram(spark: SparkSession, sfDir: String, maxId: Long = 300L): DataFrame = {
+    val e = normed(spark, sfDir).filter(col("vec_id") < maxId)
+    val a = e.select(col("vec_id").as("ai"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("bi"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("ai") < col("bi"))
+      .select(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .groupBy(least(greatest(floor((col("cos") + 1.0) * 5), lit(0)), lit(9))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min("cos"), 6).as("lo"), round(max("cos"), 6).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Batched top-k: one scan answers MANY queries at once — the shape a
     * retrieval service actually runs (per-query scans would re-read the
     * corpus per request). The query block broadcasts (bounded: nQ rows ×

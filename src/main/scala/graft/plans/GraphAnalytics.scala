@@ -264,4 +264,42 @@ object GraphAnalytics {
       .select(col("nid"), (abs(col("rank") - col("mean")) <= 1e-6).as("rank_uniform"))
       .orderBy("nid")
   }
+
+  /** Synchronous label propagation (community detection) with a
+    * DETERMINISTIC tie-break — GraphX's bundled LPA picks the max-count
+    * label via Map iteration order, which varies with hashing; here ties
+    * break (count DESC, label ASC) through an explicit total order, so the
+    * result is partitioning-independent and oracle-checkable. On the
+    * same-house clique graph sync LPA provably converges to each clique's
+    * MIN vertex id within 3 rounds (round 1: everyone adopts the min
+    * neighbor; round 2: the min vertex re-adopts its own id back from the
+    * majority), which IS the closed-form oracle. Fixed `iters` supersteps,
+    * per-round cache + unpersist like the k-core peel (lineage stays
+    * bounded at any community depth). */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+                       maxNid: Long = 300, iters: Int = 6): DataFrame = {
+    var g: XGraph[VertexId, Int] =
+      friendEdges(spark, sfDir, maxNid).mapVertices((vid, _) => vid).cache()
+    for (_ <- 1 to iters) {
+      val votes = g.aggregateMessages[Map[VertexId, Int]](
+        ctx => {
+          ctx.sendToDst(Map(ctx.srcAttr -> 1))
+          ctx.sendToSrc(Map(ctx.dstAttr -> 1))
+        },
+        (a, b) => (a.keySet ++ b.keySet).iterator
+          .map(k => k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap)
+      val g2 = g.outerJoinVertices(votes) { (_, old, opt) =>
+        opt.fold(old)(m => m.minBy { case (l, c) => (-c, l) }._1)
+      }.cache()
+      g2.vertices.count() // materialize before dropping the old graph
+      g.unpersist(blocking = false)
+      g = g2
+    }
+    val out = spark.createDataFrame(
+        g.vertices.map { case (v, l) => (v, l) })
+      .toDF("nid", "label").orderBy("nid")
+      .localCheckpoint()
+    g.unpersist(blocking = false)
+    out
+  }
 }

@@ -312,6 +312,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
 
+  /** Hourly per-user value sums — the streaming half of the windowed
+    * top-k. Micro-unit BIGINT terms (the money-sum rule) so the streamed
+    * partial aggregation is order-independent. */
+  def windowedUserSums(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("sum_micro"),
+        count(lit(1)).as("n_events"))
+
+  /** Driver entry: streaming windowed leaderboard — hourly top-3 users by
+    * summed value. The continuously-maintained half (windowed per-user
+    * sums, bounded state: users active within the watermark horizon) runs
+    * as a real streaming query; the rank-within-window is the cheap batch
+    * pass a dashboard runs over the sink table — the standard split: rank
+    * state is NOT streaming state (top-k per closed window never changes
+    * once the window closes, so ranking belongs downstream of the sink). */
+  def streamedTopkPerWindow(spark: SparkSession, sfDir: String,
+                            maxUser: Long = 50L, k: Int = 3): DataFrame = {
+    val t = runToMemory(spark,
+      windowedUserSums(readEventsStream(spark, sfDir).filter(col("user_id") < maxUser)),
+      "complete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window").orderBy(desc("sum_micro"), asc("user_id"))
+    t.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("rnk"), col("user_id"), col("sum_micro"), col("n_events"))
+      .orderBy("wstart", "rnk")
+  }
+
   /** Driver entry: streamed session windows (10-minute gap) for a bounded
     * user slice, complete mode so every session (including the last, not
     * yet watermark-closed one) is emitted — equal to the batch

@@ -626,6 +626,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getBoolean(2)) > 0 && rows.count(!_.getBoolean(2)) > 0)
   }
 
+  test("histograms are complete: bucket counts sum to the row/pair total") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val hist = RelOps.valueHistogram(spark, sf).collect()
+    assert(hist.map(_.getAs[Long]("n")).sum == ev.count())
+    val nVec = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 300).count()
+    val pairs = SimilarityOps.cosineHistogram(spark, sf).collect()
+    assert(pairs.map(_.getAs[Long]("n")).sum == nVec * (nVec - 1) / 2)
+    // envelope sanity: bucket lo/hi nest inside [-1, 1] and are ordered
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      assert(r.getAs[Double]("lo") >= -1.0 && r.getAs[Double]("hi") <= 1.0)
+    }
+  }
+
   test("radius search returns exactly the top-k prefix above its threshold") {
     // Radius and top-k must agree on their overlap: every top-10 hit with
     // cosine ≥ 0.25 appears in the radius result with the same score.

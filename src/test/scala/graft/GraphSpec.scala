@@ -97,4 +97,22 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("LPA is deterministic: labels equal the closed form and repeat runs agree") {
+    // The explicit (count DESC, label ASC) tie-break must make the result
+    // partitioning-independent — GraphX's bundled LPA is not (Map iteration
+    // order). Two runs + the closed form (min nid per house clique).
+    val a = graft.plans.GraphAnalytics.labelPropagation(spark, sf, maxNid = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.plans.GraphAnalytics.labelPropagation(spark, sf, maxNid = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "two identical runs diverged")
+    val nodes = Graph.nodes(spark, sf).filter(col("nid") < 120)
+      .select("nid", "house").collect().map(r => r.getLong(0) -> r.getString(1))
+    val minByHouse = nodes.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val sizes = nodes.groupBy(_._2).view.mapValues(_.length).toMap
+    nodes.filter(x => sizes(x._2) > 1).foreach { case (nid, h) =>
+      assert(a(nid) == minByHouse(h), s"nid $nid: ${a(nid)} != min of $h")
+    }
+  }
 }
