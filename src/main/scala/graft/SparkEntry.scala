@@ -47,6 +47,7 @@ object SparkEntry {
     "s9_jsonl_roundtrip" -> ((s, d) => graft.sources.FileFormats.jsonlRoundTrip(s, d)),
     "s10_partition_prune" -> ((s, d) => graft.sources.FileFormats.partitionPrunedScan(s, d)),
     "s11_orc_roundtrip" -> ((s, d) => graft.sources.FileFormats.orcRoundTrip(s, d)),
+    "s16_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolutionRead(s, d)),
     // —— projections / filters (§2.2) ——
     "p1_filter_name_in" -> ((s, d) => GraphOps.filterNameIn(s, d, Seq(3, 7, 11, 42))),
     "p2_anti_filter" -> ((s, d) => GraphOps.antiFilter(s, d, "FURNITURE", Seq(1, 5))),
@@ -107,6 +108,7 @@ object SparkEntry {
     "tx_sample_hash" -> ((s, d) => TextOps.sampleByHash(s, d)),
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "tx_kanon" -> ((s, d) => TextOps.kAnonymize(s, d)),
     "tx_pack" -> ((s, d) => TextOps.packSequences(s, d)),
     "tx_mix" -> ((s, d) => TextOps.mixCorpus(s, d)),
     // —— deduplication (extension) ——
@@ -166,6 +168,9 @@ object SparkEntry {
     "rq35_forward_fill" -> ((s, d) => RelOps.forwardFill(s, d)),
     "rq36_mad_outliers" -> ((s, d) => RelOps.madOutliers(s, d)),
     "rq37_histogram" -> ((s, d) => RelOps.valueHistogram(s, d)),
+    "rq38_markov" -> ((s, d) => RelOps.markovTransitions(s, d)),
+    "rq39_retention" -> ((s, d) => RelOps.retentionCohorts(s, d)),
+    "rq40_asof_tolerance" -> ((s, d) => RelOps.asofJoinTolerance(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -204,6 +209,7 @@ object SparkEntry {
       MultimodalOps.resizeMeta(s, d).filter(col_("media_id") < 100).orderBy("media_id")),
     "mm_frame_counts" -> ((s, d) => MultimodalOps.frameCounts(s, d)),
     "mm_shard_pack" -> ((s, d) => MultimodalOps.shardManifest(s, d)),
+    "mm_phash_neardup" -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
     // feat_sum / feat0 are exact integers (decodeStub accumulates raw byte
     // values — float32-exact below 2²⁴), so the stub decode is fully
     // DuckDB-checkable: the oracle recomputes the byte sums from the text.
@@ -1320,6 +1326,20 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tx_kanon: k-anonymity suppression — exact group sizes over the
+    // quasi-identifier triple, sub-k groups folded into the '*' bucket.
+    "tx_kanon" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 100 AS chars_band, count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang,
+        |         CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+        |         CAST(CASE WHEN n >= 5 THEN chars_band ELSE -1 END AS BIGINT) AS chars_band,
+        |         n
+        |  FROM g)
+        |SELECT lang, source, chars_band, CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "tx_pii_scrub" ->
       """SELECT event_id,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
@@ -1364,6 +1384,15 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n,
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_x100
         |FROM orders WHERE o_orderkey < 5000 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s16: the oracle reconstructs the schema-evolved merged view from the
+    // ORIGINAL parquet — batch = key parity, the evolved column exists
+    // only in batch 1 (old files serve NULL → 'absent').
+    "s16_schema_evolution" ->
+      """SELECT CAST(o_orderkey % 2 AS BIGINT) AS batch,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'absent' END AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_x100
+        |FROM orders WHERE o_orderkey < 4000 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // rq30: the sketch guarantees freq>support values appear; event types
     // run ~2× the support, so in_sketch is deterministically true.
     "rq30_heavy_hitters" ->
@@ -1480,6 +1509,59 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rq38_markov: next-event transitions per user sequence (ties broken
+    // by event_id → total order both sides); probability as integer ppm
+    // via BIGINT floor division — no float channel.
+    "rq38_markov" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // rq39_retention: cohort = per-user min activity day over the distinct
+    // (user, day) domain; retention_ppm against the week-0 cohort size
+    // (every user is active in their own week 0).
+    "rq39_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM d),
+        |m AS (SELECT cohort_day,
+        |        CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset,
+        |        count(DISTINCT user_id) AS n_users
+        |      FROM c GROUP BY 1, 2)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, week_offset, n_users,
+        |  CAST(n_users * 1000000 // max(CASE WHEN week_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_day) AS BIGINT) AS retention_ppm
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    // rq40: rq8's as-of with a 2-hour tolerance horizon — the matched
+    // purchase timestamp rides the same window; the lag is computed on
+    // per-side floored epoch seconds (Spark's cast(ts AS LONG) semantics).
+    "rq40_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id < 30),
+        |u AS (
+        |  SELECT user_id, ts, event_id, 1 AS is_p, event_id AS p_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, NULL, NULL FROM ev WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER ww AS last_p,
+        |    last_value(p_ts IGNORE NULLS) OVER ww AS last_p_ts
+        |  FROM u
+        |  WINDOW ww AS (
+        |    PARTITION BY user_id ORDER BY ts ASC, is_p DESC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT event_id, user_id, last_p,
+        |    (epoch_us(ts) // 1000000) - (epoch_us(last_p_ts) // 1000000) AS lag_s
+        |  FROM w WHERE is_p = 0)
+        |SELECT event_id AS click_id, user_id,
+        |  CASE WHEN lag_s <= 7200 THEN last_p END AS purchase_id,
+        |  CAST(CASE WHEN lag_s <= 7200 THEN lag_s END AS BIGINT) AS lag_sec
+        |FROM f ORDER BY click_id""".stripMargin,
     "fn_string_suite" ->
       """SELECT c_custkey, upper(c_name) AS up, reverse(c_name) AS rev,
         |  left(c_name, 8) AS l8, right(c_name, 4) AS r4,
@@ -1693,6 +1775,28 @@ object SparkEntry {
         |SELECT format, shard_id, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  min(media_id) AS first_id, max(media_id) AS last_id
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // mm_phash_neardup: the oracle replays the average-hash construction
+    // from the bytes (bin j = sum of bytes at positions ≡ j mod 8, bit j
+    // set iff 8·bin > total — integer arithmetic only) and brute-forces
+    // the bounded id range; the engine generates candidates via 4-bit
+    // half-key banding, never all-pairs.
+    "mm_phash_neardup" ->
+      """WITH bins AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 7), j ->
+        |      coalesce(list_sum(list_transform(generate_series(1, length(text)),
+        |        i -> CASE WHEN (i - 1) % 8 = j THEN unicode(text[i]) ELSE 0 END)), 0)) AS b
+        |  FROM documents WHERE doc_id < 300),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), j ->
+        |      CASE WHEN 8 * b[j + 1] > list_sum(b) THEN 1 << j ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM bins)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sig_a, b2.sig AS sig_b,
+        |  CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.sig, b2.sig)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // The stub decoder bins raw byte values by position % 8 (exact in
     // float32 below 2²⁴): feat_sum is the total byte sum, feat0 the sum of
     // bytes at positions ≡ 0 (mod 8). The corpus text is pure ASCII

@@ -143,6 +143,43 @@ object MultimodalOps {
         length(col("content")).as("n_bytes"))
       .orderBy("media_id")
 
+  /** Perceptual-hash near-duplicate pairs over the MEDIA corpus — the
+    * multimodal twin of `dd_simhash`: an 8-bit signature derived from the
+    * decoded feature vector (bit j set iff bin j is above the payload's
+    * mean bin — the classic average-hash construction, here over the
+    * pluggable decoder's output instead of pixel blocks), then pairs at
+    * hamming distance ≤ 1. Candidate generation is BANDED (two 4-bit
+    * half-keys; a ≤1-bit difference leaves at least one half intact —
+    * pigeonhole), so the join is per-bucket, never all-pairs: at 100 TB
+    * the cost is Σ bucket² over 2×16 buckets of a corpus partitioned by
+    * half-key, the same scale shape as the text-side LSH family. The
+    * signature threshold uses 8·bin > total (integer arithmetic, no
+    * division) so the oracle replays it exactly from the bytes. */
+  def phashNearDup(spark: SparkSession, sfDir: String, maxId: Long = 300): DataFrame = {
+    val sig = extractFeatures(spark, sfDir, maxId = maxId)
+      .select(col("media_id"),
+        expr("transform(features, x -> CAST(x AS BIGINT))").as("bins"))
+      .select(col("media_id"),
+        expr("aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+          "IF(8 * element_at(bins, j + 1) > aggregate(bins, 0L, (a, x) -> a + x), " +
+          "shiftleft(1L, j), 0L))").as("sig"))
+    val banded = sig.select(col("media_id"), col("sig"),
+      explode(array(
+        struct(lit(0).as("band"), col("sig").bitwiseAND(15).as("key")),
+        struct(lit(1).as("band"), shiftright(col("sig"), 4).as("key")))).as("bk"))
+      .select(col("media_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+      .filter(col("hamming") <= 1)
+      .orderBy("id_a", "id_b")
+  }
+
   /** WebDataset-style shard manifest: pack media items into fixed-budget
     * shards (greedy by id order, new shard when the running byte total
     * crosses the budget) and emit the manifest a training loader consumes —

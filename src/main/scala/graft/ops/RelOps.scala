@@ -806,4 +806,90 @@ object RelOps {
           (lit(1.4826) * col("mad"))), 4).as("max_robust_z"))
       .orderBy("event_type")
   }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the sequential-pattern profile (what follows what) behind next-event
+    * prediction and funnel design. One window pass (lead over the per-user
+    * time order, ties broken by event_id so the sequence is total) emits
+    * the transition pairs, one hash agg counts them, and the per-source
+    * normalization runs as a window over the 25-row result — never a
+    * second scan. Probability is emitted as integer ppm via BIGINT `div`
+    * so no float division can diverge between engines. At 100 TB the plan
+    * is one shuffle on user_id (the window) + one small agg — the same
+    * shape session analysis already pays. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("prob_ppm", expr("n * 1000000 div sum(n) over (partition by from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Cohort retention matrix — users grouped by first-activity day, then
+    * counted per whole-week offset of later activity. The canonical
+    * product-analytics rollup the reference's stack could never express.
+    * Plan: the event log collapses to distinct (user, day) first (the only
+    * big shuffle, map-side combinable); cohort assignment is a per-user
+    * min over that collapsed set; and both the assignment window and the
+    * final agg share the user_id partitioning. Retention is integer ppm
+    * against the cohort's week-0 size (every user is active in their own
+    * week 0, so cohort size ≡ the offset-0 count — computed as a window
+    * over the tiny matrix, not a second scan). Scales as the distinct
+    * (user, day) domain, not the event count. */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val wU = Window.partitionBy("user_id")
+    val matrix = days
+      .withColumn("cohort_day", min(col("day")).over(wU))
+      .groupBy(col("cohort_day"),
+        (datediff(col("day"), col("cohort_day")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    matrix
+      .withColumn("retention_ppm",
+        expr("n_users * 1000000 div max(case when week_offset = 0 then n_users end) " +
+          "over (partition by cohort_day)"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("week_offset"), col("n_users"), col("retention_ppm"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  /** As-of join with a tolerance horizon: each click matched to the most
+    * recent purchase by the same user, but ONLY if it happened within
+    * `tolSeconds` — older matches are nulled out. The tolerance is what
+    * makes the operator honest at scale: an unbounded as-of (rq8) drags
+    * arbitrarily stale state into every match, while the horizon bounds
+    * both the semantic staleness and (in the streaming twin) the state
+    * retention. Same single-window union plan as rq8 — the purchase
+    * timestamp rides along with its id, and the tolerance check is one
+    * codegen'd comparison after the window, no extra join or shuffle. */
+  def asofJoinTolerance(spark: SparkSession, sfDir: String, maxUser: Int = 30,
+                        tolSeconds: Long = 7200L): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("user_id") < maxUser)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_p"),
+        col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_p"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("timestamp").as("p_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_p").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(c)
+      .withColumn("last_p", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("last_p_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 0)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        when(col("ts").cast("long") - col("last_p_ts").cast("long") <= tolSeconds,
+          col("last_p")).as("purchase_id"),
+        when(col("ts").cast("long") - col("last_p_ts").cast("long") <= tolSeconds,
+          col("ts").cast("long") - col("last_p_ts").cast("long")).as("lag_sec"))
+      .orderBy("click_id")
+  }
 }

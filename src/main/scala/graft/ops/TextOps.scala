@@ -844,4 +844,32 @@ object TextOps {
       .orderBy(desc("pmi"), asc("w1"), asc("w2"))
       .limit(k)
   }
+
+  /** k-anonymity suppression over quasi-identifiers — the privacy gate a
+    * training-data release runs before publishing per-group statistics:
+    * any (lang, source, length-band) combination carried by fewer than
+    * `k` documents is generalized into one suppressed bucket, so no
+    * published row isolates fewer than `k` individuals. Plan: one hash
+    * agg builds the exact group sizes, a codegen'd conditional remaps the
+    * sub-k groups to the suppressed key, and a second (tiny) hash agg
+    * folds them — group-count domain only, never a second scan of the
+    * corpus. The length band uses integer `div` so banding can't diverge
+    * between engines. At 100 TB this is the same two-level aggregation
+    * every partial-combine already runs; suppression adds no shuffle. */
+  def kAnonymize(spark: SparkSession, sfDir: String, k: Long = 5L): DataFrame = {
+    val groups = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("chars_band"))
+      .agg(count(lit(1)).as("n"))
+    val safe = col("n") >= k
+    groups
+      .select(
+        when(safe, col("lang")).otherwise(lit("*")).as("lang"),
+        when(safe, col("source")).otherwise(lit("*")).as("source"),
+        when(safe, col("chars_band")).otherwise(lit(-1L)).as("chars_band"),
+        col("n"))
+      .groupBy("lang", "source", "chars_band")
+      .agg(sum(col("n")).as("n_docs"))
+      .orderBy("lang", "source", "chars_band")
+  }
 }

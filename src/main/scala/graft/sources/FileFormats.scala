@@ -118,6 +118,41 @@ object FileFormats {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** Schema-evolution read: two order batches written at different times
+    * with DIFFERENT schemas — the later one carries an `o_status` column
+    * the earlier lacks — read back as ONE table via `mergeSchema`. This is
+    * the 100 TB lakehouse reality: a corpus written over years drifts, and
+    * rewriting history to the newest schema is a full-corpus pass nobody
+    * runs. Footer-level schema merging makes the old files serve NULL for
+    * the new column at scan time (no rewrite, no per-file branching in the
+    * query), and the aggregate certifies exactly which rows carry the
+    * column. Batches split on `o_orderkey % 2` so the oracle reconstructs
+    * the merged view from the original parquet with a CASE. */
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String,
+                          maxKey: Long = 4000): DataFrame = {
+    val p = Artifacts.path(sfDir, "orders_evolved")
+    if (!Artifacts.exists(p)) {
+      val o = Tables.orders(spark, sfDir).filter(col("o_orderkey") < maxKey)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$p/batch=0")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("o_status"))
+        .write.mode("append").parquet(s"$p/batch=1")
+      // _SUCCESS markers land inside the batch dirs; Artifacts.exists
+      // checks the root, so publish one there (atomic create-on-close).
+      new java.io.File(s"$p/_SUCCESS").createNewFile()
+    }
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .groupBy(col("batch").cast("long").as("batch"),
+        coalesce(col("o_status"), lit("absent")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
+          .cast("long").as("total_x100"))
+      .orderBy("batch", "status")
+  }
+
   /** The partitioned layout, built once per sf (exposed for the spec). */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.ensureParquet(spark, sfDir, "events_by_type",

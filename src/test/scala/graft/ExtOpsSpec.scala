@@ -641,6 +641,67 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov transitions: counts complete, ppm rows sum to ~1e6 per source") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val m = RelOps.markovTransitions(spark, sf).collect()
+    // every event except each user's last contributes exactly one transition
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(m.map(_.getAs[Long]("n")).sum == expected)
+    m.groupBy(_.getString(0)).foreach { case (from, rows) =>
+      val s = rows.map(_.getAs[Long]("prob_ppm")).sum
+      // floor division loses < 1 ppm per destination row
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"$from ppm sum $s")
+    }
+  }
+
+  test("retention cohorts: week 0 is always the full cohort, counts bounded by it") {
+    val r = RelOps.retentionCohorts(spark, sf).collect()
+    val w0 = r.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(x => x.getString(0) -> x.getAs[Long]("n_users")).toMap
+    assert(w0.nonEmpty)
+    r.foreach { x =>
+      val c = x.getString(0)
+      if (x.getAs[Long]("week_offset") == 0L)
+        assert(x.getAs[Long]("retention_ppm") == 1000000L, s"cohort $c week 0")
+      assert(x.getAs[Long]("n_users") <= w0(c), s"cohort $c exceeds its size")
+    }
+  }
+
+  test("as-of tolerance: matches are the rq8 subset within the horizon") {
+    val base = RelOps.asofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("purchase_id")).map(_.asInstanceOf[Long]))
+      .toMap
+    val tol = RelOps.asofJoinTolerance(spark, sf).collect()
+    assert(tol.exists(_.getAs[Any]("purchase_id") != null))
+    assert(tol.exists(_.getAs[Any]("purchase_id") == null))
+    tol.foreach { r =>
+      val click = r.getLong(0)
+      Option(r.getAs[Any]("purchase_id")) match {
+        case Some(p) =>
+          assert(base(click).contains(p.asInstanceOf[Long]), s"click $click: not the as-of match")
+          val lag = r.getAs[Long]("lag_sec")
+          assert(lag >= 0L && lag <= 7200L, s"click $click lag $lag outside horizon")
+        case None => // either no purchase before it, or it aged out — both legal
+      }
+    }
+  }
+
+  test("k-anonymity: no published group below k, corpus count preserved") {
+    val k = 5L
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    val rows = TextOps.kAnonymize(spark, sf, k).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs, "suppression must not drop rows")
+    rows.foreach { r =>
+      val suppressed = r.getString(0) == "*"
+      if (!suppressed)
+        assert(r.getAs[Long]("n_docs") >= k,
+          s"group ${r.getString(0)}/${r.getString(1)}/${r.getAs[Long]("chars_band")} below k")
+      else
+        assert(r.getString(1) == "*" && r.getAs[Long]("chars_band") == -1L,
+          "suppressed bucket must generalize every quasi-identifier")
+    }
+  }
+
   test("radius search returns exactly the top-k prefix above its threshold") {
     // Radius and top-k must agree on their overlap: every top-10 hit with
     // cosine ≥ 0.25 appears in the radius result with the same score.

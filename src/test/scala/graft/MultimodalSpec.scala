@@ -144,6 +144,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phash near-dup: banded candidates recover exactly the brute-force pairs") {
+    val feats = graft.ops.MultimodalOps.extractFeatures(spark, sf, maxId = 300)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toLong))
+    def sigOf(bins: Seq[Long]): Long = {
+      val total = bins.sum
+      bins.zipWithIndex.map { case (b, j) => if (8 * b > total) 1L << j else 0L }.sum
+    }
+    val sigs = feats.map { case (id, bins) => id -> sigOf(bins) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 1
+    } yield (ia, ib)).toSet
+    val got = graft.ops.MultimodalOps.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "banding must lose no hamming<=1 pair (pigeonhole) and add none")
+    assert(brute.nonEmpty, "corpus should produce at least one near-dup pair")
+  }
+
   test("native RollingHash == HOF formulation == SQL-registered function") {
     val docs = graft.core.Tables.documents(spark, sf).filter(col("doc_id") < 30)
     GraftExtensions.register(spark)

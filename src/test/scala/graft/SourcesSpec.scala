@@ -173,6 +173,21 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: merged footer schema serves NULL-backed column for old files") {
+    val df = graft.sources.FileFormats.schemaEvolutionRead(spark, sf)
+    val rows = df.collect()
+    // batch 0 predates the column: every row reads back 'absent'
+    assert(rows.filter(_.getLong(0) == 0L).map(_.getString(1)).toSeq == Seq("absent"))
+    // batch 1 carries real statuses, never the placeholder
+    val b1 = rows.filter(_.getLong(0) == 1L).map(_.getString(1))
+    assert(b1.nonEmpty && !b1.contains("absent"))
+    // the merged scan itself (pre-aggregation) must expose o_status
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(graft.etl.Artifacts.path(sf, "orders_evolved"))
+    assert(merged.schema.fieldNames.contains("o_status"))
+    assert(merged.schema.fieldNames.contains("batch"))
+  }
+
   test("IVF-PQ probe prunes the codes listing to the probed cell directories") {
     val df = graft.ops.SimilarityOps.ivfPqTopK(spark, sf)
     val codeScans = df.queryExecution.sparkPlan.collect {
