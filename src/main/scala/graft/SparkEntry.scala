@@ -41,6 +41,9 @@ object SparkEntry {
     // read back in-session (the reference's user write path as a stream).
     "s13_stream_merge" -> ((s, d) => StreamingOps.streamedTxMerge(s, d)),
     "s15_time_travel" -> ((s, d) => GraphOps.timeTravel(s, d)),
+    // CDC read over the TxTable: row-level insert/update/delete between
+    // two versions, scan pruned to manifest-repointed buckets only.
+    "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
     "s14_stream_file_sink" -> ((s, d) => StreamingOps.streamedFileSink(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
@@ -109,6 +112,7 @@ object SparkEntry {
     "tx_curate" -> ((s, d) => TextOps.curateVerdicts(s, d)),
     "tx_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "tx_kanon" -> ((s, d) => TextOps.kAnonymize(s, d)),
+    "tx_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "tx_pack" -> ((s, d) => TextOps.packSequences(s, d)),
     "tx_mix" -> ((s, d) => TextOps.mixCorpus(s, d)),
     // —— deduplication (extension) ——
@@ -171,6 +175,7 @@ object SparkEntry {
     "rq38_markov" -> ((s, d) => RelOps.markovTransitions(s, d)),
     "rq39_retention" -> ((s, d) => RelOps.retentionCohorts(s, d)),
     "rq40_asof_tolerance" -> ((s, d) => RelOps.asofJoinTolerance(s, d)),
+    "rq41_incremental_agg" -> ((s, d) => RelOps.incrementalAgg(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -315,6 +320,24 @@ object SparkEntry {
          |SELECT v, name, house, round(acctbal, 2) AS acctbal FROM allv
          |WHERE name IN ('Customer#000000003', 'User#000000001', 'User#000000002')
          |ORDER BY v, name""".stripMargin,
+    // s17_cdc_diff: the oracle reconstructs the three change rows from the
+    // scripted create→merge→delete — update (C3 acctbal), insert (User#1),
+    // delete (C5); unchanged rows in rewritten buckets must NOT appear.
+    "s17_cdc_diff" ->
+      s"""WITH $nodesCte
+         |SELECT * FROM (
+         |  SELECT 'update' AS change_type, name, house AS old_house,
+         |    'BUILDING' AS new_house, round(acctbal, 2) AS old_acctbal,
+         |    0.0 AS new_acctbal
+         |  FROM n WHERE name = 'Customer#000000003'
+         |  UNION ALL
+         |  SELECT 'insert', 'User#000000001', CAST(NULL AS VARCHAR), 'BUILDING',
+         |    CAST(NULL AS DOUBLE), 10.0
+         |  UNION ALL
+         |  SELECT 'delete', name, house, CAST(NULL AS VARCHAR),
+         |    round(acctbal, 2), CAST(NULL AS DOUBLE)
+         |  FROM n WHERE name = 'Customer#000000005')
+         |ORDER BY name""".stripMargin,
     "s7_graph_json" ->
       s"""WITH $nodesCte, $personEdgesUndirCte,
          |hop AS (SELECT src, dst, relType FROM pu WHERE src = 'Customer#000000003'),
@@ -1326,6 +1349,24 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_value_micros
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tx_span_dedup: fixed 8-token passages, corpus-wide exact counts,
+    // per-doc duplicated fraction as integer ppm.
+    "tx_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, j * 8 + 1, j * 8 + 8), ' ') AS passage
+        |  FROM toks, unnest(generate_series(0, CAST(len(t) // 8 AS INT) - 1)) AS u(j)
+        |  WHERE len(t) >= 8),
+        |g AS (SELECT passage, count(*) AS df FROM p GROUP BY 1),
+        |d AS (
+        |  SELECT p.doc_id, count(*) AS n_passages,
+        |    count(*) FILTER (WHERE g.df >= 2) AS n_dup
+        |  FROM p JOIN g USING (passage) GROUP BY 1)
+        |SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+        |  CAST(n_dup AS BIGINT) AS n_dup,
+        |  CAST(n_dup * 1000000 // n_passages AS BIGINT) AS dup_ppm
+        |FROM d WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     // tx_kanon: k-anonymity suppression — exact group sizes over the
     // quasi-identifier triple, sub-k groups folded into the '*' bucket.
     "tx_kanon" ->
@@ -1537,6 +1578,14 @@ object SparkEntry {
         |  CAST(n_users * 1000000 // max(CASE WHEN week_offset = 0 THEN n_users END)
         |    OVER (PARTITION BY cohort_day) AS BIGINT) AS retention_ppm
         |FROM m ORDER BY 1, 2""".stripMargin,
+    // rq41: the oracle recomputes the daily aggregate over ALL events in
+    // one pass — a hash match certifies that the engine's base-artifact ⊕
+    // delta merge is exactly the full recompute (algebraic partials).
+    "rq41_incremental_agg" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // rq40: rq8's as-of with a 2-hour tolerance horizon — the matched
     // purchase timestamp rides the same window; the lag is computed on
     // per-side floored epoch seconds (Spark's cast(ts AS LONG) semantics).

@@ -173,6 +173,48 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** CDC read: the row-level changes between two committed versions —
+    * `insert` / `update` / `delete`, with the old and new value of every
+    * non-key column. The scan is pruned at the MANIFEST level: copy-on-
+    * write means a bucket whose file pointer is identical in both
+    * manifests cannot contain a change, so only re-pointed buckets are
+    * read and joined — at 100 TB the diff costs O(changed buckets), never
+    * O(table), the same bound as the merge that produced it. Unchanged
+    * rows that merely rode along in a rewritten bucket are filtered by a
+    * null-safe value comparison. */
+  def diff(vOld: Long, vNew: Long): DataFrame = {
+    require(vOld >= 0 && vNew <= version && vOld < vNew,
+      s"need 0 <= vOld < vNew <= $version")
+    val mo = manifest(vOld)
+    val mn = manifest(vNew)
+    val changed = (mo.keySet ++ mn.keySet).filter(b => mo.get(b) != mn.get(b))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      Files.readString(logDir.resolve("schema.ddl")))
+    val valCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    def side(m: Map[Long, String], tag: String): DataFrame = {
+      val paths = changed.toSeq.sorted.flatMap(m.get)
+      val raw =
+        if (paths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.parquet(paths: _*)
+      raw.select(keyCols.map(col) ++
+        valCols.map(c => col(c).as(s"${tag}_$c")) :+
+        lit(true).as(s"_in_$tag"): _*)
+    }
+    val joined = side(mo, "old").join(side(mn, "new"), keyCols, "full_outer")
+    val oldVals = struct(valCols.map(c => col(s"old_$c")): _*)
+    val newVals = struct(valCols.map(c => col(s"new_$c")): _*)
+    joined
+      .withColumn("change_type",
+        when(col("_in_old").isNull, "insert")
+          .when(col("_in_new").isNull, "delete")
+          .when(!(oldVals <=> newVals), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: keyCols.map(col) ++:
+        valCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Drop data directories unreferenced by the LATEST manifest (commit-
     * race losers and superseded copy-on-write buckets). An in-flight
     * writer's freshly written commit dir is ALSO unreferenced until its

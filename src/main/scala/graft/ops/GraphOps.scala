@@ -395,6 +395,31 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** CDC diff over the transactional table (s17): create → merge (one
+    * update + one insert) → delete, then read the ROW-LEVEL changes
+    * between version 0 and the head as insert/update/delete with old and
+    * new values. The scan is manifest-pruned to re-pointed buckets only
+    * (TxTable.diff) — the change-data-capture read every downstream
+    * incremental consumer (sync, index refresh, cache invalidation)
+    * needs, at O(changed buckets) cost. */
+  def cdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s17").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0),
+        ("User#000000001", "BUILDING", 10.0))).toDF("name", "house", "acctbal"))
+      t.delete(spark.createDataFrame(Seq(Tuple1("Customer#000000005"))).toDF("name"))
+      t.diff(0L, 2L)
+        .select(col("change_type"), col("name"),
+          col("old_house"), col("new_house"),
+          round(col("old_acctbal"), 2).as("old_acctbal"),
+          round(col("new_acctbal"), 2).as("new_acctbal"))
+        .orderBy("name").localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** §2.6 extension — set operations (Spark built-ins). */
   def setopIntersect(spark: SparkSession, sfDir: String, minBal: Double, houses: Seq[String]): DataFrame = {
     val n = Graph.nodes(spark, sfDir)

@@ -845,6 +845,35 @@ object TextOps {
       .limit(k)
   }
 
+  /** Passage-level exact dedup — the C4/RefinedWeb "remove duplicated
+    * spans" pass, one level finer than whole-document dedup: documents are
+    * cut into fixed 8-token passages, passages are exact-hash counted
+    * CORPUS-WIDE, and each document reports how much of it is boilerplate
+    * that also appears elsewhere. Distinct from `tx_repetition` (within-
+    * doc dups) and the `dd_*` family (whole-doc similarity): this finds
+    * shared spans inside otherwise-unique documents. Plan: one explode +
+    * two hash aggs + one shuffle join on the passage key, all partial-
+    * combinable; at 100 TB the passage table is ~tokens/8 rows hashed on
+    * content — the same shape as the shingle index, no pair joins at all.
+    * Duplicated fraction is integer ppm (BIGINT `div` — no float). */
+  def spanDedup(spark: SparkSession, sfDir: String, span: Int = 8,
+                maxDocId: Long = 200L): DataFrame = {
+    val p = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= span)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), (size(col("t")) / lit(span)).cast("int") - 1),
+          j => array_join(slice(col("t"), j * span + 1, lit(span)), " "))).as("passage"))
+    val g = p.groupBy("passage").agg(count(lit(1)).as("df"))
+    p.join(g, Seq("passage"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .filter(col("doc_id") < maxDocId)
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_passages"))
+      .orderBy("doc_id")
+  }
+
   /** k-anonymity suppression over quasi-identifiers — the privacy gate a
     * training-data release runs before publishing per-group statistics:
     * any (lang, source, length-band) combination carried by fewer than

@@ -159,6 +159,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"events shuffled for a 5-row join:\n$p")
   }
 
+  test("rq41 incremental agg scans raw events once (delta only), base from the artifact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.ops.RelOps.incrementalAgg(spark, sf)
+    df.collect() // ensure the artifact exists before inspecting the plan
+    val scans = graft.ops.RelOps.incrementalAgg(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.mkString
+      }
+    val rawScans = scans.filter(_.contains("events.parquet"))
+    assert(rawScans.size == 1, s"history must come from the artifact, not a rescan: $scans")
+    assert(scans.exists(_.contains("events_daily_agg")), s"base artifact not read: $scans")
+  }
+
   test("fn_stat_suite is one scan with partial-combinable moment aggregates") {
     val p = graft.ops.ScalarSuites.statSuite(spark, sf).queryExecution.sparkPlan.toString
     assert(p.contains("partial_corr"), s"moments not partially aggregated:\n$p")

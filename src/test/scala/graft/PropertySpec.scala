@@ -107,6 +107,41 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable diff is a faithful changelog: applying diff(a,b) to version a yields version b") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_diff").toString
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        (0 until 10).map(i => f"K$i%02d" -> i.toLong).toDF("k", "v"),
+        Seq("k"), numBuckets = 8)
+      t.merge(Seq("K03" -> 300L, "K20" -> 200L).toDF("k", "v"))   // v1: upd + ins
+      t.delete(Seq("K05", "K20").map(Tuple1(_)).toDF("k"))        // v2: two dels
+      t.merge(Seq("K05" -> 555L, "K03" -> 300L).toDF("k", "v"))   // v3: re-ins + NO-OP upd
+      val vMax = t.version
+      for (a <- 0L until vMax; b <- (a + 1) to vMax) {
+        val changes = t.diff(a, b).collect()
+        changes.foreach { r =>
+          (r.getString(0): @unchecked) match {
+            case "insert" => assert(r.isNullAt(2) && !r.isNullAt(3), s"$r")
+            case "delete" => assert(!r.isNullAt(2) && r.isNullAt(3), s"$r")
+            case "update" => assert(r.getLong(2) != r.getLong(3), s"no-op update leaked: $r")
+          }
+        }
+        val before = t.snapshotAt(a).as[(String, Long)].collect().toMap
+        val after = t.snapshotAt(b).as[(String, Long)].collect().toMap
+        val replayed = changes.foldLeft(before) { (m, r) =>
+          if (r.getString(0) == "delete") m - r.getString(1)
+          else m + (r.getString(1) -> r.getLong(3))
+        }
+        assert(replayed == after, s"diff($a,$b) does not replay")
+      }
+      // the K03->300 re-merge at v3 touched its bucket but changed nothing:
+      // the value filter must suppress it.
+      assert(!t.diff(2L, 3L).collect().exists(_.getString(1) == "K03"),
+        "unchanged row from a rewritten bucket leaked into the diff")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("semi-join house counts sum to the matched name-set size (randomized)") {
     samples(friendSetGen, 5).filter(_.nonEmpty).foreach { keys =>
       val total = GraphOps.semiHouseCounts(spark, sf, keys)
