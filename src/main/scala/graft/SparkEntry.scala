@@ -95,6 +95,7 @@ object SparkEntry {
     "fn_map_suite" -> ((s, d) => graft.ops.ScalarSuites.mapSuite(s, d)),
     "fn_agg_suite" -> ((s, d) => graft.ops.ScalarSuites.aggSuite(s, d)),
     "fn_stat_suite" -> ((s, d) => graft.ops.ScalarSuites.statSuite(s, d)),
+    "fn_null_suite" -> ((s, d) => graft.ops.ScalarSuites.nullSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "sim_radius_search" -> ((s, d) => SimilarityOps.radiusSearch(s, d)),
     "sim_batch_topk" -> ((s, d) => SimilarityOps.batchTopK(s, d)),
     "sim_cosine_hist" -> ((s, d) => SimilarityOps.cosineHistogram(s, d)),
+    "sim_vq_assign" -> ((s, d) => SimilarityOps.vqAssign(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
     "rq1_pricing" -> ((s, d) => RelOps.pricingSummary(s, d)),
     "rq2_distinct_agg" -> ((s, d) => RelOps.distinctAgg(s, d)),
@@ -176,6 +178,7 @@ object SparkEntry {
     "rq39_retention" -> ((s, d) => RelOps.retentionCohorts(s, d)),
     "rq40_asof_tolerance" -> ((s, d) => RelOps.asofJoinTolerance(s, d)),
     "rq41_incremental_agg" -> ((s, d) => RelOps.incrementalAgg(s, d)),
+    "rq42_profile" -> ((s, d) => RelOps.columnProfile(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -920,6 +923,27 @@ object SparkEntry {
         |      FROM cl JOIN g USING (i) GROUP BY label)
         |SELECT label, round(dp / (ncl * ng), 6) AS cosine_to_global
         |FROM j ORDER BY label""".stripMargin,
+    // sim_vq_assign: nearest-centroid assignment on ×1e4 fixed-point
+    // integers — squared distances are integer-exact (no float summation
+    // order channel), argmin tie-broken by label.
+    "sim_vq_assign" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, i, v[i] AS val
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s),
+        |c AS (SELECT label AS clabel, i, CAST(round(avg(val) * 10000) AS BIGINT) AS qc
+        |      FROM x GROUP BY 1, 2),
+        |q AS (SELECT vec_id, label, i, CAST(round(v[i] * 10000) AS BIGINT) AS qx
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+        |      WHERE vec_id < 500),
+        |d AS (SELECT q.vec_id, q.label, c.clabel,
+        |        sum((qx - qc) * (qx - qc)) AS dist
+        |      FROM q JOIN c USING (i) GROUP BY 1, 2, 3),
+        |a AS (SELECT vec_id, label, clabel,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        |      FROM d)
+        |SELECT CAST(label AS BIGINT) AS true_label,
+        |  CAST(clabel AS BIGINT) AS assigned_label, count(*) AS n
+        |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sim_quantize_int8: absmax int8 quantization; quantized dot and norms
     // are integer-exact (no float drift), exact cosine rides along as the
     // error report. round() ties go away-from-zero on both engines.
@@ -1586,6 +1610,20 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_micro
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rq42: one-scan column profiler over a canonical string rendering —
+    // exact distinct per column, min/max lexicographic on the rendering.
+    "rq42_profile" ->
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders)
+        |SELECT column_name, count(*) AS n_rows,
+        |  count(*) - count(val) AS n_nulls,
+        |  count(DISTINCT val) AS n_distinct,
+        |  min(val) AS min_val, max(val) AS max_val
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // rq40: rq8's as-of with a 2-hour tolerance horizon — the matched
     // purchase timestamp rides the same window; the lag is computed on
     // per-side floored epoch seconds (Spark's cast(ts AS LONG) semantics).
@@ -1724,6 +1762,21 @@ object SparkEntry {
         |  round(icept, 4) + 0 AS intercept,
         |  round(r2, 4) + 0 AS r2
         |FROM st JOIN mom ON st.flag = mom.flag ORDER BY 1""".stripMargin,
+    // fn_null_suite: three-valued-logic sweep — NVL2 and <=> have no
+    // DuckDB twin, so the oracle spells them as CASE / IS NOT DISTINCT
+    // FROM (same semantics, different surface).
+    "fn_null_suite" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'was_building') AS seg_coalesced,
+        |  ifnull(nullif(c_mktsegment, 'BUILDING'), 'nvl_default') AS seg_nvl,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |       THEN 'other' ELSE 'building' END AS seg_nvl2,
+        |  c_mktsegment IS NOT DISTINCT FROM 'BUILDING' AS is_building_nullsafe,
+        |  CAST(NULL AS VARCHAR) IS NOT DISTINCT FROM CAST(NULL AS VARCHAR) AS null_eq_null,
+        |  nullif(c_mktsegment, 'BUILDING') IS NULL AS seg_is_null,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) // nullif(c_custkey % 3, 0) AS guarded_div_cents
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -860,6 +860,34 @@ object RelOps {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** Column profiler — the data-quality pass a warehouse runs on every
+    * new table before anything else: per-column row count, null count,
+    * exact distinct count, and min/max of the rendered value. ONE scan:
+    * the table unpivots through a `stack` Expand into (column, value)
+    * pairs, then a single hash aggregation per column computes everything
+    * (the per-group distinct is a standard two-level agg). Values are
+    * profiled in a canonical string rendering (integers as-is, money via
+    * DECIMAL(18,2), dates as ISO) so the comparison channel is exact. At
+    * 100 TB the exact distinct becomes approx_count_distinct — same plan
+    * minus the Expand for distinct; the profile shape is unchanged. */
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(expr(
+        """stack(5,
+          |'o_orderkey', CAST(o_orderkey AS STRING),
+          |'o_custkey', CAST(o_custkey AS STRING),
+          |'o_orderstatus', o_orderstatus,
+          |'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+          |'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING))""".stripMargin)
+        .as(Seq("column_name", "val")))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("val"))).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"),
+        min("val").as("min_val"),
+        max("val").as("max_val"))
+      .orderBy("column_name")
+
   /** Incrementally maintained daily aggregate — the materialized-view
     * pattern every 100 TB warehouse lives on: the historical 80% of the
     * event log is aggregated ONCE into a build-once artifact (cost paid at

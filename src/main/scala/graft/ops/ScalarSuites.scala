@@ -179,4 +179,26 @@ object ScalarSuites {
         r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
       .orderBy("l_returnflag")
   }
+
+  /** Null-semantics sweep — the three-valued-logic corner every SQL engine
+    * must agree on before any filter can be trusted: NULLIF / COALESCE /
+    * NVL / NVL2, null-safe equality (`<=>`, including the NULL<=>NULL
+    * case that ordinary `=` gets wrong), IS NULL projection, and the
+    * classic divide-by-zero guard `x / NULLIF(d, 0)`. All scalar, all
+    * codegen'd, one scan. */
+  def nullSuite(spark: SparkSession, sfDir: String, maxKey: Long = 50): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_custkey") < maxKey)
+      .selectExpr("c_custkey",
+        "nullif(c_mktsegment, 'BUILDING') AS seg_or_null",
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'was_building') AS seg_coalesced",
+        "nvl(nullif(c_mktsegment, 'BUILDING'), 'nvl_default') AS seg_nvl",
+        "nvl2(nullif(c_mktsegment, 'BUILDING'), 'other', 'building') AS seg_nvl2",
+        "c_mktsegment <=> 'BUILDING' AS is_building_nullsafe",
+        "CAST(NULL AS STRING) <=> CAST(NULL AS STRING) AS null_eq_null",
+        "isnull(nullif(c_mktsegment, 'BUILDING')) AS seg_is_null",
+        // integer cents, not round(double/…): a .xx5 quotient rounds by the
+        // DECIMAL RENDERING in Spark but by the binary double in DuckDB —
+        // floor-dividing exact cents removes the channel entirely
+        "CAST(round(c_acctbal * 100) AS BIGINT) div nullif(c_custkey % 3, 0) AS guarded_div_cents")
+      .orderBy("c_custkey")
 }

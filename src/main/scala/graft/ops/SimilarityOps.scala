@@ -286,6 +286,43 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  /** Vector-quantization assignment + confusion matrix — nearest-centroid
+    * classification, the evaluation half of every clustering/labeling
+    * pipeline: per-label mean centroids over the WHOLE corpus (partial-
+    * combinable avg), then each probe vector assigned to its nearest
+    * centroid and cross-tabulated against its true label. The distance
+    * arithmetic is INTEGER-exact: centroids and components quantize to
+    * ×10⁴ fixed-point BIGINTs first, so squared distances carry no float-
+    * summation-order drift (the sim_quantize_int8 trick applied to
+    * assignment) and the argmin — tie-broken by label — is deterministic
+    * on any engine. Plan: 10 centroid rows broadcast, one linear pass
+    * over the probes; at 100 TB assignment is a map-side-only stage. */
+  def vqAssign(spark: SparkSession, sfDir: String, maxVec: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .select(col("label").as("clabel"), col("pos"),
+        round(col("cx") * 10000).cast("long").as("qc"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"), col("qc")))).as("pairs"))
+      .select(col("clabel"), transform(col("pairs"), p => p.getField("qc")).as("qcv"))
+    val probes = e.filter(col("vec_id") < maxVec)
+      .select(col("vec_id"), col("label"),
+        transform(col("v"), x => round(x * 10000).cast("long")).as("qv"))
+    val dist = probes.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        aggregate(zip_with(col("qv"), col("qcv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("clabel").asc)
+    dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label").cast("long").as("true_label"),
+        col("clabel").cast("long").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "assigned_label")
+  }
+
   /** Int8-quantized cosine top-k — the memory-scaling leg of similarity
     * search: per-vector symmetric quantization (scale = 127/max|v|, the
     * classic absmax scheme) shrinks a 100 TB float corpus ~4× and turns

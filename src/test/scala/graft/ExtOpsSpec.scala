@@ -702,6 +702,30 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vq assignment: every probe lands in exactly one confusion cell") {
+    val conf = SimilarityOps.vqAssign(spark, sf).collect()
+    val probes = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 500).count()
+    assert(conf.map(_.getAs[Long]("n")).sum == probes, "confusion matrix must partition the probes")
+    // centroids are per-label means, so the matrix is square-bounded
+    conf.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 10 && r.getLong(1) >= 0 && r.getLong(1) < 10)
+    }
+  }
+
+  test("column profile: counts consistent across columns of one table") {
+    val p = RelOps.columnProfile(spark, sf).collect()
+    val nRows = p.map(_.getAs[Long]("n_rows")).distinct
+    assert(nRows.length == 1, "every column profiles the same row count")
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows") - r.getAs[Long]("n_nulls"))
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+    }
+    // the key column is unique: distinct == rows
+    val key = p.find(_.getString(0) == "o_orderkey").get
+    assert(key.getAs[Long]("n_distinct") == key.getAs[Long]("n_rows"))
+  }
+
   test("radius search returns exactly the top-k prefix above its threshold") {
     // Radius and top-k must agree on their overlap: every top-10 hit with
     // cosine ≥ 0.25 appears in the radius result with the same score.
