@@ -96,6 +96,7 @@ object SparkEntry {
     "fn_agg_suite" -> ((s, d) => graft.ops.ScalarSuites.aggSuite(s, d)),
     "fn_stat_suite" -> ((s, d) => graft.ops.ScalarSuites.statSuite(s, d)),
     "fn_null_suite" -> ((s, d) => graft.ops.ScalarSuites.nullSuite(s, d)),
+    "fn_cast_suite" -> ((s, d) => graft.ops.ScalarSuites.castSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -179,6 +180,8 @@ object SparkEntry {
     "rq40_asof_tolerance" -> ((s, d) => RelOps.asofJoinTolerance(s, d)),
     "rq41_incremental_agg" -> ((s, d) => RelOps.incrementalAgg(s, d)),
     "rq42_profile" -> ((s, d) => RelOps.columnProfile(s, d)),
+    "rq43_winsorize" -> ((s, d) => RelOps.winsorize(s, d)),
+    "rq44_fk_violations" -> ((s, d) => RelOps.fkViolations(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -1624,6 +1627,36 @@ object SparkEntry {
         |  count(DISTINCT val) AS n_distinct,
         |  min(val) AS min_val, max(val) AS max_val
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq43: winsorization — percentile bands quantized to BIGINT micros
+    // BEFORE any comparison (rq28 rule), clip is pure integer min/max.
+    "rq43_winsorize" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(value, 0.05) * 1e6) AS BIGINT) AS lo,
+        |    CAST(round(quantile_cont(value, 0.95) * 1e6) AS BIGINT) AS hi
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS micro FROM events)
+        |SELECT m.event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE micro < lo) AS BIGINT) AS n_clip_lo,
+        |  CAST(count(*) FILTER (WHERE micro > hi) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(least(greatest(micro, lo), hi)) AS BIGINT) AS sum_wins_micro,
+        |  any_value(lo) AS lo_micro, any_value(hi) AS hi_micro
+        |FROM m JOIN p USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq44: referential-integrity audit — one anti-join count per check.
+    "rq44_fk_violations" ->
+      """SELECT * FROM (
+        |  SELECT 'events_user_fk' AS check_name,
+        |    (SELECT count(*) FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)) AS n_violations,
+        |    (SELECT count(*) FROM events) AS n_total
+        |  UNION ALL
+        |  SELECT 'lineitem_orders_fk',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |    (SELECT count(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'orders_customer_fk',
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |    (SELECT count(*) FROM orders))
+        |ORDER BY check_name""".stripMargin,
     // rq40: rq8's as-of with a 2-hour tolerance horizon — the matched
     // purchase timestamp rides the same window; the lag is computed on
     // per-side floored epoch seconds (Spark's cast(ts AS LONG) semantics).
@@ -1776,6 +1809,20 @@ object SparkEntry {
         |  CAST(NULL AS VARCHAR) IS NOT DISTINCT FROM CAST(NULL AS VARCHAR) AS null_eq_null,
         |  nullif(c_mktsegment, 'BUILDING') IS NULL AS seg_is_null,
         |  CAST(round(c_acctbal * 100) AS BIGINT) // nullif(c_custkey % 3, 0) AS guarded_div_cents
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
+    // fn_cast_suite: TRY_CAST failure→NULL, calendar validation, round
+    // trips, boolean rendering. (No bare double→int cast: truncate-vs-
+    // round semantics differ between engines by design.)
+    "fn_cast_suite" ->
+      """SELECT c_custkey,
+        |  try_cast(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+        |  try_cast(c_mktsegment AS BIGINT) AS seg_as_num,
+        |  CAST(c_custkey AS VARCHAR) AS key_str,
+        |  try_cast('2024-02-30' AS DATE) IS NULL AS bad_date_is_null,
+        |  CAST(try_cast('2024-03-05' AS DATE) AS VARCHAR) AS good_date,
+        |  strftime(CAST(try_cast('2024-03-05' AS DATE) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS date_ts,
+        |  CAST(c_custkey % 2 = 0 AS VARCHAR) AS even_str,
+        |  try_cast('1' || CAST(c_custkey AS VARCHAR) AS BIGINT) AS prefixed_num
         |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,

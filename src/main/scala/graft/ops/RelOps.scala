@@ -807,6 +807,61 @@ object RelOps {
       .orderBy("event_type")
   }
 
+  /** Winsorization — clipping to the per-group [P05, P95] band, the
+    * robust-normalization step a feature pipeline applies where rq36's
+    * MAD gate only REPORTS outliers. Percentiles are computed exactly per
+    * group and immediately quantized to BIGINT micros (the rq28 rule: an
+    * interpolated double's last bits are engine-specific, the rounded
+    * fixed-point value is not), and the clip itself is then pure integer
+    * min/max — no float comparison anywhere near a boundary. Plan: one
+    * exact-percentile agg over the 5 groups broadcast back onto one
+    * counting scan. At 100 TB the percentile pass becomes the rq19
+    * sketch; clip and sums are unchanged. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bands = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.05D, 0.95D))").as("p"))
+      .select(col("event_type"),
+        round(element_at(col("p"), 1) * 1e6).cast("long").as("lo"),
+        round(element_at(col("p"), 2) * 1e6).cast("long").as("hi"))
+    ev.select(col("event_type"), round(col("value") * 1e6).cast("long").as("micro"))
+      .join(broadcast(bands), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("micro") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("micro") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(least(greatest(col("micro"), col("lo")), col("hi"))).as("sum_wins_micro"),
+        first(col("lo")).as("lo_micro"), first(col("hi")).as("hi_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Referential-integrity audit — the foreign-key checks a lake has to
+    * run itself (nothing enforces constraints on parquet): each check is
+    * one LEFT ANTI join counting orphans, unioned into a one-row-per-
+    * check report with totals. Anti joins broadcast the key side when it
+    * fits and degrade to shuffle joins when it doesn't — either way no
+    * row is materialized for the (dominant) non-violating case. The
+    * events→customer check is the interesting one: the synthetic event
+    * log genuinely carries user_ids outside the customer table. */
+  def fkViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    def check(name: String, fact: DataFrame, key: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+      val orphans = fact.join(dim.select(col(dimKey).as(key)).distinct(),
+        Seq(key), "left_anti")
+      orphans.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(fact.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_total"))
+    }
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    check("orders_customer_fk", o.select(col("o_custkey").as("k")), "k", c, "c_custkey")
+      .unionByName(check("lineitem_orders_fk",
+        Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("k")), "k", o, "o_orderkey"))
+      .unionByName(check("events_user_fk",
+        Tables.events(spark, sfDir).select(col("user_id").as("k")), "k", c, "c_custkey"))
+      .orderBy("check_name")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences —
     * the sequential-pattern profile (what follows what) behind next-event
     * prediction and funnel design. One window pass (lead over the per-user

@@ -201,4 +201,25 @@ object ScalarSuites {
         // floor-dividing exact cents removes the channel entirely
         "CAST(round(c_acctbal * 100) AS BIGINT) div nullif(c_custkey % 3, 0) AS guarded_div_cents")
       .orderBy("c_custkey")
+
+  /** Cast-semantics sweep — the conversions an ingest layer leans on,
+    * pinned across engines: TRY_CAST of valid and invalid numerics
+    * (failure → NULL, never an error — the PERMISSIVE-mode scalar twin),
+    * invalid calendar dates rejected as NULL, integer/string round-trips,
+    * and boolean rendering. Deliberately ABSENT: bare double→int casts,
+    * whose truncate-vs-round semantics differ between engines (documented
+    * at MultimodalOps.mediaTable) — an engine surface must steer users to
+    * floor/round instead. */
+  def castSuite(spark: SparkSession, sfDir: String, maxKey: Long = 50): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_custkey") < maxKey)
+      .selectExpr("c_custkey",
+        "try_cast(split_part(c_name, '#', 2) AS BIGINT) AS name_num",
+        "try_cast(c_mktsegment AS BIGINT) AS seg_as_num",
+        "CAST(c_custkey AS STRING) AS key_str",
+        "try_cast('2024-02-30' AS DATE) IS NULL AS bad_date_is_null",
+        "CAST(try_cast('2024-03-05' AS DATE) AS STRING) AS good_date",
+        "date_format(CAST(try_cast('2024-03-05' AS DATE) AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss') AS date_ts",
+        "CAST(c_custkey % 2 = 0 AS STRING) AS even_str",
+        "try_cast(concat('1', CAST(c_custkey AS STRING)) AS BIGINT) AS prefixed_num")
+      .orderBy("c_custkey")
 }

@@ -702,6 +702,20 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: clip band ordered, clipped tails bounded by the percentile mass") {
+    val rows = RelOps.winsorize(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val lo = r.getAs[Long]("lo_micro"); val hi = r.getAs[Long]("hi_micro")
+      assert(lo <= hi)
+      // strictly-below-P05 (strictly-above-P95) mass cannot exceed the tail
+      assert(r.getAs[Long]("n_clip_lo") <= n * 5 / 100 + 1, s"$r")
+      assert(r.getAs[Long]("n_clip_hi") <= n * 5 / 100 + 1, s"$r")
+      val s = r.getAs[Long]("sum_wins_micro")
+      assert(s >= n * lo && s <= n * hi, "clipped sum must stay inside the band")
+    }
+  }
+
   test("vq assignment: every probe lands in exactly one confusion cell") {
     val conf = SimilarityOps.vqAssign(spark, sf).collect()
     val probes = graft.core.Tables.embeddings(spark, sf)
