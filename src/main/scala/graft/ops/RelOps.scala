@@ -1003,4 +1003,131 @@ object RelOps {
           col("ts").cast("long") - col("last_p_ts").cast("long")).as("lag_sec"))
       .orderBy("click_id")
   }
+
+  /** SCD Type-2 dimension build — the warehouse pattern for tracking a
+    * mutable attribute's history as validity intervals. The order-status
+    * change log per customer (sorted by date with an orderkey tiebreak —
+    * total order, so run detection is deterministic) is compressed into
+    * runs (lag-compare marks change rows, a running sum numbers versions),
+    * then each version row gets [valid_from, valid_to) from its own start
+    * and its successor's (lead), with the open version flagged current.
+    * Plan: ONE shuffle on o_custkey serves the change-mark window, the
+    * run-collapse aggregation, and the valid_to window — all three are
+    * key-local, so at 100 TB this is a single exchange regardless of
+    * history depth. */
+  def scd2(spark: SparkSession, sfDir: String, maxCust: Int = 500): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    val marked = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < maxCust)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"), col("o_orderstatus"))
+      .withColumn("chg",
+        when(lag("o_orderstatus", 1).over(w).isNull
+          .or(lag("o_orderstatus", 1).over(w) =!= col("o_orderstatus")), 1L).otherwise(0L))
+      .withColumn("ver",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wv = Window.partitionBy("o_custkey").orderBy("ver")
+    marked.groupBy("o_custkey", "ver")
+      .agg(first("o_orderstatus").as("status"),
+        min("od").as("vf"), count(lit(1)).as("n_orders"))
+      .withColumn("vt", lead("vf", 1).over(wv))
+      .select(col("o_custkey"), col("ver").cast("long").as("ver"), col("status"),
+        date_format(col("vf"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("vt"), "yyyy-MM-dd"), lit("9999-12-31")).as("valid_to"),
+        col("vt").isNull.as("is_current"), col("n_orders"))
+      .orderBy("o_custkey", "ver")
+  }
+
+  /** Per-stratum sampling thresholds: first-2-hex-digit md5 cutoffs
+    * ('33' ≈ 20%, '1a' ≈ 10%, '0d' ≈ 5% of the keyspace), shared verbatim
+    * with the oracle SQL. */
+  val StratRates: Seq[(String, String)] =
+    Seq("1-URGENT" -> "33", "2-HIGH" -> "1a")
+  val StratDefault = "0d"
+
+  /** Stratified deterministic sampling — class rebalancing for a training
+    * corpus: each stratum (order priority) gets its OWN sampling rate, and
+    * the keep decision is a pure function of the row key (md5 prefix under
+    * a per-stratum hex threshold — the `tx_sample_hash` rule, per class).
+    * No RNG state to coordinate across 1000 executors, reproducible across
+    * engines and runs, and the filter+count is one map-side scan feeding a
+    * tiny per-stratum aggregate — no shuffle beyond the 5-group final.
+    * kept_ppm certifies the realized rate against the target. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val th = StratRates.foldLeft(lit(StratDefault)) { case (acc, (k, v)) =>
+      when(col("o_orderpriority") === k, lit(v)).otherwise(acc)
+    }
+    Tables.orders(spark, sfDir)
+      .withColumn("keep",
+        substring(md5(col("o_orderkey").cast("string")), 1, 2) < th)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("o_orderpriority"), col("n_total"), col("n_kept"),
+        (col("n_kept") * 1000000L / col("n_total")).cast("long").as("kept_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Table reconciliation (data diff) — the migration-validation operator:
+    * given a source table and a migrated copy, classify every key as
+    * same / changed / only_left / only_right and count per-column drift.
+    * The "migrated" side is derived deterministically in-query (drops,
+    * status rewrites, and alien keys at fixed key moduli) so both engines
+    * reconstruct the identical pair of tables. Plan: ONE full outer
+    * sort-merge join on the key — at 100 TB both sides bucket on the key
+    * and the join is exchange-free; the classification is a codegen'd
+    * projection and the report is a 4-group aggregate. Comparison sticks
+    * to exact-typed columns (status/priority/custkey) — floats reconcile
+    * via fixed-point renderings, not == (rq42's profile rule). */
+  def tableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+    // Migrated copy: 1/991 keys deleted, 1/997 statuses rewritten, and a
+    // disjoint negative-key range inserted (1/977 keys mirrored).
+    val migrated = src.filter(col("o_orderkey") % 991 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 997 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .unionByName(
+        src.filter(col("o_orderkey") % 977 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+    val l = src.select(src.columns.map(c => col(c).as(s"l_$c")): _*)
+    val r = migrated.select(migrated.columns.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r, col("l_o_orderkey") === col("r_o_orderkey"), "full_outer")
+      .select(
+        when(col("r_o_orderkey").isNull, "only_left")
+          .when(col("l_o_orderkey").isNull, "only_right")
+          .when(col("l_o_orderstatus") =!= col("r_o_orderstatus")
+            or col("l_o_orderpriority") =!= col("r_o_orderpriority")
+            or col("l_o_custkey") =!= col("r_o_custkey"), "changed")
+          .otherwise("same").as("diff_status"),
+        when(col("l_o_orderstatus") =!= col("r_o_orderstatus"), 1L).otherwise(0L).as("sm"),
+        when(col("l_o_orderpriority") =!= col("r_o_orderpriority"), 1L).otherwise(0L).as("pm"))
+      .groupBy("diff_status")
+      .agg(count(lit(1)).as("n"),
+        sum("sm").cast("long").as("n_status_diff"),
+        sum("pm").cast("long").as("n_priority_diff"))
+      .orderBy("diff_status")
+  }
+
+  /** Period-over-period growth — monthly revenue per order priority with
+    * the previous month's revenue and the delta in ppm of the prior value
+    * (BIGINT floor division — no float channel). One shuffle on the
+    * priority key serves both the monthly aggregate and the lag window;
+    * months within a priority are few, so the window partition is tiny
+    * regardless of fact-table size — the aggregate-THEN-window shape is
+    * what makes this safe at 100 TB (the window never sees raw rows). */
+  def periodGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum2(col("o_totalprice")).as("rev_x100"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+    monthly
+      .withColumn("prev_x100", lag("rev_x100", 1).over(w))
+      .select(col("o_orderpriority"), col("month"), col("rev_x100"), col("prev_x100"),
+        when(col("prev_x100").isNotNull,
+          floor((col("rev_x100") - col("prev_x100")) * 1000000L / col("prev_x100")))
+          .cast("long").as("growth_ppm"))
+      .orderBy("o_orderpriority", "month")
+  }
 }
