@@ -182,6 +182,10 @@ object SparkEntry {
     "rq42_profile" -> ((s, d) => RelOps.columnProfile(s, d)),
     "rq43_winsorize" -> ((s, d) => RelOps.winsorize(s, d)),
     "rq44_fk_violations" -> ((s, d) => RelOps.fkViolations(s, d)),
+    "rq45_scd2" -> ((s, d) => RelOps.scd2(s, d)),
+    "rq46_stratified_sample" -> ((s, d) => RelOps.stratifiedSample(s, d)),
+    "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
+    "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
@@ -1657,6 +1661,89 @@ object SparkEntry {
         |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
         |    (SELECT count(*) FROM orders))
         |ORDER BY check_name""".stripMargin,
+    // rq45: SCD2 — runs are constant-status by construction, so any order-
+    // insensitive pick (min) equals Spark's first(); the running sum frame
+    // is pinned to ROWS so both engines number versions identically.
+    "rq45_scd2" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderstatus
+        |  FROM orders WHERE o_custkey < 500),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                   OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, ver, min(o_orderstatus) AS status,
+        |    min(od) AS vf, count(*) AS n_orders
+        |  FROM v GROUP BY 1, 2)
+        |SELECT o_custkey, ver, status,
+        |  strftime(vf, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(lead(vf) OVER wv, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+        |  lead(vf) OVER wv IS NULL AS is_current, n_orders
+        |FROM g WINDOW wv AS (PARTITION BY o_custkey ORDER BY ver)
+        |ORDER BY o_custkey, ver""".stripMargin,
+    // rq46: per-stratum md5-threshold sampling; kept_ppm via integer `//`
+    // (both engines truncate, operands non-negative).
+    "rq46_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT o_orderpriority,
+        |    substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+        |      CASE o_orderpriority WHEN '1-URGENT' THEN '33'
+        |                           WHEN '2-HIGH' THEN '1a'
+        |                           ELSE '0d' END AS keep
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS kept_ppm
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq47: full-outer reconciliation; NULL-side <> comparisons fall to the
+    // ELSE 0 arm on both engines (Spark's =!= is null → otherwise(0)).
+    "rq47_table_diff" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders),
+        |mig AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 997 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_orderpriority
+        |  FROM src WHERE o_orderkey % 991 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        |  FROM src WHERE o_orderkey % 977 = 0),
+        |j AS (
+        |  SELECT l.o_orderkey AS lk, r.o_orderkey AS rk,
+        |    l.o_orderstatus AS ls, r.o_orderstatus AS rs,
+        |    l.o_orderpriority AS lp, r.o_orderpriority AS rp,
+        |    l.o_custkey AS lc, r.o_custkey AS rc
+        |  FROM src l FULL OUTER JOIN mig r ON l.o_orderkey = r.o_orderkey)
+        |SELECT CASE WHEN rk IS NULL THEN 'only_left'
+        |            WHEN lk IS NULL THEN 'only_right'
+        |            WHEN ls <> rs OR lp <> rp OR lc <> rc THEN 'changed'
+        |            ELSE 'same' END AS diff_status,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN ls <> rs THEN 1 ELSE 0 END) AS BIGINT) AS n_status_diff,
+        |  CAST(sum(CASE WHEN lp <> rp THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_diff
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq48: aggregate-then-window growth; growth_ppm via truncating integer
+    // division on exact BIGINT cents (Spark `div` ≡ DuckDB `//`, negatives
+    // included — NOT floor, which the engines disagree on).
+    "rq48_period_growth" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_x100
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, rev_x100,
+        |  lag(rev_x100) OVER w AS prev_x100,
+        |  CAST(CASE WHEN lag(rev_x100) OVER w IS NOT NULL
+        |    THEN (rev_x100 - lag(rev_x100) OVER w) * 1000000 // lag(rev_x100) OVER w
+        |  END AS BIGINT) AS growth_ppm
+        |FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+        |ORDER BY o_orderpriority, month""".stripMargin,
     // rq40: rq8's as-of with a 2-hour tolerance horizon — the matched
     // purchase timestamp rides the same window; the lag is computed on
     // per-side floored epoch seconds (Spark's cast(ts AS LONG) semantics).

@@ -20,15 +20,23 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = read(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = read(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = read(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Public escape hatch: read nanos as long, then truncate to microsecond
-    * timestamps with integer arithmetic (a double division would lose
-    * precision above 2^53 ns). The oracle side truncates identically via
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (older
+    * fixtures — Spark's reader rejects it; the nanosAsLong escape hatch
+    * reads raw nanos as long, truncated to micros with integer arithmetic,
+    * since a double division would lose precision above 2^53 ns) and
+    * TIMESTAMP(MICROS) (current fixtures — read as TIMESTAMP_NTZ).
+    * Dispatch on the observed type; either way the output is a session-
+    * zone (UTC) microsecond TIMESTAMP, matching the oracle's
     * `CAST(ts AS TIMESTAMP)` (DuckDB ns→µs cast floors — verified). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")

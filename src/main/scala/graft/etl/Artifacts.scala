@@ -17,7 +17,9 @@ object Artifacts {
   /** Bump when any artifact's derivation changes: artifacts outlive the
     * process, so a code change without a version bump would silently serve
     * stale tables built by the previous definition. */
-  val Version = "v3" // v3: LSH index widened to 12 tables (recall ≥0.9 floor)
+  val Version = "v4" // v4: driver fixtures regenerated 2026-08-13 (events.ts
+                     // now TIMESTAMP(MICROS)) — artifacts built from the old
+                     // fixtures must not be served against the new ones.
 
   def path(sfDir: String, name: String): String =
     s"$root/$Version/${new java.io.File(sfDir).getName}/$name"

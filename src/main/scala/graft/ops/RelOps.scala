@@ -1064,7 +1064,10 @@ object RelOps {
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
       .select(col("o_orderpriority"), col("n_total"), col("n_kept"),
-        (col("n_kept") * 1000000L / col("n_total")).cast("long").as("kept_ppm"))
+        // Integer `div`, not `/`+cast: long division is exact and truncates
+        // identically to DuckDB's `//`, where a double quotient could round
+        // across the integer boundary.
+        expr("(n_kept * 1000000) div n_total").as("kept_ppm"))
       .orderBy("o_orderpriority")
   }
 
@@ -1111,7 +1114,8 @@ object RelOps {
 
   /** Period-over-period growth — monthly revenue per order priority with
     * the previous month's revenue and the delta in ppm of the prior value
-    * (BIGINT floor division — no float channel). One shuffle on the
+    * (BIGINT `div` — truncating integer division, no float channel; both
+    * engines truncate toward zero so negative growth agrees). One shuffle on the
     * priority key serves both the monthly aggregate and the lag window;
     * months within a priority are few, so the window partition is tiny
     * regardless of fact-table size — the aggregate-THEN-window shape is
@@ -1126,7 +1130,7 @@ object RelOps {
       .withColumn("prev_x100", lag("rev_x100", 1).over(w))
       .select(col("o_orderpriority"), col("month"), col("rev_x100"), col("prev_x100"),
         when(col("prev_x100").isNotNull,
-          floor((col("rev_x100") - col("prev_x100")) * 1000000L / col("prev_x100")))
+          expr("((rev_x100 - prev_x100) * 1000000) div prev_x100"))
           .cast("long").as("growth_ppm"))
       .orderBy("o_orderpriority", "month")
   }

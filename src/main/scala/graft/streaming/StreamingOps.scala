@@ -20,22 +20,32 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Schema of events.parquet as read with nanosAsLong (ts: raw nanos). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Schema of events.parquet with `ts` left abstract — fixtures have
+    * shipped ts as both TIMESTAMP(NANOS) (read as raw-nanos long under
+    * nanosAsLong) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); the
+    * streaming source needs an explicit schema, so probe the file's batch
+    * schema once and splice the observed type in (same dispatch as
+    * graft.core.Tables.events). */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of the events parquet (ts truncated to microseconds,
-    * same arithmetic as graft.core.Tables.events). */
+  /** Streaming read of the events parquet (ts normalized to microsecond
+    * session-zone timestamps, same arithmetic as graft.core.Tables.events). */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     // The file source requires a directory: list the sf dir, glob-filtered
     // to the events file.
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Event-time tumbling window aggregation with a watermark — the
