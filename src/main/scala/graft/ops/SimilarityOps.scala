@@ -334,28 +334,58 @@ object SimilarityOps {
     * quantization-error report (top-k by q_cosine, exact score visible).
     * Quantization itself is deterministic: double ops are IEEE-identical
     * on both engines and round() ties go away-from-zero on both. */
+  /** ETL: the int8-encoded corpus — per-vector symmetric scale
+    * (sc = 127/max|x|), codes stored as array<tinyint> (the actual 4×
+    * memory win vs float32; ~8× vs the double-array in-memory form), and
+    * the quantized norm precomputed. Build-once per scale factor
+    * (`Artifacts`): the float corpus is scanned at BUILD time only; at
+    * 100 TB this is the scheduled encode job, and the query path scans
+    * nothing but the codes table. */
+  def int8Index(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "int8_codes") {
+      normed(spark, sfDir)
+        .withColumn("sc", lit(127.0) / greatest(
+          aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)),
+          lit(1e-12))) // zero-vector guard, same literal as the oracle
+        .withColumn("qv",
+          transform(col("v"), x => round(x * col("sc"), 0).cast("long").cast("byte")))
+        .withColumn("nq", sqrt(
+          aggregate(transform(col("qv"), x => x.cast("long") * x),
+            lit(0L), (a, x) => a + x).cast("double")))
+        .select(col("vec_id"), col("label"), col("qv"), col("nq"))
+    }
+
+  /** Int8 cosine top-k as a PROBE of the build-once codes artifact: the
+    * ranking sweep touches only (vec_id, label, qv, nq) — never the float
+    * corpus — with the integer dot a codegen'd expression
+    * (graft.functions.DotProductInt8). Only the k winners (plus the query
+    * row) are joined back to the base vectors for the exact-cosine column,
+    * a broadcast of ≤k+1 rows. Integer quantized arithmetic keeps q_cosine
+    * bit-reproducible across engines (no float-summation-order drift);
+    * ties order by vec_id. */
   def quantizedTopK(spark: SparkSession, sfDir: String,
                     queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val e = normed(spark, sfDir)
-      .withColumn("sc", lit(127.0) / greatest(
-        aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)),
-        lit(1e-12))) // zero-vector guard, same literal as the oracle
-      .withColumn("qv", transform(col("v"), x => round(x * col("sc"), 0).cast("long")))
-      .withColumn("nq", sqrt(
-        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x)
-          .cast("double")))
-    val q = e.filter(col("vec_id") === queryId)
-      .select(col("qv").as("q_qv"), col("v").as("q_v"),
-        col("nq").as("q_nq"), col("nrm").as("q_nrm"))
-    e.filter(col("vec_id") =!= queryId)
+    val codes = int8Index(spark, sfDir)
+    val q = codes.filter(col("vec_id") === queryId)
+      .select(col("qv").as("q_qv"), col("nq").as("q_nq"))
+    val shortlist = codes.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).cast("double")
-          / (col("nq") * col("q_nq")), 6).as("q_cosine"),
-        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6).as("cosine"))
+        round(graft.functions.DotProductInt8(col("qv"), col("q_qv")).cast("double")
+          / (col("nq") * col("q_nq")), 6).as("q_cosine"))
       .orderBy(desc("q_cosine"), asc("vec_id"))
       .limit(k)
+    val qBase = normed(spark, sfDir).filter(col("vec_id") === queryId)
+      .select(col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val base = normed(spark, sfDir).select(col("vec_id").as("b_id"), col("v"), col("nrm"))
+    // Exact-cosine attach: base JOIN broadcast(shortlist) — the k-row side
+    // is the broadcast, the float corpus streams through the build-free
+    // probe side and only k rows survive (pqTopK's re-rank shape).
+    base.join(broadcast(shortlist), col("b_id") === col("vec_id"))
+      .crossJoin(broadcast(qBase))
+      .select(col("vec_id"), col("label"), col("q_cosine"),
+        round(dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")), 6).as("cosine"))
+      .orderBy(desc("q_cosine"), asc("vec_id"))
   }
 
   // —— Product quantization (PQ) — the memory-compression ANN path ——

@@ -279,6 +279,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("native int8 dot expression equals the HOF fold over the same codes") {
+    // Integer arithmetic: equality is exact regardless of order, so this
+    // pins only that the codegen loop reads the byte arrays correctly.
+    val c = SimilarityOps.int8Index(spark, sf)
+    val pairs = c.as("a").join(c.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 30 && col("b.vec_id") < 30)
+      .select(
+        graft.functions.DotProductInt8(col("a.qv"), col("b.qv")).as("native"),
+        aggregate(zip_with(col("a.qv"), col("b.qv"),
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
   test("brute-force cosine top-k is self-consistent: scores decrease") {
     val scores = SimilarityOps.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cosine"))
     assert(scores.sameElements(scores.sorted.reverse))

@@ -179,6 +179,31 @@ class PlanSpec extends AnyFunSuite {
       s"stat suite should read lineitem exactly once:\n$p")
   }
 
+  test("sim_quantize_int8 ranks from the codes artifact; floats only in the k-row re-rank") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, TakeOrderedAndProjectExec}
+    graft.ops.SimilarityOps.quantizedTopK(spark, sf).collect() // artifact exists
+    val p = graft.ops.SimilarityOps.quantizedTopK(spark, sf).queryExecution.sparkPlan
+    val topk = p.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.size == 1, s"expected exactly the shortlist TakeOrderedAndProject:\n$p")
+    val rankScans = topk.head.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.mkString
+    }
+    assert(rankScans.nonEmpty && rankScans.forall(_.contains("int8_codes")),
+      s"ranking sweep must scan only the int8 artifact, not the float corpus: $rankScans")
+  }
+
+  test("rq45 scd2: one hash exchange on o_custkey serves all three window/agg steps") {
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements at execution time.
+    val p = plan(graft.ops.RelOps.scd2(spark, sf))
+    // The AQE string repeats the tree under "== Initial Plan ==" — count
+    // only the final plan section.
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val hashEx = finalSection.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"change-mark window, run collapse, and validity window must share one exchange:\n$p")
+  }
+
   test("sim_batch_topk broadcasts the query block and ranks per query") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = graft.ops.SimilarityOps.batchTopK(spark, sf).queryExecution.sparkPlan
