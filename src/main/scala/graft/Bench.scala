@@ -26,11 +26,17 @@ object Bench {
     // generated code is unique, so first execution pays catalyst analysis +
     // codegen + C2 compilation (measured 3-8× the steady state). A service
     // answers queries warm; measure that.
+    // The warmup pass also BUILDS any missing ETL artifacts (ANN indexes,
+    // int8 codes, TxTable demo histories) — record its wall time separately
+    // so a cold artifact dir in the driver sandbox shows up as warmup cost,
+    // not as inflated per-query numbers.
+    val warmupT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         clearCaches()
       }
+    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
     // Min of 2 measured runs per query: the driver environment shows
     // multi-ten-second nondeterministic stalls (GC / C2 deopt) that land
     // on arbitrary queries — one stall must not define the round's
@@ -58,7 +64,7 @@ object Bench {
     val failed = results.values.count(_ < 0)
     val total = results.values.filter(_ >= 0).sum
     def json(entries: Seq[(String, Double)], qtotal: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(entries)},"qcount":${entries.size},"qtotal":$qtotal,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmupSec)},"queries":${qsJson(entries)},"qcount":${entries.size},"qtotal":$qtotal,"failed":$failed,"sf":"$sfDir"}"""
     val all = results.toSeq
     val fullJson = json(all, all.size)
     spark.stop()
