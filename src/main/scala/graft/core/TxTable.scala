@@ -40,9 +40,10 @@ import scala.jdk.CollectionConverters._
   *   call time; a merge returns only after its manifest is published, so
   *   the very next query in the same session sees the merged rows.
   *
-  * Losers of a commit race leave an unreferenced data dir behind; a real
-  * deployment vacuums those by manifest reachability (out of scope here —
-  * they are invisible to readers either way).
+  * Losers of a commit race leave an unreferenced data dir behind — they
+  * are invisible to readers (no manifest points at them) and `vacuum()`
+  * reclaims them by manifest reachability, retaining the version horizon
+  * you ask it to keep time travel for.
   */
 final class TxTable private (spark: SparkSession, dir: String,
                              keyCols: Seq[String], numBuckets: Int) {
@@ -93,6 +94,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * with the schema persisted at create time. */
   def snapshotAt(v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"version $v not in [0, $version]")
+    require(Files.exists(logDir.resolve(f"v$v%08d.txt")),
+      s"version $v has been vacuumed")
     val paths = manifest(v).values.toSeq.sorted
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -185,6 +188,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   def diff(vOld: Long, vNew: Long): DataFrame = {
     require(vOld >= 0 && vNew <= version && vOld < vNew,
       s"need 0 <= vOld < vNew <= $version")
+    require(Files.exists(logDir.resolve(f"v$vOld%08d.txt")),
+      s"version $vOld has been vacuumed")
     val mo = manifest(vOld)
     val mn = manifest(vNew)
     val changed = (mo.keySet ++ mn.keySet).filter(b => mo.get(b) != mn.get(b))
@@ -215,16 +220,24 @@ final class TxTable private (spark: SparkSession, dir: String,
         valCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
-  /** Drop data directories unreferenced by the LATEST manifest (commit-
-    * race losers and superseded copy-on-write buckets). An in-flight
-    * writer's freshly written commit dir is ALSO unreferenced until its
-    * manifest publishes — deleting it would corrupt the commit — so only
-    * dirs older than `retainMs` are reclaimed (the Delta/Iceberg
-    * retention rule): any concurrent write finishes publish long before
-    * the window expires. Time-travel reads of versions whose dirs are
-    * reclaimed stop working. Returns the number of dirs removed. */
-  def vacuum(retainMs: Long = 10 * 60 * 1000L): Int = {
-    val live = manifest(version).values
+  /** Drop data directories unreachable from any RETAINED manifest —
+    * commit-race losers (referenced by no manifest at all) and, when
+    * `keepVersions` trims the horizon, buckets only aged-out versions
+    * referenced. The default horizon keeps every version, so plain
+    * `vacuum()` reclaims exactly the loser dirs and time travel is
+    * untouched; `keepVersions = 1` is the aggressive Delta/Iceberg
+    * retention (latest only). Manifests below the horizon are deleted
+    * with their data so a time-travel read fails fast ("vacuumed")
+    * instead of scanning half a version. An in-flight writer's freshly
+    * written commit dir is ALSO unreferenced until its manifest publishes
+    * — deleting it would corrupt the commit — so only dirs older than
+    * `retainMs` are reclaimed: any concurrent write finishes publish long
+    * before the window expires. Returns the number of dirs removed. */
+  def vacuum(retainMs: Long = 10 * 60 * 1000L,
+             keepVersions: Int = Int.MaxValue): Int = {
+    val head = version
+    val floor = math.max(0L, head - math.max(1, keepVersions).toLong + 1)
+    val live = (floor to head).flatMap(v => manifest(v).values)
       .map(p => Paths.get(p).getParent.getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     val dead = listNames(dataDir).filter { name =>
@@ -232,6 +245,12 @@ final class TxTable private (spark: SparkSession, dir: String,
         Files.getLastModifiedTime(dataDir.resolve(name)).toMillis < cutoff
     }
     dead.foreach(name => TxTable.drop(dataDir.resolve(name).toString))
+    if (floor > 0)
+      listNames(logDir).foreach { n =>
+        if (n.startsWith("v") && n.endsWith(".txt") &&
+            n.stripPrefix("v").stripSuffix(".txt").toLong < floor)
+          Files.deleteIfExists(logDir.resolve(n))
+      }
     dead.size
   }
 }

@@ -132,11 +132,12 @@ class EtlSpec extends AnyFunSuite {
       assert(snap.filter(col("name").isin("Customer#000000003", "User#000000001")).count() == 0)
       assert(snap.count() == base.count() - 1) // -upserted row, -existing key; NoSuchKey no-op
       // Superseded bucket copies + the delete's rewrite leave dead dirs;
-      // vacuum removes them and the snapshot is unchanged. retainMs = 0:
-      // no concurrent writers here, so the in-flight-commit protection
-      // window can be waived (the default 10 min would reclaim nothing).
+      // the aggressive horizon (keepVersions = 1, latest only) removes
+      // them and the snapshot is unchanged. retainMs = 0: no concurrent
+      // writers here, so the in-flight-commit protection window can be
+      // waived (the default 10 min would reclaim nothing).
       val before = snap.orderBy("name").collect().toSeq
-      assert(t.vacuum(retainMs = 0) > 0)
+      assert(t.vacuum(retainMs = 0, keepVersions = 1) > 0)
       assert(graft.core.TxTable.open(spark, dir, Seq("name"))
         .snapshot().orderBy("name").collect().toSeq == before)
     } finally graft.core.TxTable.drop(dir)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Property-based invariants (SURVEY §5.2 item 3): randomized inputs over
   * the real sf0.001 corpus, pinning the algebraic laws the DuckDB oracle
@@ -104,6 +105,73 @@ class PropertySpec extends AnyFunSuite {
         val replay = t.snapshotAt(v).as[(String, Long)].collect().toMap
         assert(replay == m, s"time travel to v$v diverged")
       }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable vacuum reclaims loser/orphan dirs by manifest reachability; every retained version replays") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_vac").toString
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    def dataDirs = {
+      val s = java.nio.file.Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        (0 until 10).map(i => f"K$i%02d" -> i.toLong).toDF("k", "v"),
+        Seq("k"), numBuckets = 4)
+      t.merge(Seq("K03" -> 30L, "K99" -> 99L).toDF("k", "v"))
+      t.merge(Seq("K05" -> 50L).toDF("k", "v"))
+      // Forced commit race: two handles, two threads released together, each
+      // merging a disjoint key. Whoever loses publish() rebases and commits
+      // the next version; its first commit dir is then referenced by NO
+      // manifest — exactly the on-disk state vacuum must reclaim. (If the
+      // scheduler happens to serialize the threads no orphan arises — the
+      // synthetic orphan below pins the reclaim path deterministically.)
+      val h1 = graft.core.TxTable.open(spark, dir, Seq("k"), 4)
+      val h2 = graft.core.TxTable.open(spark, dir, Seq("k"), 4)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val th = Seq(h1 -> ("K01" -> 11L), h2 -> ("K02" -> 22L)).map { case (h, kv) =>
+        val th = new Thread(() => { gate.await(); h.merge(Seq(kv).toDF("k", "v")); () })
+        th.start(); th
+      }
+      gate.countDown(); th.foreach(_.join())
+      assert(t.version == 4L, "both racing merges must commit (loser rebases)")
+      // Synthetic orphan: byte-identical to a loser's leftover — a data dir
+      // no manifest references.
+      val aCommit = dataDirs.head
+      def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        if (java.nio.file.Files.isDirectory(src)) {
+          java.nio.file.Files.createDirectories(dst)
+          val s = java.nio.file.Files.list(src)
+          try s.iterator().asScala.toList.foreach(c => copyRec(c, dst.resolve(c.getFileName)))
+          finally s.close()
+        } else java.nio.file.Files.copy(src, dst)
+      }
+      copyRec(dataDir.resolve(aCommit), dataDir.resolve("t-forcedloser0"))
+      val preVacuum = (0L to t.version).map(v =>
+        v -> t.snapshotAt(v).as[(String, Long)].collect().toMap).toMap
+      val manifests = (0L to t.version).flatMap { v =>
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(dir, "_log", f"v$v%08d.txt")).asScala
+          .filter(_.nonEmpty).map(_.split('\t')(1))
+      }.toSet
+      val orphans = dataDirs -- manifests
+      assert(orphans.contains("t-forcedloser0"))
+      // Default horizon (all versions): reclaim EXACTLY the orphans.
+      assert(t.vacuum(retainMs = 0) == orphans.size)
+      assert(dataDirs == manifests, "post-vacuum data dirs = reachable set")
+      (0L to t.version).foreach { v =>
+        assert(t.snapshotAt(v).as[(String, Long)].collect().toMap == preVacuum(v),
+          s"retained version $v must replay unchanged after vacuum")
+      }
+      // Trimmed horizon: old manifests go with their data; head still reads.
+      t.vacuum(retainMs = 0, keepVersions = 2)
+      assert(intercept[IllegalArgumentException](t.snapshotAt(0L))
+        .getMessage.contains("vacuumed"))
+      assert(t.snapshot().as[(String, Long)].collect().toMap == preVacuum(t.version))
     } finally graft.core.TxTable.drop(dir)
   }
 
