@@ -117,6 +117,7 @@ object SparkEntry {
     "tx_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "tx_pack" -> ((s, d) => TextOps.packSequences(s, d)),
     "tx_mix" -> ((s, d) => TextOps.mixCorpus(s, d)),
+    "tx_pipeline" -> ((s, d) => TextOps.pipelineE2E(s, d)),
     // —— deduplication (extension) ——
     "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
@@ -758,6 +759,48 @@ object SparkEntry {
          |        WHEN NOT is_q THEN 'low_quality'
          |        ELSE 'ok' END) = 'ok' AS keep
          |FROM v ORDER BY doc_id""".stripMargin
+    },
+    // tx_pipeline: curate → mix → pack composed over one flow — the CTE
+    // chain mirrors the three stage oracles verbatim (curation verdict,
+    // fp-prefix mixing rate, per-shard packing window) so a drift in any
+    // stage's rule shows up as a hash mismatch here even while the stage
+    // entries stay green on their own grain.
+    "tx_pipeline" -> {
+      val scores = TextOps.LangMarkers.map { case (l, m) =>
+        s"CAST((len(lo) - len(replace(lo, '$m', ''))) / ${m.length} AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      val best = "greatest(" + TextOps.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val cases = TextOps.LangMarkers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, lang, source, lower(text) AS lo,
+         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |         string_split_regex(lower(text), '\\s+') AS toks,
+         |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np
+         |  FROM documents),
+         |k AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY 1),
+         |s AS (SELECT d.*, k.keep_id,
+         |    $scores
+         |  FROM d JOIN k USING (fp)),
+         |v AS (
+         |  SELECT doc_id, source, fp, toks, keep_id, lang,
+         |    CASE $cases ELSE 'und' END AS pred,
+         |    (len(text) BETWEEN 50 AND 2000
+         |     AND round(np * 1.0 / len(text), 4) < 0.2
+         |     AND round((len(text) - len(toks) + 1) * 1.0 / len(toks), 4) < 12.0) AS is_q
+         |  FROM s),
+         |surv AS (
+         |  SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM v
+         |  WHERE doc_id = keep_id AND pred = lang AND is_q
+         |    AND substr(fp, 1, 2) <
+         |        (['40', '80', 'c0', 'zz'])[(TRY_CAST(substr(source, 4) AS INT) % 4) + 1]),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+         |  FROM surv)
+         |SELECT source, CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "tx_len_quantiles" ->
       """SELECT count(*) AS n_docs,

@@ -621,6 +621,54 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** End-to-end training-data pipeline — curation (tx_curate's keep rule)
+    * → mixing (tx_mix's content-keyed per-source rate) → packing
+    * (tx_pack's per-shard window), chained over ONE linear flow so
+    * interface drift between the individually-green stages (a changed
+    * keep rule, a renamed column, a different normalization) breaks this
+    * entry's hash. The corpus is scanned exactly twice — the document
+    * side and the exact-dup keeper side, inherent to dedup — and every
+    * later stage transforms the previous stage's frame instead of
+    * re-reading the table (PlanSpec-pinned); the md5 fingerprint is
+    * computed once and reused by both the keeper join and the mixing
+    * bucket. Same 100 TB shape as the stages: hash aggs + one
+    * per-shard window, no global sort before the presentation order. */
+  def pipelineE2E(spark: SparkSession, sfDir: String, target: Int = 256): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+      .withColumn("fp", md5(normText(col("text"))))
+    val keepers = d.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val lo = lower(col("text"))
+    val scored = LangMarkers.map { case (l, m) => occ(lo, m).as(s"s_$l") }
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit("und")) { case ((l, _), el) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(el)
+    }
+    val t = toks(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val isQuality = length(col("text")).between(50, 2000) &&
+      round(nPunct * lit(1.0) / length(col("text")), 4) < 0.2 &&
+      round((length(col("text")) - size(t) + 1) * lit(1.0) / size(t), 4) < 12.0
+    val thresholds = array(lit("40"), lit("80"), lit("c0"), lit("zz"))
+    val survivors = d
+      .select(col("doc_id") +: col("lang") +: col("fp") +: col("source") +: col("text") +: scored: _*)
+      .withColumn("pred", pred)
+      .join(keepers, "fp")
+      .filter(col("doc_id") === col("keep_id") && col("pred") === col("lang") && isQuality)
+      .filter(substring(col("fp"), 1, 2) <
+        element_at(thresholds, (expr("try_cast(substring(source, 4) AS INT)") % 4) + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    survivors
+      .select(col("source"), col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("cum_before") / target).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   /** PII-style redaction: every digit run in the payload replaced with a
     * placeholder, plus the match count — the scrub-before-training pass an
     * LLM data pipeline runs over raw documents. Demonstrated on

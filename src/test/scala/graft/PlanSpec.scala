@@ -204,6 +204,16 @@ class PlanSpec extends AnyFunSuite {
       s"change-mark window, run collapse, and validity window must share one exchange:\n$p")
   }
 
+  test("tx_pipeline chains curate→mix→pack over two corpus scans, no per-stage rescan") {
+    // One scan for the document side + one for the exact-dup keeper agg
+    // (inherent to dedup); a third would mean a later stage re-read the
+    // table instead of transforming the previous stage's frame.
+    val p = graft.ops.TextOps.pipelineE2E(spark, sf).queryExecution.sparkPlan.toString
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(scans == 2, s"expected exactly 2 documents scans, got $scans:\n$p")
+  }
+
   test("sim_batch_topk broadcasts the query block and ranks per query") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = graft.ops.SimilarityOps.batchTopK(spark, sf).queryExecution.sparkPlan
