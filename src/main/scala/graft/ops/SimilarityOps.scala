@@ -163,14 +163,14 @@ object SimilarityOps {
   /** Recall floors asserted by the checked ANN entries. Measured recall@10
     * (tools.RecallProbe, 5 query points × 3 scale factors):
     * LSH (12 tables, radius-2 multiprobe) min 0.9 / mean 0.98–1.0 → floor
-    * 0.9; IVF min 0.7 / mean 0.86–0.92 (10-of-16 cells probed — on these
+    * 0.9; IVF min 0.8 / mean 0.92–0.96 (13-of-16 cells probed — on these
     * near-uniform embeddings the cell/probe ratio is inherently
     * unfavorable; clustered real embeddings would probe far fewer) →
-    * floor 0.6 keeps a 1-hit margin while still failing on any real index
+    * floor 0.7 keeps a 1-hit margin while still failing on any real index
     * breakage (a wrong bucket key or probe set craters recall — the
     * single-table index measured 0.0-0.2). */
   val LshRecallFloor = 0.9
-  val RecallFloor = 0.6
+  val RecallFloor = 0.7
 
   /** The rq12 tolerance-certificate pattern applied to ANN: the output is
     * the EXACT top-k (DuckDB-expressible, hash-checkable) plus one boolean
@@ -202,10 +202,14 @@ object SimilarityOps {
 
   /** IVF cells (coarse quantizer size) and probe count. The corpus's
     * embeddings are only weakly clustered (near-uniform on the sphere), so
-    * a useful recall needs probing half the cells — with real clustered
-    * embeddings the cell/probe ratio would be far more favorable. */
+    * a useful recall needs probing most of the cells — with real clustered
+    * embeddings the cell/probe ratio would be far more favorable. Probe
+    * sweep (tools-derived, recall@10 over 5 query points per sf):
+    * 10 probes min 0.70 (sf0.01), 13 probes min 0.80/0.90/0.90 at
+    * sf0.001/0.01/0.1 — 13 is the smallest count whose worst case clears
+    * the 0.8 bar everywhere, so that's the contract. */
   val IvfCells = 16
-  val IvfProbes = 10
+  val IvfProbes = 13
 
   /** ETL: the IVF index — seeded k-means coarse quantizer fit ONCE per
     * scale factor; persists (a) the centroid table (IvfCells rows) and
@@ -240,7 +244,8 @@ object SimilarityOps {
     * query path is centroid arithmetic over IvfCells rows plus a pruned
     * scan. Seeded k-means → deterministic; approximate by design →
     * recall is spec-verified against brute force, no SQL oracle. */
-  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+  def ivfTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10,
+              nProbes: Int = IvfProbes): DataFrame = {
     val (centroids, assigned) = ivfIndex(spark, sfDir)
     // Probe set: the IvfProbes cells nearest the query vector (driver-side
     // arithmetic over IvfCells centroid rows — constant work at any scale).
@@ -256,7 +261,7 @@ object SimilarityOps {
         while (j < ca.length) { dot += ca(j) * qv(j); nc += ca(j) * ca(j); j += 1 }
         (r.getInt(0), dot / (math.sqrt(nc) * qn))
       }
-      .sortBy(-_._2).take(IvfProbes).map(_._1)
+      .sortBy(-_._2).take(nProbes).map(_._1)
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qn"))
     assigned.filter(col("cell").isin(probes.map(Int.box): _*) && col("vec_id") =!= queryId)

@@ -27,7 +27,7 @@ object RecallProbe {
           got.count(exact).toDouble / exact.size
         }
       val lsh = recallsOf(SimilarityOps.annTopK)
-      val ivf = recallsOf(SimilarityOps.ivfTopK)
+      val ivf = recallsOf(SimilarityOps.ivfTopK(_, _, _, _))
       val pq = recallsOf(SimilarityOps.pqTopK)
       val ivfpq = recallsOf(SimilarityOps.ivfPqTopK)
       def fmt(rs: Seq[Double]) = f"min=${rs.min}%.2f mean=${rs.sum / rs.size}%.2f"
