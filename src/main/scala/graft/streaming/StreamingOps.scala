@@ -34,9 +34,14 @@ object StreamingOps {
 
   /** Streaming read of the events parquet (ts normalized to microsecond
     * session-zone timestamps, same arithmetic as graft.core.Tables.events). */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    // One footer probe per sf dir per JVM — 12 streaming entries share it.
+    val tsType = tsTypeCache.computeIfAbsent(sfDir,
+      d => spark.read.parquet(s"$d/events.parquet").schema("ts").dataType)
     // The file source requires a directory: list the sf dir, glob-filtered
     // to the events file.
     val raw = spark.readStream.schema(rawSchema(tsType))
