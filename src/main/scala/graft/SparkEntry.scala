@@ -184,6 +184,8 @@ object SparkEntry {
     "rq43_winsorize" -> ((s, d) => RelOps.winsorize(s, d)),
     "rq44_fk_violations" -> ((s, d) => RelOps.fkViolations(s, d)),
     "rq45_scd2" -> ((s, d) => RelOps.scd2(s, d)),
+    "rq49_interpolate" -> ((s, d) => RelOps.interpolate(s, d)),
+    "tx_rejection_sample" -> ((s, d) => TextOps.rejectionSample(s, d)),
     "rq46_stratified_sample" -> ((s, d) => RelOps.stratifiedSample(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
     "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
@@ -1704,6 +1706,58 @@ object SparkEntry {
         |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
         |    (SELECT count(*) FROM orders))
         |ORDER BY check_name""".stripMargin,
+    // rq49: rq35's grid + both-direction IGNORE NULLS windows; the
+    // interpolation itself is BIGINT `div` (≡ DuckDB `//`, truncation
+    // toward zero on both engines — negative slopes agree).
+    "rq49_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS obs_micro
+        |  FROM events WHERE user_id < 3 GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+        |grid AS (
+        |  SELECT u.user_id, g.hr
+        |  FROM (SELECT DISTINCT user_id FROM hourly) u,
+        |       (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds) g),
+        |j AS (
+        |  SELECT grid.user_id, grid.hr, hourly.obs_micro,
+        |    epoch_us(grid.hr) // 1000000 AS t
+        |  FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND grid.hr = hourly.hr),
+        |w AS (
+        |  SELECT *,
+        |    last_value(obs_micro IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN obs_micro IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS prev_t,
+        |    first_value(obs_micro IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN obs_micro IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS next_t
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY hr
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY hr
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  obs_micro IS NOT NULL AS observed,
+        |  CAST(CASE WHEN obs_micro IS NOT NULL THEN obs_micro
+        |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |         THEN prev_v + ((next_v - prev_v) * (t - prev_t)) // (next_t - prev_t)
+        |       ELSE -1 END AS BIGINT) AS interp_micro
+        |FROM w ORDER BY user_id, hr""".stripMargin,
+    // tx_rejection_sample: integer acceptance predicate h·n_b < m·16^8 —
+    // the first 8 md5 hex digits parse identically ('0x' cast / conv).
+    "tx_rejection_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, least(CAST(floor(len(text) / 100) AS BIGINT), 9) AS bucket,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT bucket, count(*) AS n_b FROM d GROUP BY 1),
+        |q AS (SELECT min(n_b) AS m FROM c)
+        |SELECT bucket, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN h * n_b < m * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  any_value(m) AS quota,
+        |  CAST(sum(CASE WHEN h * n_b < m * 4294967296 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS kept_ppm
+        |FROM d JOIN c USING (bucket) CROSS JOIN q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // rq45: SCD2 — runs are constant-status by construction, so any order-
     // insensitive pick (min) equals Spark's first(); the running sum frame
     // is pinned to ROWS so both engines number versions identically.

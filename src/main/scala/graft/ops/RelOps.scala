@@ -758,6 +758,50 @@ object RelOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Linear gap interpolation on the hourly grid — rq35's forward-fill
+    * upgraded to the resampling rule a time-series feature pipeline
+    * actually wants: a missing hour takes
+    * prev + (next − prev) · (t − t_prev) / (t_next − t_prev), computed
+    * entirely in BIGINT micros with truncating integer `div` (both
+    * engines truncate toward zero, so negative slopes agree bit-for-bit
+    * — no float channel anywhere). Edges with no observation on one side
+    * emit the −1 sentinel. Plan: same shape as rq35 — one grid expand,
+    * one left join, and BOTH direction-scans (last/first IGNORE NULLS)
+    * share the single user-partitioned sort; nothing global. */
+  def interpolate(spark: SparkSession, sfDir: String, maxUser: Long = 3L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev.filter(col("user_id") < maxUser)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("obs_micro"))
+    val bounds = ev.agg(
+      date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1"))
+    val grid = hourly.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+    val wp = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("t", col("hr").cast("long"))
+      .withColumn("prev_v", last("obs_micro", ignoreNulls = true).over(wp))
+      .withColumn("prev_t",
+        last(when(col("obs_micro").isNotNull, col("t")), ignoreNulls = true).over(wp))
+      .withColumn("next_v", first("obs_micro", ignoreNulls = true).over(wn))
+      .withColumn("next_t",
+        first(when(col("obs_micro").isNotNull, col("t")), ignoreNulls = true).over(wn))
+      .select(col("user_id"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("obs_micro").isNotNull.as("observed"),
+        when(col("obs_micro").isNotNull, col("obs_micro"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            expr("prev_v + ((next_v - prev_v) * (t - prev_t)) div (next_t - prev_t)"))
+          .otherwise(lit(-1L)).as("interp_micro"))
+      .orderBy("user_id", "hr")
+  }
+
   /** Robust outlier detection via median / MAD — the outlier gate a
     * curation pipeline runs before z-scoring anything (mean/stddev are
     * themselves corrupted by the outliers they're meant to find; the

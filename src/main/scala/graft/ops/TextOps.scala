@@ -669,6 +669,36 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** Rejection sampling to a target distribution — the rebalancing pass
+    * that flattens a skewed corpus: docs fall into fixed-width length
+    * buckets, the rarest bucket's count m becomes the per-bucket quota,
+    * and a doc survives iff h · n_b < m · 16⁸, where h is the first 8 hex
+    * digits of its content md5 and n_b its bucket's population — i.e.
+    * each bucket is accepted at rate ≈ m/n_b, so every bucket lands at
+    * ≈ m docs. Pure-integer predicate, content-keyed (no RNG state to
+    * coordinate across 1000 executors; identical on any engine/retry),
+    * and the whole op is two hash aggregates over one scan with the
+    * 10-row bucket-count table broadcast back — map-side at 100 TB.
+    * kept_ppm certifies the realized rate against m/n_b. */
+  def rejectionSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        least(floor(length(col("text")) / 100), lit(9)).cast("long").as("bucket"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+    val counts = d.groupBy("bucket").agg(count(lit(1)).as("n_b"))
+    val quota = counts.agg(min("n_b").as("m"))
+    d.join(broadcast(counts), "bucket")
+      .crossJoin(broadcast(quota))
+      .withColumn("keep", col("h") * col("n_b") < col("m") * lit(4294967296L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        first("m").as("quota"))
+      .select(col("bucket"), col("n_total"), col("n_kept"), col("quota"),
+        expr("(n_kept * 1000000) div n_total").as("kept_ppm"))
+      .orderBy("bucket")
+  }
+
   /** PII-style redaction: every digit run in the payload replaced with a
     * placeholder, plus the match count — the scrub-before-training pass an
     * LLM data pipeline runs over raw documents. Demonstrated on

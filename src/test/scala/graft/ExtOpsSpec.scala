@@ -293,6 +293,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("interpolation: observed hours verbatim, interior gaps within the neighbor envelope") {
+    val rows = RelOps.interpolate(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rs =>
+      val obs = rs.filter(_.getAs[Boolean]("observed")).map(_.getAs[Long]("interp_micro"))
+      assert(obs.nonEmpty)
+      rs.filterNot(_.getAs[Boolean]("observed"))
+        .map(_.getAs[Long]("interp_micro")).filter(_ != -1L)
+        .foreach { v =>
+          // truncating div can land 1 below the pure-real envelope min
+          assert(v >= obs.min - 1 && v <= obs.max,
+            s"interpolated $v outside observed envelope [${obs.min}, ${obs.max}]")
+        }
+    }
+  }
+
+  test("rejection sampling: every bucket kept at most ~quota, rarest bucket kept whole") {
+    val rows = TextOps.rejectionSample(spark, sf).collect()
+    val quota = rows.head.getAs[Long]("quota")
+    assert(rows.map(_.getAs[Long]("n_total")).min == quota)
+    rows.foreach { r =>
+      val (nt, nk) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      assert(nk <= nt)
+      // md5 uniformity: realized kept count concentrates near the quota;
+      // allow generous slack for small buckets.
+      assert(nk <= quota * 2 + 8, s"bucket ${r.getAs[Long]("bucket")} kept $nk vs quota $quota")
+    }
+    // the rarest bucket's acceptance rate is 1 — everything survives
+    val rare = rows.minBy(_.getAs[Long]("n_total"))
+    assert(rare.getAs[Long]("n_kept") == rare.getAs[Long]("n_total"))
+  }
+
   test("brute-force cosine top-k is self-consistent: scores decrease") {
     val scores = SimilarityOps.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cosine"))
     assert(scores.sameElements(scores.sorted.reverse))
