@@ -185,7 +185,9 @@ object SparkEntry {
     "rq44_fk_violations" -> ((s, d) => RelOps.fkViolations(s, d)),
     "rq45_scd2" -> ((s, d) => RelOps.scd2(s, d)),
     "rq49_interpolate" -> ((s, d) => RelOps.interpolate(s, d)),
+    "rq50_skew_profile" -> ((s, d) => RelOps.skewProfile(s, d)),
     "tx_rejection_sample" -> ((s, d) => TextOps.rejectionSample(s, d)),
+    "dd_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "rq46_stratified_sample" -> ((s, d) => RelOps.stratifiedSample(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
     "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
@@ -1742,6 +1744,39 @@ object SparkEntry {
         |         THEN prev_v + ((next_v - prev_v) * (t - prev_t)) // (next_t - prev_t)
         |       ELSE -1 END AS BIGINT) AS interp_micro
         |FROM w ORDER BY user_id, hr""".stripMargin,
+    // rq50: exact Gini via the rank×count prefix-sum identity — ppm
+    // fixed-point, both engines truncate; row_number ties broken (c, k).
+    "rq50_skew_profile" -> {
+      def prof(label: String, table: String, key: String) =
+        s"""SELECT '$label' AS key_col, n_rows, n_keys, max_cnt,
+           |  CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS max_share_ppm,
+           |  CAST((2 * s - (n_keys + 1) * n_rows) * 1000000
+           |    // (n_keys * n_rows) AS BIGINT) AS gini_ppm
+           |FROM (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |    CAST(max(c) AS BIGINT) AS max_cnt,
+           |    CAST(sum(rn * c) AS BIGINT) AS s
+           |  FROM (
+           |    SELECT c, CAST(row_number() OVER (ORDER BY c ASC, k ASC) AS BIGINT) AS rn
+           |    FROM (SELECT CAST($key AS BIGINT) AS k, count(*) AS c
+           |          FROM $table GROUP BY 1)))""".stripMargin
+      Seq(prof("events.user_id", "events", "user_id"),
+        prof("lineitem.l_partkey", "lineitem", "l_partkey"),
+        prof("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY key_col")
+    },
+    // dd_edit_distance: 8-char-prefix blocking join + bounded-prefix
+    // Levenshtein — exact integers on both engines.
+    "dd_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(lower(text), 1, 8) AS blk,
+        |    substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS p
+        |  FROM documents)
+        |SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 12
+        |ORDER BY src_id, dst_id""".stripMargin,
     // tx_rejection_sample: integer acceptance predicate h·n_b < m·16^8 —
     // the first 8 md5 hex digits parse identically ('0x' cast / conv).
     "tx_rejection_sample" ->

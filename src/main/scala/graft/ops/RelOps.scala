@@ -758,6 +758,39 @@ object RelOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Key-skew profiler — the diagnosis pass behind every partitioning
+    * decision (salting width, bucketing key, AQE skew thresholds): for
+    * each candidate join/partition key, the cardinality, the heaviest
+    * key's load share, and the Gini coefficient of the key→count
+    * distribution, all in ppm fixed-point (rank×count prefix-sum form of
+    * Gini — pure BIGINT, truncating div, no float channel). The
+    * per-key-count window is a global sort over DISTINCT keys — that is
+    * the honest cost of an exact Gini (a profiling job, not a hot-path
+    * query); at 100 TB you either accept it offline or run the same
+    * formula over a uniform key sample. */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def prof(label: String, keyed: DataFrame): DataFrame = {
+      val counts = keyed.select(col("k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").asc, col("k").asc)
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .agg(sum("c").cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("c").cast("long").as("max_cnt"),
+          sum(col("rn") * col("c")).cast("long").as("s"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"), col("max_cnt"),
+          expr("(max_cnt * 1000000) div n_rows").as("max_share_ppm"),
+          expr("((2 * s - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)")
+            .as("gini_ppm"))
+    }
+    prof("events.user_id", Tables.events(spark, sfDir).select(col("user_id").as("k")))
+      .unionByName(prof("lineitem.l_partkey",
+        Tables.lineitem(spark, sfDir).select(col("l_partkey").as("k"))))
+      .unionByName(prof("orders.o_custkey",
+        Tables.orders(spark, sfDir).select(col("o_custkey").as("k"))))
+      .orderBy("key_col")
+  }
+
   /** Linear gap interpolation on the hourly grid — rq35's forward-fill
     * upgraded to the resampling rule a time-series feature pipeline
     * actually wants: a missing hour takes

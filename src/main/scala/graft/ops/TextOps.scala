@@ -669,6 +669,32 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** Edit-distance near-dup pairs — the entity-resolution member of the
+    * dedup family (exact/Jaccard/MinHash/SimHash/embedding cover token
+    * and vector similarity; this catches single-character drift the
+    * token ops round away). All-pairs Levenshtein is O(n²·L²) and dead at
+    * any scale, so candidates are BLOCKED on the 8-char lowercase prefix
+    * (the standard blocking-key trade: only within-block pairs are
+    * compared — measured max block 165 of 5 000 docs at sf0.1), and the
+    * distance runs on the 40-char normalized prefix, bounding the DP cost
+    * per pair. levenshtein is an exact integer on both engines — no float
+    * channel. At 100 TB the block join is a plain shuffle join on the
+    * blocking key; skewed blocks would take the rq27 salting treatment. */
+  def editDistancePairs(spark: SparkSession, sfDir: String,
+                        prefixLen: Int = 40, maxDist: Int = 12): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"),
+      substring(lower(col("text")), 1, 8).as("blk"),
+      substring(normText(col("text")), 1, prefixLen).as("p"))
+    val a = d.select(col("doc_id").as("src_id"), col("blk"), col("p").as("pa"))
+    val b = d.select(col("doc_id").as("dst_id"), col("blk"), col("p").as("pb"))
+    a.join(b, "blk")
+      .filter(col("src_id") < col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("src_id", "dst_id")
+  }
+
   /** Rejection sampling to a target distribution — the rebalancing pass
     * that flattens a skewed corpus: docs fall into fixed-width length
     * buckets, the rarest bucket's count m becomes the per-bucket quota,
