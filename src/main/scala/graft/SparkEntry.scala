@@ -188,6 +188,7 @@ object SparkEntry {
     "rq50_skew_profile" -> ((s, d) => RelOps.skewProfile(s, d)),
     "tx_rejection_sample" -> ((s, d) => TextOps.rejectionSample(s, d)),
     "dd_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
+    "tx_split" -> ((s, d) => TextOps.splitAssign(s, d)),
     "rq46_stratified_sample" -> ((s, d) => RelOps.stratifiedSample(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
     "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
@@ -1777,6 +1778,15 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.p, b.p) <= 12
         |ORDER BY src_id, dst_id""".stripMargin,
+    // tx_split: content-hash split assignment — pure string-range compare
+    // on the md5 prefix, identical on both engines.
+    "tx_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) < 'f0' THEN 'train'
+        |       WHEN substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) < 'f8' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tx_rejection_sample: integer acceptance predicate h·n_b < m·16^8 —
     // the first 8 md5 hex digits parse identically ('0x' cast / conv).
     "tx_rejection_sample" ->

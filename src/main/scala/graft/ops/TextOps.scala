@@ -669,6 +669,27 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * run needs frozen BEFORE any shuffling: membership is a pure function
+    * of the content hash (first two md5 hex digits: < 'f0' → train
+    * 93.75%, < 'f8' → val 3.125%, else test), so any engine, any retry,
+    * any later re-run assigns identically, adding documents never moves
+    * an existing one between splits (no leakage across runs), and the
+    * val/test sets stay disjoint from train BY CONSTRUCTION even across
+    * dedup/mixing reorderings. One scan + one hash agg; per-source
+    * breakdown certifies the realized rates. */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        substring(md5(normText(col("text"))), 1, 2).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "f0", "train")
+          .when(col("bucket") < "f8", "val")
+          .otherwise(lit("test")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+
   /** Edit-distance near-dup pairs — the entity-resolution member of the
     * dedup family (exact/Jaccard/MinHash/SimHash/embedding cover token
     * and vector similarity; this catches single-character drift the

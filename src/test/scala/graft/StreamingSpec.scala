@@ -235,4 +235,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$root/out").count() == rows1)
     } finally graft.core.TxTable.drop(root)
   }
+
+  test("checkpoint restart processes only files that arrived since, exactly once") {
+    // The production recovery story: a stream dies, new data lands, the
+    // restarted query must pick up EXACTLY the unprocessed files — no
+    // replays of committed batches, no gaps.
+    val root = Files.createTempDirectory("graft_restart_spec").toString
+    val src = s"$root/src"
+    new java.io.File(src).mkdirs()
+    import spark.implicits._
+    def addFile(rows: Seq[(Long, String)], name: String): Unit = {
+      val stage = Files.createTempDirectory("graft_restart_stage").toString
+      rows.toDF("id", "kind").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(src, s"$name.parquet"))
+      graft.core.TxTable.drop(stage)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, kind STRING")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      addFile((1L to 5L).map(_ -> "a"), "b1")
+      runOnce()
+      assert(spark.read.parquet(s"$root/out").count() == 5)
+      addFile((6L to 8L).map(_ -> "b"), "b2")
+      runOnce()
+      val ids = spark.read.parquet(s"$root/out").select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (1L to 8L), s"restart must add exactly the new file's rows: $ids")
+    } finally graft.core.TxTable.drop(root)
+  }
 }
