@@ -44,6 +44,9 @@ object SparkEntry {
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
+    // CDC folded into a downstream aggregate + certified against the
+    // direct head-snapshot recompute — incremental view maintenance.
+    "s18_cdc_incremental" -> ((s, d) => GraphOps.cdcIncrementalAgg(s, d)),
     "s14_stream_file_sink" -> ((s, d) => StreamingOps.streamedFileSink(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
@@ -318,6 +321,23 @@ object SparkEntry {
          |SELECT name, house, round(acctbal, 2) AS acctbal, CAST(1 AS BIGINT) AS v FROM merged
          |WHERE name IN ('Customer#000000002', 'Customer#000000003',
          |               'Customer#000000004', 'User#000000001') ORDER BY name""".stripMargin,
+    // s18: the oracle reconstructs the HEAD state from the scripted
+    // merge+delete and aggregates it directly; the engine must arrive at
+    // the same numbers by folding the CDC diff into the v0 aggregate, and
+    // its self-certificate must read true.
+    "s18_cdc_incremental" ->
+      s"""WITH $nodesCte,
+         |upd(name, house, acctbal) AS (VALUES
+         |  ('Customer#000000003', 'BUILDING', 0.0), ('User#000000001', 'BUILDING', 10.0)),
+         |v1 AS (
+         |  SELECT name, house, acctbal FROM upd
+         |  UNION ALL
+         |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd)),
+         |v2 AS (SELECT * FROM v1 WHERE name <> 'Customer#000000005')
+         |SELECT house, count(*) AS n,
+         |  CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_x100,
+         |  true AS fold_matches_direct
+         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // s15_time_travel: every committed version reconstructed — v0 base,
     // v1 first merge, v2 second merge overwriting the first.
     "s15_time_travel" ->

@@ -441,6 +441,55 @@ object GraphOps {
       .orderBy("name")
   }
 
+  /** CDC-driven incremental view maintenance (s18): the reason a CDC read
+    * exists at all — a downstream aggregate (house counts + balance sums)
+    * maintained WITHOUT rescanning the table: fold diff(0, head) into the
+    * v0 aggregate (update = delete(old)+insert(new), so a row that moves
+    * house moves its contribution), and certify the folded state equals
+    * the direct head-snapshot aggregate. At 100 TB the fold costs
+    * O(changed rows) where the recompute costs O(table) — this entry IS
+    * the incremental-materialized-view contract, stated as a hash-checked
+    * certificate (`fold_matches_direct` must read true). Sums in BIGINT
+    * cents — no float accumulation channel. */
+  def cdcIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = demoTxTable(spark, sfDir, "s17") { t =>
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0),
+        ("User#000000001", "BUILDING", 10.0))).toDF("name", "house", "acctbal"))
+      t.delete(spark.createDataFrame(Seq(Tuple1("Customer#000000005"))).toDF("name"))
+      ()
+    }
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    def agg(df: DataFrame) = df.groupBy("house")
+      .agg(count(lit(1)).as("n"), sum(cents(col("acctbal"))).as("bal"))
+    val v0 = agg(t.snapshotAt(0L))
+    val delta = t.diff(0L, 2L)
+      .select(explode(array(
+        struct(col("old_house").as("house"),
+          when(col("change_type") =!= "insert", -1L).otherwise(0L).as("dn"),
+          when(col("change_type") =!= "insert", -cents(col("old_acctbal")))
+            .otherwise(0L).as("db")),
+        struct(col("new_house").as("house"),
+          when(col("change_type") =!= "delete", 1L).otherwise(0L).as("dn"),
+          when(col("change_type") =!= "delete", cents(col("new_acctbal")))
+            .otherwise(0L).as("db")))).as("c"))
+      .select(col("c.house").as("house"), col("c.dn").as("dn"), col("c.db").as("db"))
+      .filter(col("dn") =!= 0L)
+      .groupBy("house").agg(sum("dn").as("dn"), sum("db").as("db"))
+    val folded = v0.join(delta, Seq("house"), "full_outer")
+      .select(col("house"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("bal"), lit(0L)) + coalesce(col("db"), lit(0L))).as("bal_x100"))
+      .filter(col("n") > 0)
+    val direct = agg(t.snapshot())
+      .select(col("house"), col("n").as("n_d"), col("bal").as("bal_d"))
+    folded.join(direct, Seq("house"), "full_outer")
+      .select(col("house"), col("n"), col("bal_x100"),
+        (col("n") <=> col("n_d") && col("bal_x100") <=> col("bal_d"))
+          .as("fold_matches_direct"))
+      .orderBy("house")
+  }
+
   /** §2.6 extension — set operations (Spark built-ins). */
   def setopIntersect(spark: SparkSession, sfDir: String, minBal: Double, houses: Seq[String]): DataFrame = {
     val n = Graph.nodes(spark, sfDir)
