@@ -189,6 +189,7 @@ object SparkEntry {
     "rq45_scd2" -> ((s, d) => RelOps.scd2(s, d)),
     "rq49_interpolate" -> ((s, d) => RelOps.interpolate(s, d)),
     "rq50_skew_profile" -> ((s, d) => RelOps.skewProfile(s, d)),
+    "rq51_bitmap_intersect" -> ((s, d) => RelOps.bitmapIntersect(s, d)),
     "tx_rejection_sample" -> ((s, d) => TextOps.rejectionSample(s, d)),
     "dd_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "tx_split" -> ((s, d) => TextOps.splitAssign(s, d)),
@@ -1786,6 +1787,28 @@ object SparkEntry {
         prof("orders.o_custkey", "orders", "o_custkey"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY key_col")
     },
+    // rq51: bucketed-bitmap distinct intersection; the oracle replays the
+    // same bit algebra AND the exact intersect, emitting true.
+    "rq51_bitmap_intersect" ->
+      """WITH a AS (
+        |  SELECT user_id // 32 AS bucket,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS w
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (
+        |  SELECT user_id // 32 AS bucket,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS w
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bm AS (
+        |  SELECT CAST(sum(bit_count(a.w & b.w)) AS BIGINT) AS n_both
+        |  FROM a JOIN b USING (bucket)),
+        |ex AS (
+        |  SELECT count(*) AS n_exact FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    INTERSECT
+        |    SELECT user_id FROM events WHERE event_type = 'purchase'))
+        |SELECT 'click' AS type_a, 'purchase' AS type_b, n_both,
+        |  n_both = n_exact AS bitmap_matches_exact
+        |FROM bm CROSS JOIN ex""".stripMargin,
     // dd_edit_distance: 8-char-prefix blocking join + bounded-prefix
     // Levenshtein — exact integers on both engines.
     "dd_edit_distance" ->

@@ -758,6 +758,36 @@ object RelOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Bitmap-index set intersection — the roaring-bitmap trick OLAP engines
+    * use for distinct-set algebra: each event type's user set becomes a
+    * bucketed bitmap (bucket = user_id div 32, word = bit_or of
+    * 1 << (user_id mod 32) — 32-bit words inside the BIGINT keep the
+    * shift off the sign bit, which DuckDB's checked `<<` rejects), and
+    * "users who did BOTH X and Y" is a bucket-equi-join +
+    * popcount(a AND b) — integer aggregation with O(|universe|/32) state
+    * where a hash-set distinct carries every key.
+    * The exact distinct-intersection count rides along and the
+    * `bitmap_matches_exact` certificate must read true, so the bitmap
+    * algebra is hash-verified against the naive plan. All arithmetic stays in
+    * non-negative BIGINT range — both engines agree bit-for-bit. */
+  def bitmapIntersect(spark: SparkSession, sfDir: String,
+                      typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def bitmap(t: String) = ev.filter(col("event_type") === t)
+      .select((col("user_id") / 32).cast("long").as("bucket"),
+        expr("shiftleft(1L, cast(user_id % 32 AS INT))").as("bit"))
+      .groupBy("bucket").agg(bit_or(col("bit")).as("w"))
+    val joined = bitmap(typeA)
+      .join(bitmap(typeB).withColumnRenamed("w", "w2"), "bucket")
+      .agg(sum(bit_count(col("w").bitwiseAND(col("w2")))).cast("long").as("n_both"))
+    val exact = ev.filter(col("event_type") === typeA).select("user_id")
+      .intersect(ev.filter(col("event_type") === typeB).select("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    joined.crossJoin(exact)
+      .select(lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("n_both"), (col("n_both") === col("n_exact")).as("bitmap_matches_exact"))
+  }
+
   /** Key-skew profiler — the diagnosis pass behind every partitioning
     * decision (salting width, bucketing key, AQE skew thresholds): for
     * each candidate join/partition key, the cardinality, the heaviest
