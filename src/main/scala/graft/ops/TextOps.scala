@@ -96,14 +96,27 @@ object TextOps {
     * join key is the shingle, so work is proportional to true overlap, not
     * |docs|², and the df-pruned index bounds any one shingle's join
     * contribution at MaxShingleDf². */
+  /** ETL: the materialized candidate-pair layer — jaccardPairsFrom run
+    * once with NO floor (so any caller threshold filters exactly) and
+    * persisted. This is the standard shape of a production dedup service:
+    * the index build emits candidate pairs with their overlap stats as a
+    * maintained table, and every consumer (Jaccard floor, containment,
+    * contamination orientation) is a filter/projection over it instead of
+    * re-running the self-join per query. Bounded by pairs sharing ≥1
+    * rare shingle (1.27 M rows ≈ 15 MB at sf0.1), never |docs|². */
+  private def shinglePairStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "shingle_pair_stats") {
+      jaccardPairsFrom(shingleHashRows(spark, sfDir), 0.0, MaxShingleDf)
+    }
+
   private def jaccardPairs(spark: SparkSession, sfDir: String,
-                           minJaccard: Double = 0.0): DataFrame =
-    // The index rows feed three consumers (the df aggregation, both
-    // self-join sides, and the verify sets) — each is a cheap scan of the
-    // small artifact parquet, with lineage truncated at the file boundary
-    // (no recompute risk; the round-3 driver bench measured an 87 s
-    // cache-eviction recompute of the in-query expansion this replaces).
-    jaccardPairsFrom(shingleHashRows(spark, sfDir), minJaccard, MaxShingleDf)
+                           minJaccard: Double = 0.0): DataFrame = {
+    // Thresholds filter the materialized pair stats exactly — the
+    // size-ratio pre-shuffle prune that used to serve `minJaccard` is now
+    // build-time economics inside the artifact derivation.
+    val pairs = shinglePairStats(spark, sfDir)
+    if (minJaccard <= 0) pairs else pairs.filter(col("jaccard") >= minJaccard)
+  }
 
   /** The pair pipeline over an arbitrary (doc_id, hs) index with an
     * explicit df cutoff — the exactness contract above is parametric in
