@@ -190,6 +190,7 @@ object SparkEntry {
     "rq49_interpolate" -> ((s, d) => RelOps.interpolate(s, d)),
     "rq50_skew_profile" -> ((s, d) => RelOps.skewProfile(s, d)),
     "rq51_bitmap_intersect" -> ((s, d) => RelOps.bitmapIntersect(s, d)),
+    "rq52_quality_checks" -> ((s, d) => RelOps.qualityChecks(s, d)),
     "tx_rejection_sample" -> ((s, d) => TextOps.rejectionSample(s, d)),
     "dd_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "tx_split" -> ((s, d) => TextOps.splitAssign(s, d)),
@@ -1809,6 +1810,29 @@ object SparkEntry {
         |SELECT 'click' AS type_a, 'purchase' AS type_b, n_both,
         |  n_both = n_exact AS bitmap_matches_exact
         |FROM bm CROSS JOIN ex""".stripMargin,
+    // rq52: one-scan Deequ-style constraint suite; ppm metrics via
+    // truncating integer division, floors inclusive on both engines.
+    "rq52_quality_checks" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_cust,
+        |    count(DISTINCT o_orderkey) AS n_key,
+        |    sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS n_dom,
+        |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN CAST(o_orderdate AS DATE)
+        |               BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'
+        |             THEN 1 ELSE 0 END) AS n_range
+        |  FROM orders),
+        |c(check_name, metric, floor) AS (
+        |  SELECT 'completeness_custkey', n_cust, 1000000 FROM a
+        |  UNION ALL SELECT 'uniqueness_orderkey', n_key, 1000000 FROM a
+        |  UNION ALL SELECT 'domain_orderstatus', n_dom, 1000000 FROM a
+        |  UNION ALL SELECT 'positive_totalprice', n_pos, 1000000 FROM a
+        |  UNION ALL SELECT 'range_orderdate', n_range, 990000 FROM a)
+        |SELECT check_name,
+        |  CAST(metric * 1000000 // (SELECT n FROM a) AS BIGINT) AS metric_ppm,
+        |  metric * 1000000 // (SELECT n FROM a) >= floor AS passed
+        |FROM c ORDER BY check_name""".stripMargin,
     // dd_edit_distance: 8-char-prefix blocking join + bounded-prefix
     // Levenshtein — exact integers on both engines.
     "dd_edit_distance" ->

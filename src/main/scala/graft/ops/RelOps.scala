@@ -758,6 +758,38 @@ object RelOps {
       .orderBy("user_id", "hr")
   }
 
+  /** Declarative data-quality constraint suite — the Deequ/great-
+    * expectations pattern: a set of named checks (completeness,
+    * uniqueness, domain membership, range bounds, referential shape)
+    * evaluated in ONE pass over the table as partial-combinable
+    * aggregates, each emitting a pass boolean plus its metric in ppm so a
+    * failing check carries its evidence. One scan + one 1-row aggregate
+    * per table — the constraint engine is just an aggregation, which is
+    * why it scales to any table Spark can scan. */
+  def qualityChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_cust"),
+      countDistinct(col("o_orderkey")).as("n_key"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("n_dom"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("o_orderdate").cast("date").between("1992-01-01", "1998-12-31"), 1L)
+        .otherwise(0L)).as("n_range"))
+    // One Expand over the single aggregate row — five checks, one scan.
+    agg.select(expr(
+      """stack(5,
+        |  'completeness_custkey', (n_cust  * 1000000) div n, 1000000L,
+        |  'uniqueness_orderkey',  (n_key   * 1000000) div n, 1000000L,
+        |  'domain_orderstatus',   (n_dom   * 1000000) div n, 1000000L,
+        |  'positive_totalprice',  (n_pos   * 1000000) div n, 1000000L,
+        |  'range_orderdate',      (n_range * 1000000) div n,  990000L
+        |) AS (check_name, metric_ppm, floor)""".stripMargin))
+      .select(col("check_name"), col("metric_ppm"),
+        (col("metric_ppm") >= col("floor")).as("passed"))
+      .orderBy("check_name")
+  }
+
   /** Bitmap-index set intersection — the roaring-bitmap trick OLAP engines
     * use for distinct-set algebra: each event type's user set becomes a
     * bucketed bitmap (bucket = user_id div 32, word = bit_or of
