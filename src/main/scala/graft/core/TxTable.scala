@@ -85,23 +85,46 @@ final class TxTable private (spark: SparkSession, dir: String,
     * into the schema. */
   def snapshot(): DataFrame = snapshotAt(version)
 
+  /** The table schema AS OF version `v` — per-version `schema-v*.ddl`
+    * files track widening MERGE evolution (Delta keeps the same per-
+    * version record in its log); tables created before evolution landed
+    * fall back to the create-time `schema.ddl`. */
+  def schemaAt(v: Long): org.apache.spark.sql.types.StructType = {
+    val versioned = logDir.resolve(f"schema-v$v%08d.ddl")
+    val p = if (Files.exists(versioned)) versioned else logDir.resolve("schema.ddl")
+    org.apache.spark.sql.types.StructType.fromDDL(Files.readString(p))
+  }
+
+  /** Project `df` onto `schema`: absent columns (rows written before a
+    * widening evolution) surface as typed NULLs — the no-rewrite
+    * schema-drift contract (s16's mergeSchema read, applied to the
+    * bucket log). */
+  private def conform(df: DataFrame,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Time travel: the table exactly as of committed version `v`. Every
     * manifest is immutable and copy-on-write never rewrites a referenced
     * file in place, so any still-present version reconstructs exactly —
     * until `vacuum()` reclaims dirs the LATEST manifest no longer
     * references (the same retention trade Delta/Iceberg make). A version
     * whose manifest is empty (every row deleted) yields an empty table
-    * with the schema persisted at create time. */
+    * with that version's recorded schema. */
   def snapshotAt(v: Long): DataFrame = {
     require(v >= 0 && v <= version, s"version $v not in [0, $version]")
     require(Files.exists(logDir.resolve(f"v$v%08d.txt")),
       s"version $v has been vacuumed")
     val paths = manifest(v).values.toSeq.sorted
+    val schema = schemaAt(v)
     if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          Files.readString(logDir.resolve("schema.ddl"))))
-    else spark.read.parquet(paths: _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // mergeSchema: buckets written before a widening evolution lack the
+    // new columns; the merged footer schema carries them as NULL and
+    // `conform` pins the column set to the version's recorded schema.
+    else conform(spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
   }
 
   /** Buckets actually written by a commit (partitionBy leaves one `_b=K`
@@ -134,7 +157,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     * source must bind each key once (the same rule Delta enforces). */
   def merge(updates: DataFrame): Long = {
     val upd = updates.dropDuplicates(keyCols).localCheckpoint()
-    rewriteTouched(upd) { keep => upd.unionByName(keep) }
+    rewriteTouched(upd) { (keep, cur) =>
+      // Widening schema evolution: columns the updates carry that the
+      // table lacks join the schema (existing rows read them as NULL);
+      // a replaced row's absent columns become NULL — the whole-row
+      // MERGE contract. Order: current schema first, new columns appended.
+      val newFields = upd.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+      val widened = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
+      conform(upd, widened).unionByName(conform(keep, widened))
+    }
   }
 
   /** DELETE by key (the MERGE matched-delete clause): rows whose key
@@ -144,7 +175,7 @@ final class TxTable private (spark: SparkSession, dir: String,
   def delete(keys: DataFrame): Long = {
     val del = keys.select(keyCols.map(col): _*)
       .dropDuplicates(keyCols).localCheckpoint()
-    rewriteTouched(del)(keep => keep)
+    rewriteTouched(del)((keep, _) => keep)
   }
 
   /** Copy-on-write commit loop shared by merge/delete: prune to the
@@ -152,25 +183,36 @@ final class TxTable private (spark: SparkSession, dir: String,
     * those buckets' rows, let `build` shape the replacement rows, publish
     * — rebasing on a fresh snapshot if another writer commits first. */
   private def rewriteTouched(keySource: DataFrame)
-                            (build: DataFrame => DataFrame): Long = {
+      (build: (DataFrame, org.apache.spark.sql.types.StructType) => DataFrame): Long = {
     var committed = -1L
     while (committed < 0) {
       val v = version
       val m = manifest(v)
+      val curSchema = schemaAt(v)
       // Exact bucket pruning: only buckets a source key hashes into are
       // candidates. Bounded by numBuckets rows — driver-side by design.
       val touched = keySource.select(bucketCol.as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet
       val candidatePaths = touched.toSeq.sorted.flatMap(m.get)
+      // Conform to the LOGICAL schema of version v (touched buckets may
+      // predate a widening evolution and physically lack new columns).
       val keep =
-        if (candidatePaths.isEmpty) keySource.limit(0)
-        else spark.read.parquet(candidatePaths: _*)
+        if (candidatePaths.isEmpty)
+          conform(keySource.limit(0), curSchema)
+        else conform(
+          spark.read.option("mergeSchema", "true").parquet(candidatePaths: _*), curSchema)
           .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val commit = writeCommit(build(keep))
+      val out = build(keep, curSchema)
+      val commit = writeCommit(out)
       val next = (m.view.mapValues(p => Paths.get(p).getParent.getFileName.toString).toMap
         -- touched) ++ bucketsIn(commit).map(_ -> commit)
       val lines = next.toSeq.sortBy(_._1).map { case (b, c) => s"$b\t$c" }
-      if (publish(v + 1, lines)) committed = v + 1
+      if (publish(v + 1, lines)) {
+        // Record this version's logical schema (evolution is widening-only;
+        // a delete carries the current schema forward unchanged).
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), out.schema.toDDL)
+        committed = v + 1
+      }
       // else: lost the commit race — rebase on the new latest and retry.
     }
     committed
@@ -193,8 +235,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     val mo = manifest(vOld)
     val mn = manifest(vNew)
     val changed = (mo.keySet ++ mn.keySet).filter(b => mo.get(b) != mn.get(b))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      Files.readString(logDir.resolve("schema.ddl")))
+    // Evolution is widening-only, so the newer version's schema is the
+    // superset; the older side conforms, reading absent columns as NULL.
+    val schema = schemaAt(vNew)
     val valCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     def side(m: Map[Long, String], tag: String): DataFrame = {
       val paths = changed.toSeq.sorted.flatMap(m.get)
@@ -202,7 +245,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         if (paths.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.parquet(paths: _*)
+        else conform(
+          spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
       raw.select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"${tag}_$c")) :+
         lit(true).as(s"_in_$tag"): _*)
@@ -268,6 +312,7 @@ object TxTable {
     // Persist the schema so an all-rows-deleted version can still serve an
     // empty snapshot with correct columns.
     Files.writeString(Paths.get(dir, "_log", "schema.ddl"), base.schema.toDDL)
+    Files.writeString(Paths.get(dir, "_log", "schema-v00000000.ddl"), base.schema.toDDL)
     t
   }
 

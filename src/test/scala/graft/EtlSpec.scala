@@ -143,6 +143,37 @@ class EtlSpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable widening MERGE evolves the schema; old versions keep theirs; old rows read NULL") {
+    import spark.implicits._
+    val dir = freshDir()
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), Seq("k"), 4)
+      // Widening merge: a column the table lacks joins the schema.
+      t.merge(Seq(("b", 20L, "x"), ("c", 30L, "y")).toDF("k", "v", "tag"))
+      val head = t.snapshot()
+      assert(head.columns.toSeq == Seq("k", "v", "tag"))
+      val m = head.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+      assert(m == Map("a" -> ((1L, None)), "b" -> ((20L, Some("x"))), "c" -> ((30L, Some("y")))),
+        s"old row must read NULL for the evolved column: $m")
+      // Time travel returns each version under ITS schema.
+      assert(t.snapshotAt(0L).columns.toSeq == Seq("k", "v"))
+      // A delete after evolution carries the evolved schema forward.
+      t.delete(Seq(Tuple1("a")).toDF("k"))
+      assert(t.snapshot().columns.toSeq == Seq("k", "v", "tag"))
+      // CDC across the evolution boundary conforms the old side (NULL tag).
+      val upd = t.diff(0L, 1L).filter(col("change_type") === "update").collect()
+      assert(upd.map(_.getAs[String]("k")).toSeq == Seq("b"))
+      assert(upd.head.getAs[String]("old_tag") == null &&
+        upd.head.getAs[String]("new_tag") == "x")
+      // Whole-row MERGE contract: an update missing an old column nulls it.
+      t.merge(Seq(("d", "z")).toDF("k", "tag"))
+      val d = t.snapshot().filter(col("k") === "d").collect().head
+      assert(d.isNullAt(d.fieldIndex("v")) && d.getAs[String]("tag") == "z")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable: deleting every row yields an empty snapshot with the persisted schema") {
     val dir = freshDir()
     try {
