@@ -47,6 +47,9 @@ object SparkEntry {
     // CDC folded into a downstream aggregate + certified against the
     // direct head-snapshot recompute — incremental view maintenance.
     "s18_cdc_incremental" -> ((s, d) => GraphOps.cdcIncrementalAgg(s, d)),
+    // Widening MERGE on the transactional table: schema evolves in place,
+    // pre-evolution rows serve typed NULL for the new column.
+    "s19_tx_schema_evolution" -> ((s, d) => GraphOps.txSchemaEvolution(s, d)),
     "s14_stream_file_sink" -> ((s, d) => StreamingOps.streamedFileSink(s, d)),
     "s7_graph_json" -> ((s, d) => GraphOps.graphJson(s, d, 3)),
     "s8_csv_roundtrip" -> ((s, d) => graft.sources.FileFormats.csvRoundTrip(s, d)),
@@ -323,6 +326,25 @@ object SparkEntry {
          |SELECT name, house, round(acctbal, 2) AS acctbal, CAST(1 AS BIGINT) AS v FROM merged
          |WHERE name IN ('Customer#000000002', 'Customer#000000003',
          |               'Customer#000000004', 'User#000000001') ORDER BY name""".stripMargin,
+    // s19: the oracle reconstructs the post-evolution head — merged rows
+    // carry their tier, untouched neighbors read the 'none' fallback the
+    // engine must produce from NULL-backed pre-evolution buckets.
+    "s19_tx_schema_evolution" ->
+      s"""WITH $nodesCte,
+         |upd(name, house, acctbal, tier) AS (VALUES
+         |  ('Customer#000000003', 'BUILDING', 0.0, 'gold'),
+         |  ('User#000000001', 'BUILDING', 10.0, 'silver')),
+         |merged AS (
+         |  SELECT name, house, acctbal, tier FROM upd
+         |  UNION ALL
+         |  SELECT name, house, acctbal, NULL FROM n
+         |  WHERE name NOT IN (SELECT name FROM upd))
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  coalesce(tier, 'none') AS tier
+         |FROM merged
+         |WHERE name IN ('Customer#000000002', 'Customer#000000003',
+         |               'Customer#000000004', 'User#000000001')
+         |ORDER BY name""".stripMargin,
     // s18: the oracle reconstructs the HEAD state from the scripted
     // merge+delete and aggregates it directly; the engine must arrive at
     // the same numbers by folding the CDC diff into the v0 aggregate, and

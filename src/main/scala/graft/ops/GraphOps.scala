@@ -441,6 +441,29 @@ object GraphOps {
       .orderBy("name")
   }
 
+  /** Transactional widening MERGE (s19): the schema-drift reality s16
+    * demonstrates for plain parquet, on the TRANSACTIONAL table — a merge
+    * whose source carries a column the table lacks widens the schema
+    * in place (no bucket rewrite; pre-evolution rows read typed NULL),
+    * and the probe returns touched and untouched neighbors side by side
+    * so both the new column's values and the NULL-backed old rows are
+    * hash-checked. */
+  def txSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = demoTxTable(spark, sfDir, "s19") { t =>
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0, "gold"),
+        ("User#000000001", "BUILDING", 10.0, "silver")))
+        .toDF("name", "house", "acctbal", "tier"))
+      ()
+    }
+    t.snapshot()
+      .filter(col("name").isin("Customer#000000002", "Customer#000000003",
+        "Customer#000000004", "User#000000001"))
+      .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+        coalesce(col("tier"), lit("none")).as("tier"))
+      .orderBy("name")
+  }
+
   /** CDC-driven incremental view maintenance (s18): the reason a CDC read
     * exists at all — a downstream aggregate (house counts + balance sums)
     * maintained WITHOUT rescanning the table: fold diff(0, head) into the
