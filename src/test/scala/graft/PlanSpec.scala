@@ -214,6 +214,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected exactly 2 documents scans, got $scans:\n$p")
   }
 
+  test("rq52 quality checks run as ONE scan + one aggregate (no per-check rescan)") {
+    val p = graft.ops.RelOps.qualityChecks(spark, sf).queryExecution.sparkPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"five checks must share one orders scan:\n$p")
+  }
+
+  test("rq51 bitmap words aggregate with a map-side partial bit_or") {
+    val p = graft.ops.RelOps.bitmapIntersect(spark, sf).queryExecution.sparkPlan.toString
+    assert(p.contains("partial_bit_or"), s"bitmap bit_or not partially aggregated:\n$p")
+  }
+
   test("sim_batch_topk broadcasts the query block and ranks per query") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = graft.ops.SimilarityOps.batchTopK(spark, sf).queryExecution.sparkPlan
