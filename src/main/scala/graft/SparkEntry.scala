@@ -198,6 +198,16 @@ object SparkEntry {
     "dd_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
     "tx_split" -> ((s, d) => TextOps.splitAssign(s, d)),
     "rq46_stratified_sample" -> ((s, d) => RelOps.stratifiedSample(s, d)),
+    // 2D Pareto frontier via the per-size sweep; oracle = the O(n²)
+    // NOT EXISTS dominance definition, so the hash certifies equivalence.
+    "rq53_skyline" -> ((s, d) => RelOps.skyline(s, d)),
+    // Rolling 7-day distinct users — the rolling DISTINCT no window
+    // frame can express; bounded fanout against the broadcast day spine.
+    "rq54_rolling_dau" -> ((s, d) => RelOps.rollingActiveUsers(s, d)),
+    // Decile cumulative-gains table (aggregate-then-ntile-then-window).
+    "rq55_lift_gains" -> ((s, d) => RelOps.liftGains(s, d)),
+    // DSIR importance scoring with a cross-engine md5 hash bucketing.
+    "tx_dsir" -> ((s, d) => TextOps.dsirScore(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
     "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
@@ -1855,6 +1865,69 @@ object SparkEntry {
         |  CAST(metric * 1000000 // (SELECT n FROM a) AS BIGINT) AS metric_ppm,
         |  metric * 1000000 // (SELECT n FROM a) >= floor AS passed
         |FROM c ORDER BY check_name""".stripMargin,
+    // rq53: the oracle is the O(n²) NOT EXISTS dominance DEFINITION —
+    // deliberately a different algorithm than the engine's per-size
+    // sweep, so the hash certifies sweep ≡ definition.
+    "rq53_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_size,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+        |  FROM part)
+        |SELECT p_partkey, p_size, price_x100 FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_size >= a.p_size AND b.price_x100 <= a.price_x100
+        |    AND (b.p_size > a.p_size OR b.price_x100 < a.price_x100))
+        |ORDER BY p_size DESC, p_partkey""".stripMargin,
+    // rq54: rolling distinct via the bounded day-spine range join — the
+    // oracle spells out the identical fanout.
+    "rq54_rolling_dau" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |s AS (SELECT DISTINCT day AS s_day FROM d)
+        |SELECT strftime(s_day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN s_day = d.day THEN user_id END) AS dau,
+        |  count(DISTINCT user_id) AS wau
+        |FROM d JOIN s ON s_day >= d.day AND s_day <= d.day + 6
+        |GROUP BY s_day ORDER BY 1""".stripMargin,
+    "rq55_lift_gains" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS sp
+        |  FROM orders GROUP BY o_custkey),
+        |dec AS (
+        |  SELECT ntile(10) OVER (ORDER BY sp DESC, o_custkey) AS decile, sp FROM sp),
+        |d10 AS (
+        |  SELECT decile, count(*) AS n_customers, CAST(sum(sp) AS BIGINT) AS rev_x100
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n_customers, rev_x100,
+        |  CAST(sum(rev_x100) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_x100,
+        |  CAST(sum(rev_x100) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+        |    // sum(rev_x100) OVER () AS BIGINT) AS cum_share_ppm
+        |FROM d10 ORDER BY decile""".stripMargin,
+    // tx_dsir: hashed-unigram importance ratios — md5-prefix bucketing is
+    // replayed verbatim; all arithmetic integer (HUGEINT // on the oracle,
+    // DECIMAL(38,0) div on the engine).
+    "tx_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, substr(md5(w), 1, 4) AS b FROM t WHERE w <> ''),
+        |counts AS (
+        |  SELECT b, count(*) AS c_a,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |  FROM tf GROUP BY b),
+        |tot AS (SELECT sum(c_a) AS n_a, sum(c_t) AS n_t FROM counts),
+        |ratio AS (
+        |  SELECT b,
+        |    CAST(c_t * CAST(n_a AS HUGEINT) * 1000000 // (n_t * c_a) AS BIGINT) AS ratio_ppm
+        |  FROM counts, tot)
+        |SELECT doc_id, lang, count(*) AS n_toks,
+        |  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS dsir_ppm
+        |FROM tf JOIN ratio USING (b)
+        |WHERE doc_id < 100
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // dd_edit_distance: 8-char-prefix blocking join + bounded-prefix
     // Levenshtein — exact integers on both engines.
     "dd_edit_distance" ->

@@ -1273,4 +1273,91 @@ object RelOps {
           .cast("long").as("growth_ppm"))
       .orderBy("o_orderpriority", "month")
   }
+
+  /** 2D Pareto frontier (skyline): the parts no other part beats on BOTH
+    * axes (maximize size, minimize price). The naive formulation is a
+    * quadratic dominance self-join; in 2D it collapses to a sweep — one
+    * map-side-combinable min-price aggregate per size, a strict-prefix
+    * running min over the ~50-row size DOMAIN (sorted descending), and a
+    * broadcast semi-join back to pick up frontier members (duplicate
+    * (size, price) points all survive, matching the no-strict-dominance
+    * rule). The oracle is the independent O(n²) NOT EXISTS dominance
+    * query, so a hash match certifies the sweep ≡ the definition. At
+    * 100 TB the only data-sized pass is the per-size aggregate; the
+    * window runs over the attribute domain, never over rows. */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("price_x100"))
+    val perSize = parts.groupBy("p_size").agg(min("price_x100").as("min_price"))
+    // Strictly-larger sizes only: rowsBetween(unboundedPreceding, -1) over
+    // the size-descending order. 50-row domain — unpartitioned is fine.
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize
+      .withColumn("best_larger", min("min_price").over(w))
+      // Equal price at a larger size dominates (strict in size) — keep
+      // only strictly-cheaper-than-every-larger-size points.
+      .filter(col("best_larger").isNull || col("min_price") < col("best_larger"))
+      .select(col("p_size").as("f_size"), col("min_price"))
+    parts.join(broadcast(frontier),
+        parts("p_size") === col("f_size") && col("price_x100") === col("min_price"))
+      .select(col("p_partkey"), col("p_size"), col("price_x100"))
+      .orderBy(col("p_size").desc, col("p_partkey").asc)
+  }
+
+  /** Rolling 7-day active users (WAU) alongside same-day actives (DAU) —
+    * the rolling DISTINCT no window function can express (distinct is not
+    * algebraic over sliding frames). Shape: the event log collapses once
+    * to the distinct (user, day) domain — the only data-sized shuffle —
+    * then each row fans out to the ≤7 spine days whose trailing window
+    * covers it via a broadcast range join against the tiny day spine, and
+    * one countDistinct per spine day finishes. Cost scales as
+    * 7 × |distinct (user, day)|, never as raw events, and never as
+    * |days|² the interval self-join would cost. */
+  def rollingActiveUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val spine = days.select(col("day").as("s_day")).distinct()
+    days.join(broadcast(spine),
+        col("s_day") >= col("day") && col("s_day") <= date_add(col("day"), 6))
+      .groupBy("s_day")
+      .agg(
+        countDistinct(when(col("s_day") === col("day"), col("user_id"))).as("dau"),
+        countDistinct("user_id").as("wau"))
+      .select(date_format(col("s_day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  /** Decile lift / cumulative-gains table — the model-evaluation rollup
+    * behind every targeting decision: customers ranked by total spend,
+    * split into ntile(10) deciles, each reporting its revenue and the
+    * cumulative share of total revenue (ppm, truncating BIGINT `div`).
+    * Shape: aggregate-THEN-window — the customer-spend aggregate is the
+    * only data-sized shuffle; the ntile runs over the customer DOMAIN
+    * (with a custkey tiebreak so the split is total and both engines
+    * agree), and the cumulative windows run over the 10-row decile table.
+    * The exact global ntile sort is the certification variant; at 10⁹
+    * customers the documented swap is rq19's sketch quantile boundaries
+    * (same output shape, boundaries from the GK sketch). */
+  def liftGains(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("decimal(38,0)")).as("sp"))
+    val deciles = spend
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("sp").desc, col("o_custkey").asc)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("sp").cast("long").as("rev_x100"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_rev_x100", sum("rev_x100").over(wc).cast("long"))
+      .withColumn("cum_share_ppm",
+        expr("cum_rev_x100 * 1000000 div sum(rev_x100) over ()").cast("long"))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        col("rev_x100"), col("cum_rev_x100"), col("cum_share_ppm"))
+      .orderBy("decile")
+  }
 }

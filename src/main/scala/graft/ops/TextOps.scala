@@ -1039,4 +1039,44 @@ object TextOps {
       .agg(sum(col("n")).as("n_docs"))
       .orderBy("lang", "source", "chars_band")
   }
+
+  /** DSIR-style importance scoring for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * each document scored by how much its hashed-unigram distribution
+    * looks like a TARGET corpus (here the `targetLang` slice) relative to
+    * the raw pool. Features are 16-bit hash buckets — `substring(md5(w),
+    * 1, 4)` so BOTH engines derive the identical bucketing (the published
+    * method's hashed n-gram trick, with a cross-engine-replayable hash).
+    * Per-bucket importance is the target/raw frequency ratio in integer
+    * ppm — `(c_t · N_a · 10⁶) div (N_t · c_a)` on DECIMAL(38,0) so no
+    * float log-ratio channel and no BIGINT overflow at any corpus size —
+    * and a document's score is the truncating mean ratio over its tokens.
+    * Plan: ONE corpus scan builds (c_t, c_a) per bucket in a single hash
+    * agg (the target count is a conditional sum, not a second pass);
+    * totals broadcast from the bucket table, never re-scanning; the
+    * scored slice joins on the bucket key. The bucket domain is capped at
+    * 65,536 regardless of corpus size — THAT is what makes the ratio
+    * table broadcastable at 100 TB. */
+  def dsirScore(spark: SparkSession, sfDir: String, targetLang: String = "en",
+                maxDocId: Int = 100): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"), explode_outer(toks(col("text"))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .withColumn("b", substring(md5(col("w")), 1, 4))
+    val counts = bucketed(Tables.documents(spark, sfDir))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c_a"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(sum("c_a").as("n_a"), sum("c_t").as("n_t"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr("c_t * cast(n_a as decimal(38,0)) * 1000000 div (cast(n_t as decimal(38,0)) * c_a)")
+          .cast("long").as("ratio_ppm"))
+    bucketed(Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId))
+      .join(ratio, Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(ratio_ppm) div count(1)").cast("long").as("dsir_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -796,4 +796,60 @@ class ExtOpsSpec extends AnyFunSuite {
       .filter(_.getAs[Double]("cosine") >= 0.25)
       .foreach(r => assert(radius(r.getLong(0)) == r.getAs[Double]("cosine")))
   }
+
+  test("skyline sweep equals brute-force dominance and is an antichain") {
+    val sweep = RelOps.skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pts = graft.core.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def dominates(a: (Long, Int, Long), b: (Long, Int, Long)): Boolean =
+      a._2 >= b._2 && a._3 <= b._3 && (a._2 > b._2 || a._3 < b._3)
+    val brute = pts.filter(p => !pts.exists(q => dominates(q, p))).toSet
+    assert(sweep == brute, "per-size sweep must equal the dominance definition")
+    sweep.foreach(p => sweep.foreach(q => assert(!dominates(p, q), "frontier is an antichain")))
+  }
+
+  test("rolling DAU/WAU: window union equals per-day recount") {
+    val rows = RelOps.rollingActiveUsers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byDay = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect()
+      .map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    rows.foreach { case (d, dau, wau) =>
+      assert(dau == byDay(d).size, s"dau mismatch on $d")
+      val expectWau = days.filter(x => x <= d && x >= java.time.LocalDate.parse(d).minusDays(6).toString)
+        .flatMap(byDay).toSet.size
+      assert(wau == expectWau, s"wau mismatch on $d")
+      assert(wau >= dau)
+    }
+    assert(rows.map(_._1).toSet == days.toSet, "one output row per active day")
+  }
+
+  test("lift gains: deciles partition customers, cumulative share reaches 1e6") {
+    val g = RelOps.liftGains(spark, sf).collect()
+    val nCust = graft.core.Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(g.map(_.getAs[Long]("n_customers")).sum == nCust)
+    assert(g.last.getAs[Long]("cum_share_ppm") == 1000000L,
+      "full cumulative share is exactly 1e6 ppm (cum_rev == total)")
+    val cums = g.map(_.getAs[Long]("cum_rev_x100"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cumulative revenue is monotone")
+    // ntile ranks by spend desc ⇒ per-decile average spend is non-increasing
+    val avg = g.map(r => r.getAs[Long]("rev_x100").toDouble / r.getAs[Long]("n_customers"))
+    assert(avg.zip(avg.tail).forall { case (a, b) => a >= b - 1e-6 })
+  }
+
+  test("DSIR: target-language docs score above the non-target mean") {
+    val s = TextOps.dsirScore(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("dsir_ppm")))
+    val (en, other) = s.partition(_._1 == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    def mean(xs: Array[(String, Long)]): Double = xs.map(_._2).sum.toDouble / xs.length
+    assert(mean(en) > mean(other),
+      s"importance ratio must separate the target slice: en=${mean(en)} other=${mean(other)}")
+  }
 }
