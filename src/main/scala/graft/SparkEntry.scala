@@ -208,6 +208,11 @@ object SparkEntry {
     "rq55_lift_gains" -> ((s, d) => RelOps.liftGains(s, d)),
     // DSIR importance scoring with a cross-engine md5 hash bucketing.
     "tx_dsir" -> ((s, d) => TextOps.dsirScore(s, d)),
+    // Z-order clustering locality: per-bucket bounding rectangles under
+    // arrival order vs the Morton curve (shared zExpr with the oracle).
+    "rq56_zorder_layout" -> ((s, d) => RelOps.zorderLayout(s, d)),
+    // First BPE iteration: corpus-weighted adjacent character-pair counts.
+    "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
     "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
@@ -1928,6 +1933,45 @@ object SparkEntry {
         |FROM tf JOIN ratio USING (b)
         |WHERE doc_id < 100
         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    // rq56: the Morton interleave string is RelOps.zExpr verbatim — the
+    // engine and the oracle compute the identical curve by construction.
+    "rq56_zorder_layout" ->
+      s"""WITH base AS (
+         |  SELECT event_id, CAST(user_id % 32 AS BIGINT) AS x,
+         |         CAST(date_part('day', CAST(ts AS DATE)) AS BIGINT) AS y
+         |  FROM events),
+         |z AS (SELECT *, ${RelOps.zExpr("x", "y", bits = 5)} AS z FROM base),
+         |t AS (SELECT x, y,
+         |        ntile(16) OVER (ORDER BY event_id) AS tb,
+         |        ntile(16) OVER (ORDER BY x, event_id) AS xb,
+         |        ntile(16) OVER (ORDER BY z, event_id) AS zb
+         |      FROM z),
+         |u AS (SELECT 'time' AS layout, tb AS bucket, x, y FROM t
+         |      UNION ALL SELECT 'xsort', xb, x, y FROM t
+         |      UNION ALL SELECT 'zorder', zb, x, y FROM t),
+         |g AS (SELECT layout, bucket, count(*) AS n,
+         |        min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         |        sum(CASE WHEN x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15
+         |              THEN 1 ELSE 0 END) AS m
+         |      FROM u GROUP BY layout, bucket)
+         |SELECT layout, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN min_x <= 15 AND max_x >= 8 AND min_y <= 15 AND max_y >= 8
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS buckets_read,
+         |  CAST(sum(CASE WHEN min_x <= 15 AND max_x >= 8 AND min_y <= 15 AND max_y >= 8
+         |        THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+         |  CAST(sum(m) AS BIGINT) AS rows_matched
+         |FROM g GROUP BY layout ORDER BY layout""".stripMargin,
+    "tx_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents WHERE lang = 'en'),
+        |wf AS (SELECT w, count(*) AS freq FROM t WHERE w <> '' GROUP BY w),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> {'a': w[i], 'b': w[i + 1]})) AS pr, freq
+        |  FROM wf WHERE len(w) >= 2)
+        |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY pr.a, pr.b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
     // dd_edit_distance: 8-char-prefix blocking join + bounded-prefix
     // Levenshtein — exact integers on both engines.
     "dd_edit_distance" ->

@@ -1360,4 +1360,58 @@ object RelOps {
         col("rev_x100"), col("cum_rev_x100"), col("cum_share_ppm"))
       .orderBy("decile")
   }
+
+  /** Morton (Z-order) interleave of two `bits`-bit dimensions, written
+    * with only `&`, `*`, `+` so the SAME string parses identically in
+    * Spark SQL and DuckDB (shift operators differ between the engines;
+    * `(x & 2^b) * 2^(b+1)` places x's bit b at position 2b+1 without
+    * one). Shared verbatim by the engine plan and the oracle SQL. */
+  def zExpr(xc: String, yc: String, bits: Int = 8): String =
+    (0 until bits).map { b =>
+      s"($xc & ${1L << b}) * ${1L << (b + 1)} + ($yc & ${1L << b}) * ${1L << b}"
+    }.mkString(" + ")
+
+  /** Z-order zone-map pruning — WHY warehouses cluster on a Morton curve:
+    * the same rows bucketed into equal-size "files" under three layouts
+    * (arrival order ≈ time-clustered, single-column x-sort, Z-order of
+    * both dimensions), then a 2D range predicate (x∈[8,15] ∧ y∈[8,15])
+    * is answered using only each bucket's min/max zone map — exactly how
+    * parquet row-group / data-file skipping works. A time layout is tight
+    * on the date dim but spans every user; an x-sort is the mirror
+    * image; only the Morton curve bounds BOTH dims per bucket (the
+    * aligned query quadrant is one contiguous z range), so it reads the
+    * fewest buckets — the spec asserts it, and rows_matched (the true
+    * answer, layout-invariant) certifies that pruning never changes
+    * results. The interleave is a codegen'd integer expression (`zExpr`,
+    * shared verbatim with the oracle). The exact global ntile is the
+    * certification variant; the production layout pass is
+    * `repartitionByRange(z)` + sortWithinPartitions — same curve, range
+    * boundaries from a sampled sketch, no global window. */
+  def zorderLayout(spark: SparkSession, sfDir: String, buckets: Int = 16): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        (col("user_id") % 32).cast("long").as("x"),
+        dayofmonth(to_date(col("ts"))).cast("long").as("y"))
+      .withColumn("z", expr(zExpr("x", "y", bits = 5)))
+    val rect = col("min_x") <= 15 && col("max_x") >= 8 &&
+      col("min_y") <= 15 && col("max_y") >= 8
+    base
+      .withColumn("tb", ntile(buckets).over(Window.orderBy("event_id")))
+      .withColumn("xb", ntile(buckets).over(Window.orderBy(col("x"), col("event_id"))))
+      .withColumn("zb", ntile(buckets).over(Window.orderBy(col("z"), col("event_id"))))
+      .select(expr("stack(3, 'time', tb, 'xsort', xb, 'zorder', zb)")
+        .as(Seq("layout", "bucket")), col("x"), col("y"))
+      .groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"),
+        sum(when(col("x").between(8, 15) && col("y").between(8, 15), 1L)
+          .otherwise(0L)).as("m"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(rect, 1L).otherwise(0L)).cast("long").as("buckets_read"),
+        sum(when(rect, col("n")).otherwise(0L)).cast("long").as("rows_read"),
+        sum("m").cast("long").as("rows_matched"))
+      .orderBy("layout")
+  }
 }

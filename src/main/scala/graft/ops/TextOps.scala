@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -1067,8 +1068,13 @@ object TextOps {
       .groupBy("b")
       .agg(count(lit(1)).as("c_a"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
-    val totals = counts.agg(sum("c_a").as("n_a"), sum("c_t").as("n_t"))
-    val ratio = counts.crossJoin(broadcast(totals))
+    // Corpus totals as an unbounded window over the ≤65,536-row bucket
+    // table (NOT a separate aggregate of `counts` — that would duplicate
+    // the whole corpus-scan subtree in the plan; PlanSpec pins 2 scans).
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratio = counts
+      .withColumn("n_a", sum("c_a").over(wAll))
+      .withColumn("n_t", sum("c_t").over(wAll))
       .select(col("b"),
         expr("c_t * cast(n_a as decimal(38,0)) * 1000000 div (cast(n_t as decimal(38,0)) * c_a)")
           .cast("long").as("ratio_ppm"))
@@ -1078,5 +1084,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_toks"),
         expr("sum(ratio_ppm) div count(1)").cast("long").as("dsir_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** First BPE iteration: the top merge candidates a byte-pair-encoding
+    * tokenizer trainer would pick — adjacent character pairs counted
+    * across the corpus, weighted by word frequency. The published
+    * algorithm's dominant cost is exactly this pair-count pass (it
+    * repeats per merge); expressing one iteration as a dataflow shows the
+    * whole trainer is a loop of cheap aggregations: tokenize once, count
+    * WORDS (the corpus-sized agg — afterwards everything runs on the
+    * vocabulary domain, which is what makes BPE training tractable at
+    * 100 TB), then explode each distinct word's character bigrams and sum
+    * the word frequencies per pair. Restricted to one language the way a
+    * per-language tokenizer is trained; total order via (count, pair). */
+  def bpePairs(spark: SparkSession, sfDir: String, lang: String = "en",
+               k: Int = 20): DataFrame = {
+    val wf = Tables.documents(spark, sfDir)
+      .filter(col("lang") === lang)
+      .select(explode_outer(toks(col("text"))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> " +
+          "named_struct('a', substring(w, i, 1), 'b', substring(w, i + 1, 1)))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").cast("long").as("n"))
+      .orderBy(desc("n"), asc("a"), asc("b"))
+      .limit(k)
   }
 }

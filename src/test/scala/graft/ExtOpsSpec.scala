@@ -843,6 +843,42 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(avg.zip(avg.tail).forall { case (a, b) => a >= b - 1e-6 })
   }
 
+  test("zorder: Morton zone maps prune the 2D predicate best; answer layout-invariant") {
+    val rows = RelOps.zorderLayout(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("time", "xsort", "zorder"))
+    val matched = rows.values.map(_.getAs[Long]("rows_matched")).toSet
+    assert(matched.size == 1, "the true answer must not depend on layout")
+    def reads(l: String) = rows(l).getAs[Long]("buckets_read")
+    assert(reads("zorder") <= reads("time") && reads("zorder") <= reads("xsort"),
+      s"Morton must read fewest buckets: z=${reads("zorder")} t=${reads("time")} x=${reads("xsort")}")
+    assert(reads("zorder") < math.max(reads("time"), reads("xsort")),
+      "and strictly beat at least one single-dim layout")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("rows_read") >= r.getAs[Long]("rows_matched"),
+        "zone-map read set must cover the answer")
+    }
+  }
+
+  test("BPE pair counts match a plain Scala reference") {
+    val got = TextOps.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val wf = graft.core.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairs(k) = pairs.getOrElse(k, 0L) + f
+      }
+    }
+    val expect = pairs.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    assert(got.toSeq == expect, "engine top-20 must equal the reference fold")
+  }
+
   test("DSIR: target-language docs score above the non-target mean") {
     val s = TextOps.dsirScore(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("dsir_ppm")))

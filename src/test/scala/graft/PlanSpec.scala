@@ -225,6 +225,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_bit_or"), s"bitmap bit_or not partially aggregated:\n$p")
   }
 
+  test("rq53 skyline joins the tiny frontier back via broadcast, never shuffling parts") {
+    val p = graft.ops.RelOps.skyline(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"frontier must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join on the parts side:\n$p")
+  }
+
+  test("rq54 rolling DAU fans out against a BROADCAST day spine (bounded NLJ)") {
+    val p = graft.ops.RelOps.rollingActiveUsers(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"day spine must broadcast:\n$p")
+  }
+
+  test("tx_dsir scans documents exactly twice (count pass + scored slice)") {
+    val p = graft.ops.TextOps.dsirScore(spark, sf).queryExecution.sparkPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 2,
+      s"bucket counts must not re-derive per consumer:\n$p")
+  }
+
   test("sim_batch_topk broadcasts the query block and ranks per query") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = graft.ops.SimilarityOps.batchTopK(spark, sf).queryExecution.sparkPlan
