@@ -243,6 +243,9 @@ object SparkEntry {
     "rq22_funnel" -> ((s, d) => RelOps.funnelStages(s, d)),
     "rq17_sql_pricing" -> ((s, d) => graft.ops.SqlSurface.pricing(s, d)),
     "fn_sql_fingerprint" -> ((s, d) => graft.ops.SqlSurface.fingerprints(s, d)),
+    // SQL-standard WITH RECURSIVE surface (Spark 4 iterative union-loop):
+    // decimal-forest hierarchy closure, bounded depth, per-round key join.
+    "rq57_recursive_cte" -> ((s, d) => graft.ops.SqlSurface.recursiveHierarchy(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
     "ml_feature_pivot" -> ((s, d) => MlOps.featurePivotSample(s, d)),
     "ml_sorting_hat" -> ((s, d) => MlOps.sortingHatPredictions(s, d)),
@@ -2259,6 +2262,17 @@ object SparkEntry {
         |  CAST(c_custkey % 2 = 0 AS VARCHAR) AS even_str,
         |  try_cast('1' || CAST(c_custkey AS VARCHAR) AS BIGINT) AS prefixed_num
         |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
+    "rq57_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.root, a.depth + 1
+        |  FROM customer c JOIN anc a ON a.node = c.c_custkey // 10
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM anc GROUP BY root, depth ORDER BY root, depth""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -49,4 +49,32 @@ object SqlSurface {
         |  graft_rolling_hash(trim(regexp_replace(lower(text), '\\s+', ' '))) AS fp_roll
         |FROM graft_documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
   }
+
+  /** Hierarchy walk via the SQL-standard `WITH RECURSIVE` surface
+    * (Spark 4 resolves it through ResolveWithCTE into an iterative
+    * union-loop): every customer is placed in the implicit decimal forest
+    * (parent = custkey div 10, roots are the single-digit keys), and the
+    * closure reports subtree population per (root, depth). Iterations =
+    * hierarchy DEPTH (log₁₀ of the keyspace), each one a join of the
+    * frontier against the base table on the parent key — the same
+    * bounded-iteration shape as the GraphX Pregel BFS twin
+    * (gx_shortest_paths), but expressed entirely in ANSI SQL text, which
+    * is the surface a migrating warehouse user actually writes. At 100 TB
+    * the frontier join shuffles on the parent key per round; depth stays
+    * ~7 for a 10⁷-node forest, so the loop is bounded and each round is
+    * an ordinary co-partitioned join. */
+  def recursiveHierarchy(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+        |  FROM graft_customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.root, a.depth + 1
+        |  FROM graft_customer c JOIN anc a ON a.node = c.c_custkey div 10
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM anc GROUP BY root, depth ORDER BY root, depth""".stripMargin)
+  }
 }

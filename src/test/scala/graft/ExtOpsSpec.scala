@@ -879,6 +879,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expect, "engine top-20 must equal the reference fold")
   }
 
+  test("recursive CTE hierarchy equals the digit-depth closed form") {
+    // parent = custkey div 10 over a contiguous keyspace ⇒ root is the
+    // leading digit and depth is digits-1; the iterative union-loop must
+    // reproduce that closed form exactly.
+    val rows = graft.ops.SqlSurface.recursiveHierarchy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expect = keys.map { k =>
+      val s = k.toString; (s.substring(0, 1).toLong, (s.length - 1).toLong)
+    }.groupBy(identity).map { case ((r, d), xs) => (r, d, xs.size.toLong) }.toSet
+    assert(rows == expect)
+  }
+
   test("DSIR: target-language docs score above the non-target mean") {
     val s = TextOps.dsirScore(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("dsir_ppm")))
