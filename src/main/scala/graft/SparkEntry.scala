@@ -246,6 +246,10 @@ object SparkEntry {
     // SQL-standard WITH RECURSIVE surface (Spark 4 iterative union-loop):
     // decimal-forest hierarchy closure, bounded depth, per-round key join.
     "rq57_recursive_cte" -> ((s, d) => graft.ops.SqlSurface.recursiveHierarchy(s, d)),
+    // Materialized-view rewrite via an injected optimizer Rule: the RAW
+    // daily aggregate is served from the MV artifact; oracle recomputes
+    // from raw events so the hash certifies the rewrite.
+    "rq58_mv_rewrite" -> ((s, d) => graft.plans.MvRewrite.mvRewriteDaily(s, d)),
     // —— ML parity (SURVEY §2.9 / M3) ——
     "ml_feature_pivot" -> ((s, d) => MlOps.featurePivotSample(s, d)),
     "ml_sorting_hat" -> ((s, d) => MlOps.sortingHatPredictions(s, d)),
@@ -2273,6 +2277,11 @@ object SparkEntry {
         |SELECT root, CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
         |  min(node) AS min_node, max(node) AS max_node
         |FROM anc GROUP BY root, depth ORDER BY root, depth""".stripMargin,
+    "rq58_mv_rewrite" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS BIGINT) AS sum_micro
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

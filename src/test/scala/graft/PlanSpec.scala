@@ -242,6 +242,42 @@ class PlanSpec extends AnyFunSuite {
       s"bucket counts must not re-derive per consumer:\n$p")
   }
 
+  test("rq58 MV rewrite: daily grain served from the MV artifact, raw events untouched") {
+    val p = graft.plans.MvRewrite.mvRewriteDaily(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(graft.plans.MvRewrite.MvName), s"must scan the MV:\n$p")
+    assert(!p.contains("events.parquet"), s"raw events must not be scanned:\n$p")
+  }
+
+  test("rq58 MV rewrite: derived roll-ups rewrite too and match the raw plan") {
+    import org.apache.spark.sql.functions._
+    graft.plans.MvRewrite.install(spark, sf)
+    def rollup() = graft.core.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sum_micro"))
+      .orderBy("event_type")
+    val rewritten = rollup()
+    assert(rewritten.queryExecution.executedPlan.toString
+      .contains(graft.plans.MvRewrite.MvName), "event_type rollup must merge from the MV")
+    val got = rewritten.collect().map(_.toString)
+    val raw = graft.plans.MvRewrite.suppressed { rollup().collect().map(_.toString) }
+    assert(got.sameElements(raw), "rollup-from-MV must equal the raw recompute")
+  }
+
+  test("rq58 MV rewrite: a filtered query must NOT rewrite") {
+    import org.apache.spark.sql.functions._
+    graft.plans.MvRewrite.install(spark, sf)
+    val p = graft.core.Tables.events(spark, sf)
+      .filter(col("user_id") >= 0)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("events.parquet"), s"filter changes semantics — no rewrite:\n$p")
+    assert(!p.contains(graft.plans.MvRewrite.MvName))
+  }
+
   test("sim_batch_topk broadcasts the query block and ranks per query") {
     import org.apache.spark.sql.execution.window.WindowExec
     val p = graft.ops.SimilarityOps.batchTopK(spark, sf).queryExecution.sparkPlan
