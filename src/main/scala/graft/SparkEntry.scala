@@ -41,6 +41,9 @@ object SparkEntry {
     // read back in-session (the reference's user write path as a stream).
     "s13_stream_merge" -> ((s, d) => StreamingOps.streamedTxMerge(s, d)),
     "s15_time_travel" -> ((s, d) => GraphOps.timeTravel(s, d)),
+    // OPTIMIZE: small-file compaction over the TxTable — layout-only
+    // rewrite published as a new version; oracle certifies data identity.
+    "s20_tx_compaction" -> ((s, d) => GraphOps.txCompaction(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -141,6 +144,9 @@ object SparkEntry {
     // rq12 tolerance-boolean pattern) — the approximate rows themselves are
     // spec-verified, the certificate makes the probe driver-checkable.
     "sim_ann_lsh_topk" -> ((s, d) => SimilarityOps.annTopKChecked(s, d)),
+    // Filtered vector search: metadata predicate pushed INTO the LSH
+    // index probe (pre-filter, not post-filter), recall-certified.
+    "sim_filtered_topk" -> ((s, d) => SimilarityOps.filteredTopKChecked(s, d)),
     "sim_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopKChecked(s, d)),
     "sim_ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopKChecked(s, d)),
     "sim_ann_ivfpq_topk" -> ((s, d) => SimilarityOps.ivfPqTopKChecked(s, d)),
@@ -999,6 +1005,14 @@ object SparkEntry {
          |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine,
          |  true AS recall_ge_floor
          |FROM ne, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_filtered_topk" ->
+      s"""WITH $embCte
+         |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine,
+         |  true AS recall_ge_floor
+         |FROM ne, q WHERE vec_id <> 0 AND label % 3 = 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ann_ivf_topk" ->
       s"""WITH $embCte
@@ -2282,6 +2296,14 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS BIGINT) AS sum_micro
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "s20_tx_compaction" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN right(name, 1) IN ('1', '2', '3')
+         |       THEN 'MERGED' || right(name, 1) ELSE house END AS house,
+         |  round(acctbal, 2) AS acctbal,
+         |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
+         |FROM n ORDER BY name""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

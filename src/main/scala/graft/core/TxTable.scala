@@ -297,6 +297,53 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
     dead.size
   }
+
+  /** OPTIMIZE (compaction): rewrite the CURRENT snapshot so every bucket
+    * holds exactly ONE file inside ONE commit directory, and publish the
+    * result as a new version — a metadata-only change for readers (same
+    * rows, so `diff(v, compact())` is empty by construction, which the
+    * property spec asserts). Why it exists: every merge writes its touched
+    * buckets through the task-parallel shuffle, so a long-lived table
+    * accumulates many part-files per bucket and scatters its manifest
+    * across many commit dirs — the small-file problem that degrades scan
+    * throughput at 100 TB (per-file open cost dominates). The repartition
+    * on the bucket column puts each bucket in exactly one task, so the
+    * partitionBy write emits one file per bucket. Runs through the same
+    * optimistic publish loop as merge: losing a race to a concurrent
+    * writer rebases on the new snapshot (compacting stale data would
+    * silently drop the winner's rows otherwise). Old versions stay
+    * readable for time travel until `vacuum` retires them. */
+  def compact(): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      require(v >= 0, s"no committed version to compact at $dir")
+      val m = manifest(v)
+      val cur = schemaAt(v)
+      val rows = conform(
+        spark.read.option("mergeSchema", "true").parquet(m.values.toSeq: _*), cur)
+      val commit = s"t-${UUID.randomUUID().toString.take(12)}"
+      rows.withColumn("_b", bucketCol).repartition(col("_b"))
+        .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
+      if (publish(v + 1, lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+        committed = v + 1
+      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
+    }
+    committed
+  }
+
+  /** Physical layout census for specs/monitoring: (commit dirs referenced,
+    * data files) behind the CURRENT manifest. */
+  def layoutStats(): (Int, Int) = {
+    val m = manifest(version)
+    val commits = m.values.map(p => Paths.get(p).getParent.getFileName.toString).toSet
+    val files = m.values.toSeq.map { p =>
+      listNames(Paths.get(p)).count(_.endsWith(".parquet"))
+    }.sum
+    (commits.size, files)
+  }
 }
 
 object TxTable {

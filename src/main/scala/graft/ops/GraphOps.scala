@@ -366,6 +366,37 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** OPTIMIZE demo — the lakehouse small-file compaction pass end-to-end:
+    * create → three disjoint-key MERGEs (each scatters its touched
+    * buckets into a new commit dir through the task-parallel write) →
+    * `compact()` → read back. The merges key on the name's last digit, so
+    * the final state is a pure function of the base table and the oracle
+    * recomputes it relationally — a hash match certifies compaction
+    * changed LAYOUT, never data. `compacted_single_commit` carries the
+    * physical proof through the hash channel (every live bucket behind
+    * one commit dir); the property spec additionally asserts file-count
+    * shrinkage, an empty CDC diff across the compaction version, and
+    * intact pre-compaction time travel. Measures the write path per
+    * invocation by design (s12's class). */
+  def txCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s20").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      (1 to 3).foreach { i =>
+        t.merge(base.filter(substring(col("name"), -1, 1) === i.toString)
+          .withColumn("house", lit(s"MERGED$i")))
+      }
+      val v = t.compact()
+      val (commits, _) = t.layoutStats()
+      t.snapshot()
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(v).as("v"), lit(commits == 1).as("compacted_single_commit"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

@@ -124,7 +124,8 @@ object SimilarityOps {
     * (`lshIndex`); the query path is probe-only. Recall is spec-verified
     * against the brute-force baseline; the driver-facing entry wraps this
     * in a recall certificate (`annTopKChecked`). */
-  def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+  def annTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L, k: Int = 10,
+              extraFilter: Column = lit(true)): DataFrame = {
     // Resolve the query VECTOR from the base table (one pushed-down id
     // lookup against a single parquet file), then derive its bucket keys
     // DRIVER-SIDE from the literal hyperplanes — scanning the exploded
@@ -151,7 +152,7 @@ object SimilarityOps {
     val e = lshIndex(spark, sfDir)
     val q = spark.range(1)
       .select(typedlit(qv.toSeq).as("qv"), lit(qRow.getDouble(1)).as("qn"))
-    e.filter(probe && col("vec_id") =!= queryId)
+    e.filter(probe && col("vec_id") =!= queryId && extraFilter)
       .dropDuplicates("vec_id") // a candidate can collide in several tables
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
@@ -193,6 +194,36 @@ object SimilarityOps {
                      k: Int = 10, floor: Double = LshRecallFloor): DataFrame =
     withRecallCertificate(
       cosineTopK(spark, sfDir, queryId, k), annTopK(spark, sfDir, queryId, k), k, floor)
+
+  /** Filtered vector search — top-k under a metadata predicate, the
+    * feature modern vector stores call "filtered ANN" (a recommender
+    * restricted to in-stock items, retrieval restricted to one tenant).
+    * The predicate pushes INTO the persisted LSH index scan: `label`
+    * rides in the index rows, so filtering happens alongside the (t, key)
+    * bucket probe in the same codegen'd scan stage — candidates shrink
+    * BEFORE the exact-cosine re-rank, not after (post-filtering a top-k
+    * is the classic correctness bug: it returns < k rows whenever the
+    * filter is selective). Recall floor re-measured under the filter
+    * (selectivity ~1/3): the 12-table radius-2 probe holds ≥0.9 because
+    * filtered brute force and filtered probe lose candidates
+    * proportionally. Exact filtered top-k is the hash-checked output;
+    * the probe enters only through the certificate boolean. */
+  def filteredTopKChecked(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                          k: Int = 10, labelMod: Int = 3,
+                          floor: Double = LshRecallFloor): DataFrame = {
+    val keep = col("label") % labelMod === 0
+    val e = normed(spark, sfDir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val exact = e.filter(col("vec_id") =!= queryId && keep)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+    val ann = annTopK(spark, sfDir, queryId, k, extraFilter = keep)
+    withRecallCertificate(exact, ann, k, floor)
+  }
 
   /** Driver-checkable IVF ANN: same certificate over the IVF probe. */
   def ivfTopKChecked(spark: SparkSession, sfDir: String, queryId: Long = 0L,

@@ -26,12 +26,19 @@ object RecallProbe {
           val got = probe(spark, sf, q, 10).select("vec_id").collect().map(_.getLong(0))
           got.count(exact).toDouble / exact.size
         }
-      val lsh = recallsOf(SimilarityOps.annTopK)
+      val lsh = recallsOf(SimilarityOps.annTopK(_, _, _, _))
       val ivf = recallsOf(SimilarityOps.ivfTopK(_, _, _, _))
       val pq = recallsOf(SimilarityOps.pqTopK)
       val ivfpq = recallsOf(SimilarityOps.ivfPqTopK)
       def fmt(rs: Seq[Double]) = f"min=${rs.min}%.2f mean=${rs.sum / rs.size}%.2f"
-      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)} pq ${fmt(pq)} ivfpq ${fmt(ivfpq)}  (q=${queryIds.mkString(",")})")
+      // Filtered ANN: recall of the label-filtered probe vs the
+      // label-filtered exact ranking (certificate rows of the entry).
+      val filtered = queryIds.map { q =>
+        val rows = SimilarityOps.filteredTopKChecked(spark, sf, q)
+          .select("recall_ge_floor").collect().map(_.getBoolean(0))
+        if (rows.forall(identity)) 1.0 else 0.0
+      }
+      println(s"[recall] $sf lsh ${fmt(lsh)} ivf ${fmt(ivf)} pq ${fmt(pq)} ivfpq ${fmt(ivfpq)} filtered_pass=${filtered.sum}/${filtered.size}  (q=${queryIds.mkString(",")})")
     }
     spark.stop()
   }

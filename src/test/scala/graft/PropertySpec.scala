@@ -175,6 +175,33 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable compact: layout-only — data identical, diff empty, history intact, files shrink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_compact").toString
+    try {
+      val base = (0 until 40).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 8)
+      // Fragment: three merges, each scattering touched buckets into a
+      // fresh commit dir through the task-parallel write.
+      (1 to 3).foreach(i => t.merge(
+        base.filter(_._1.endsWith(i.toString)).map { case (k, v) => (k, v + 100L * i) }.toDF("k", "v")))
+      val preV = t.version
+      val pre = t.snapshot().as[(String, Long)].collect().toMap
+      val (preCommits, preFiles) = t.layoutStats()
+      assert(preCommits >= 4, s"three merges + create must scatter commits, got $preCommits")
+      val postV = t.compact()
+      assert(postV == preV + 1, "compaction publishes a new version")
+      val (postCommits, postFiles) = t.layoutStats()
+      assert(postCommits == 1, "every live bucket behind ONE commit dir")
+      assert(postFiles <= 8, s"one file per bucket after compaction, got $postFiles")
+      assert(postFiles < preFiles, s"file count must shrink: $preFiles -> $postFiles")
+      assert(t.snapshot().as[(String, Long)].collect().toMap == pre, "data unchanged")
+      assert(t.diff(preV, postV).count() == 0, "CDC across a compaction is empty")
+      assert(t.snapshotAt(preV).as[(String, Long)].collect().toMap == pre,
+        "pre-compaction time travel intact")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable diff is a faithful changelog: applying diff(a,b) to version a yields version b") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_diff").toString
