@@ -217,6 +217,10 @@ object SparkEntry {
     // Z-order clustering locality: per-bucket bounding rectangles under
     // arrival order vs the Morton curve (shared zExpr with the oracle).
     "rq56_zorder_layout" -> ((s, d) => RelOps.zorderLayout(s, d)),
+    // Mergeable HLL sketch partials: per-day artifact, weekly union at
+    // query time; exact distinct is the hash, the tolerance boolean
+    // carries the sketch contract.
+    "rq59_hll_partials" -> ((s, d) => RelOps.hllPartials(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
@@ -2304,6 +2308,10 @@ object SparkEntry {
          |  round(acctbal, 2) AS acctbal,
          |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
          |FROM n ORDER BY name""".stripMargin,
+    "rq59_hll_partials" ->
+      """SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
+        |  count(DISTINCT user_id) AS exact_users, true AS hll_within_tol
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1361,6 +1361,39 @@ object RelOps {
       .orderBy("decile")
   }
 
+  /** Mergeable sketch partials — the at-scale distinct-count architecture
+    * (Druid/BigQuery/Snowflake all ship it): per-day HLL sketches of the
+    * user set are materialized ONCE as a build-once artifact (Spark 4's
+    * DataSketches `hll_sketch_agg`), and a query needing weekly (or any
+    * coarser) distinct counts UNIONS the partial sketches
+    * (`hll_union_agg`) instead of re-scanning the event log — the
+    * estimate costs O(days × sketch bytes), not O(events), and unlike
+    * exact distinct the partials are algebraic, so any rollup grain is
+    * servable from the same artifact. Certification follows the rq12/ANN
+    * pattern: the hash-checked output is the EXACT weekly distinct (the
+    * oracle recomputes it), and `hll_within_tol` carries the sketch's
+    * accuracy contract (lgK=12 ⇒ ~1.6% rse; 5% tolerance ≈ 3σ) through
+    * the hash channel — the estimate itself never enters the hash, a
+    * broken sketch pipeline flips the boolean. */
+  def hllPartials(spark: SparkSession, sfDir: String, tolPpm: Long = 50000L): DataFrame = {
+    val daily = graft.etl.Artifacts.ensureParquet(spark, sfDir, "events_daily_hll") {
+      Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    }
+    val weekly = daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(weekly, Seq("week"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 1000000 <= col("exact_users") * tolPpm)
+          .as("hll_within_tol"))
+      .orderBy("week")
+  }
+
   /** Morton (Z-order) interleave of two `bits`-bit dimensions, written
     * with only `&`, `*`, `+` so the SAME string parses identically in
     * Spark SQL and DuckDB (shift operators differ between the engines;

@@ -242,6 +242,14 @@ class PlanSpec extends AnyFunSuite {
       s"bucket counts must not re-derive per consumer:\n$p")
   }
 
+  test("rq59 HLL partials: sketches come from the artifact, events scanned once (exact side)") {
+    val plan = graft.ops.RelOps.hllPartials(spark, sf).queryExecution.sparkPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(_.contains("events_daily_hll")), s"sketch side must probe the artifact:\n$plan")
+    assert(scans.count(_.contains("events.parquet")) == 1,
+      s"raw events only for the exact certification side:\n$plan")
+  }
+
   test("rq58 MV rewrite: daily grain served from the MV artifact, raw events untouched") {
     val p = graft.plans.MvRewrite.mvRewriteDaily(spark, sf)
       .queryExecution.executedPlan.toString
