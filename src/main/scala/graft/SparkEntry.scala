@@ -221,6 +221,9 @@ object SparkEntry {
     // query time; exact distinct is the hash, the tolerance boolean
     // carries the sketch contract.
     "rq59_hll_partials" -> ((s, d) => RelOps.hllPartials(s, d)),
+    // Native bounded-heap top-k-per-group: custom LogicalPlan + Strategy
+    // + SparkPlan; partial pass caps the exchange at keys x k rows.
+    "rq60_native_topk" -> ((s, d) => RelOps.nativeTopK(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
@@ -2312,6 +2315,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
         |  count(DISTINCT user_id) AS exact_users, true AS hll_within_tol
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+    "rq60_native_topk" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |               o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, price_x100 FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, price_x100 DESC, o_orderkey""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1361,6 +1361,22 @@ object RelOps {
       .orderBy("decile")
   }
 
+  /** Driver entry for the native bounded-heap top-k-per-group operator
+    * (`graft.plans.TopKPerGroup` — logical node + strategy + physical
+    * exec): top-3 orders by price per priority under a TOTAL order
+    * (orderkey tie-break). Same answer as the rq14 window formulation;
+    * the plan differs where it matters at 100 TB — a partial heap pass
+    * caps the exchange at keys × k rows per upstream partition and no
+    * WindowExec full-group sort ever runs (PlanSpec-pinned). */
+  def nativeTopK(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("price_x100"))
+    graft.plans.TopKPerGroup.topK(spark, src, Seq("o_orderpriority"),
+        Seq(("price_x100", false), ("o_orderkey", true)), k)
+      .orderBy(col("o_orderpriority"), desc("price_x100"), col("o_orderkey"))
+  }
+
   /** Mergeable sketch partials — the at-scale distinct-count architecture
     * (Druid/BigQuery/Snowflake all ship it): per-day HLL sketches of the
     * user set are materialized ONCE as a build-once artifact (Spark 4's

@@ -17,4 +17,16 @@ object Bridge {
   def registerFunction(spark: SparkSession, id: FunctionIdentifier,
                        info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** DataFrame over a custom LogicalPlan (the `Dataset.ofRows` developer
+    * entry point custom-operator libraries build on). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (resolved attributes for
+    * building custom plan nodes on top). */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

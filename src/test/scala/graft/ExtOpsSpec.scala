@@ -879,6 +879,30 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got.toSeq == expect, "engine top-20 must equal the reference fold")
   }
 
+  test("native top-k-per-group equals the window formulation for several k") {
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("p"))
+    for (k <- Seq(1, 3, 7)) {
+      val native = graft.plans.TopKPerGroup.topK(spark, src, Seq("o_orderpriority"),
+        Seq(("p", false), ("o_orderkey", true)), k)
+        .collect().map(_.toString).sorted
+      val w = Window.partitionBy("o_orderpriority").orderBy(desc("p"), asc("o_orderkey"))
+      val window = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toString).sorted
+      assert(native.sameElements(window), s"k=$k diverged")
+    }
+    // ascending order + different key: exercise the other SortOrder path
+    val nat = graft.plans.TopKPerGroup.topK(spark, src, Seq("o_orderpriority"),
+      Seq(("o_orderkey", true)), 2).collect().map(_.toString).sorted
+    val w2 = Window.partitionBy("o_orderpriority").orderBy(asc("o_orderkey"))
+    val win = src.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 2).drop("rn").collect().map(_.toString).sorted
+    assert(nat.sameElements(win))
+  }
+
   test("recursive CTE hierarchy equals the digit-depth closed form") {
     // parent = custkey div 10 over a contiguous keyspace ⇒ root is the
     // leading digit and depth is digits-1; the iterative union-loop must

@@ -242,6 +242,15 @@ class PlanSpec extends AnyFunSuite {
       s"bucket counts must not re-derive per consumer:\n$p")
   }
 
+  test("rq60 native top-k: partial+final heap execs, one exchange, no WindowExec sort") {
+    val p = graft.ops.RelOps.nativeTopK(spark, sf).queryExecution.executedPlan.toString
+    assert("TopKPerGroup \\[".r.findAllIn(p).size == 2,
+      s"partial AND final heap passes must plan:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"final pass demands key clustering:\n$p")
+    assert(!p.contains("Window"), s"no per-group full sort:\n$p")
+  }
+
   test("rq59 HLL partials: sketches come from the artifact, events scanned once (exact side)") {
     val plan = graft.ops.RelOps.hllPartials(spark, sf).queryExecution.sparkPlan.toString
     val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
