@@ -224,6 +224,12 @@ object SparkEntry {
     // Native bounded-heap top-k-per-group: custom LogicalPlan + Strategy
     // + SparkPlan; partial pass caps the exchange at keys x k rows.
     "rq60_native_topk" -> ((s, d) => RelOps.nativeTopK(s, d)),
+    // Hash-randomized two-proportion A/B z-test over (user, day) sessions.
+    "rq61_ab_test" -> ((s, d) => RelOps.abTest(s, d)),
+    // First/last-touch attribution from one window pass (no range self-join).
+    "rq62_attribution" -> ((s, d) => RelOps.attribution(s, d)),
+    // MATCH_RECOGNIZE-lite: regex motifs over per-user event-type strings.
+    "rq63_seq_match" -> ((s, d) => RelOps.sequenceMatch(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
@@ -2325,6 +2331,60 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_orderpriority, o_orderkey, price_x100 FROM r WHERE rn <= 3
         |ORDER BY o_orderpriority, price_x100 DESC, o_orderkey""".stripMargin,
+    "rq61_ab_test" ->
+      """WITH s AS (
+        |  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (
+        |  SELECT conv,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || '|' || day), 1, 1) < '8'
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM s),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM arms)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(conv_a * 1.0 / n_a, 6) AS rate_a,
+        |  round(conv_b * 1.0 / n_b, 6) AS rate_b,
+        |  round(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |        THEN NULL
+        |        ELSE (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+        |          sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+        |               (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+        |               (1.0 / n_a + 1.0 / n_b)) END, 6) AS z
+        |FROM agg""".stripMargin,
+    "rq62_attribution" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+        |  FROM events),
+        |p AS (SELECT coalesce(lt, 'direct') AS lt, coalesce(ft, 'direct') AS ft
+        |      FROM w WHERE event_type = 'purchase'),
+        |u AS (SELECT 'first_touch' AS model, ft AS channel FROM p
+        |      UNION ALL
+        |      SELECT 'last_touch' AS model, lt AS channel FROM p)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rq63_seq_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS view_to_purchase,
+        |  CAST(len(regexp_extract_all(seq, 's[^e]*e')) AS BIGINT) AS signup_to_error,
+        |  CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT) AS error_bursts
+        |FROM s ORDER BY user_id""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1463,4 +1463,101 @@ object RelOps {
         sum("m").cast("long").as("rows_matched"))
       .orderBy("layout")
   }
+
+  /** Two-proportion A/B z-test over hash-randomized experiment units —
+    * the experimentation readout a training-data platform runs constantly.
+    * The unit is a (user, day) session; its arm is the first hex digit of
+    * the session key's md5 (deterministic content-keyed randomization, the
+    * `sampleByHash` convention — no RNG state, replayable on any engine,
+    * and balanced because md5 is uniform per digit: '0'-'7' → A, '8'-'f'
+    * → B). Conversion = the session contains a purchase. Plan: one hash
+    * aggregation to sessions, one global 1-row aggregation — the z-score
+    * arithmetic runs on a single row, so at 100 TB the cost is the session
+    * rollup (map-side partial on (user, day)), nothing else. The z
+    * denominator is guarded: an all-converted or none-converted experiment
+    * yields NULL rather than a division by zero (whose result engines
+    * disagree on). */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        when(substring(md5(concat(col("user_id").cast("string"), lit("|"), col("day"))),
+          1, 1) < "8", "A").otherwise("B"))
+    sessions.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).cast("long").as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).cast("long").as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("conv_a") * 1.0 / col("n_a"), 6).as("rate_a"),
+        round(col("conv_b") * 1.0 / col("n_b"), 6).as("rate_b"),
+        round(
+          when(col("conv_a") + col("conv_b") === 0L ||
+               col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+            lit(null).cast("double"))
+          .otherwise(
+            (col("conv_a") * 1.0 / col("n_a") - col("conv_b") * 1.0 / col("n_b")) /
+            sqrt(((col("conv_a") + col("conv_b")) * 1.0 / (col("n_a") + col("n_b"))) *
+                 (lit(1.0) - (col("conv_a") + col("conv_b")) * 1.0 /
+                   (col("n_a") + col("n_b"))) *
+                 (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))),
+          6).as("z"))
+  }
+
+  /** Batch multi-touch attribution: every purchase credits both its
+    * FIRST-touch and its LAST-touch marketing channel (the most recent /
+    * earliest preceding non-purchase event by the same user; 'direct' when
+    * the purchase has no preceding touch). One window pass over the
+    * user-time ordering computes both models — the running `first`/`last`
+    * with ignoreNulls never materializes the touch history per conversion
+    * (the naive design is a time-range self-join, quadratic in events per
+    * user) — then a 2-row-per-conversion Expand feeds one small hash
+    * aggregation. Single shuffle on user_id; the model×channel output
+    * domain is tiny regardless of scale. Streaming twin: st_click_attrib
+    * (last-touch only, watermarked). */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(expr(
+        "stack(2, 'first_touch', coalesce(ft, 'direct'), 'last_touch', coalesce(lt, 'direct'))")
+        .as(Seq("model", "channel")))
+      .groupBy("model", "channel")
+      .agg(count(lit(1)).as("conversions"))
+      .orderBy("model", "channel")
+  }
+
+  /** Sequence-pattern matching over per-user event histories — the
+    * MATCH_RECOGNIZE workload (detect ordered motifs like "view, then a
+    * purchase with no intervening purchase") expressed Spark-first: each
+    * user's chronological event-type string is built ONCE by sorting the
+    * collected (ts, id, initial) structs inside the aggregation (the five
+    * event types have distinct initials, so one char per event), and every
+    * pattern is then a codegen'd regexp_count over that string — adding a
+    * motif costs one column, not another pass over the events. One shuffle
+    * on user_id; per-user state is O(events per user), the same bound any
+    * order-sensitive sequence scan needs. Greedy `[^p]*` runs extend
+    * exactly to the next terminal event, so Java and RE2 regex engines
+    * agree on the non-overlapping match count. */
+  def sequenceMatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini")).as("e"))
+      .groupBy("user_id")
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(e)), x -> x.ini)")).as("seq"))
+      .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+        regexp_count(col("seq"), lit("v[^p]*p")).cast("long").as("view_to_purchase"),
+        regexp_count(col("seq"), lit("s[^e]*e")).cast("long").as("signup_to_error"),
+        regexp_count(col("seq"), lit("e+")).cast("long").as("error_bursts"))
+      .orderBy("user_id")
 }

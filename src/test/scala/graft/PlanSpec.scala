@@ -204,6 +204,31 @@ class PlanSpec extends AnyFunSuite {
       s"change-mark window, run collapse, and validity window must share one exchange:\n$p")
   }
 
+  test("rq62 attribution: both touch models ride ONE user_id exchange + one events scan") {
+    // The naive design is a time-range self-join (touches × conversions);
+    // this plan must stay a single window pass — one shuffle on user_id
+    // for the window, one tiny exchange for the model×channel rollup, and
+    // exactly one scan of the events table.
+    val p = plan(graft.ops.RelOps.attribution(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val userEx = finalSection.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx == 1, s"expected one user_id exchange:\n$p")
+    val scans = finalSection.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected one events scan, got $scans:\n$p")
+  }
+
+  test("rq63 sequence match: per-user motif counts from one exchange, regex codegen'd") {
+    val p = plan(graft.ops.RelOps.sequenceMatch(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val hashEx = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"collect + sort + regex must be key-local after one exchange:\n$p")
+    // The motif scan must never become a per-pattern self-join over events.
+    assert(!finalSection.contains("Join"), s"sequence scan degenerated to a join:\n$p")
+  }
+
   test("tx_pipeline chains curate→mix→pack over two corpus scans, no per-stage rescan") {
     // One scan for the document side + one for the exact-dup keeper agg
     // (inherent to dedup); a third would mean a later stage re-read the
