@@ -232,6 +232,10 @@ object SparkEntry {
     "rq63_seq_match" -> ((s, d) => RelOps.sequenceMatch(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
+    // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
+    "tx_bm25" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // Efraimidis–Spirakis weighted sample: one scan, bounded heaps, no RNG.
+    "tx_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
     "rq48_period_growth" -> ((s, d) => RelOps.periodGrowth(s, d)),
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
@@ -2029,6 +2033,39 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tx_rejection_sample: integer acceptance predicate h·n_b < m·16^8 —
     // the first 8 md5 hex digits parse identically ('0x' cast / conv).
+    // tx_bm25: the oracle recomputes postings/df/lengths relationally; the
+    // engine probes the build-once bucket-partitioned index — same math,
+    // per-term micros summed as BIGINT so order cannot drift the hash.
+    "tx_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |posts AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+        |q AS (SELECT doc_id, term, tf FROM posts
+        |      WHERE term IN ('dup', 'vector', 'merge')),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q GROUP BY 1),
+        |sc AS (
+        |  SELECT q.doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs * 1.0 / sum_dl))) AS score
+        |  FROM q JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "tx_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) + 1 AS h
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(round(ln(h / 4294967297.0) / n_chars * 1000000000.0) AS BIGINT) AS key_nano
+        |FROM d
+        |ORDER BY ln(h / 4294967297.0) / n_chars DESC, doc_id LIMIT 25""".stripMargin,
     "tx_rejection_sample" ->
       """WITH d AS (
         |  SELECT doc_id, least(CAST(floor(len(text) / 100) AS BIGINT), 9) AS bucket,

@@ -1113,4 +1113,91 @@ object TextOps {
       .orderBy(desc("n"), asc("a"), asc("b"))
       .limit(k)
   }
+
+  /** Build-once inverted index for BM25 retrieval: one posting row per
+    * (doc, term) with its term frequency, laid out as PHYSICAL partition
+    * directories on a 64-way term-hash bucket — a query's terms map to a
+    * handful of `tb=` directories, so the probe prunes the file LISTING to
+    * O(query terms) buckets and never scans the rest of the index (the
+    * `shingle_hashes_by_src` / IVF-cell layout, applied to retrieval). */
+  private def bm25Postings(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "bm25_postings",
+      partitionCols = Seq("tb")) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(xxhash64(col("term")), lit(64)))
+    }
+
+  /** Per-document token lengths — the BM25 normalization side. Built with
+    * the postings (same tokenization) but stored unpartitioned: every
+    * query needs a doc_id-keyed slice of it, not a term slice. */
+  private def bm25DocLens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, "bm25_doclen") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dl"))
+    }
+
+  /** Okapi BM25 top-k retrieval — the lexical half of a training-data
+    * search/decontamination stack (the embedding half is sim_ann_*). The
+    * query path touches ONLY the index artifacts: postings pruned at the
+    * listing to the query terms' hash buckets (bucket ids derived from a
+    * |terms|-row driver-side job — bounded by the query, not the data),
+    * per-term df aggregated from those same postings (exact, because a
+    * term's postings live entirely in its bucket), corpus stats one
+    * broadcast row, and the doc-length join keyed on doc_id. Per-term
+    * scores leave the double domain as micros (round-then-sum as BIGINT)
+    * so the doc-level sum is order-independent — the sum2 rule applied to
+    * floating-point relevance. Lucene-style idf: ln(1 + (N-df+.5)/(df+.5)),
+    * always positive. */
+  def bm25TopK(spark: SparkSession, sfDir: String,
+               terms: Seq[String] = Seq("dup", "vector", "merge"),
+               k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val termBuckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(64)).as("tb"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val posts = bm25Postings(spark, sfDir)
+      .filter(col("tb").isin(termBuckets: _*) && col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf")
+    val stats = bm25DocLens(spark, sfDir)
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum("dl").cast("long").as("sum_dl"))
+    val dfPerTerm = posts.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    posts
+      .join(broadcast(dfPerTerm), "term")
+      .join(bm25DocLens(spark, sfDir), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+          "(tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs * 1.0 / sum_dl)))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(round(col("score") * 1000000).cast("long")).cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws u from its CONTENT hash (the `sampleByHash`
+    * no-RNG-state rule: replayable on any engine, stable across reruns)
+    * and the k largest ln(u)/weight keys win — exactly a weight-
+    * proportional sample, with longer documents (n_chars) favored here.
+    * The plan is the whole point at 100 TB: ONE corpus scan into a
+    * TakeOrderedAndProject (per-partition bounded heaps, k rows to the
+    * driver) — no shuffle, no global sort, no sequential weighted-urn
+    * state, which is why A-ES is THE distributed weighted-sampling
+    * algorithm. Keys are compared as raw doubles (identical arithmetic
+    * both engines); the output key is nano-scaled to BIGINT. */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") + 1).as("h"))
+      .withColumn("es_key", log(col("h") / lit(4294967297.0)) / col("n_chars"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("es_key") * 1e9).cast("long").as("key_nano"))
 }

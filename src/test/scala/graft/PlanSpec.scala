@@ -229,6 +229,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalSection.contains("Join"), s"sequence scan degenerated to a join:\n$p")
   }
 
+  test("tx_bm25 probes the postings index with listing-level bucket pruning, no corpus scan") {
+    val p = plan(graft.ops.TextOps.bm25TopK(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    // The query path must touch only index artifacts — scoring never
+    // re-reads or re-tokenizes the documents table.
+    assert(!finalSection.contains("documents.parquet"),
+      s"BM25 query path scanned the corpus:\n$p")
+    // The postings scan carries the term-bucket partition predicate, so
+    // the file listing is pruned to the query terms' tb= directories.
+    val prunedScan = finalSection.linesIterator.exists(l =>
+      l.contains("bm25_postings") && l.contains("PartitionFilters") &&
+        l.contains("tb#"))
+    assert(prunedScan, s"postings scan not partition-pruned on tb:\n$p")
+  }
+
+  test("tx_weighted_sample is one scan into bounded heaps — no shuffle, no global sort") {
+    val p = plan(graft.ops.TextOps.weightedSample(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      s"A-ES top-k must run as TakeOrderedAndProject:\n$p")
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      s"weighted sampling must not shuffle:\n$p")
+  }
+
   test("tx_pipeline chains curate→mix→pack over two corpus scans, no per-stage rescan") {
     // One scan for the document side + one for the exact-dup keeper agg
     // (inherent to dedup); a third would mean a later stage re-read the
