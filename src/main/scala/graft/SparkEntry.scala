@@ -44,6 +44,8 @@ object SparkEntry {
     // OPTIMIZE: small-file compaction over the TxTable — layout-only
     // rewrite published as a new version; oracle certifies data identity.
     "s20_tx_compaction" -> ((s, d) => GraphOps.txCompaction(s, d)),
+    // Merge-on-read equality-delete: DV commit only, base pointers pinned.
+    "s21_mor_delete" -> ((s, d) => GraphOps.morDelete(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2354,6 +2356,16 @@ object SparkEntry {
          |  round(acctbal, 2) AS acctbal,
          |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
          |FROM n ORDER BY name""".stripMargin,
+    // s21: visible rows after a merge-on-read delete = base minus the
+    // deleted key set; mor_no_rewrite certifies the physical contract
+    // (data pointers unchanged) through the hash channel.
+    "s21_mor_delete" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  CAST(1 AS BIGINT) AS v, true AS mor_no_rewrite
+         |FROM n
+         |WHERE name NOT LIKE '%7' AND name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
     "rq59_hll_partials" ->
       """SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week,
         |  count(DISTINCT user_id) AS exact_users, true AS hll_within_tol

@@ -71,14 +71,64 @@ final class TxTable private (spark: SparkSession, dir: String,
         s.stripPrefix("v").stripSuffix(".txt").toLong }
       .foldLeft(-1L)(math.max)
 
-  /** bucketId → absolute bucket directory, as of version `v`. */
-  private def manifest(v: Long): Map[Long, String] =
+  /** A bucket's physical state in a manifest: its base data commit dir
+    * plus zero or more merge-on-read deletion-vector dirs (equality
+    * deletes — key rows anti-joined at read). `data` and `dvs` hold
+    * commit-dir NAMES; resolve with `bucketPath`. */
+  private case class BucketRef(data: String, dvs: Seq[String])
+
+  private def bucketPath(commit: String, b: Long): String =
+    dataDir.resolve(commit).resolve(s"_b=$b").toString
+
+  /** bucketId → BucketRef, as of version `v`. Line format:
+    * `b<TAB>commit` (clean) or `b<TAB>commit<TAB>dv1,dv2` (DV'd). */
+  private def manifest(v: Long): Map[Long, BucketRef] =
     Files.readAllLines(logDir.resolve(f"v$v%08d.txt"), StandardCharsets.UTF_8)
       .asScala.filter(_.nonEmpty)
       .map { line =>
-        val Array(b, c) = line.split('\t')
-        b.toLong -> dataDir.resolve(c).resolve(s"_b=$b").toString
+        val parts = line.split('\t')
+        val dvs = if (parts.length > 2 && parts(2).nonEmpty)
+          parts(2).split(',').toSeq else Nil
+        parts(0).toLong -> BucketRef(parts(1), dvs)
       }.toMap
+
+  private def fmt(b: Long, r: BucketRef): String =
+    if (r.dvs.isEmpty) s"$b\t${r.data}" else s"$b\t${r.data}\t${r.dvs.mkString(",")}"
+
+  /** bucket → base data commit name as of `v` — the physical proof surface
+    * for merge-on-read: a DV delete changes dv lists, never these. */
+  def dataPointers(v: Long): Map[Long, String] =
+    manifest(v).view.mapValues(_.data).toMap
+
+  /** bucket → deletion-vector commit names as of `v`. */
+  def dvPointers(v: Long): Map[Long, Seq[String]] =
+    manifest(v).view.mapValues(_.dvs).toMap
+
+  /** The rows of `buckets` as of manifest `m`, with each bucket's deletion
+    * vectors applied. Buckets WITHOUT DVs stream straight from their base
+    * files; only DV'd buckets pay the anti-join — at 100 TB the
+    * merge-on-read tax is proportional to deleted-against buckets, never
+    * the table. */
+  private def readBuckets(m: Map[Long, BucketRef], buckets: Set[Long],
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val refs = m.filter { case (b, _) => buckets.contains(b) }
+    def read(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else conform(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
+    val (dirty, clean) = refs.partition(_._2.dvs.nonEmpty)
+    val cleanDf = read(clean.toSeq.sortBy(_._1).map { case (b, r) => bucketPath(r.data, b) })
+    if (dirty.isEmpty) cleanDf
+    else {
+      val dvPaths = dirty.toSeq.sortBy(_._1)
+        .flatMap { case (b, r) => r.dvs.map(d => bucketPath(d, b)) }
+      val dvKeys = spark.read.parquet(dvPaths: _*).select(keyCols.map(col): _*)
+      val dirtyDf = read(dirty.toSeq.sortBy(_._1).map { case (b, r) => bucketPath(r.data, b) })
+        .join(dvKeys, keyCols, "left_anti")
+      cleanDf.unionByName(dirtyDf)
+    }
+  }
 
   /** The table as of the latest committed version. Bucket dirs are read as
     * leaf parquet directories, so the physical `_b` layout never leaks
@@ -117,14 +167,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     require(v >= 0 && v <= version, s"version $v not in [0, $version]")
     require(Files.exists(logDir.resolve(f"v$v%08d.txt")),
       s"version $v has been vacuumed")
-    val paths = manifest(v).values.toSeq.sorted
-    val schema = schemaAt(v)
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // mergeSchema: buckets written before a widening evolution lack the
-    // new columns; the merged footer schema carries them as NULL and
-    // `conform` pins the column set to the version's recorded schema.
-    else conform(spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
+    val m = manifest(v)
+    // mergeSchema inside readBuckets: buckets written before a widening
+    // evolution lack the new columns; the merged footer schema carries
+    // them as NULL and `conform` pins the column set to the version's
+    // recorded schema. Deletion vectors are applied per DV'd bucket.
+    readBuckets(m, m.keySet, schemaAt(v))
   }
 
   /** Buckets actually written by a commit (partitionBy leaves one `_b=K`
@@ -178,6 +226,45 @@ final class TxTable private (spark: SparkSession, dir: String,
     rewriteTouched(del)((keep, _) => keep)
   }
 
+  /** DELETE by key, merge-on-read — Iceberg-style EQUALITY DELETES: instead
+    * of rewriting every touched bucket (copy-on-write pays a full bucket
+    * rewrite to drop one row — at 100 TB that is gigabytes of IO for a
+    * GDPR-delete of a handful of keys), the delete writes only the KEY
+    * rows as a deletion-vector commit and appends that DV to the touched
+    * buckets' manifest entries. Readers anti-join a bucket's DV keys at
+    * scan time (`readBuckets`), so read amplification is confined to
+    * DV'd buckets; any later copy-on-write MERGE of a bucket — and
+    * `compact()` — folds its tombstones back into a clean base. Write
+    * cost: O(deleted keys). The base data pointers are untouched, which
+    * `dataPointers` exposes as the physical proof. */
+  def deleteMergeOnRead(keys: DataFrame): Long = {
+    val del = keys.select(keyCols.map(col): _*)
+      .dropDuplicates(keyCols).localCheckpoint()
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val m = manifest(v)
+      val touched = del.select(bucketCol.as("_b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      // Keys hashing into buckets the table has no data for are no-ops.
+      val affected = touched.filter(m.contains)
+      if (affected.isEmpty) return v
+      val dvName = s"dv-${UUID.randomUUID().toString.take(12)}"
+      del.withColumn("_b", bucketCol)
+        .filter(col("_b").isin(affected.toSeq: _*))
+        .write.partitionBy("_b").parquet(dataDir.resolve(dvName).toString)
+      val next = m.map { case (b, r) =>
+        if (affected.contains(b)) b -> BucketRef(r.data, r.dvs :+ dvName) else b -> r }
+      if (publish(v + 1, next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) })) {
+        // A DV delete never changes the logical schema.
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), schemaAt(v).toDDL)
+        committed = v + 1
+      }
+      // else: lost the commit race — rebase on the new latest and retry.
+    }
+    committed
+  }
+
   /** Copy-on-write commit loop shared by merge/delete: prune to the
     * buckets `keySource` hashes into, anti-join the matched keys out of
     * those buckets' rows, let `build` shape the replacement rows, publish
@@ -193,20 +280,21 @@ final class TxTable private (spark: SparkSession, dir: String,
       // candidates. Bounded by numBuckets rows — driver-side by design.
       val touched = keySource.select(bucketCol.as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet
-      val candidatePaths = touched.toSeq.sorted.flatMap(m.get)
+      val present = touched.filter(m.contains)
       // Conform to the LOGICAL schema of version v (touched buckets may
-      // predate a widening evolution and physically lack new columns).
+      // predate a widening evolution and physically lack new columns);
+      // readBuckets also applies any pending deletion vectors, so a
+      // copy-on-write rewrite of a DV'd bucket FOLDS its tombstones.
       val keep =
-        if (candidatePaths.isEmpty)
-          conform(keySource.limit(0), curSchema)
-        else conform(
-          spark.read.option("mergeSchema", "true").parquet(candidatePaths: _*), curSchema)
+        if (present.isEmpty) conform(keySource.limit(0), curSchema)
+        else readBuckets(m, present, curSchema)
           .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
       val out = build(keep, curSchema)
       val commit = writeCommit(out)
-      val next = (m.view.mapValues(p => Paths.get(p).getParent.getFileName.toString).toMap
-        -- touched) ++ bucketsIn(commit).map(_ -> commit)
-      val lines = next.toSeq.sortBy(_._1).map { case (b, c) => s"$b\t$c" }
+      // Rewritten buckets come back CLEAN (their DVs were folded above).
+      val next = (m -- touched) ++
+        bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+      val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
       if (publish(v + 1, lines)) {
         // Record this version's logical schema (evolution is widening-only;
         // a delete carries the current schema forward unchanged).
@@ -234,23 +322,18 @@ final class TxTable private (spark: SparkSession, dir: String,
       s"version $vOld has been vacuumed")
     val mo = manifest(vOld)
     val mn = manifest(vNew)
+    // A bucket is a change candidate when its base pointer OR its DV list
+    // differs — a merge-on-read delete re-points no data but still changes
+    // the bucket's visible rows.
     val changed = (mo.keySet ++ mn.keySet).filter(b => mo.get(b) != mn.get(b))
     // Evolution is widening-only, so the newer version's schema is the
     // superset; the older side conforms, reading absent columns as NULL.
     val schema = schemaAt(vNew)
     val valCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
-    def side(m: Map[Long, String], tag: String): DataFrame = {
-      val paths = changed.toSeq.sorted.flatMap(m.get)
-      val raw =
-        if (paths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else conform(
-          spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
-      raw.select(keyCols.map(col) ++
+    def side(m: Map[Long, BucketRef], tag: String): DataFrame =
+      readBuckets(m, changed, schema).select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"${tag}_$c")) :+
         lit(true).as(s"_in_$tag"): _*)
-    }
     val joined = side(mo, "old").join(side(mn, "new"), keyCols, "full_outer")
     val oldVals = struct(valCols.map(c => col(s"old_$c")): _*)
     val newVals = struct(valCols.map(c => col(s"new_$c")): _*)
@@ -281,8 +364,9 @@ final class TxTable private (spark: SparkSession, dir: String,
              keepVersions: Int = Int.MaxValue): Int = {
     val head = version
     val floor = math.max(0L, head - math.max(1, keepVersions).toLong + 1)
+    // Deletion-vector dirs referenced by a retained manifest are live too.
     val live = (floor to head).flatMap(v => manifest(v).values)
-      .map(p => Paths.get(p).getParent.getFileName.toString).toSet
+      .flatMap(r => r.data +: r.dvs).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     val dead = listNames(dataDir).filter { name =>
       !live.contains(name) &&
@@ -320,8 +404,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       require(v >= 0, s"no committed version to compact at $dir")
       val m = manifest(v)
       val cur = schemaAt(v)
-      val rows = conform(
-        spark.read.option("mergeSchema", "true").parquet(m.values.toSeq: _*), cur)
+      // DV-applied read: compaction FOLDS deletion vectors — the output
+      // manifest is all-clean.
+      val rows = readBuckets(m, m.keySet, cur)
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
       rows.withColumn("_b", bucketCol).repartition(col("_b"))
         .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
@@ -338,9 +423,9 @@ final class TxTable private (spark: SparkSession, dir: String,
     * data files) behind the CURRENT manifest. */
   def layoutStats(): (Int, Int) = {
     val m = manifest(version)
-    val commits = m.values.map(p => Paths.get(p).getParent.getFileName.toString).toSet
-    val files = m.values.toSeq.map { p =>
-      listNames(Paths.get(p)).count(_.endsWith(".parquet"))
+    val commits = m.values.map(_.data).toSet
+    val files = m.toSeq.map { case (b, r) =>
+      listNames(Paths.get(bucketPath(r.data, b))).count(_.endsWith(".parquet"))
     }.sum
     (commits.size, files)
   }

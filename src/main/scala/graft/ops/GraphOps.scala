@@ -397,6 +397,34 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Merge-on-read DELETE demo (Iceberg-style equality deletes) — the
+    * GDPR-delete path at 100 TB: dropping every name ending in '7' writes
+    * ONLY the key rows as a deletion-vector commit; no base bucket is
+    * rewritten (copy-on-write would re-copy every touched bucket —
+    * gigabytes of IO for kilobytes of tombstones). Readers anti-join the
+    * DV keys per touched bucket at scan time. `mor_no_rewrite` carries
+    * the physical proof through the hash channel: every bucket's base
+    * data pointer is IDENTICAL across the delete version. The property
+    * spec additionally pins CoW-equivalence, folding on merge/compact,
+    * time travel, and vacuum retention. Measures the write path per
+    * invocation by design (s12's class). */
+  def morDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s21").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      val v = t.deleteMergeOnRead(
+        base.filter(substring(col("name"), -1, 1) === "7").select("name"))
+      val noRewrite = t.dataPointers(0L) == t.dataPointers(v)
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(v).as("v"), lit(noRewrite).as("mor_no_rewrite"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

@@ -72,23 +72,27 @@ class PropertySpec extends AnyFunSuite {
     // every op the snapshot must equal the model, and at the end each
     // historical version must replay exactly (time travel).
     val keyGen = Gen.choose(0, 24).map(i => f"K$i%02d")
-    val batchGen: Gen[(Boolean, Seq[(String, Long)])] = for {
+    // Deletes randomly run copy-on-write OR merge-on-read — both must be
+    // indistinguishable from the model's point of view.
+    val batchGen: Gen[((Boolean, Boolean), Seq[(String, Long)])] = for {
       isDelete <- Gen.frequency(3 -> false, 1 -> true)
+      mor <- Gen.oneOf(true, false)
       n <- Gen.chooseNum(1, 6)
       keys <- Gen.listOfN(n, keyGen)
       vals <- Gen.listOfN(n, Gen.chooseNum(0L, 999L))
-    } yield (isDelete, keys.zip(vals))
+    } yield ((isDelete, mor), keys.zip(vals))
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_prop").toString
     try {
       var model = (0 until 10).map(i => f"K$i%02d" -> i.toLong).toMap
       val t = graft.core.TxTable.create(spark, dir,
         model.toSeq.toDF("k", "v"), Seq("k"), numBuckets = 8)
       var history = List(0L -> model)
-      samples(batchGen, 8).foreach { case (isDelete, batch) =>
+      samples(batchGen, 8).foreach { case ((isDelete, mor), batch) =>
         val v =
           if (isDelete) {
             model --= batch.map(_._1)
-            t.delete(batch.map(_._1).distinct.toDF("k"))
+            val keys = batch.map(_._1).distinct.toDF("k")
+            if (mor) t.deleteMergeOnRead(keys) else t.delete(keys)
           } else {
             // dropDuplicates inside merge keeps ONE row per key
             // nondeterministically; make the batch key-unique so the
@@ -105,6 +109,47 @@ class PropertySpec extends AnyFunSuite {
         val replay = t.snapshotAt(v).as[(String, Long)].collect().toMap
         assert(replay == m, s"time travel to v$v diverged")
       }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable merge-on-read delete: tombstones only, CoW-equivalent, folds on merge/compact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_mor").toString
+    try {
+      val base = (0 until 200).map(i => (f"k$i%03d", i.toLong))
+      val t = graft.core.TxTable.create(spark, dir,
+        base.toDF("k", "v"), Seq("k"), numBuckets = 8)
+      // Delete three present keys and one absent one (tombstone no-op).
+      val v1 = t.deleteMergeOnRead(Seq("k003", "k077", "k123", "zzz").toDF("k"))
+      // PHYSICAL contract: no base pointer moved; >=1 bucket carries a DV.
+      assert(t.dataPointers(0L) == t.dataPointers(v1), "MoR delete rewrote base data")
+      assert(t.dvPointers(v1).exists(_._2.nonEmpty), "no deletion vector recorded")
+      // LOGICAL contract: snapshot = base minus the present keys.
+      val expect1 = base.toMap -- Seq("k003", "k077", "k123")
+      assert(t.snapshot().as[(String, Long)].collect().toMap == expect1)
+      // Time travel to the pre-delete version still sees every row.
+      assert(t.snapshotAt(0L).as[(String, Long)].collect().toMap == base.toMap)
+      // CDC across the DV version: exactly the three real deletes.
+      val d = t.diff(0L, v1).collect()
+      assert(d.forall(_.getString(0) == "delete"), s"non-delete in diff: ${d.toSeq}")
+      assert(d.map(_.getString(1)).toSet == Set("k003", "k077", "k123"))
+      // A copy-on-write MERGE of a DV'd bucket folds its tombstones: the
+      // bucket k003 hashes into comes back clean, and the row reappears.
+      val v2 = t.merge(Seq(("k003", 9999L)).toDF("k", "v"))
+      val b3 = spark.range(1)
+        .select(pmod(xxhash64(lit("k003")), lit(8)).as("b")).head().getLong(0)
+      assert(t.dvPointers(v2)(b3).isEmpty, "merge did not fold the bucket's DV")
+      assert(t.snapshot().as[(String, Long)].collect().toMap == (expect1 + ("k003" -> 9999L)))
+      // compact() folds every remaining DV; data unchanged (empty diff).
+      val v3 = t.compact()
+      assert(t.dvPointers(v3).forall(_._2.isEmpty), "compaction left DVs behind")
+      assert(t.diff(v2, v3).isEmpty, "compaction changed data")
+      // Vacuum with full retention keeps DV dirs referenced by retained
+      // manifests — the DV'd version must still replay exactly.
+      t.vacuum(retainMs = 0L)
+      assert(t.snapshotAt(v1).as[(String, Long)].collect().toMap == expect1,
+        "vacuum reclaimed a live deletion vector")
     } finally graft.core.TxTable.drop(dir)
   }
 
