@@ -46,6 +46,8 @@ object SparkEntry {
     "s20_tx_compaction" -> ((s, d) => GraphOps.txCompaction(s, d)),
     // Merge-on-read equality-delete: DV commit only, base pointers pinned.
     "s21_mor_delete" -> ((s, d) => GraphOps.morDelete(s, d)),
+    // Bloom sidecar data skipping: point probe reads only candidate dirs.
+    "s22_bloom_skip" -> ((s, d) => graft.sources.BloomSkipIndex.pointLookup(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2356,6 +2358,14 @@ object SparkEntry {
          |  round(acctbal, 2) AS acctbal,
          |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
          |FROM n ORDER BY name""".stripMargin,
+    // s22: the bloom sidecar changes WHAT IS READ, never the answer — the
+    // oracle is the plain point lookup; bloom_pruned certifies skipping.
+    "s22_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        |  o_orderpriority, true AS bloom_pruned
+        |FROM orders WHERE o_orderkey = 7 ORDER BY o_orderkey""".stripMargin,
     // s21: visible rows after a merge-on-read delete = base minus the
     // deleted key set; mor_no_rewrite certifies the physical contract
     // (data pointers unchanged) through the hash channel.

@@ -229,6 +229,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalSection.contains("Join"), s"sequence scan degenerated to a join:\n$p")
   }
 
+  test("s22 bloom skip: candidates ≪ partitions, probe scan partition-pruned on pb") {
+    // The sidecar must shortlist the single true partition plus at most a
+    // few false positives (fp ≈ 0.02² at the largest local fill ratio).
+    val cands = graft.sources.BloomSkipIndex.candidates(spark, sf, 7L)
+    assert(cands.nonEmpty && cands.size <= 4,
+      s"bloom shortlist degenerated: ${cands.size} of ${graft.sources.BloomSkipIndex.Partitions}")
+    val p = plan(graft.sources.BloomSkipIndex.pointLookup(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val prunedScan = finalSection.linesIterator.exists(l =>
+      l.contains("orders_bloom_layout") && l.contains("PartitionFilters") &&
+        l.contains("pb#"))
+    assert(prunedScan, s"layout scan not partition-pruned on pb:\n$p")
+    // The original orders table is never consulted on the probe path.
+    assert(!finalSection.contains("orders.parquet"),
+      s"probe fell back to the unindexed table:\n$p")
+  }
+
   test("tx_bm25 probes the postings index with listing-level bucket pruning, no corpus scan") {
     val p = plan(graft.ops.TextOps.bm25TopK(spark, sf))
     val finalSection = p.split("== Initial Plan ==")(0)
