@@ -48,6 +48,8 @@ object SparkEntry {
     "s21_mor_delete" -> ((s, d) => GraphOps.morDelete(s, d)),
     // Bloom sidecar data skipping: point probe reads only candidate dirs.
     "s22_bloom_skip" -> ((s, d) => graft.sources.BloomSkipIndex.pointLookup(s, d)),
+    // CDC-maintained postings index == from-scratch rebuild (certified).
+    "s23_index_maintenance" -> ((s, d) => TextOps.indexMaintenance(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2358,6 +2360,23 @@ object SparkEntry {
          |  round(acctbal, 2) AS acctbal,
          |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
          |FROM n ORDER BY name""".stripMargin,
+    // s23: the oracle recomputes the FINAL table state's postings
+    // relationally (base minus updated/deleted keys, plus the literal
+    // mutations); the engine must reach the identical per-term aggregate
+    // via diff-driven maintenance, and certify it equalled a full rebuild.
+    "s23_index_maintenance" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200 AND doc_id NOT IN (5, 7)),
+        |upd(doc_id, text) AS (VALUES (5, 'alpha beta beta'), (9999, 'alpha gamma')),
+        |fin AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |        FROM fin),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |posts AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tf) AS BIGINT) AS sum_tf, true AS incremental_matches_full
+        |FROM posts GROUP BY term ORDER BY term""".stripMargin,
     // s22: the bloom sidecar changes WHAT IS READ, never the answer — the
     // oracle is the plain point lookup; bloom_pruned certifies skipping.
     "s22_bloom_skip" ->

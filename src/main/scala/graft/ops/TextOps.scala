@@ -1180,6 +1180,53 @@ object TextOps {
       .limit(k)
   }
 
+  /** CDC-driven incremental index maintenance — the piece that keeps a
+    * derived index (here the BM25-style postings) consistent with an ACID
+    * table WITHOUT rebuilding it: documents live in a TxTable; a MERGE
+    * (update + insert) and a merge-on-read DELETE mutate it; the index is
+    * then maintained from `diff(v0, head)` alone — drop the changed keys'
+    * stale postings (anti-join), re-tokenize ONLY the changed documents,
+    * union. Cost is O(changed docs) end to end: the CDC read is manifest-
+    * pruned to re-pointed buckets, and at 100 TB the anti-join prunes a
+    * doc-hash-partitioned index the same way. The output aggregates the
+    * maintained index per term, and `incremental_matches_full` certifies
+    * through the hash channel that it is IDENTICAL to a from-scratch
+    * rebuild of the final snapshot (symmetric difference empty — both
+    * directions). Measures the write path per invocation by design
+    * (s12's class). */
+  def indexMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def postingsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s23").toString
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val t = graft.core.TxTable.create(spark, dir, docs, Seq("doc_id"))
+      val idx0 = postingsOf(t.snapshotAt(0L)).localCheckpoint()
+      t.merge(Seq((5L, "alpha beta beta"), (9999L, "alpha gamma")).toDF("doc_id", "text"))
+      t.deleteMergeOnRead(Seq(7L).toDF("doc_id"))
+      val d = t.diff(0L, t.version).localCheckpoint()
+      val maintained = idx0
+        .join(d.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .unionByName(postingsOf(
+          d.filter(col("change_type") =!= "delete")
+            .select(col("doc_id"), col("new_text").as("text"))))
+        .localCheckpoint()
+      val full = postingsOf(t.snapshot())
+      val matches = maintained.exceptAll(full).isEmpty && full.exceptAll(maintained).isEmpty
+      maintained.groupBy("term")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("tf").cast("long").as("sum_tf"))
+        .select(col("term"), col("n_docs"), col("sum_tf"),
+          lit(matches).as("incremental_matches_full"))
+        .orderBy("term")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each doc draws u from its CONTENT hash (the `sampleByHash`
     * no-RNG-state rule: replayable on any engine, stable across reruns)
