@@ -30,9 +30,15 @@ object Bench {
     // int8 codes, TxTable demo histories) — record its wall time separately
     // so a cold artifact dir in the driver sandbox shows up as warmup cost,
     // not as inflated per-query numbers.
+    // Local-iteration subset (comma-separated names). The driver never
+    // sets it — the full registry remains the benched surface.
+    val only: Set[String] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet).getOrElse(Set.empty)
+    def selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
     val warmupT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         clearCaches()
       }
@@ -43,7 +49,7 @@ object Bench {
     // number, and the min of two runs is the steady-state a service
     // would deliver. SPARK_GRAFT_RUNS overrides (1 = old behavior).
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
