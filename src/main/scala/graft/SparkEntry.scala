@@ -236,6 +236,10 @@ object SparkEntry {
     "rq62_attribution" -> ((s, d) => RelOps.attribution(s, d)),
     // MATCH_RECOGNIZE-lite: regex motifs over per-user event-type strings.
     "rq63_seq_match" -> ((s, d) => RelOps.sequenceMatch(s, d)),
+    // Day-of-week seasonal baseline + integer-MAD anomaly flags.
+    "rq64_seasonal" -> ((s, d) => RelOps.seasonalAnomalies(s, d)),
+    // Join-view IVM: base artifact ∪ (delta ⋈ dim) == full join (hashed).
+    "rq65_ivm_join" -> ((s, d) => RelOps.ivmJoin(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
@@ -2463,6 +2467,23 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(seq, 's[^e]*e')) AS BIGINT) AS signup_to_error,
         |  CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT) AS error_bursts
         |FROM s ORDER BY user_id""".stripMargin,
+    "rq64_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, CAST(date_part('dow', day) AS BIGINT) AS dow, c,
+        |    CAST(sum(c) OVER (PARTITION BY date_part('dow', day)) * CAST(1000000 AS HUGEINT)
+        |      // count(c) OVER (PARTITION BY date_part('dow', day)) AS BIGINT) AS base_ppm
+        |  FROM daily),
+        |d3 AS (SELECT *, c * 1000000 - base_ppm AS resid_ppm FROM d2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dow, c, base_ppm, resid_ppm,
+        |  abs(resid_ppm) * count(*) OVER () > sum(abs(resid_ppm)) OVER () * 3 AS anomaly
+        |FROM d3 ORDER BY day""".stripMargin,
+    "rq65_ivm_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, c_nationkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_custkey < 200 ORDER BY o_orderkey""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

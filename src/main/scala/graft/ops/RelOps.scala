@@ -1535,6 +1535,61 @@ object RelOps {
       .orderBy("model", "channel")
   }
 
+  /** Seasonal decomposition + anomaly flags over the event stream: each
+    * day's traffic against its DAY-OF-WEEK baseline (weekday/weekend
+    * seasonality is the first structure in any activity series; a global
+    * mean flags every Saturday as an anomaly). Entirely integer
+    * arithmetic — baselines in ppm via exact decimal `div`, the outlier
+    * rule |residual| > 3 × mean-|residual| cross-multiplied so no
+    * float/sqrt ever enters the hash — and two tiny aggregations over the
+    * 365-row/year daily rollup, so at 100 TB the only corpus-sized work
+    * is the first groupBy(day), a map-side-combining hash agg. */
+  def seasonalAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("day")) - 1) // 0=Sunday, oracle's dow
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("base_ppm",
+        expr("sum(c) OVER (PARTITION BY dow) * CAST(1000000 AS DECIMAL(38,0)) " +
+          "div count(c) OVER (PARTITION BY dow)").cast("long"))
+      .withColumn("resid_ppm", col("c") * 1000000L - col("base_ppm"))
+      .withColumn("anomaly",
+        abs(col("resid_ppm")) * count(lit(1)).over(wAll) >
+          sum(abs(col("resid_ppm"))).over(wAll) * 3L)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow").cast("long").as("dow"), col("c"),
+        col("base_ppm"), col("resid_ppm"), col("anomaly"))
+      .orderBy("day")
+  }
+
+  /** Incremental view maintenance for a JOIN view — the companion to
+    * rq41's aggregate IVM: the materialized orders⋈customer enrichment is
+    * a build-once artifact over the base partition (event/order keys
+    * ending 0-7), and the refresh joins ONLY the delta (keys 8-9) against
+    * the dimension — ΔV = ΔA ⋈ B, the classic delta rule for a
+    * foreign-key join (customer rows never change here, so the B-delta
+    * term is empty). At 100 TB the delta join touches one day's ingest,
+    * not the accumulated fact table; the oracle recomputes the FULL join,
+    * so the hash certifies base∪delta reconstructed it exactly. */
+  def ivmJoin(spark: SparkSession, sfDir: String, maxCust: Int = 200): DataFrame = {
+    def joined(orders: DataFrame): DataFrame = orders
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("c_nationkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_x100"))
+    val base = graft.etl.Artifacts.ensureParquet(spark, sfDir, "orders_cust_join_base") {
+      joined(Tables.orders(spark, sfDir)
+        .filter(col("o_custkey") < maxCust && col("o_orderkey") % 10 < 8))
+    }
+    val delta = joined(Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < maxCust && col("o_orderkey") % 10 >= 8))
+    base.unionByName(delta).orderBy("o_orderkey")
+  }
+
   /** Sequence-pattern matching over per-user event histories — the
     * MATCH_RECOGNIZE workload (detect ordered motifs like "view, then a
     * purchase with no intervening purchase") expressed Spark-first: each

@@ -229,6 +229,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalSection.contains("Join"), s"sequence scan degenerated to a join:\n$p")
   }
 
+  test("rq65 join IVM: the fact table is scanned once (delta only), base view read from artifact") {
+    val p = plan(graft.ops.RelOps.ivmJoin(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val orderScans = finalSection.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet")).toSeq
+    assert(orderScans.size == 1,
+      s"expected one orders scan (the delta), got ${orderScans.size}:\n$p")
+    // The delta predicate must reach that scan — refresh cost is O(delta).
+    assert(orderScans.head.contains("PushedFilters") &&
+           orderScans.head.contains("o_custkey"),
+      s"delta filter not pushed into the fact scan:\n$p")
+    assert(finalSection.contains("orders_cust_join_base"),
+      s"base view not served from the artifact:\n$p")
+  }
+
   test("s22 bloom skip: candidates ≪ partitions, probe scan partition-pruned on pb") {
     // The sidecar must shortlist the single true partition plus at most a
     // few false positives (fp ≈ 0.02² at the largest local fill ratio).
