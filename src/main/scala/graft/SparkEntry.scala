@@ -50,6 +50,8 @@ object SparkEntry {
     "s22_bloom_skip" -> ((s, d) => graft.sources.BloomSkipIndex.pointLookup(s, d)),
     // CDC-maintained postings index == from-scratch rebuild (certified).
     "s23_index_maintenance" -> ((s, d) => TextOps.indexMaintenance(s, d)),
+    // Dynamic partition overwrite: backfill one corrected day in place.
+    "s24_backfill" -> ((s, d) => graft.sources.FileFormats.backfillOverwrite(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2364,6 +2366,18 @@ object SparkEntry {
          |  round(acctbal, 2) AS acctbal,
          |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
          |FROM n ORDER BY name""".stripMargin,
+    // s24: final table = partial slice everywhere EXCEPT the corrected
+    // day, which carries the full recompute — certifies the overwrite
+    // replaced exactly one partition.
+    "s24_backfill" ->
+      """WITH sel AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, value
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-01' OR event_id % 10 < 8)
+        |SELECT day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS sum_micro
+        |FROM sel GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // s23: the oracle recomputes the FINAL table state's postings
     // relationally (base minus updated/deleted keys, plus the literal
     // mutations); the engine must reach the identical per-term aggregate

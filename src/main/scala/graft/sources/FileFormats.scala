@@ -153,6 +153,59 @@ object FileFormats {
       .orderBy("batch", "status")
   }
 
+  /** Day this backfill recomputes (the fixtures' first day at every sf). */
+  val BackfillDay = "2024-01-01"
+
+  /** The day-partitioned daily-aggregate layout the backfill overwrites,
+    * built once from the PARTIAL slice (event ids ending 0-7) — the
+    * "yesterday's pipeline missed some rows" premise. Exposed for the
+    * spec's file-listing assertions. */
+  def backfillLayoutPath(sfDir: String): String =
+    Artifacts.path(sfDir, "events_daily_backfill")
+
+  private def dailyAgg(df: DataFrame): DataFrame = df
+    .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+      col("event_type"))
+    .agg(count(lit(1)).as("n"),
+      sum((col("value").cast("decimal(18,6)") * 1000000).cast("decimal(38,0)"))
+        .cast("long").as("sum_micro"))
+
+  /** Dynamic partition overwrite — the BACKFILL primitive (INSERT
+    * OVERWRITE one day of a partitioned table after a correction): the
+    * corrected recompute of `BackfillDay` (now including the rows the
+    * base slice missed) is written with `partitionOverwriteMode=dynamic`,
+    * which replaces ONLY the `day=` directories the write produced —
+    * every other day's files are untouched (spec-asserted by listing).
+    * The static alternative truncates the whole table; the
+    * read-everything-rewrite-everything alternative is a full-corpus
+    * pass. At 100 TB a backfill touches one day's directory, full stop.
+    * The read-back aggregates the final table, so the oracle (partial
+    * slice everywhere except the corrected day) certifies exactly which
+    * partition changed. Overwrites per invocation by design (write-path
+    * class, like s12) — the rewrite is idempotent. */
+  def backfillOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = backfillLayoutPath(sfDir)
+    if (!Artifacts.exists(p))
+      dailyAgg(Tables.events(spark, sfDir).filter(col("event_id") % 10 < 8))
+        .write.partitionBy("day").mode("overwrite").parquet(p)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      dailyAgg(Tables.events(spark, sfDir)
+          .filter(to_date(col("ts")) === lit(BackfillDay)))
+        .write.partitionBy("day").mode("overwrite").parquet(p)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // Partition-column type inference turns 'yyyy-MM-dd' dirs into DATE;
+    // cast back so the schema matches the oracle's VARCHAR day.
+    spark.read.parquet(p)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_micro"))
+      .orderBy("day", "event_type")
+  }
+
   /** The partitioned layout, built once per sf (exposed for the spec). */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame =
     Artifacts.ensureParquet(spark, sfDir, "events_by_type",

@@ -56,6 +56,32 @@ class SourcesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("backfill overwrite rewrites ONLY the corrected day's partition files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def filesUnder(p: java.nio.file.Path): Map[String, Long] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(f => p.relativize(f).toString -> Files.getLastModifiedTime(f).toMillis)
+        .toMap
+      finally s.close()
+    }
+    FileFormats.backfillOverwrite(spark, sf) // ensure layout + first backfill
+    val root = Paths.get(FileFormats.backfillLayoutPath(sf))
+    val dayDirs = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("day=")).toList
+    val corrected = root.resolve(s"day=${FileFormats.BackfillDay}")
+    val othersBefore = dayDirs.filterNot(_ == corrected).map(d => d -> filesUnder(d)).toMap
+    val correctedBefore = filesUnder(corrected)
+    FileFormats.backfillOverwrite(spark, sf) // run the overwrite again
+    othersBefore.foreach { case (d, before) =>
+      assert(filesUnder(d) == before, s"untouched partition $d was rewritten")
+    }
+    assert(filesUnder(corrected) != correctedBefore,
+      "the corrected day's partition was not rewritten")
+  }
+
   test("dynamic partition pruning: a dim filter prunes the fact's partition listing at runtime") {
     import spark.implicits._
     val ev = FileFormats.partitionedEvents(spark, sf)
