@@ -242,6 +242,10 @@ object SparkEntry {
     "rq64_seasonal" -> ((s, d) => RelOps.seasonalAnomalies(s, d)),
     // Join-view IVM: base artifact ∪ (delta ⋈ dim) == full join (hashed).
     "rq65_ivm_join" -> ((s, d) => RelOps.ivmJoin(s, d)),
+    // CUSUM changepoint: integer deviations peak at the level shift.
+    "rq66_changepoint" -> ((s, d) => RelOps.cusumChangepoint(s, d)),
+    // Ridge regression from one pass of mergeable sufficient statistics.
+    "ml_ridge" -> ((s, d) => MlOps.ridgeClosedForm(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
@@ -2498,6 +2502,39 @@ object SparkEntry {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_custkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "rq66_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, c,
+        |    CAST(sum(c) OVER () * CAST(1000000 AS HUGEINT) // count(c) OVER () AS BIGINT)
+        |      AS mean_ppm
+        |  FROM daily),
+        |cs AS (
+        |  SELECT day, c,
+        |    sum(c * 1000000 - mean_ppm) OVER
+        |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_ppm
+        |  FROM m)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, c, CAST(cusum_ppm AS BIGINT) AS cusum_ppm,
+        |  row_number() OVER (ORDER BY abs(cusum_ppm) DESC, day) = 1 AS is_changepoint
+        |FROM cs ORDER BY day""".stripMargin,
+    // ml_ridge: both engines reduce to the SAME exact decimal sufficient
+    // statistics, cast once to double, and solve the identical closed
+    // form — deterministic on any partitioning.
+    "ml_ridge" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem)
+        |SELECT n,
+        |  round((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0), 6) AS slope,
+        |  round(sy / n - ((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sx / n), 2) AS intercept,
+        |  round(((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sxy - sx * sy / n) / (syy - sy * sy / n), 6) AS r2
+        |FROM s""".stripMargin,
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

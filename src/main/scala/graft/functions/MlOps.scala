@@ -242,4 +242,33 @@ object MlOps {
         col("fam_count"), col("acc_beats_majority"))
       .orderBy("name")
   }
+
+  /** Ridge regression trained from SUFFICIENT STATISTICS — the pattern
+    * that makes linear-model training a single aggregation at 100 TB: one
+    * map-side-combining pass accumulates (n, Σx, Σy, Σxx, Σxy, Σyy) as
+    * EXACT decimals (summation-order-free, so the fit is deterministic on
+    * any partitioning), and the closed form b = Sxy/(Sxx+λ), a = ȳ−b·x̄
+    * solves on the 1-row result. No iterations, no driver-side data, no
+    * gradient state — and the same statistics are mergeable across shards
+    * or days (rq59's partial-union pattern, applied to model training).
+    * Fit: extendedprice ~ quantity over lineitem, λ = 1000. */
+  def ridgeClosedForm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("decimal(38,2)").cast("double").as("sx"),
+        sum(col("y")).cast("decimal(38,2)").cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,4)")).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,4)")).cast("double").as("syy"))
+      .select(col("n"),
+        round(expr("(sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)"), 6)
+          .as("slope"),
+        round(expr("sy / n - ((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sx / n)"), 2)
+          .as("intercept"),
+        round(expr(
+          "((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sxy - sx * sy / n) / (syy - sy * sy / n)"),
+          6).as("r2"))
 }

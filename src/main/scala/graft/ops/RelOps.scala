@@ -1564,6 +1564,32 @@ object RelOps {
       .orderBy("day")
   }
 
+  /** CUSUM changepoint detection over the daily event series: the running
+    * sum of (count − mean) deviations peaks exactly where the level
+    * shifts — the classic offline changepoint statistic. All integer
+    * arithmetic (ppm deviations, exact decimal div for the mean), so the
+    * flagged day is engine-exact; at 100 TB the deviations would
+    * accumulate as DECIMAL(38,0) (a year of 10⁹-events/day days tops out
+    * ~3×10²¹ ppm — past long, nowhere near decimal). Corpus-sized work is
+    * the one day rollup; the windows run on the tiny day domain. */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.orderBy(abs(col("cusum_ppm")).desc, col("day").asc)
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("mean_ppm",
+        expr("sum(c) OVER () * CAST(1000000 AS DECIMAL(38,0)) div count(c) OVER ()")
+          .cast("long"))
+      .withColumn("cusum_ppm",
+        sum(col("c") * 1000000L - col("mean_ppm")).over(wOrd))
+      .withColumn("is_changepoint", row_number().over(wPick) === 1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"),
+        col("cusum_ppm"), col("is_changepoint"))
+      .orderBy("day")
+  }
+
   /** Incremental view maintenance for a JOIN view — the companion to
     * rq41's aggregate IVM: the materialized orders⋈customer enrichment is
     * a build-once artifact over the base partition (event/order keys
