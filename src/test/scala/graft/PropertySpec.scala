@@ -153,6 +153,29 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable merge-on-read delete composes with widening schema evolution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_mor_evo").toString
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        (0 until 40).map(i => (f"k$i%02d", i.toLong)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // Widen: merge rows carrying a new column (old buckets lack it).
+      t.merge(Seq(("k01", 100L, "gold")).toDF("k", "v", "tier"))
+      // MoR-delete keys living in PRE-evolution buckets; the DV read path
+      // must conform those buckets to the widened schema while anti-joining.
+      val v = t.deleteMergeOnRead(Seq("k02", "k03").toDF("k"))
+      val snap = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map { case (k, vv, tier) => k -> ((vv, tier)) }.toMap
+      assert(!snap.contains("k02") && !snap.contains("k03"))
+      assert(snap("k01") == ((100L, Some("gold"))))
+      assert(snap("k00") == ((0L, None)), "pre-evolution row lost its NULL-backed column")
+      assert(snap.size == 38)
+      // CDC across the delete carries the widened schema on both sides.
+      val d = t.diff(v - 1, v)
+      assert(d.columns.contains("old_tier") && d.collect().length == 2)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable vacuum reclaims loser/orphan dirs by manifest reachability; every retained version replays") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_vac").toString
