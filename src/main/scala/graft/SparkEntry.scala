@@ -244,6 +244,8 @@ object SparkEntry {
     "rq65_ivm_join" -> ((s, d) => RelOps.ivmJoin(s, d)),
     // CUSUM changepoint: integer deviations peak at the level shift.
     "rq66_changepoint" -> ((s, d) => RelOps.cusumChangepoint(s, d)),
+    // Keyset pagination: two bounded top-k passes, oracle = OFFSET form.
+    "rq67_keyset_page" -> ((s, d) => RelOps.keysetPage(s, d)),
     // Ridge regression from one pass of mergeable sufficient statistics.
     "ml_ridge" -> ((s, d) => MlOps.ridgeClosedForm(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
@@ -2518,6 +2520,11 @@ object SparkEntry {
         |SELECT strftime(day, '%Y-%m-%d') AS day, c, CAST(cusum_ppm AS BIGINT) AS cusum_ppm,
         |  row_number() OVER (ORDER BY abs(cusum_ppm) DESC, day) = 1 AS is_changepoint
         |FROM cs ORDER BY day""".stripMargin,
+    "rq67_keyset_page" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+        |FROM orders
+        |ORDER BY price_x100 DESC, o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
     // ml_ridge: both engines reduce to the SAME exact decimal sufficient
     // statistics, cast once to double, and solve the identical closed
     // form — deterministic on any partitioning.

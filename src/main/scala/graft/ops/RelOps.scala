@@ -1564,6 +1564,32 @@ object RelOps {
       .orderBy("day")
   }
 
+  /** Keyset (cursor) pagination — page N of a stable ordering WITHOUT the
+    * OFFSET plan: OFFSET k scans-and-discards k rows under a global sort
+    * (page 10⁶ of a 100 TB result is a cluster-wide sort per click);
+    * keyset filters strictly-after the previous page's last row and takes
+    * one bounded top-k — two TakeOrderedAndProject passes (per-partition
+    * heaps, driver merge), never a global sort or range exchange
+    * (PlanSpec-pinned). In production the boundary IS the client's cursor
+    * (the last row it already holds); the demo recomputes it from the
+    * page index to stay self-contained — a ≤(page-1)·size driver-side
+    * collect, bounded by the pagination depth, not the data. The oracle
+    * is the OFFSET formulation, so the hash certifies keyset ≡ offset on
+    * the total order (price DESC, key ASC). */
+  def keysetPage(spark: SparkSession, sfDir: String,
+                 pageSize: Int = 20, page: Int = 3): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_x100"))
+    val ord = Seq(col("price_x100").desc, col("o_orderkey").asc)
+    val boundary = base.orderBy(ord: _*).limit((page - 1) * pageSize)
+      .collect().lastOption
+    val after = boundary.map { r =>
+      (col("price_x100") < r.getLong(1)) ||
+        (col("price_x100") === r.getLong(1) && col("o_orderkey") > r.getLong(0))
+    }.getOrElse(lit(true))
+    base.filter(after).orderBy(ord: _*).limit(pageSize)
+  }
+
   /** CUSUM changepoint detection over the daily event series: the running
     * sum of (count − mean) deviations peaks exactly where the level
     * shifts — the classic offline changepoint statistic. All integer

@@ -229,6 +229,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!finalSection.contains("Join"), s"sequence scan degenerated to a join:\n$p")
   }
 
+  test("rq67 keyset pagination: bounded top-k heaps, never a global sort or range exchange") {
+    val p = plan(graft.ops.RelOps.keysetPage(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      s"page fetch must be a bounded top-k:\n$p")
+    assert(!finalSection.contains("Exchange rangepartitioning") &&
+           !finalSection.contains("Sort ["),
+      s"keyset page degenerated to a global sort:\n$p")
+  }
+
   test("rq65 join IVM: the fact table is scanned once (delta only), base view read from artifact") {
     val p = plan(graft.ops.RelOps.ivmJoin(spark, sf))
     val finalSection = p.split("== Initial Plan ==")(0)
