@@ -252,6 +252,8 @@ object SparkEntry {
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
     "tx_bm25" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // Ingest fluency gate: batch scored against the FROZEN bigram LM.
+    "tx_lm_score" -> ((s, d) => TextOps.lmScoreBatch(s, d)),
     // Efraimidis–Spirakis weighted sample: one scan, bounded heaps, no RNG.
     "tx_weighted_sample" -> ((s, d) => TextOps.weightedSample(s, d)),
     "rq47_table_diff" -> ((s, d) => RelOps.tableDiff(s, d)),
@@ -2051,6 +2053,33 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tx_rejection_sample: integer acceptance predicate h·n_b < m·16^8 —
     // the first 8 md5 hex digits parse identically ('0x' cast / conv).
+    // tx_lm_score: oracle re-derives the frozen LM counts relationally
+    // (train = every source but the batch's); per-bigram log-probs are
+    // micros summed as BIGINT, the mean an integer div — order-free.
+    "tx_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |        i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+        |    FROM tk)
+        |  WHERE b.w1 <> '' AND b.w2 <> ''),
+        |train AS (SELECT w1, w2 FROM bg WHERE source <> 'src3'),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS vsz FROM train),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    CAST(round(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + vsz))
+        |      * 1000000) AS BIGINT) AS lp_micro
+        |  FROM bg LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN v
+        |  WHERE bg.source = 'src3')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp_micro) // count(*) AS BIGINT) AS mean_lp_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // tx_bm25: the oracle recomputes postings/df/lengths relationally; the
     // engine probes the build-once bucket-partitioned index — same math,
     // per-term micros summed as BIGINT so order cannot drift the hash.

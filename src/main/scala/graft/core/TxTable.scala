@@ -175,6 +175,24 @@ final class TxTable private (spark: SparkSession, dir: String,
     readBuckets(m, m.keySet, schemaAt(v))
   }
 
+  /** Timestamp time travel (the `AS OF TIMESTAMP` half of `snapshotAt`):
+    * the highest version whose manifest was PUBLISHED at or before `ms`.
+    * Publication time is the manifest file's mtime — the create-exclusive
+    * link pins it at commit, so no clock needs storing in the log and old
+    * tables resolve unchanged. Vacuumed-away manifests simply drop out of
+    * the candidate set, mirroring Delta's retention semantics. */
+  def versionAsOf(ms: Long): Long = {
+    val eligible = listNames(logDir)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toLong -> s }
+      .filter { case (_, name) =>
+        Files.getLastModifiedTime(logDir.resolve(name)).toMillis <= ms }
+    require(eligible.nonEmpty, s"no version published at or before $ms")
+    eligible.map(_._1).max
+  }
+
+  def snapshotAsOfTimestamp(ms: Long): DataFrame = snapshotAt(versionAsOf(ms))
+
   /** Buckets actually written by a commit (partitionBy leaves one `_b=K`
     * directory per non-empty bucket). */
   private def bucketsIn(commit: String): Seq[Long] =

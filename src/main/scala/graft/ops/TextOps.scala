@@ -1180,6 +1180,62 @@ object TextOps {
       .limit(k)
   }
 
+  /** Frozen bigram-LM tables for ingest-time scoring: add-one-smoothed
+    * counts trained ONCE on the established corpus (every source except
+    * the arriving batch's), stored as probe-able artifacts — the CCNet
+    * shape: the LM is a frozen asset, scoring a batch never re-reads the
+    * training corpus. */
+  private def lmBigrams(spark: SparkSession, sfDir: String,
+                        holdout: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, s"lm_bigrams_ex_$holdout") {
+      bigramRows(Tables.documents(spark, sfDir).filter(col("source") =!= holdout))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    }
+
+  private def lmUnigrams(spark: SparkSession, sfDir: String,
+                         holdout: String): DataFrame =
+    graft.etl.Artifacts.ensureParquet(spark, sfDir, s"lm_unigrams_ex_$holdout") {
+      bigramRows(Tables.documents(spark, sfDir).filter(col("source") =!= holdout))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+    }
+
+  /** (doc_id, w1, w2) adjacent-token pairs. */
+  private def bigramRows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks(col("text")).as("t"))
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, greatest(size(t) - 1, 0)), " +
+        "i -> named_struct('w1', t[i-1], 'w2', t[i]))")).as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    .filter(col("w1") =!= "" && col("w2") =!= "")
+
+  /** Score an ARRIVING batch against the frozen LM — the fluency gate a
+    * training-data pipeline runs at ingest (low mean log-prob ⇒ boiler-
+    * plate/garbled/ocr-noise). The batch's bigrams LEFT-join the count
+    * artifacts (unseen pairs smooth to c12=0, unseen heads to c1=0, so a
+    * fully out-of-domain doc still scores), per-bigram log-probs leave
+    * the double domain as micros and SUM AS BIGINT — the per-doc mean is
+    * an exact integer `div`, so scoring is summation-order-free (stricter
+    * than tx_ngram_lm's rounded-avg ordering, which trains inline by
+    * design). Cost at 100 TB: O(batch bigrams) joined against broadcast-
+    * able LM tables; the corpus is never touched. */
+  def lmScoreBatch(spark: SparkSession, sfDir: String,
+                   batchSource: String = "src3"): DataFrame = {
+    val big = lmBigrams(spark, sfDir, batchSource)
+    val uni = lmUnigrams(spark, sfDir, batchSource)
+    val v = big.select(countDistinct("w2").as("vsz"))
+    bigramRows(Tables.documents(spark, sfDir).filter(col("source") === batchSource))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        expr("CAST(round(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + vsz)) " +
+          "* 1000000) AS BIGINT)").as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        expr("sum(lp_micro) div count(1)").cast("long").as("mean_lp_micro"))
+      .orderBy("doc_id")
+  }
+
   /** CDC-driven incremental index maintenance — the piece that keeps a
     * derived index (here the BM25-style postings) consistent with an ACID
     * table WITHOUT rebuilding it: documents live in a TxTable; a MERGE

@@ -286,6 +286,18 @@ class PlanSpec extends AnyFunSuite {
     assert(prunedScan, s"postings scan not partition-pruned on tb:\n$p")
   }
 
+  test("tx_lm_score scores the batch against frozen LM artifacts — corpus never re-read") {
+    val p = plan(graft.ops.TextOps.lmScoreBatch(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val docScans = finalSection.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")).toSeq
+    assert(docScans.size == 1, s"expected one documents scan (the batch):\n$p")
+    assert(docScans.head.contains("EqualTo(source,src3)"),
+      s"batch filter not pushed — the scan would read the training corpus:\n$p")
+    assert(finalSection.contains("lm_bigrams_ex_src3"),
+      s"LM not served from the artifact:\n$p")
+  }
+
   test("tx_weighted_sample is one scan into bounded heaps — no shuffle, no global sort") {
     val p = plan(graft.ops.TextOps.weightedSample(spark, sf))
     val finalSection = p.split("== Initial Plan ==")(0)

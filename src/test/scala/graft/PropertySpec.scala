@@ -176,6 +176,31 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable AS OF TIMESTAMP resolves the latest version published at or before the instant") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_asof").toString
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        Seq(("a", 1L)).toDF("k", "v"), Seq("k"), numBuckets = 2)
+      t.merge(Seq(("a", 2L)).toDF("k", "v"))
+      // Pin publication instants deterministically (mtime IS the clock).
+      val now = System.currentTimeMillis()
+      Files.setLastModifiedTime(
+        Paths.get(dir, "_log", "v00000000.txt"), FileTime.fromMillis(now - 10000))
+      Files.setLastModifiedTime(
+        Paths.get(dir, "_log", "v00000001.txt"), FileTime.fromMillis(now - 5000))
+      assert(t.versionAsOf(now) == 1L)
+      assert(t.versionAsOf(now - 7000) == 0L)
+      assert(t.snapshotAsOfTimestamp(now - 7000)
+        .as[(String, Long)].collect().toSeq == Seq(("a", 1L)))
+      assert(t.snapshotAsOfTimestamp(now)
+        .as[(String, Long)].collect().toSeq == Seq(("a", 2L)))
+      intercept[IllegalArgumentException](t.versionAsOf(now - 20000))
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable vacuum reclaims loser/orphan dirs by manifest reachability; every retained version replays") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_vac").toString
