@@ -382,7 +382,10 @@ object GraphOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s20").toString
     try {
       val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      // 8 buckets: the demo table is tiny; fewer buckets = fewer files per
+      // commit across the 5 commits this write-path demo measures. The
+      // layout proof (one commit dir after compact) is bucket-count-free.
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
       (1 to 3).foreach { i =>
         t.merge(base.filter(substring(col("name"), -1, 1) === i.toString)
           .withColumn("house", lit(s"MERGED$i")))
@@ -412,7 +415,8 @@ object GraphOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s21").toString
     try {
       val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      // 8 buckets, same rationale as s20 (write-path demo on a tiny table).
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
       val v = t.deleteMergeOnRead(
         base.filter(substring(col("name"), -1, 1) === "7").select("name"))
       val noRewrite = t.dataPointers(0L) == t.dataPointers(v)

@@ -1260,7 +1260,9 @@ object TextOps {
     try {
       val docs = Tables.documents(spark, sfDir)
         .filter(col("doc_id") < 200).select("doc_id", "text")
-      val t = graft.core.TxTable.create(spark, dir, docs, Seq("doc_id"))
+      // 8 buckets: 200-doc demo table; halves the files each of the three
+      // commits writes without touching the maintenance semantics.
+      val t = graft.core.TxTable.create(spark, dir, docs, Seq("doc_id"), numBuckets = 8)
       val idx0 = postingsOf(t.snapshotAt(0L)).localCheckpoint()
       t.merge(Seq((5L, "alpha beta beta"), (9999L, "alpha gamma")).toDF("doc_id", "text"))
       t.deleteMergeOnRead(Seq(7L).toDF("doc_id"))
