@@ -52,6 +52,8 @@ object SparkEntry {
     "s23_index_maintenance" -> ((s, d) => TextOps.indexMaintenance(s, d)),
     // Dynamic partition overwrite: backfill one corrected day in place.
     "s24_backfill" -> ((s, d) => graft.sources.FileFormats.backfillOverwrite(s, d)),
+    // CHECK constraints: conforming merge lands, violator rejected atomically.
+    "s25_tx_constraints" -> ((s, d) => GraphOps.txConstraints(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2401,6 +2403,20 @@ object SparkEntry {
          |  round(acctbal, 2) AS acctbal,
          |  CAST(4 AS BIGINT) AS v, true AS compacted_single_commit
          |FROM n ORDER BY name""".stripMargin,
+    // s25: visible state = base with ONLY the conforming merge applied;
+    // the booleans certify the violator raised and published nothing.
+    "s25_tx_constraints" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name = 'Customer#000000003' THEN 'BUILDING' ELSE house END AS house,
+         |  CASE WHEN name = 'Customer#000000003' THEN 123.45
+         |       ELSE round(acctbal, 2) END AS acctbal,
+         |  CAST(1 AS BIGINT) AS v, true AS bad_merge_rejected,
+         |  true AS no_partial_commit
+         |FROM n
+         |WHERE name IN ('Customer#000000002', 'Customer#000000003',
+         |               'Customer#000000004')
+         |ORDER BY name""".stripMargin,
     // s24: final table = partial slice everywhere EXCEPT the corrected
     // day, which carries the full recompute — certifies the overwrite
     // replaced exactly one partition.

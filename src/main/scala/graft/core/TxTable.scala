@@ -175,6 +175,45 @@ final class TxTable private (spark: SparkSession, dir: String,
     readBuckets(m, m.keySet, schemaAt(v))
   }
 
+  /** CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT` shape):
+    * named SQL predicates stored in the log (`checks.txt`, one
+    * name<TAB>predicate line per constraint) and enforced ATOMICALLY at
+    * write time — a violating MERGE throws before anything publishes, so
+    * readers never observe a state that fails a constraint. Adding a
+    * constraint validates the EXISTING table first (the induction base);
+    * merges then validate only their update rows (keep-rows passed when
+    * they were written), so enforcement costs O(batch), never O(table).
+    * Deletes remove rows and need no validation. */
+  def addCheck(name: String, predicate: String): Unit = {
+    require(!name.contains('\t') && name.nonEmpty, s"bad check name '$name'")
+    val existing = snapshot()
+    val bad = existing.filter(s"NOT ($predicate)").count()
+    require(bad == 0L,
+      s"cannot add check '$name': $bad existing rows violate ($predicate)")
+    Files.createDirectories(logDir)
+    val line = s"$name\t$predicate\n"
+    Files.writeString(logDir.resolve("checks.txt"), line,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def checks: Seq[(String, String)] = {
+    val p = logDir.resolve("checks.txt")
+    if (!Files.exists(p)) Nil
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toList
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, pred) = l.split('\t'); (n, pred)
+      }
+  }
+
+  /** Throws if any row of `rows` violates a registered check. */
+  private def validate(rows: DataFrame): Unit =
+    checks.foreach { case (name, pred) =>
+      val bad = rows.filter(s"NOT ($pred)").count()
+      if (bad > 0)
+        throw new IllegalArgumentException(
+          s"check constraint '$name' violated by $bad rows: ($pred)")
+    }
+
   /** Timestamp time travel (the `AS OF TIMESTAMP` half of `snapshotAt`):
     * the highest version whose manifest was PUBLISHED at or before `ms`.
     * Publication time is the manifest file's mtime — the create-exclusive
@@ -223,6 +262,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * source must bind each key once (the same rule Delta enforces). */
   def merge(updates: DataFrame): Long = {
     val upd = updates.dropDuplicates(keyCols).localCheckpoint()
+    validate(upd) // CHECK constraints: reject BEFORE any write or publish.
     rewriteTouched(upd) { (keep, cur) =>
       // Widening schema evolution: columns the updates carry that the
       // table lacks join the schema (existing rows read them as NULL);

@@ -429,6 +429,41 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** CHECK-constraint demo — the lakehouse write gate end-to-end: two
+    * constraints registered (existing rows validated as the induction
+    * base), a conforming MERGE lands, a violating MERGE throws BEFORE any
+    * write publishes. The hash carries three certificates: the conforming
+    * update visible, `bad_merge_rejected` (the violation raised), and
+    * `no_partial_commit` (the version is still the conforming merge's —
+    * atomic rejection left no half-state). Write-path class like s12. */
+  def txConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s25").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.addCheck("house_known", "house IS NOT NULL")
+      t.addCheck("balance_floor", "acctbal >= -1000.0")
+      val vOk = t.merge(spark.createDataFrame(
+        Seq(("Customer#000000003", "BUILDING", 123.45)))
+        .toDF("name", "house", "acctbal"))
+      val rejected =
+        try {
+          t.merge(spark.createDataFrame(
+            Seq(("Customer#000000004", "BUILDING", -99999.0)))
+            .toDF("name", "house", "acctbal"))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      t.snapshot()
+        .filter(col("name").isin("Customer#000000002", "Customer#000000003",
+          "Customer#000000004"))
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(vOk).as("v"), lit(rejected).as("bad_merge_rejected"),
+          lit(t.version == vOk).as("no_partial_commit"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

@@ -176,6 +176,28 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable CHECK constraints: violators rejected atomically, add-time validation, O(batch) cost") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_chk").toString
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        (0 until 20).map(i => (f"k$i%02d", i.toLong)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // Adding a check the EXISTING data violates must fail (induction base).
+      intercept[IllegalArgumentException](t.addCheck("impossible", "v > 5"))
+      assert(t.checks.isEmpty)
+      t.addCheck("nonneg", "v >= 0")
+      val v1 = t.merge(Seq(("k03", 100L)).toDF("k", "v"))
+      // A violating merge throws and publishes NOTHING.
+      intercept[IllegalArgumentException](t.merge(Seq(("k04", -1L)).toDF("k", "v")))
+      assert(t.version == v1, "violating merge published a version")
+      val snap = t.snapshot().as[(String, Long)].collect().toMap
+      assert(snap("k03") == 100L && snap("k04") == 4L)
+      // Deletes bypass validation (they only remove rows).
+      t.delete(Seq("k05").toDF("k"))
+      assert(!t.snapshot().as[(String, Long)].collect().toMap.contains("k05"))
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable AS OF TIMESTAMP resolves the latest version published at or before the instant") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
