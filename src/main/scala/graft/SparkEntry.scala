@@ -250,6 +250,16 @@ object SparkEntry {
     "rq67_keyset_page" -> ((s, d) => RelOps.keysetPage(s, d)),
     // Ridge regression from one pass of mergeable sufficient statistics.
     "ml_ridge" -> ((s, d) => MlOps.ridgeClosedForm(s, d)),
+    // Point-in-time SCD2 join: as-of window shape, oracle = interval join.
+    "rq68_pit_join" -> ((s, d) => RelOps.pitJoin(s, d)),
+    // Sweep-line interval union: merged per-user activity islands.
+    "rq69_interval_union" -> ((s, d) => RelOps.intervalUnion(s, d)),
+    // Cumulative distinct users via first-seen day (no quadratic window).
+    "rq70_cum_distinct" -> ((s, d) => RelOps.cumulativeDistinct(s, d)),
+    // Naive Bayes training as counting: smoothed token probs in exact ppm.
+    "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
+    // One-pass covariance matrix from exact integer sufficient statistics.
+    "ml_covariance" -> ((s, d) => MlOps.covarianceMatrix(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
@@ -2587,6 +2597,124 @@ object SparkEntry {
         |  round(sy / n - ((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sx / n), 2) AS intercept,
         |  round(((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sxy - sx * sy / n) / (syy - sy * sy / n), 6) AS r2
         |FROM s""".stripMargin,
+    // rq68: the oracle states PIT semantics as the textbook interval join
+    // (vf <= d < vt, open current version); Spark executes the equivalent
+    // as-of window. LEFT JOIN + coalesce('none') mirrors Spark's coalesce
+    // for facts that precede every version.
+    "rq68_pit_join" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderstatus
+        |  FROM orders WHERE o_custkey < 500),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                   OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, ver, min(o_orderstatus) AS status, min(od) AS vf
+        |  FROM v GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT o_custkey, ver, status, vf,
+        |    lead(vf) OVER (PARTITION BY o_custkey ORDER BY ver) AS vt
+        |  FROM g),
+        |facts AS (
+        |  SELECT o.o_custkey AS custkey, CAST(l.l_shipdate AS DATE) AS d,
+        |    CAST(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT) AS rev_micro
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey < 500)
+        |SELECT coalesce(dim.status, 'none') AS status_at_ship,
+        |  count(*) AS n_items, CAST(sum(f.rev_micro) AS BIGINT) AS rev_micro
+        |FROM facts f LEFT JOIN dim ON f.custkey = dim.o_custkey
+        |  AND f.d >= dim.vf AND (dim.vt IS NULL OR f.d < dim.vt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq69: gaps-and-islands sweep; epoch-second BIGINTs end to end
+    // (floor(epoch()) == Spark's cast-to-long, the rq9 rule).
+    "rq69_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni FROM m),
+        |i AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS start_s, max(e) AS end_s, count(*) AS n_ev
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(end_s - start_s) AS BIGINT) AS covered_sec,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(max(end_s - start_s) AS BIGINT) AS longest_sec
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq70: cumulative distinct = running sum of first-seen days.
+    "rq70_cum_distinct" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    // ml_naive_bayes: Laplace-smoothed probabilities in exact integer ppm
+    // ((n+1)·10⁶ // (total+V)) — no float channel; tokenization shared
+    // with tx_vocab_topk.
+    "ml_naive_bayes" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |ct AS (SELECT lang, token, count(*) AS n_tok FROM t
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_lang FROM ct GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vocab FROM ct),
+        |pr AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |pp AS (SELECT lang, CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT)
+        |  AS prior_ppm FROM pr),
+        |rk AS (SELECT lang, token, n_tok,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_tok DESC, token) AS rk
+        |  FROM ct)
+        |SELECT rk.lang, CAST(rk.rk AS BIGINT) AS rk, rk.token, rk.n_tok, tot.n_lang,
+        |  CAST((rk.n_tok + 1) * 1000000 // (tot.n_lang + v.vocab) AS BIGINT) AS prob_ppm,
+        |  pp.prior_ppm
+        |FROM rk JOIN tot USING (lang) CROSS JOIN v JOIN pp USING (lang)
+        |WHERE rk.rk <= 3
+        |ORDER BY lang, rk""".stripMargin,
+    // ml_covariance: identical integer-micro quantization, HUGEINT-exact
+    // sufficient statistics, and the same truncating integer division;
+    // the 36-pair unpivot is generated, mirroring the Spark stack().
+    "ml_covariance" -> {
+      val d = 8
+      val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+      val qCols = (0 until d).map(i =>
+        s"CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000) AS BIGINT) AS q$i")
+        .mkString(",\n    ")
+      val sums = (0 until d).map(i => s"CAST(sum(q$i) AS HUGEINT) AS s$i") ++
+        pairs.map { case (i, j) =>
+          s"CAST(sum(CAST(q$i AS HUGEINT) * q$j) AS HUGEINT) AS p${i}_$j" }
+      val arms = pairs.map { case (i, j) =>
+        s"""SELECT CAST($i AS BIGINT) AS dim_i, CAST($j AS BIGINT) AS dim_j,
+           |  CAST(n AS BIGINT) AS n,
+           |  CAST((n * p${i}_$j - s$i * s$j) // (n * n) AS BIGINT) AS cov_micro2
+           |FROM s""".stripMargin }
+      s"""WITH q AS (
+         |  SELECT $qCols
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    ${sums.mkString(",\n    ")}
+         |  FROM q)
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY dim_i, dim_j""".stripMargin
+    },
     "rq17_sql_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty,

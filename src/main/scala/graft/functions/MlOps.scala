@@ -271,4 +271,77 @@ object MlOps {
         round(expr(
           "((sxy - sx * sy / n) / ((sxx - sx * sx / n) + 1000.0)) * (sxy - sx * sy / n) / (syy - sy * sy / n)"),
           6).as("r2"))
+
+  /** Multinomial Naive Bayes TRAINING as pure aggregation — the text
+    * classifier whose whole fit is counting: P(class) from document
+    * counts, P(token|class) from (class, token) counts with Laplace
+    * smoothing over the global vocabulary. On Spark that is one
+    * explode + two hash aggregations (both map-side combining) plus a
+    * broadcast of the per-class totals — no iterations, no driver-side
+    * model state, mergeable across shards like any sufficient statistic
+    * (the rq59/ml_ridge rule, applied to classification). Emitted per
+    * class: the top-3 most likely tokens with their smoothed
+    * probability in EXACT integer ppm ((n+1)·10⁶ div (total+V) — no
+    * float channel), the class prior in ppm, and the count spine.
+    * Fit: language given token, over `documents`. */
+  def naiveBayes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val classTok = toks.groupBy("lang", "token").agg(count(lit(1)).as("n_tok"))
+    // Per-class token mass and global vocabulary size: tiny aggregates of
+    // the (class, token) frame — broadcast back onto it.
+    val classTotals = classTok.groupBy("lang").agg(sum(col("n_tok")).cast("long").as("n_lang"))
+    val vocab = classTok.select(countDistinct(col("token")).as("vocab"))
+    val priors = graft.core.Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("prior_ppm",
+        expr("n_docs * 1000000 div sum(n_docs) over ()").cast("long"))
+    val w = Window.partitionBy("lang").orderBy(desc("n_tok"), asc("token"))
+    classTok
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(broadcast(classTotals), Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(priors.select(col("lang"), col("prior_ppm"))), Seq("lang"))
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("token"),
+        col("n_tok"), col("n_lang"),
+        expr("(n_tok + 1) * 1000000 div (n_lang + vocab)").as("prob_ppm"),
+        col("prior_ppm"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Covariance matrix in ONE pass — the PCA front end: every pairwise
+    * covariance of the first `d` embedding dimensions from a single
+    * map-side-combining aggregate of sufficient statistics (n, Σqᵢ,
+    * Σqᵢqⱼ), then the closed form (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ)/n² unpivoted to
+    * long form. Dimensions are quantized to integer micros FIRST, so
+    * every sum is exact (decimal(38,0) accumulation — order-free on any
+    * partitioning, overflow-safe to ~10³⁸ micro² mass ≈ 10²⁶ rows) and
+    * the output is deterministic BIGINT micro² — no float summation
+    * channel anywhere. O(d²) aggregation state per partition, one
+    * 1-row exchange, O(d²) output — the corpus is scanned exactly once
+    * regardless of scale. */
+  def covarianceMatrix(spark: SparkSession, sfDir: String, d: Int = 8): DataFrame = {
+    val q = graft.core.Tables.embeddings(spark, sfDir)
+      .select((0 until d).map(i =>
+        round(element_at(col("embedding"), i + 1).cast("double") * 1000000)
+          .cast("long").as(s"q$i")): _*)
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val aggs =
+      (0 until d).map(i => sum(col(s"q$i").cast("decimal(38,0)")).as(s"s$i")) ++
+      pairs.map { case (i, j) =>
+        sum((col(s"q$i") * col(s"q$j")).cast("decimal(38,0)")).as(s"p${i}_$j") }
+    val wide = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"), aggs: _*)
+    val stackArgs = pairs.map { case (i, j) =>
+      s"$i, $j, cast((n * p${i}_$j - s$i * s$j) div (n * n) as bigint)" }
+      .mkString(", ")
+    wide.select(col("n").cast("long").as("nr"),
+        expr(s"stack(${pairs.size}, $stackArgs) as (i, j, cov_micro2)"))
+      .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        col("nr").as("n"), col("cov_micro2"))
+      .orderBy("dim_i", "dim_j")
+  }
 }

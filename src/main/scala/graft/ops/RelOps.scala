@@ -1667,4 +1667,105 @@ object RelOps {
         regexp_count(col("seq"), lit("s[^e]*e")).cast("long").as("signup_to_error"),
         regexp_count(col("seq"), lit("e+")).cast("long").as("error_bursts"))
       .orderBy("user_id")
+
+  /** Point-in-time (temporal) join — facts against an SCD2 dimension,
+    * each fact matched to the dimension version VALID AT its own date
+    * (here: each line item priced under the customer's order-status
+    * version in force at ship date, not at query time). The oracle (and
+    * textbook) formulation is an interval join `vf <= d < vt`; executing
+    * that shape fans every fact out against all of its key's versions
+    * before filtering. Since SCD2 intervals PARTITION time per key, the
+    * Spark-first plan is the as-of shape instead: union dimension starts
+    * and facts, one window per custkey ordered by (date, dim-first,
+    * version), `last(status, ignoreNulls)` — each fact reads the latest
+    * version at-or-before its date. ONE shuffle on the key, per-fact work
+    * O(1), no version fan-out — the same plan at 100 TB. Dim rows sort
+    * before facts on their start date (half-open [vf, vt) intervals:
+    * a fact ON a boundary belongs to the newer version). */
+  def pitJoin(spark: SparkSession, sfDir: String, maxCust: Int = 500): DataFrame = {
+    val dim = scd2(spark, sfDir, maxCust)
+      .select(col("o_custkey").as("custkey"), to_date(col("valid_from")).as("d"),
+        col("ver"), col("status"), lit(1).as("is_dim"),
+        lit(null).cast("long").as("rev_micro"))
+    val facts = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_custkey") < maxCust)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_shipdate").cast("date").as("d"),
+        lit(null).cast("long").as("ver"), lit(null).cast("string").as("status"),
+        lit(0).as("is_dim"),
+        (dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 1000000)
+          .cast("decimal(38,0)").as("rev_micro"))
+    // Frame: all rows at-or-before this fact; dims at the same date sort
+    // first (is_dim desc) and among dims the newest version wins (ver asc,
+    // last() takes the frame's final non-null).
+    val w = Window.partitionBy("custkey")
+      .orderBy(col("d").asc, col("is_dim").desc, col("ver").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("status_at_ship",
+        coalesce(last(col("status"), ignoreNulls = true).over(w), lit("none")))
+      .filter(col("is_dim") === 0)
+      .groupBy("status_at_ship")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_micro")).cast("long").as("rev_micro"))
+      .orderBy("status_at_ship")
+  }
+
+  /** Interval union (sweep line) — per-user total covered time when every
+    * event opens a fixed 300 s activity window: overlapping windows merge
+    * into islands, and the answer is islands' summed extents, NOT
+    * n_events × 300. The sweep is the gaps-and-islands shape: one window
+    * per user ordered by time, `max(end)` over the preceding frame finds
+    * whether this event extends the running island or opens a new one, a
+    * running sum of the new-island markers numbers islands, and a per-
+    * island aggregate closes them. ONE shuffle on user_id serves both
+    * windows and the island aggregate; per-user state is O(1) per event —
+    * the plan any sweep line needs, at any scale. Epoch-second BIGINTs
+    * end to end (no timestamp arithmetic divergence). */
+  def intervalUnion(spark: SparkSession, sfDir: String, windowSec: Long = 300L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("s"),
+        (col("ts").cast("long") + windowSec).as("e"))
+      .withColumn("new_island",
+        when(max(col("e")).over(wPrev).isNull
+          .or(col("s") > max(col("e")).over(wPrev)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min(col("s")).as("start_s"), max(col("e")).as("end_s"),
+        count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_s") - col("start_s")).cast("long").as("covered_sec"),
+        sum(col("n_ev")).cast("long").as("n_events"),
+        max(col("end_s") - col("start_s")).cast("long").as("longest_sec"))
+      .orderBy("user_id")
+  }
+
+  /** Cumulative distinct users per day — the growth-curve metric. The
+    * naive form (COUNT(DISTINCT user) OVER (ORDER BY day)) re-scans every
+    * prefix and holds an all-users set per day — quadratic, and the window
+    * is unpartitioned over the raw events. The scalable identity: a user
+    * enters the cumulative count exactly once, on their FIRST day — so
+    * min(day) per user (one shuffle, map-side partial), count first-seens
+    * per day (tiny), and a running sum over the ~day-count domain. The
+    * only unpartitioned window runs over days, not events — bounded by
+    * calendar size regardless of fact volume (rq32's rule). */
+  def cumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val wd = Window.orderBy("day")
+    firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(wd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("long"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
 }

@@ -407,4 +407,53 @@ class PlanSpec extends AnyFunSuite {
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
       "per-query rank must partition on qid")
   }
+
+  // Occurrence COUNTS must see the final plan only: under AQE the tree
+  // string repeats every operator in its "== Initial Plan ==" tail.
+  private def finalPlan(df: DataFrame): String = {
+    val p = plan(df)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  test("rq69 sweep line: ONE user_id exchange serves both windows and both aggregates") {
+    val p = finalPlan(graft.ops.RelOps.intervalUnion(spark, sf))
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"not keyed on user_id:\n$p")
+  }
+
+  test("rq68 PIT join: facts side broadcasts the order keys, lineitem never key-shuffled") {
+    val p = plan(graft.ops.RelOps.pitJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"fact enrichment not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(l_orderkey"),
+      s"lineitem re-shuffled on its join key — version fan-out shape crept back:\n$p")
+  }
+
+  test("rq70 cumulative distinct: the only unpartitioned window runs over DAYS, not events") {
+    val p = finalPlan(graft.ops.RelOps.cumulativeDistinct(spark, sf))
+    val nWin = "Window".r.findAllIn(p).size
+    assert(nWin == 1, s"expected one window, got $nWin:\n$p")
+    // The running-sum window must consume the per-day aggregate (bounded
+    // by calendar size), never the raw event stream: an aggregation sits
+    // between the window and the scan.
+    val seg = p.substring(p.indexOf("Window"))
+    assert(seg.contains("HashAggregate"),
+      s"window consumes raw events, not the day aggregate:\n$p")
+  }
+
+  test("ml_covariance: one corpus scan into a single-partition sufficient-stats aggregate") {
+    val p = finalPlan(graft.functions.MlOps.covarianceMatrix(spark, sf))
+    val nScan = "Scan parquet".r.findAllIn(p).size
+    assert(nScan == 1, s"expected 1 scan, got $nScan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"covariance must not key-shuffle the corpus:\n$p")
+  }
+
+  test("ml_naive_bayes: per-class top-k uses WindowGroupLimit, totals join by broadcast") {
+    val p = plan(graft.functions.MlOps.naiveBayes(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tiny totals not broadcast:\n$p")
+  }
 }
