@@ -54,6 +54,8 @@ object SparkEntry {
     "s24_backfill" -> ((s, d) => graft.sources.FileFormats.backfillOverwrite(s, d)),
     // CHECK constraints: conforming merge lands, violator rejected atomically.
     "s25_tx_constraints" -> ((s, d) => GraphOps.txConstraints(s, d)),
+    // RESTORE: metadata-only rollback to v0; bad version stays travelable.
+    "s26_restore" -> ((s, d) => GraphOps.txRestore(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2426,6 +2428,17 @@ object SparkEntry {
          |FROM n
          |WHERE name IN ('Customer#000000002', 'Customer#000000003',
          |               'Customer#000000004')
+         |ORDER BY name""".stripMargin,
+    // s26: the restored head IS the base table (rollback semantics), so
+    // the oracle reads `customer` directly; v = 2 (create, bad merge,
+    // restore), and both physical certificates must come back true.
+    "s26_restore" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  CAST(2 AS BIGINT) AS v, true AS restore_metadata_only,
+         |  true AS bad_version_travelable
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
          |ORDER BY name""".stripMargin,
     // s24: final table = partial slice everywhere EXCEPT the corrected
     // day, which carries the full recompute — certifies the overwrite

@@ -477,6 +477,35 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF`): re-publish
+    * version `v`'s manifest — and its recorded schema — as a NEW head
+    * commit. Copy-on-write makes this METADATA-ONLY: no data file is
+    * copied or rewritten, the new manifest simply re-points every bucket
+    * at `v`'s still-present dirs, so rolling back a bad write on a 100 TB
+    * table costs one small file no matter how much the bad version
+    * touched. History is preserved — the bad versions remain
+    * time-travelable (and CDC-diffable) for forensics until `vacuum`
+    * retires them, and the restore itself is an auditable commit.
+    * Optimistic like every writer: losing a publish race re-reads the
+    * head and retries — restore is ABSOLUTE (the target stays `v`), so
+    * the retry needs no rebase. Fails fast if `v` was vacuumed. */
+  def restore(v: Long): Long = {
+    require(v >= 0 && v <= version, s"version $v not in [0, $version]")
+    require(Files.exists(logDir.resolve(f"v$v%08d.txt")),
+      s"version $v has been vacuumed")
+    val lines = manifest(v).toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+    val ddl = schemaAt(v).toDDL
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      if (publish(head + 1, lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${head + 1}%08d.ddl"), ddl)
+        committed = head + 1
+      }
+    }
+    committed
+  }
+
   /** Physical layout census for specs/monitoring: (commit dirs referenced,
     * data files) behind the CURRENT manifest. */
   def layoutStats(): (Int, Int) = {

@@ -464,6 +464,37 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** RESTORE demo — the rollback path end-to-end: create → a bad MERGE
+    * corrupts every name ending in '3' → `restore(0)` publishes v0's
+    * manifest as the new head. The snapshot slice hash-certifies the
+    * rollback semantically (the restored head equals the base table, so
+    * the oracle recomputes it straight from `customer`); two boolean
+    * certificates ride the hash channel: `restore_metadata_only` (every
+    * bucket's base pointer after restore is IDENTICAL to v0's — no data
+    * copied, the 100 TB property) and `bad_version_travelable` (the
+    * corrupted v1 still reconstructs for forensics — restore preserves
+    * history, unlike an overwrite). Write-path class like s12. */
+  def txRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s26").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.merge(base.filter(substring(col("name"), -1, 1) === "3")
+        .withColumn("house", lit("CORRUPT")))
+      val v = t.restore(0L)
+      val metadataOnly = t.dataPointers(v) == t.dataPointers(0L)
+      val badReadable = t.snapshotAt(1L)
+        .filter(col("house") === "CORRUPT").count() > 0
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(v).as("v"), lit(metadataOnly).as("restore_metadata_only"),
+          lit(badReadable).as("bad_version_travelable"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

@@ -317,6 +317,32 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable restore: metadata-only rollback, schema reverts, history stays travelable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_restore").toString
+    try {
+      val base = (0 until 20).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 8)
+      val v0 = base.toMap
+      // v1: widening bad write (new column + corrupted values).
+      t.merge(base.take(5).map { case (k, _) => (k, -1L, "oops") }.toDF("k", "v", "extra"))
+      val v1 = t.snapshot().as[(String, Long, String)].collect()
+      val r = t.restore(0L)
+      assert(r == 2L, "restore publishes a NEW head version")
+      // Rollback semantics: head == v0, including the reverted schema.
+      assert(t.snapshot().columns.toSeq == Seq("k", "v"), "schema reverts with the data")
+      assert(t.snapshot().as[(String, Long)].collect().toMap == v0, "head equals restored version")
+      // Metadata-only: every bucket re-points at v0's still-present dirs.
+      assert(t.dataPointers(r) == t.dataPointers(0L), "restore must not copy data")
+      // Forensics: the bad version still reconstructs exactly.
+      assert(t.snapshotAt(1L).as[(String, Long, String)].collect().sorted
+        .sameElements(v1.sorted), "bad version remains time-travelable")
+      // Restore composes with later writes: merge on the restored head.
+      t.merge(Seq("K00" -> 777L).toDF("k", "v"))
+      assert(t.snapshot().as[(String, Long)].collect().toMap == v0 + ("K00" -> 777L))
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable diff is a faithful changelog: applying diff(a,b) to version a yields version b") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_diff").toString
