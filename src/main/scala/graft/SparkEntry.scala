@@ -56,6 +56,10 @@ object SparkEntry {
     "s25_tx_constraints" -> ((s, d) => GraphOps.txConstraints(s, d)),
     // RESTORE: metadata-only rollback to v0; bad version stays travelable.
     "s26_restore" -> ((s, d) => GraphOps.txRestore(s, d)),
+    // Layout evolution: rebucket 4→16 via compact, then merge on the new layout.
+    "s27_rebucket" -> ((s, d) => GraphOps.txRebucket(s, d)),
+    // Keyed point read: k keys open at most k buckets, never the table.
+    "s28_point_lookup" -> ((s, d) => GraphOps.txPointLookup(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2439,6 +2443,28 @@ object SparkEntry {
          |  true AS bad_version_travelable
          |FROM n
          |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
+    // s27: final state is a pure function of the base (last-digit merges);
+    // v = 3 (create, merge, rebucket-compact, merge); the layout
+    // certificate must come back true.
+    "s27_rebucket" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%1' THEN 'MERGED1'
+         |       WHEN name LIKE '%2' THEN 'MERGED2'
+         |       ELSE house END AS house,
+         |  round(acctbal, 2) AS acctbal,
+         |  CAST(3 AS BIGINT) AS v, true AS rebucketed_16
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
+    // s28: the pruned lookup returns exactly the directly-selected rows.
+    "s28_point_lookup" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, round(acctbal, 2) AS acctbal, true AS pruned_read
+         |FROM n
+         |WHERE name IN ('Customer#000000002', 'Customer#000000007',
+         |               'Customer#000000013')
          |ORDER BY name""".stripMargin,
     // s24: final table = partial slice everywhere EXCEPT the corrected
     // day, which carries the full recompute — certifies the overwrite

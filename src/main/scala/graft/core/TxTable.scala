@@ -51,8 +51,26 @@ final class TxTable private (spark: SparkSession, dir: String,
   private val logDir = Paths.get(dir, "_log")
   private val dataDir = Paths.get(dir, "data")
 
-  private def bucketCol: org.apache.spark.sql.Column =
-    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets))
+  private def bucketColFor(n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(n))
+
+  /** The bucket count IN EFFECT at version `v` — the first manifest line
+    * (`#buckets=N`) records it per version, so the layout can EVOLVE (an
+    * Iceberg partition-spec-evolution analog: rebucket a table that
+    * outgrew its write-time count via `compact(newBuckets)`). Writers
+    * hash keys with the count of the version they rebase on — a writer
+    * racing a rebucket loses the publish, re-reads the head, and re-hashes
+    * under the NEW count, so no row can land in a stale layout. Manifests
+    * from before this header existed fall back to the open-time count. */
+  def bucketCountAt(v: Long): Int = {
+    val first = Files.readAllLines(logDir.resolve(f"v$v%08d.txt"),
+      StandardCharsets.UTF_8).asScala.headOption.getOrElse("")
+    if (first.startsWith("#buckets=")) first.stripPrefix("#buckets=").toInt
+    else numBuckets
+  }
+
+  /** Current-layout bucket count. */
+  def bucketCount: Int = bucketCountAt(version)
 
   /** List a directory's entry names, closing the stream (Files.list leaks
     * an FD per call otherwise — merge() in a streaming foreachBatch would
@@ -84,7 +102,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * `b<TAB>commit` (clean) or `b<TAB>commit<TAB>dv1,dv2` (DV'd). */
   private def manifest(v: Long): Map[Long, BucketRef] =
     Files.readAllLines(logDir.resolve(f"v$v%08d.txt"), StandardCharsets.UTF_8)
-      .asScala.filter(_.nonEmpty)
+      .asScala.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split('\t')
         val dvs = if (parts.length > 2 && parts(2).nonEmpty)
@@ -175,6 +193,31 @@ final class TxTable private (spark: SparkSession, dir: String,
     readBuckets(m, m.keySet, schemaAt(v))
   }
 
+  /** The bucket ids of the HEAD manifest a `lookup(keys)` must read —
+    * exact (hash, not min/max ranges), and the prune certificate the
+    * point-lookup entry carries through its hash channel. */
+  def lookupBuckets(keys: DataFrame): Set[Long] = {
+    val m = manifest(version)
+    keys.select(bucketColFor(bucketCountAt(version)).as("_b")).distinct()
+      .collect().map(_.getLong(0)).toSet.filter(m.contains)
+  }
+
+  /** Primary-key point read — the O(k) serving path a keyed table owes
+    * its users: each key tuple's hash names its bucket exactly, so a
+    * k-key probe opens AT MOST k bucket dirs of the head manifest (DVs
+    * applied), never scanning the table. At 100 TB this is the difference
+    * between a point query and a job: the bucket map is exact (no
+    * min/max-range false positives), and absent keys cost nothing beyond
+    * their hashed bucket. The same pruning serves every layout the table
+    * has evolved through, because the count is read from the manifest. */
+  def lookup(keys: DataFrame): DataFrame = {
+    val v = version
+    val probe = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val m = manifest(v)
+    readBuckets(m, lookupBuckets(probe), schemaAt(v))
+      .join(probe, keyCols, "left_semi")
+  }
+
   /** CHECK constraints (Delta's `ALTER TABLE ADD CONSTRAINT` shape):
     * named SQL predicates stored in the log (`checks.txt`, one
     * name<TAB>predicate line per constraint) and enforced ATOMICALLY at
@@ -238,19 +281,22 @@ final class TxTable private (spark: SparkSession, dir: String,
     listNames(dataDir.resolve(commit))
       .collect { case s if s.startsWith("_b=") => s.stripPrefix("_b=").toLong }
 
-  private def writeCommit(df: DataFrame): String = {
+  private def writeCommit(df: DataFrame, buckets: Int): String = {
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
-    df.withColumn("_b", bucketCol)
+    df.withColumn("_b", bucketColFor(buckets))
       .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
     commit
   }
 
-  /** Publish `lines` as version `v` — atomic create-exclusive via hard
-    * link, so exactly one writer can own a version number. */
-  private def publish(v: Long, lines: Seq[String]): Boolean = {
+  /** Publish `lines` as version `v` under layout `buckets` — atomic
+    * create-exclusive via hard link, so exactly one writer can own a
+    * version number. The `#buckets=` header travels with every manifest
+    * (see `bucketCountAt`). */
+  private def publish(v: Long, buckets: Int, lines: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, (s"#buckets=$buckets" +: lines).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(logDir.resolve(f"v$v%08d.txt"), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -302,18 +348,19 @@ final class TxTable private (spark: SparkSession, dir: String,
     while (committed < 0) {
       val v = version
       val m = manifest(v)
-      val touched = del.select(bucketCol.as("_b")).distinct()
+      val n = bucketCountAt(v)
+      val touched = del.select(bucketColFor(n).as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet
       // Keys hashing into buckets the table has no data for are no-ops.
       val affected = touched.filter(m.contains)
       if (affected.isEmpty) return v
       val dvName = s"dv-${UUID.randomUUID().toString.take(12)}"
-      del.withColumn("_b", bucketCol)
+      del.withColumn("_b", bucketColFor(n))
         .filter(col("_b").isin(affected.toSeq: _*))
         .write.partitionBy("_b").parquet(dataDir.resolve(dvName).toString)
       val next = m.map { case (b, r) =>
         if (affected.contains(b)) b -> BucketRef(r.data, r.dvs :+ dvName) else b -> r }
-      if (publish(v + 1, next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) })) {
+      if (publish(v + 1, n, next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) })) {
         // A DV delete never changes the logical schema.
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), schemaAt(v).toDDL)
         committed = v + 1
@@ -333,10 +380,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     while (committed < 0) {
       val v = version
       val m = manifest(v)
+      val n = bucketCountAt(v)
       val curSchema = schemaAt(v)
       // Exact bucket pruning: only buckets a source key hashes into are
-      // candidates. Bounded by numBuckets rows — driver-side by design.
-      val touched = keySource.select(bucketCol.as("_b")).distinct()
+      // candidates. Bounded by the bucket count — driver-side by design.
+      val touched = keySource.select(bucketColFor(n).as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet
       val present = touched.filter(m.contains)
       // Conform to the LOGICAL schema of version v (touched buckets may
@@ -348,12 +396,12 @@ final class TxTable private (spark: SparkSession, dir: String,
         else readBuckets(m, present, curSchema)
           .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
       val out = build(keep, curSchema)
-      val commit = writeCommit(out)
+      val commit = writeCommit(out, n)
       // Rewritten buckets come back CLEAN (their DVs were folded above).
       val next = (m -- touched) ++
         bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
       val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
-      if (publish(v + 1, lines)) {
+      if (publish(v + 1, n, lines)) {
         // Record this version's logical schema (evolution is widening-only;
         // a delete carries the current schema forward unchanged).
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), out.schema.toDDL)
@@ -455,21 +503,26 @@ final class TxTable private (spark: SparkSession, dir: String,
     * writer rebases on the new snapshot (compacting stale data would
     * silently drop the winner's rows otherwise). Old versions stay
     * readable for time travel until `vacuum` retires them. */
-  def compact(): Long = {
+  def compact(newBuckets: Int = 0): Long = {
     var committed = -1L
     while (committed < 0) {
       val v = version
       require(v >= 0, s"no committed version to compact at $dir")
       val m = manifest(v)
+      // Layout evolution rides the full rewrite: `newBuckets > 0` re-hashes
+      // every row under the new count and the published header flips the
+      // table's write-time layout — subsequent merges hash with it (and a
+      // merge racing this rebucket loses the publish, rebases, re-hashes).
+      val n = if (newBuckets > 0) newBuckets else bucketCountAt(v)
       val cur = schemaAt(v)
       // DV-applied read: compaction FOLDS deletion vectors — the output
       // manifest is all-clean.
       val rows = readBuckets(m, m.keySet, cur)
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
-      rows.withColumn("_b", bucketCol).repartition(col("_b"))
+      rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
         .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
       val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
-      if (publish(v + 1, lines)) {
+      if (publish(v + 1, n, lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
       } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
@@ -498,7 +551,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     var committed = -1L
     while (committed < 0) {
       val head = version
-      if (publish(head + 1, lines)) {
+      // The restored version's LAYOUT travels with its manifest too.
+      if (publish(head + 1, bucketCountAt(v), lines)) {
         Files.writeString(logDir.resolve(f"schema-v${head + 1}%08d.ddl"), ddl)
         committed = head + 1
       }
@@ -525,8 +579,9 @@ object TxTable {
              keyCols: Seq[String], numBuckets: Int = 16): TxTable = {
     val t = new TxTable(spark, dir, keyCols, numBuckets)
     require(t.version < 0, s"table already exists at $dir")
-    val commit = t.writeCommit(base)
-    require(t.publish(0L, t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),
+    val commit = t.writeCommit(base, numBuckets)
+    require(t.publish(0L, numBuckets,
+      t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),
       s"concurrent create at $dir")
     // Persist the schema so an all-rows-deleted version can still serve an
     // empty snapshot with correct columns.

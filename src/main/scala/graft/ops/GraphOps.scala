@@ -495,6 +495,61 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Bucket-layout evolution demo (Iceberg partition-spec evolution, for
+    * the hash-bucket layout): a table created 4-wide outgrows its layout,
+    * `compact(newBuckets = 16)` re-hashes every row under the new count
+    * and publishes it in the manifest header, and a SUBSEQUENT merge
+    * hashes with the evolved count — landing in the right buckets, which
+    * the final snapshot hash proves (a stale-layout write would strand
+    * rows in buckets reads would still find, but the property spec's
+    * pointer checks would catch; here the semantic state is the
+    * certificate). `rebucketed_16` rides the hash channel: the head
+    * manifest's recorded layout is the evolved one. Write-path class
+    * like s12. */
+  def txRebucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s27").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
+      t.merge(base.filter(substring(col("name"), -1, 1) === "1")
+        .withColumn("house", lit("MERGED1")))
+      t.compact(newBuckets = 16)
+      val v = t.merge(base.filter(substring(col("name"), -1, 1) === "2")
+        .withColumn("house", lit("MERGED2")))
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(v).as("v"), lit(t.bucketCount == 16).as("rebucketed_16"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  /** Point-lookup demo — the keyed serving path: three primary keys
+    * probed against the table read ONLY the buckets those keys hash into
+    * (`lookupBuckets` is the exact prune set; `pruned_read` certifies it
+    * stayed within 3 of the 16 buckets). The rows themselves hash-match
+    * the oracle's direct selection, so the pruned path provably returns
+    * the same answer as a full scan would. Write-path class like s12
+    * (the table is created per invocation; the LOOKUP itself is the
+    * measured O(k) read). */
+  def txPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s28").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      val keys = spark.createDataFrame(Seq(
+        Tuple1("Customer#000000002"), Tuple1("Customer#000000007"),
+        Tuple1("Customer#000000013"))).toDF("name")
+      val pruned = t.lookupBuckets(keys).size <= 3
+      t.lookup(keys)
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(pruned).as("pruned_read"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

@@ -95,7 +95,8 @@ class EtlSpec extends AnyFunSuite {
       // other bucket entry still references the v0 commit directory.
       val log = java.nio.file.Paths.get(dir, "_log")
       def dirsOf(v: String) = java.nio.file.Files.readAllLines(log.resolve(v)).toArray
-        .map(_.toString.split('\t')).map(a => a(0).toLong -> a(1)).toMap
+        .map(_.toString).filterNot(_.startsWith("#"))
+        .map(_.split('\t')).map(a => a(0).toLong -> a(1)).toMap
       val v0 = dirsOf("v00000000.txt"); val v1 = dirsOf("v00000001.txt")
       val repointed = v1.filter { case (b, c) => v0.get(b).exists(_ != c) }
       assert(repointed.size == 1, s"expected 1 rewritten bucket, got ${repointed.size}")

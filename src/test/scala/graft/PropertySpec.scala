@@ -271,7 +271,7 @@ class PropertySpec extends AnyFunSuite {
       val manifests = (0L to t.version).flatMap { v =>
         java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get(dir, "_log", f"v$v%08d.txt")).asScala
-          .filter(_.nonEmpty).map(_.split('\t')(1))
+          .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split('\t')(1))
       }.toSet
       val orphans = dataDirs -- manifests
       assert(orphans.contains("t-forcedloser0"))
@@ -340,6 +340,35 @@ class PropertySpec extends AnyFunSuite {
       // Restore composes with later writes: merge on the restored head.
       t.merge(Seq("K00" -> 777L).toDF("k", "v"))
       assert(t.snapshot().as[(String, Long)].collect().toMap == v0 + ("K00" -> 777L))
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable rebucket: layout evolves per manifest, writers follow, history replays") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_rebucket").toString
+    try {
+      val base = (0 until 40).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      t.merge(Seq("K05" -> 500L).toDF("k", "v"))                    // v1 under 4 buckets
+      val preRebucket = t.snapshot().as[(String, Long)].collect().toMap
+      val rv = t.compact(newBuckets = 16)                           // v2: layout 4 -> 16
+      assert(t.bucketCountAt(rv) == 16 && t.bucketCountAt(0L) == 4,
+        "each manifest records its own layout")
+      assert(t.snapshot().as[(String, Long)].collect().toMap == preRebucket,
+        "rebucket is layout-only")
+      // A merge AFTER the rebucket must hash under the NEW count: its key
+      // lands in a bucket id >= 4 only if the new layout is in effect, and
+      // the lookup path (which reads the count from the manifest) finds it.
+      t.merge(Seq("K05" -> 999L).toDF("k", "v"))                    // v3 under 16 buckets
+      val hit = t.lookup(Seq(Tuple1("K05")).toDF("k")).as[(String, Long)].collect()
+      assert(hit.toSeq == Seq("K05" -> 999L), "post-rebucket merge found by pruned lookup")
+      assert(t.lookupBuckets(Seq(Tuple1("K05")).toDF("k")).size == 1,
+        "single-key lookup reads one bucket")
+      // Pre-rebucket versions still replay under their own recorded layout.
+      assert(t.snapshotAt(1L).as[(String, Long)].collect().toMap == preRebucket,
+        "time travel across a layout change")
+      // Lookup misses cost nothing semantically: absent key, empty result.
+      assert(t.lookup(Seq(Tuple1("ZZ")).toDF("k")).isEmpty)
     } finally graft.core.TxTable.drop(dir)
   }
 
