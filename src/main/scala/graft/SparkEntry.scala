@@ -60,6 +60,8 @@ object SparkEntry {
     "s27_rebucket" -> ((s, d) => GraphOps.txRebucket(s, d)),
     // Keyed point read: k keys open at most k buckets, never the table.
     "s28_point_lookup" -> ((s, d) => GraphOps.txPointLookup(s, d)),
+    // Write-audit-publish: stage on a branch, audit, fast-forward to main.
+    "s29_wap" -> ((s, d) => GraphOps.txWap(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2465,6 +2467,18 @@ object SparkEntry {
          |FROM n
          |WHERE name IN ('Customer#000000002', 'Customer#000000007',
          |               'Customer#000000013')
+         |ORDER BY name""".stripMargin,
+    // s29: after publish, main = base with last-digit-3 names STAGED;
+    // v = 1 (the branch's commits collapse into one main version) and
+    // both WAP certificates must come back true.
+    "s29_wap" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%3' THEN 'STAGED' ELSE house END AS house,
+         |  round(acctbal, 2) AS acctbal,
+         |  CAST(1 AS BIGINT) AS v, true AS staged_invisible, true AS audited
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
          |ORDER BY name""".stripMargin,
     // s24: final table = partial slice everywhere EXCEPT the corrected
     // day, which carries the full recompute — certifies the overwrite

@@ -46,10 +46,13 @@ import scala.jdk.CollectionConverters._
   * you ask it to keep time travel for.
   */
 final class TxTable private (spark: SparkSession, dir: String,
-                             keyCols: Seq[String], numBuckets: Int) {
+                             keyCols: Seq[String], numBuckets: Int,
+                             logOverride: Path = null) {
 
-  private val logDir = Paths.get(dir, "_log")
+  private val logDir = if (logOverride != null) logOverride else Paths.get(dir, "_log")
   private val dataDir = Paths.get(dir, "data")
+  /** True for a branch handle (`branch(name)`): same data dir, own log. */
+  private val isBranch = logOverride != null
 
   private def bucketColFor(n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(n))
@@ -468,11 +471,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     * before the window expires. Returns the number of dirs removed. */
   def vacuum(retainMs: Long = 10 * 60 * 1000L,
              keepVersions: Int = Int.MaxValue): Int = {
+    require(!isBranch, "vacuum applies to the main table (shared data dir)")
     val head = version
     val floor = math.max(0L, head - math.max(1, keepVersions).toLong + 1)
-    // Deletion-vector dirs referenced by a retained manifest are live too.
+    // Deletion-vector dirs referenced by a retained manifest are live too,
+    // as is anything a live branch's manifests still reach.
     val live = (floor to head).flatMap(v => manifest(v).values)
-      .flatMap(r => r.data +: r.dvs).toSet
+      .flatMap(r => r.data +: r.dvs).toSet ++ branchLive
     val cutoff = System.currentTimeMillis() - retainMs
     val dead = listNames(dataDir).filter { name =>
       !live.contains(name) &&
@@ -558,6 +563,98 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
     }
     committed
+  }
+
+  /** BRANCH (Iceberg refs / Nessie): an isolated manifest chain under
+    * `_log/branches/<name>` that SHARES the table's data directory — so a
+    * branch write is the same O(touched buckets) copy-on-write commit,
+    * and creating a branch is metadata-only (its v0 re-points at the main
+    * head's dirs; zero data copied, at 100 TB as at 100 rows). The handle
+    * returned is a full TxTable: merge / delete / snapshot / diff / time
+    * travel all work on the branch, invisible to main readers until
+    * `fastForward` publishes it. This is the write-audit-publish (WAP)
+    * pattern: stage a batch on a branch, audit the branch snapshot, and
+    * only then make it the table — a failing audit costs `dropBranch`
+    * plus an eventual vacuum, and production readers never saw a row. */
+  def branch(name: String): TxTable = {
+    require(!isBranch, "cannot branch a branch")
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name '$name'")
+    val bLog = logDir.resolve("branches").resolve(name)
+    val b = new TxTable(spark, dir, keyCols, numBuckets, bLog)
+    if (b.version >= 0) return b // reattach to an existing branch
+    val v = version
+    require(v >= 0, "cannot branch an empty table")
+    Files.createDirectories(bLog)
+    Files.writeString(bLog.resolve("base.txt"), v.toString)
+    val lines = manifest(v).toSeq.sortBy(_._1).map { case (bk, r) => fmt(bk, r) }
+    require(b.publish(0L, bucketCountAt(v), lines), s"concurrent create of branch '$name'")
+    Files.writeString(bLog.resolve("schema.ddl"), schemaAt(v).toDDL)
+    Files.writeString(bLog.resolve("schema-v00000000.ddl"), schemaAt(v).toDDL)
+    // Branch writers enforce the same CHECK constraints as main.
+    val ck = logDir.resolve("checks.txt")
+    if (Files.exists(ck)) Files.copy(ck, bLog.resolve("checks.txt"))
+    b
+  }
+
+  /** The main version a branch was forked from. */
+  def branchBase(name: String): Long =
+    Files.readString(logDir.resolve("branches").resolve(name)
+      .resolve("base.txt")).trim.toLong
+
+  /** Publish branch `name`'s head as main's next version — the WAP
+    * "publish" step. Metadata-only and atomic: the new main manifest IS
+    * the branch head manifest (shared data dirs make re-pointing free),
+    * published through the same create-exclusive link every writer uses.
+    * Strictly FAST-FORWARD: if main advanced past the branch's base, the
+    * branch staged against a stale table and publishing would silently
+    * drop the interleaved main commits — it throws instead (re-branch and
+    * re-stage, the Iceberg fast-forward contract). Collapses any number
+    * of branch commits into ONE auditable main version. */
+  def fastForward(name: String): Long = {
+    require(!isBranch, "fastForward applies to the main table")
+    val bLog = logDir.resolve("branches").resolve(name)
+    require(Files.isDirectory(bLog), s"no branch '$name'")
+    val b = new TxTable(spark, dir, keyCols, numBuckets, bLog)
+    val base = branchBase(name)
+    val bv = b.version
+    val lines = b.manifest(bv).toSeq.sortBy(_._1).map { case (bk, r) => b.fmt(bk, r) }
+    val ddl = b.schemaAt(bv).toDDL
+    val n = b.bucketCountAt(bv)
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(head == base,
+        s"non-fast-forward: main advanced $base -> $head since branch '$name' forked")
+      if (publish(head + 1, n, lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${head + 1}%08d.ddl"), ddl)
+        committed = head + 1
+      }
+    }
+    committed
+  }
+
+  /** Delete a branch's log (its unpublished commits become vacuum-able). */
+  def dropBranch(name: String): Unit = {
+    require(!isBranch, "dropBranch applies to the main table")
+    TxTable.drop(logDir.resolve("branches").resolve(name).toString)
+  }
+
+  /** Commit dirs referenced by any live BRANCH manifest — reachable state
+    * `vacuum` must not reclaim even though no main manifest points at it. */
+  private def branchLive: Set[String] = {
+    val bs = logDir.resolve("branches")
+    if (!Files.isDirectory(bs)) Set.empty
+    else listNames(bs).flatMap { bn =>
+      val bl = bs.resolve(bn)
+      listNames(bl).collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        Files.readAllLines(bl.resolve(s), StandardCharsets.UTF_8).asScala
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { line =>
+            val p = line.split('\t')
+            p(1) +: (if (p.length > 2 && p(2).nonEmpty) p(2).split(',').toSeq else Nil)
+          }
+      }.flatten
+    }.toSet
   }
 
   /** Physical layout census for specs/monitoring: (commit dirs referenced,

@@ -550,6 +550,43 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
+    * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
+    * audited there, and only then fast-forwarded to main. Two certificates
+    * ride the hash channel: `staged_invisible` — main's snapshot had ZERO
+    * staged rows while the branch held them all (isolation), and
+    * `audited` — the branch-side audit query (no NULL houses, staged
+    * count == batch size) passed before publish. Branch creation and
+    * fast-forward are metadata-only (manifest re-points, shared data
+    * dirs), so at 100 TB the WAP cycle costs one copy-on-write batch
+    * write plus two small manifest files. Write-path class like s12. */
+  def txWap(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s29").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val batch = base.filter(substring(col("name"), -1, 1) === "3")
+        .withColumn("house", lit("STAGED"))
+      val b = t.branch("audit")
+      b.merge(batch)
+      // Audit: staged rows visible on the branch, invisible on main.
+      val nBatch = batch.count()
+      val stagedInvisible =
+        t.snapshot().filter(col("house") === "STAGED").count() == 0L &&
+          b.snapshot().filter(col("house") === "STAGED").count() == nBatch
+      val audited =
+        b.snapshot().filter(col("house").isNull).count() == 0L && nBatch > 0L
+      val v = if (audited) t.fastForward("audit") else sys.error("audit failed")
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(v).as("v"), lit(stagedInvisible).as("staged_invisible"),
+          lit(audited).as("audited"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

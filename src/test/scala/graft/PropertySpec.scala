@@ -372,6 +372,43 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable branches: isolation, fast-forward publish, vacuum safety, non-FF rejection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_branch").toString
+    try {
+      val base = (0 until 30).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      val b = t.branch("wap")
+      b.merge(Seq("K03" -> 300L, "ZZ" -> -1L).toDF("k", "v"))
+      b.merge(Seq("K07" -> 700L).toDF("k", "v"))
+      // Isolation: two branch commits, main head and snapshot untouched.
+      assert(t.version == 0L && b.version == 2L)
+      assert(t.snapshot().as[(String, Long)].collect().toMap == base.toMap)
+      // Vacuum on main must NOT reclaim branch-only commit dirs.
+      t.vacuum(retainMs = 0L)
+      assert(b.snapshot().filter($"k" === "K03").as[(String, Long)].head() == ("K03" -> 300L),
+        "branch state survives a main vacuum")
+      // Publish: branch commits collapse into ONE main version.
+      val v = t.fastForward("wap")
+      assert(v == 1L)
+      val after = t.snapshot().as[(String, Long)].collect().toMap
+      assert(after("K03") == 300L && after("K07") == 700L && after("ZZ") == -1L)
+      assert(t.snapshotAt(0L).as[(String, Long)].collect().toMap == base.toMap,
+        "pre-publish main state stays time-travelable")
+      // Non-fast-forward: a branch forked at v1, then main advances — the
+      // stale branch must be rejected, not silently drop main's commit.
+      val stale = t.branch("stale")
+      stale.merge(Seq("K09" -> 900L).toDF("k", "v"))
+      t.merge(Seq("K11" -> 1100L).toDF("k", "v")) // main moves to v2
+      val ex = intercept[IllegalArgumentException](t.fastForward("stale"))
+      assert(ex.getMessage.contains("non-fast-forward"))
+      // Dropping the branch makes its commits unreachable -> vacuumable.
+      t.dropBranch("stale")
+      assert(t.vacuum(retainMs = 0L) >= 1, "dropped branch's commits reclaimed")
+      assert(t.snapshot().as[(String, Long)].collect().toMap.apply("K11") == 1100L)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable diff is a faithful changelog: applying diff(a,b) to version a yields version b") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_diff").toString
