@@ -264,6 +264,8 @@ object SparkEntry {
     "rq69_interval_union" -> ((s, d) => RelOps.intervalUnion(s, d)),
     // Cumulative distinct users via first-seen day (no quadratic window).
     "rq70_cum_distinct" -> ((s, d) => RelOps.cumulativeDistinct(s, d)),
+    // Spatial radius self-join: grid cells + 3x3 probe, never all-pairs.
+    "rq71_geo_join" -> ((s, d) => RelOps.geoGridJoin(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2718,6 +2720,22 @@ object SparkEntry {
         |  CAST(sum(new_users) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM d ORDER BY day""".stripMargin,
+    // rq71: the oracle is the brute-force O(n²) radius join over the same
+    // integer-microdegree scatter — hash equality certifies the grid
+    // join's 3x3-neighborhood pruning loses no pair and invents none.
+    "rq71_geo_join" ->
+      """WITH pts AS (
+        |  SELECT c_name AS name,
+        |    (c_custkey * 2654435761) % 180000000 AS lat,
+        |    (c_custkey * 2246822519) % 360000000 AS lon
+        |  FROM customer)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST((a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+        |    AS BIGINT) AS dist2
+        |FROM pts a JOIN pts b ON a.name < b.name
+        |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+        |      <= 100000000000000
+        |ORDER BY name_a, name_b""".stripMargin,
     // ml_naive_bayes: Laplace-smoothed probabilities in exact integer ppm
     // ((n+1)·10⁶ // (total+V)) — no float channel; tokenization shared
     // with tx_vocab_topk.

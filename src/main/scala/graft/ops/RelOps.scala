@@ -1768,4 +1768,44 @@ object RelOps {
         col("new_users"), col("cum_users"))
       .orderBy("day")
   }
+
+  /** Spatial radius self-join via uniform grid bucketing — the geohash/S2
+    * cell pattern every geo engine uses, in exact integer microdegrees so
+    * the brute-force O(n²) oracle certifies the grid join found the
+    * IDENTICAL pair set. Points (deterministic per-key scatter; a real
+    * deployment reads lat/lon columns) land in square cells whose side
+    * equals the radius, so any qualifying pair is in the same or an
+    * adjacent cell: the probe side fans out to its 3×3 neighborhood (a
+    * 9× duplication of KEYS, not a cross join) and an equi-join on the
+    * cell id does the rest — the shuffle keys are cells, so at 100 TB
+    * the cost is Σ|cell|·|neighbor cells|, never |n|², and density skew
+    * (cities) is AQE-splittable because cells are hash-distributed. The
+    * final exact predicate is pure int64 arithmetic (no haversine —
+    * bit-identical across engines; the demo certifies the JOIN shape,
+    * not spherical trig). */
+  def geoGridJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = 10000000L // 10 degrees in microdegrees == the radius
+    val r2 = cell * cell
+    val pts = Tables.customer(spark, sfDir).select(
+      col("c_name").as("name"),
+      (col("c_custkey") * lit(2654435761L)) % lit(180000000L) as "lat",
+      (col("c_custkey") * lit(2246822519L)) % lit(360000000L) as "lon")
+    // Non-negative domain -> truncating DIV == floor division on both
+    // engines; one cell id per point on the build side.
+    val cells = pts
+      .withColumn("cx", expr(s"lon DIV $cell"))
+      .withColumn("cy", expr(s"lat DIV $cell"))
+    val probe = cells
+      .withColumn("dxy", explode(lit((for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield Array(dx.toLong, dy.toLong)).toArray)))
+      .select(col("name").as("name_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+        (col("cx") + col("dxy")(0)).as("jx"), (col("cy") + col("dxy")(1)).as("jy"))
+    val d2 = (col("lat_a") - col("lat")) * (col("lat_a") - col("lat")) +
+      (col("lon_a") - col("lon")) * (col("lon_a") - col("lon"))
+    probe.join(cells, col("jx") === col("cx") && col("jy") === col("cy") &&
+        col("name_a") < col("name"))
+      .filter(d2 <= r2)
+      .select(col("name_a"), col("name").as("name_b"), d2.cast("long").as("dist2"))
+      .orderBy("name_a", "name_b")
+  }
 }
