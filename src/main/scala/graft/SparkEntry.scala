@@ -62,6 +62,8 @@ object SparkEntry {
     "s28_point_lookup" -> ((s, d) => GraphOps.txPointLookup(s, d)),
     // Write-audit-publish: stage on a branch, audit, fast-forward to main.
     "s29_wap" -> ((s, d) => GraphOps.txWap(s, d)),
+    // DESCRIBE HISTORY: per-version op labels + row counts over 5 commits.
+    "s30_history" -> ((s, d) => GraphOps.txHistory(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2482,6 +2484,24 @@ object SparkEntry {
          |FROM n
          |WHERE name <= 'Customer#000000030'
          |ORDER BY name""".stripMargin,
+    // s30: every op label and per-version row count is derivable from the
+    // base table — the hash certifies the full create/merge/MoR-delete/
+    // compact/restore lifecycle in one row-set.
+    "s30_history" ->
+      s"""WITH $nodesCte,
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS all_n FROM n),
+         |d AS (SELECT CAST(count(*) AS BIGINT) AS del_n FROM n
+         |      WHERE name LIKE '%2')
+         |SELECT v.version, v.op,
+         |  CAST(8 AS INTEGER) AS n_buckets, CAST(3 AS INTEGER) AS n_cols,
+         |  CASE WHEN v.version IN (2, 3) THEN c.all_n - d.del_n
+         |       ELSE c.all_n END AS n_rows
+         |FROM (VALUES (CAST(0 AS BIGINT), 'create'), (CAST(1 AS BIGINT), 'merge'),
+         |             (CAST(2 AS BIGINT), 'delete-mor'),
+         |             (CAST(3 AS BIGINT), 'compact'),
+         |             (CAST(4 AS BIGINT), 'restore-v1')) AS v(version, op),
+         |     c, d
+         |ORDER BY v.version""".stripMargin,
     // s24: final table = partial slice everywhere EXCEPT the corrected
     // day, which carries the full recompute — certifies the overwrite
     // replaced exactly one partition.

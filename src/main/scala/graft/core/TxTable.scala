@@ -295,10 +295,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     * create-exclusive via hard link, so exactly one writer can own a
     * version number. The `#buckets=` header travels with every manifest
     * (see `bucketCountAt`). */
-  private def publish(v: Long, buckets: Int, lines: Seq[String]): Boolean = {
+  private def publish(v: Long, buckets: Int, op: String,
+                      lines: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, (s"#buckets=$buckets" +: lines).mkString("\n")
+    Files.write(tmp, (s"#buckets=$buckets" +: s"#op=$op" +: lines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(logDir.resolve(f"v$v%08d.txt"), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -312,7 +313,7 @@ final class TxTable private (spark: SparkSession, dir: String,
   def merge(updates: DataFrame): Long = {
     val upd = updates.dropDuplicates(keyCols).localCheckpoint()
     validate(upd) // CHECK constraints: reject BEFORE any write or publish.
-    rewriteTouched(upd) { (keep, cur) =>
+    rewriteTouched(upd, "merge") { (keep, cur) =>
       // Widening schema evolution: columns the updates carry that the
       // table lacks join the schema (existing rows read them as NULL);
       // a replaced row's absent columns become NULL — the whole-row
@@ -330,7 +331,7 @@ final class TxTable private (spark: SparkSession, dir: String,
   def delete(keys: DataFrame): Long = {
     val del = keys.select(keyCols.map(col): _*)
       .dropDuplicates(keyCols).localCheckpoint()
-    rewriteTouched(del)((keep, _) => keep)
+    rewriteTouched(del, "delete")((keep, _) => keep)
   }
 
   /** DELETE by key, merge-on-read — Iceberg-style EQUALITY DELETES: instead
@@ -363,7 +364,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         .write.partitionBy("_b").parquet(dataDir.resolve(dvName).toString)
       val next = m.map { case (b, r) =>
         if (affected.contains(b)) b -> BucketRef(r.data, r.dvs :+ dvName) else b -> r }
-      if (publish(v + 1, n, next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) })) {
+      if (publish(v + 1, n, "delete-mor",
+          next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) })) {
         // A DV delete never changes the logical schema.
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), schemaAt(v).toDDL)
         committed = v + 1
@@ -377,7 +379,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     * buckets `keySource` hashes into, anti-join the matched keys out of
     * those buckets' rows, let `build` shape the replacement rows, publish
     * — rebasing on a fresh snapshot if another writer commits first. */
-  private def rewriteTouched(keySource: DataFrame)
+  private def rewriteTouched(keySource: DataFrame, op: String)
       (build: (DataFrame, org.apache.spark.sql.types.StructType) => DataFrame): Long = {
     var committed = -1L
     while (committed < 0) {
@@ -404,7 +406,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val next = (m -- touched) ++
         bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
       val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
-      if (publish(v + 1, n, lines)) {
+      if (publish(v + 1, n, op, lines)) {
         // Record this version's logical schema (evolution is widening-only;
         // a delete carries the current schema forward unchanged).
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), out.schema.toDDL)
@@ -527,7 +529,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
         .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
       val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
-      if (publish(v + 1, n, lines)) {
+      val op = if (newBuckets > 0 && newBuckets != bucketCountAt(v)) "rebucket" else "compact"
+      if (publish(v + 1, n, op, lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
       } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
@@ -557,7 +560,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     while (committed < 0) {
       val head = version
       // The restored version's LAYOUT travels with its manifest too.
-      if (publish(head + 1, bucketCountAt(v), lines)) {
+      if (publish(head + 1, bucketCountAt(v), s"restore-v$v", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${head + 1}%08d.ddl"), ddl)
         committed = head + 1
       }
@@ -587,7 +590,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     Files.createDirectories(bLog)
     Files.writeString(bLog.resolve("base.txt"), v.toString)
     val lines = manifest(v).toSeq.sortBy(_._1).map { case (bk, r) => fmt(bk, r) }
-    require(b.publish(0L, bucketCountAt(v), lines), s"concurrent create of branch '$name'")
+    require(b.publish(0L, bucketCountAt(v), "branch", lines),
+      s"concurrent create of branch '$name'")
     Files.writeString(bLog.resolve("schema.ddl"), schemaAt(v).toDDL)
     Files.writeString(bLog.resolve("schema-v00000000.ddl"), schemaAt(v).toDDL)
     // Branch writers enforce the same CHECK constraints as main.
@@ -625,7 +629,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val head = version
       require(head == base,
         s"non-fast-forward: main advanced $base -> $head since branch '$name' forked")
-      if (publish(head + 1, n, lines)) {
+      if (publish(head + 1, n, s"publish-$name", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${head + 1}%08d.ddl"), ddl)
         committed = head + 1
       }
@@ -657,6 +661,36 @@ final class TxTable private (spark: SparkSession, dir: String,
     }.toSet
   }
 
+  /** The operation that produced version `v` (`#op=` manifest header);
+    * manifests from before the header existed read as "unknown". */
+  def opAt(v: Long): String =
+    Files.readAllLines(logDir.resolve(f"v$v%08d.txt"), StandardCharsets.UTF_8)
+      .asScala.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
+      .getOrElse("unknown")
+
+  /** DESCRIBE HISTORY (Delta's audit surface): one row per still-retained
+    * version — the operation that produced it, the layout in effect, how
+    * many manifest entries it changed, and the column count of its
+    * recorded schema. Pure log metadata: the whole history of a 100 TB
+    * table reads a handful of small manifest files, no data. Vacuumed
+    * versions drop out (their manifests are gone), matching time travel's
+    * availability exactly. */
+  def history(): DataFrame = {
+    val rows = (0L to version)
+      .filter(v => Files.exists(logDir.resolve(f"v$v%08d.txt")))
+      .map { v =>
+        val m = manifest(v)
+        val prev: Map[Long, BucketRef] =
+          if (v == 0 || !Files.exists(logDir.resolve(f"v${v - 1}%08d.txt")))
+            Map.empty
+          else manifest(v - 1)
+        val changed = (m.keySet ++ prev.keySet).count(b => m.get(b) != prev.get(b))
+        (v, opAt(v), bucketCountAt(v), changed.toLong, schemaAt(v).fields.length)
+      }
+    spark.createDataFrame(rows)
+      .toDF("version", "op", "n_buckets", "buckets_changed", "n_cols")
+  }
+
   /** Physical layout census for specs/monitoring: (commit dirs referenced,
     * data files) behind the CURRENT manifest. */
   def layoutStats(): (Int, Int) = {
@@ -677,7 +711,7 @@ object TxTable {
     val t = new TxTable(spark, dir, keyCols, numBuckets)
     require(t.version < 0, s"table already exists at $dir")
     val commit = t.writeCommit(base, numBuckets)
-    require(t.publish(0L, numBuckets,
+    require(t.publish(0L, numBuckets, "create",
       t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),
       s"concurrent create at $dir")
     // Persist the schema so an all-rows-deleted version can still serve an

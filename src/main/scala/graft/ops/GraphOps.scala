@@ -587,6 +587,39 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** DESCRIBE HISTORY demo — the audit surface over a five-commit life:
+    * create → merge → merge-on-read delete → compact → restore. Each
+    * version's row reports the `#op=` label its manifest recorded, the
+    * layout in effect, the schema width, and the version's visible row
+    * count (a `snapshotAt` per version — bounded by history length, and
+    * each is a manifest-pruned read). The oracle derives every row count
+    * from the base table, so the hash certifies the whole lifecycle:
+    * the MoR delete really removed the keys, compact preserved state
+    * exactly, and restore brought the pre-delete rows back. Write-path
+    * class like s12. */
+  def txHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s30").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.merge(base.filter(substring(col("name"), -1, 1) === "1")
+        .withColumn("house", lit("MERGED1")))
+      t.deleteMergeOnRead(base.filter(substring(col("name"), -1, 1) === "2"))
+      t.compact()
+      t.restore(1L)
+      val hist = t.history()
+        .select("version", "op", "n_buckets", "n_cols")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      val rows = hist.toSeq.map { case (v, op, nb, nc) =>
+        (v, op, nb, nc, t.snapshotAt(v).count())
+      }
+      spark.createDataFrame(rows)
+        .toDF("version", "op", "n_buckets", "n_cols", "n_rows")
+        .orderBy("version")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so
