@@ -268,6 +268,8 @@ object SparkEntry {
     "rq70_cum_distinct" -> ((s, d) => RelOps.cumulativeDistinct(s, d)),
     // Spatial radius self-join: grid cells + 3x3 probe, never all-pairs.
     "rq71_geo_join" -> ((s, d) => RelOps.geoGridJoin(s, d)),
+    // Exact p50/p90/p99 via bounded histogram + in-bucket residual select.
+    "rq72_exact_kth" -> ((s, d) => RelOps.exactKth(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2756,6 +2758,22 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq72: the oracle is the rank definition itself — row_number over the
+    // sorted column, picked at k = ceil(q·n) — so the hash certifies the
+    // histogram-selection path returns the EXACT order statistic.
+    "rq72_exact_kth" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |n AS (SELECT count(*) AS c FROM v),
+        |ks AS (
+        |  SELECT 'p50' AS stat, (c + 1) // 2 AS k FROM n
+        |  UNION ALL SELECT 'p90', (9 * c + 9) // 10 FROM n
+        |  UNION ALL SELECT 'p99', (99 * c + 99) // 100 FROM n)
+        |SELECT ks.stat, CAST(ks.k AS BIGINT) AS k, r.v AS value
+        |FROM ks JOIN r ON r.rn = ks.k
+        |ORDER BY ks.stat""".stripMargin,
     // ml_naive_bayes: Laplace-smoothed probabilities in exact integer ppm
     // ((n+1)·10⁶ // (total+V)) — no float channel; tokenization shared
     // with tx_vocab_topk.

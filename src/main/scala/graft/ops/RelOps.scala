@@ -1769,6 +1769,47 @@ object RelOps {
       .orderBy("day")
   }
 
+  /** EXACT order statistics without a global sort — the two-pass
+    * histogram-selection algorithm for 100 TB percentiles: pass 1 is ONE
+    * map-side-combinable aggregate building a bounded value histogram
+    * (≤64k buckets regardless of data size — driver state is fixed, never
+    * O(n)); the cumulative histogram pins each target rank to one bucket,
+    * and pass 2 selects the residual rank inside only that bucket's rows
+    * (a value-range filter every columnar scan can push down, then a
+    * top-j over ~n/64k rows). Contrast: `percentile()` sorts the whole
+    * column per group, approx sketches (rq19) trade exactness. The
+    * hash-match against the oracle's row_number definition certifies
+    * EXACT p50/p90/p99 on l_extendedprice cents, ties included. */
+  def exactKth(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, sfDir)
+      .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
+    val Array(bounds) = vals.agg(count(lit(1)).as("n"),
+      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
+    val (n, lo, hi) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val width = math.max(1L, (hi - lo) / 65536L + 1L)
+    // Bounded histogram: one shuffle of ≤64k partial-agg rows.
+    val hist = vals.groupBy(expr(s"(v - $lo) DIV $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
+    val targets = Seq(("p50", (n + 1) / 2), ("p90", (9 * n + 9) / 10),
+      ("p99", (99 * n + 99) / 100))
+    val rows = targets.map { case (stat, k) =>
+      // The bucket whose cumulative count first reaches rank k, and the
+      // count strictly below it — pure driver arithmetic on ≤64k pairs.
+      val i = cum.indexWhere(_._2 >= k)
+      val (bucket, _) = cum(i)
+      val below = if (i == 0) 0L else cum(i - 1)._2
+      val j = (k - below).toInt
+      val value = vals
+        .filter(col("v") >= lit(lo + bucket * width) &&
+          col("v") < lit(lo + (bucket + 1) * width))
+        .orderBy("v").limit(j).agg(max(col("v"))).head().getLong(0)
+      (stat, k, value)
+    }
+    spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
+  }
+
   /** Spatial radius self-join via uniform grid bucketing — the geohash/S2
     * cell pattern every geo engine uses, in exact integer microdegrees so
     * the brute-force O(n²) oracle certifies the grid join found the
