@@ -64,6 +64,8 @@ object SparkEntry {
     "s29_wap" -> ((s, d) => GraphOps.txWap(s, d)),
     // DESCRIBE HISTORY: per-version op labels + row counts over 5 commits.
     "s30_history" -> ((s, d) => GraphOps.txHistory(s, d)),
+    // Catalog-level multi-table atomic commit: no torn cross-table reads.
+    "s31_catalog_txn" -> ((s, d) => GraphOps.catalogTxn(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2504,6 +2506,20 @@ object SparkEntry {
          |             (CAST(4 AS BIGINT), 'restore-v1')) AS v(version, op),
          |     c, d
          |ORDER BY v.version""".stripMargin,
+    // s31: final cross-table state is pure function of the base (last-
+    // digit-4 names credited 1000 and audited); cat_v = 1 and both
+    // atomicity certificates must come back true.
+    "s31_catalog_txn" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CAST(CASE WHEN name LIKE '%4' THEN acctbal + 1000 ELSE acctbal END
+         |       AS DECIMAL(18,2)) AS acctbal,
+         |  CASE WHEN name LIKE '%4' THEN 'TRANSFERRED' ELSE house END AS house,
+         |  CAST(1 AS BIGINT) AS cat_v,
+         |  true AS no_torn_read, true AS consistent_new
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
     // s24: final table = partial slice everywhere EXCEPT the corrected
     // day, which carries the full recompute — certifies the overwrite
     // replaced exactly one partition.

@@ -620,6 +620,56 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Multi-table atomic transaction demo — a "transfer" that must touch
+    * two tables (balances += 1000, audit marks TRANSFERRED) lands as ONE
+    * catalog commit. Certificates riding the hash channel: `no_torn_read`
+    * — after BOTH table logs had already committed their new versions, a
+    * reader resolving through the still-current catalog version saw the
+    * OLD state of BOTH tables (the interleaving where single-table
+    * atomicity shows a torn half-transfer is exactly what the catalog
+    * closes); `consistent_new` — through the new catalog version, the set
+    * of credited names equals the set of audited names. Write-path class
+    * like s12. */
+  def catalogTxn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s31").toString
+    try {
+      val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
+      val bal = graft.core.TxTable.create(spark, dir + "/bal",
+        base.select("name", "acctbal"), Seq("name"), numBuckets = 8)
+      val aud = graft.core.TxTable.create(spark, dir + "/aud",
+        base.select("name", "house"), Seq("name"), numBuckets = 8)
+      val cat = graft.core.TxCatalog.create(spark, dir,
+        Map("bal" -> 0L, "aud" -> 0L))
+      val who = base.filter(substring(col("name"), -1, 1) === "4")
+      // The transaction: both tables commit locally first...
+      val vA = bal.merge(who.select(col("name"),
+        (col("acctbal") + lit(1000)).as("acctbal")))
+      val vB = aud.merge(who.select(col("name"),
+        lit("TRANSFERRED").as("house")))
+      // ...and the catalog still serves the OLD world of both.
+      val pre = cat.refsHead
+      val noTorn =
+        bal.snapshotAt(pre("bal"))
+          .exceptAll(base.select("name", "acctbal")).count() == 0L &&
+          aud.snapshotAt(pre("aud")).filter(col("house") === "TRANSFERRED").count() == 0L
+      val cv = cat.commit(Map("bal" -> vA, "aud" -> vB))
+      val post = cat.refs(cv)
+      val b = bal.snapshotAt(post("bal"))
+      val a = aud.snapshotAt(post("aud"))
+      val consistent = a.filter(col("house") === "TRANSFERRED").select("name")
+        .exceptAll(who.select("name")).count() == 0L &&
+        who.select("name").exceptAll(
+          a.filter(col("house") === "TRANSFERRED").select("name")).count() == 0L
+      b.join(a, "name")
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("acctbal").cast("decimal(18,2)").as("acctbal"),
+          col("house"), lit(cv).as("cat_v"),
+          lit(noTorn).as("no_torn_read"), lit(consistent).as("consistent_new"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

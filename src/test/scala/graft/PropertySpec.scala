@@ -409,6 +409,35 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxCatalog: cross-table atomicity, disjoint-race merge, same-table conflict") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    try {
+      val a = graft.core.TxTable.create(spark, dir + "/a",
+        Seq("K1" -> 1L).toDF("k", "v"), Seq("k"), numBuckets = 2)
+      val b = graft.core.TxTable.create(spark, dir + "/b",
+        Seq("K1" -> 10L).toDF("k", "v"), Seq("k"), numBuckets = 2)
+      val cat = graft.core.TxCatalog.create(spark, dir, Map("a" -> 0L, "b" -> 0L))
+      // Table logs advance; catalog still pins the old consistent pair.
+      val va = a.merge(Seq("K1" -> 2L).toDF("k", "v"))
+      val vb = b.merge(Seq("K1" -> 20L).toDF("k", "v"))
+      val pre = cat.refsHead
+      assert(a.snapshotAt(pre("a")).as[(String, Long)].head() == ("K1" -> 1L))
+      assert(b.snapshotAt(pre("b")).as[(String, Long)].head() == ("K1" -> 10L))
+      val cv = cat.commit(Map("a" -> va, "b" -> vb))
+      assert(cat.refs(cv) == Map("a" -> va, "b" -> vb))
+      // Disjoint-table committers built against the same head both land.
+      assert(cat.commit(Map("a" -> 2L)) == cv + 1)
+      // A committer whose READ SET is stale — it staged against a=va but
+      // the ref has since moved to 2 — must be refused, not overwrite.
+      val exp = intercept[IllegalArgumentException](
+        cat.commit(Map("a" -> 9L), expect = Map("a" -> va)))
+      assert(exp.getMessage.contains("conflict"))
+      // And a current read set commits fine after re-staging.
+      assert(cat.commit(Map("a" -> 3L), expect = Map("a" -> 2L)) == cv + 2)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable diff is a faithful changelog: applying diff(a,b) to version a yields version b") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_diff").toString
