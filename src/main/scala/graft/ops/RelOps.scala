@@ -1801,13 +1801,28 @@ object RelOps {
       val (bucket, _) = cum(i)
       val below = if (i == 0) 0L else cum(i - 1)._2
       val j = (k - below).toInt
-      val value = vals
-        .filter(col("v") >= lit(lo + bucket * width) &&
-          col("v") < lit(lo + (bucket + 1) * width))
-        .orderBy("v").limit(j).agg(max(col("v"))).head().getLong(0)
+      val value = kthProbe(spark, sfDir,
+        lo + bucket * width, lo + (bucket + 1) * width, j).head().getLong(0)
       (stat, k, value)
     }
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
+  }
+
+  /** The pass-2 residual selection of `exactKth`: the j-th smallest value
+    * within one histogram bucket's range. The range filter is phrased on
+    * the RAW decimal column — `price*100 ∈ [lo,hi)` iff
+    * `price ∈ [lo/100, hi/100)` exactly — so it reaches the parquet
+    * reader as a min/max-prunable PushedFilter instead of dying on the
+    * derived cents column; the selection itself is a bounded top-j
+    * (TakeOrderedAndProject). PlanSpec pins both properties. */
+  private[graft] def kthProbe(spark: SparkSession, sfDir: String,
+                              loCents: Long, hiCents: Long, j: Int): DataFrame = {
+    val lo = java.math.BigDecimal.valueOf(loCents).movePointLeft(2)
+    val hi = java.math.BigDecimal.valueOf(hiCents).movePointLeft(2)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_extendedprice") >= lit(lo) && col("l_extendedprice") < lit(hi))
+      .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
+      .orderBy("v").limit(j).agg(max(col("v")))
   }
 
   /** Spatial radius self-join via uniform grid bucketing — the geohash/S2

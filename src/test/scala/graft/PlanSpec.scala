@@ -442,6 +442,24 @@ class PlanSpec extends AnyFunSuite {
       s"window consumes raw events, not the day aggregate:\n$p")
   }
 
+  test("rq71 geo join: cell-key equi-join, no cartesian product, no broadcast NLJ") {
+    val p = finalPlan(graft.ops.RelOps.geoGridJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated to all-pairs:\n$p")
+    // The join must key on the cell ids (jx/jy against cx/cy), so cells —
+    // not point pairs — are the shuffle unit.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on cell keys:\n$p")
+  }
+
+  test("rq72 exact k-th: bucket probe is a bounded top-j over a pushed range filter") {
+    val p = finalPlan(graft.ops.RelOps.kthProbe(spark, sf, 100000L, 200000L, 7))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"residual select not a bounded top-j:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_extendedprice"),
+      s"range filter did not reach the parquet scan:\n$p")
+  }
+
   test("ml_covariance: one corpus scan into a single-partition sufficient-stats aggregate") {
     val p = finalPlan(graft.functions.MlOps.covarianceMatrix(spark, sf))
     val nScan = "Scan parquet".r.findAllIn(p).size
