@@ -295,6 +295,8 @@ object SparkEntry {
     "gx_shortest_paths" -> ((s, d) => GraphAnalytics.shortestHops(s, d)),
     "gx_kcore" -> ((s, d) => GraphAnalytics.kCore(s, d)),
     "gx_lpa" -> ((s, d) => GraphAnalytics.labelPropagation(s, d)),
+    // SCC vs WCC on a directed ring-and-bridge graph: direction matters.
+    "gx_scc" -> ((s, d) => GraphAnalytics.stronglyConnected(s, d)),
     // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
@@ -1467,6 +1469,17 @@ object SparkEntry {
          |FROM s WHERE c - 1 >= 10 ORDER BY nid""".stripMargin,
     // gx_lpa: sync LPA with (count DESC, label ASC) tie-break provably
     // converges to each house-clique's MIN nid — the closed form.
+    // gx_scc: closed form — per-family directed rings are the SCCs (min
+    // nid of the family), one-way bridges make the WHOLE graph one weak
+    // component (global min). The hash certifies SCC refused the bridges.
+    "gx_scc" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT nid, nid % ${graft.core.Graph.FamilyMod} AS fam
+         |      FROM n WHERE nid < 100),
+         |m AS (SELECT fam, CAST(min(nid) AS BIGINT) AS scc FROM b GROUP BY 1),
+         |g AS (SELECT CAST(min(nid) AS BIGINT) AS wcc FROM b)
+         |SELECT CAST(nid AS BIGINT) AS nid, m.scc, g.wcc
+         |FROM b JOIN m USING (fam) CROSS JOIN g ORDER BY nid""".stripMargin,
     "gx_lpa" ->
       s"""WITH $nodesCte,
          |s AS (SELECT house, min(nid) AS lbl FROM n WHERE nid < 300

@@ -302,4 +302,104 @@ object GraphAnalytics {
     g.unpersist(blocking = false)
     out
   }
+
+  /** Strongly connected components vs weakly connected, on a graph where
+    * DIRECTION is load-bearing: each family's members form a directed
+    * RING (successor-by-nid, wrapping), and ONE-WAY bridges fan out from
+    * family 0's minimum to every other family's minimum. Undirected
+    * reachability collapses everything into one component; strong
+    * connectivity must refuse to cross the one-way bridges and keep each
+    * ring its own SCC — the closed form the oracle states (scc = min nid
+    * of the family, wcc = global min). The star fan-out (rather than a
+    * min-to-min chain) keeps every ring's forward color its own root, so
+    * GraphX's SCC coloring finalizes ALL rings in one outer iteration —
+    * a chain finalizes one ring per iteration, its topological depth.
+    * Bounded subgraph: constant work at any sf, the gx_* rule. */
+  def stronglyConnected(spark: SparkSession, sfDir: String,
+                        maxNid: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Graph.nodes(spark, sfDir).filter(col("nid") < maxNid)
+      .select(col("nid").cast("long").as("nid"),
+        (col("nid") % lit(Graph.FamilyMod)).cast("long").as("fam"))
+    val w = Window.partitionBy("fam").orderBy("nid")
+    val ring = n.withColumn("nxt", lead(col("nid"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("nid").as("src"), col("nxt").as("dst"))
+    val ends = n.groupBy("fam").agg(min("nid").as("mn"), max("nid").as("mx"))
+    val wrap = ends.select(col("mx").as("src"), col("mn").as("dst"))
+    val hub = ends.filter(col("fam") === 0).select(col("mn").as("hub"))
+    val bridges = ends.filter(col("fam") =!= 0).crossJoin(broadcast(hub))
+      .select(col("hub").as("src"), col("mn").as("dst"))
+    val edges = ring.unionByName(wrap).unionByName(bridges)
+      .rdd.coalesce(2).map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val g = XGraph.fromEdges(edges, defaultValue = 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK).cache()
+    val scc = fwBwScc(g)
+    val wcc = g.connectedComponents().vertices
+    val out = spark.createDataFrame(
+        scc.join(wcc).map { case (v, (s, c)) => (v, s, c) })
+      .toDF("nid", "scc", "wcc").orderBy("nid")
+      .localCheckpoint()
+    g.unpersist(blocking = false)
+    out
+  }
+
+  /** Forward-backward SCC (the FW-BW algorithm, Pregel-ized): per round,
+    * (1) flood the minimum reachable-FROM id forward to a fixpoint —
+    * every vertex gets the id of the smallest unfinished vertex that
+    * reaches it (its COLOR); (2) flood a reached-the-root flag backward
+    * along SAME-COLOR edges only — a vertex that both carries color c
+    * and reaches c through c-colored vertices is in c's SCC, exactly the
+    * forward∩backward reachability definition. Finalized vertices drop
+    * out; remaining vertices re-round. Why not GraphX's built-in: same
+    * math, but its per-iteration `subgraph()` materializations cost ~10 s
+    * on even this bounded graph; two plain Pregel fixpoints per round
+    * cost well under a second, and round count = SCC-condensation depth
+    * measured in color collisions (1 for the star construction, pinned by
+    * the spec on chains too). At 100 TB the same trade holds: supersteps
+    * are diameter-bounded, state is one (color, flag, done) triple per
+    * vertex. */
+  private[graft] def fwBwScc(g0: XGraph[Int, Int],
+                             maxRounds: Int = 50): org.apache.spark.rdd.RDD[(VertexId, Long)] = {
+    // state: (color, inScc, done, sccId)
+    var work = g0.mapVertices((_, _) => (Long.MaxValue, false, false, -1L)).cache()
+    var remaining = work.vertices.filter(!_._2._3).count()
+    var rounds = 0
+    while (remaining > 0 && rounds < maxRounds) {
+      // (1) forward min-color flood among unfinished vertices.
+      val colored = work.pregel(Long.MaxValue,
+          activeDirection = org.apache.spark.graphx.EdgeDirection.Out)(
+        (id, st, msg) =>
+          if (st._3) st else (math.min(math.min(st._1, id), msg), st._2, st._3, st._4),
+        t => if (t.srcAttr._3 || t.dstAttr._3) Iterator.empty
+             else if (t.srcAttr._1 < t.dstAttr._1) Iterator((t.dstId, t.srcAttr._1))
+             else Iterator.empty,
+        (a, b) => math.min(a, b)).cache()
+      // (2) backward reach-the-root flood along same-color edges: roots
+      // seed themselves; the flag crosses an edge only if both endpoints
+      // share the color.
+      val marked = colored.mapVertices((id, st) =>
+          if (!st._3 && st._1 == id) (st._1, true, st._3, st._4) else st)
+        .pregel(false,
+          activeDirection = org.apache.spark.graphx.EdgeDirection.In)(
+        (_, st, msg) => if (st._3) st else (st._1, st._2 || msg, st._3, st._4),
+        t => if (!t.srcAttr._3 && !t.dstAttr._3 &&
+                 t.srcAttr._1 == t.dstAttr._1 && t.dstAttr._2 && !t.srcAttr._2)
+               Iterator((t.srcId, true))
+             else Iterator.empty,
+        (a, b) => a || b).cache()
+      // Finalize: in-SCC vertices take their color as scc id; survivors
+      // reset their color for the next round.
+      work = marked.mapVertices { (_, st) =>
+        if (st._3) st
+        else if (st._2) (st._1, false, true, st._1)
+        else (Long.MaxValue, false, false, -1L)
+      }.cache()
+      remaining = work.vertices.filter(!_._2._3).count()
+      rounds += 1
+    }
+    require(remaining == 0, s"SCC did not converge in $maxRounds rounds")
+    work.vertices.mapValues(_._4)
+  }
 }

@@ -115,4 +115,23 @@ class GraphSpec extends AnyFunSuite {
       assert(a(nid) == minByHouse(h), s"nid $nid: ${a(nid)} != min of $h")
     }
   }
+
+  test("fwBwScc handles chain-bridged cycles (multi-round) and DAG singletons") {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    // Two 3-cycles bridged ONE-WAY (1→2→3→1) →(bridge 1→4)→ (4→5→6→4),
+    // plus a dangling DAG tail 6→7→8. Forward coloring floods color 1
+    // over everything, so round 1 finalizes only {1,2,3}; the second
+    // cycle needs round 2 — the convergence path the star construction
+    // of gx_scc deliberately avoids, pinned here. 7 and 8 are singleton
+    // SCCs (no cycle), which backward marking must NOT absorb into 4's.
+    val edges = spark.sparkContext.parallelize(Seq(
+      Edge(1L, 2L, 1), Edge(2L, 3L, 1), Edge(3L, 1L, 1),
+      Edge(1L, 4L, 1),
+      Edge(4L, 5L, 1), Edge(5L, 6L, 1), Edge(6L, 4L, 1),
+      Edge(6L, 7L, 1), Edge(7L, 8L, 1)))
+    val g = XGraph.fromEdges(edges, defaultValue = 0)
+    val scc = graft.plans.GraphAnalytics.fwBwScc(g).collect().toMap
+    assert(scc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L), s"got $scc")
+  }
 }
