@@ -272,6 +272,8 @@ object SparkEntry {
     "rq71_geo_join" -> ((s, d) => RelOps.geoGridJoin(s, d)),
     // Exact p50/p90/p99 via bounded histogram + in-bucket residual select.
     "rq72_exact_kth" -> ((s, d) => RelOps.exactKth(s, d)),
+    // KMV sketch intersection: day-pair overlap from k-min hash summaries.
+    "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2803,6 +2805,39 @@ object SparkEntry {
         |SELECT ks.stat, CAST(ks.k AS BIGINT) AS k, r.v AS value
         |FROM ks JOIN r ON r.rn = ks.k
         |ORDER BY ks.stat""".stripMargin,
+    // rq73: the oracle replays the KMV algorithm verbatim (k-min md5
+    // order statistics, union re-sketch, integer Jaccard scaling), so the
+    // hash certifies the estimate AND the exact intersection it tracks.
+    "rq73_kmv_jaccard" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |h AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+        |sk AS (SELECT day, h FROM (
+        |  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |  FROM h) WHERE rn <= 64),
+        |days AS (SELECT DISTINCT day FROM du),
+        |pair AS (SELECT d1.day AS day, d2.day AS day2
+        |  FROM days d1 JOIN days d2 ON d1.day + 1 = d2.day),
+        |sides AS (SELECT day, day AS sday FROM pair
+        |  UNION ALL SELECT day, day2 FROM pair),
+        |comb AS (SELECT s.day, k.h,
+        |    max(CASE WHEN k.day = s.day THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN k.day <> s.day THEN 1 ELSE 0 END) AS in_b
+        |  FROM sides s JOIN sk k ON k.day = s.sday GROUP BY 1, 2),
+        |kmin AS (SELECT * FROM (
+        |  SELECT day, in_a, in_b, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |  FROM comb) WHERE rn <= 64),
+        |c AS (SELECT day, CAST(sum(in_a * in_b) AS BIGINT) AS c FROM kmin GROUP BY 1),
+        |u AS (SELECT s.day, count(DISTINCT d.user_id) AS u
+        |  FROM sides s JOIN du d ON d.day = s.sday GROUP BY 1),
+        |x AS (SELECT a.day, CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM du a JOIN du b ON b.day = a.day + 1 AND b.user_id = a.user_id
+        |  GROUP BY 1)
+        |SELECT strftime(c.day, '%Y-%m-%d') AS day,
+        |  CAST(c.c * u.u // 64 AS BIGINT) AS est_inter, x.exact_inter,
+        |  CAST(abs(c.c * u.u // 64 - x.exact_inter) * 1000000 // x.exact_inter
+        |    AS BIGINT) AS err_ppm
+        |FROM c JOIN u USING (day) JOIN x USING (day)
+        |ORDER BY day""".stripMargin,
     // ml_naive_bayes: Laplace-smoothed probabilities in exact integer ppm
     // ((n+1)·10⁶ // (total+V)) — no float channel; tokenization shared
     // with tx_vocab_topk.

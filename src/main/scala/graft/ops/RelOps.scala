@@ -1825,6 +1825,59 @@ object RelOps {
       .orderBy("v").limit(j).agg(max(col("v")))
   }
 
+  /** KMV (k-minimum-values) sketch INTERSECTION estimation — the set
+    * operation HLL cannot do (rq59's union-only limit): per-day KMV
+    * sketches of the user set (the k lexicographically-smallest md5
+    * hashes — order statistics of a uniform hash are a mergeable,
+    * fixed-size summary), merged pairwise by re-sketching the union, and
+    * the Jaccard estimate |KMV_k(A∪B) ∩ A ∩ B| / k scales the exact
+    * union into an intersection estimate. Both sketch builds run through
+    * the native bounded-heap TopKPerGroup operator (rq60's custom
+    * LogicalPlan/Strategy/Exec), so the per-day pass shuffles at most
+    * k rows per group — at 100 TB the sketch artifact is O(days × k)
+    * and any day-pair overlap is answerable without re-scanning events.
+    * Every step is integer/string arithmetic; the oracle replays the
+    * algorithm verbatim, so the hash certifies estimate AND exact. */
+  def kmvJaccard(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val hashed = du.select(col("day"), col("user_id"),
+      md5(col("user_id").cast("string")).as("h"))
+    val sk = graft.plans.TopKPerGroup.topK(spark,
+      hashed.select("day", "h"), Seq("day"), Seq(("h", true)), k)
+    val days = du.select("day").distinct()
+    val pair = days.select(col("day"))
+      .join(days.select(col("day").as("day2")), date_add(col("day"), 1) === col("day2"))
+    // Tag each pair's sketch rows by side, dedup per hash with membership
+    // flags, then re-sketch the union with the same bounded heap.
+    // Each pair flattened to (pair key = day, member day) rows: broadcast
+    // equi-joins, never an OR-condition nested loop.
+    val sides = pair.select(col("day"),
+      explode(array(col("day"), col("day2"))).as("sday"))
+    val comb = broadcast(sides)
+      .join(sk.select(col("day").as("sday"), col("h")), "sday")
+      .groupBy(col("day"), col("h"))
+      .agg(max(when(col("sday") === col("day"), 1).otherwise(0)).as("in_a"),
+        max(when(col("sday") =!= col("day"), 1).otherwise(0)).as("in_b"))
+    val kmin = graft.plans.TopKPerGroup.topK(spark, comb,
+      Seq("day"), Seq(("h", true)), k)
+    val c = kmin.groupBy("day")
+      .agg(sum(col("in_a") * col("in_b")).cast("long").as("c"))
+    val exactUnion = broadcast(sides)
+      .join(du.select(col("day").as("sday"), col("user_id")), "sday")
+      .groupBy("day").agg(countDistinct("user_id").as("u"))
+    val exactInter = du.as("a")
+      .join(du.select(date_sub(col("day"), 1).as("day"), col("user_id")).as("b"),
+        Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).cast("long").as("exact_inter"))
+    c.join(exactUnion, "day").join(exactInter, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        expr(s"c * u DIV $k").as("est_inter"), col("exact_inter"),
+        expr(s"abs(c * u DIV $k - exact_inter) * 1000000 DIV exact_inter")
+          .as("err_ppm"))
+      .orderBy("day")
+  }
+
   /** Spatial radius self-join via uniform grid bucketing — the geohash/S2
     * cell pattern every geo engine uses, in exact integer microdegrees so
     * the brute-force O(n²) oracle certifies the grid join found the
