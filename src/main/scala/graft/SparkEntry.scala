@@ -278,6 +278,8 @@ object SparkEntry {
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
     "ml_covariance" -> ((s, d) => MlOps.covarianceMatrix(s, d)),
+    // Depth-1 CART split search: one agg pass + bounded-domain window.
+    "ml_stump" -> ((s, d) => MlOps.decisionStump(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
@@ -2805,6 +2807,35 @@ object SparkEntry {
         |SELECT ks.stat, CAST(ks.k AS BIGINT) AS k, r.v AS value
         |FROM ks JOIN r ON r.rn = ks.k
         |ORDER BY ks.stat""".stripMargin,
+    // ml_stump: the oracle replays the cumulative Gini split search in
+    // exact integer ppm, identical tie-break (score, then threshold).
+    "ml_stump" ->
+      """WITH d AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS len,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (SELECT len, count(*) AS n, sum(pos) AS p FROM d GROUP BY 1),
+        |c AS (SELECT len,
+        |    sum(n) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS nl,
+        |    sum(p) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS pl,
+        |    sum(n) OVER () AS nt, sum(p) OVER () AS pt
+        |  FROM g),
+        |s AS (SELECT len, nl, pl, nt, pt, nt - nl AS nr, pt - pl AS pr
+        |  FROM c WHERE nt - nl > 0),
+        |sc AS (SELECT *,
+        |    2 * pl * (nl - pl) * 1000000 // nl +
+        |    2 * pr * (nr - pr) * 1000000 // nr AS score_ppm
+        |  FROM s)
+        |SELECT len AS threshold, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |  CASE WHEN pl * 2 > nl THEN 'en' ELSE 'other' END AS pred_left,
+        |  CAST(CASE WHEN pl * 2 > nl THEN pl ELSE nl - pl END AS BIGINT)
+        |    AS left_correct,
+        |  CAST(CASE WHEN pr * 2 > nr THEN pr ELSE nr - pr END AS BIGINT)
+        |    AS right_correct,
+        |  CAST(nt AS BIGINT) AS n
+        |FROM sc ORDER BY score_ppm, len LIMIT 1""".stripMargin,
     // rq73: the oracle replays the KMV algorithm verbatim (k-min md5
     // order statistics, union re-sketch, integer Jaccard scaling), so the
     // hash certifies the estimate AND the exact intersection it tracks.

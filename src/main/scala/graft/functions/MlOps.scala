@@ -344,4 +344,46 @@ object MlOps {
         col("nr").as("n"), col("cov_micro2"))
       .orderBy("dim_i", "dim_j")
   }
+
+  /** Decision-stump training (depth-1 CART) as ONE aggregation pass plus
+    * a bounded window — the exact split search every tree ensemble
+    * repeats millions of times, in its distributed form: per distinct
+    * feature value, class counts (one hash agg, map-side combinable);
+    * cumulative sums over the SORTED value domain turn every candidate
+    * threshold's left/right Gini into pure arithmetic on four integers.
+    * The window is unpartitioned but runs over the value DOMAIN (≤ text
+    * length range), never the corpus — rq32's bounded-domain rule. Gini
+    * impurity is kept in exact integer ppm (2·pos·neg·10⁶ ÷ n per side),
+    * deterministic tie-break on the smaller threshold; the stump's
+    * confusion counts ride along. Feature: text length; label: lang=en. */
+  def decisionStump(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLen = graft.core.Tables.documents(spark, sfDir)
+      .select(length(col("text")).cast("long").as("len"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+    val w = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLen
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("p")).over(w))
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("pt", sum(col("p")).over(Window.partitionBy()))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .filter(col("nr") > 0)
+      .withColumn("score_ppm",
+        expr("2 * pl * (nl - pl) * 1000000 DIV nl + " +
+          "2 * pr * (nr - pr) * 1000000 DIV nr"))
+    cum.orderBy(col("score_ppm"), col("len")).limit(1)
+      .select(col("len").as("threshold"), col("score_ppm"),
+        when(col("pl") * 2 > col("nl"), lit("en")).otherwise(lit("other"))
+          .as("pred_left"),
+        when(col("pl") * 2 > col("nl"), col("pl")).otherwise(col("nl") - col("pl"))
+          .as("left_correct"),
+        when(col("pr") * 2 > col("nr"), col("pr")).otherwise(col("nr") - col("pr"))
+          .as("right_correct"),
+        col("nt").as("n"))
+  }
 }
