@@ -274,6 +274,8 @@ object SparkEntry {
     "rq72_exact_kth" -> ((s, d) => RelOps.exactKth(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
+    // Plan-fingerprint result cache: repeat query served from artifact.
+    "rq74_result_cache" -> ((s, d) => RelOps.resultCache(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2836,6 +2838,17 @@ object SparkEntry {
         |    AS right_correct,
         |  CAST(nt AS BIGINT) AS n
         |FROM sc ORDER BY score_ppm, len LIMIT 1""".stripMargin,
+    // rq74: the oracle recomputes the aggregate from source — a hash
+    // match proves the cached artifact still equals the live answer, and
+    // served_from_cache must come back true.
+    "rq74_result_cache" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS revenue_x100,
+        |  true AS served_from_cache
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // rq73: the oracle replays the KMV algorithm verbatim (k-min md5
     // order statistics, union re-sketch, integer Jaccard scaling), so the
     // hash certifies the estimate AND the exact intersection it tracks.

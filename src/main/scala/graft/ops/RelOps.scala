@@ -1825,6 +1825,44 @@ object RelOps {
       .orderBy("v").limit(j).agg(max(col("v")))
   }
 
+  /** Plan-fingerprint RESULT CACHE (Snowflake's result reuse): the
+    * canonicalized optimized logical plan — expression ids normalized,
+    * input relations identified by path — is the cache key, so a
+    * re-submitted query (equivalent up to aliases, expression ids, and
+    * whatever the optimizer normalizes away) serves its result from a
+    * small parquet artifact instead of re-scanning the fact table. At 100 TB that turns dashboard refresh
+    * from a job into a file read; staleness is handled the same way the
+    * other artifacts do it — immutable inputs key by path, transactional
+    * inputs would fold the TxTable version into the key. The entry runs
+    * the aggregate TWICE through the cache: `served_from_cache`
+    * certifies the second call never touched the source (it read the
+    * artifact written at most one invocation earlier), and the hash
+    * certifies the cached bytes still equal the oracle's answer. */
+  def resultCache(spark: SparkSession, sfDir: String): DataFrame = {
+    def q: DataFrame = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).as(("yr")))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).cast("long")
+          .as("revenue_x100"))
+    def cachedRun(df: DataFrame): (DataFrame, Boolean) = {
+      val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val p = graft.etl.Artifacts.path(sfDir, s"rescache_$key")
+      val hit = new java.io.File(p, "_SUCCESS").exists()
+      if (!hit) df.write.mode("overwrite").parquet(p)
+      (spark.read.parquet(p), hit)
+    }
+    cachedRun(q) // first pass: populates (or reuses a prior invocation's)
+    val (served, secondHit) = cachedRun(q)
+    served
+      .select(col("priority"), col("yr").cast("long").as("yr"),
+        col("n_orders"), col("revenue_x100"),
+        lit(secondHit).as("served_from_cache"))
+      .orderBy("priority", "yr")
+  }
+
   /** KMV (k-minimum-values) sketch INTERSECTION estimation — the set
     * operation HLL cannot do (rq59's union-only limit): per-day KMV
     * sketches of the user set (the k lexicographically-smallest md5

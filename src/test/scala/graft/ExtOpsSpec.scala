@@ -917,6 +917,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows == expect)
   }
 
+  test("result cache: fingerprint invariant to aliases/expr-ids, sensitive to semantics") {
+    import org.apache.spark.sql.functions._
+    def fp(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.canonicalized.toString
+    val base = graft.core.Tables.orders(spark, sf)
+    val q1 = base.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    // Same semantics, different aliases and a no-op select in between.
+    val q2 = base.select(col("o_orderpriority").as("o_orderpriority"),
+        col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+    assert(fp(q1) == fp(q2), "alias/projection noise changed the cache key")
+    val q3 = base.filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(fp(q1) != fp(q3), "semantically different query collided")
+  }
+
   test("DSIR: target-language docs score above the non-target mean") {
     val s = TextOps.dsirScore(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("dsir_ppm")))
