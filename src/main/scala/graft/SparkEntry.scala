@@ -276,6 +276,8 @@ object SparkEntry {
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
     "rq74_result_cache" -> ((s, d) => RelOps.resultCache(s, d)),
+    // Exact per-group medians: two passes, no per-group sort.
+    "rq75_group_median" -> ((s, d) => RelOps.groupMedian(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2838,6 +2840,18 @@ object SparkEntry {
         |    AS right_correct,
         |  CAST(nt AS BIGINT) AS n
         |FROM sc ORDER BY score_ppm, len LIMIT 1""".stripMargin,
+    // rq75: per-group row_number rank definition at k = ceil(n/2).
+    "rq75_group_median" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn FROM v),
+        |n AS (SELECT flag, (count(*) + 1) // 2 AS k FROM v GROUP BY 1)
+        |SELECT r.flag, CAST(n.k AS BIGINT) AS k, r.v AS median_x100
+        |FROM r JOIN n ON r.flag = n.flag AND r.rn = n.k
+        |ORDER BY r.flag""".stripMargin,
     // rq74: the oracle recomputes the aggregate from source — a hash
     // match proves the cached artifact still equals the live answer, and
     // served_from_cache must come back true.

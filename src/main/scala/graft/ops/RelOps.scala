@@ -1825,6 +1825,47 @@ object RelOps {
       .orderBy("v").limit(j).agg(max(col("v")))
   }
 
+  /** EXACT per-group medians in two passes — rq72's histogram selection
+    * generalized to every group at once, the shape that replaces
+    * per-group `percentile()` sorts at 100 TB: pass 1 is one hash agg
+    * over (group, bucket) — bounded by groups × 64k and map-side
+    * combinable; a window over the BUCKET DOMAIN (not the data) turns
+    * each group's cumulative histogram into (target bucket, residual
+    * rank); pass 2 semi-joins the fact against the 3-row broadcast
+    * bucket spec and ranks only the ~n/64k in-range rows per group.
+    * No group is ever sorted whole; the oracle is the per-group
+    * row_number rank definition. */
+  def groupMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("v"))
+    val Array(b) = vals.agg(min("v"), max("v")).collect()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo) / 65536L + 1L)
+    val hist = vals.groupBy(col("flag"), expr(s"(v - $lo) DIV $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("flag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spec = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("flag")))
+      .withColumn("k", expr("(n + 1) DIV 2"))
+      // The single bucket per group whose cumulative count crosses rank k.
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("flag"), col("k"),
+        (lit(lo) + col("b") * width).as("blo"),
+        (lit(lo) + (col("b") + 1) * width).as("bhi"),
+        (col("k") - (col("cum") - col("c"))).as("j"))
+    val wRank = Window.partitionBy("flag").orderBy("v")
+    vals.join(broadcast(spec), "flag")
+      .filter(col("v") >= col("blo") && col("v") < col("bhi"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === col("j"))
+      .select(col("flag"), col("k").cast("long").as("k"),
+        col("v").as("median_x100"))
+      .orderBy("flag")
+  }
+
   /** Plan-fingerprint RESULT CACHE (Snowflake's result reuse): the
     * canonicalized optimized logical plan — expression ids normalized,
     * input relations identified by path — is the cache key, so a
