@@ -278,6 +278,8 @@ object SparkEntry {
     "rq74_result_cache" -> ((s, d) => RelOps.resultCache(s, d)),
     // Exact per-group medians: two passes, no per-group sort.
     "rq75_group_median" -> ((s, d) => RelOps.groupMedian(s, d)),
+    // Column-level lineage from the analyzed plan (governance surface).
+    "rq76_lineage" -> ((s, d) => RelOps.lineageDemo(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2840,6 +2842,16 @@ object SparkEntry {
         |    AS right_correct,
         |  CAST(nt AS BIGINT) AS n
         |FROM sc ORDER BY score_ppm, len LIMIT 1""".stripMargin,
+    // rq76: static contract — lineage is a plan property, not a data
+    // property, so the expected rows are literals.
+    "rq76_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('n', '<none>', '<none>'),
+        |  ('priority', 'orders', 'o_orderpriority'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'))
+        |  AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
     // rq75: per-group row_number rank definition at k = ceil(n/2).
     "rq75_group_median" ->
       """WITH v AS (

@@ -1825,6 +1825,21 @@ object RelOps {
       .orderBy("v").limit(j).agg(max(col("v")))
   }
 
+  /** Column-level lineage demo: the (join → aggregate) revenue query's
+    * analyzed plan, walked by `plans.Lineage` into (output column →
+    * source table.column) rows. The static oracle pins the contract:
+    * the aggregate's revenue traces to BOTH price and discount, the
+    * grouping alias traces through the join to orders, and the literal
+    * count traces to nothing. Plan metadata only — no data is read. */
+  def lineageDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(dec6(col("l_extendedprice")) * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n"))
+    graft.plans.Lineage.of(spark, q)
+  }
+
   /** EXACT per-group medians in two passes — rq72's histogram selection
     * generalized to every group at once, the shape that replaces
     * per-group `percentile()` sorts at 100 TB: pass 1 is one hash agg
