@@ -2516,9 +2516,10 @@ object SparkEntry {
     // compact/restore lifecycle in one row-set.
     "s30_history" ->
       s"""WITH $nodesCte,
-         |c AS (SELECT CAST(count(*) AS BIGINT) AS all_n FROM n),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS all_n FROM n
+         |      WHERE name <= 'Customer#000000199'),
          |d AS (SELECT CAST(count(*) AS BIGINT) AS del_n FROM n
-         |      WHERE name LIKE '%2')
+         |      WHERE name LIKE '%2' AND name <= 'Customer#000000199')
          |SELECT v.version, v.op,
          |  CAST(8 AS INTEGER) AS n_buckets, CAST(3 AS INTEGER) AS n_cols,
          |  CASE WHEN v.version IN (2, 3) THEN c.all_n - d.del_n
