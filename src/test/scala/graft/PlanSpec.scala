@@ -460,6 +460,27 @@ class PlanSpec extends AnyFunSuite {
       s"range filter did not reach the parquet scan:\n$p")
   }
 
+  test("rq75 group median: ranking window consumes only the broadcast-pruned bucket slice") {
+    val p = finalPlan(graft.ops.RelOps.groupMedian(spark, sf))
+    // The per-group rank must run AFTER the bucket-range filter join —
+    // i.e. a BroadcastHashJoin feeds the Window, so only ~n/64k rows are
+    // ever sorted per group, never the whole group.
+    val wi = p.indexOf("Window")
+    assert(wi >= 0 && p.indexOf("BroadcastHashJoin", wi) >= 0,
+      s"rank window not fed by the broadcast bucket spec:\n$p")
+  }
+
+  test("ml_stump: split search is one scan + one bounded-domain window") {
+    val p = finalPlan(graft.functions.MlOps.decisionStump(spark, sf))
+    val nScan = "Scan parquet".r.findAllIn(p).size
+    assert(nScan == 1, s"expected 1 documents scan, got $nScan:\n$p")
+    // The window input is the per-length aggregate (bounded by the value
+    // domain), never raw documents.
+    val seg = p.substring(p.indexOf("Window"))
+    assert(seg.contains("HashAggregate"),
+      s"window consumes raw rows, not the value-domain aggregate:\n$p")
+  }
+
   test("ml_covariance: one corpus scan into a single-partition sufficient-stats aggregate") {
     val p = finalPlan(graft.functions.MlOps.covarianceMatrix(spark, sf))
     val nScan = "Scan parquet".r.findAllIn(p).size

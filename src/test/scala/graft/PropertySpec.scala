@@ -435,6 +435,15 @@ class PropertySpec extends AnyFunSuite {
       assert(exp.getMessage.contains("conflict"))
       // And a current read set commits fine after re-staging.
       assert(cat.commit(Map("a" -> 3L), expect = Map("a" -> 2L)) == cv + 2)
+      // Genuinely concurrent committers on DISJOINT tables: both must
+      // land through the publish-race retry loop, neither clobbering.
+      val head = cat.version
+      val t1 = new Thread(() => cat.commit(Map("a" -> 7L)))
+      val t2 = new Thread(() => cat.commit(Map("b" -> 8L)))
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(cat.version == head + 2)
+      assert(cat.refsHead == Map("a" -> 7L, "b" -> 8L),
+        s"lost update: ${cat.refsHead}")
     } finally graft.core.TxTable.drop(dir)
   }
 
