@@ -280,6 +280,8 @@ object SparkEntry {
     "rq75_group_median" -> ((s, d) => RelOps.groupMedian(s, d)),
     // Column-level lineage from the analyzed plan (governance surface).
     "rq76_lineage" -> ((s, d) => RelOps.lineageDemo(s, d)),
+    // Count-min sketch: mergeable d x w counters, one-sided error.
+    "rq77_count_min" -> ((s, d) => RelOps.countMin(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2843,6 +2845,28 @@ object SparkEntry {
         |    AS right_correct,
         |  CAST(nt AS BIGINT) AS n
         |FROM sc ORDER BY score_ppm, len LIMIT 1""".stripMargin,
+    // rq77: the oracle rebuilds the same 4x1024 integer-hash sketch and
+    // probes the same exact top-10, so the hash certifies estimates,
+    // exact counts, and the one-sided error bound together.
+    "rq77_count_min" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |seeds AS (SELECT * FROM (VALUES (0, 131071, 8191), (1, 524287, 127),
+        |  (2, 2147483628, 31), (3, 8388607, 524287)) AS s(r, a, b)),
+        |cells AS (SELECT s.r,
+        |    (e.user_id * s.a + s.b) % 2147483647 % 1024 AS bucket,
+        |    count(*) AS c
+        |  FROM ev e CROSS JOIN seeds s GROUP BY 1, 2),
+        |top AS (SELECT user_id, count(*) AS exact FROM ev GROUP BY 1
+        |  ORDER BY exact DESC, user_id LIMIT 10),
+        |pr AS (SELECT t.user_id, t.exact, s.r,
+        |    (t.user_id * s.a + s.b) % 2147483647 % 1024 AS bucket
+        |  FROM top t CROSS JOIN seeds s)
+        |SELECT user_id, exact, est, est >= exact AS never_under FROM (
+        |  SELECT pr.user_id, CAST(pr.exact AS BIGINT) AS exact,
+        |    CAST(min(c.c) AS BIGINT) AS est
+        |  FROM pr JOIN cells c ON c.r = pr.r AND c.bucket = pr.bucket
+        |  GROUP BY 1, 2)
+        |ORDER BY exact DESC, user_id""".stripMargin,
     // rq76: static contract — lineage is a plan property, not a data
     // property, so the expected rows are literals.
     "rq76_lineage" ->

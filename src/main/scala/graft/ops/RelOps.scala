@@ -1825,6 +1825,47 @@ object RelOps {
       .orderBy("v").limit(j).agg(max(col("v")))
   }
 
+  /** COUNT-MIN sketch frequency estimation — the stream-summary sketch
+    * for "how often did key X occur" when the key domain is too large to
+    * count exactly: d=4 hash rows × w=1024 buckets of integer counters
+    * (4k cells total, mergeable by cell-wise addition — per-partition
+    * partials combine map-side, the same algebraic-aggregate property
+    * the HLL/KMV entries exploit). Estimate = min over rows of the
+    * hashed cell, which can only OVER-count (collisions add, never
+    * subtract) — `never_under` certifies that one-sided error for every
+    * probed key. Hashes are multiplicative-mod-prime in pure int64, so
+    * the oracle replays the sketch bit-for-bit; the probe set is the
+    * exact top-10 users, so the hash also certifies the exact counts the
+    * sketch is tracking. */
+  def countMin(spark: SparkSession, sfDir: String, w: Int = 1024): DataFrame = {
+    // (a, b) pairs for ((a*x + b) mod p) mod w; p = 2^31-1 (Mersenne).
+    val seeds = Seq((131071L, 8191L), (524287L, 127L),
+      (2147483647L - 19, 31L), (8388607L, 524287L))
+    val p = 2147483647L
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val cells = ev.select(explode(array(seeds.zipWithIndex.map {
+        case ((a, b), r) =>
+          struct(lit(r).as("r"),
+            ((col("user_id") * a + b) % p % w).as("bucket"))
+      }: _*)).as("h"))
+      .groupBy(col("h.r").as("r"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), asc("user_id")).limit(10)
+    val probes = top.select(col("user_id"), col("exact"),
+      explode(array(seeds.zipWithIndex.map { case ((a, b), r) =>
+        struct(lit(r).as("r"), ((col("user_id") * a + b) % p % w).as("bucket"))
+      }: _*)).as("h"))
+      .select(col("user_id"), col("exact"),
+        col("h.r").as("r"), col("h.bucket").as("bucket"))
+    probes.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("user_id", "exact")
+      .agg(min(col("c")).as("est"))
+      .select(col("user_id"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("never_under"))
+      .orderBy(desc("exact"), asc("user_id"))
+  }
+
   /** Column-level lineage demo: the (join → aggregate) revenue query's
     * analyzed plan, walked by `plans.Lineage` into (output column →
     * source table.column) rows. The static oracle pins the contract:
