@@ -282,6 +282,8 @@ object SparkEntry {
     "rq76_lineage" -> ((s, d) => RelOps.lineageDemo(s, d)),
     // Count-min sketch: mergeable d x w counters, one-sided error.
     "rq77_count_min" -> ((s, d) => RelOps.countMin(s, d)),
+    // Time-weighted average: hold-until-next intervals, exact micros.
+    "rq78_twap" -> ((s, d) => RelOps.twap(s, d)),
     // Naive Bayes training as counting: smoothed token probs in exact ppm.
     "ml_naive_bayes" -> ((s, d) => MlOps.naiveBayes(s, d)),
     // One-pass covariance matrix from exact integer sufficient statistics.
@@ -2845,6 +2847,24 @@ object SparkEntry {
         |    AS right_correct,
         |  CAST(nt AS BIGINT) AS n
         |FROM sc ORDER BY score_ppm, len LIMIT 1""".stripMargin,
+    // rq78: identical interval pairing and integer-micro arithmetic;
+    // floor() before the cast on both engines (DuckDB CAST rounds,
+    // Spark CAST truncates — floor removes the divergence).
+    "rq78_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |p AS (SELECT user_id, vm,
+        |    CAST(date_diff('second', ts, nxt) AS BIGINT) AS dur
+        |  FROM e WHERE nxt IS NOT NULL)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur) AS BIGINT) AS span_sec,
+        |  CAST(sum(vm * dur) // sum(dur) AS BIGINT) AS twap_micro
+        |FROM p WHERE user_id < 200 GROUP BY 1
+        |HAVING sum(dur) > 0
+        |ORDER BY user_id""".stripMargin,
     // rq77: the oracle rebuilds the same 4x1024 integer-hash sketch and
     // probes the same exact top-10, so the hash certifies estimates,
     // exact counts, and the one-sided error bound together.

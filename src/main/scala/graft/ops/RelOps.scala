@@ -1825,6 +1825,33 @@ object RelOps {
       .orderBy("v").limit(j).agg(max(col("v")))
   }
 
+  /** TIME-WEIGHTED average (TWAP — the metrics/finance aggregate where
+    * each observation HOLDS until the next one): per user, value×duration
+    * summed over lead()-paired intervals, divided by the observed span.
+    * One user-keyed exchange serves both the pairing window and the
+    * final aggregate (AQE reuses the partitioning). The double `value`
+    * is floored to integer micros PER ROW — the only lossy step, applied
+    * identically by both engines — so the weighted sums are exact int64
+    * arithmetic immune to float summation-order divergence between
+    * Spark's partial aggregation and any single-node oracle. */
+  def twap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paired = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1000000).cast("long").as("vm"))
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur",
+        unix_timestamp(col("nxt")) - unix_timestamp(col("ts")))
+    paired.groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).cast("long").as("span_sec"),
+        expr("sum(vm * dur) DIV sum(dur)").as("twap_micro"))
+      .filter(col("span_sec") > 0)
+      .filter(col("user_id") < 200)
+      .orderBy("user_id")
+  }
+
   /** COUNT-MIN sketch frequency estimation — the stream-summary sketch
     * for "how often did key X occur" when the key domain is too large to
     * count exactly: d=4 hash rows × w=1024 buckets of integer counters
