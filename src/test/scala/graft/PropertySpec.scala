@@ -112,6 +112,70 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable lifecycle ops are model-faithful: random merge/delete/compact/rebucket/restore/branch") {
+    import spark.implicits._
+    // Extends the keyed-map model with the round-9 lifecycle surface.
+    // Model semantics: compact/rebucket = identity; restore(v) = the
+    // model as of v; a WAP round (branch → merge on branch → fast-
+    // forward) = one merge. After every op the head snapshot must equal
+    // the model, and every surviving version must replay.
+    val keyGen = Gen.choose(0, 24).map(i => f"K$i%02d")
+    val opGen: Gen[(Int, Seq[(String, Long)], Int)] = for {
+      op <- Gen.frequency(4 -> 0 /*merge*/, 2 -> 1 /*delete*/,
+        1 -> 2 /*compact*/, 1 -> 3 /*rebucket*/, 1 -> 4 /*restore*/,
+        2 -> 5 /*wap merge*/)
+      n <- Gen.chooseNum(1, 5)
+      keys <- Gen.listOfN(n, keyGen)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 999L))
+      aux <- Gen.chooseNum(0, 100)
+    } yield (op, keys.zip(vals), aux)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_life").toString
+    try {
+      var model = (0 until 10).map(i => f"K$i%02d" -> i.toLong).toMap
+      val t = graft.core.TxTable.create(spark, dir,
+        model.toSeq.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      val history = scala.collection.mutable.Map(0L -> model)
+      var branchN = 0
+      samples(opGen, 10).foreach { case (op, batch, aux) =>
+        val v = op match {
+          case 0 =>
+            val uniq = batch.toMap.toSeq
+            model ++= uniq; t.merge(uniq.toDF("k", "v"))
+          case 1 =>
+            model --= batch.map(_._1)
+            t.delete(batch.map(_._1).distinct.toDF("k"))
+          case 2 => t.compact()
+          case 3 => t.compact(newBuckets = if (aux % 2 == 0) 8 else 4)
+          case 4 =>
+            val target = (aux % (t.version + 1)).toLong
+            model = history(target); t.restore(target)
+          case 5 =>
+            branchN += 1
+            val b = t.branch(s"p$branchN")
+            val uniq = batch.toMap.toSeq
+            b.merge(uniq.toDF("k", "v"))
+            model ++= uniq
+            val fv = t.fastForward(s"p$branchN")
+            t.dropBranch(s"p$branchN"); fv
+        }
+        val snap = t.snapshot().as[(String, Long)].collect().toMap
+        assert(snap == model, s"after op$op at v$v: $snap != $model")
+        history(v) = model
+      }
+      history.foreach { case (v, m) =>
+        assert(t.snapshotAt(v).as[(String, Long)].collect().toMap == m,
+          s"time travel to v$v diverged")
+      }
+      // Vacuum with no retained-version trim reclaims only garbage;
+      // every version must still replay afterwards.
+      t.vacuum(retainMs = 0L)
+      history.foreach { case (v, m) =>
+        assert(t.snapshotAt(v).as[(String, Long)].collect().toMap == m,
+          s"post-vacuum time travel to v$v diverged")
+      }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable merge-on-read delete: tombstones only, CoW-equivalent, folds on merge/compact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
