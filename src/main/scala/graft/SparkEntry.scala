@@ -134,6 +134,8 @@ object SparkEntry {
     "tx_langid" -> ((s, d) => TextOps.langId(s, d)),
     "tx_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
+    // Vocabulary coverage curve: top-N token mass in exact integer ppm.
+    "tx_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "tx_len_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
     "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -773,6 +775,27 @@ object SparkEntry {
          |      list_transform(string_split(nt, ''), c -> CAST(ord(c) AS BIGINT))),
          |    (a, b) -> (a * ${TextOps.HashBase} + b) % ${TextOps.HashMod}) AS fp_roll
          |FROM t ORDER BY doc_id""".stripMargin,
+    // tx_vocab_coverage: rn <= N over the same (freq desc, token asc)
+    // total order is exactly the engine's bounded top-N prefix.
+    "tx_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+        |               count(*) AS distinct_tokens FROM v),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM v)
+        |SELECT n.n_vocab,
+        |  CAST(sum(CASE WHEN r.rn <= n.n_vocab THEN r.c ELSE 0 END) AS BIGINT)
+        |    AS covered,
+        |  tot.total_tokens, tot.distinct_tokens,
+        |  CAST(sum(CASE WHEN r.rn <= n.n_vocab THEN r.c ELSE 0 END)
+        |    * 1000000 // tot.total_tokens AS BIGINT) AS coverage_ppm
+        |FROM (VALUES (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT)),
+        |             (CAST(5000 AS BIGINT))) AS n(n_vocab)
+        |CROSS JOIN r CROSS JOIN tot
+        |GROUP BY n.n_vocab, tot.total_tokens, tot.distinct_tokens
+        |ORDER BY n.n_vocab""".stripMargin,
     "tx_vocab_topk" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)

@@ -356,6 +356,37 @@ object TextOps {
       .orderBy(desc("freq"), asc("token"))
       .limit(k)
 
+  /** Vocabulary COVERAGE curve — the tokenizer-sizing question every BPE
+    * training run starts with: what fraction of corpus tokens does a
+    * top-N vocabulary cover? One tokenize+count pass builds the vocab
+    * (hash agg, map-side combinable); each curve point is then a bounded
+    * top-N (TakeOrderedAndProject — no vocab-wide window, so the plan
+    * survives a 100 TB corpus whose vocab is itself millions of rows)
+    * summed into an exact integer-ppm coverage. Tokenization shared with
+    * tx_vocab_topk; tie-break (freq desc, token asc) makes every top-N
+    * prefix deterministic. */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+                    ns: Seq[Int] = Seq(100, 1000, 5000)): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .cache()
+    val Array(tot) = vocab.agg(sum(col("freq")).cast("long").as("t"),
+      count(lit(1)).as("d")).collect()
+    val (t, d) = (tot.getLong(0), tot.getLong(1))
+    val rows = ns.map { n =>
+      val covered = vocab.orderBy(desc("freq"), asc("token")).limit(n)
+        .agg(coalesce(sum(col("freq")), lit(0L)).cast("long")).head().getLong(0)
+      (n.toLong, covered, t, d, covered * 1000000L / t)
+    }
+    vocab.unpersist()
+    spark.createDataFrame(rows)
+      .toDF("n_vocab", "covered", "total_tokens", "distinct_tokens",
+        "coverage_ppm")
+      .orderBy("n_vocab")
+  }
+
   /** Corpus length quantiles: exact `percentile` (continuous interpolation,
     * same definition as DuckDB's quantile_cont) over document char lengths
     * — the stats pass every corpus-curation pipeline starts with. */
