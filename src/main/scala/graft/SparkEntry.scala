@@ -136,6 +136,8 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     // Vocabulary coverage curve: top-N token mass in exact integer ppm.
     "tx_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    // Per-language top-p nucleus cutoff (adaptive-mass vocab truncation).
+    "tx_nucleus" -> ((s, d) => TextOps.nucleusCutoff(s, d)),
     "tx_len_quantiles" -> ((s, d) => TextOps.lengthQuantiles(s, d)),
     "tx_repetition" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "tx_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -775,6 +777,23 @@ object SparkEntry {
          |      list_transform(string_split(nt, ''), c -> CAST(ord(c) AS BIGINT))),
          |    (a, b) -> (a * ${TextOps.HashBase} + b) % ${TextOps.HashMod}) AS fp_roll
          |FROM t ORDER BY doc_id""".stripMargin,
+    // tx_nucleus: same strictly-before-mass rule, same tie-break.
+    "tx_nucleus" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |v AS (SELECT lang, w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS tot,
+        |    count(*) OVER (PARTITION BY lang) AS vocab
+        |  FROM v)
+        |SELECT lang, count(*) AS k_nucleus,
+        |  CAST(max(cum) * 1000000 // max(tot) AS BIGINT) AS mass_ppm,
+        |  CAST(max(vocab) AS BIGINT) AS vocab_size
+        |FROM r WHERE (cum - c) * 1000000 < 900000 * tot
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // tx_vocab_coverage: rn <= N over the same (freq desc, token asc)
     // total order is exactly the engine's bounded top-N prefix.
     "tx_vocab_coverage" ->

@@ -387,6 +387,36 @@ object TextOps {
       .orderBy("n_vocab")
   }
 
+  /** Per-language NUCLEUS (top-p) cutoff — the adaptive vocabulary
+    * truncation LLM sampling uses, run as corpus analytics: for each
+    * language, the smallest prefix of the frequency-sorted vocabulary
+    * whose cumulative mass reaches p = 90%. A token is in the nucleus
+    * iff the mass strictly BEFORE it is < p·total — all integer
+    * arithmetic ((cum−c)·10⁶ < p_ppm·total), so the oracle replays it
+    * exactly. The window partitions by language over the VOCAB (not the
+    * corpus); per-language vocab is the bounded domain. Complements
+    * tx_vocab_coverage: fixed-N coverage there, adaptive-mass cutoff
+    * here. */
+  def nucleusCutoff(spark: SparkSession, sfDir: String,
+                    pPpm: Long = 900000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(desc("c"), asc("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("lang")))
+      .withColumn("vocab", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter((col("cum") - col("c")) * 1000000 < lit(pPpm) * col("tot"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("k_nucleus"),
+        expr("max(cum) * 1000000 DIV max(tot)").as("mass_ppm"),
+        max(col("vocab")).as("vocab_size"))
+      .orderBy("lang")
+  }
+
   /** Corpus length quantiles: exact `percentile` (continuous interpolation,
     * same definition as DuckDB's quantile_cont) over document char lengths
     * — the stats pass every corpus-curation pipeline starts with. */
