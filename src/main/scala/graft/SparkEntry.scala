@@ -66,6 +66,8 @@ object SparkEntry {
     "s30_history" -> ((s, d) => GraphOps.txHistory(s, d)),
     // Catalog-level multi-table atomic commit: no torn cross-table reads.
     "s31_catalog_txn" -> ((s, d) => GraphOps.catalogTxn(s, d)),
+    // Incremental OPTIMIZE: only degraded buckets rewritten, converges.
+    "s32_partial_compact" -> ((s, d) => GraphOps.txPartialCompact(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2576,6 +2578,17 @@ object SparkEntry {
          |             (CAST(4 AS BIGINT), 'restore-v1')) AS v(version, op),
          |     c, d
          |ORDER BY v.version""".stripMargin,
+    // s32: final state = base with %5 names deleted and %6 names merged;
+    // all three incremental-OPTIMIZE certificates must come back true.
+    "s32_partial_compact" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%6' THEN 'MERGED6' ELSE house END AS house,
+         |  round(acctbal, 2) AS acctbal,
+         |  true AS healthy_untouched, true AS dvs_folded, true AS converged
+         |FROM n
+         |WHERE name <= 'Customer#000000030' AND name NOT LIKE '%5'
+         |ORDER BY name""".stripMargin,
     // s31: final cross-table state is pure function of the base (last-
     // digit-4 names credited 1000 and audited); cat_v = 1 and both
     // atomicity certificates must come back true.

@@ -538,6 +538,50 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** INCREMENTAL compaction — `compact()` for tables too big to ever
+    * rewrite whole: only buckets that are actually degraded (carrying
+    * deletion vectors, or fragmented into ≥ `minFiles` part files) are
+    * rewritten; every healthy bucket's manifest pointer carries forward
+    * untouched. At 100 TB this is the only viable OPTIMIZE: cost is
+    * O(degraded buckets), the common case after a run of small merges
+    * and MoR deletes, and repeated invocations converge to a no-op
+    * (returns the current version unchanged when nothing qualifies).
+    * Rewritten buckets come back clean (DVs folded) and single-file
+    * (repartition on the bucket column). Same optimistic publish loop
+    * as every writer. */
+  def compactPartial(minFiles: Int = 2): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      require(v >= 0, s"no committed version to compact at $dir")
+      val m = manifest(v)
+      val n = bucketCountAt(v)
+      val cur = schemaAt(v)
+      val degraded = m.filter { case (b, r) =>
+        r.dvs.nonEmpty ||
+          listNames(Paths.get(bucketPath(r.data, b)))
+            .count(_.endsWith(".parquet")) >= minFiles
+      }
+      if (degraded.isEmpty) return v
+      val rows = readBuckets(m, degraded.keySet, cur)
+      val commit = s"t-${UUID.randomUUID().toString.take(12)}"
+      // Same bucket count -> the rewrite reproduces exactly the degraded
+      // bucket ids; repartition puts each in one task = one file.
+      rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
+        .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      // Degraded buckets are REPLACED (a bucket whose DVs deleted every
+      // row drops out of the manifest entirely, like a full-delete merge).
+      val next = (m -- degraded.keySet) ++
+        bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+      val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, n, "compact-partial", lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+        committed = v + 1
+      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
+    }
+    committed
+  }
+
   /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF`): re-publish
     * version `v`'s manifest — and its recorded schema — as a NEW head
     * commit. Copy-on-write makes this METADATA-ONLY: no data file is

@@ -721,6 +721,45 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Incremental-OPTIMIZE demo: after a MoR delete (DV'd buckets) and a
+    * merge, `compactPartial` rewrites ONLY the degraded buckets — three
+    * certificates ride the hash: `healthy_untouched` (every bucket that
+    * was clean and single-file keeps its exact manifest pointer),
+    * `dvs_folded` (no deletion vector survives anywhere), and
+    * `converged` (a second compactPartial is a version-preserving
+    * no-op). The final rows prove the selective rewrite lost nothing.
+    * Write-path class like s12. */
+  def txPartialCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s32").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.compact() // baseline: every bucket clean and single-file
+      val v1 = t.deleteMergeOnRead(
+        base.filter(substring(col("name"), -1, 1) === "5"))
+      val v2 = t.merge(base.filter(substring(col("name"), -1, 1) === "6")
+        .withColumn("house", lit("MERGED6")))
+      val p2 = t.dataPointers(v2)
+      val degraded = t.dvPointers(v2).filter(_._2.nonEmpty).keySet ++
+        p2.keySet.filter(b => t.dataPointers(v1).get(b) != p2.get(b))
+      val v3 = t.compactPartial()
+      val p3 = t.dataPointers(v3)
+      val healthyUntouched = p2.keySet.filterNot(degraded.contains)
+        .forall(b => p3.get(b) == p2.get(b))
+      val dvsFolded = t.dvPointers(v3).forall(_._2.isEmpty)
+      val converged = t.compactPartial() == v3
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(healthyUntouched).as("healthy_untouched"),
+          lit(dvsFolded).as("dvs_folded"), lit(converged).as("converged"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

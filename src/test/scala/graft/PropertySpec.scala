@@ -123,7 +123,8 @@ class PropertySpec extends AnyFunSuite {
     val opGen: Gen[(Int, Seq[(String, Long)], Int)] = for {
       op <- Gen.frequency(4 -> 0 /*merge*/, 2 -> 1 /*delete*/,
         1 -> 2 /*compact*/, 1 -> 3 /*rebucket*/, 1 -> 4 /*restore*/,
-        2 -> 5 /*wap merge*/)
+        2 -> 5 /*wap merge*/, 2 -> 6 /*MoR delete*/,
+        1 -> 7 /*partial compact*/)
       n <- Gen.chooseNum(1, 5)
       keys <- Gen.listOfN(n, keyGen)
       vals <- Gen.listOfN(n, Gen.chooseNum(0L, 999L))
@@ -157,6 +158,10 @@ class PropertySpec extends AnyFunSuite {
             model ++= uniq
             val fv = t.fastForward(s"p$branchN")
             t.dropBranch(s"p$branchN"); fv
+          case 6 =>
+            model --= batch.map(_._1)
+            t.deleteMergeOnRead(batch.map(_._1).distinct.toDF("k"))
+          case 7 => t.compactPartial()
         }
         val snap = t.snapshot().as[(String, Long)].collect().toMap
         assert(snap == model, s"after op$op at v$v: $snap != $model")
