@@ -317,6 +317,8 @@ object SparkEntry {
     "gx_lpa" -> ((s, d) => GraphAnalytics.labelPropagation(s, d)),
     // SCC vs WCC on a directed ring-and-bridge graph: direction matters.
     "gx_scc" -> ((s, d) => GraphAnalytics.stronglyConnected(s, d)),
+    // Personalized PageRank: reset-to-source walk, mass stays in-component.
+    "gx_ppr" -> ((s, d) => GraphAnalytics.personalizedPageRank(s, d)),
     // —— Structured Streaming (§2.8): real streaming execution, batch oracle ——
     "st_window_counts" -> ((s, d) => StreamingOps.streamedWindowCounts(s, d)),
     "st_distinct_users" -> ((s, d) => StreamingOps.streamedDistinctUsers(s, d)),
@@ -1527,6 +1529,16 @@ object SparkEntry {
          |FROM s WHERE c - 1 >= 10 ORDER BY nid""".stripMargin,
     // gx_lpa: sync LPA with (count DESC, label ASC) tie-break provably
     // converges to each house-clique's MIN nid — the closed form.
+    // gx_ppr: reached == source-house membership is the closed form; the
+    // float facts (source outranks peers; peers uniform) ride as booleans.
+    "gx_ppr" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT nid, house, count(*) OVER (PARTITION BY house) AS c
+         |      FROM n WHERE nid < 300),
+         |src AS (SELECT house AS sh FROM b WHERE nid = 1)
+         |SELECT CAST(nid AS BIGINT) AS nid, (house = src.sh) AS reached,
+         |  true AS peers_uniform, true AS source_max
+         |FROM b CROSS JOIN src WHERE c > 1 ORDER BY nid""".stripMargin,
     // gx_scc: closed form — per-family directed rings are the SCCs (min
     // nid of the family), one-way bridges make the WHOLE graph one weak
     // component (global min). The hash certifies SCC refused the bridges.

@@ -257,6 +257,36 @@ object GraphAnalytics {
       .toDF("nid", "rank")
   }
 
+  /** PERSONALIZED PageRank from one source — random walks that reset to
+    * the SOURCE, not uniformly, so rank mass is confined to the source's
+    * reachable component: on the same-house clique graph, exactly the
+    * source's house. Certificates through the hash channel: `reached`
+    * per vertex must equal house membership (the closed form — proves
+    * the walk never leaked probability mass across components), and the
+    * two floats-only facts ride as booleans — the source outranks every
+    * peer, and all non-source peers are rank-uniform (symmetry), with an
+    * ulp tolerance because message summation order is partition-
+    * dependent. */
+  def personalizedPageRank(spark: SparkSession, sfDir: String,
+                           srcKey: Int = 1, maxNid: Long = 300): DataFrame = {
+    val g = friendEdges(spark, sfDir, maxNid)
+    val und = XGraph.fromEdges(
+      g.edges.flatMap(e => Iterator(e, Edge(e.dstId, e.srcId, e.attr))), 0)
+    val src = srcKey.toLong
+    val pr = und.staticPersonalizedPageRank(src, 10).vertices
+    val ranks = spark.createDataFrame(pr.map { case (v, r) => (v, r) })
+      .toDF("nid", "rank")
+    val peers = ranks.filter(col("nid") =!= src && col("rank") > 0)
+    val Array(stats) = peers.agg(min("rank"), max("rank")).collect()
+    val uniformPeers = stats.getDouble(1) - stats.getDouble(0) < 1e-9
+    val srcRank = ranks.filter(col("nid") === src).head().getDouble(1)
+    val srcMax = srcRank > stats.getDouble(1)
+    ranks
+      .select(col("nid"), (col("rank") > 0).as("reached"),
+        lit(uniformPeers).as("peers_uniform"), lit(srcMax).as("source_max"))
+      .orderBy("nid")
+  }
+
   def pageRankTop(spark: SparkSession, sfDir: String, maxNid: Long = 300, k: Int = 20): DataFrame = {
     val ranks = pageRankRaw(spark, sfDir, maxNid)
     val mean = ranks.agg(avg("rank").as("mean"))
