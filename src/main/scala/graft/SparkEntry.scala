@@ -278,6 +278,8 @@ object SparkEntry {
     "rq71_geo_join" -> ((s, d) => RelOps.geoGridJoin(s, d)),
     // Exact p50/p90/p99 via bounded histogram + in-bucket residual select.
     "rq72_exact_kth" -> ((s, d) => RelOps.exactKth(s, d)),
+    // Exact percentile_cont: two shared-histogram ranks + integer blend.
+    "rq80_percentile_cont" -> ((s, d) => RelOps.percentileCont(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2869,6 +2871,25 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq80: the oracle replays the continuous-percentile definition from
+    // row_number ranks with the identical integer-micros blend.
+    "rq80_percentile_cont" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |n AS (SELECT count(*) AS c FROM v),
+        |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |        ('p99', 99, 100)) AS q(stat, qn, qd)),
+        |t AS (SELECT stat, qn, qd,
+        |    qn * (c - 1) // qd + 1 AS k, qn * (c - 1) % qd AS rem
+        |  FROM q CROSS JOIN n)
+        |SELECT t.stat, CAST(t.k AS BIGINT) AS k,
+        |  CAST(a.v * 1000000 + (b.v - a.v) * t.rem * 1000000 // t.qd
+        |    AS BIGINT) AS pcont_micro
+        |FROM t JOIN r a ON a.rn = t.k
+        |  JOIN r b ON b.rn = CASE WHEN t.rem = 0 THEN t.k ELSE t.k + 1 END
+        |ORDER BY t.stat""".stripMargin,
     // rq72: the oracle is the rank definition itself — row_number over the
     // sorted column, picked at k = ceil(q·n) — so the hash certifies the
     // histogram-selection path returns the EXACT order statistic.

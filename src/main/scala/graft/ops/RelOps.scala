@@ -1808,6 +1808,44 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** EXACT percentile_cont (linear interpolation) without a sort —
+    * completing rq72's percentile_disc: the continuous definition sits
+    * at fractional index q·(n−1), so it needs the order statistics at
+    * ranks ⌊idx⌋+1 and ⌊idx⌋+2 and an exact rational blend. Both ranks
+    * resolve through ONE shared bounded histogram; the interpolation is
+    * pure integer arithmetic in micro-units (v_k·10⁶ + (v_{k+1}−v_k)·
+    * rem·10⁶ ÷ den), so the oracle's row_number replay matches
+    * bit-for-bit — no float percentile divergence. */
+  def percentileCont(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, sfDir)
+      .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
+    val Array(bounds) = vals.agg(count(lit(1)).as("n"),
+      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
+    val (n, lo, hi) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val width = math.max(1L, (hi - lo) / 65536L + 1L)
+    val hist = vals.groupBy(expr(s"(v - $lo) DIV $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
+    def rankValue(k: Long): Long = {
+      val i = cum.indexWhere(_._2 >= k)
+      val (bucket, _) = cum(i)
+      val below = if (i == 0) 0L else cum(i - 1)._2
+      kthProbe(spark, sfDir, lo + bucket * width, lo + (bucket + 1) * width,
+        (k - below).toInt).head().getLong(0)
+    }
+    val targets = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+    val rows = targets.map { case (stat, qn, qd) =>
+      val idx = qn * (n - 1) // fractional index numerator over qd
+      val k = idx / qd + 1   // 1-indexed lower rank
+      val rem = idx % qd
+      val vk = rankValue(k)
+      val vk1 = if (rem == 0) vk else rankValue(k + 1)
+      (stat, k, vk * 1000000L + (vk1 - vk) * rem * 1000000L / qd)
+    }
+    spark.createDataFrame(rows).toDF("stat", "k", "pcont_micro").orderBy("stat")
+  }
+
   /** The pass-2 residual selection of `exactKth`: the j-th smallest value
     * within one histogram bucket's range. The range filter is phrased on
     * the RAW decimal column — `price*100 ∈ [lo,hi)` iff
