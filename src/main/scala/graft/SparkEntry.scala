@@ -68,6 +68,8 @@ object SparkEntry {
     "s31_catalog_txn" -> ((s, d) => GraphOps.catalogTxn(s, d)),
     // Incremental OPTIMIZE: only degraded buckets rewritten, converges.
     "s32_partial_compact" -> ((s, d) => GraphOps.txPartialCompact(s, d)),
+    // Time-travel snapshots diffed in plain SQL over temp views.
+    "s33_sql_time_travel" -> ((s, d) => GraphOps.sqlTimeTravel(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2592,6 +2594,22 @@ object SparkEntry {
          |             (CAST(4 AS BIGINT), 'restore-v1')) AS v(version, op),
          |     c, d
          |ORDER BY v.version""".stripMargin,
+    // s33: states derived from the base + the frozen demo batches; the
+    // SQL-authored classification must reproduce them exactly.
+    "s33_sql_time_travel" ->
+      s"""WITH $nodesCte,
+         |cust AS (SELECT name, house AS house_v0,
+         |    CASE WHEN name = 'Customer#000000003' THEN 'MACHINERY'
+         |         ELSE house END AS house_head,
+         |    CASE WHEN name = 'Customer#000000003' THEN 'update'
+         |         ELSE 'unchanged' END AS change
+         |  FROM n WHERE name <= 'Customer#000000030')
+         |SELECT * FROM cust
+         |UNION ALL SELECT 'User#000000001', CAST(NULL AS VARCHAR),
+         |  'BUILDING', 'insert'
+         |UNION ALL SELECT 'User#000000002', CAST(NULL AS VARCHAR),
+         |  'AUTOMOBILE', 'insert'
+         |ORDER BY name""".stripMargin,
     // s32: final state = base with %5 names deleted and %6 names merged;
     // all three incremental-OPTIMIZE certificates must come back true.
     "s32_partial_compact" ->

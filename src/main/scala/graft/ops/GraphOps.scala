@@ -782,6 +782,39 @@ object GraphOps {
     graft.core.TxTable.open(spark, dir, Seq("name"))
   }
 
+  /** SQL surface over time travel (s33): the frozen s15 history's v0 and
+    * head snapshots registered as TEMP VIEWS and diffed in PLAIN SQL — a
+    * full-outer join classifying insert/update/unchanged per key. The
+    * point: the lakehouse layer composes with the SQL entry point (any
+    * BI tool speaking SQL can diff versions); the classification logic
+    * lives in the query, not the engine, and the oracle derives the
+    * same states from the base table and the known demo batches. Reads
+    * the build-once artifact — measures two pruned snapshot reads plus
+    * one small join. */
+  def sqlTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = demoTxTable(spark, sfDir, "s15") { t =>
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "BUILDING", 0.0),
+        ("User#000000001", "BUILDING", 10.0))).toDF("name", "house", "acctbal"))
+      t.merge(spark.createDataFrame(Seq(
+        ("Customer#000000003", "MACHINERY", 99.5),
+        ("User#000000002", "AUTOMOBILE", 20.0))).toDF("name", "house", "acctbal"))
+      ()
+    }
+    t.snapshotAt(0L).createOrReplaceTempView("tt_v0")
+    t.snapshotAt(2L).createOrReplaceTempView("tt_head")
+    spark.sql(
+      """SELECT coalesce(o.name, h.name) AS name,
+        |  o.house AS house_v0, h.house AS house_head,
+        |  CASE WHEN o.name IS NULL THEN 'insert'
+        |       WHEN o.house <> h.house OR o.acctbal <> h.acctbal THEN 'update'
+        |       ELSE 'unchanged' END AS change
+        |FROM tt_v0 o FULL OUTER JOIN tt_head h ON o.name = h.name
+        |WHERE coalesce(o.name, h.name) <= 'Customer#000000030'
+        |   OR coalesce(o.name, h.name) LIKE 'User#%'
+        |ORDER BY name""".stripMargin)
+  }
+
   /** Time travel over the transactional table: the same MERGE path as s12,
     * but the probe reads EVERY committed version (`snapshotAt`) — create
     * (v0), first merge (v1), second merge overwriting the first (v2) — and
