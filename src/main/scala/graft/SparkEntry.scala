@@ -70,6 +70,8 @@ object SparkEntry {
     "s32_partial_compact" -> ((s, d) => GraphOps.txPartialCompact(s, d)),
     // Time-travel snapshots diffed in plain SQL over temp views.
     "s33_sql_time_travel" -> ((s, d) => GraphOps.sqlTimeTravel(s, d)),
+    // Metadata-only DROP COLUMN: narrowing evolution, old versions keep it.
+    "s34_drop_column" -> ((s, d) => GraphOps.txDropColumn(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2594,6 +2596,16 @@ object SparkEntry {
          |             (CAST(4 AS BIGINT), 'restore-v1')) AS v(version, op),
          |     c, d
          |ORDER BY v.version""".stripMargin,
+    // s34: head has no acctbal (schema is hash-enforced), %7 names
+    // merged post-drop, and both metadata-only certificates true.
+    "s34_drop_column" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%7' THEN 'MERGED7' ELSE house END AS house,
+         |  true AS pointers_unchanged, true AS v0_has_acctbal
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
     // s33: states derived from the base + the frozen demo batches; the
     // SQL-authored classification must reproduce them exactly.
     "s33_sql_time_travel" ->

@@ -538,6 +538,34 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** DROP COLUMN — metadata-only schema NARROWING, the DDL counterpart
+    * of the widening MERGE evolution: the new version re-publishes the
+    * same manifest (zero data rewritten, `dataPointers` unchanged) with
+    * a schema that omits the column; `conform` projects it away at read
+    * time, and time travel still serves it at pre-drop versions from
+    * the untouched files. Caveat (documented, the Delta column-mapping
+    * problem): re-ADDING a same-named column later would resurrect the
+    * physical values for never-rewritten rows, because columns resolve
+    * by name — a production version would map columns by id. */
+  def dropColumn(colName: String): Long = {
+    require(!keyCols.contains(colName), s"cannot drop key column '$colName'")
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val cur = schemaAt(v)
+      require(cur.fieldNames.contains(colName), s"no column '$colName' at v$v")
+      val m = manifest(v)
+      val lines = m.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, bucketCountAt(v), s"drop-$colName", lines)) {
+        val narrowed = org.apache.spark.sql.types.StructType(
+          cur.fields.filterNot(_.name == colName))
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), narrowed.toDDL)
+        committed = v + 1
+      }
+    }
+    committed
+  }
+
   /** INCREMENTAL compaction — `compact()` for tables too big to ever
     * rewrite whole: only buckets that are actually degraded (carrying
     * deletion vectors, or fragmented into ≥ `minFiles` part files) are

@@ -760,6 +760,35 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** DROP COLUMN demo (s34): create → drop acctbal (metadata-only —
+    * `pointers_unchanged` certifies zero data movement) → merge on the
+    * narrowed schema still works → time travel to v0 still serves the
+    * dropped column from the untouched files (`v0_has_acctbal`). The
+    * head output simply has no acctbal column, which the hash enforces
+    * structurally (schema is part of the compare). Write-path class. */
+  def txDropColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s34").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val vd = t.dropColumn("acctbal")
+      val pointersUnchanged = t.dataPointers(0L) == t.dataPointers(vd)
+      t.merge(base.filter(substring(col("name"), -1, 1) === "7")
+        .select(col("name"), lit("MERGED7").as("house")))
+      val v0HasAcctbal = t.snapshotAt(0L).columns.contains("acctbal") &&
+        !t.snapshot().columns.contains("acctbal")
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"),
+          lit(pointersUnchanged).as("pointers_unchanged"),
+          lit(v0HasAcctbal).as("v0_has_acctbal"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so
