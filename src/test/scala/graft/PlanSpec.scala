@@ -460,6 +460,16 @@ class PlanSpec extends AnyFunSuite {
       s"range filter did not reach the parquet scan:\n$p")
   }
 
+  test("rq73 KMV: both sketch builds run on the native bounded-heap operator, no WindowExec") {
+    val p = finalPlan(graft.ops.RelOps.kmvJaccard(spark, sf))
+    val nHeap = "TopKPerGroup".r.findAllIn(p).size
+    // Two logical top-k sites (per-day sketch, per-pair union re-sketch),
+    // each planned as partial+final heap execs = 4 operator nodes.
+    assert(nHeap >= 4, s"expected both sketches on the native heap, got $nHeap:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"a rank window crept into the sketch path:\n$p")
+  }
+
   test("rq75 group median: ranking window consumes only the broadcast-pruned bucket slice") {
     val p = finalPlan(graft.ops.RelOps.groupMedian(spark, sf))
     // The per-group rank must run AFTER the bucket-range filter join —
