@@ -284,6 +284,8 @@ object SparkEntry {
     "rq72_exact_kth" -> ((s, d) => RelOps.exactKth(s, d)),
     // Exact percentile_cont: two shared-histogram ranks + integer blend.
     "rq80_percentile_cont" -> ((s, d) => RelOps.percentileCont(s, d)),
+    // Rolling 7-day median: bounded spine fanout, exact per-window median.
+    "rq81_rolling_median" -> ((s, d) => RelOps.rollingMedian(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2901,6 +2903,20 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq81: same fanout, same continuous-median definition
+    // (quantile_cont == Spark percentile, the tx_len_quantiles pairing).
+    "rq81_rolling_median" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT DISTINCT day AS s_day FROM d)
+        |SELECT strftime(s_day, '%Y-%m-%d') AS day, count(*) AS n_days,
+        |  round(quantile_cont(rev, 0.5), 4) AS med_rev_x100
+        |FROM d JOIN s ON s_day >= day AND s_day <= day + 6
+        |GROUP BY s_day
+        |HAVING strftime(s_day, '%Y-%m-%d') < '1995-04-01'
+        |ORDER BY day""".stripMargin,
     // rq80: the oracle replays the continuous-percentile definition from
     // row_number ranks with the identical integer-micros blend.
     "rq80_percentile_cont" ->

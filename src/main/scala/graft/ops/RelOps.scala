@@ -1808,6 +1808,32 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** ROLLING MEDIAN — the moving quantile no window frame can express
+    * (median, like distinct, is not algebraic over sliding frames;
+    * rq54's rule): the fact stream collapses once to the per-day grain
+    * (the only data-sized shuffle), each day fans out to the ≤7 trailing
+    * spine days that cover it via a broadcast range join, and an exact
+    * `percentile` runs per spine day over ≤7 values. Cost is 7×|days| —
+    * calendar-bounded regardless of fact volume. Median pairing with
+    * DuckDB's quantile_cont is the same continuous definition
+    * tx_len_quantiles pins. */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).cast("long")
+        .as("rev"))
+    val spine = daily.select(col("day").as("s_day")).distinct()
+    daily.join(broadcast(spine),
+        col("s_day") >= col("day") && col("s_day") <= date_add(col("day"), 6))
+      .groupBy("s_day")
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(rev, 0.5)"), 4).as("med_rev_x100"))
+      .select(date_format(col("s_day"), "yyyy-MM-dd").as("day"),
+        col("n_days"), col("med_rev_x100"))
+      .filter(col("day") < "1995-04-01")
+      .orderBy("day")
+  }
+
   /** EXACT percentile_cont (linear interpolation) without a sort —
     * completing rq72's percentile_disc: the continuous definition sits
     * at fractional index q·(n−1), so it needs the order statistics at
