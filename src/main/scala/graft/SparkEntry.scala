@@ -286,6 +286,8 @@ object SparkEntry {
     "rq80_percentile_cont" -> ((s, d) => RelOps.percentileCont(s, d)),
     // Rolling 7-day median: bounded spine fanout, exact per-window median.
     "rq81_rolling_median" -> ((s, d) => RelOps.rollingMedian(s, d)),
+    // Chi-square independence test in exact decimal(38) integer micros.
+    "rq82_chi_square" -> ((s, d) => RelOps.chiSquare(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2903,6 +2905,27 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq82: HUGEINT replay of the same full-grid exact-integer statistic.
+    "rq82_chi_square" ->
+      """WITH o AS (SELECT c_mktsegment AS house,
+        |    CAST(c_nationkey AS BIGINT) AS nation, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |g AS (SELECT h.house, na.nation, coalesce(o.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT house FROM o) h
+        |  CROSS JOIN (SELECT DISTINCT nation FROM o) na
+        |  LEFT JOIN o USING (house, nation)),
+        |t AS (SELECT cnt,
+        |    sum(cnt) OVER (PARTITION BY house) AS rt,
+        |    sum(cnt) OVER (PARTITION BY nation) AS ct,
+        |    sum(cnt) OVER () AS n, house, nation
+        |  FROM g)
+        |SELECT CAST(sum(CAST(cnt*n - rt*ct AS HUGEINT) * (cnt*n - rt*ct)
+        |    * 1000000 // (CAST(rt AS HUGEINT) * ct * n)) AS BIGINT)
+        |    AS chi2_micro,
+        |  CAST((count(DISTINCT house) - 1) * (count(DISTINCT nation) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM t""".stripMargin,
     // rq81: same fanout, same continuous-median definition
     // (quantile_cont == Spark percentile, the tx_len_quantiles pairing).
     "rq81_rolling_median" ->

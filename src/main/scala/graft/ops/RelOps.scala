@@ -1808,6 +1808,40 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** PEARSON χ² independence test (house × nation) in EXACT arithmetic —
+    * the categorical-association test rq61's z-test doesn't cover: the
+    * contingency table is one hash agg (the only data-sized pass),
+    * completed to the full category grid (zero cells contribute their
+    * expectation), and every (obs·N − rowTot·colTot)²·10⁶ ÷
+    * (rowTot·colTot·N) term is decimal(38,0) integer arithmetic — the
+    * tx_dsir HUGEINT pairing — so the statistic is bit-reproducible, no
+    * float χ² library needed. Windows run over the ≤|houses|·|nations|
+    * grid, a bounded domain. */
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("house"),
+        col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = obs.select("house").distinct()
+      .crossJoin(obs.select("nation").distinct())
+      .join(obs, Seq("house", "nation"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = grid
+      .withColumn("rt", sum("cnt").over(Window.partitionBy("house")))
+      .withColumn("ct", sum("cnt").over(Window.partitionBy("nation")))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("term", expr(
+        "cast(cnt*n - rt*ct as decimal(38,0)) * (cnt*n - rt*ct) * 1000000" +
+          " div (cast(rt as decimal(38,0)) * ct * n)"))
+    t.agg(
+      expr("cast(sum(term) as bigint)").as("chi2_micro"),
+      ((countDistinct("house") - 1) * (countDistinct("nation") - 1))
+        .cast("long").as("dof"),
+      max("n").cast("long").as("n"))
+  }
+
   /** ROLLING MEDIAN — the moving quantile no window frame can express
     * (median, like distinct, is not algebraic over sliding frames;
     * rq54's rule): the fact stream collapses once to the per-day grain
