@@ -364,6 +364,8 @@ object SparkEntry {
     "mm_resize" -> ((s, d) =>
       MultimodalOps.resizeMeta(s, d).filter(col_("media_id") < 100).orderBy("media_id")),
     "mm_frame_counts" -> ((s, d) => MultimodalOps.frameCounts(s, d)),
+    // Real-file ingestion through the binaryFile source (media on-ramp).
+    "mm_binary_ingest" -> ((s, d) => MultimodalOps.binaryIngest(s, d)),
     "mm_shard_pack" -> ((s, d) => MultimodalOps.shardManifest(s, d)),
     "mm_phash_neardup" -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
     // feat_sum / feat0 are exact integers (decodeStub accumulates raw byte
@@ -3242,6 +3244,12 @@ object SparkEntry {
         |  CAST(least(64 + n_chars % 512, 256) AS INT) AS width,
         |  CAST(least(64 + (n_chars * 7) % 512, 256) AS INT) AS height
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    // mm_binary_ingest: byte length + md5 of the file contents must
+    // equal the source rows — certifies write→list→read→key end to end.
+    "mm_binary_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     "mm_frame_counts" ->
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,

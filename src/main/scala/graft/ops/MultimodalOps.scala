@@ -107,6 +107,36 @@ object MultimodalOps {
       least(col("meta.width"), lit(maxW)).as("width"),
       least(col("meta.height"), lit(maxH)).as("height"))
 
+  /** Real-file media ingestion via Spark's `binaryFile` source — the
+    * actual 100 TB on-ramp for image/audio/video corpora (one row per
+    * file: path, length, binary content; `pathGlobFilter`/partitioned
+    * dirs prune at the listing). The fixture payloads are written ONCE
+    * as real files (build-once artifact, driver-side — bounded count),
+    * then ingested through the genuine DataSource path; doc_id parses
+    * from the filename and the oracle checks byte length + content md5
+    * against the source rows, certifying the whole write→list→read→
+    * decode-key chain. */
+  def binaryIngest(spark: SparkSession, sfDir: String, maxId: Int = 50): DataFrame = {
+    val dir = graft.etl.Artifacts.path(sfDir, "binfiles")
+    val ready = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(spark, sfDir).filter(col("doc_id") < maxId)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      java.nio.file.Files.createFile(ready)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: slice the payload into fixed 32-byte "frames", keep
     * every `stride`-th — explode shape with ordinal, the video-pipeline
     * primitive. Built-ins only (sequence/transform/posexplode). */
