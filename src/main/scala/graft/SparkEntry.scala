@@ -288,6 +288,8 @@ object SparkEntry {
     "rq81_rolling_median" -> ((s, d) => RelOps.rollingMedian(s, d)),
     // Chi-square independence test in exact decimal(38) integer micros.
     "rq82_chi_square" -> ((s, d) => RelOps.chiSquare(s, d)),
+    // Gaps-and-islands over the id domain: the sequence completeness audit.
+    "rq83_sequence_gaps" -> ((s, d) => RelOps.sequenceGaps(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2907,6 +2909,15 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq83: identical lead() pairing over the same filtered sequence.
+    "rq83_sequence_gaps" ->
+      """WITH i AS (SELECT event_id AS id FROM events
+        |  WHERE event_type <> 'purchase'),
+        |p AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM i)
+        |SELECT id + 1 AS gap_from, nxt - 1 AS gap_to,
+        |  nxt - id - 1 AS missing
+        |FROM p WHERE nxt > id + 1
+        |ORDER BY gap_from LIMIT 50""".stripMargin,
     // rq82: HUGEINT replay of the same full-grid exact-integer statistic.
     "rq82_chi_square" ->
       """WITH o AS (SELECT c_mktsegment AS house,

@@ -1808,6 +1808,40 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** SEQUENCE-GAP detection (gaps-and-islands over an id domain) — the
+    * completeness audit every ingestion pipeline owes its consumers:
+    * which id ranges are missing? An UNPARTITIONED lead() would drag the
+    * whole sequence into one task (Spark plans global windows single-
+    * partition), so the scalable shape is two-level: ids bucket by
+    * `id DIV B` and in-bucket gaps come from a bucket-partitioned
+    * window (parallel, data-sized); cross-boundary gaps — including
+    * holes spanning entirely-empty buckets — come from the per-bucket
+    * (min, max) summary, whose global window runs over ≤ domain/B rows
+    * (rq32's bounded-domain rule). The probe stream excludes one event
+    * type so real gaps exist; gap rows are output-sized. rq44's FK
+    * check audits references; this audits the sequence itself. */
+  def sequenceGaps(spark: SparkSession, sfDir: String, limit: Int = 50,
+                   bucket: Long = 100000L): DataFrame = {
+    val ids = Tables.events(spark, sfDir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("id"))
+      .withColumn("bk", expr(s"id DIV $bucket"))
+    val wIn = Window.partitionBy("bk").orderBy("id")
+    val inGaps = ids.withColumn("nxt", lead(col("id"), 1).over(wIn))
+      .filter(col("nxt") > col("id") + 1)
+      .select((col("id") + 1).as("gap_from"), (col("nxt") - 1).as("gap_to"))
+    val edges = ids.groupBy("bk").agg(min("id").as("mn"), max("id").as("mx"))
+    val wEdge = Window.orderBy("bk")
+    val crossGaps = edges.withColumn("nmn", lead(col("mn"), 1).over(wEdge))
+      .filter(col("nmn") > col("mx") + 1)
+      .select((col("mx") + 1).as("gap_from"), (col("nmn") - 1).as("gap_to"))
+    inGaps.unionByName(crossGaps)
+      .select(col("gap_from"), col("gap_to"),
+        (col("gap_to") - col("gap_from") + 1).as("missing"))
+      .orderBy("gap_from")
+      .limit(limit)
+  }
+
   /** PEARSON χ² independence test (house × nation) in EXACT arithmetic —
     * the categorical-association test rq61's z-test doesn't cover: the
     * contingency table is one hash agg (the only data-sized pass),
