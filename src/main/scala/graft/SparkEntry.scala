@@ -138,6 +138,8 @@ object SparkEntry {
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "tx_langid" -> ((s, d) => TextOps.langId(s, d)),
+    // Classifier eval: per-class precision/recall ppm from one confusion agg.
+    "tx_eval_metrics" -> ((s, d) => TextOps.langIdMetrics(s, d)),
     "tx_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "tx_vocab_topk" -> ((s, d) => TextOps.vocabTopK(s, d)),
     // Vocabulary coverage curve: top-N token mass in exact integer ppm.
@@ -771,6 +773,40 @@ object SparkEntry {
          |  FROM t)
          |SELECT *, (len BETWEEN 50 AND 2000 AND punct_ratio < 0.2 AND avg_tok_len < 12.0) AS is_quality
          |FROM q ORDER BY doc_id""".stripMargin,
+    // tx_eval_metrics: the oracle re-scores the FULL corpus with the
+    // same marker heuristic, then folds the confusion table into the
+    // identical guarded-ppm precision/recall.
+    "tx_eval_metrics" -> {
+      val scores = TextOps.LangMarkers.map { case (l, m) =>
+        s"CAST((len(lo) - len(replace(lo, '$m', ''))) / ${m.length} AS BIGINT) AS s_$l"
+      }.mkString(",\n    ")
+      val best = "greatest(" + TextOps.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val cases = TextOps.LangMarkers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, lower(text) AS lo FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    $scores
+         |  FROM t),
+         |p AS (SELECT lang, CASE $cases ELSE 'und' END AS pred FROM s),
+         |conf AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |cls AS (SELECT DISTINCT lang AS cls FROM conf),
+         |tpt AS (SELECT lang AS cls, n AS tp FROM conf WHERE lang = pred),
+         |fpt AS (SELECT pred AS cls, sum(n) AS fp FROM conf
+         |        WHERE lang <> pred GROUP BY 1),
+         |fnt AS (SELECT lang AS cls, sum(n) AS fn FROM conf
+         |        WHERE lang <> pred GROUP BY 1)
+         |SELECT cls AS lang, CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |  CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+         |  CAST(coalesce(fn, 0) AS BIGINT) AS fn,
+         |  CAST(CASE WHEN coalesce(tp, 0) + coalesce(fp, 0) = 0 THEN 0
+         |    ELSE coalesce(tp, 0) * 1000000 // (coalesce(tp, 0) + coalesce(fp, 0))
+         |    END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN coalesce(tp, 0) + coalesce(fn, 0) = 0 THEN 0
+         |    ELSE coalesce(tp, 0) * 1000000 // (coalesce(tp, 0) + coalesce(fn, 0))
+         |    END AS BIGINT) AS recall_ppm
+         |FROM cls LEFT JOIN tpt USING (cls) LEFT JOIN fpt USING (cls)
+         |  LEFT JOIN fnt USING (cls)
+         |ORDER BY lang""".stripMargin
+    },
     "tx_langid" -> {
       val scores = TextOps.LangMarkers.map { case (l, m) =>
         s"CAST((len(lo) - len(replace(lo, '$m', ''))) / ${m.length} AS BIGINT) AS s_$l"

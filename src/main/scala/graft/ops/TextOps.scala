@@ -242,6 +242,38 @@ object TextOps {
     scored.withColumn("pred", pred).orderBy("doc_id")
   }
 
+  /** Classifier EVALUATION metrics for the lang-id heuristic — the
+    * model-eval primitive (precision/recall/F1 per class, in exact
+    * integer ppm) run as pure aggregation: predictions join labels, one
+    * (label, pred) confusion hash agg (the only data-sized pass), then
+    * per-class tp/fp/fn fold out of the ≤|langs|² confusion table.
+    * Scoring the FULL corpus — unlike tx_langid's bounded display slice
+    * — so the metrics are real; guarded ppm division (0 when the
+    * denominator is empty). */
+  def langIdMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = langId(spark, sfDir, Int.MaxValue).select("doc_id", "pred")
+    val conf = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    val tp = conf.filter(col("lang") === col("pred"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    val fp = conf.filter(col("lang") =!= col("pred"))
+      .groupBy(col("pred").as("cls")).agg(sum(col("n")).as("fp"))
+    val fn = conf.filter(col("lang") =!= col("pred"))
+      .groupBy(col("lang").as("cls")).agg(sum(col("n")).as("fn"))
+    conf.select(col("lang").as("cls")).distinct()
+      .join(tp, Seq("cls"), "left_outer")
+      .join(fp, Seq("cls"), "left_outer")
+      .join(fn, Seq("cls"), "left_outer")
+      .na.fill(0L, Seq("tp", "fp", "fn"))
+      .select(col("cls").as("lang"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, 0L)
+          .otherwise(expr("tp * 1000000 DIV (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, 0L)
+          .otherwise(expr("tp * 1000000 DIV (tp + fn)")).as("recall_ppm"))
+      .orderBy("lang")
+  }
+
   /** Within-document repetition stats — the Gopher/MassiveText-family
     * quality signal: a doc whose 3-grams repeat heavily is boilerplate or
     * degenerate generation, independent of its cross-corpus dup status.
