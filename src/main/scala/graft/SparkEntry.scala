@@ -72,6 +72,8 @@ object SparkEntry {
     "s33_sql_time_travel" -> ((s, d) => GraphOps.sqlTimeTravel(s, d)),
     // Metadata-only DROP COLUMN: narrowing evolution, old versions keep it.
     "s34_drop_column" -> ((s, d) => GraphOps.txDropColumn(s, d)),
+    // Full MERGE grammar: conditional update/delete/insert in one commit.
+    "s35_merge_clauses" -> ((s, d) => GraphOps.txMergeClauses(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -2640,6 +2642,22 @@ object SparkEntry {
          |             (CAST(4 AS BIGINT), 'restore-v1')) AS v(version, op),
          |     c, d
          |ORDER BY v.version""".stripMargin,
+    // s35: matched %8 rows with negative balance deleted, the rest
+    // re-housed M8; only the positive-balance User insert survives.
+    "s35_merge_clauses" ->
+      s"""WITH $nodesCte,
+         |u AS (
+         |  SELECT name,
+         |    CASE WHEN name LIKE '%8' THEN 'M8' ELSE house END AS house,
+         |    acctbal
+         |  FROM n
+         |  WHERE NOT (name LIKE '%8' AND acctbal < 0)
+         |  UNION ALL
+         |  SELECT 'User#000000001', 'NEW', CAST(50.0 AS DECIMAL(12,2)))
+         |SELECT name, house, round(acctbal, 2) AS acctbal
+         |FROM u
+         |WHERE name <= 'Customer#000000030' OR name LIKE 'User#%'
+         |ORDER BY name""".stripMargin,
     // s34: head has no acctbal (schema is hash-enforced), %7 names
     // merged post-drop, and both metadata-only certificates true.
     "s34_drop_column" ->

@@ -324,6 +324,59 @@ final class TxTable private (spark: SparkSession, dir: String,
     }
   }
 
+  /** Full MERGE grammar (Delta's conditional clauses): WHEN MATCHED AND
+    * `deleteWhen` THEN DELETE, WHEN MATCHED AND `updateWhen` THEN UPDATE
+    * (else the old row survives unchanged), WHEN NOT MATCHED AND
+    * `insertWhen` THEN INSERT. Matched conditions evaluate over the OLD
+    * row's columns (the new row's values are visible as `new_<col>`),
+    * the insert condition over the new row; delete is checked first
+    * (clause order, like Delta's). Same bucket-exact copy-on-write and
+    * optimistic rebase as `merge`; `updates` must carry the table's
+    * current schema (conditional clauses don't compose with widening
+    * evolution — use plain `merge` for that). */
+  def mergeClauses(updates: DataFrame, updateWhen: String,
+                   deleteWhen: String, insertWhen: String): Long = {
+    val upd = updates.dropDuplicates(keyCols).localCheckpoint()
+    validate(upd.filter(insertWhen))
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val m = manifest(v)
+      val n = bucketCountAt(v)
+      val cur = schemaAt(v)
+      require(upd.columns.sorted.sameElements(cur.fieldNames.sorted),
+        s"mergeClauses batch schema must match table schema ${cur.toDDL}")
+      val touched = upd.select(bucketColFor(n).as("_b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val present = touched.filter(m.contains)
+      val existing =
+        if (present.isEmpty) conform(upd.limit(0), cur)
+        else readBuckets(m, present, cur)
+      val keep = existing.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val valCols = cur.fieldNames.toSeq.filterNot(keyCols.contains)
+      val matched = existing.join(
+        upd.select(keyCols.map(col) ++
+          valCols.map(c => col(c).as(s"new_$c")): _*), keyCols)
+      val survivors = matched.filter(s"NOT ($deleteWhen)")
+        .select(keyCols.map(col) ++ valCols.map(c =>
+          when(expr(updateWhen), col(s"new_$c")).otherwise(col(c)).as(c)): _*)
+      val inserts = upd
+        .join(existing.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .filter(insertWhen)
+      val out = conform(keep, cur).unionByName(conform(survivors, cur))
+        .unionByName(conform(inserts, cur))
+      val commit = writeCommit(out, n)
+      val next = (m -- touched) ++
+        bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+      val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, n, "merge-clauses", lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+        committed = v + 1
+      }
+    }
+    committed
+  }
+
   /** DELETE by key (the MERGE matched-delete clause): rows whose key
     * appears in `keys` are removed via the same copy-on-write bucket
     * rewrite; absent keys are a no-op. A bucket whose rows are all

@@ -789,6 +789,39 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Full-grammar MERGE demo (s35): one `mergeClauses` call exercises all
+    * three conditional clauses — matched rows with negative balance are
+    * DELETED, the rest of the matched set UPDATED (house := M8), and of
+    * the two unmatched User rows only the positive-balance one clears
+    * the INSERT condition. The final snapshot is a pure function of the
+    * base, so the hash certifies the whole clause algebra at once.
+    * Write-path class like s12. */
+  def txMergeClauses(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s35").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val abType = base.schema("acctbal").dataType
+      val users = spark.createDataFrame(Seq(
+          ("User#000000001", "NEW", 50.0), ("User#000000002", "NEW", -5.0)))
+        .toDF("name", "house", "acctbal")
+        .select(col("name"), col("house"), col("acctbal").cast(abType))
+      val batch = base.filter(substring(col("name"), -1, 1) === "8")
+        .withColumn("house", lit("M8"))
+        .unionByName(users)
+      t.mergeClauses(batch,
+        updateWhen = "acctbal >= 0", deleteWhen = "acctbal < 0",
+        insertWhen = "acctbal > 0")
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030" || col("name").startsWith("User#"))
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** The frozen three-version demo history s15/s17 read from. Unlike s12
     * (which measures the WRITE path and must mutate per invocation), the
     * time-travel and CDC reads probe an immutable committed history — so

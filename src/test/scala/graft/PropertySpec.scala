@@ -181,6 +181,30 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable mergeClauses: delete precedes update, conditions gate each clause") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_clauses").toString
+    try {
+      val base = (0 until 10).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // Batch: every existing key gets new value old+100; two new keys.
+      val batch = (base.map { case (k, v) => k -> (v + 100) } ++
+        Seq("YY" -> 200L, "ZZ" -> 50L)).toDF("k", "v")
+      // Old v = 5 satisfies BOTH delete and update conditions — delete
+      // must win (clause order). Inserts require new v > 100.
+      t.mergeClauses(batch, updateWhen = "v >= 3", deleteWhen = "v = 5",
+        insertWhen = "v > 100")
+      val m = t.snapshot().as[(String, Long)].collect().toMap
+      val expect = base.toMap.flatMap { case (k, v) =>
+        if (v == 5) None                       // matched-delete wins
+        else if (v >= 3) Some(k -> (v + 100))  // matched-update
+        else Some(k -> v)                      // matched, no clause fires
+      } + ("YY" -> 200L)                       // insert gated by condition
+      assert(m == expect, s"$m != $expect")
+      assert(!m.contains("ZZ"), "insert condition ignored")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable merge-on-read delete: tombstones only, CoW-equivalent, folds on merge/compact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
