@@ -294,6 +294,8 @@ object SparkEntry {
     "rq82_chi_square" -> ((s, d) => RelOps.chiSquare(s, d)),
     // Gaps-and-islands over the id domain: the sequence completeness audit.
     "rq83_sequence_gaps" -> ((s, d) => RelOps.sequenceGaps(s, d)),
+    // Pre-flight join-size prediction from per-key multiplicities.
+    "rq84_join_audit" -> ((s, d) => RelOps.joinAudit(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2963,6 +2965,17 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq84: exact per-key fan-out products; threshold flag replayed.
+    "rq84_join_audit" ->
+      """WITH l AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    count(*) AS n_cust FROM customer GROUP BY 1),
+        |r AS (SELECT CAST(s_nationkey AS BIGINT) AS nation,
+        |    count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT nation, n_cust, n_supp,
+        |  CAST(n_cust * n_supp AS BIGINT) AS predicted_rows,
+        |  n_cust * n_supp >= 100000 AS would_explode
+        |FROM l JOIN r USING (nation)
+        |ORDER BY predicted_rows DESC, nation""".stripMargin,
     // rq83: identical lead() pairing over the same filtered sequence.
     "rq83_sequence_gaps" ->
       """WITH i AS (SELECT event_id AS id FROM events

@@ -1808,6 +1808,31 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** JOIN-EXPLOSION audit — the pre-flight check that predicts a join's
+    * output size BEFORE running it: per-key multiplicities of both sides
+    * (two cheap aggs, map-side combinable) multiplied per key give the
+    * exact fan-out a key will contribute; ranked output flags the keys
+    * that would dominate. On a 100 TB pipeline this is the difference
+    * between noticing the accidental many-to-many (a skew key whose
+    * product is 10⁹) in seconds of metadata work and discovering it as
+    * a hung stage. Probe: customer × supplier on nation — genuinely
+    * multi-multi. The `would_explode` flag carries the threshold
+    * contract through the hash. */
+  def joinAudit(spark: SparkSession, sfDir: String,
+                threshold: Long = 100000L): DataFrame = {
+    val l = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_cust"))
+    val r = Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_supp"))
+    l.join(r, "nation")
+      .select(col("nation"), col("n_cust"), col("n_supp"),
+        (col("n_cust") * col("n_supp")).as("predicted_rows"),
+        (col("n_cust") * col("n_supp") >= threshold).as("would_explode"))
+      .orderBy(desc("predicted_rows"), asc("nation"))
+  }
+
   /** SEQUENCE-GAP detection (gaps-and-islands over an id domain) — the
     * completeness audit every ingestion pipeline owes its consumers:
     * which id ranges are missing? An UNPARTITIONED lead() would drag the
