@@ -296,6 +296,8 @@ object SparkEntry {
     "rq83_sequence_gaps" -> ((s, d) => RelOps.sequenceGaps(s, d)),
     // Pre-flight join-size prediction from per-key multiplicities.
     "rq84_join_audit" -> ((s, d) => RelOps.joinAudit(s, d)),
+    // 2-D histogram: (day-of-week x hour) heatmap with exact ppm shares.
+    "rq85_heatmap_2d" -> ((s, d) => RelOps.heatmap2d(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2965,6 +2967,14 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq85: same integer bins; DuckDB dayofweek is 0-based Sunday so +1.
+    "rq85_heatmap_2d" ->
+      """WITH b AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM b)
+        |SELECT dow, hod, n, CAST(n * 1000000 // t.t AS BIGINT) AS share_ppm
+        |FROM b, t ORDER BY dow, hod""".stripMargin,
     // rq84: exact per-key fan-out products; threshold flag replayed.
     "rq84_join_audit" ->
       """WITH l AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,

@@ -1808,6 +1808,24 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** 2-D HISTOGRAM (usage heatmap): events binned on (day-of-week ×
+    * hour) in one hash agg over derived integer bins — the dashboard
+    * heatmap primitive, with the per-cell share in exact ppm of the
+    * total (broadcast 1-row total join, no window). Bin derivation is
+    * pure integer datetime arithmetic, identical on both engines
+    * (dayofweek: Sunday=1 in Spark and DuckDB alike). */
+  def heatmap2d(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = Tables.events(spark, sfDir)
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+    val tot = binned.agg(sum(col("n")).cast("long").as("t"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hod"), col("n"),
+        expr("n * 1000000 DIV t").as("share_ppm"))
+      .orderBy("dow", "hod")
+  }
+
   /** JOIN-EXPLOSION audit — the pre-flight check that predicts a join's
     * output size BEFORE running it: per-key multiplicities of both sides
     * (two cheap aggs, map-side combinable) multiplied per key give the
