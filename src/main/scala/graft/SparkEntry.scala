@@ -316,6 +316,8 @@ object SparkEntry {
     "ml_covariance" -> ((s, d) => MlOps.covarianceMatrix(s, d)),
     // Depth-1 CART split search: one agg pass + bounded-domain window.
     "ml_stump" -> ((s, d) => MlOps.decisionStump(s, d)),
+    // Lloyd's k-means, 3 exact-integer rounds, one agg scan per round.
+    "ml_kmeans" -> ((s, d) => MlOps.kmeans(s, d)),
     // First BPE iteration: corpus-weighted adjacent character-pair counts.
     "tx_bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     // Okapi BM25 retrieval probing the bucket-partitioned postings artifact.
@@ -3065,6 +3067,79 @@ object SparkEntry {
         |SELECT ks.stat, CAST(ks.k AS BIGINT) AS k, r.v AS value
         |FROM ks JOIN r ON r.rn = ks.k
         |ORDER BY ks.stat""".stripMargin,
+    // ml_kmeans: all three Lloyd rounds replayed in chained CTEs with
+    // the identical init, tie-break, and floor-division means.
+    "ml_kmeans" ->
+      """WITH p AS (SELECT
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000 AS x,
+        |    CAST(c_nationkey AS BIGINT) * 40000 AS y,
+        |    CAST(c_custkey AS BIGINT) AS id
+        |  FROM customer),
+        |c0 AS (SELECT
+        |    max(CASE WHEN id = 1 THEN x END) AS cx1, max(CASE WHEN id = 1 THEN y END) AS cy1,
+        |    max(CASE WHEN id = 2 THEN x END) AS cx2, max(CASE WHEN id = 2 THEN y END) AS cy2,
+        |    max(CASE WHEN id = 3 THEN x END) AS cx3, max(CASE WHEN id = 3 THEN y END) AS cy3
+        |  FROM p WHERE id <= 3),
+        |r1 AS (SELECT x, y,
+        |    CASE WHEN d1 <= d2 AND d1 <= d3 THEN 1
+        |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS idx
+        |  FROM (SELECT p.x, p.y,
+        |      (p.x - c0.cx1)*(p.x - c0.cx1) + (p.y - c0.cy1)*(p.y - c0.cy1) AS d1,
+        |      (p.x - c0.cx2)*(p.x - c0.cx2) + (p.y - c0.cy2)*(p.y - c0.cy2) AS d2,
+        |      (p.x - c0.cx3)*(p.x - c0.cx3) + (p.y - c0.cy3)*(p.y - c0.cy3) AS d3
+        |    FROM p, c0)),
+        |a1 AS (SELECT idx, count(*) AS n,
+        |    sum(x) // count(*) AS cx, sum(y) // count(*) AS cy
+        |  FROM r1 GROUP BY 1),
+        |c1 AS (SELECT
+        |    coalesce(max(CASE WHEN idx = 1 THEN cx END), (SELECT cx1 FROM c0)) AS cx1,
+        |    coalesce(max(CASE WHEN idx = 1 THEN cy END), (SELECT cy1 FROM c0)) AS cy1,
+        |    coalesce(max(CASE WHEN idx = 2 THEN cx END), (SELECT cx2 FROM c0)) AS cx2,
+        |    coalesce(max(CASE WHEN idx = 2 THEN cy END), (SELECT cy2 FROM c0)) AS cy2,
+        |    coalesce(max(CASE WHEN idx = 3 THEN cx END), (SELECT cx3 FROM c0)) AS cx3,
+        |    coalesce(max(CASE WHEN idx = 3 THEN cy END), (SELECT cy3 FROM c0)) AS cy3
+        |  FROM a1),
+        |r2 AS (SELECT x, y,
+        |    CASE WHEN d1 <= d2 AND d1 <= d3 THEN 1
+        |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS idx
+        |  FROM (SELECT p.x, p.y,
+        |      (p.x - c1.cx1)*(p.x - c1.cx1) + (p.y - c1.cy1)*(p.y - c1.cy1) AS d1,
+        |      (p.x - c1.cx2)*(p.x - c1.cx2) + (p.y - c1.cy2)*(p.y - c1.cy2) AS d2,
+        |      (p.x - c1.cx3)*(p.x - c1.cx3) + (p.y - c1.cy3)*(p.y - c1.cy3) AS d3
+        |    FROM p, c1)),
+        |a2 AS (SELECT idx, count(*) AS n,
+        |    sum(x) // count(*) AS cx, sum(y) // count(*) AS cy
+        |  FROM r2 GROUP BY 1),
+        |c2 AS (SELECT
+        |    coalesce(max(CASE WHEN idx = 1 THEN cx END), (SELECT cx1 FROM c1)) AS cx1,
+        |    coalesce(max(CASE WHEN idx = 1 THEN cy END), (SELECT cy1 FROM c1)) AS cy1,
+        |    coalesce(max(CASE WHEN idx = 2 THEN cx END), (SELECT cx2 FROM c1)) AS cx2,
+        |    coalesce(max(CASE WHEN idx = 2 THEN cy END), (SELECT cy2 FROM c1)) AS cy2,
+        |    coalesce(max(CASE WHEN idx = 3 THEN cx END), (SELECT cx3 FROM c1)) AS cx3,
+        |    coalesce(max(CASE WHEN idx = 3 THEN cy END), (SELECT cy3 FROM c1)) AS cy3
+        |  FROM a2),
+        |r3 AS (SELECT x, y,
+        |    CASE WHEN d1 <= d2 AND d1 <= d3 THEN 1
+        |         WHEN d2 <= d3 THEN 2 ELSE 3 END AS idx
+        |  FROM (SELECT p.x, p.y,
+        |      (p.x - c2.cx1)*(p.x - c2.cx1) + (p.y - c2.cy1)*(p.y - c2.cy1) AS d1,
+        |      (p.x - c2.cx2)*(p.x - c2.cx2) + (p.y - c2.cy2)*(p.y - c2.cy2) AS d2,
+        |      (p.x - c2.cx3)*(p.x - c2.cx3) + (p.y - c2.cy3)*(p.y - c2.cy3) AS d3
+        |    FROM p, c2)),
+        |a3 AS (SELECT idx, count(*) AS n,
+        |    sum(x) // count(*) AS cx, sum(y) // count(*) AS cy
+        |  FROM r3 GROUP BY 1),
+        |c3 AS (SELECT
+        |    coalesce(max(CASE WHEN idx = 1 THEN cx END), (SELECT cx1 FROM c2)) AS cx1,
+        |    coalesce(max(CASE WHEN idx = 1 THEN cy END), (SELECT cy1 FROM c2)) AS cy1,
+        |    coalesce(max(CASE WHEN idx = 2 THEN cx END), (SELECT cx2 FROM c2)) AS cx2,
+        |    coalesce(max(CASE WHEN idx = 2 THEN cy END), (SELECT cy2 FROM c2)) AS cy2,
+        |    coalesce(max(CASE WHEN idx = 3 THEN cx END), (SELECT cx3 FROM c2)) AS cx3,
+        |    coalesce(max(CASE WHEN idx = 3 THEN cy END), (SELECT cy3 FROM c2)) AS cy3
+        |  FROM a3)
+        |SELECT CAST(idx AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n,
+        |  CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy
+        |FROM a3 ORDER BY cluster""".stripMargin,
     // ml_stump: the oracle replays the cumulative Gini split search in
     // exact integer ppm, identical tie-break (score, then threshold).
     "ml_stump" ->

@@ -345,6 +345,52 @@ object MlOps {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** K-MEANS training, distributed and EXACTLY reproducible — the
+    * Lloyd's-iterations shape every IVF/VQ index build runs, surfaced as
+    * a registered trainer: k=3 centroids, deterministic init (the first
+    * three customers), three rounds of assign (argmin of exact integer
+    * squared distances, ties to the lower cluster id) + update
+    * (coordinate-wise floor-division means; an emptied cluster keeps its
+    * centroid). Each round is ONE map-side-combinable aggregation over
+    * the points — at 100 TB, 3 scans total, centroid state is k rows on
+    * the driver. Feature domains are shifted non-negative so floor
+    * division and truncating DIV agree across engines; the oracle
+    * replays all three rounds in chained CTEs. */
+  def kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = graft.core.Tables.customer(spark, sfDir).select(
+      ((col("c_acctbal").cast("decimal(18,2)") * 100).cast("long") +
+        100000L).as("x"),
+      (col("c_nationkey").cast("long") * 40000L).as("y"),
+      col("c_custkey").cast("long").as("id"))
+    var cents: Seq[(Int, Long, Long)] = pts
+      .filter(col("id") >= 1 && col("id") <= 3)
+      .orderBy("id").collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getLong(0), r.getLong(1)) }
+    require(cents.size == 3, s"init expects custkeys 1..3, got ${cents.size}")
+    var last: Array[org.apache.spark.sql.Row] = Array.empty
+    for (_ <- 1 to 3) {
+      val d = cents.map { case (i, cx, cy) =>
+        ((col("x") - cx) * (col("x") - cx) +
+          (col("y") - cy) * (col("y") - cy)).as(s"d$i") }
+      val withD = pts.select(Seq(col("x"), col("y")) ++ d: _*)
+      val idx = when(col("d1") <= col("d2") && col("d1") <= col("d3"), 1)
+        .when(col("d2") <= col("d3"), 2).otherwise(3)
+      last = withD.select(idx.as("idx"), col("x"), col("y"))
+        .groupBy("idx")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(x) DIV count(1)").as("cx"),
+          expr("sum(y) DIV count(1)").as("cy"))
+        .collect()
+      val upd = last.map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+      cents = cents.map { case (i, px, py) =>
+        upd.get(i).map { case (cx, cy) => (i, cx, cy) }.getOrElse((i, px, py)) }
+    }
+    spark.createDataFrame(last.toSeq.map(r =>
+        (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toDF("cluster", "n", "cx", "cy")
+      .orderBy("cluster")
+  }
+
   /** Decision-stump training (depth-1 CART) as ONE aggregation pass plus
     * a bounded window — the exact split search every tree ensemble
     * repeats millions of times, in its distributed form: per distinct
