@@ -298,6 +298,8 @@ object SparkEntry {
     "rq84_join_audit" -> ((s, d) => RelOps.joinAudit(s, d)),
     // 2-D histogram: (day-of-week x hour) heatmap with exact ppm shares.
     "rq85_heatmap_2d" -> ((s, d) => RelOps.heatmap2d(s, d)),
+    // Max drawdown: chained running-peak + gap windows, exact micros.
+    "rq86_max_drawdown" -> ((s, d) => RelOps.maxDrawdown(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -2969,6 +2971,18 @@ object SparkEntry {
         |WHERE (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
         |      <= 100000000000000
         |ORDER BY name_a, name_b""".stripMargin,
+    // rq86: identical running-peak pairing, floor-to-micros per row.
+    "rq86_max_drawdown" ->
+      """WITH v AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |p AS (SELECT user_id, vm,
+        |    max(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM v)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(peak - vm) AS BIGINT) AS max_drawdown_micro
+        |FROM p WHERE user_id < 200 GROUP BY 1 ORDER BY 1""".stripMargin,
     // rq85: same integer bins; DuckDB dayofweek is 0-based Sunday so +1.
     "rq85_heatmap_2d" ->
       """WITH b AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

@@ -1808,6 +1808,26 @@ object RelOps {
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
+  /** MAXIMUM DRAWDOWN per user — the risk metric that needs TWO chained
+    * order-dependent windows (running peak, then peak-to-value gap max),
+    * both partitioned by user so one user-keyed exchange serves the
+    * pair and the final aggregate. Values floor to integer micros per
+    * row (the rq78 rule) so the running extrema are exact int64 — no
+    * float accumulation in the hash channel. */
+  def maxDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("vm"))
+      .withColumn("peak", max(col("vm")).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("peak") - col("vm")).cast("long").as("max_drawdown_micro"))
+      .filter(col("user_id") < 200)
+      .orderBy("user_id")
+  }
+
   /** 2-D HISTOGRAM (usage heatmap): events binned on (day-of-week ×
     * hour) in one hash agg over derived integer bins — the dashboard
     * heatmap primitive, with the per-cell share in exact ppm of the
