@@ -337,7 +337,6 @@ final class TxTable private (spark: SparkSession, dir: String,
   def mergeClauses(updates: DataFrame, updateWhen: String,
                    deleteWhen: String, insertWhen: String): Long = {
     val upd = updates.dropDuplicates(keyCols).localCheckpoint()
-    validate(upd.filter(insertWhen))
     var committed = -1L
     while (committed < 0) {
       val v = version
@@ -363,8 +362,13 @@ final class TxTable private (spark: SparkSession, dir: String,
       val inserts = upd
         .join(existing.select(keyCols.map(col): _*), keyCols, "left_anti")
         .filter(insertWhen)
-      val out = conform(keep, cur).unionByName(conform(survivors, cur))
-        .unionByName(conform(inserts, cur))
+      // CHECK constraints guard the POST-IMAGE of every row this commit
+      // introduces — conditionally-updated survivors AND inserts (a
+      // delete-targeted batch row never materializes, so it is exempt).
+      // Rejects before anything publishes, O(touched rows).
+      val introduced = conform(survivors, cur).unionByName(conform(inserts, cur))
+      validate(introduced)
+      val out = conform(keep, cur).unionByName(introduced)
       val commit = writeCommit(out, n)
       val next = (m -- touched) ++
         bucketsIn(commit).map(_ -> BucketRef(commit, Nil))

@@ -202,6 +202,16 @@ class PropertySpec extends AnyFunSuite {
       } + ("YY" -> 200L)                       // insert gated by condition
       assert(m == expect, s"$m != $expect")
       assert(!m.contains("ZZ"), "insert condition ignored")
+      // CHECK constraints guard the conditional-merge post-image too: an
+      // update clause that would write a violating value must be refused
+      // before anything publishes.
+      t.addCheck("v_cap", "v < 1000")
+      val head = t.version
+      val ex = intercept[Exception](
+        t.mergeClauses(Seq("K00" -> 5000L).toDF("k", "v"),
+          updateWhen = "v >= 0", deleteWhen = "false", insertWhen = "true"))
+      assert(ex.getMessage.contains("v_cap"))
+      assert(t.version == head, "violating mergeClauses must not publish")
     } finally graft.core.TxTable.drop(dir)
   }
 
