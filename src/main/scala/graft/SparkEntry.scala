@@ -166,6 +166,8 @@ object SparkEntry {
     // —— deduplication (extension) ——
     "dd_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
+    // Similarity-decile curve over the pair artifact: threshold audit.
+    "dd_similarity_curve" -> ((s, d) => TextOps.similarityCurve(s, d)),
     "dd_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
@@ -1086,6 +1088,12 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |       max(keep_id) AS max_keep_id
         |FROM g""".stripMargin,
+    // dd_similarity_curve: integer-decile banding over the same pair CTEs.
+    "dd_similarity_curve" ->
+      s"""WITH $ngramPairStatsCtes
+         |SELECT CAST(common * 10 // (na + nb - common) AS BIGINT) AS decile,
+         |  count(*) AS n_pairs
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSql(0.8),
     "dd_containment" ->
       s"""WITH $ngramPairStatsCtes

@@ -177,6 +177,19 @@ object TextOps {
         round(col("common") * lit(1.0) / (col("na") + col("nb") - col("common")), 4))
   }
 
+  /** Similarity-DISTRIBUTION audit over the candidate-pair artifact —
+    * the curve that tells you where to SET a dedup threshold before you
+    * run the dedup: every candidate pair's exact Jaccard banded into
+    * integer deciles (`common·10 DIV union` — pure integers, no float
+    * banding ambiguity) and counted. Reads the build-once pair artifact,
+    * so the audit costs one ≤|pairs|-row agg regardless of corpus size,
+    * and the same artifact serves every threshold question afterwards. */
+  def similarityCurve(spark: SparkSession, sfDir: String): DataFrame =
+    shinglePairStats(spark, sfDir)
+      .groupBy(expr("common * 10 DIV (na + nb - common)").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile")
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
