@@ -168,6 +168,8 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, d) => TextOps.dedupNgramJaccard(s, d)),
     // Similarity-decile curve over the pair artifact: threshold audit.
     "dd_similarity_curve" -> ((s, d) => TextOps.similarityCurve(s, d)),
+    // Source-pair overlap matrix: dataset-granularity leakage audit.
+    "dd_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "dd_containment" -> ((s, d) => TextOps.dedupContainment(s, d)),
     "dd_minhash_lsh" -> ((s, d) => TextOps.dedupMinHashLsh(s, d)),
     "dd_simhash" -> ((s, d) => TextOps.dedupSimHash(s, d)),
@@ -1088,6 +1090,26 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |       max(keep_id) AS max_keep_id
         |FROM g""".stripMargin,
+    // dd_source_overlap: identical shingle + canonical-pair replay.
+    "dd_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT source,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks),
+        |fs AS (SELECT DISTINCT unnest(shingles) AS fp, source FROM sh),
+        |t AS (SELECT source, count(*) AS n FROM fs GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared
+        |  FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.shared,
+        |  ta.n AS n_a, tb.n AS n_b
+        |FROM p JOIN t ta ON ta.source = p.source_a
+        |  JOIN t tb ON tb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // dd_similarity_curve: integer-decile banding over the same pair CTEs.
     "dd_similarity_curve" ->
       s"""WITH $ngramPairStatsCtes

@@ -190,6 +190,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("decile")
 
+  /** SOURCE-OVERLAP matrix — the dataset-granularity leakage audit
+    * (dd_contamination answers "which eval DOC leaked"; this answers
+    * "how much do any two SOURCES share"): the corpus reduces to the
+    * distinct (3-gram shingle, source) domain — a hash agg, the only
+    * data-sized pass — and a self-join ON THE SHINGLE key counts shared
+    * shingles per canonical source pair. Per-shingle cost is bounded by
+    * |sources|² (≤ C(5,2) pairs here), never |docs|². Output: shared
+    * distinct shingles per source pair with each side's total. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val fs = shingleRows(docs.select("doc_id", "text"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("s").as("fp"), col("source")).distinct()
+    val totals = fs.groupBy("source").agg(count(lit(1)).as("n"))
+    fs.join(fs.select(col("fp"), col("source").as("source_b")), "fp")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select("source_a", "source_b", "shared", "n_a", "n_b")
+      .orderBy("source_a", "source_b")
+  }
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace, trim. */
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
