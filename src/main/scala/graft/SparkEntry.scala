@@ -2743,7 +2743,8 @@ object SparkEntry {
          |       AS DECIMAL(18,2)) AS acctbal,
          |  CASE WHEN name LIKE '%4' THEN 'TRANSFERRED' ELSE house END AS house,
          |  CAST(1 AS BIGINT) AS cat_v,
-         |  true AS no_torn_read, true AS consistent_new
+         |  true AS no_torn_read, true AS consistent_new,
+         |  CAST(0 AS BIGINT) AS torn_hits, CAST(0 AS BIGINT) AS incons_hits
          |FROM n
          |WHERE name <= 'Customer#000000030'
          |ORDER BY name""".stripMargin,

@@ -200,10 +200,18 @@ final class TxTable private (spark: SparkSession, dir: String,
     * exact (hash, not min/max ranges), and the prune certificate the
     * point-lookup entry carries through its hash channel. */
   def lookupBuckets(keys: DataFrame): Set[Long] = {
-    val m = manifest(version)
-    keys.select(bucketColFor(bucketCountAt(version)).as("_b")).distinct()
-      .collect().map(_.getLong(0)).toSet.filter(m.contains)
+    val v = version
+    lookupBuckets(keys, manifest(v), bucketCountAt(v))
   }
+
+  /** Prune under an already-pinned snapshot: both the hash (layout count)
+    * and the membership filter (manifest) come from ONE version, so a
+    * concurrent commit — in particular a `compact(newBuckets)` rebucket —
+    * landing mid-lookup cannot make the prune set and the read disagree. */
+  private def lookupBuckets(keys: DataFrame, m: Map[Long, BucketRef],
+                            n: Int): Set[Long] =
+    keys.select(bucketColFor(n).as("_b")).distinct()
+      .collect().map(_.getLong(0)).toSet.filter(m.contains)
 
   /** Primary-key point read — the O(k) serving path a keyed table owes
     * its users: each key tuple's hash names its bucket exactly, so a
@@ -217,7 +225,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val v = version
     val probe = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     val m = manifest(v)
-    readBuckets(m, lookupBuckets(probe), schemaAt(v))
+    readBuckets(m, lookupBuckets(probe, m, bucketCountAt(v)), schemaAt(v))
       .join(probe, keyCols, "left_semi")
   }
 
@@ -356,7 +364,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       val matched = existing.join(
         upd.select(keyCols.map(col) ++
           valCols.map(c => col(c).as(s"new_$c")): _*), keyCols)
-      val survivors = matched.filter(s"NOT ($deleteWhen)")
+      // A NULL clause condition means the clause does NOT fire (the Delta
+      // MERGE contract): only rows where the delete condition is
+      // definitively TRUE are removed — NOT(NULL) would silently drop
+      // NULL-condition rows from the survivors instead of falling them
+      // through to the update/no-op path.
+      val survivors = matched.filter(not(coalesce(expr(deleteWhen), lit(false))))
         .select(keyCols.map(col) ++ valCols.map(c =>
           when(expr(updateWhen), col(s"new_$c")).otherwise(col(c)).as(c)): _*)
       val inserts = upd
@@ -717,10 +730,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     val v = version
     require(v >= 0, "cannot branch an empty table")
     Files.createDirectories(bLog)
-    Files.writeString(bLog.resolve("base.txt"), v.toString)
     val lines = manifest(v).toSeq.sortBy(_._1).map { case (bk, r) => fmt(bk, r) }
     require(b.publish(0L, bucketCountAt(v), "branch", lines),
       s"concurrent create of branch '$name'")
+    // base.txt is written only AFTER winning the create-exclusive v0
+    // publish: a losing concurrent creator throws above and never reaches
+    // this line, so it cannot overwrite the winner's base with a newer
+    // main version (which would let a later fastForward compare against
+    // the wrong base and publish over interleaved main commits).
+    Files.writeString(bLog.resolve("base.txt"), v.toString)
     Files.writeString(bLog.resolve("schema.ddl"), schemaAt(v).toDDL)
     Files.writeString(bLog.resolve("schema-v00000000.ddl"), schemaAt(v).toDDL)
     // Branch writers enforce the same CHECK constraints as main.
@@ -753,6 +771,21 @@ final class TxTable private (spark: SparkSession, dir: String,
     val lines = b.manifest(bv).toSeq.sortBy(_._1).map { case (bk, r) => b.fmt(bk, r) }
     val ddl = b.schemaAt(bv).toDDL
     val n = b.bucketCountAt(bv)
+    // Branches snapshot checks.txt at creation, so a CHECK constraint
+    // added to MAIN after the fork was never enforced by the branch's
+    // writers — re-validate the branch head against exactly those STALE
+    // constraints before publishing (O(branch head) only when main gained
+    // constraints post-fork; the common publish stays metadata-only).
+    val staleChecks = checks.diff(b.checks)
+    if (staleChecks.nonEmpty) {
+      val head = b.snapshotAt(bv)
+      staleChecks.foreach { case (ck, pred) =>
+        val bad = head.filter(s"NOT ($pred)").count()
+        require(bad == 0L,
+          s"cannot publish branch '$name': $bad rows violate main's " +
+            s"post-fork check '$ck' ($pred)")
+      }
+    }
     var committed = -1L
     while (committed < 0) {
       val head = version

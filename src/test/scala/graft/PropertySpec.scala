@@ -215,6 +215,47 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable mergeClauses: NULL clause condition does not fire (Delta contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_nullclause").toString
+    try {
+      val base = Seq("A" -> Some(1L), "B" -> Some(5L), "C" -> None)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // deleteWhen = "new_v = 5": NULL for the NULL-valued batch rows —
+      // those rows must FALL THROUGH to the update clause, not be deleted
+      // (NOT(NULL) is NULL; a bare filter would silently drop them).
+      t.mergeClauses(Seq("A" -> None, "B" -> Some(5L), "C" -> Some(7L))
+        .toDF("k", "v"),
+        updateWhen = "true", deleteWhen = "new_v = 5", insertWhen = "true")
+      val m = t.snapshot().as[(String, Option[Long])].collect().toMap
+      assert(m == Map("A" -> None, "C" -> Some(7L)),
+        s"NULL delete condition must fall through to update, got $m")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("TxTable fastForward: re-validates branch head against main's post-fork checks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_ffcheck").toString
+    try {
+      val base = (0 until 10).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      val b = t.branch("wap")
+      // The branch stages a row that is legal under ITS checks snapshot...
+      b.merge(Seq("K03" -> 5000L).toDF("k", "v"))
+      // ...then MAIN gains a constraint the branch never enforced.
+      t.addCheck("v_cap", "v < 1000")
+      val ex = intercept[IllegalArgumentException](t.fastForward("wap"))
+      assert(ex.getMessage.contains("v_cap"), s"got: ${ex.getMessage}")
+      assert(t.version == 0L, "refused publish must not advance main")
+      // A compliant branch (same fork point) still publishes cleanly.
+      t.dropBranch("wap")
+      val ok = t.branch("wap2")
+      ok.merge(Seq("K04" -> 999L).toDF("k", "v"))
+      assert(t.fastForward("wap2") == 1L)
+      assert(t.snapshot().as[(String, Long)].collect().toMap.apply("K04") == 999L)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable merge-on-read delete: tombstones only, CoW-equivalent, folds on merge/compact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
