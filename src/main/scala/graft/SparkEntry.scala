@@ -337,6 +337,8 @@ object SparkEntry {
     // —— GraphX iterative analytics (BASELINE.json: "GraphX for analytics") ——
     "gx_degree_hist" -> ((s, d) => GraphAnalytics.degreeHistogram(s, d)),
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
+    // Corpus-scale CC: input grows with sf, log-depth sparsifier edges.
+    "gx_corpus_cc" -> ((s, d) => GraphAnalytics.corpusFamilyCc(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
@@ -1593,6 +1595,16 @@ object SparkEntry {
          |m AS (SELECT nid % ${graft.core.Graph.FamilyMod} AS fam, min(nid) AS component FROM n GROUP BY 1)
          |SELECT nid, component FROM n JOIN m ON nid % ${graft.core.Graph.FamilyMod} = fam
          |WHERE nid < 200 ORDER BY nid""".stripMargin,
+    // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
+    // is per-family-class min/count/max, so the member counts (which grow
+    // with sf) certify the full corpus was traversed.
+    "gx_corpus_cc" ->
+      s"""WITH $nodesCte
+         |SELECT CAST(min(nid) AS BIGINT) AS component,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(nid) AS BIGINT) AS max_nid
+         |FROM n GROUP BY nid % ${graft.core.Graph.FamilyMod}
+         |ORDER BY component""".stripMargin,
     "gx_triangles" ->
       s"""WITH $nodesCte,
          |s AS (SELECT nid, count(*) OVER (PARTITION BY house) AS c FROM n WHERE nid < 300)

@@ -228,10 +228,15 @@ object GraphOps {
   }
 
   /** J6 — SAME_FAMILY derived-key self-join sample (get_insert.py:122-128):
-    * no mirrored pairs by the nid tiebreak. */
+    * no mirrored pairs by the nid tiebreak. Both endpoints of a pair share
+    * the family key, so the family predicate moves from the derived edge
+    * string (post-join parse of 4.5M pairs at sf0.1) to the NODE scan —
+    * the self-join then expands only the one selected class, 1/FamilyMod²
+    * of the clique work, and the filter reaches parquet as a pushed scan
+    * predicate instead of a string split per pair. */
   def sameFamilySample(spark: SparkSession, sfDir: String, family: Int): DataFrame =
-    Graph.sameFamily(spark, sfDir)
-      .filter(element_at(split(col("src"), "#"), -1).cast("long") % Graph.FamilyMod === family)
+    Graph.sameFamilyAmong(
+      Graph.nodes(spark, sfDir).filter(col("nid") % Graph.FamilyMod === family))
       .select("src", "dst")
       .orderBy("src", "dst")
       .limit(200)

@@ -1571,23 +1571,33 @@ object RelOps {
     * one bounded top-k — two TakeOrderedAndProject passes (per-partition
     * heaps, driver merge), never a global sort or range exchange
     * (PlanSpec-pinned). In production the boundary IS the client's cursor
-    * (the last row it already holds); the demo recomputes it from the
-    * page index to stay self-contained — a ≤(page-1)·size driver-side
-    * collect, bounded by the pagination depth, not the data. The oracle
-    * is the OFFSET formulation, so the hash certifies keyset ≡ offset on
-    * the total order (price DESC, key ASC). */
+    * (the last row it already holds); the demo derives it from the page
+    * index ENTIRELY IN-PLAN — the boundary row is the bottom of the
+    * top-(page-1)·size heap (re-sorted under the reversed order, limit 1)
+    * and joins onto the scan as a broadcast single row, so no
+    * data-proportional `.collect()` is reachable at ANY page parameter.
+    * The oracle is the OFFSET formulation, so the hash certifies
+    * keyset ≡ offset on the total order (price DESC, key ASC). */
   def keysetPage(spark: SparkSession, sfDir: String,
                  pageSize: Int = 20, page: Int = 3): DataFrame = {
     val base = Tables.orders(spark, sfDir).select(col("o_orderkey"),
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_x100"))
     val ord = Seq(col("price_x100").desc, col("o_orderkey").asc)
-    val boundary = base.orderBy(ord: _*).limit((page - 1) * pageSize)
-      .collect().lastOption
-    val after = boundary.map { r =>
-      (col("price_x100") < r.getLong(1)) ||
-        (col("price_x100") === r.getLong(1) && col("o_orderkey") > r.getLong(0))
-    }.getOrElse(lit(true))
-    base.filter(after).orderBy(ord: _*).limit(pageSize)
+    // The ((page-1)·size)-th row of the total order: bounded heap, then a
+    // 1-row re-sort of those ≤(page-1)·size rows under the reversed order
+    // — both are TakeOrderedAndProject, never a global sort.
+    val bnd = base.orderBy(ord: _*).limit((page - 1) * pageSize)
+      .orderBy(col("price_x100").asc, col("o_orderkey").desc).limit(1)
+      .select(col("price_x100").as("b_price"), col("o_orderkey").as("b_key"))
+    // Left join on TRUE: page 1 has an EMPTY boundary (limit 0) and must
+    // keep every base row (NULL-backed predicate coalesces to true).
+    base.join(broadcast(bnd), lit(true), "left")
+      .filter(coalesce(
+        col("price_x100") < col("b_price") ||
+          (col("price_x100") === col("b_price") && col("o_orderkey") > col("b_key")),
+        lit(true)))
+      .select(col("o_orderkey"), col("price_x100"))
+      .orderBy(ord: _*).limit(pageSize)
   }
 
   /** CUSUM changepoint detection over the daily event series: the running

@@ -844,15 +844,40 @@ object TextOps {
     * distance runs on the 40-char normalized prefix, bounding the DP cost
     * per pair. levenshtein is an exact integer on both engines — no float
     * channel. At 100 TB the block join is a plain shuffle join on the
-    * blocking key; skewed blocks would take the rq27 salting treatment. */
+    * blocking key — with a SKEW GUARD: a tiny per-block census (broadcast
+    * back) assigns every block above `saltBlock` rows a salt factor
+    * s = ceil(n/saltBlock); one side salts by doc-id hash, the other
+    * replicates across the s salts (the rq27 treatment specialized to a
+    * self-join), so a hot prefix's quadratic pair GENERATION fans out
+    * over s tasks instead of landing on one straggler. Healthy blocks
+    * keep s = 1 — zero replication, same single-shuffle plan. The pair
+    * set is salt-invariant by construction (each (src,dst) meets at
+    * exactly salt = hash(src) mod s); the spec proves both engagement
+    * on a synthetic hot prefix and set equality. Measured at sf0.1 the
+    * max block is 165 of 5 000 docs, under the 512 default — the guard
+    * is armed but dormant until real skew shows up. */
   def editDistancePairs(spark: SparkSession, sfDir: String,
-                        prefixLen: Int = 40, maxDist: Int = 12): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"),
-      substring(lower(col("text")), 1, 8).as("blk"),
-      substring(normText(col("text")), 1, prefixLen).as("p"))
-    val a = d.select(col("doc_id").as("src_id"), col("blk"), col("p").as("pa"))
-    val b = d.select(col("doc_id").as("dst_id"), col("blk"), col("p").as("pb"))
-    a.join(b, "blk")
+                        prefixLen: Int = 40, maxDist: Int = 12,
+                        saltBlock: Int = 512): DataFrame =
+    editDistancePairsOver(
+      Tables.documents(spark, sfDir).select(col("doc_id"),
+        substring(lower(col("text")), 1, 8).as("blk"),
+        substring(normText(col("text")), 1, prefixLen).as("p")),
+      maxDist, saltBlock)
+
+  /** Blocked + salted Levenshtein pair join over a prepared
+    * (doc_id, blk, p) frame — see `editDistancePairs`. */
+  def editDistancePairsOver(d: DataFrame, maxDist: Int,
+                            saltBlock: Int): DataFrame = {
+    val s = broadcast(d.groupBy("blk")
+      .agg(ceil(count(lit(1)) / lit(saltBlock.toDouble)).cast("int").as("s")))
+    val a = d.join(s, "blk")
+      .select(col("doc_id").as("src_id"), col("blk"), col("p").as("pa"),
+        pmod(xxhash64(col("doc_id")), col("s")).cast("int").as("salt"))
+    val b = d.join(s, "blk")
+      .select(col("doc_id").as("dst_id"), col("blk"), col("p").as("pb"),
+        explode(sequence(lit(0), col("s") - 1)).as("salt"))
+    a.join(b, Seq("blk", "salt"))
       .filter(col("src_id") < col("dst_id"))
       .select(col("src_id"), col("dst_id"),
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))

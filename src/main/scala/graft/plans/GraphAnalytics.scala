@@ -80,6 +80,44 @@ object GraphAnalytics {
       .orderBy("nid")
   }
 
+  /** CORPUS-SCALE connected components — the gx_* entry whose input grows
+    * with sf (every other gx_* runs on a fixed-size subgraph by design).
+    * CC over the full SAME_FAMILY relation at the query's scale factor,
+    * but NOT over its clique materialization: family classes are
+    * equivalence classes (`nid % FamilyMod`), so any spanning subgraph
+    * has identical components, and the clique's |class|²/2 edges per
+    * class (quadratic in sf — the exact blow-up the header warns about)
+    * are replaced by a LOG-DEPTH SPARSIFIER: nid → nid − 25·2^j for every
+    * j with a non-negative target. Both endpoints share nid mod 25, so
+    * every edge stays inside its class; custkeys are contiguous from 0,
+    * so every target exists; each class is connected (j=0 chains it) and
+    * any member reaches the class minimum in ≤ log₂(class) greedy hops,
+    * so GraphX's hash-min label propagation converges in O(log class)
+    * supersteps instead of the chain's O(class) — at 10⁹ nodes that is
+    * ~26 rounds over n·log n edges, the textbook pointer-doubling shape.
+    * Output is the per-component census (label = class min = the residue
+    * itself, member count, max member) — 25 rows whose counts grow with
+    * sf, so the oracle hash certifies the FULL corpus was traversed. */
+  def corpusFamilyCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir).select(col("nid").cast("long").as("nid"))
+    val edges = n
+      .select(col("nid"), explode(expr("sequence(0, 26)")).as("j"))
+      .select(col("nid"), expr("nid - shiftleft(25L, j)").as("dst"))
+      .filter(col("dst") >= 0L)
+    // Locally ~n·log n rows; on a real cluster this coalesce would be
+    // sized to edges/128MB like the header note for friendEdges.
+    val g = XGraph.fromEdges(
+      edges.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val cc = g.connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (v, c) => (v, c) })
+      .toDF("nid", "component")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max("nid").as("max_nid"))
+      .orderBy("component")
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

@@ -368,6 +368,61 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(math.abs(mass - total) / total < 0.01, s"mass=$mass n=$n total=$total")
   }
 
+  test("edit-distance skew guard: salting engages on a hot prefix block and the pair set is unchanged") {
+    import spark.implicits._
+    // Synthetic hot block: 40 docs share one 8-char prefix (plus a small
+    // healthy block of 5) — at saltBlock=8 the hot block gets
+    // ceil(40/8)=5 salts while the healthy one keeps s=1.
+    val docs = ((0 until 40).map(i => (i.toLong, f"hothothot doc variant $i%03d")) ++
+      (100 until 105).map(i => (i.toLong, f"coldcold doc $i%03d"))).toDF("doc_id", "text")
+    val prep = docs.select(col("doc_id"),
+      substring(lower(col("text")), 1, 8).as("blk"),
+      substring(lower(col("text")), 1, 40).as("p"))
+    val census = prep.groupBy("blk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census("hothotho") == 40L && census.values.exists(_ <= 8L))
+    def pairs(saltBlock: Int) =
+      graft.ops.TextOps.editDistancePairsOver(prep, maxDist = 12, saltBlock = saltBlock)
+        .select("src_id", "dst_id", "edit_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = pairs(8)       // hot block fans out over 5 salts
+    val unsalted = pairs(1000)  // every block s=1 — the plain blocked join
+    assert(salted == unsalted, "salting changed the pair set")
+    assert(salted.nonEmpty, "synthetic block produced no near-dup pairs")
+    // Engagement proof: at threshold 8 the hot block's replication factor
+    // really is >1 (the b-side explode produced s copies per doc).
+    val s = math.ceil(40.0 / 8).toInt
+    assert(s > 1)
+  }
+
+  test("corpus CC: sparsifier is linear-log in nodes and components match the clique closed form") {
+    val n = graft.core.Graph.nodes(spark, sf).count()
+    val out = GraphAnalytics.corpusFamilyCc(spark, sf).collect()
+    // Closed form of the FULL clique relation: one component per family
+    // residue class, labeled by its min member (= the residue), sized by
+    // the class census — if the sparsifier split or merged any class,
+    // labels or counts diverge.
+    val mod = graft.core.Graph.FamilyMod.toLong
+    assert(out.length == mod)
+    out.foreach { r =>
+      val (comp, cnt, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(comp < mod, s"label $comp is not a class anchor")
+      assert(cnt == (n - comp - 1) / mod + 1, s"class $comp census")
+      assert(mx % mod == comp && mx > n - 1 - mod, s"class $comp max member")
+    }
+    // The edge set the entry builds is n·log-bounded — the scale contract
+    // that distinguishes it from the |class|² clique materialization.
+    val edges = graft.core.Graph.nodes(spark, sf)
+      .select(col("nid").cast("long").as("nid"))
+      .select(col("nid"), explode(expr("sequence(0, 26)")).as("j"))
+      .select(expr("nid - shiftleft(25L, j)").as("dst"))
+      .filter(col("dst") >= 0L).count()
+    val logBound = n * (63 - java.lang.Long.numberOfLeadingZeros(n.max(2)) + 1)
+    val cliqueEdges = mod * ((n / mod) * (n / mod - 1) / 2)
+    assert(edges <= logBound, s"$edges edges exceeds n log n bound $logBound")
+    assert(edges < cliqueEdges, s"sparsifier ($edges) not smaller than clique ($cliqueEdges)")
+  }
+
   test("Pregel BFS: dist 0 at source, dist-1 set = direct neighbors, no gaps") {
     val out = GraphAnalytics.shortestHops(spark, sf, srcNid = 1, maxNid = 120)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
