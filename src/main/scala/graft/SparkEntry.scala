@@ -74,6 +74,8 @@ object SparkEntry {
     "s34_drop_column" -> ((s, d) => GraphOps.txDropColumn(s, d)),
     // Full MERGE grammar: conditional update/delete/insert in one commit.
     "s35_merge_clauses" -> ((s, d) => GraphOps.txMergeClauses(s, d)),
+    // Zero-copy shallow clone: independent table over shared data files.
+    "s36_clone" -> ((s, d) => GraphOps.txClone(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -138,6 +140,8 @@ object SparkEntry {
     "fn_cast_suite" -> ((s, d) => graft.ops.ScalarSuites.castSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    // SFT chat templating: role sentinels, token budget, loss-mask offsets.
+    "tx_chat_template" -> ((s, d) => TextOps.chatTemplate(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "tx_langid" -> ((s, d) => TextOps.langId(s, d)),
     // Classifier eval: per-class precision/recall ppm from one confusion agg.
@@ -176,6 +180,9 @@ object SparkEntry {
     "dd_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "dd_incremental" -> ((s, d) => TextOps.incrementalDedup(s, d)),
     "dd_cluster_canonical" -> ((s, d) => GraphAnalytics.dedupClusters(s, d)),
+    // Survivor election per near-dup cluster: keep the richest record
+    // (max n_chars, id tiebreak) via one partial-combinable argmax agg.
+    "dd_survivorship" -> ((s, d) => GraphAnalytics.survivorship(s, d)),
     "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -304,6 +311,12 @@ object SparkEntry {
     "rq85_heatmap_2d" -> ((s, d) => RelOps.heatmap2d(s, d)),
     // Max drawdown: chained running-peak + gap windows, exact micros.
     "rq86_max_drawdown" -> ((s, d) => RelOps.maxDrawdown(s, d)),
+    // Semi-additive balances: sum across users of per-user END-OF-WEEK
+    // balance (carry-forward via cumsum over the bounded user-week grid).
+    "rq87_semi_additive" -> ((s, d) => RelOps.semiAdditiveBalance(s, d)),
+    // Cohort LTV: cumulative revenue per signup cohort over week offsets,
+    // per-user average in truncating integer micros.
+    "rq88_cohort_ltv" -> ((s, d) => RelOps.cohortLtv(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -776,6 +789,34 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
         |  len(text) AS len
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // tx_chat_template: byte-exact template replay (md5 prefix compare as
+    // hex STRING); per-part token counts with the empty-string guard.
+    "tx_chat_template" ->
+      """WITH p AS (
+        |  SELECT doc_id, substring(text, 1, 80) AS prompt,
+        |    substring(text, 81) AS completion
+        |  FROM documents WHERE doc_id < 60),
+        |t AS (
+        |  SELECT doc_id,
+        |    substring(md5('<|system|>You are a helpful assistant.' ||
+        |      '<|user|>' || prompt || '<|assistant|>' || completion ||
+        |      '<|end|>'), 1, 12) AS render_md5,
+        |    CASE WHEN len(trim(prompt)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(prompt), '\s+')) END
+        |      AS prompt_tokens,
+        |    CASE WHEN len(trim(completion)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(completion), '\s+')) END
+        |      AS completion_tokens
+        |  FROM p)
+        |SELECT doc_id, render_md5,
+        |  CAST(prompt_tokens AS INTEGER) AS prompt_tokens,
+        |  CAST(completion_tokens AS INTEGER) AS completion_tokens,
+        |  CAST(prompt_tokens + completion_tokens AS INTEGER) AS total_tokens,
+        |  CAST(prompt_tokens AS INTEGER) AS mask_end_tok,
+        |  prompt_tokens + completion_tokens <= 32 AS fits_budget,
+        |  CAST(greatest(prompt_tokens + completion_tokens - 32, 0) AS INTEGER)
+        |    AS truncate_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
     "tx_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks,
@@ -1151,6 +1192,27 @@ object SparkEntry {
     "st_incremental_dedup" -> incrementalDedupSql,
     "dd_minhash_lsh" -> ngramJaccardSql(0.85),
     "dd_cluster_canonical" -> dedupClusterSql(0.85),
+    // dd_survivorship: same recursive CC fixpoint, then the longest-
+    // representative election replayed as a per-component window argmax.
+    "dd_survivorship" ->
+      s"""WITH RECURSIVE $ngramPairStatsCtes,
+         |pr AS (SELECT src_id, dst_id FROM pairs
+         |       WHERE round(common * 1.0 / (na + nb - common), 4) >= 0.85),
+         |e AS (SELECT src_id AS a, dst_id AS b FROM pr
+         |      UNION ALL SELECT dst_id, src_id FROM pr),
+         |walk(a, m) AS (
+         |  SELECT a, a AS m FROM (SELECT DISTINCT a FROM e) t
+         |  UNION
+         |  SELECT e.a, w.m FROM e JOIN walk w ON e.b = w.a),
+         |comp AS (SELECT a AS doc_id, min(m) AS component FROM walk GROUP BY a),
+         |r AS (SELECT c.component, c.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY c.component
+         |          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+         |        count(*) OVER (PARTITION BY c.component) AS n_members
+         |      FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT component, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS survivor_id, n_chars AS survivor_nchars
+         |FROM r WHERE rk = 1 ORDER BY component""".stripMargin,
     // dd_semantic_cluster: recursive min-label propagation over the
     // embedding-cosine >= 0.4 pair graph (same fixpoint as GraphX CC).
     "dd_semantic_cluster" ->
@@ -2664,6 +2726,18 @@ object SparkEntry {
     // s29: after publish, main = base with last-digit-3 names STAGED;
     // v = 1 (the branch's commits collapse into one main version) and
     // both WAP certificates must come back true.
+    // s36: clone state = base with digit-5 houses flipped; both physical
+    // certificates true, drift count zero.
+    "s36_clone" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%5' THEN 'CLONED' ELSE house END AS house,
+         |  round(acctbal, 2) AS acctbal,
+         |  true AS source_intact, true AS zero_copied,
+         |  CAST(0 AS BIGINT) AS src_drift
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
     "s29_wap" ->
       s"""WITH $nodesCte
          |SELECT name,
@@ -3026,6 +3100,52 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(max(peak - vm) AS BIGINT) AS max_drawdown_micro
         |FROM p WHERE user_id < 200 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq88: same per-(user, week) collapse; offsets are exact multiples
+    // of 7 days (both sides week-truncate first), LTV in truncating
+    // integer division over non-negative revenue.
+    "rq88_cohort_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, week, rev_micro,
+        |        min(week) OVER (PARTITION BY user_id) AS cohort FROM uw),
+        |m AS (SELECT cohort, CAST((week - cohort) // 7 AS INTEGER) AS week_offset,
+        |        CAST(sum(rev_micro) AS BIGINT) AS rev_micro
+        |      FROM c GROUP BY 1, 2),
+        |s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1)
+        |      GROUP BY 1),
+        |x AS (SELECT m.cohort, m.week_offset, s.cohort_size,
+        |        CAST(sum(m.rev_micro) OVER (PARTITION BY m.cohort
+        |          ORDER BY m.week_offset) AS BIGINT) AS cum_rev_micro
+        |      FROM m JOIN s ON m.cohort = s.cohort)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset, cohort_size,
+        |  cum_rev_micro,
+        |  CAST(cum_rev_micro // cohort_size AS BIGINT) AS ltv_per_user_micro
+        |FROM x ORDER BY cohort, week_offset""".stripMargin,
+    // rq87: same delta collapse + user-week grid + cumulative window;
+    // both engines truncate weeks to the ISO Monday.
+    "rq87_semi_additive" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS delta_micro,
+        |    count(*) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT u.user_id, w.week
+        |      FROM (SELECT DISTINCT user_id FROM d) u
+        |      CROSS JOIN (SELECT DISTINCT week FROM d) w),
+        |b AS (SELECT g.user_id, g.week,
+        |        sum(coalesce(d.delta_micro, 0)) OVER (
+        |          PARTITION BY g.user_id ORDER BY g.week) AS eow_micro,
+        |        d.n_ev
+        |      FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.week = d.week)
+        |SELECT strftime(week, '%Y-%m-%d') AS week,
+        |  CAST(sum(eow_micro) AS BIGINT) AS eow_total_micro,
+        |  CAST(max(eow_micro) AS BIGINT) AS eow_max_micro,
+        |  CAST(sum(CASE WHEN n_ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS active_users
+        |FROM b GROUP BY week ORDER BY week""".stripMargin,
     // rq85: same integer bins; DuckDB dayofweek is 0-based Sunday so +1.
     "rq85_heatmap_2d" ->
       """WITH b AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

@@ -98,8 +98,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     * commit-dir NAMES; resolve with `bucketPath`. */
   private case class BucketRef(data: String, dvs: Seq[String])
 
+  /** Commit names are normally dir-relative; a SHALLOW CLONE's manifest
+    * carries absolute pointers back into its source's data directory
+    * (`shallowClone`), so path resolution branches on the leading '/'. */
   private def bucketPath(commit: String, b: Long): String =
-    dataDir.resolve(commit).resolve(s"_b=$b").toString
+    (if (commit.startsWith("/")) Paths.get(commit)
+     else dataDir.resolve(commit)).resolve(s"_b=$b").toString
 
   /** bucketId → BucketRef, as of version `v`. Line format:
     * `b<TAB>commit` (clean) or `b<TAB>commit<TAB>dv1,dv2` (DV'd). */
@@ -797,6 +801,43 @@ final class TxTable private (spark: SparkSession, dir: String,
       }
     }
     committed
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): a new,
+    * independent table whose v0 manifest points at THIS table's data
+    * files via absolute pointers — zero bytes copied, O(manifest) to
+    * create, at 100 TB as at 100 rows. Unlike `branch` (same table, own
+    * ref), a clone has its own identity: its writes are copy-on-write
+    * commits into its OWN data dir (source never sees them), its history
+    * starts at v0, and the source keeps evolving independently — the
+    * dev/test-against-production-data primitive. Caveats shared with
+    * Delta: a `vacuum` on the SOURCE does not know about clones, so it
+    * can reclaim files a clone still references (document the retention
+    * window before cloning); the clone's own vacuum never touches the
+    * absolute (source-owned) pointers. CHECK constraints snapshot at
+    * clone time, like `branch`. */
+  def shallowClone(dstDir: String): TxTable = {
+    require(!isBranch, "clone from the main table, not a branch")
+    val v = version
+    require(v >= 0, "cannot clone an empty table")
+    val n = bucketCountAt(v)
+    val t = new TxTable(spark, dstDir, keyCols, n)
+    require(t.version < 0, s"table already exists at $dstDir")
+    Files.createDirectories(t.dataDir) // stays empty until the first clone-local write
+    def abs(commit: String): String =
+      if (commit.startsWith("/")) commit // cloning a clone keeps pointers
+      else dataDir.resolve(commit).toAbsolutePath.toString
+    val lines = manifest(v).toSeq.sortBy(_._1).map { case (b, r) =>
+      val dvs = r.dvs.map(abs)
+      if (dvs.isEmpty) s"$b\t${abs(r.data)}"
+      else s"$b\t${abs(r.data)}\t${dvs.mkString(",")}"
+    }
+    require(t.publish(0L, n, s"clone@v$v", lines),
+      s"concurrent create at $dstDir")
+    Files.writeString(t.logDir.resolve("schema-v00000000.ddl"), schemaAt(v).toDDL)
+    val ck = logDir.resolve("checks.txt")
+    if (Files.exists(ck)) Files.copy(ck, t.logDir.resolve("checks.txt"))
+    t
   }
 
   /** Delete a branch's log (its unpublished commits become vacuum-able). */

@@ -617,6 +617,53 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Shallow-clone demo (s36) — Delta's zero-copy CLONE on TxTable: the
+    * clone's v0 manifest points at the SOURCE's data files via absolute
+    * pointers (zero bytes copied — its data dir is verifiably empty at
+    * clone time), yet it is a fully independent table: a merge flips
+    * digit-5 names to CLONED inside the clone's OWN data dir, and the
+    * in-plan `src_drift` count certifies the source still equals its base
+    * exactly (any copied-on-write leak into the source flips it, and the
+    * dumped parquet shows by how many rows). The dev/test-against-
+    * production-data primitive: at 100 TB the clone costs one manifest
+    * file. Write-path class like s12. */
+  def txClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s36").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val src = graft.core.TxTable.create(spark, dir + "/src", base,
+        Seq("name"), numBuckets = 8)
+      val clone = src.shallowClone(dir + "/clone")
+      // FS-metadata probe, not a data job: the zero-copy claim IS that
+      // this directory has no children at clone time.
+      val zeroCopied = {
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "clone", "data"))
+        try !s.iterator().hasNext finally s.close()
+      }
+      clone.merge(base.filter(substring(col("name"), -1, 1) === "5")
+        .withColumn("house", lit("CLONED")))
+      // In-plan source-intact certificate: symmetric difference between
+      // the source head and its base, counted once, broadcast onto the
+      // output rows (the s31 pattern).
+      val srcDrift = broadcast(
+        src.snapshot().exceptAll(base)
+          .unionByName(base.exceptAll(src.snapshot()))
+          .agg(count(lit(1)).as("src_drift")))
+      clone.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .crossJoin(srcDrift)
+        .select(col("name"), col("house"),
+          round(col("acctbal"), 2).as("acctbal"),
+          (col("src_drift") === 0L).as("source_intact"),
+          lit(zeroCopied).as("zero_copied"), col("src_drift"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** DESCRIBE HISTORY demo — the audit surface over a five-commit life:
     * create → merge → merge-on-read delete → compact → restore. Each
     * version's row reports the `#op=` label its manifest recorded, the

@@ -2284,4 +2284,71 @@ object RelOps {
       .select(col("name_a"), col("name").as("name_b"), d2.cast("long").as("dist2"))
       .orderBy("name_a", "name_b")
   }
+
+  /** Semi-additive measures (rq87) — the balance-style metric every OLAP
+    * engine needs a special path for: account balances ADD across
+    * accounts but take LAST over time, so a weekly rollup is "sum over
+    * users of each user's end-of-week balance", not a sum of the week's
+    * rows. Plan: events collapse once to per-(user, week) deltas in
+    * exact micros (the only corpus-sized shuffle); the bounded
+    * users × weeks grid (the collapsed DOMAIN — |users|·|weeks| rows,
+    * never events) left-joins the deltas, and one user-partitioned
+    * cumulative window turns deltas into end-of-week balances — weeks
+    * with no activity contribute a zero delta, so carry-forward falls
+    * out of the cumsum with no as-of join. Final per-week agg: total
+    * (additive across users), max (the non-collapsing semi-additive
+    * proof — it needs every user's carried balance, not the global sum),
+    * active user count. */
+  def semiAdditiveBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val deltas = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("delta_micro"),
+        count(lit(1)).as("n_ev"))
+    val weeks = deltas.select("week").distinct()
+    val users = deltas.select("user_id").distinct()
+    val w = Window.partitionBy("user_id").orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(weeks))
+      .join(deltas, Seq("user_id", "week"), "left")
+      .withColumn("eow_micro", sum(coalesce(col("delta_micro"), lit(0L))).over(w))
+      .groupBy("week")
+      .agg(sum(col("eow_micro")).as("eow_total_micro"),
+        max(col("eow_micro")).as("eow_max_micro"),
+        sum(when(col("n_ev").isNotNull, 1L).otherwise(0L)).as("active_users"))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("eow_total_micro"), col("eow_max_micro"), col("active_users"))
+      .orderBy("week")
+  }
+
+  /** Cohort lifetime value (rq88) — rq39's retention matrix with revenue:
+    * how much has the average week-N signup earned by week N+k? Events
+    * collapse ONCE to per-(user, week) revenue in exact micros (the only
+    * corpus-sized shuffle — same exchange serves the cohort assignment,
+    * since cohort = min week over that collapsed frame); the
+    * (cohort, offset) matrix is calendar-bounded (weeks²), so the
+    * cumulative-LTV window and the per-user division run on a tiny
+    * domain. LTV per user in truncating integer `div` — engine-exact,
+    * and the denominator is the cohort's FULL size (inactive users drag
+    * the average, the honest LTV convention). */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("rev_micro"))
+    val wCoh = Window.partitionBy("user_id")
+    val mat = uw
+      .withColumn("cohort", min(col("week")).over(wCoh))
+      .groupBy(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(sum(col("rev_micro")).as("rev_micro"))
+    val sizes = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val wCum = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mat.join(broadcast(sizes), "cohort")
+      .withColumn("cum_rev_micro", sum(col("rev_micro")).over(wCum))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("cohort_size"), col("cum_rev_micro"),
+        expr("cum_rev_micro div cohort_size").as("ltv_per_user_micro"))
+      .orderBy("cohort", "week_offset")
+  }
 }

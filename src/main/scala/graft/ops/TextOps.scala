@@ -885,6 +885,42 @@ object TextOps {
       .orderBy("src_id", "dst_id")
   }
 
+  /** Chat-template rendering (tx_chat_template) — the SFT prep pass that
+    * turns raw text into a training row: a system/user/assistant template
+    * with role sentinels, token budgeting, and the LOSS-MASK boundary
+    * (labels are masked over the system+prompt region; loss applies only
+    * to completion tokens). Pure string projection — one scan, fully
+    * inside whole-stage codegen, no shuffle until the presentation sort;
+    * at 100 TB this is the map-only stage of the tokenizer pipeline. The
+    * md5 of the rendered string rides the hash channel, so the oracle
+    * certifies byte-exact template assembly, not just the counts; the
+    * token arithmetic is per-part (prompt/completion tokenized on their
+    * own text), which is what keeps mask offsets exact without running
+    * a tokenizer over the sentinel-bearing rendered string. */
+  def chatTemplate(spark: SparkSession, sfDir: String,
+                   promptChars: Int = 80, budget: Int = 32): DataFrame = {
+    def ntok(c: org.apache.spark.sql.Column) =
+      when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
+    Tables.documents(spark, sfDir).filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        substring(col("text"), 1, promptChars).as("prompt"),
+        substring(col("text"), promptChars + 1, 1 << 20).as("completion"))
+      .select(col("doc_id"),
+        substring(md5(concat(
+          lit("<|system|>You are a helpful assistant."),
+          lit("<|user|>"), col("prompt"),
+          lit("<|assistant|>"), col("completion"), lit("<|end|>"))), 1, 12)
+          .as("render_md5"),
+        ntok(col("prompt")).as("prompt_tokens"),
+        ntok(col("completion")).as("completion_tokens"))
+      .withColumn("total_tokens", col("prompt_tokens") + col("completion_tokens"))
+      .withColumn("mask_end_tok", col("prompt_tokens"))
+      .withColumn("fits_budget", col("total_tokens") <= budget)
+      .withColumn("truncate_tokens",
+        greatest(col("total_tokens") - budget, lit(0)))
+      .orderBy("doc_id")
+  }
+
   /** Rejection sampling to a target distribution — the rebalancing pass
     * that flattens a skewed corpus: docs fall into fixed-width length
     * buckets, the rarest bucket's count m becomes the per-bucket quota,

@@ -157,6 +157,30 @@ object GraphAnalytics {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clustersOverPairs(spark, graft.ops.TextOps.dedupMinHashLsh(spark, sfDir), "doc_id")
 
+  /** SURVIVORSHIP — the entity-resolution policy step after clustering:
+    * which copy do you KEEP? The canonical-label rule (min doc_id, what
+    * CC hands back for free) is arbitrary; real curation keeps the
+    * RICHEST record — here max `n_chars` with a doc_id tiebreak, the
+    * longest-representative policy C4-style pipelines use. One
+    * `max(struct(...))` hash aggregate over the clustered ids — the
+    * argmax is partial-combinable, so at 100 TB survivor election costs
+    * the same single shuffle as the member count; no per-cluster sort,
+    * no window. Only multi-member clusters appear (singletons have no
+    * election to run). */
+  def survivorship(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dedupClusters(spark, sfDir).select(col("doc_id"), col("keep_id"))
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    clusters.join(docs, "doc_id")
+      .groupBy(col("keep_id").as("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("component"), col("n_members"),
+        (-col("best.neg_id")).as("survivor_id"),
+        col("best.nc").as("survivor_nchars"))
+      .orderBy("component")
+  }
+
   /** SEMANTIC dedup clustering: connected components over the
     * embedding-cosine near-dup pair graph — the vector-space twin of
     * `dedupClusters` (two docs can be near-identical in meaning with zero

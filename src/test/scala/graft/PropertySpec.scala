@@ -233,6 +233,37 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable shallowClone: zero-copy, writes isolated both ways, clone vacuum spares source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_clone").toString
+    try {
+      val base = (0 until 20).map(i => f"K$i%02d" -> i.toLong)
+      val src = graft.core.TxTable.create(spark, dir + "/src",
+        base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      val c = src.shallowClone(dir + "/c")
+      assert(c.snapshot().as[(String, Long)].collect().toMap == base.toMap)
+      // Zero-copy: the clone's data dir has no children until it writes.
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "c", "data"))
+      val empty = try !ls.iterator().hasNext finally ls.close()
+      assert(empty, "shallow clone copied data files")
+      // Independence, both directions.
+      c.merge(Seq("K01" -> 101L).toDF("k", "v"))
+      src.merge(Seq("K02" -> 202L).toDF("k", "v"))
+      val cm = c.snapshot().as[(String, Long)].collect().toMap
+      val sm = src.snapshot().as[(String, Long)].collect().toMap
+      assert(cm("K01") == 101L && cm("K02") == 2L, s"clone state: $cm")
+      assert(sm("K01") == 1L && sm("K02") == 202L, s"source state: $sm")
+      // The clone's vacuum must never reclaim source-owned (absolute)
+      // pointers — aggressive horizon, then both tables still read clean.
+      c.vacuum(retainMs = 0L, keepVersions = 1)
+      assert(c.snapshot().as[(String, Long)].collect().toMap == cm)
+      assert(src.snapshot().as[(String, Long)].collect().toMap == sm)
+      // Clone-of-clone keeps resolving (absolute pointers pass through).
+      val c2 = c.shallowClone(dir + "/c2")
+      assert(c2.snapshot().as[(String, Long)].collect().toMap == cm)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable fastForward: re-validates branch head against main's post-fork checks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_ffcheck").toString
