@@ -76,6 +76,8 @@ object SparkEntry {
     "s35_merge_clauses" -> ((s, d) => GraphOps.txMergeClauses(s, d)),
     // Zero-copy shallow clone: independent table over shared data files.
     "s36_clone" -> ((s, d) => GraphOps.txClone(s, d)),
+    // Predicate UPDATE ... SET ... WHERE: partial rewrite, no-op no-publish.
+    "s37_update_where" -> ((s, d) => GraphOps.txUpdateWhere(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -249,6 +251,8 @@ object SparkEntry {
     "rq52_quality_checks" -> ((s, d) => RelOps.qualityChecks(s, d)),
     "tx_rejection_sample" -> ((s, d) => TextOps.rejectionSample(s, d)),
     "dd_edit_distance" -> ((s, d) => TextOps.editDistancePairs(s, d)),
+    // Content-defined chunking: offset-invariant shared-region census.
+    "dd_cdc_chunk" -> ((s, d) => TextOps.cdcChunkDedup(s, d)),
     "tx_split" -> ((s, d) => TextOps.splitAssign(s, d)),
     "rq46_stratified_sample" -> ((s, d) => RelOps.stratifiedSample(s, d)),
     // 2D Pareto frontier via the per-size sweep; oracle = the O(n²)
@@ -2305,6 +2309,30 @@ object SparkEntry {
         |  FROM wf WHERE len(w) >= 2)
         |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pr.a, pr.b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+    // dd_cdc_chunk: the chunking replayed position by position — same
+    // normalization, same 8-char window, same md5-hex-digit boundary
+    // rule, same lag-window span reconstruction.
+    "dd_cdc_chunk" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM n),
+        |e AS (SELECT doc_id, t, i FROM pos
+        |      WHERE i = len(t)
+        |         OR (i >= 8 AND substring(md5(substring(t, i - 7, 8)), 1, 1) = '0')),
+        |c AS (SELECT doc_id,
+        |        substring(t,
+        |          coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+        |          i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0))
+        |          AS chunk
+        |      FROM e),
+        |g AS (SELECT md5(chunk) AS h, CAST(len(chunk) AS BIGINT) AS chunk_len,
+        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_occ
+        |      FROM c GROUP BY 1, 2)
+        |SELECT substring(h, 1, 12) AS chunk_md5, n_docs, n_occ, chunk_len
+        |FROM g WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, chunk_md5 LIMIT 50""".stripMargin,
     // dd_edit_distance: 8-char-prefix blocking join + bounded-prefix
     // Levenshtein — exact integers on both engines.
     "dd_edit_distance" ->
@@ -2726,6 +2754,19 @@ object SparkEntry {
     // s29: after publish, main = base with last-digit-3 names STAGED;
     // v = 1 (the branch's commits collapse into one main version) and
     // both WAP certificates must come back true.
+    // s37: BUILDING balances +100 (pre-update house decides), customer 7
+    // flagged; exactly 1 of 8 bucket pointers moved for the point update.
+    "s37_update_where" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name = 'Customer#000000007' THEN 'FLAGGED'
+         |       ELSE house END AS house,
+         |  CASE WHEN house = 'BUILDING' THEN round(acctbal, 2) + 100
+         |       ELSE round(acctbal, 2) END AS acctbal,
+         |  CAST(7 AS BIGINT) AS untouched_ptrs, true AS noop_unpublished
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
     // s36: clone state = base with digit-5 houses flipped; both physical
     // certificates true, drift count zero.
     "s36_clone" ->

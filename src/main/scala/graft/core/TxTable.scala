@@ -398,6 +398,56 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** UPDATE ... SET ... WHERE — the predicate-DML verb (Delta's UPDATE):
+    * every row satisfying `where` gets the SET expressions applied, all
+    * other rows (and all other columns) are byte-identical. Unlike the
+    * keyed paths (merge/delete), a predicate cannot be hash-pruned, so
+    * ONE manifest-wide pass finds the buckets that actually hold matching
+    * rows — a predicate update IS a scan at any scale, that is the honest
+    * cost — and the copy-on-write rewrite then touches ONLY those
+    * buckets: untouched bucket pointers carry forward unchanged, and a
+    * no-match update publishes nothing at all (version unchanged). A
+    * NULL-evaluating predicate does not fire (the mergeClauses
+    * three-valued-logic contract). CHECK constraints validate the full
+    * rewritten post-image before anything publishes. Key columns cannot
+    * be SET (that is a delete+insert, i.e. a merge). */
+  def update(where: String, set: Map[String, String]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(set.keys.forall(c => !keyCols.contains(c)),
+      s"cannot SET key column(s) ${set.keys.filter(keyCols.contains).mkString(",")}")
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val m = manifest(v)
+      val n = bucketCountAt(v)
+      val cur = schemaAt(v)
+      require(set.keys.forall(cur.fieldNames.contains),
+        s"SET column absent from schema ${cur.toDDL}")
+      val touched = readBuckets(m, m.keySet, cur).filter(where)
+        .select(bucketColFor(n).as("_b")).distinct()
+        .collect().map(_.getLong(0)).toSet.filter(m.contains)
+      if (touched.isEmpty) return v // no matching rows: metadata no-op
+      val hit = coalesce(expr(where), lit(false))
+      val out = conform(readBuckets(m, touched, cur)
+        .select(cur.fieldNames.toSeq.map { c =>
+          set.get(c) match {
+            case Some(e) => when(hit, expr(e)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*), cur)
+      validate(out)
+      val commit = writeCommit(out, n)
+      val next = (m -- touched) ++
+        bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+      val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, n, "update", lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+        committed = v + 1
+      }
+    }
+    committed
+  }
+
   /** DELETE by key (the MERGE matched-delete clause): rows whose key
     * appears in `keys` are removed via the same copy-on-write bucket
     * rewrite; absent keys are a no-op. A bucket whose rows are all

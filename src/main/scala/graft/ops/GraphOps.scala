@@ -617,6 +617,38 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Predicate-UPDATE demo (s37) — the UPDATE ... SET ... WHERE verb on
+    * TxTable: a broad update (+100 to every BUILDING balance) rewrites
+    * the buckets holding matches; a POINT-predicate update (one name
+    * flagged) rewrites exactly ONE bucket — `untouched_ptrs` counts the
+    * bucket pointers that survived it byte-identically (7 of 8, the
+    * partial-rewrite proof); and a no-match update must publish NOTHING
+    * (asserted loudly — version unchanged). Write-path class like s12. */
+  def txUpdateWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s37").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val v1 = t.update("house = 'BUILDING'", Map("acctbal" -> "acctbal + 100"))
+      val v2 = t.update("name = 'Customer#000000007'", Map("house" -> "'FLAGGED'"))
+      // Bounded metadata probe (8 manifest entries): how many bucket
+      // pointers the point update left untouched.
+      val preserved = t.dataPointers(v1).toSet
+        .intersect(t.dataPointers(v2).toSet).size
+      val v3 = t.update("house = 'NO_SUCH_HOUSE'", Map("acctbal" -> "0"))
+      require(v3 == v2, s"s37: no-match update must not publish ($v2 -> $v3)")
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(preserved.toLong).as("untouched_ptrs"),
+          lit(v3 == v2).as("noop_unpublished"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Shallow-clone demo (s36) — Delta's zero-copy CLONE on TxTable: the
     * clone's v0 manifest points at the SOURCE's data files via absolute
     * pointers (zero bytes copied — its data dir is verifiably empty at

@@ -885,6 +885,49 @@ object TextOps {
       .orderBy("src_id", "dst_id")
   }
 
+  /** Content-defined chunking dedup (dd_cdc_chunk) — the FastCDC/LBFS
+    * family: chunk boundaries are declared wherever a rolling 8-char
+    * window's hash hits a target pattern (here: first md5 hex digit '0',
+    * i.e. rate 1/16 → ~16-char average chunks), so identical regions
+    * produce identical chunks REGARDLESS OF OFFSET — the property
+    * fixed-width span dedup (tx_span_dedup) lacks: insert one word at
+    * the top of a doc and every fixed window shifts, but content-defined
+    * boundaries re-synchronize immediately. Output is the cross-doc
+    * shared-chunk census (chunks seen in ≥2 docs). Shape: one
+    * position-explode (linear in corpus characters), a per-doc window
+    * over the ~len/16 boundary rows, two hash aggs — no pair joins
+    * anywhere. At 100 TB the per-position md5 would be replaced by the
+    * codegen'd Gear/`RollingHash` expression (one multiply-add per
+    * char); the md5 formulation is chosen because both engines replay it
+    * byte-identically, certifying the chunking itself. */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String,
+                    minDocs: Int = 2, topN: Int = 50): DataFrame =
+    cdcChunks(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), normText(col("text")).as("t")))
+      .groupBy(md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select(substring(col("h"), 1, 12).as("chunk_md5"),
+        col("n_docs"), col("n_occ"), col("chunk_len"))
+      .orderBy(desc("n_docs"), desc("n_occ"), col("chunk_md5"))
+      .limit(topN)
+
+  /** The chunker itself over a prepared (doc_id, t) frame — exposed so
+    * the spec can prove offset-invariance (boundary re-synchronization
+    * after an insertion) on synthetic docs. */
+  def cdcChunks(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    d.select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")))).as("i"))
+      .filter(col("i") === length(col("t")) ||
+        (col("i") >= 8 &&
+          substring(md5(expr("substring(t, i - 7, 8)")), 1, 1) === "0"))
+      .withColumn("prev", coalesce(lag(col("i"), 1).over(w), lit(0)))
+      .select(col("doc_id"), expr("substring(t, prev + 1, i - prev)").as("chunk"))
+  }
+
   /** Chat-template rendering (tx_chat_template) — the SFT prep pass that
     * turns raw text into a training row: a system/user/assistant template
     * with role sentinels, token budgeting, and the LOSS-MASK boundary

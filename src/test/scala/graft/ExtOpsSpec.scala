@@ -368,6 +368,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(math.abs(mass - total) / total < 0.01, s"mass=$mass n=$n total=$total")
   }
 
+  test("CDC chunking is offset-invariant: chunks re-synchronize after an insertion") {
+    import spark.implicits._
+    // d2 = d1 with a word INSERTED at the front. Fixed-width windows all
+    // shift; content-defined boundaries re-synchronize at the first
+    // boundary after the edit, so every d1 chunk past its first boundary
+    // must reappear verbatim in d2.
+    val s = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the deep dark woods to hide from every loud hunter nearby"
+    val docs = Seq((1L, s), (2L, "inserted words " + s)).toDF("doc_id", "t")
+    val chunks = graft.ops.TextOps.cdcChunks(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val c1 = chunks.filter(_._1 == 1L).map(_._2).toSeq
+    val c2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(c1.nonEmpty && c1.map(_.length).sum == s.length, "chunks must tile the doc")
+    assert(c1.size >= 2, s"test string too short to produce a boundary: $c1")
+    val resync = c1.drop(1)
+    assert(resync.forall(c2.contains),
+      s"post-boundary chunks did not re-synchronize: ${resync.filterNot(c2.contains)}")
+  }
+
   test("edit-distance skew guard: salting engages on a hot prefix block and the pair set is unchanged") {
     import spark.implicits._
     // Synthetic hot block: 40 docs share one 8-char prefix (plus a small

@@ -233,6 +233,33 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable update: predicate SET semantics, NULL no-fire, checks, no-op, key guard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_update").toString
+    try {
+      val base = Seq("A" -> Some(1L), "B" -> Some(5L), "C" -> None, "D" -> Some(9L))
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // NULL predicate (v > 3 is NULL for C) must not fire on C.
+      val v1 = t.update("v > 3", Map("v" -> "v * 10"))
+      assert(v1 == 1L)
+      assert(t.snapshot().as[(String, Option[Long])].collect().toMap ==
+        Map("A" -> Some(1L), "B" -> Some(50L), "C" -> None, "D" -> Some(90L)))
+      // No-match predicate publishes nothing.
+      assert(t.update("v > 1000000", Map("v" -> "0")) == v1)
+      assert(t.version == v1)
+      // CHECK constraints veto the post-image before publish.
+      t.addCheck("v_cap", "v IS NULL OR v < 1000")
+      val ex = intercept[Exception](t.update("k = 'B'", Map("v" -> "v * 1000")))
+      assert(ex.getMessage.contains("v_cap"))
+      assert(t.version == v1, "violating update must not publish")
+      // Key columns cannot be SET.
+      val kx = intercept[IllegalArgumentException](t.update("true", Map("k" -> "'Z'")))
+      assert(kx.getMessage.contains("key column"))
+      // Time travel still serves the pre-update state.
+      assert(t.snapshotAt(0L).as[(String, Option[Long])].collect().toMap == base.toMap)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable shallowClone: zero-copy, writes isolated both ways, clone vacuum spares source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_clone").toString
