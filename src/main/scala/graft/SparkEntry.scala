@@ -144,6 +144,8 @@ object SparkEntry {
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // SFT chat templating: role sentinels, token budget, loss-mask offsets.
     "tx_chat_template" -> ((s, d) => TextOps.chatTemplate(s, d)),
+    // Per-source dataset card: volumes, language spread, dup rate.
+    "tx_dataset_card" -> ((s, d) => TextOps.datasetCard(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "tx_langid" -> ((s, d) => TextOps.langId(s, d)),
     // Classifier eval: per-class precision/recall ppm from one confusion agg.
@@ -793,6 +795,32 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
         |  len(text) AS len
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // tx_dataset_card: volumes + dominant language (count desc, lang asc
+    // tie-break) + within-source exact-dup rate, all integer ppm.
+    "tx_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |      FROM d GROUP BY 1),
+        |dl AS (SELECT source, lang AS dominant_lang FROM (
+        |        SELECT source, lang, row_number() OVER (PARTITION BY source
+        |          ORDER BY count(*) DESC, lang ASC) AS rk
+        |        FROM d GROUP BY source, lang) WHERE rk = 1),
+        |du AS (SELECT source,
+        |        CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup_docs
+        |       FROM (SELECT source, fp, count(*) AS n FROM d GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT t.source, n_docs, total_tokens, total_chars, n_langs, dominant_lang,
+        |  CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        |  CAST(total_tokens // n_docs AS BIGINT) AS mean_doc_tokens
+        |FROM t JOIN dl ON t.source = dl.source JOIN du ON t.source = du.source
+        |ORDER BY t.source""".stripMargin,
     // tx_chat_template: byte-exact template replay (md5 prefix compare as
     // hex STRING); per-part token counts with the empty-string guard.
     "tx_chat_template" ->

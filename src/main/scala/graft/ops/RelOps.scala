@@ -2300,10 +2300,16 @@ object RelOps {
     * proof — it needs every user's carried balance, not the global sum),
     * active user count. */
   def semiAdditiveBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    // The collapse materializes ONCE (localCheckpoint) — deltas, the week
+    // spine and the user spine all read the collapsed domain, so the
+    // corpus is scanned exactly once (PlanSpec-pinned; without this,
+    // Catalyst re-derives the aggregate three times — no common-subplan
+    // reuse across different projections of it).
     val deltas = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
       .agg(sum(round(col("value") * 1e6).cast("long")).as("delta_micro"),
         count(lit(1)).as("n_ev"))
+      .localCheckpoint()
     val weeks = deltas.select("week").distinct()
     val users = deltas.select("user_id").distinct()
     val w = Window.partitionBy("user_id").orderBy("week")
@@ -2331,9 +2337,13 @@ object RelOps {
     * and the denominator is the cohort's FULL size (inactive users drag
     * the average, the honest LTV convention). */
   def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    // Same single-collapse rule as rq87: the (user, week) frame serves
+    // both the matrix and the cohort-size census from one materialized
+    // pass, never re-scanning events.
     val uw = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
       .agg(sum(round(col("value") * 1e6).cast("long")).as("rev_micro"))
+      .localCheckpoint()
     val wCoh = Window.partitionBy("user_id")
     val mat = uw
       .withColumn("cohort", min(col("week")).over(wCoh))

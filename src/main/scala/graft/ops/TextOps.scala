@@ -885,6 +885,40 @@ object TextOps {
       .orderBy("src_id", "dst_id")
   }
 
+  /** Dataset card (tx_dataset_card) — the per-source statistics block a
+    * curation pipeline publishes with every release: doc/token/char
+    * volumes, language spread with the dominant language, and the
+    * within-source exact-duplicate rate. One doc-level projection feeds
+    * three partial-combinable aggregates (per-source totals, per-
+    * (source, lang) counts argmax'd via min(struct(-n, lang)) — count
+    * desc then lang asc with no window, and per-(source, fingerprint)
+    * counts for the dup rate); everything then joins on the |sources|-row
+    * domain. At 100 TB: three hash aggs over one scan, 5-row joins. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("nt"),
+        md5(normText(col("text"))).as("fp"))
+    val totals = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val domLang = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(min(struct((-col("n")).as("neg"), col("lang").as("l"))).as("top"))
+      .select(col("source"), col("top.l").as("dominant_lang"))
+    val dups = d.groupBy("source", "fp").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_docs"))
+    totals.join(domLang, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("n_langs"), col("dominant_lang"),
+        expr("dup_docs * 1000000 div n_docs").as("dup_ppm"),
+        expr("total_tokens div n_docs").as("mean_doc_tokens"))
+      .orderBy("source")
+  }
+
   /** Content-defined chunking dedup (dd_cdc_chunk) — the FastCDC/LBFS
     * family: chunk boundaries are declared wherever a rolling 8-char
     * window's hash hits a target pattern (here: first md5 hex digit '0',

@@ -239,6 +239,34 @@ class PlanSpec extends AnyFunSuite {
       s"keyset page degenerated to a global sort:\n$p")
   }
 
+  test("rq87 semi-additive: query plan never re-scans events, windows partitioned by user") {
+    val p = plan(graft.ops.RelOps.semiAdditiveBalance(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    // The corpus collapse materializes once (localCheckpoint); the query
+    // plan itself must read ONLY the collapsed (user, week) domain — an
+    // events FileScan here means the collapse is being re-derived.
+    assert(!finalSection.contains("events.parquet"),
+      s"query plan re-scans raw events:\n$p")
+    assert(finalSection.contains("windowspecdefinition(user_id"),
+      s"carry-forward window lost its user partitioning:\n$p")
+  }
+
+  test("tx_chat_template: one documents scan, no exchange before the presentation sort") {
+    val p = plan(graft.ops.TextOps.chatTemplate(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"template rendering must be one scan:\n$p")
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      s"map-only projection grew a shuffle:\n$p")
+  }
+
+  test("dd_cdc_chunk: census is agg-only — no join anywhere in the plan") {
+    val p = plan(graft.ops.TextOps.cdcChunkDedup(spark, sf))
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(!finalSection.toLowerCase.contains("join"),
+      s"shared-chunk census must not pair-join:\n$p")
+  }
+
   test("rq65 join IVM: the fact table is scanned once (delta only), base view read from artifact") {
     val p = plan(graft.ops.RelOps.ivmJoin(spark, sf))
     val finalSection = p.split("== Initial Plan ==")(0)
