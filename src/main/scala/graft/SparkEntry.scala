@@ -358,6 +358,8 @@ object SparkEntry {
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
     // Corpus-scale CC: input grows with sf, log-depth sparsifier edges.
     "gx_corpus_cc" -> ((s, d) => GraphAnalytics.corpusFamilyCc(s, d)),
+    // Corpus-scale multi-source Pregel BFS: popcount closed form.
+    "gx_corpus_bfs" -> ((s, d) => GraphAnalytics.corpusAnchorBfs(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
@@ -1689,6 +1691,14 @@ object SparkEntry {
          |m AS (SELECT nid % ${graft.core.Graph.FamilyMod} AS fam, min(nid) AS component FROM n GROUP BY 1)
          |SELECT nid, component FROM n JOIN m ON nid % ${graft.core.Graph.FamilyMod} = fam
          |WHERE nid < 200 ORDER BY nid""".stripMargin,
+    // gx_corpus_bfs: descent distance to the class anchor = minimal count
+    // of powers of two summing to nid div 25 = bit_count (two 2^a fold
+    // into one 2^(a+1)); per-distance census over ALL nodes.
+    "gx_corpus_bfs" ->
+      s"""WITH $nodesCte
+         |SELECT CAST(bit_count(nid // 25) AS BIGINT) AS dist,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
     // is per-family-class min/count/max, so the member counts (which grow
     // with sf) certify the full corpus was traversed.

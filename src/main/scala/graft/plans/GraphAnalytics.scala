@@ -118,6 +118,41 @@ object GraphAnalytics {
       .orderBy("component")
   }
 
+  /** CORPUS-SCALE multi-source BFS (gx_corpus_bfs) — raw Pregel over the
+    * same doubling sparsifier as `corpusFamilyCc`, messages flowing UP
+    * the descent edges from the 25 class anchors. The closed form is
+    * exact number theory: a node's descent distance to its anchor is the
+    * minimal count of powers of two summing to k = nid div 25, which is
+    * popcount(k) (two copies of 2^a fold into one 2^(a+1), so no
+    * multiset beats the binary representation). Supersteps = max
+    * popcount ≈ log₂(corpus/25): ~10 rounds at sf0.1 and only ~26 at
+    * 10⁹ nodes — iterative analytics whose ROUND COUNT scales
+    * logarithmically while its input scales linearly, the shape Pregel
+    * is for. Output is the per-distance census (counts grow with sf);
+    * oracle = bit_count(nid // 25), both engines bit-exact. */
+  def corpusAnchorBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Graph.nodes(spark, sfDir).select(col("nid").cast("long").as("nid"))
+    val edges = n
+      .select(col("nid"), explode(expr("sequence(0, 26)")).as("j"))
+      .select(col("nid"), expr("nid - shiftleft(25L, j)").as("dst"))
+      .filter(col("dst") >= 0L)
+    val g = XGraph.fromEdges(
+      edges.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id < 25L) 0 else Int.MaxValue)
+    val dist = g.pregel(Int.MaxValue)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+             Iterator((t.srcId, t.dstAttr + 1))
+           else Iterator.empty,
+      (a, b) => math.min(a, b))
+    spark.createDataFrame(dist.vertices.map { case (_, d) => Tuple1(d.toLong) })
+      .toDF("dist")
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */
