@@ -190,6 +190,8 @@ object SparkEntry {
     "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
+    // Hybrid retrieval: BM25 arm + vector arm fused by reciprocal rank.
+    "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
     // Checked = exact top-k + a recall certificate over the ANN probe (the
     // rq12 tolerance-boolean pattern) — the approximate rows themselves are
@@ -1302,6 +1304,48 @@ object SparkEntry {
          |ORDER BY src_id, dst_id""".stripMargin
     },
     // —— similarity ——
+    // sim_hybrid_rrf: both arms replayed (the tx_bm25 chain and the
+    // cosine top-k), ranks row_numbered on each bounded result, RRF in
+    // truncating integer micros.
+    "sim_hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         |posts AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+         |qq AS (SELECT doc_id, term, tf FROM posts
+         |      WHERE term IN ('dup', 'vector', 'merge')),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qq GROUP BY 1),
+         |sc AS (
+         |  SELECT qq.doc_id,
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+         |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n_docs * 1.0 / sum_dl))) AS score
+         |  FROM qq JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+         |bm AS (SELECT doc_id,
+         |    CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM sc GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20),
+         |bmr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER)
+         |      AS lex_rank FROM bm),
+         |$embCte,
+         |qv AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0),
+         |vc AS (SELECT vec_id,
+         |    round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine
+         |  FROM ne, qv WHERE vec_id <> 0
+         |  ORDER BY cosine DESC, vec_id LIMIT 10),
+         |vcr AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INTEGER)
+         |      AS vec_rank FROM vc)
+         |SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |  CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
+         |  CAST(coalesce(vec_rank, 0) AS INTEGER) AS vec_rank,
+         |  CAST(coalesce(1000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro
+         |FROM bmr b FULL JOIN vcr v ON b.doc_id = v.doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH $embCte
          |, q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0)

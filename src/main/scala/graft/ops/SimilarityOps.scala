@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim) —
@@ -48,6 +49,36 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (sim_hybrid_rrf) — the
+    * pattern production search actually ships: a LEXICAL arm (BM25 over
+    * the listing-pruned postings index) and a VECTOR arm (cosine top-k)
+    * fused by RRF, score = Σ 1/(60 + rank) in exact integer micros
+    * (truncating div — no float channel). Ranks come from row_number
+    * over each arm's ≤20-row result (the rq32 bounded-domain window
+    * rule); the arms themselves keep their at-scale plans, fusion adds
+    * a 30-row full-outer join. vec_id aligns with doc_id by fixture
+    * construction, which is exactly the shared-key layout a real corpus
+    * gives its text and embedding tables. */
+  def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val wB = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    val lex = graft.ops.TextOps.bm25TopK(spark, sfDir)
+      .withColumn("r", row_number().over(wB))
+      .select(col("doc_id"), col("r").as("lex_rank"))
+    val wV = Window.orderBy(col("cosine").desc, col("vec_id").asc)
+    val vec = cosineTopK(spark, sfDir)
+      .withColumn("r", row_number().over(wV))
+      .select(col("vec_id").as("doc_id"), col("r").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+          .cast("long").as("rrf_micro"))
+      .orderBy(desc("rrf_micro"), col("doc_id"))
       .limit(k)
   }
 
