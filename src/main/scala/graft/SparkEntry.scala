@@ -140,6 +140,8 @@ object SparkEntry {
     "fn_stat_suite" -> ((s, d) => graft.ops.ScalarSuites.statSuite(s, d)),
     "fn_null_suite" -> ((s, d) => graft.ops.ScalarSuites.nullSuite(s, d)),
     "fn_cast_suite" -> ((s, d) => graft.ops.ScalarSuites.castSuite(s, d)),
+    // parse_url sweep: scheme/host/path/query/param extraction.
+    "fn_url_suite" -> ((s, d) => graft.ops.ScalarSuites.urlSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // SFT chat templating: role sentinels, token budget, loss-mask offsets.
@@ -325,6 +327,8 @@ object SparkEntry {
     // Cohort LTV: cumulative revenue per signup cohort over week offsets,
     // per-user average in truncating integer micros.
     "rq88_cohort_ltv" -> ((s, d) => RelOps.cohortLtv(s, d)),
+    // ROLLUP + explicit GROUPING flags: subtotal rows named exactly.
+    "rq90_grouping_flags" -> ((s, d) => RelOps.rollupGroupingFlags(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -799,6 +803,23 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
         |  len(text) AS len
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // fn_url_suite: each parse_url part replayed with an anchored regex;
+    // absent parameter is NULL on both engines.
+    "fn_url_suite" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+        |      || '?lang=' || lang || '&v=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+        |  regexp_extract(url, '[?&]v=([^&#]*)', 1) AS v_param,
+        |  CAST(NULL AS VARCHAR) AS missing_param
+        |FROM u ORDER BY doc_id""".stripMargin,
     // tx_dataset_card: volumes + dominant language (count desc, lang asc
     // tie-break) + within-source exact-dup rate, all integer ppm.
     "tx_dataset_card" ->
@@ -1511,6 +1532,15 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    // rq90: per-column GROUPING flags composed the engine-neutral way.
+    "rq90_grouping_flags" ->
+      """SELECT coalesce(l_returnflag, '-') AS rf,
+        |  coalesce(l_linestatus, '-') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+        |    AS level_id,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY level_id, rf, ls""".stripMargin,
     "rq4_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*) AS n, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total

@@ -81,6 +81,25 @@ object RelOps {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  /** ROLLUP with explicit GROUPING flags (rq90) — the disambiguation rq3's
+    * coalesce trick cannot provide on nullable columns: a data NULL and a
+    * subtotal NULL both render 'ALL' there, but grouping(col) is 1 ONLY
+    * for subtotal rows, so the flag pair names the aggregation level
+    * exactly. Spelled as explicit grouping(a)·2 + grouping(b) — the
+    * engine-neutral form (Spark's grouping_id() bit order is its own
+    * convention; DuckDB's differs, per-column flags don't). */
+  def rollupGroupingFlags(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("level_id"))
+      .select(
+        coalesce(col("l_returnflag"), lit("-")).as("rf"),
+        coalesce(col("l_linestatus"), lit("-")).as("ls"),
+        col("level_id"), col("n"))
+      .orderBy("level_id", "rf", "ls")
+
   /** CUBE over (orderstatus, orderpriority). UNITS: total is ×100 cents. */
   def cubeOrders(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -222,4 +222,25 @@ object ScalarSuites {
         "CAST(c_custkey % 2 = 0 AS STRING) AS even_str",
         "try_cast(concat('1', CAST(c_custkey AS STRING)) AS BIGINT) AS prefixed_num")
       .orderBy("c_custkey")
+
+  /** URL-parsing sweep (fn_url_suite) — `parse_url` over URLs assembled
+    * from table columns (scheme/host/path/query/single-parameter
+    * extraction, the log-sessionization staples). Spark's parse_url is a
+    * real Catalyst expression (codegen'd, java.net.URI semantics); the
+    * oracle replays each part with anchored regexes, so the suite also
+    * documents the exact equivalences a migration needs. */
+  def urlSuite(spark: SparkSession, sfDir: String, maxDocId: Long = 50): DataFrame =
+    graft.core.Tables.documents(spark, sfDir).filter(col("doc_id") < maxDocId)
+      .selectExpr("doc_id",
+        "concat('https://', source, '.example.org/docs/', CAST(doc_id AS STRING), " +
+          "'?lang=', lang, '&v=', CAST(doc_id % 7 AS STRING)) AS url")
+      .selectExpr("doc_id", "url",
+        "parse_url(url, 'PROTOCOL') AS proto",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY') AS query",
+        "parse_url(url, 'QUERY', 'lang') AS lang_param",
+        "parse_url(url, 'QUERY', 'v') AS v_param",
+        "parse_url(url, 'QUERY', 'absent') AS missing_param")
+      .orderBy("doc_id")
 }
