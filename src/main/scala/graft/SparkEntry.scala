@@ -329,6 +329,10 @@ object SparkEntry {
     "rq88_cohort_ltv" -> ((s, d) => RelOps.cohortLtv(s, d)),
     // ROLLUP + explicit GROUPING flags: subtotal rows named exactly.
     "rq90_grouping_flags" -> ((s, d) => RelOps.rollupGroupingFlags(s, d)),
+    // LATERAL correlated subquery: top-2 orders per customer, decorrelated.
+    "rq91_lateral_join" -> ((s, d) => graft.ops.SqlSurface.lateralTopOrders(s, d)),
+    // Named-parameter SQL binding: markers bind as literals post-parse.
+    "rq92_param_sql" -> ((s, d) => graft.ops.SqlSurface.parameterizedQuery(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -1532,6 +1536,26 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    // rq91: DuckDB runs the same LATERAL text (dialect-identical here).
+    "rq91_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price_x100
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY price_x100 DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 30
+        |ORDER BY c.c_custkey, t.price_x100 DESC, t.o_orderkey""".stripMargin,
+    // rq92: binding must be invisible — literals inlined on the oracle.
+    "rq92_param_sql" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS bal_x100
+        |FROM customer
+        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey < 400
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // rq90: per-column GROUPING flags composed the engine-neutral way.
     "rq90_grouping_flags" ->
       """SELECT coalesce(l_returnflag, '-') AS rf,

@@ -50,6 +50,50 @@ object SqlSurface {
         |FROM graft_documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery (rq91) — the SQL-standard way to say
+    * "top-2 orders PER customer" inline: the subquery re-executes per
+    * outer row semantically, and Catalyst decorrelates it
+    * (DecorrelateInnerQuery) into the same ranked-window plan a
+    * hand-written top-k-per-group gets — the surface matters because a
+    * migrating warehouse user writes LATERAL, not window plumbing.
+    * Bounded to 30 customers so the oracle's literal re-execution stays
+    * cheap; the decorrelated plan itself is group-ranked, never
+    * per-row re-scans. */
+  def lateralTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_x100
+        |FROM graft_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_x100
+        |  FROM graft_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY price_x100 DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 30
+        |ORDER BY c.c_custkey, t.price_x100 DESC, t.o_orderkey""".stripMargin)
+  }
+
+  /** Parameterized SQL (rq92) — Spark 4's named-parameter-marker surface
+    * (`spark.sql(text, args)`): the query text carries `:seg` / `:cap`
+    * markers, values bind server-side as literals AFTER parsing, which
+    * is the injection-safe path a serving layer needs (string
+    * interpolation into SQL text is the anti-pattern this replaces).
+    * The oracle is the same query with the literals inlined — binding
+    * must be semantically invisible. */
+  def parameterizedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS bal_x100
+        |FROM graft_customer
+        |WHERE c_mktsegment <> :seg AND c_custkey < :cap
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      Map("seg" -> "MACHINERY", "cap" -> Int.box(400)))
+  }
+
   /** Hierarchy walk via the SQL-standard `WITH RECURSIVE` surface
     * (Spark 4 resolves it through ResolveWithCTE into an iterative
     * union-loop): every customer is placed in the implicit decimal forest
