@@ -953,8 +953,13 @@ object TextOps {
   def cdcChunks(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
+    // greatest(len, 1): Spark's sequence(1, 0) infers step -1 and yields
+    // [1, 0] (DuckDB's generate_series(1, 0) is EMPTY) — an empty-text
+    // doc would otherwise emit a phantom "" chunk on one engine only.
+    // With the floor, the lone i=1 row fails both boundary predicates
+    // (i = len(t) is 1 = 0, i >= 8) and the doc yields no chunks.
     d.select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), length(col("t")))).as("i"))
+        explode(sequence(lit(1), greatest(length(col("t")), lit(1)))).as("i"))
       .filter(col("i") === length(col("t")) ||
         (col("i") >= 8 &&
           substring(md5(expr("substring(t, i - 7, 8)")), 1, 1) === "0"))
