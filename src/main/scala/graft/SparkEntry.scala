@@ -142,6 +142,8 @@ object SparkEntry {
     "fn_cast_suite" -> ((s, d) => graft.ops.ScalarSuites.castSuite(s, d)),
     // parse_url sweep: scheme/host/path/query/param extraction.
     "fn_url_suite" -> ((s, d) => graft.ops.ScalarSuites.urlSuite(s, d)),
+    // JSON sweep: nested paths, array ops, from_json/to_json round-trip.
+    "fn_json_suite" -> ((s, d) => graft.ops.ScalarSuites.jsonSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // SFT chat templating: role sentinels, token budget, loss-mask offsets.
@@ -807,6 +809,26 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
         |  len(text) AS len
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // fn_json_suite: paths replayed with DuckDB's ->> extraction; the
+    // to_json rendering rebuilt by concat so Spark's exact field order
+    // and compact formatting are certified.
+    "fn_json_suite" ->
+      """WITH j AS (
+        |  SELECT c_custkey,
+        |    '{"user": {"id": ' || CAST(c_custkey AS VARCHAR) ||
+        |    ', "name": "' || c_name || '"}, "tags": ["x", "' ||
+        |    c_mktsegment || '", "z"], "n": ' || CAST(c_nationkey AS VARCHAR)
+        |    || '}' AS jdoc,
+        |    c_mktsegment FROM customer WHERE c_custkey < 50)
+        |SELECT c_custkey, jdoc,
+        |  CAST(jdoc ->> '$.user.id' AS BIGINT) AS uid,
+        |  jdoc ->> '$.user.name' AS uname,
+        |  jdoc ->> '$.tags[1]' AS tag1,
+        |  CAST(json_array_length(jdoc, '$.tags') AS INTEGER) AS ntags,
+        |  true AS from_json_consistent,
+        |  '{"id":' || CAST(c_custkey AS VARCHAR) || ',"seg":"' ||
+        |    c_mktsegment || '"}' AS rendered
+        |FROM j ORDER BY c_custkey""".stripMargin,
     // fn_url_suite: each parse_url part replayed with an anchored regex;
     // absent parameter is NULL on both engines.
     "fn_url_suite" ->

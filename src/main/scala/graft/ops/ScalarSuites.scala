@@ -223,6 +223,30 @@ object ScalarSuites {
         "try_cast(concat('1', CAST(c_custkey AS STRING)) AS BIGINT) AS prefixed_num")
       .orderBy("c_custkey")
 
+  /** JSON-function sweep (fn_json_suite) — the document-column surface
+    * beyond rq11's flat property pull: nested-path extraction, array
+    * indexing and length, a from_json round-trip consistency boolean
+    * (schema-bound struct field must equal the string-path extraction),
+    * and to_json's EXACT rendering (the oracle rebuilds the rendered
+    * text by string concatenation, so Spark's field order and compact
+    * formatting are certified byte-for-byte, not assumed). Input JSON is
+    * assembled from table columns — same trick as the URL suite. */
+  def jsonSuite(spark: SparkSession, sfDir: String, maxKey: Long = 50): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_custkey") < maxKey)
+      .selectExpr("c_custkey", "c_mktsegment",
+        "concat('{\"user\": {\"id\": ', CAST(c_custkey AS STRING), " +
+          "', \"name\": \"', c_name, '\"}, \"tags\": [\"x\", \"', " +
+          "c_mktsegment, '\", \"z\"], \"n\": ', CAST(c_nationkey AS STRING), '}') AS jdoc")
+      .selectExpr("c_custkey", "jdoc",
+        "CAST(get_json_object(jdoc, '$.user.id') AS BIGINT) AS uid",
+        "get_json_object(jdoc, '$.user.name') AS uname",
+        "get_json_object(jdoc, '$.tags[1]') AS tag1",
+        "json_array_length(get_json_object(jdoc, '$.tags')) AS ntags",
+        "from_json(jdoc, 'user STRUCT<id: BIGINT, name: STRING>, tags ARRAY<STRING>, n BIGINT').user.id " +
+          "= CAST(get_json_object(jdoc, '$.user.id') AS BIGINT) AS from_json_consistent",
+        "to_json(struct(c_custkey AS id, c_mktsegment AS seg)) AS rendered")
+      .orderBy("c_custkey")
+
   /** URL-parsing sweep (fn_url_suite) — `parse_url` over URLs assembled
     * from table columns (scheme/host/path/query/single-parameter
     * extraction, the log-sessionization staples). Spark's parse_url is a
