@@ -331,6 +331,8 @@ object SparkEntry {
     "rq88_cohort_ltv" -> ((s, d) => RelOps.cohortLtv(s, d)),
     // ROLLUP + explicit GROUPING flags: subtotal rows named exactly.
     "rq90_grouping_flags" -> ((s, d) => RelOps.rollupGroupingFlags(s, d)),
+    // Deterministic dense surrogate ids: two-level bucket-offset scheme.
+    "rq93_surrogate_keys" -> ((s, d) => RelOps.surrogateKeys(s, d)),
     // LATERAL correlated subquery: top-2 orders per customer, decorrelated.
     "rq91_lateral_join" -> ((s, d) => graft.ops.SqlSurface.lateralTopOrders(s, d)),
     // Named-parameter SQL binding: markers bind as literals post-parse.
@@ -1558,6 +1560,16 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    // rq93: the two-level assignment must equal the naive global rank.
+    "rq93_surrogate_keys" ->
+      """WITH ex AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 10 < 8),
+        |nw AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 >= 8),
+        |r AS (SELECT c_custkey, c_name,
+        |        CAST(ex.n + row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |          AS surrogate
+        |      FROM nw CROSS JOIN ex)
+        |SELECT c_custkey, c_name, surrogate FROM r
+        |WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
     // rq91: DuckDB runs the same LATERAL text (dialect-identical here).
     "rq91_lateral_join" ->
       """SELECT c.c_custkey, t.o_orderkey, t.price_x100

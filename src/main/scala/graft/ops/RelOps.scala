@@ -2304,6 +2304,38 @@ object RelOps {
       .orderBy("name_a", "name_b")
   }
 
+  /** Deterministic surrogate-key assignment (rq93) — the dimension-load
+    * step SCD builds sit on: arriving members get DENSE ids continuing
+    * after the stored maximum, reproducibly (monotonically_increasing_id
+    * is partition-dependent and gappy — useless as a durable key). The
+    * at-scale shape is the two-level zipWithIndex-by-sort-key pattern:
+    * per-range-bucket counts (one hash agg), a prefix-sum window over
+    * the BUCKET DOMAIN only (bounded — the rq32 rule), and a
+    * bucket-partitioned row_number; no global sort, no unpartitioned
+    * window over the data. The existing-member count joins in-plan as a
+    * broadcast 1-row aggregate. Assignment provably equals the global
+    * rank by key, which is what the naive-oracle hash certifies. */
+  def surrogateKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val existingN = broadcast(Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 < 8)
+      .agg(count(lit(1)).as("n_existing")))
+    val newbies = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 >= 8)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("b", expr("c_custkey DIV 100"))
+    val offs = newbies.groupBy("b").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    newbies.join(broadcast(offs), "b")
+      .crossJoin(existingN)
+      .withColumn("surrogate", col("n_existing") + col("off") +
+        row_number().over(Window.partitionBy("b").orderBy("c_custkey")))
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey"), col("c_name"), col("surrogate"))
+      .orderBy("c_custkey")
+  }
+
   /** Semi-additive measures (rq87) — the balance-style metric every OLAP
     * engine needs a special path for: account balances ADD across
     * accounts but take LAST over time, so a weekly rollup is "sum over
