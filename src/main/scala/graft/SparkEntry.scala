@@ -1828,7 +1828,7 @@ object SparkEntry {
     // into one 2^(a+1)); per-distance census over ALL nodes.
     "gx_corpus_bfs" ->
       s"""WITH $nodesCte
-         |SELECT CAST(bit_count(nid // 25) AS BIGINT) AS dist,
+         |SELECT CAST(bit_count(nid // ${graft.core.Graph.FamilyMod}) AS BIGINT) AS dist,
          |  CAST(count(*) AS BIGINT) AS n_nodes
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
@@ -3032,12 +3032,13 @@ object SparkEntry {
          |ORDER BY name""".stripMargin,
     // s31: final cross-table state is pure function of the base (last-
     // digit-4 names credited 1000 and audited); cat_v = 1 and both
-    // atomicity certificates must come back true.
+    // atomicity certificates must come back true. Money as BIGINT cents
+    // (round-4 lesson: derived-DECIMAL hashing is driver-hostile).
     "s31_catalog_txn" ->
       s"""WITH $nodesCte
          |SELECT name,
-         |  CAST(CASE WHEN name LIKE '%4' THEN acctbal + 1000 ELSE acctbal END
-         |       AS DECIMAL(18,2)) AS acctbal,
+         |  CAST(round((CASE WHEN name LIKE '%4' THEN acctbal + 1000
+         |              ELSE acctbal END) * 100) AS BIGINT) AS acctbal_x100,
          |  CASE WHEN name LIKE '%4' THEN 'TRANSFERRED' ELSE house END AS house,
          |  CAST(1 AS BIGINT) AS cat_v,
          |  true AS no_torn_read, true AS consistent_new,

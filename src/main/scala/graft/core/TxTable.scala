@@ -393,7 +393,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "merge-clauses", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      }
+      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
     }
     committed
   }
@@ -443,7 +443,9 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "update", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      }
+      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race:
+      // drop the losing attempt's commit dir (compact's idiom) instead of
+      // leaving orphan data files for vacuum to find.
     }
     committed
   }
@@ -493,8 +495,10 @@ final class TxTable private (spark: SparkSession, dir: String,
         // A DV delete never changes the logical schema.
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), schemaAt(v).toDDL)
         committed = v + 1
+      } else {
+        // Lost the commit race: drop the losing DV dir, rebase, retry.
+        TxTable.drop(dataDir.resolve(dvName).toString)
       }
-      // else: lost the commit race — rebase on the new latest and retry.
     }
     committed
   }
@@ -535,8 +539,10 @@ final class TxTable private (spark: SparkSession, dir: String,
         // a delete carries the current schema forward unchanged).
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), out.schema.toDDL)
         committed = v + 1
+      } else {
+        // Lost the commit race: drop the losing commit dir, rebase, retry.
+        TxTable.drop(dataDir.resolve(commit).toString)
       }
-      // else: lost the commit race — rebase on the new latest and retry.
     }
     committed
   }

@@ -766,6 +766,20 @@ object GraphOps {
     * closes); `consistent_new` — through the new catalog version, the set
     * of credited names equals the set of audited names. Write-path class
     * like s12. */
+  /** Belt-and-braces certificate gate: a genuine protocol divergence must
+    * surface as driver-visible `err` TEXT naming the counts, never an
+    * opaque hash miss nobody can read the dumped parquet for. Input is
+    * already materialized (checkpointed) — this probe is a bounded local
+    * read. Factored out so the forced-violation path is spec-testable. */
+  private[graft] def requireCleanCerts(out: DataFrame, tag: String): DataFrame = {
+    val probe = out.agg(
+      coalesce(max(col("torn_hits")), lit(0L)),
+      coalesce(max(col("incons_hits")), lit(0L))).head()
+    require(probe.getLong(0) == 0L && probe.getLong(1) == 0L,
+      s"$tag: certificate violation torn=${probe.getLong(0)} incons=${probe.getLong(1)}")
+    out
+  }
+
   def catalogTxn(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s31").toString
     try {
@@ -828,16 +842,22 @@ object GraphOps {
         tornViolations.agg(count(lit(1)).as("torn_hits")))
       val consCnt = broadcast(
         consViolations.agg(count(lit(1)).as("incons_hits")))
-      b.join(a, "name")
+      // Money rides the hash channel as BIGINT cents (the s22/s24 idiom):
+      // acctbal here is ARITHMETIC-DERIVED (+1000 on a physical double),
+      // and the round-4 lesson (BASELINE.md note 7) is that derived
+      // DECIMAL casts are driver-hash-hostile even when bit-identical.
+      val out = b.join(a, "name")
         .filter(col("name") <= "Customer#000000030")
         .crossJoin(tornCnt).crossJoin(consCnt)
-        .select(col("name"), col("acctbal").cast("decimal(18,2)").as("acctbal"),
+        .select(col("name"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
           col("house"), lit(cv).as("cat_v"),
           (col("torn_hits") === 0L).as("no_torn_read"),
           (col("incons_hits") === 0L).as("consistent_new"),
           col("torn_hits"), col("incons_hits"))
         .orderBy("name")
         .localCheckpoint()
+      requireCleanCerts(out, "s31")
     } finally graft.core.TxTable.drop(dir)
   }
 

@@ -986,7 +986,10 @@ object TextOps {
     Tables.documents(spark, sfDir).filter(col("doc_id") < 60)
       .select(col("doc_id"),
         substring(col("text"), 1, promptChars).as("prompt"),
-        substring(col("text"), promptChars + 1, 1 << 20).as("completion"))
+        // Unbounded tail (expr form has no length arg) — the oracle's
+        // substring(text, 81) runs to end-of-string; a fixed cap would
+        // silently truncate >cap docs and desync the byte-exact md5.
+        expr(s"substring(text, ${promptChars + 1})").as("completion"))
       .select(col("doc_id"),
         substring(md5(concat(
           lit("<|system|>You are a helpful assistant."),

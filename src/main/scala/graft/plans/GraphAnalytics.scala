@@ -98,12 +98,30 @@ object GraphAnalytics {
     * Output is the per-component census (label = class min = the residue
     * itself, member count, max member) — 25 rows whose counts grow with
     * sf, so the oracle hash certifies the FULL corpus was traversed. */
-  def corpusFamilyCc(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The descent sparsifier's edge set as a DataFrame (nid, dst): nid →
+    * nid − FamilyMod·2^j for every j with a non-negative target. ALL
+    * constants derive from `Graph.FamilyMod` and the actual corpus max
+    * nid — one source of truth shared by the CC/BFS entries, their
+    * oracles, and the spec, so a FamilyMod change or a corpus growing
+    * past any fixed j-cap cannot silently desync the closed forms. jMax =
+    * floor(log2(maxNid div FamilyMod)) is exactly the largest power a
+    * minimal binary descent needs; deriving it (one column-stats max
+    * probe) removes the old implicit 25·2^27 ceiling entirely, and the
+    * require makes the one genuine limit (Long shift range) fail loudly. */
+  private[graft] def sparsifierEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = Graph.FamilyMod.toLong
     val n = Graph.nodes(spark, sfDir).select(col("nid").cast("long").as("nid"))
-    val edges = n
-      .select(col("nid"), explode(expr("sequence(0, 26)")).as("j"))
-      .select(col("nid"), expr("nid - shiftleft(25L, j)").as("dst"))
+    val maxNid = n.agg(max("nid")).head().getLong(0)
+    val kMax = math.max(1L, maxNid / mod)
+    val jMax = 63 - java.lang.Long.numberOfLeadingZeros(kMax)
+    require(jMax <= 56, s"sparsifier: max nid $maxNid needs 2^$jMax steps — beyond Long shift safety")
+    n.select(col("nid"), explode(expr(s"sequence(0, $jMax)")).as("j"))
+      .select(col("nid"), expr(s"nid - shiftleft(${mod}L, j)").as("dst"))
       .filter(col("dst") >= 0L)
+  }
+
+  def corpusFamilyCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = sparsifierEdges(spark, sfDir)
     // Locally ~n·log n rows; on a real cluster this coalesce would be
     // sized to edges/128MB like the header note for friendEdges.
     val g = XGraph.fromEdges(
@@ -131,16 +149,13 @@ object GraphAnalytics {
     * is for. Output is the per-distance census (counts grow with sf);
     * oracle = bit_count(nid // 25), both engines bit-exact. */
   def corpusAnchorBfs(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = Graph.nodes(spark, sfDir).select(col("nid").cast("long").as("nid"))
-    val edges = n
-      .select(col("nid"), explode(expr("sequence(0, 26)")).as("j"))
-      .select(col("nid"), expr("nid - shiftleft(25L, j)").as("dst"))
-      .filter(col("dst") >= 0L)
+    val anchorBound = Graph.FamilyMod.toLong
+    val edges = sparsifierEdges(spark, sfDir)
     val g = XGraph.fromEdges(
       edges.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => if (id < 25L) 0 else Int.MaxValue)
+      .mapVertices((id, _) => if (id < anchorBound) 0 else Int.MaxValue)
     val dist = g.pregel(Int.MaxValue)(
       (_, d, msg) => math.min(d, msg),
       t => if (t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)

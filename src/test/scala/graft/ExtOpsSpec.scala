@@ -432,11 +432,9 @@ class ExtOpsSpec extends AnyFunSuite {
     }
     // The edge set the entry builds is n·log-bounded — the scale contract
     // that distinguishes it from the |class|² clique materialization.
-    val edges = graft.core.Graph.nodes(spark, sf)
-      .select(col("nid").cast("long").as("nid"))
-      .select(col("nid"), explode(expr("sequence(0, 26)")).as("j"))
-      .select(expr("nid - shiftleft(25L, j)").as("dst"))
-      .filter(col("dst") >= 0L).count()
+    // Count the entry's OWN edge builder (one source of truth for the
+    // FamilyMod/jMax constants) rather than re-deriving literals here.
+    val edges = GraphAnalytics.sparsifierEdges(spark, sf).count()
     val logBound = n * (63 - java.lang.Long.numberOfLeadingZeros(n.max(2)) + 1)
     val cliqueEdges = mod * ((n / mod) * (n / mod - 1) / 2)
     assert(edges <= logBound, s"$edges edges exceeds n log n bound $logBound")

@@ -35,10 +35,14 @@ class RegistrySpec extends AnyFunSuite {
     val keyLike = "`((?:s|p|j|a|t|rq|fn|st|tx|dd|sim|mm|gx|ml|setop)\\d*_[a-z0-9_]+)`".r
     val documented = keyLike.findAllMatchIn(surveySection).map(_.group(1)).toSet
     // Names that look registry-shaped but are deliberately prose (API
-    // members, config, physical terms) get allowlisted here.
-    val prose = Set("st_topk_per_window") // example-style mentions stay valid
+    // members, config, physical terms) get allowlisted here — and an
+    // allowlisted name must NOT be a registered key, or the allowlist
+    // could mask exactly the ghost-key drift this test exists to catch.
+    val prose = Set.empty[String]
+    val shadowed = prose.intersect(SparkEntry.queries.keySet)
+    assert(shadowed.isEmpty,
+      s"prose allowlist shadows registered keys: ${shadowed.toSeq.sorted.mkString(", ")}")
     val ghosts = (documented -- SparkEntry.queries.keySet -- prose).toSeq.sorted
-      .filterNot(k => SparkEntry.queries.keySet.exists(_ == k))
     assert(ghosts.isEmpty,
       s"SURVEY.md §2.10 documents keys that are not registered: " +
         ghosts.mkString(", "))
