@@ -374,6 +374,9 @@ object SparkEntry {
     "gx_corpus_cc" -> ((s, d) => GraphAnalytics.corpusFamilyCc(s, d)),
     // Corpus-scale multi-source Pregel BFS: popcount closed form.
     "gx_corpus_bfs" -> ((s, d) => GraphAnalytics.corpusAnchorBfs(s, d)),
+    // Corpus-scale weighted SSSP: min-plus Pregel, binary-decomposition
+    // closed form (popcount + weighted bit positions).
+    "gx_corpus_sssp" -> ((s, d) => GraphAnalytics.corpusWeightedSssp(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
@@ -1831,6 +1834,18 @@ object SparkEntry {
          |SELECT CAST(bit_count(nid // ${graft.core.Graph.FamilyMod}) AS BIGINT) AS dist,
          |  CAST(count(*) AS BIGINT) AS n_nodes
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gx_corpus_sssp: min-cost descent to the class anchor under cost
+    // (1 + j) per 2^j step — minimized by the binary representation of
+    // k = nid div FamilyMod (folding two 2^a into one 2^(a+1) never
+    // raises cost), so min cost = bit_count(k) + Σ(set-bit positions).
+    "gx_corpus_sssp" ->
+      s"""WITH $nodesCte,
+         |k AS (SELECT nid // ${graft.core.Graph.FamilyMod} AS k FROM n)
+         |SELECT CAST(bit_count(k)
+         |    + list_sum(list_transform(generate_series(0, 48),
+         |        b -> ((k >> b) & 1) * b)) AS BIGINT) AS cost,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
     // is per-family-class min/count/max, so the member counts (which grow
     // with sf) certify the full corpus was traversed.
@@ -2480,16 +2495,25 @@ object SparkEntry {
         |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n
         |FROM p GROUP BY pr.a, pr.b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
     // dd_cdc_chunk: the chunking replayed position by position — same
-    // normalization, same 8-char window, same md5-hex-digit boundary
-    // rule, same lag-window span reconstruction.
+    // normalization, same 8-char window, same boundary rule. The engine
+    // runs the O(1)-per-byte rolling (subtract-out) Gear form inside
+    // codegen; this oracle re-derives each window hash from scratch as
+    // the nested stepwise-mod fold (list_reduce) — plain BIGINT
+    // arithmetic, congruent and range-reduced, so the two forms are
+    // EQUAL (the spec certifies the equivalence chunk-for-chunk).
     "dd_cdc_chunk" ->
-      """WITH n AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      s"""WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
         |  FROM documents),
         |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM n),
         |e AS (SELECT doc_id, t, i FROM pos
         |      WHERE i = len(t)
-        |         OR (i >= 8 AND substring(md5(substring(t, i - 7, 8)), 1, 1) = '0')),
+        |         OR (i >= 8 AND
+        |             list_reduce(list_transform(generate_series(i - 7, i),
+        |                 k -> CAST(ascii(substring(t, k, 1)) AS BIGINT)),
+        |               (h, c) -> (h * ${graft.ops.TextOps.HashBase} + c)
+        |                 % ${graft.ops.TextOps.HashMod})
+        |               % ${graft.functions.CdcChunks.Mask} = 0)),
         |c AS (SELECT doc_id,
         |        substring(t,
         |          coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,

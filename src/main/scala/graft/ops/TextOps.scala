@@ -921,19 +921,20 @@ object TextOps {
 
   /** Content-defined chunking dedup (dd_cdc_chunk) — the FastCDC/LBFS
     * family: chunk boundaries are declared wherever a rolling 8-char
-    * window's hash hits a target pattern (here: first md5 hex digit '0',
-    * i.e. rate 1/16 → ~16-char average chunks), so identical regions
-    * produce identical chunks REGARDLESS OF OFFSET — the property
-    * fixed-width span dedup (tx_span_dedup) lacks: insert one word at
-    * the top of a doc and every fixed window shifts, but content-defined
-    * boundaries re-synchronize immediately. Output is the cross-doc
-    * shared-chunk census (chunks seen in ≥2 docs). Shape: one
-    * position-explode (linear in corpus characters), a per-doc window
-    * over the ~len/16 boundary rows, two hash aggs — no pair joins
-    * anywhere. At 100 TB the per-position md5 would be replaced by the
-    * codegen'd Gear/`RollingHash` expression (one multiply-add per
-    * char); the md5 formulation is chosen because both engines replay it
-    * byte-identically, certifying the chunking itself. */
+    * window's polynomial hash hits the target pattern (h % 16 == 0, rate
+    * 1/16 → ~16-char average chunks), so identical regions produce
+    * identical chunks REGARDLESS OF OFFSET — the property fixed-width
+    * span dedup (tx_span_dedup) lacks: insert one word at the top of a
+    * doc and every fixed window shifts, but content-defined boundaries
+    * re-synchronize immediately. Output is the cross-doc shared-chunk
+    * census (chunks seen in ≥2 docs). Shape: the codegen'd
+    * [[graft.functions.CdcChunks]] expression — ONE multiply-add per
+    * corpus byte, chunks emitted in the same pass (no per-position
+    * explode, no window) — then two hash aggs; no pair joins anywhere.
+    * The boundary rule is plain integer arithmetic, so the DuckDB oracle
+    * replays it exactly (nested stepwise-mod hash per position) and
+    * `cdcChunksReference` certifies the rolling form against the nested
+    * form in-spec. */
   def cdcChunkDedup(spark: SparkSession, sfDir: String,
                     minDocs: Int = 2, topN: Int = 50): DataFrame =
     cdcChunks(Tables.documents(spark, sfDir)
@@ -949,8 +950,23 @@ object TextOps {
 
   /** The chunker itself over a prepared (doc_id, t) frame — exposed so
     * the spec can prove offset-invariance (boundary re-synchronization
-    * after an insertion) on synthetic docs. */
-  def cdcChunks(d: DataFrame): DataFrame = {
+    * after an insertion) on synthetic docs. One codegen'd pass per doc
+    * (an empty doc yields an empty array → no rows after the explode,
+    * matching DuckDB's empty generate_series(1, 0)). */
+  def cdcChunks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(graft.functions.CdcChunks(col("t"))).as("chunk"))
+
+  /** Spec-only NESTED reference formulation of the same boundary rule:
+    * per position p, the window hash is re-derived from scratch as the
+    * stepwise-mod fold h_k = (h_{k-1}·base + code_k) mod m over the 8
+    * chars ending at p — exactly what the DuckDB oracle replays with
+    * list_reduce. The certification spec proves this equals the
+    * production rolling (subtract-out) form chunk-for-chunk, so the
+    * oracle's nested arithmetic and the engine's O(1)-per-byte pass are
+    * interchangeable witnesses of one rule. Per-position explode — never
+    * the production path. */
+  def cdcChunksReference(d: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
     // greatest(len, 1): Spark's sequence(1, 0) infers step -1 and yields
@@ -962,7 +978,10 @@ object TextOps {
         explode(sequence(lit(1), greatest(length(col("t")), lit(1)))).as("i"))
       .filter(col("i") === length(col("t")) ||
         (col("i") >= 8 &&
-          substring(md5(expr("substring(t, i - 7, 8)")), 1, 1) === "0"))
+          expr(s"aggregate(transform(sequence(i - 7, i), " +
+            s"k -> CAST(ascii(substring(t, k, 1)) AS BIGINT)), 0L, " +
+            s"(h, c) -> (h * $HashBase + c) % $HashMod) " +
+            s"% ${graft.functions.CdcChunks.Mask}") === 0))
       .withColumn("prev", coalesce(lag(col("i"), 1).over(w), lit(0)))
       .select(col("doc_id"), expr("substring(t, prev + 1, i - prev)").as("chunk"))
   }

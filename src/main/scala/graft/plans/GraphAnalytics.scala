@@ -168,6 +168,48 @@ object GraphAnalytics {
       .orderBy("dist")
   }
 
+  /** CORPUS-SCALE weighted SSSP (gx_corpus_sssp) — min-plus Pregel
+    * (distributed Bellman-Ford) over the same descent sparsifier, but
+    * with NON-UNIFORM edge costs, so unlike `corpusAnchorBfs` the
+    * traversal must genuinely MINIMIZE over alternative decompositions
+    * rather than count hops: the 2^j descent edge costs (1 + j). The
+    * closed form is exact number theory again — a path from nid to its
+    * anchor decomposes k = nid div FamilyMod into a multiset of powers
+    * {2^j_i} with cost Σ(1 + j_i), and folding two copies of 2^a into
+    * one 2^(a+1) changes cost 2(1+a) → (2+a), never an increase — so
+    * the binary representation of k is a minimizer:
+    * min cost = popcount(k) + Σ(positions of set bits). Bellman-Ford's
+    * round bound is the edge count of the min-cost path = popcount(k)
+    * ≈ log₂(corpus/FamilyMod) supersteps (~10 at sf0.1, ~26 at 10⁹
+    * nodes), messages flow only on improvement. Output is the
+    * per-cost census (counts grow with sf); the oracle replays
+    * bit_count + the weighted-bit-position sum — plain integer
+    * arithmetic, bit-exact in both engines. */
+  def corpusWeightedSssp(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = Graph.FamilyMod.toLong
+    val edges = sparsifierEdges(spark, sfDir)
+    val g = XGraph.fromEdges(
+      edges.rdd.coalesce(8).map { r =>
+        val src = r.getLong(0); val dst = r.getLong(1)
+        // Recover j from the descent span: src − dst = mod·2^j exactly.
+        val j = java.lang.Long.numberOfTrailingZeros((src - dst) / mod)
+        Edge(src, dst, 1L + j)
+      }, 0L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (id < mod) 0L else Long.MaxValue)
+    val dist = g.pregel(Long.MaxValue)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.dstAttr != Long.MaxValue && t.dstAttr + t.attr < t.srcAttr)
+             Iterator((t.srcId, t.dstAttr + t.attr))
+           else Iterator.empty,
+      (a, b) => math.min(a, b))
+    spark.createDataFrame(dist.vertices.map { case (_, d) => Tuple1(d) })
+      .toDF("cost")
+      .groupBy("cost").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("cost")
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

@@ -388,6 +388,28 @@ class ExtOpsSpec extends AnyFunSuite {
       s"post-boundary chunks did not re-synchronize: ${resync.filterNot(c2.contains)}")
   }
 
+  test("CDC chunking: rolling (codegen) form equals the nested oracle form chunk-for-chunk") {
+    import spark.implicits._
+    // The production chunker rolls the window hash (one multiply-add +
+    // subtract-out per byte); the DuckDB oracle re-derives each window
+    // hash from scratch (nested stepwise-mod fold). This certifies the
+    // two formulations are the SAME rule — on real corpus docs plus the
+    // edge shapes (empty, shorter-than-window, exactly-window).
+    val real = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))").as("t"))
+    val edges = Seq((9001L, ""), (9002L, "abc"), (9003L, "exactly8"),
+      (9004L, "just over window"), (9005L, "x")).toDF("doc_id", "t")
+    for (docs <- Seq(real, edges)) {
+      val roll = graft.ops.TextOps.cdcChunks(docs)
+        .groupBy("doc_id").agg(sort_array(collect_list("chunk")).as("c"))
+      val nest = graft.ops.TextOps.cdcChunksReference(docs)
+        .groupBy("doc_id").agg(sort_array(collect_list("chunk")).as("n"))
+      val diff = roll.join(nest, Seq("doc_id"), "full")
+        .filter(!(col("c") <=> col("n")))
+      assert(diff.count() == 0, diff.show(5, false).toString)
+    }
+  }
+
   test("edit-distance skew guard: salting engages on a hot prefix block and the pair set is unchanged") {
     import spark.implicits._
     // Synthetic hot block: 40 docs share one 8-char prefix (plus a small
@@ -439,6 +461,27 @@ class ExtOpsSpec extends AnyFunSuite {
     val cliqueEdges = mod * ((n / mod) * (n / mod - 1) / 2)
     assert(edges <= logBound, s"$edges edges exceeds n log n bound $logBound")
     assert(edges < cliqueEdges, s"sparsifier ($edges) not smaller than clique ($cliqueEdges)")
+  }
+
+  test("corpus weighted SSSP: Pregel min-plus census equals the binary-decomposition closed form") {
+    // Engine: Bellman-Ford over the descent sparsifier with cost (1+j)
+    // per 2^j edge. Closed form: the binary representation of
+    // k = nid div FamilyMod minimizes Σ(1+j_i) (folding two 2^a into one
+    // 2^(a+1) never raises cost), so min cost = popcount(k) + Σ(set-bit
+    // positions). Any mis-relaxation (wrong weight, missed improvement,
+    // premature convergence) shifts some node's cost and breaks the census.
+    val mod = graft.core.Graph.FamilyMod.toLong
+    val engine = GraphAnalytics.corpusWeightedSssp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val closed = graft.core.Graph.nodes(spark, sf).select("nid").collect()
+      .map { r =>
+        val k = r.getLong(0) / mod
+        java.lang.Long.bitCount(k).toLong +
+          (0 to 62).map(b => ((k >> b) & 1L) * b).sum
+      }
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    assert(engine == closed, s"engine census $engine != closed form $closed")
+    assert(engine.values.sum == graft.core.Graph.nodes(spark, sf).count())
   }
 
   test("Pregel BFS: dist 0 at source, dist-1 set = direct neighbors, no gaps") {
