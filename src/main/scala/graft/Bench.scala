@@ -49,7 +49,17 @@ object Bench {
     // number, and the min of two runs is the steady-state a service
     // would deliver. SPARK_GRAFT_RUNS overrides (1 = old behavior).
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
+    // Measured order: deterministic (alphabetical) with the genuinely
+    // streaming entries (micro-batch WAL + state-store commit churn) moved
+    // to the END — their I/O pressure measurably inflates whatever runs
+    // next to them in the suite (r10: st_incremental_dedup read 3.15 s in
+    // the full suite vs 1.58 s isolated; BASELINE note 41 names the
+    // class), and Map hash order let that churn land on arbitrary
+    // neighbors, making round-over-round per-query reads noisy.
+    val isStreaming = (n: String) =>
+      n.startsWith("st_") || n == "s13_stream_merge" || n == "s14_stream_file_sink"
+    val ordered = selected.toSeq.sortBy { case (n, _) => (isStreaming(n), n) }
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -67,8 +77,8 @@ object Bench {
       entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // Failed queries are excluded from the total (a -1 sentinel must never
     // IMPROVE the headline number) and reported as a count instead.
-    val failed = results.values.count(_ < 0)
-    val total = results.values.filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     def json(entries: Seq[(String, Double)], qtotal: Int): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","warmup_sec":${r3(warmupSec)},"queries":${qsJson(entries)},"qcount":${entries.size},"qtotal":$qtotal,"failed":$failed,"sf":"$sfDir"}"""
     val all = results.toSeq
@@ -83,9 +93,20 @@ object Bench {
     // capped at 1800 bytes: failures first, then slowest queries, greedily
     // while they fit; qcount/qtotal say how many made the cut.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+      // bench_out.json is clobbered by EVERY run (a restricted local
+      // re-bench after the driver's full run nearly lost the round-10
+      // map) — so also APPEND each run's full map to a log, stamped with
+      // the query count so a full-suite map is findable after any number
+      // of restricted runs.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath.replace(".json", "_log.jsonl")),
+        (s"""{"qtotal":${all.size},"line":$fullJson}""" + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     val budget = 1800
     val stdoutLine =
       if (fullJson.length <= budget) fullJson

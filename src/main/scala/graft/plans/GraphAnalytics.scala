@@ -428,13 +428,20 @@ object GraphAnalytics {
       g.edges.flatMap(e => Iterator(e, Edge(e.dstId, e.srcId, e.attr))), 0)
     val src = srcKey.toLong
     val pr = und.staticPersonalizedPageRank(src, 10).vertices
+    // localCheckpoint: the 300-row rank frame is materialized ONCE and the
+    // GraphX lineage truncated, so the certificate probe and the final
+    // projection never re-walk the Pregel vertex RDD; the probe itself is
+    // a single conditional-aggregate job (was: two jobs — a peers min/max
+    // agg plus a separate head() for the source rank).
     val ranks = spark.createDataFrame(pr.map { case (v, r) => (v, r) })
       .toDF("nid", "rank")
-    val peers = ranks.filter(col("nid") =!= src && col("rank") > 0)
-    val Array(stats) = peers.agg(min("rank"), max("rank")).collect()
+      .localCheckpoint()
+    val stats = ranks.agg(
+      min(when(col("nid") =!= src && col("rank") > 0, col("rank"))),
+      max(when(col("nid") =!= src && col("rank") > 0, col("rank"))),
+      max(when(col("nid") === src, col("rank")))).head()
     val uniformPeers = stats.getDouble(1) - stats.getDouble(0) < 1e-9
-    val srcRank = ranks.filter(col("nid") === src).head().getDouble(1)
-    val srcMax = srcRank > stats.getDouble(1)
+    val srcMax = stats.getDouble(2) > stats.getDouble(1)
     ranks
       .select(col("nid"), (col("rank") > 0).as("reached"),
         lit(uniformPeers).as("peers_uniform"), lit(srcMax).as("source_max"))
