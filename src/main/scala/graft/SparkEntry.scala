@@ -377,6 +377,9 @@ object SparkEntry {
     // Corpus-scale weighted SSSP: min-plus Pregel, binary-decomposition
     // closed form (popcount + weighted bit positions).
     "gx_corpus_sssp" -> ((s, d) => GraphAnalytics.corpusWeightedSssp(s, d)),
+    // Corpus-scale triangle census: the sparsifier's only triangles are
+    // {k, k-2^a, k-2^(a+1)}; closed form in exact floor-log2.
+    "gx_corpus_triangles" -> ((s, d) => GraphAnalytics.corpusTriangles(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
@@ -1846,6 +1849,25 @@ object SparkEntry {
          |        b -> ((k >> b) & 1) * b)) AS BIGINT) AS cost,
          |  CAST(count(*) AS BIGINT) AS n_nodes
          |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gx_corpus_triangles: the sparsifier's only triangles are
+    // {k, k-2^a, k-2^(a+1)} (2^y - 2^x is a power of two only for
+    // y = x+1), so per-vertex counts are exact floor-log2 sums —
+    // expressed as binary-string lengths, no libm on either engine.
+    "gx_corpus_triangles" ->
+      s"""WITH $nodesCte,
+         |kk AS (SELECT nid % ${graft.core.Graph.FamilyMod} AS c,
+         |         nid // ${graft.core.Graph.FamilyMod} AS k FROM n),
+         |m AS (SELECT c, max(k) AS kmax FROM kk GROUP BY c),
+         |t AS (SELECT
+         |    (CASE WHEN kk.k >= 2 THEN length(bin(kk.k)) - 1 ELSE 0 END)
+         |  + (CASE WHEN least(kk.k, m.kmax - kk.k) >= 1
+         |       THEN length(bin(least(kk.k, m.kmax - kk.k))) ELSE 0 END)
+         |  + (CASE WHEN m.kmax - kk.k >= 2
+         |       THEN length(bin(m.kmax - kk.k)) - 1 ELSE 0 END) AS tri
+         |  FROM kk JOIN m ON kk.c = m.c)
+         |SELECT CAST(tri AS BIGINT) AS triangles,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
     // is per-family-class min/count/max, so the member counts (which grow
     // with sf) certify the full corpus was traversed.

@@ -210,6 +210,38 @@ object GraphAnalytics {
       .orderBy("cost")
   }
 
+  /** CORPUS-SCALE triangle counting (gx_corpus_triangles) — GraphX
+    * `triangleCount` over the descent sparsifier, closing the gap the
+    * rejected clique formulation couldn't (per-vertex triangles on the
+    * SAME_FAMILY clique need the |class|² edge set; the sparsifier is
+    * n·log n). The closed form is exact: a triangle needs all three
+    * pairwise differences to be powers of two, and 2^y − 2^x = 2^z
+    * forces y = x + 1, so the ONLY triangles are
+    * {k, k − 2^a, k − 2^(a+1)} in class-index space. A vertex k in a
+    * class with max index K therefore sits in
+    *   top:    floor(log2 k)          triangles  (k ≥ 2)
+    *   middle: floor(log2 min(k,K−k)) + 1        (min ≥ 1)
+    *   bottom: floor(log2 (K−k))                 (K−k ≥ 2)
+    * — all floor-log2 of integers, which both engines express exactly
+    * as binary-string length (no libm). Per-triangle work is an
+    * adjacency intersection of two O(log n) neighbor lists, so the
+    * whole pass is n·log²n — the at-scale shape per-vertex triangle
+    * counting is supposed to have. Output: per-count census (counts
+    * grow with sf). */
+  def corpusTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = sparsifierEdges(spark, sfDir)
+    val g = XGraph.fromEdges(
+      edges.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    val tc = g.triangleCount().vertices
+    spark.createDataFrame(tc.map { case (_, t) => Tuple1(t.toLong) })
+      .toDF("triangles")
+      .groupBy("triangles").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("triangles")
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

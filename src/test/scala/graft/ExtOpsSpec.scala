@@ -484,6 +484,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(engine.values.sum == graft.core.Graph.nodes(spark, sf).count())
   }
 
+  test("corpus triangles: GraphX census equals the power-of-two-gap closed form") {
+    // The sparsifier's only triangles are {k, k−2^a, k−2^(a+1)} in
+    // class-index space (2^y − 2^x = 2^z forces y = x+1), so each
+    // vertex's count decomposes into top/middle/bottom roles, all
+    // floor-log2 terms. A wrong edge set, a non-canonical direction or a
+    // double-counted triangle shifts some bucket of the census.
+    val mod = graft.core.Graph.FamilyMod.toLong
+    def lg(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val byClass = graft.core.Graph.nodes(spark, sf).select("nid").collect()
+      .map(_.getLong(0)).groupBy(_ % mod)
+    val closed = byClass.values.flatMap { nids =>
+      val ks = nids.map(_ / mod); val kMax = ks.max
+      ks.map { k =>
+        (if (k >= 2) lg(k) else 0L) +
+          (if (math.min(k, kMax - k) >= 1) lg(math.min(k, kMax - k)) + 1 else 0L) +
+          (if (kMax - k >= 2) lg(kMax - k) else 0L)
+      }
+    }.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val engine = GraphAnalytics.corpusTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine == closed, s"engine census $engine != closed form $closed")
+  }
+
   test("Pregel BFS: dist 0 at source, dist-1 set = direct neighbors, no gaps") {
     val out = GraphAnalytics.shortestHops(spark, sf, srcNid = 1, maxNid = 120)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
