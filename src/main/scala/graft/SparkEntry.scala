@@ -194,6 +194,9 @@ object SparkEntry {
     "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
+    // Matryoshka truncation audit: truncated-dim top-k + measured overlap
+    // with the full-dim exact top-k riding the hash channel.
+    "sim_mrl_topk" -> ((s, d) => SimilarityOps.mrlTopK(s, d)),
     // Hybrid retrieval: BM25 arm + vector arm fused by reciprocal rank.
     "sim_hybrid_rrf" -> ((s, d) => SimilarityOps.hybridRrf(s, d)),
     "sim_neardup_pairs" -> ((s, d) => SimilarityOps.cosineNearDupPairs(s, d)),
@@ -1408,6 +1411,29 @@ object SparkEntry {
          |  round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS cosine
          |FROM ne, q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // sim_mrl_topk: both arms replayed exactly — the truncated ranking
+    // via list slice + the same fold-order dot product, and the overlap
+    // count against the full-dim top-10 (the measured MRL recall).
+    "sim_mrl_topk" ->
+      s"""WITH $embCte
+         |, t AS (SELECT vec_id, label, v[1:16] AS tv,
+         |    sqrt(list_sum(list_transform(generate_series(1, 16), i -> v[i] * v[i]))) AS tn
+         |  FROM ne),
+         |q AS (SELECT v AS qv, nrm AS qn FROM ne WHERE vec_id = 0),
+         |tq AS (SELECT tv AS tqv, tn AS tqn FROM t WHERE vec_id = 0),
+         |full_top AS (
+         |  SELECT vec_id,
+         |    round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) / (nrm * qn), 6) AS c
+         |  FROM ne, q WHERE vec_id <> 0
+         |  ORDER BY c DESC, vec_id LIMIT 10),
+         |trunc_top AS (
+         |  SELECT vec_id, label,
+         |    round(list_sum(list_transform(generate_series(1, 16), i -> tv[i] * tqv[i])) / (tn * tqn), 6) AS cosine_trunc
+         |  FROM t, tq WHERE vec_id <> 0
+         |  ORDER BY cosine_trunc DESC, vec_id LIMIT 10),
+         |ov AS (SELECT count(*) AS o FROM trunc_top JOIN full_top USING (vec_id))
+         |SELECT vec_id, label, cosine_trunc, CAST(o AS BIGINT) AS overlap_at_10
+         |FROM trunc_top, ov ORDER BY cosine_trunc DESC, vec_id""".stripMargin,
     // ANN certificates: the hashed output is the EXACT top-k (reproducible
     // in SQL) plus `recall_ge_floor`, which the oracle asserts `true` — the
     // engine computes it from the real LSH/IVF probe, so a broken index or

@@ -82,6 +82,44 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Matryoshka truncation audit (sim_mrl_topk) — the eval you run BEFORE
+    * shipping dimension-truncated embeddings (MRL-style): retrieve top-k
+    * with only the first `dims` coordinates (truncated norms, same exact
+    * arithmetic) and report that ranking alongside its overlap with the
+    * full-dimension exact top-k. The overlap integer rides the hash
+    * channel, so the oracle — which replays BOTH arms in SQL (list slice
+    * + the same fold-order dot product) — certifies the truncated
+    * ranking AND the measured recall, not just row shapes. Shape: two
+    * corpus scans, each ending in TakeOrderedAndProject, and a k×k
+    * broadcast join for the overlap; at 100 TB the truncated arm is the
+    * one you'd serve from the IVF/PQ index (truncation composes with
+    * any of the sim_ann_* paths — same column, fewer coordinates). */
+  def mrlTopK(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+              dims: Int = 16, k: Int = 10): DataFrame = {
+    val e = normed(spark, sfDir)
+    val t = e.select(col("vec_id"), col("label"),
+        slice(col("v"), 1, dims).as("tv"))
+      .withColumn("tn", norm(col("tv")))
+    val fullQ = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val truncQ = t.filter(col("vec_id") === queryId)
+      .select(col("tv").as("tqv"), col("tn").as("tqn"))
+    val fullTop = e.filter(col("vec_id") =!= queryId).crossJoin(broadcast(fullQ))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("c"))
+      .orderBy(desc("c"), asc("vec_id")).limit(k)
+      .select("vec_id")
+    val truncTop = t.filter(col("vec_id") =!= queryId).crossJoin(broadcast(truncQ))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("tv"), col("tqv")) / (col("tn") * col("tqn")), 6)
+          .as("cosine_trunc"))
+      .orderBy(desc("cosine_trunc"), asc("vec_id")).limit(k)
+    val ov = truncTop.join(fullTop, "vec_id")
+      .agg(count(lit(1)).as(s"overlap_at_$k"))
+    truncTop.crossJoin(broadcast(ov))
+      .orderBy(desc("cosine_trunc"), asc("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over a bounded id range (the exact
     * all-pairs form; the LSH path below is the at-scale variant). Filter is
     * on the ROUNDED score so the oracle's boundary behavior is identical. */

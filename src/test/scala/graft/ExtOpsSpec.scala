@@ -149,6 +149,21 @@ class ExtOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ similarity
 
+  test("MRL audit: full-width truncation is the identity; 16-dim overlap is sane") {
+    // dims = 64 (no truncation): the truncated arm IS the full arm, so
+    // overlap must be exactly k — any disagreement means the two arms'
+    // arithmetic or tie-breaks diverge.
+    val ident = SimilarityOps.mrlTopK(spark, sf, dims = 64)
+      .head().getAs[Long]("overlap_at_10")
+    assert(ident == 10L, s"full-width overlap $ident != 10")
+    // The shipped 16-dim audit: overlap bounded by construction; rows
+    // carry one constant overlap value.
+    val rows = SimilarityOps.mrlTopK(spark, sf).collect()
+    assert(rows.length == 10)
+    val ovs = rows.map(_.getAs[Long]("overlap_at_10")).toSet
+    assert(ovs.size == 1 && ovs.head >= 0L && ovs.head <= 10L)
+  }
+
   test("ANN LSH top-k: exact cosines, subset of full ranking, recall >= 0.9") {
     val ann = SimilarityOps.annTopK(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
