@@ -340,6 +340,8 @@ object SparkEntry {
     "rq91_lateral_join" -> ((s, d) => graft.ops.SqlSurface.lateralTopOrders(s, d)),
     // Named-parameter SQL binding: markers bind as literals post-parse.
     "rq92_param_sql" -> ((s, d) => graft.ops.SqlSurface.parameterizedQuery(s, d)),
+    // Spark 4 VARIANT type: parse_json once, typed variant_get paths.
+    "rq94_variant" -> ((s, d) => graft.ops.SqlSurface.variantPayloads(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -383,6 +385,9 @@ object SparkEntry {
     // Corpus-scale triangle census: the sparsifier's only triangles are
     // {k, k-2^a, k-2^(a+1)}; closed form in exact floor-log2.
     "gx_corpus_triangles" -> ((s, d) => GraphAnalytics.corpusTriangles(s, d)),
+    // Corpus-scale aggregateMessages: per-vertex neighbor-k sums, exact
+    // down/up closed forms per vertex.
+    "gx_corpus_nbrsum" -> ((s, d) => GraphAnalytics.corpusNeighborKSum(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
@@ -1622,6 +1627,22 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey < 400
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // rq94: same payloads through DuckDB's JSON extraction — only the
+    // extracted values compare, so the certification is representation-
+    // independent (Spark walks binary VARIANT, DuckDB walks JSON text).
+    "rq94_variant" ->
+      """WITH j AS (
+        |  SELECT concat('{"k":', o_orderkey,
+        |    ',"cust":{"id":', o_custkey, ',"pri":"', o_orderpriority, '"}',
+        |    ',"cents":', CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    ',"tags":["', o_orderstatus, '","audit"]}') AS payload
+        |  FROM orders)
+        |SELECT json_extract_string(payload, '$.cust.pri') AS pri,
+        |  json_extract_string(payload, '$.tags[0]') AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(payload, '$.cents') AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(min(CAST(json_extract(payload, '$.cust.id') AS BIGINT)) AS BIGINT) AS min_cust
+        |FROM j GROUP BY pri, status ORDER BY pri, status""".stripMargin,
     // rq90: per-column GROUPING flags composed the engine-neutral way.
     "rq90_grouping_flags" ->
       """SELECT coalesce(l_returnflag, '-') AS rf,
@@ -1894,6 +1915,23 @@ object SparkEntry {
          |SELECT CAST(tri AS BIGINT) AS triangles,
          |  CAST(count(*) AS BIGINT) AS n_nodes
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gx_corpus_nbrsum: per-vertex neighbor-class-index sums over the
+    // sparsifier — down-sum (d+1)·k − (2^(d+1)−1) with d = floor(log2 k),
+    // up-sum u·k + (2^u−1) with u = floor(log2(K−k))+1; floor-log2 as
+    // binary-string length, every vertex certified individually.
+    "gx_corpus_nbrsum" ->
+      s"""WITH $nodesCte,
+         |kk AS (SELECT nid, nid % ${graft.core.Graph.FamilyMod} AS c,
+         |         nid // ${graft.core.Graph.FamilyMod} AS k FROM n),
+         |m AS (SELECT c, max(k) AS kmax FROM kk GROUP BY c),
+         |t AS (SELECT nid, k, kmax - k AS r FROM kk JOIN m ON kk.c = m.c)
+         |SELECT nid, CAST(
+         |    (CASE WHEN k >= 1
+         |       THEN length(bin(k)) * k - (CAST(1 AS BIGINT) << length(bin(k))) + 1 ELSE 0 END)
+         |  + (CASE WHEN r >= 1
+         |       THEN length(bin(r)) * k + (CAST(1 AS BIGINT) << length(bin(r))) - 1 ELSE 0 END)
+         |  AS BIGINT) AS nbr_k_sum
+         |FROM t ORDER BY nid""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
     // is per-family-class min/count/max, so the member counts (which grow
     // with sf) certify the full corpus was traversed.

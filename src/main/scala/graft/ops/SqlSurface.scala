@@ -94,6 +94,37 @@ object SqlSurface {
       Map("seg" -> "MACHINERY", "cap" -> Int.box(400)))
   }
 
+  /** Spark 4 VARIANT surface (rq94) — semi-structured payloads parsed
+    * ONCE into the binary VARIANT type (`parse_json`), then served by
+    * TYPED path extraction (`variant_get` with an explicit result type):
+    * the open-schema ingestion path modern lakehouses ship for JSON
+    * event payloads, and the headline Spark 4 type. A VARIANT scan
+    * at 100 TB beats per-query JSON string re-parsing because the
+    * parse cost is paid once at ingest and extraction is a binary-
+    * offset walk, not a text scan; here ingest+query collapse into one
+    * plan (the corpus stores no JSON column) but the surface exercised
+    * — nested object paths, array indexing, typed bigint/string gets —
+    * is the real one. The oracle replays the same payloads through
+    * DuckDB's JSON extraction; only the extracted VALUES are compared,
+    * so the certification is representation-independent. */
+  def variantPayloads(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """WITH j AS (
+        |  SELECT concat('{"k":', o_orderkey,
+        |    ',"cust":{"id":', o_custkey, ',"pri":"', o_orderpriority, '"}',
+        |    ',"cents":', CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    ',"tags":["', o_orderstatus, '","audit"]}') AS payload
+        |  FROM graft_orders),
+        |v AS (SELECT parse_json(payload) AS pv FROM j)
+        |SELECT variant_get(pv, '$.cust.pri', 'string') AS pri,
+        |  variant_get(pv, '$.tags[0]', 'string') AS status,
+        |  count(*) AS n,
+        |  CAST(sum(variant_get(pv, '$.cents', 'bigint')) AS BIGINT) AS cents,
+        |  min(variant_get(pv, '$.cust.id', 'bigint')) AS min_cust
+        |FROM v GROUP BY pri, status ORDER BY pri, status""".stripMargin)
+  }
+
   /** Hierarchy walk via the SQL-standard `WITH RECURSIVE` surface
     * (Spark 4 resolves it through ResolveWithCTE into an iterative
     * union-loop): every customer is placed in the implicit decimal forest

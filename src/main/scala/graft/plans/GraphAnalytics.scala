@@ -242,6 +242,37 @@ object GraphAnalytics {
       .orderBy("triangles")
   }
 
+  /** CORPUS-SCALE neighborhood aggregation (gx_corpus_nbrsum) — ONE
+    * aggregateMessages pass over the descent sparsifier, vertex
+    * attribute = class index k = nid div FamilyMod, messages flowing
+    * BOTH directions: the GNN/Pregel message-passing primitive at the
+    * scale the bounded `neighborDegreeSum` twin demonstrates on a
+    * subgraph. Per-vertex closed form (exact integer): with
+    * d = floor(log2 k) and r = K − k (K = class max index),
+    *   down-sum = (d+1)·k − (2^(d+1) − 1)        (k ≥ 1)
+    *   up-sum   = u·k + (2^u − 1), u = floor(log2 r) + 1   (r ≥ 1)
+    * — both engines render floor-log2 as binary-string length. The
+    * output is per-vertex (rows grow with sf), so the oracle certifies
+    * every single message sum, not a census. */
+  def corpusNeighborKSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = Graph.FamilyMod.toLong
+    val edges = sparsifierEdges(spark, sfDir)
+    val g = XGraph.fromEdges(
+      edges.rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => id / mod)
+    val sums = g.aggregateMessages[Long](
+      ctx => { ctx.sendToDst(ctx.srcAttr); ctx.sendToSrc(ctx.dstAttr) },
+      _ + _)
+    // Isolated-class vertices receive no messages; default their sum to 0
+    // rather than dropping the row (the oracle emits every node).
+    val out = g.outerJoinVertices(sums)((_, _, s) => s.getOrElse(0L)).vertices
+    spark.createDataFrame(out.map { case (v, s) => (v, s) })
+      .toDF("nid", "nbr_k_sum")
+      .orderBy("nid")
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

@@ -522,6 +522,53 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(engine == closed, s"engine census $engine != closed form $closed")
   }
 
+  test("corpus nbr-sum: aggregateMessages equals the per-vertex down/up closed form") {
+    // One bidirectional message pass over the sparsifier with vertex
+    // attribute k = nid div FamilyMod. Down-neighbors of index k are
+    // k − 2^j for 2^j ≤ k; up-neighbors k + 2^j for 2^j ≤ K − k (class
+    // indices contiguous 0..K). Sum both in exact integers per vertex —
+    // a dropped edge, a one-directional send, or a wrong merge shifts
+    // SOME vertex's sum, and the output is per-vertex, not a census.
+    val mod = graft.core.Graph.FamilyMod.toLong
+    val byClass = graft.core.Graph.nodes(spark, sf).select("nid").collect()
+      .map(_.getLong(0)).groupBy(_ % mod)
+    val closed = byClass.values.flatMap { nids =>
+      val kMax = nids.map(_ / mod).max
+      nids.map { nid =>
+        val k = nid / mod
+        val down = (0 to 62).filter(j => (1L << j) <= k)
+          .map(j => k - (1L << j)).sum
+        val up = (0 to 62).filter(j => (1L << j) <= kMax - k)
+          .map(j => k + (1L << j)).sum
+        nid -> (down + up)
+      }
+    }.toMap
+    val engine = GraphAnalytics.corpusNeighborKSum(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine == closed, "per-vertex message sums diverge from closed form")
+  }
+
+  test("VARIANT extraction equals the direct-column ground truth (no JSON anywhere)") {
+    // rq94's oracle replays the payloads through DuckDB's JSON functions;
+    // this spec closes the other side of the triangle — the same
+    // aggregate computed straight from the orders COLUMNS, no JSON or
+    // VARIANT in the plan. Equality certifies that parse_json →
+    // variant_get round-trips every value class exercised (nested object
+    // path, array index, typed bigint/string gets) with zero loss.
+    val viaVariant = graft.ops.SqlSurface.variantPayloads(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val direct = graft.core.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"),
+        min(col("o_custkey").cast("long")).as("min_cust"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viaVariant == direct, "VARIANT path lost or mangled a value")
+  }
+
   test("Pregel BFS: dist 0 at source, dist-1 set = direct neighbors, no gaps") {
     val out = GraphAnalytics.shortestHops(spark, sf, srcNid = 1, maxNid = 120)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
