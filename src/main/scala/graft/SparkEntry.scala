@@ -78,6 +78,8 @@ object SparkEntry {
     "s36_clone" -> ((s, d) => GraphOps.txClone(s, d)),
     // Predicate UPDATE ... SET ... WHERE: partial rewrite, no-op no-publish.
     "s37_update_where" -> ((s, d) => GraphOps.txUpdateWhere(s, d)),
+    // ADD COLUMN ... DEFAULT: metadata-only widening, default served at read.
+    "s38_add_column" -> ((s, d) => GraphOps.txAddColumn(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3110,6 +3112,19 @@ object SparkEntry {
          |SELECT name,
          |  CASE WHEN name LIKE '%7' THEN 'MERGED7' ELSE house END AS house,
          |  true AS pointers_unchanged, true AS v0_has_acctbal
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
+    // s38: pre-add rows serve the 'standard' default, %9 merged with an
+    // explicit 'premium', %4 merged OMITTING the column (write-default
+    // fills), both metadata-only certificates true.
+    "s38_add_column" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%4' THEN 'MERGED4' ELSE house END AS house,
+         |  CASE WHEN name LIKE '%9' THEN 'premium' ELSE 'standard' END AS tier,
+         |  round(acctbal, 2) AS acctbal,
+         |  true AS pointers_unchanged, true AS v0_no_tier
          |FROM n
          |WHERE name <= 'Customer#000000030'
          |ORDER BY name""".stripMargin,

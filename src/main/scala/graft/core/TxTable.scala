@@ -135,13 +135,34 @@ final class TxTable private (spark: SparkSession, dir: String,
     * merge-on-read tax is proportional to deleted-against buckets, never
     * the table. */
   private def readBuckets(m: Map[Long, BucketRef], buckets: Set[Long],
-                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+                          schema: org.apache.spark.sql.types.StructType,
+                          defaults: Map[String, String] = Map.empty): DataFrame = {
     val refs = m.filter { case (b, _) => buckets.contains(b) }
+    // Which defaulted columns a commit dir's files physically LACK — the
+    // Iceberg initial-default rule needs per-FILE schema knowledge (a
+    // merged scan reads absent and explicit-NULL identically), and since
+    // every file in one commit shares its write-time schema, one footer
+    // probe per distinct commit dir settles all its buckets. Commits are
+    // bounded by history length, never data size.
+    val sigCache = scala.collection.mutable.Map.empty[String, Set[String]]
+    def missingIn(path: String): Set[String] =
+      sigCache.getOrElseUpdate(Paths.get(path).getParent.toString, {
+        val phys = spark.read.parquet(path).schema.fieldNames.toSet
+        defaults.keySet.diff(phys)
+      })
     def read(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else conform(
-        spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
+      else if (defaults.isEmpty)
+        conform(spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
+      else
+        // Group by which defaults apply: files written BEFORE an add serve
+        // the default; files written after serve their stored value, so an
+        // explicit NULL stays NULL (physical presence wins).
+        paths.groupBy(missingIn).map { case (missing, ps) =>
+          conform(spark.read.option("mergeSchema", "true").parquet(ps: _*),
+            schema, defaults.view.filterKeys(missing.contains).toMap)
+        }.reduce(_ unionByName _)
     val (dirty, clean) = refs.partition(_._2.dvs.nonEmpty)
     val cleanDf = read(clean.toSeq.sortBy(_._1).map { case (b, r) => bucketPath(r.data, b) })
     if (dirty.isEmpty) cleanDf
@@ -171,15 +192,42 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** Project `df` onto `schema`: absent columns (rows written before a
-    * widening evolution) surface as typed NULLs — the no-rewrite
-    * schema-drift contract (s16's mergeSchema read, applied to the
-    * bucket log). */
+    * widening evolution) surface as typed NULLs — or, when the column
+    * was added with `addColumn(..., defaultSql)`, as that version's
+    * DEFAULT expression — the no-rewrite schema-drift contract (s16's
+    * mergeSchema read, applied to the bucket log). Physical presence
+    * always wins: a default never overrides a written value. */
   private def conform(df: DataFrame,
-                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+                      schema: org.apache.spark.sql.types.StructType,
+                      defaults: Map[String, String] = Map.empty): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else defaults.get(f.name)
+        .map(d => expr(d).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }: _*)
+
+  /** Column DEFAULT expressions AS OF version `v`: the most recent
+    * `defaults-v*.txt` at or before `v` (tables that never ran
+    * `addColumn` have none), restricted to columns the version's schema
+    * actually carries — a later DROP makes a default inert, and a
+    * re-ADD writes a fresh defaults record that supersedes it. */
+  def defaultsAt(v: Long): Map[String, String] = {
+    val recorded = listNames(logDir)
+      .filter(n => n.startsWith("defaults-v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("defaults-v").stripSuffix(".txt").toLong)
+      .filter(_ <= v)
+    if (recorded.isEmpty) Map.empty
+    else {
+      val fields = schemaAt(v).fieldNames.toSet
+      Files.readAllLines(
+          logDir.resolve(f"defaults-v${recorded.max}%08d.txt"),
+          StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty)
+        .map { l => val p = l.split('\t'); p(0) -> p(1) }
+        .toMap.filter { case (c, _) => fields.contains(c) }
+    }
+  }
 
   /** Time travel: the table exactly as of committed version `v`. Every
     * manifest is immutable and copy-on-write never rewrites a referenced
@@ -197,7 +245,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // evolution lack the new columns; the merged footer schema carries
     // them as NULL and `conform` pins the column set to the version's
     // recorded schema. Deletion vectors are applied per DV'd bucket.
-    readBuckets(m, m.keySet, schemaAt(v))
+    readBuckets(m, m.keySet, schemaAt(v), defaultsAt(v))
   }
 
   /** The bucket ids of the HEAD manifest a `lookup(keys)` must read —
@@ -229,7 +277,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     val v = version
     val probe = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     val m = manifest(v)
-    readBuckets(m, lookupBuckets(probe, m, bucketCountAt(v)), schemaAt(v))
+    readBuckets(m, lookupBuckets(probe, m, bucketCountAt(v)), schemaAt(v),
+        defaultsAt(v))
       .join(probe, keyCols, "left_semi")
   }
 
@@ -332,7 +381,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       // MERGE contract. Order: current schema first, new columns appended.
       val newFields = upd.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
       val widened = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
-      conform(upd, widened).unionByName(conform(keep, widened))
+      // A batch that omits a defaulted column gets the CURRENT default on
+      // its inserted/replaced rows (Delta's write-default contract).
+      val dflt = defaultsAt(version)
+      conform(upd, widened, dflt).unionByName(conform(keep, widened, dflt))
     }
   }
 
@@ -362,7 +414,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val present = touched.filter(m.contains)
       val existing =
         if (present.isEmpty) conform(upd.limit(0), cur)
-        else readBuckets(m, present, cur)
+        else readBuckets(m, present, cur, defaultsAt(v))
       val keep = existing.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
       val valCols = cur.fieldNames.toSeq.filterNot(keyCols.contains)
       val matched = existing.join(
@@ -423,12 +475,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       val cur = schemaAt(v)
       require(set.keys.forall(cur.fieldNames.contains),
         s"SET column absent from schema ${cur.toDDL}")
-      val touched = readBuckets(m, m.keySet, cur).filter(where)
+      val touched = readBuckets(m, m.keySet, cur, defaultsAt(v)).filter(where)
         .select(bucketColFor(n).as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet.filter(m.contains)
       if (touched.isEmpty) return v // no matching rows: metadata no-op
       val hit = coalesce(expr(where), lit(false))
-      val out = conform(readBuckets(m, touched, cur)
+      val out = conform(readBuckets(m, touched, cur, defaultsAt(v))
         .select(cur.fieldNames.toSeq.map { c =>
           set.get(c) match {
             case Some(e) => when(hit, expr(e)).otherwise(col(c)).as(c)
@@ -526,7 +578,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // copy-on-write rewrite of a DV'd bucket FOLDS its tombstones.
       val keep =
         if (present.isEmpty) conform(keySource.limit(0), curSchema)
-        else readBuckets(m, present, curSchema)
+        else readBuckets(m, present, curSchema, defaultsAt(v))
           .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
       val out = build(keep, curSchema)
       val commit = writeCommit(out, n)
@@ -572,7 +624,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val schema = schemaAt(vNew)
     val valCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     def side(m: Map[Long, BucketRef], tag: String): DataFrame =
-      readBuckets(m, changed, schema).select(keyCols.map(col) ++
+      readBuckets(m, changed, schema, defaultsAt(vNew)).select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"${tag}_$c")) :+
         lit(true).as(s"_in_$tag"): _*)
     val joined = side(mo, "old").join(side(mn, "new"), keyCols, "full_outer")
@@ -654,7 +706,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val cur = schemaAt(v)
       // DV-applied read: compaction FOLDS deletion vectors — the output
       // manifest is all-clean.
-      val rows = readBuckets(m, m.keySet, cur)
+      val rows = readBuckets(m, m.keySet, cur, defaultsAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
       rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
         .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
@@ -696,6 +748,47 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** ADD COLUMN ... DEFAULT — metadata-only schema WIDENING, the DDL
+    * counterpart of `dropColumn`: the new version re-publishes the same
+    * manifest (zero data rewritten, `dataPointers` unchanged) with a
+    * schema that appends the column and a per-version defaults record.
+    * Rows written before the add physically lack the column and serve
+    * the DEFAULT at read time (`conform`); rows written after carry
+    * whatever value the writer supplied — physical presence always wins,
+    * so a later explicit NULL stays NULL. This is the Iceberg
+    * `initial-default` / Delta `ALTER TABLE ADD COLUMN ... DEFAULT`
+    * contract: on a 100 TB table the DDL costs one manifest + two small
+    * log files, never a rewrite; subsequent copy-on-write commits
+    * materialize the default only for the buckets they touch anyway.
+    * The default must be a deterministic SQL expression over no columns
+    * (a literal or literal expression) — validated eagerly so a bad
+    * type or unparseable default fails BEFORE anything publishes. */
+  def addColumn(colName: String, ddlType: String, defaultSql: String): Long = {
+    val field = org.apache.spark.sql.types.StructType
+      .fromDDL(s"`$colName` $ddlType").fields.head
+    // Eager validation: the default must evaluate and cast to the column
+    // type on a 1-row probe (also rejects column references).
+    spark.range(1).select(expr(defaultSql).cast(field.dataType)).collect()
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val cur = schemaAt(v)
+      require(!cur.fieldNames.contains(colName),
+        s"column '$colName' already exists at v$v")
+      val m = manifest(v)
+      val lines = m.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, bucketCountAt(v), s"add-$colName", lines)) {
+        val widened = org.apache.spark.sql.types.StructType(cur.fields :+ field)
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), widened.toDDL)
+        val next = defaultsAt(v) + (colName -> defaultSql)
+        Files.writeString(logDir.resolve(f"defaults-v${v + 1}%08d.txt"),
+          next.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
+        committed = v + 1
+      }
+    }
+    committed
+  }
+
   /** INCREMENTAL compaction — `compact()` for tables too big to ever
     * rewrite whole: only buckets that are actually degraded (carrying
     * deletion vectors, or fragmented into ≥ `minFiles` part files) are
@@ -721,7 +814,7 @@ final class TxTable private (spark: SparkSession, dir: String,
             .count(_.endsWith(".parquet")) >= minFiles
       }
       if (degraded.isEmpty) return v
-      val rows = readBuckets(m, degraded.keySet, cur)
+      val rows = readBuckets(m, degraded.keySet, cur, defaultsAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
       // Same bucket count -> the rewrite reproduces exactly the degraded
       // bucket ids; repartition puts each in one task = one file.

@@ -929,6 +929,41 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** ADD COLUMN ... DEFAULT demo (s38): the widening DDL counterpart of
+    * s34 — `addColumn("tier", ..., "'standard'")` publishes a manifest
+    * that re-points NOTHING (`pointers_unchanged` certifies zero data
+    * movement on what would be a 100 TB rewrite elsewhere), pre-add rows
+    * serve the default at read time, one merge batch CARRIES the column
+    * (explicit value wins: %9 → premium), one OMITS it (the write-default
+    * fills: %4 rows get 'standard' alongside their new house), and time
+    * travel to v0 still has no tier column (`v0_no_tier`; the head schema
+    * carrying it is hash-enforced structurally). Write-path class. */
+  def txAddColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s38").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val va = t.addColumn("tier", "STRING", "'standard'")
+      val pointersUnchanged = t.dataPointers(0L) == t.dataPointers(va)
+      t.merge(base.filter(substring(col("name"), -1, 1) === "9")
+        .withColumn("tier", lit("premium")))
+      t.merge(base.filter(substring(col("name"), -1, 1) === "4")
+        .withColumn("house", lit("MERGED4")))
+      val v0NoTier = !t.snapshotAt(0L).columns.contains("tier") &&
+        t.snapshot().columns.contains("tier")
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), col("tier"),
+          round(col("acctbal"), 2).as("acctbal"),
+          lit(pointersUnchanged).as("pointers_unchanged"),
+          lit(v0NoTier).as("v0_no_tier"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Full-grammar MERGE demo (s35): one `mergeClauses` call exercises all
     * three conditional clauses — matched rows with negative balance are
     * DELETED, the rest of the matched set UPDATED (house := M8), and of

