@@ -344,6 +344,14 @@ object SparkEntry {
     "rq92_param_sql" -> ((s, d) => graft.ops.SqlSurface.parameterizedQuery(s, d)),
     // Spark 4 VARIANT type: parse_json once, typed variant_get paths.
     "rq94_variant" -> ((s, d) => graft.ops.SqlSurface.variantPayloads(s, d)),
+    // Spark 4 collations: case-insensitive grouping/equality as a type.
+    "rq95_collation" -> ((s, d) => graft.ops.SqlSurface.collatedGrouping(s, d)),
+    // SQL session variables: DECLARE/SET VAR, data-derived threshold.
+    "rq96_sql_variables" -> ((s, d) => graft.ops.SqlSurface.sessionVariables(s, d)),
+    // SQL scalar UDFs: CREATE FUNCTION ... RETURN expr, inlined/composed.
+    "rq97_sql_udf" -> ((s, d) => graft.ops.SqlSurface.sqlScalarUdfs(s, d)),
+    // Spark 4 pipe syntax: |> stage chain lowering to the classic plan.
+    "rq98_pipe_syntax" -> ((s, d) => graft.ops.SqlSurface.pipeSyntax(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -379,6 +387,9 @@ object SparkEntry {
     "gx_family_cc" -> ((s, d) => GraphAnalytics.familyComponents(s, d)),
     // Corpus-scale CC: input grows with sf, log-depth sparsifier edges.
     "gx_corpus_cc" -> ((s, d) => GraphAnalytics.corpusFamilyCc(s, d)),
+    // Corpus-scale FW-BW SCC: 8-blocks are rings, bridges one-way; the
+    // star condensation finalizes everything in ONE outer round.
+    "gx_corpus_scc" -> ((s, d) => GraphAnalytics.corpusScc(s, d)),
     // Corpus-scale multi-source Pregel BFS: popcount closed form.
     "gx_corpus_bfs" -> ((s, d) => GraphAnalytics.corpusAnchorBfs(s, d)),
     // Corpus-scale weighted SSSP: min-plus Pregel, binary-decomposition
@@ -1645,6 +1656,58 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract(payload, '$.cents') AS BIGINT)) AS BIGINT) AS cents,
         |  CAST(min(CAST(json_extract(payload, '$.cust.id') AS BIGINT)) AS BIGINT) AS min_cust
         |FROM j GROUP BY pri, status ORDER BY pri, status""".stripMargin,
+    // rq95: DuckDB has no session collations — lower() normalization
+    // replays the collated semantics; values compare, not representation.
+    "rq95_collation" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 1 THEN lower(c_mktsegment)
+        |              ELSE c_mktsegment END AS seg,
+        |         c_acctbal
+        |  FROM customer)
+        |SELECT lower(seg) AS segment,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN lower(seg) = 'machinery' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ci,
+        |  CAST(sum(CASE WHEN seg = 'machinery' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cs,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS bal_x100
+        |FROM s GROUP BY lower(seg) ORDER BY segment""".stripMargin,
+    // rq96: the variable's defining subquery inlined (integer division
+    // DIV/// so truncation matches on both engines).
+    "rq96_sql_variables" ->
+      """WITH cap AS (SELECT CAST(max(c_custkey) // 5 AS BIGINT) AS key_cap
+        |             FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  cap.key_cap AS key_cap
+        |FROM customer, cap
+        |WHERE c_custkey < cap.key_cap
+        |GROUP BY c_mktsegment, cap.key_cap
+        |ORDER BY c_mktsegment""".stripMargin,
+    // rq97: the UDF bodies textually inlined — certifies Spark's SQL-UDF
+    // inlining produces exactly the handwritten-expression values.
+    "rq97_sql_udf" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         c_custkey
+        |  FROM customer)
+        |SELECT CASE WHEN cents < 0 THEN 'debt'
+        |            WHEN cents < 500000 THEN 'mid' ELSE 'high' END AS tier,
+        |  count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  min(c_custkey) AS min_key
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rq98: the pipe chain's classic-SQL equivalent (WHERE→scan filter,
+    // post-AGGREGATE WHERE→HAVING).
+    "rq98_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS DECIMAL(38,0))) AS BIGINT) AS cents_sum
+        |FROM lineitem
+        |WHERE l_quantity > 10.0
+        |GROUP BY 1, 2 HAVING count(*) > 5
+        |ORDER BY 1, 2""".stripMargin,
     // rq90: per-column GROUPING flags composed the engine-neutral way.
     "rq90_grouping_flags" ->
       """SELECT coalesce(l_returnflag, '-') AS rf,
@@ -1934,6 +1997,21 @@ object SparkEntry {
          |       THEN length(bin(r)) * k + (CAST(1 AS BIGINT) << length(bin(r))) - 1 ELSE 0 END)
          |  AS BIGINT) AS nbr_k_sum
          |FROM t ORDER BY nid""".stripMargin,
+    // gx_corpus_scc: SCCs are exactly the 8-blocks (bridges are one-way),
+    // so scc(nid) = block anchor = nid − FamilyMod·(k mod 8); per-residue
+    // census over member labels certifies every node.
+    "gx_corpus_scc" ->
+      s"""WITH $nodesCte,
+         |s AS (SELECT nid % ${graft.core.Graph.FamilyMod} AS residue,
+         |        nid - ${graft.core.Graph.FamilyMod}
+         |          * ((nid // ${graft.core.Graph.FamilyMod}) % 8) AS scc
+         |      FROM n)
+         |SELECT CAST(residue AS BIGINT) AS residue,
+         |  count(*) AS n_nodes,
+         |  CAST(count(DISTINCT scc) AS BIGINT) AS n_sccs,
+         |  CAST(sum(scc) AS BIGINT) AS sum_scc,
+         |  CAST(max(scc) AS BIGINT) AS max_scc
+         |FROM s GROUP BY residue ORDER BY residue""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
     // is per-family-class min/count/max, so the member counts (which grow
     // with sf) certify the full corpus was traversed.

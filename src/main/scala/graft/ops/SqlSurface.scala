@@ -125,6 +125,118 @@ object SqlSurface {
         |FROM v GROUP BY pri, status ORDER BY pri, status""".stripMargin)
   }
 
+  /** Spark 4 COLLATION surface (rq95) — string comparison semantics as a
+    * TYPE property (`COLLATE UTF8_LCASE`), not per-call lower() calls:
+    * grouping, equality, and ordering all follow the declared collation.
+    * The corpus is upper-case, so the query first derives a mixed-case
+    * column (odd keys lower-cased) that a binary grouping would split
+    * into 10 groups; the collated grouping must fuse them back to 5.
+    * Side-by-side counts certify both semantics in one output: `n_ci`
+    * (collated equality vs a lower-case literal — matches every case
+    * variant) against `n_cs` (binary equality — matches only the
+    * lower-cased rows). The output label is `CAST(lower(..) AS STRING)`:
+    * deterministic across whichever case representative the collated
+    * group carries, and the cast strips the collation from the result
+    * schema so the dumped parquet stays plain UTF8. At 100 TB collation
+    * rides the hash aggregate exactly like any string key — one shuffle
+    * on the collation-aware grouping key, no extra pass; the oracle
+    * replays with lower() normalization (DuckDB has no session
+    * collations), certifying values, not representation. */
+  def collatedGrouping(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """WITH s AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 1 THEN lower(c_mktsegment)
+        |              ELSE c_mktsegment END AS seg,
+        |         c_acctbal
+        |  FROM graft_customer)
+        |SELECT CAST(lower(seg COLLATE UTF8_LCASE) AS STRING) AS segment,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN seg COLLATE UTF8_LCASE = 'machinery'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_ci,
+        |  CAST(sum(CASE WHEN seg = 'machinery' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cs,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS bal_x100
+        |FROM s GROUP BY seg COLLATE UTF8_LCASE ORDER BY segment""".stripMargin)
+  }
+
+  /** SQL session variables (rq96) — `DECLARE VARIABLE` / `SET VAR` with a
+    * data-derived value: the variable is assigned from a scalar subquery
+    * over the corpus (a fifth of the key span), then drives a later
+    * statement's predicate — the multi-statement scripting surface
+    * (thresholds computed once, reused across statements) that
+    * parameterized single queries (rq92) cannot express. The assignment
+    * is one scalar-subquery job; the main query then embeds the value as
+    * a LITERAL, so unlike a scalar subquery in the predicate there is no
+    * per-query re-evaluation or subquery broadcast at 100 TB — the
+    * planner sees a constant and prunes accordingly. The variable value
+    * itself is echoed as an output column, certifying the assignment
+    * (the oracle inlines the defining subquery). */
+  def sessionVariables(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_key_cap BIGINT DEFAULT 0")
+    spark.sql(
+      """SET VAR graft_key_cap =
+        |  (SELECT CAST(max(c_custkey) DIV 5 AS BIGINT) FROM graft_customer)""".stripMargin)
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  graft_key_cap AS key_cap
+        |FROM graft_customer
+        |WHERE c_custkey < graft_key_cap
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** SQL scalar UDFs (rq97) — `CREATE TEMPORARY FUNCTION ... RETURNS ...
+    * RETURN <expr>` (Spark 4): reusable business logic declared in SQL
+    * text and COMPOSED at the call site (`graft_tier(graft_cents(x))`).
+    * Unlike JVM/Python UDFs these are expression templates: Catalyst
+    * inlines the body during resolution, so the plan is identical to
+    * hand-written expressions — fully codegen'd, pushdown-eligible,
+    * zero serialization boundary — which is exactly why they are the
+    * only UDF flavor this engine's hot paths would allow at 100 TB.
+    * The oracle replays the bodies inline, certifying the inlining
+    * contract (same values as the textual expansion). */
+  def sqlScalarUdfs(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+        |RETURNS BIGINT RETURN CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(cents BIGINT)
+        |RETURNS STRING RETURN CASE WHEN cents < 0 THEN 'debt'
+        |  WHEN cents < 500000 THEN 'mid' ELSE 'high' END""".stripMargin)
+    spark.sql(
+      """SELECT graft_tier(graft_cents(c_acctbal)) AS tier,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(graft_cents(c_acctbal) AS DECIMAL(38,0))) AS BIGINT) AS cents,
+        |  min(c_custkey) AS min_key
+        |FROM graft_customer GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** SQL pipe syntax (rq98) — Spark 4's `|>` operator chain: the same
+    * logical pipeline a DataFrame user writes (scan → filter → derive →
+    * aggregate → having → order), expressed as left-to-right SQL text.
+    * Each stage is sugar over the identical Catalyst operators — WHERE
+    * before AGGREGATE lands in the scan's PushedFilters, EXTEND is a
+    * projection, the post-AGGREGATE WHERE is a HAVING — so the plan (and
+    * the 100 TB behavior: one shuffle on the grouping key, map-side
+    * partials) is byte-identical to the classic formulation the oracle
+    * replays. */
+  def pipeSyntax(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """FROM graft_lineitem
+        ||> WHERE l_quantity > 10.0
+        ||> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS cents_sum
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 5
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Hierarchy walk via the SQL-standard `WITH RECURSIVE` surface
     * (Spark 4 resolves it through ResolveWithCTE into an iterative
     * union-loop): every customer is placed in the implicit decimal forest

@@ -273,6 +273,59 @@ object GraphAnalytics {
       .orderBy("nid")
   }
 
+  /** CORPUS-SCALE strongly connected components (gx_corpus_scc) — the
+    * FW-BW Pregel SCC (`fwBwScc`, shared with the bounded `gx_scc`) over
+    * a DIRECTED relation whose input grows linearly with sf: within each
+    * family residue r, class indices k = nid div FamilyMod are cut into
+    * blocks of 8 and each block is closed into a directed ring (forward
+    * k → k+1 inside the block, the block's last member wrapping back to
+    * its anchor); every block anchor additionally points ONE-WAY at the
+    * residue's root anchor (k = 0). SCCs are therefore exactly the
+    * blocks — the bridges are un-returnable, so connectivity must refuse
+    * to cross them — and the construction is built for bounded
+    * convergence AT ANY CORPUS SIZE: block rings have no external
+    * in-edges, so the forward coloring gives every ring its own anchor's
+    * color in one flood (the star condensation has depth 1, never a
+    * chain), fwBwScc finalizes EVERYTHING in a single outer round, and
+    * every Pregel flood is bounded by the constant ring circumference.
+    * Constant supersteps × linear input — at 10⁹ nodes this is still
+    * ~16 message rounds. Edges are pure arithmetic on contiguous nids
+    * (no window, no join); the closed form scc(nid) =
+    * nid − FamilyMod·(k mod 8) (the block anchor) lets the oracle
+    * certify every node via per-residue census: count, distinct SCCs,
+    * and the sum/max of labels over MEMBERS (which grow with sf). */
+  def corpusScc(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = Graph.FamilyMod.toLong
+    val B = 8L
+    val n = Graph.nodes(spark, sfDir).select(col("nid").cast("long").as("nid"))
+    val maxNid = n.agg(max("nid")).head().getLong(0)
+    val k = expr(s"nid DIV $mod")
+    val isLast = (k % B === B - 1) || (col("nid") + mod > maxNid)
+    val fwd = n.filter(!isLast)
+      .select(col("nid").as("src"), (col("nid") + mod).as("dst"))
+    val wrap = n.filter(isLast)
+      .select(col("nid").as("src"), (col("nid") - lit(mod) * (k % B)).as("dst"))
+    val bridge = n.filter(k % B === 0 && k >= B)
+      .select(col("nid").as("src"), (col("nid") % mod).as("dst"))
+    val g = XGraph.fromEdges(
+      fwd.unionByName(wrap).unionByName(bridge)
+        .rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK).cache()
+    val scc = fwBwScc(g)
+    val out = spark.createDataFrame(scc.map { case (v, s) => (v % mod, s) })
+      .toDF("residue", "scc")
+      .groupBy("residue")
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("scc")).as("n_sccs"),
+        sum(col("scc")).as("sum_scc"),
+        max(col("scc")).as("max_scc"))
+      .orderBy("residue")
+      .localCheckpoint()
+    g.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

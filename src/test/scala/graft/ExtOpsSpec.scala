@@ -548,6 +548,31 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(engine == closed, "per-vertex message sums diverge from closed form")
   }
 
+  test("corpus SCC: FW-BW census equals the block closed form; edge set linear in nodes") {
+    // SCCs of the block-ring construction are exactly the 8-blocks —
+    // the anchor bridges are one-way, so any SCC that crossed one (or a
+    // ring that split) shifts a residue's distinct-count or label sums.
+    val mod = graft.core.Graph.FamilyMod.toLong
+    val nids = graft.core.Graph.nodes(spark, sf).select("nid").collect()
+      .map(_.getLong(0))
+    val closed = nids.groupBy(_ % mod).map { case (r, xs) =>
+      val labels = xs.map(nid => nid - mod * ((nid / mod) % 8))
+      r -> (xs.length.toLong, labels.distinct.length.toLong, labels.sum, labels.max)
+    }
+    val engine = GraphAnalytics.corpusScc(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(engine == closed, s"SCC census diverges from block closed form")
+    // Linear input: ring edges (one per node) + one bridge per non-root
+    // block anchor — the scale contract (constant supersteps is pinned
+    // by construction: block rings have no external in-edges, so the
+    // condensation is a star and fwBwScc finalizes in one round).
+    val n = nids.length.toLong
+    assert(engine.values.map(_._2).sum >= n / 8,
+      "distinct SCC count inconsistent with 8-blocks")
+    assert(engine.values.map(_._1).sum == n, "census must cover every node")
+  }
+
   test("VARIANT extraction equals the direct-column ground truth (no JSON anywhere)") {
     // rq94's oracle replays the payloads through DuckDB's JSON functions;
     // this spec closes the other side of the triangle — the same

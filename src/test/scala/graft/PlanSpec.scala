@@ -533,4 +533,26 @@ class PlanSpec extends AnyFunSuite {
       s"rank filter not pushed into the window sort:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"tiny totals not broadcast:\n$p")
   }
+
+  test("rq97: SQL UDFs are inlined expression templates — no UDF node survives the plan") {
+    // The whole point of CREATE FUNCTION ... RETURN <expr> over a JVM/
+    // Python UDF: Catalyst resolves the body into the plan, so codegen,
+    // pushdown and partial aggregation all apply. A UDF invocation node
+    // in the physical plan means the inlining contract broke.
+    val p = plan(graft.ops.SqlSurface.sqlScalarUdfs(spark, sf))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"SQL UDF not inlined:\n$p")
+    assert(p.contains("*(1)"), s"UDF body left codegen:\n$p")
+  }
+
+  test("rq98: pipe syntax lowers to the classic plan — filter pushed, HAVING after aggregate") {
+    val p = plan(graft.ops.SqlSurface.pipeSyntax(spark, sf))
+    // The pre-AGGREGATE WHERE must reach the parquet scan.
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"pipe WHERE not pushed to scan:\n$p")
+    // One shuffle on the grouping key (partial + final hash aggregate),
+    // exactly the classic GROUP BY shape.
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pipe AGGREGATE lost map-side partials:\n$p")
+  }
 }
