@@ -80,6 +80,8 @@ object SparkEntry {
     "s37_update_where" -> ((s, d) => GraphOps.txUpdateWhere(s, d)),
     // ADD COLUMN ... DEFAULT: metadata-only widening, default served at read.
     "s38_add_column" -> ((s, d) => GraphOps.txAddColumn(s, d)),
+    // RENAME COLUMN: metadata-only column-mapping rename on TxTable.
+    "s39_rename_column" -> ((s, d) => GraphOps.txRenameColumn(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -146,10 +148,14 @@ object SparkEntry {
     "fn_url_suite" -> ((s, d) => graft.ops.ScalarSuites.urlSuite(s, d)),
     // JSON sweep: nested paths, array ops, from_json/to_json round-trip.
     "fn_json_suite" -> ((s, d) => graft.ops.ScalarSuites.jsonSuite(s, d)),
+    // Higher-order lambdas: ordered fold, quantifiers, zip_with.
+    "fn_hof_suite" -> ((s, d) => graft.ops.ScalarSuites.hofSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // SFT chat templating: role sentinels, token budget, loss-mask offsets.
     "tx_chat_template" -> ((s, d) => TextOps.chatTemplate(s, d)),
+    // DPO prep: per-prompt chosen/rejected election, one struct-extrema agg.
+    "tx_preference_pairs" -> ((s, d) => TextOps.preferencePairs(s, d)),
     // Per-source dataset card: volumes, language spread, dup rate.
     "tx_dataset_card" -> ((s, d) => TextOps.datasetCard(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -352,6 +358,13 @@ object SparkEntry {
     "rq97_sql_udf" -> ((s, d) => graft.ops.SqlSurface.sqlScalarUdfs(s, d)),
     // Spark 4 pipe syntax: |> stage chain lowering to the classic plan.
     "rq98_pipe_syntax" -> ((s, d) => graft.ops.SqlSurface.pipeSyntax(s, d)),
+    // GROUP BY ALL / ORDER BY ALL shorthand, lowered at analysis time.
+    "rq99_group_by_all" -> ((s, d) => graft.ops.SqlSurface.groupByAll(s, d)),
+    // Spark 4.1 SQL scripting: BEGIN/DECLARE/WHILE fixpoint over a
+    // one-scan bounded histogram.
+    "rq100_sql_script" -> ((s, d) => graft.ops.SqlSurface.sqlScript(s, d)),
+    // FILTER (WHERE ...) per-aggregate predicates in one hash aggregate.
+    "rq101_filter_clause" -> ((s, d) => graft.ops.SqlSurface.filterClause(s, d)),
     // KMV sketch intersection: day-pair overlap from k-min hash summaries.
     "rq73_kmv_jaccard" -> ((s, d) => RelOps.kmvJaccard(s, d)),
     // Plan-fingerprint result cache: repeat query served from artifact.
@@ -390,6 +403,9 @@ object SparkEntry {
     // Corpus-scale FW-BW SCC: 8-blocks are rings, bridges one-way; the
     // star condensation finalizes everything in ONE outer round.
     "gx_corpus_scc" -> ((s, d) => GraphAnalytics.corpusScc(s, d)),
+    // Corpus-scale integer-exact PageRank power iteration: dyadic damping
+    // 1/2 in 2^40 fixed point, telescoped (p, ring-size) closed form.
+    "gx_corpus_pagerank" -> ((s, d) => GraphAnalytics.corpusPageRank(s, d)),
     // Corpus-scale multi-source Pregel BFS: popcount closed form.
     "gx_corpus_bfs" -> ((s, d) => GraphAnalytics.corpusAnchorBfs(s, d)),
     // Corpus-scale weighted SSSP: min-plus Pregel, binary-decomposition
@@ -875,6 +891,25 @@ object SparkEntry {
         |  regexp_extract(url, '[?&]v=([^&#]*)', 1) AS v_param,
         |  CAST(NULL AS VARCHAR) AS missing_param
         |FROM u ORDER BY doc_id""".stripMargin,
+    // fn_hof_suite: the ordered fold replayed with list_reduce over a
+    // zero-prepended list (DuckDB's reduce seeds from the head element);
+    // quantifiers as filtered-length tests; zip_with via index transform.
+    "fn_hof_suite" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(floor(l_quantity) AS BIGINT))) AS qs
+        |  FROM lineitem WHERE l_orderkey < 60 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS BIGINT) AS n_items,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qs),
+        |    (acc, x) -> acc + x) AS BIGINT) AS fold_sum,
+        |  CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), qs),
+        |    (acc, x) -> (acc * 31 + x) % 1000003) AS BIGINT) AS fold_hash,
+        |  len(list_filter(qs, x -> x > 45)) > 0 AS has_bulk,
+        |  len(list_filter(qs, x -> x <= 0)) = 0 AS all_positive,
+        |  array_to_string(list_transform(generate_series(1, len(qs)),
+        |    i -> qs[i] + qs[len(qs) + 1 - i]), ',') AS palindrome_sums
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     // tx_dataset_card: volumes + dominant language (count desc, lang asc
     // tie-break) + within-source exact-dup rate, all integer ppm.
     "tx_dataset_card" ->
@@ -929,6 +964,33 @@ object SparkEntry {
         |  CAST(greatest(prompt_tokens + completion_tokens - 32, 0) AS INTEGER)
         |    AS truncate_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+    // tx_preference_pairs: the argmax/argmin elections replayed as
+    // explicit row_number windows with the same tie order (reward
+    // desc/asc, doc_id asc) — the dd_survivorship oracle pattern.
+    "tx_preference_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id // 5 AS prompt_id,
+        |    n_chars * 1000 + (doc_id * 2654435761 % 1009) % 1000 AS reward
+        |  FROM documents),
+        |r AS (
+        |  SELECT prompt_id, doc_id, reward,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY reward DESC, doc_id ASC) AS rk_top,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY reward ASC, doc_id ASC) AS rk_bot,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n_cands
+        |  FROM c),
+        |ch AS (SELECT prompt_id, n_cands, doc_id AS chosen_id, reward AS cr
+        |       FROM r WHERE rk_top = 1),
+        |rj AS (SELECT prompt_id, doc_id AS rejected_id, reward AS rr
+        |       FROM r WHERE rk_bot = 1)
+        |SELECT ch.prompt_id, CAST(n_cands AS BIGINT) AS n_cands,
+        |  chosen_id, rejected_id, CAST(cr - rr AS BIGINT) AS margin,
+        |  substring(md5(concat_ws('|', ch.prompt_id, chosen_id, rejected_id)),
+        |    1, 12) AS pair_md5
+        |FROM ch JOIN rj USING (prompt_id)
+        |WHERE n_cands >= 2 AND cr - rr >= 50
+        |ORDER BY ch.prompt_id""".stripMargin,
     "tx_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks,
@@ -1708,6 +1770,47 @@ object SparkEntry {
         |WHERE l_quantity > 10.0
         |GROUP BY 1, 2 HAVING count(*) > 5
         |ORDER BY 1, 2""".stripMargin,
+    // rq99: DuckDB pioneered GROUP BY ALL / ORDER BY ALL — the oracle
+    // uses the same shorthand, certifying identical resolution rules.
+    "rq99_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity >= 25.0 AS VARCHAR) AS bulk,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents_sum
+        |FROM lineitem
+        |WHERE l_quantity > 5.0
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
+    // rq100: the script's while-loop fixpoint stated declaratively —
+    // min k with 2·coverage ≥ total over the same log₂ histogram.
+    "rq100_sql_script" ->
+      """WITH h AS (
+        |  SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS INT) AS k2,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+        |c AS (SELECT g.k, (SELECT coalesce(sum(n), 0) FROM h WHERE k2 <= g.k) AS covered
+        |      FROM generate_series(1, 64) AS g(k)),
+        |s AS (SELECT k, covered FROM c, t WHERE covered * 2 >= t.total
+        |      ORDER BY k LIMIT 1)
+        |SELECT CAST(s.k AS INTEGER) AS k_star,
+        |  (CAST(1 AS BIGINT) << s.k) AS cutoff,
+        |  CAST(s.covered AS BIGINT) AS n_covered,
+        |  (SELECT total FROM t) AS n_total
+        |FROM s""".stripMargin,
+    // rq101: identical FILTER syntax in DuckDB; HUGEINT sums cast back.
+    "rq101_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_bulk,
+        |  CAST(coalesce(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS disc_cents,
+        |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS BIGINT)
+        |    AS n_taxed_supp
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // rq90: per-column GROUPING flags composed the engine-neutral way.
     "rq90_grouping_flags" ->
       """SELECT coalesce(l_returnflag, '-') AS rf,
@@ -2012,6 +2115,24 @@ object SparkEntry {
          |  CAST(sum(scc) AS BIGINT) AS sum_scc,
          |  CAST(max(scc) AS BIGINT) AS max_scc
          |FROM s GROUP BY residue ORDER BY residue""".stripMargin,
+    // gx_corpus_pagerank: the 16-round dyadic power iteration telescopes
+    // to mass = 2^24 + Σ_{j: p+j·c ≤ 15} 2^(39−p−j·c) with p = ring
+    // position and c = ring circumference (8, or the residue's tail
+    // size) — pure integer shifts, replayed per vertex and censused.
+    "gx_corpus_pagerank" ->
+      s"""WITH $nodesCte,
+         |kk AS (SELECT nid, nid % ${graft.core.Graph.FamilyMod} AS c,
+         |         nid // ${graft.core.Graph.FamilyMod} AS k FROM n),
+         |m AS (SELECT c, max(k) AS kmax FROM kk GROUP BY c),
+         |b AS (SELECT kk.nid, kk.k % 8 AS p,
+         |        least(8, m.kmax + 1 - 8 * (kk.k // 8)) AS cs
+         |      FROM kk JOIN m ON kk.c = m.c),
+         |ms AS (SELECT CAST((CAST(1 AS BIGINT) << 24)
+         |        + list_sum(list_transform(generate_series(0, (15 - p) // cs),
+         |            j -> (CAST(1 AS BIGINT) << (39 - p - j * cs)))) AS BIGINT) AS mass
+         |       FROM b)
+         |SELECT mass, count(*) AS n_nodes
+         |FROM ms GROUP BY mass ORDER BY mass""".stripMargin,
     // gx_corpus_cc: CC over ALL nodes at the query's sf — the closed form
     // is per-family-class min/count/max, so the member counts (which grow
     // with sf) certify the full corpus was traversed.
@@ -3203,6 +3324,21 @@ object SparkEntry {
          |  CASE WHEN name LIKE '%9' THEN 'premium' ELSE 'standard' END AS tier,
          |  round(acctbal, 2) AS acctbal,
          |  true AS pointers_unchanged, true AS v0_no_tier
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |ORDER BY name""".stripMargin,
+    // s39: pre-rename values must surface under the NEW name (alias
+    // read), the %7 batch overwrites, the explicit post-rename NULL
+    // stays NULL, and all three certificates ride the hash channel.
+    "s39_rename_column" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name = 'Customer#000000013' THEN NULL
+         |       WHEN name LIKE '%7' THEN 'RENAMED7'
+         |       ELSE house END AS segment,
+         |  round(acctbal, 2) AS acctbal,
+         |  true AS pointers_unchanged, true AS null_stays_null,
+         |  true AS v0_has_house
          |FROM n
          |WHERE name <= 'Customer#000000030'
          |ORDER BY name""".stripMargin,

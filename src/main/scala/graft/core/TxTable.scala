@@ -136,32 +136,37 @@ final class TxTable private (spark: SparkSession, dir: String,
     * the table. */
   private def readBuckets(m: Map[Long, BucketRef], buckets: Set[Long],
                           schema: org.apache.spark.sql.types.StructType,
-                          defaults: Map[String, String] = Map.empty): DataFrame = {
+                          defaults: Map[String, String] = Map.empty,
+                          aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val refs = m.filter { case (b, _) => buckets.contains(b) }
     // Which defaulted columns a commit dir's files physically LACK — the
     // Iceberg initial-default rule needs per-FILE schema knowledge (a
     // merged scan reads absent and explicit-NULL identically), and since
     // every file in one commit shares its write-time schema, one footer
     // probe per distinct commit dir settles all its buckets. Commits are
-    // bounded by history length, never data size.
+    // bounded by history length, never data size. A column counts as
+    // present if ANY of its physical names (current or pre-rename alias)
+    // is in the footer.
     val sigCache = scala.collection.mutable.Map.empty[String, Set[String]]
     def missingIn(path: String): Set[String] =
       sigCache.getOrElseUpdate(Paths.get(path).getParent.toString, {
         val phys = spark.read.parquet(path).schema.fieldNames.toSet
-        defaults.keySet.diff(phys)
+        defaults.keySet.filter(c =>
+          !phys.contains(c) && !aliases.getOrElse(c, Nil).exists(phys.contains))
       })
     def read(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else if (defaults.isEmpty)
-        conform(spark.read.option("mergeSchema", "true").parquet(paths: _*), schema)
+        conform(spark.read.option("mergeSchema", "true").parquet(paths: _*),
+          schema, Map.empty, aliases)
       else
         // Group by which defaults apply: files written BEFORE an add serve
         // the default; files written after serve their stored value, so an
         // explicit NULL stays NULL (physical presence wins).
         paths.groupBy(missingIn).map { case (missing, ps) =>
           conform(spark.read.option("mergeSchema", "true").parquet(ps: _*),
-            schema, defaults.view.filterKeys(missing.contains).toMap)
+            schema, defaults.view.filterKeys(missing.contains).toMap, aliases)
         }.reduce(_ unionByName _)
     val (dirty, clean) = refs.partition(_._2.dvs.nonEmpty)
     val cleanDf = read(clean.toSeq.sortBy(_._1).map { case (b, r) => bucketPath(r.data, b) })
@@ -196,12 +201,23 @@ final class TxTable private (spark: SparkSession, dir: String,
     * was added with `addColumn(..., defaultSql)`, as that version's
     * DEFAULT expression — the no-rewrite schema-drift contract (s16's
     * mergeSchema read, applied to the bucket log). Physical presence
-    * always wins: a default never overrides a written value. */
+    * always wins: a default never overrides a written value. Renamed
+    * columns resolve through their recorded physical ALIASES: a merged
+    * scan spanning pre- and post-rename commits carries both names, each
+    * file populating exactly one, so coalescing (current, aliases…)
+    * serves every row's stored value under the logical name — and an
+    * explicit NULL stays NULL, because the file that owns the row has
+    * the column physically (under whichever name) as NULL while the
+    * other variants are mergeSchema-absent for that row. */
   private def conform(df: DataFrame,
                       schema: org.apache.spark.sql.types.StructType,
-                      defaults: Map[String, String] = Map.empty): DataFrame =
+                      defaults: Map[String, String] = Map.empty,
+                      aliases: Map[String, Seq[String]] = Map.empty): DataFrame =
     df.select(schema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      val variants = (f.name +: aliases.getOrElse(f.name, Nil))
+        .filter(df.columns.contains)
+      if (variants.nonEmpty)
+        coalesce(variants.map(col): _*).cast(f.dataType).as(f.name)
       else defaults.get(f.name)
         .map(d => expr(d).cast(f.dataType).as(f.name))
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
@@ -229,6 +245,30 @@ final class TxTable private (spark: SparkSession, dir: String,
     }
   }
 
+  /** Column-name ALIASES as of version `v`: logical name → the physical
+    * names earlier commits may have stored it under, most recent rename
+    * first (the Delta/Iceberg column-mapping record, kept as per-version
+    * cumulative `renames-v*.txt` snapshots like the defaults). Read-side
+    * only — writers always store the current logical name. */
+  def aliasesAt(v: Long): Map[String, Seq[String]] = {
+    val recorded = listNames(logDir)
+      .filter(n => n.startsWith("renames-v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("renames-v").stripSuffix(".txt").toLong)
+      .filter(_ <= v)
+    if (recorded.isEmpty) Map.empty
+    else Files.readAllLines(
+        logDir.resolve(f"renames-v${recorded.max}%08d.txt"),
+        StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty)
+      .map { l => val p = l.split('\t'); p(0) -> p(1).split(',').toSeq }
+      .toMap
+  }
+
+  private def writeAliases(v: Long, a: Map[String, Seq[String]]): Unit =
+    Files.writeString(logDir.resolve(f"renames-v$v%08d.txt"),
+      a.toSeq.sortBy(_._1)
+        .map { case (c, as) => s"$c\t${as.mkString(",")}" }.mkString("\n"))
+
   /** Time travel: the table exactly as of committed version `v`. Every
     * manifest is immutable and copy-on-write never rewrites a referenced
     * file in place, so any still-present version reconstructs exactly —
@@ -245,7 +285,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // evolution lack the new columns; the merged footer schema carries
     // them as NULL and `conform` pins the column set to the version's
     // recorded schema. Deletion vectors are applied per DV'd bucket.
-    readBuckets(m, m.keySet, schemaAt(v), defaultsAt(v))
+    readBuckets(m, m.keySet, schemaAt(v), defaultsAt(v), aliasesAt(v))
   }
 
   /** The bucket ids of the HEAD manifest a `lookup(keys)` must read —
@@ -278,7 +318,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val probe = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     val m = manifest(v)
     readBuckets(m, lookupBuckets(probe, m, bucketCountAt(v)), schemaAt(v),
-        defaultsAt(v))
+        defaultsAt(v), aliasesAt(v))
       .join(probe, keyCols, "left_semi")
   }
 
@@ -414,7 +454,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val present = touched.filter(m.contains)
       val existing =
         if (present.isEmpty) conform(upd.limit(0), cur)
-        else readBuckets(m, present, cur, defaultsAt(v))
+        else readBuckets(m, present, cur, defaultsAt(v), aliasesAt(v))
       val keep = existing.join(upd.select(keyCols.map(col): _*), keyCols, "left_anti")
       val valCols = cur.fieldNames.toSeq.filterNot(keyCols.contains)
       val matched = existing.join(
@@ -475,12 +515,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       val cur = schemaAt(v)
       require(set.keys.forall(cur.fieldNames.contains),
         s"SET column absent from schema ${cur.toDDL}")
-      val touched = readBuckets(m, m.keySet, cur, defaultsAt(v)).filter(where)
+      val touched = readBuckets(m, m.keySet, cur, defaultsAt(v), aliasesAt(v)).filter(where)
         .select(bucketColFor(n).as("_b")).distinct()
         .collect().map(_.getLong(0)).toSet.filter(m.contains)
       if (touched.isEmpty) return v // no matching rows: metadata no-op
       val hit = coalesce(expr(where), lit(false))
-      val out = conform(readBuckets(m, touched, cur, defaultsAt(v))
+      val out = conform(readBuckets(m, touched, cur, defaultsAt(v), aliasesAt(v))
         .select(cur.fieldNames.toSeq.map { c =>
           set.get(c) match {
             case Some(e) => when(hit, expr(e)).otherwise(col(c)).as(c)
@@ -578,7 +618,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       // copy-on-write rewrite of a DV'd bucket FOLDS its tombstones.
       val keep =
         if (present.isEmpty) conform(keySource.limit(0), curSchema)
-        else readBuckets(m, present, curSchema, defaultsAt(v))
+        else readBuckets(m, present, curSchema, defaultsAt(v), aliasesAt(v))
           .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
       val out = build(keep, curSchema)
       val commit = writeCommit(out, n)
@@ -624,7 +664,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val schema = schemaAt(vNew)
     val valCols = schema.fieldNames.toSeq.filterNot(keyCols.contains)
     def side(m: Map[Long, BucketRef], tag: String): DataFrame =
-      readBuckets(m, changed, schema, defaultsAt(vNew)).select(keyCols.map(col) ++
+      readBuckets(m, changed, schema, defaultsAt(vNew), aliasesAt(vNew)).select(keyCols.map(col) ++
         valCols.map(c => col(c).as(s"${tag}_$c")) :+
         lit(true).as(s"_in_$tag"): _*)
     val joined = side(mo, "old").join(side(mn, "new"), keyCols, "full_outer")
@@ -706,7 +746,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       val cur = schemaAt(v)
       // DV-applied read: compaction FOLDS deletion vectors — the output
       // manifest is all-clean.
-      val rows = readBuckets(m, m.keySet, cur, defaultsAt(v))
+      val rows = readBuckets(m, m.keySet, cur, defaultsAt(v), aliasesAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
       rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
         .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
@@ -775,6 +815,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       val cur = schemaAt(v)
       require(!cur.fieldNames.contains(colName),
         s"column '$colName' already exists at v$v")
+      // Physical names of renamed-away columns are RESERVED: old files
+      // still store values under them, and name-resolved reads would
+      // resurrect those values into a new same-named column (the Delta
+      // column-mapping rule the dropColumn caveat documents).
+      require(!aliasesAt(v).values.flatten.toSet.contains(colName),
+        s"'$colName' is a reserved physical alias of a renamed column")
       val m = manifest(v)
       val lines = m.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
       if (publish(v + 1, bucketCountAt(v), s"add-$colName", lines)) {
@@ -783,6 +829,62 @@ final class TxTable private (spark: SparkSession, dir: String,
         val next = defaultsAt(v) + (colName -> defaultSql)
         Files.writeString(logDir.resolve(f"defaults-v${v + 1}%08d.txt"),
           next.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
+        committed = v + 1
+      }
+    }
+    committed
+  }
+
+  /** RENAME COLUMN — metadata-only, completing the DDL triad with
+    * `dropColumn` / `addColumn`: the new version re-publishes the same
+    * manifest (zero data rewritten, `dataPointers` unchanged — on a
+    * 100 TB table the rename costs two small log files) with the field
+    * renamed in the schema and the old name recorded as a physical ALIAS
+    * (`renames-v*.txt`, the Delta/Iceberg column-mapping record). Reads
+    * resolve the logical name through its alias chain per file, so
+    * pre-rename files serve their stored values under the new name with
+    * no rewrite, while post-rename writers store the new name physically;
+    * a DEFAULT attached to the column follows it to the new name in the
+    * same commit. The old name stays reserved (`addColumn` rejects it)
+    * so stale physical values can never resurrect. Key columns cannot be
+    * renamed (bucket hashing and lookups are keyed by name), and columns
+    * referenced by CHECK constraints are refused rather than silently
+    * breaking the predicate text. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(oldName != newName, "rename must change the name")
+    require(!keyCols.contains(oldName), s"cannot rename key column '$oldName'")
+    checks.foreach { case (ck, pred) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
+          .findFirstIn(pred).isDefined,
+        s"cannot rename '$oldName': referenced by check '$ck' ($pred)")
+    }
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val cur = schemaAt(v)
+      require(cur.fieldNames.contains(oldName), s"no column '$oldName' at v$v")
+      require(!cur.fieldNames.contains(newName),
+        s"column '$newName' already exists at v$v")
+      val aliases = aliasesAt(v)
+      require(!aliases.values.flatten.toSet.contains(newName),
+        s"'$newName' is a reserved physical alias of a renamed column")
+      val m = manifest(v)
+      val lines = m.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, bucketCountAt(v), s"rename-$oldName-$newName", lines)) {
+        val renamed = org.apache.spark.sql.types.StructType(
+          cur.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), renamed.toDDL)
+        // The alias chain follows the logical column: rename a→b then b→c
+        // leaves c resolving through [b, a], in recency order.
+        val moved = (aliases - oldName) +
+          (newName -> (oldName +: aliases.getOrElse(oldName, Nil)))
+        writeAliases(v + 1, moved)
+        val defs = defaultsAt(v)
+        defs.get(oldName).foreach { d =>
+          val next = (defs - oldName) + (newName -> d)
+          Files.writeString(logDir.resolve(f"defaults-v${v + 1}%08d.txt"),
+            next.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
+        }
         committed = v + 1
       }
     }
@@ -814,7 +916,7 @@ final class TxTable private (spark: SparkSession, dir: String,
             .count(_.endsWith(".parquet")) >= minFiles
       }
       if (degraded.isEmpty) return v
-      val rows = readBuckets(m, degraded.keySet, cur, defaultsAt(v))
+      val rows = readBuckets(m, degraded.keySet, cur, defaultsAt(v), aliasesAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
       // Same bucket count -> the rewrite reproduces exactly the degraded
       // bucket ids; repartition puts each in one task = one file.
@@ -897,6 +999,18 @@ final class TxTable private (spark: SparkSession, dir: String,
     // Branch writers enforce the same CHECK constraints as main.
     val ck = logDir.resolve("checks.txt")
     if (Files.exists(ck)) Files.copy(ck, bLog.resolve("checks.txt"))
+    // Column metadata travels with the fork: without the fork-point
+    // defaults/aliases, a branch read of pre-evolution or pre-rename
+    // files would lose served defaults and renamed values.
+    val d = defaultsAt(v)
+    if (d.nonEmpty)
+      Files.writeString(bLog.resolve("defaults-v00000000.txt"),
+        d.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
+    val al = aliasesAt(v)
+    if (al.nonEmpty)
+      Files.writeString(bLog.resolve("renames-v00000000.txt"),
+        al.toSeq.sortBy(_._1)
+          .map { case (c, as) => s"$c\t${as.mkString(",")}" }.mkString("\n"))
     b
   }
 
@@ -946,6 +1060,14 @@ final class TxTable private (spark: SparkSession, dir: String,
         s"non-fast-forward: main advanced $base -> $head since branch '$name' forked")
       if (publish(head + 1, n, s"publish-$name", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${head + 1}%08d.ddl"), ddl)
+        // DDL staged on the branch (addColumn/renameColumn) publishes
+        // with it: the branch head's column metadata becomes main's.
+        val d = b.defaultsAt(bv)
+        if (d.nonEmpty)
+          Files.writeString(logDir.resolve(f"defaults-v${head + 1}%08d.txt"),
+            d.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
+        val al = b.aliasesAt(bv)
+        if (al.nonEmpty) writeAliases(head + 1, al)
         committed = head + 1
       }
     }
@@ -986,6 +1108,18 @@ final class TxTable private (spark: SparkSession, dir: String,
     Files.writeString(t.logDir.resolve("schema-v00000000.ddl"), schemaAt(v).toDDL)
     val ck = logDir.resolve("checks.txt")
     if (Files.exists(ck)) Files.copy(ck, t.logDir.resolve("checks.txt"))
+    // Column metadata snapshots at clone time, like checks: the clone
+    // reads the source's pre-evolution/pre-rename files through the same
+    // defaults and alias records the source would use.
+    val d = defaultsAt(v)
+    if (d.nonEmpty)
+      Files.writeString(t.logDir.resolve("defaults-v00000000.txt"),
+        d.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
+    val al = aliasesAt(v)
+    if (al.nonEmpty)
+      Files.writeString(t.logDir.resolve("renames-v00000000.txt"),
+        al.toSeq.sortBy(_._1)
+          .map { case (c, as) => s"$c\t${as.mkString(",")}" }.mkString("\n"))
     t
   }
 

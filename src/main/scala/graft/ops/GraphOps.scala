@@ -964,6 +964,49 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** RENAME COLUMN demo (s39): the third metadata-only DDL verb,
+    * completing the s34/s38 triad. `renameColumn("house", "segment")`
+    * publishes a manifest that re-points NOTHING (`pointers_unchanged` —
+    * on 100 TB the rename is two small log files), pre-rename files serve
+    * their stored values under the NEW name through the recorded alias
+    * (column-mapping read), one post-rename merge batch writes the new
+    * name physically (rows %7 → RENAMED7), an explicit NULL written
+    * post-rename STAYS NULL (`null_stays_null` — the coalesce across
+    * name variants must not resurrect pre-rename values), and time travel
+    * to v0 still serves the OLD name (`v0_has_house`). Write-path class. */
+  def txRenameColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s39").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val vr = t.renameColumn("house", "segment")
+      val pointersUnchanged = t.dataPointers(0L) == t.dataPointers(vr)
+      t.merge(base.filter(substring(col("name"), -1, 1) === "7")
+        .withColumnRenamed("house", "segment")
+        .withColumn("segment", lit("RENAMED7")))
+      t.merge(base.filter(col("name") === "Customer#000000013")
+        .withColumnRenamed("house", "segment")
+        .withColumn("segment", lit(null).cast("string")))
+      val head = t.snapshot().localCheckpoint()
+      val nullStaysNull = head
+        .filter(col("name") === "Customer#000000013" && col("segment").isNull)
+        .count() == 1L
+      val v0 = t.snapshotAt(0L)
+      val v0HasHouse = v0.columns.contains("house") && !v0.columns.contains("segment")
+      head
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("segment"),
+          round(col("acctbal"), 2).as("acctbal"),
+          lit(pointersUnchanged).as("pointers_unchanged"),
+          lit(nullStaysNull).as("null_stays_null"),
+          lit(v0HasHouse).as("v0_has_house"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Full-grammar MERGE demo (s35): one `mergeClauses` call exercises all
     * three conditional clauses — matched rows with negative balance are
     * DELETED, the rest of the matched set UPDATED (house := M8), and of

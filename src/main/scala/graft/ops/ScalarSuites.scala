@@ -267,4 +267,30 @@ object ScalarSuites {
         "parse_url(url, 'QUERY', 'v') AS v_param",
         "parse_url(url, 'QUERY', 'absent') AS missing_param")
       .orderBy("doc_id")
+
+  /** Higher-order-function sweep (fn_hof_suite) — the lambda family the
+    * array suite only samples (its transform/filter): `aggregate` as a
+    * genuine sequential FOLD with an explicit zero (the accumulator hash
+    * (acc·31 + x) mod p is order-sensitive, so this certifies fold ORDER,
+    * not just totals — inexpressible as any commutative list_sum),
+    * `exists` / `forall` quantifiers, and `zip_with` pairing an array
+    * with its own reverse. Arrays are per-order sorted quantity lists
+    * (floored to BIGINT before any fold — the double→int cast rule);
+    * every lambda runs as a codegen'd expression per element, the
+    * Spark-native form of Cypher's reduce()/any()/all() list predicates.
+    * The oracle replays the fold with list_reduce over a zero-prepended
+    * list and the quantifiers as filtered-length tests. */
+  def hofSuite(spark: SparkSession, sfDir: String, maxKey: Long = 60): DataFrame =
+    Tables.lineitem(spark, sfDir).filter(col("l_orderkey") < maxKey)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(floor(col("l_quantity")).cast("long"))).as("qs"))
+      .selectExpr("l_orderkey",
+        "CAST(size(qs) AS BIGINT) AS n_items",
+        "aggregate(qs, 0L, (acc, x) -> acc + x) AS fold_sum",
+        "aggregate(qs, 7L, (acc, x) -> (acc * 31 + x) % 1000003) AS fold_hash",
+        "exists(qs, x -> x > 45) AS has_bulk",
+        "forall(qs, x -> x > 0) AS all_positive",
+        "array_join(transform(zip_with(qs, reverse(qs), (a, b) -> a + b), " +
+          "x -> CAST(x AS STRING)), ',') AS palindrome_sums")
+      .orderBy("l_orderkey")
 }

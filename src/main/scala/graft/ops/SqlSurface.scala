@@ -237,6 +237,80 @@ object SqlSurface {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (rq99_group_by_all) — the
+    * analyst-shorthand surface both engines adopted from the same
+    * proposal: every non-aggregate select item becomes a grouping key and
+    * the full select list becomes the sort order, resolved at ANALYSIS
+    * time into the ordinary two-phase aggregate (nothing novel reaches
+    * the physical plan — PlanSpec pins that the lowering equals the
+    * explicit GROUP BY plan). Money stays in BIGINT cents end-to-end. */
+  def groupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity >= 25.0 AS STRING) AS bulk,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM graft_lineitem
+        |WHERE l_quantity > 5.0
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** SQL scripting (rq100_sql_script) — Spark 4.1's procedural BEGIN /
+    * DECLARE / WHILE / SET surface, exercised as a real control-flow
+    * computation: find the smallest power-of-two price cutoff covering
+    * at least half the orders by iterative doubling. The at-scale shape
+    * is deliberate: ONE corpus scan builds a ≤64-row log₂ histogram
+    * temp view, and every loop iteration then aggregates that bounded
+    * state — the script's round count is log₂(max price), never
+    * data-sized, and the data-sized work happens exactly once. The
+    * oracle states the same fixpoint declaratively (min k with
+    * 2·coverage ≥ total over the replayed histogram). */
+  def sqlScript(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark.sql(
+      """BEGIN
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  DECLARE covered BIGINT DEFAULT 0;
+        |  DECLARE k INT DEFAULT 0;
+        |  CREATE OR REPLACE TEMPORARY VIEW graft_price_hist AS
+        |    SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS INT) AS k2,
+        |           count(*) AS n
+        |    FROM graft_orders GROUP BY 1;
+        |  SET total = (SELECT sum(n) FROM graft_price_hist);
+        |  WHILE covered * 2 < total DO
+        |    SET k = k + 1;
+        |    SET covered = (SELECT coalesce(sum(n), 0)
+        |                   FROM graft_price_hist WHERE k2 <= k);
+        |  END WHILE;
+        |  SELECT CAST(k AS INT) AS k_star,
+        |         shiftleft(CAST(1 AS BIGINT), k) AS cutoff,
+        |         covered AS n_covered, total AS n_total;
+        |END""".stripMargin)
+  }
+
+  /** FILTER clause on aggregates (rq101_filter_clause) — the standard
+    * per-aggregate predicate surface (identical syntax in DuckDB):
+    * conditional counts, a filtered money sum in BIGINT cents, and a
+    * filtered DISTINCT count, all in ONE two-phase hash aggregate over
+    * one scan — the declarative form of fn_agg_suite's count_if that
+    * generalizes to any aggregate function. */
+  def filterClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_bulk,
+        |  CAST(coalesce(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS disc_cents,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04) AS n_taxed_supp
+        |FROM graft_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Hierarchy walk via the SQL-standard `WITH RECURSIVE` surface
     * (Spark 4 resolves it through ResolveWithCTE into an iterative
     * union-loop): every customer is placed in the implicit decimal forest

@@ -1025,6 +1025,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Preference-pair construction (tx_preference_pairs) — the DPO/RLHF
+    * prep pass that follows SFT templating (tx_chat_template): candidate
+    * completions are grouped per prompt (5 contiguous doc_ids model one
+    * prompt's candidate pool, so the pool count GROWS with the corpus),
+    * a deterministic integer reward stands in for the reward model
+    * (content length in the high digits + a multiplicative id hash as
+    * tie-noise — no RNG state, reproducible at any partitioning), and
+    * each pool elects chosen = argmax / rejected = argmin with explicit
+    * tie order (reward desc/asc, doc_id asc). Both elections are
+    * partial-combinable struct-extrema aggregates (the dd_survivorship /
+    * dataset-card idiom) — ONE two-phase aggregate over one scan (Spark
+    * plans struct extrema as SortAggregate; map-side partials intact),
+    * no window, no data-sized per-pool sort — then low-margin pairs are
+    * dropped (the confidence filter) and the kept pair is fingerprinted
+    * for the training-set manifest. At 100 TB: map → combine → reduce,
+    * nothing else. */
+  def preferencePairs(spark: SparkSession, sfDir: String,
+                      poolSize: Int = 5, minMargin: Long = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(s"doc_id DIV $poolSize").as("prompt_id"),
+        (col("n_chars") * lit(1000L) +
+          expr("doc_id * 2654435761 % 1009 % 1000")).as("reward"))
+      .groupBy("prompt_id")
+      .agg(count(lit(1)).as("n_cands"),
+        max(struct(col("reward").as("r"), (-col("doc_id")).as("neg_id"))).as("top"),
+        min(struct(col("reward").as("r"), col("doc_id").as("id"))).as("bot"))
+      .filter(col("n_cands") >= 2)
+      .select(col("prompt_id"), col("n_cands"),
+        (-col("top.neg_id")).as("chosen_id"),
+        col("bot.id").as("rejected_id"),
+        (col("top.r") - col("bot.r")).as("margin"))
+      .filter(col("margin") >= minMargin)
+      .withColumn("pair_md5",
+        substring(md5(concat_ws("|",
+          col("prompt_id"), col("chosen_id"), col("rejected_id"))), 1, 12))
+      .orderBy("prompt_id")
+
   /** Rejection sampling to a target distribution — the rebalancing pass
     * that flattens a skewed corpus: docs fall into fixed-width length
     * buckets, the rarest bucket's count m becomes the per-bucket quota,

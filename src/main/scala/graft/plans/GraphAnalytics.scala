@@ -326,6 +326,61 @@ object GraphAnalytics {
     out
   }
 
+  /** CORPUS-SCALE personalized PageRank power iteration
+    * (gx_corpus_pagerank) — the float-free form of the PageRank
+    * recurrence, run as a REAL fixed-count power iteration (16 rounds of
+    * aggregateMessages + vertex join — exactly GraphX staticPageRank's
+    * internal shape) over the same linear-in-sf block-ring relation as
+    * `corpusScc` minus its bridges (every vertex: out-degree 1, in-degree
+    * 1). Why integer: float PageRank sums messages in partition order, so
+    * per-vertex doubles are not hash-certifiable (the BASELINE note-7
+    * class). Choosing damping = 1/2 (dyadic) and a 2^40 fixed-point unit
+    * makes every iterate an exact multiple of 2^24 — each half-ing is an
+    * exact Long shift and message combination is integer addition
+    * (associative, commutative → bit-identical at ANY partitioning or
+    * cluster size). Personalization mass 2^39 enters at each block
+    * anchor; after k rounds the recurrence telescopes to the closed form
+    *   mass(v) = 2^(40−k) + Σ_{j : p+j·c < k} 2^(39−p−j·c)
+    * with p = position in the ring (k-index mod 8) and c = the ring's
+    * circumference — mass depends only on (p, c), so the per-mass census
+    * (counts grow with sf) certifies every vertex. Constant supersteps ×
+    * linear input: 16 rounds at sf0.1 and 16 rounds at 10⁹ nodes. */
+  def corpusPageRank(spark: SparkSession, sfDir: String, iters: Int = 16): DataFrame = {
+    val mod = Graph.FamilyMod.toLong
+    val B = 8L
+    val n = Graph.nodes(spark, sfDir).select(col("nid").cast("long").as("nid"))
+    val maxNid = n.agg(max("nid")).head().getLong(0)
+    val k = expr(s"nid DIV $mod")
+    val isLast = (k % B === B - 1) || (col("nid") + mod > maxNid)
+    val fwd = n.filter(!isLast)
+      .select(col("nid").as("src"), (col("nid") + mod).as("dst"))
+    val wrap = n.filter(isLast)
+      .select(col("nid").as("src"), (col("nid") - lit(mod) * (k % B)).as("dst"))
+    val hold = 1L << 39
+    var g = XGraph.fromEdges(
+      fwd.unionByName(wrap)
+        .rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((_, _) => 1L << 40).cache()
+    for (_ <- 1 to iters) {
+      // Every mass is a multiple of 2^(40 - round) ≥ 2^24, so /2 is exact.
+      val msgs = g.aggregateMessages[Long](ctx => ctx.sendToDst(ctx.srcAttr / 2), _ + _)
+      val next = g.outerJoinVertices(msgs)((id, _, m) =>
+        (if ((id / mod) % B == 0L) hold else 0L) + m.getOrElse(0L)).cache()
+      next.vertices.foreachPartition(_ => ()) // materialize before dropping the old round
+      g.unpersist(blocking = false)
+      g = next
+    }
+    val out = spark.createDataFrame(g.vertices.map { case (_, m) => Tuple1(m) })
+      .toDF("mass")
+      .groupBy("mass").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("mass")
+      .localCheckpoint()
+    g.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

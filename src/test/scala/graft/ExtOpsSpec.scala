@@ -573,6 +573,65 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(engine.values.map(_._1).sum == n, "census must cover every node")
   }
 
+  test("preference pairs: elections match a reference replay; margins honest") {
+    // Replay the pools in plain Scala with the same reward and tie order
+    // (reward desc/asc, doc_id asc) and require identical elections —
+    // this certifies the struct-extrema encoding (max of (r, -id) /
+    // min of (r, id)) really implements the documented tie-breaks.
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ref = docs.groupBy(_._1 / 5).flatMap { case (pid, pool) =>
+      val rewarded = pool.map { case (id, nc) =>
+        (id, nc * 1000L + (id * 2654435761L % 1009L) % 1000L)
+      }
+      if (rewarded.length < 2) None else {
+        val chosen = rewarded.minBy { case (id, r) => (-r, id) }
+        val rejected = rewarded.minBy { case (id, r) => (r, id) }
+        val margin = chosen._2 - rejected._2
+        if (margin < 50) None else Some(pid -> (chosen._1, rejected._1, margin))
+      }
+    }
+    val engine = TextOps.preferencePairs(spark, sf).collect()
+      .map(r => r.getAs[Long]("prompt_id") ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin"))).toMap
+    assert(engine == ref, "preference elections diverge from the reference replay")
+    assert(engine.nonEmpty && engine.forall { case (_, (c, rj, m)) => c != rj && m >= 50 })
+  }
+
+  test("corpus pagerank: masses dyadic-exact and anchor-dominant; census covers every node") {
+    // Every mass must be a multiple of 2^24 (the dyadic-exactness
+    // invariant that makes the integer iteration bit-identical at any
+    // partitioning) and the census must cover the full corpus; the
+    // maximum mass belongs to ring anchors (p = 0), which must dominate
+    // strictly — a lost or double-counted message breaks one of these.
+    val rows = GraphAnalytics.corpusPageRank(spark, sf).collect()
+    val n = graft.core.Graph.nodes(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n, "census misses nodes")
+    assert(rows.forall(_.getAs[Long]("mass") % (1L << 24) == 0L),
+      "non-dyadic mass: integer iteration lost exactness")
+    val masses = rows.map(_.getAs[Long]("mass"))
+    assert(masses.max > (1L << 39), "anchor mass must exceed its own hold")
+  }
+
+  test("hof suite: the fold is genuinely ordered (reversal changes the hash)") {
+    // fold_hash = ((7·31 + x₁)·31 + x₂)… is order-sensitive; if the
+    // implementation ever degenerated into a commutative combine (the
+    // list_sum shape), reversed input would produce the same value.
+    import spark.implicits._
+    val df = Seq((1L, Seq(3L, 1L, 2L))).toDF("k", "xs")
+    val fwd = df.selectExpr(
+      "aggregate(array_sort(xs), 7L, (acc, x) -> (acc * 31 + x) % 1000003) AS h")
+      .head().getLong(0)
+    val rev = df.selectExpr(
+      "aggregate(reverse(array_sort(xs)), 7L, (acc, x) -> (acc * 31 + x) % 1000003) AS h")
+      .head().getLong(0)
+    assert(fwd != rev, "fold must be order-sensitive")
+    val expected = ((7L * 31 + 1) * 31 + 2) * 31 + 3
+    assert(fwd == expected % 1000003, "fold disagrees with manual unroll")
+  }
+
   test("VARIANT extraction equals the direct-column ground truth (no JSON anywhere)") {
     // rq94's oracle replays the payloads through DuckDB's JSON functions;
     // this spec closes the other side of the triangle — the same

@@ -555,4 +555,25 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"pipe AGGREGATE lost map-side partials:\n$p")
   }
+
+  test("rq99: GROUP BY ALL lowers to the classic aggregate — pushed filter, partial aggs, no window") {
+    val p = plan(graft.ops.SqlSurface.groupByAll(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"WHERE not pushed to scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"GROUP BY ALL lost map-side partials:\n$p")
+    assert(!p.contains("Window"), s"shorthand must not introduce a window:\n$p")
+  }
+
+  test("tx_preference_pairs: one struct-extrema aggregate — no window, partial combine intact") {
+    // The election must stay a partial-combinable aggregate; a Window (the
+    // oracle's formulation) would materialize per-pool sorts corpus-wide.
+    // Spark plans struct-typed extrema via SortAggregate (structs are not
+    // hash-aggregation buffer types) — still two-phase partial + final,
+    // which is what the 100 TB shape needs.
+    val p = plan(graft.ops.TextOps.preferencePairs(spark, sf))
+    assert(!p.contains("Window"), s"election regressed to a window:\n$p")
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2,
+      s"election lost map-side partials:\n$p")
+  }
 }

@@ -313,6 +313,66 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable renameColumn: metadata-only column mapping, chained renames, guards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_rencol").toString
+    try {
+      val base = (0 until 12).map(i => (f"K$i%02d", i.toLong, s"h$i"))
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v", "house"),
+        Seq("k"), numBuckets = 4)
+      // Metadata-only: same pointers; old files serve values under the new name.
+      val vr = t.renameColumn("house", "segment")
+      assert(t.dataPointers(0L) == t.dataPointers(vr), "RENAME rewrote data")
+      val s0 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(s0("K05").contains("h5"), s"alias read lost values: $s0")
+      // Post-rename writers store the new name; explicit NULL stays NULL
+      // (the variant coalesce must not resurrect the pre-rename value).
+      t.merge(Seq(("K01", 101L, Some("newseg")), ("K02", 102L, None))
+        .toDF("k", "v", "segment"))
+      val s1 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(s1("K01").contains("newseg") && s1("K02").isEmpty &&
+        s1("K03").contains("h3"), s"state: $s1")
+      // Chained rename: segment -> zone resolves through [segment, house].
+      t.renameColumn("segment", "zone")
+      val s2 = t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(s2("K03").contains("h3") && s2("K01").contains("newseg") &&
+        s2("K02").isEmpty, s"chained alias read: $s2")
+      // Time travel serves each era's own name.
+      assert(t.snapshotAt(0L).columns.contains("house") &&
+        !t.snapshotAt(0L).columns.contains("zone"))
+      assert(t.snapshotAt(vr).columns.contains("segment"))
+      // Reserved physical names: neither alias may be re-added.
+      val ra = intercept[IllegalArgumentException](t.addColumn("house", "STRING", "'x'"))
+      assert(ra.getMessage.contains("reserved"))
+      // Compaction materializes the current name; values survive.
+      t.compact()
+      assert(t.snapshot().as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> r._3).toMap == s2)
+      // Guards: key column, duplicate target, CHECK-referenced column.
+      assert(intercept[IllegalArgumentException](
+        t.renameColumn("k", "key2")).getMessage.contains("key column"))
+      assert(intercept[IllegalArgumentException](
+        t.renameColumn("zone", "v")).getMessage.contains("already exists"))
+      t.addCheck("v_nonneg", "v >= 0")
+      assert(intercept[IllegalArgumentException](
+        t.renameColumn("v", "val2")).getMessage.contains("check"))
+      // Defaults follow the renamed column, and branches carry the alias map.
+      t.addColumn("tier", "STRING", "'standard'")
+      t.merge(Seq(("K80", 800L)).toDF("k", "v")) // tier defaulted, zone NULL
+      t.renameColumn("tier", "grade")
+      val s3 = t.snapshot().select("k", "grade").as[(String, Option[String])]
+        .collect().toMap
+      assert(s3("K80").contains("standard"), s"default lost in rename: $s3")
+      val b = t.branch("audit")
+      val bs = b.snapshot().as[(String, Long, Option[String], Option[String])]
+        .collect().map(r => r._1 -> r._3).toMap
+      assert(bs("K03").contains("h3"), s"branch lost alias map: $bs")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable shallowClone: zero-copy, writes isolated both ways, clone vacuum spares source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_clone").toString
