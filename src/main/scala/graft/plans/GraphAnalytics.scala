@@ -368,8 +368,16 @@ object GraphAnalytics {
       val msgs = g.aggregateMessages[Long](ctx => ctx.sendToDst(ctx.srcAttr / 2), _ + _)
       val next = g.outerJoinVertices(msgs)((id, _, m) =>
         (if ((id / mod) % B == 0L) hold else 0L) + m.getOrElse(0L)).cache()
-      next.vertices.foreachPartition(_ => ()) // materialize before dropping the old round
-      g.unpersist(blocking = false)
+      // Materialize BOTH halves of the new round before dropping the old
+      // one: `next.edges` is the old edge RDD with the new vertex attrs
+      // shipped LAZILY, so unpersisting the old graph after forcing only
+      // the vertices would make every later round recompute its edge
+      // lineage all the way back to the parquet scan (quadratic total
+      // work — observed 66 s at sf0.1 vs ~2 s with the edge force).
+      next.edges.foreachPartition(_ => ())
+      next.vertices.foreachPartition(_ => ())
+      g.unpersistVertices(blocking = false)
+      g.edges.unpersist(blocking = false)
       g = next
     }
     val out = spark.createDataFrame(g.vertices.map { case (_, m) => Tuple1(m) })
