@@ -156,6 +156,8 @@ object SparkEntry {
     "tx_chat_template" -> ((s, d) => TextOps.chatTemplate(s, d)),
     // DPO prep: per-prompt chosen/rejected election, one struct-extrema agg.
     "tx_preference_pairs" -> ((s, d) => TextOps.preferencePairs(s, d)),
+    // GRPO prep: exact scale-free group-relative advantages, zero-sum cert.
+    "tx_grpo_advantage" -> ((s, d) => TextOps.grpoAdvantage(s, d)),
     // Per-source dataset card: volumes, language spread, dup rate.
     "tx_dataset_card" -> ((s, d) => TextOps.datasetCard(s, d)),
     "tx_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -199,6 +201,8 @@ object SparkEntry {
     // Survivor election per near-dup cluster: keep the richest record
     // (max n_chars, id tiebreak) via one partial-combinable argmax agg.
     "dd_survivorship" -> ((s, d) => GraphAnalytics.survivorship(s, d)),
+    // Crawl-side dedup: canonicalize URL surface forms, dd_exact's shape.
+    "dd_url_dedup" -> ((s, d) => TextOps.urlDedup(s, d)),
     "dd_semantic_cluster" -> ((s, d) => GraphAnalytics.semanticClusters(s, d)),
     // —— similarity search (extension) ——
     "sim_cosine_topk" -> ((s, d) => SimilarityOps.cosineTopK(s, d)),
@@ -466,6 +470,8 @@ object SparkEntry {
     "mm_binary_ingest" -> ((s, d) => MultimodalOps.binaryIngest(s, d)),
     "mm_shard_pack" -> ((s, d) => MultimodalOps.shardManifest(s, d)),
     "mm_phash_neardup" -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
+    // CLIP-score gating of two-tower image/caption pairs, integer micros.
+    "mm_clip_filter" -> ((s, d) => MultimodalOps.clipFilter(s, d)),
     // feat_sum / feat0 are exact integers (decodeStub accumulates raw byte
     // values — float32-exact below 2²⁴), so the stub decode is fully
     // DuckDB-checkable: the oracle recomputes the byte sums from the text.
@@ -991,6 +997,24 @@ object SparkEntry {
         |FROM ch JOIN rj USING (prompt_id)
         |WHERE n_cands >= 2 AND cr - rr >= 50
         |ORDER BY ch.prompt_id""".stripMargin,
+    // tx_grpo_advantage: the scale-free advantage reward·n − Σreward
+    // replayed exactly; DuckDB's BIGINT sums widen to HUGEINT, so every
+    // aggregate is cast back to BIGINT to match Spark's long channel.
+    "tx_grpo_advantage" ->
+      """WITH r AS (
+        |  SELECT doc_id, doc_id // 8 AS prompt_id,
+        |    n_chars * 1000 + (doc_id * 2654435761 % 1009) % 1000 AS reward
+        |  FROM documents),
+        |s AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(reward) AS BIGINT) AS rsum
+        |      FROM r GROUP BY 1),
+        |a AS (SELECT r.prompt_id, r.reward * s.n - s.rsum AS adv, s.n
+        |      FROM r JOIN s USING (prompt_id))
+        |SELECT prompt_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN adv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(max(adv) AS BIGINT) AS max_adv_scaled,
+        |  CAST(sum(adv) AS BIGINT) AS zero_sum
+        |FROM a GROUP BY prompt_id ORDER BY prompt_id""".stripMargin,
     "tx_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks,
@@ -1387,6 +1411,42 @@ object SparkEntry {
          |SELECT component, CAST(n_members AS BIGINT) AS n_members,
          |  doc_id AS survivor_id, n_chars AS survivor_nchars
          |FROM r WHERE rk = 1 ORDER BY component""".stripMargin,
+    // dd_url_dedup: the three surface variants rebuilt verbatim, then the
+    // canonicalization replayed with regexp parsing (the fn_url_suite
+    // idiom — DuckDB has no parse_url): lowercase host, strip trailing
+    // slash, drop fragment, drop utm_* params, sort survivors.
+    "dd_url_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id // 3 AS page_id, doc_id % 3 AS variant
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE variant
+        |      WHEN 0 THEN 'https://cdn' || (page_id % 4) || '.example.org/p/'
+        |        || page_id || '?id=' || page_id || '&lang=l' || (page_id % 5)
+        |      WHEN 1 THEN 'HTTPS://CDN' || (page_id % 4) || '.Example.ORG/p/'
+        |        || page_id || '/?lang=l' || (page_id % 5) || '&id=' || page_id
+        |        || '&utm_source=feed'
+        |      ELSE 'https://cdn' || (page_id % 4) || '.example.org/p/'
+        |        || page_id || '?lang=l' || (page_id % 5) || '&id=' || page_id
+        |        || '#section-2'
+        |    END AS url
+        |  FROM v),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    'https://'
+        |    || lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+        |    || regexp_replace(
+        |         regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+        |    || '?'
+        |    || array_to_string(list_sort(list_filter(
+        |         string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |         p -> p[1:4] != 'utm_')), '&') AS canon
+        |  FROM u)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        |  min(doc_id) AS keep_id
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     // dd_semantic_cluster: recursive min-label propagation over the
     // embedding-cosine >= 0.4 pair graph (same fixpoint as GraphX CC).
     "dd_semantic_cluster" ->
@@ -4194,6 +4254,29 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(list_transform(generate_series(1, length(text)),
         |    i -> CASE WHEN (i - 1) % 8 = 0 THEN unicode(text[i]) ELSE 0 END)), 0) AS BIGINT) AS feat0
         |FROM documents WHERE doc_id < 100 ORDER BY media_id""".stripMargin,
+    // mm_clip_filter: the two-tower pairing + cosine replayed with the
+    // same fold order, dropped to integer micros via floor on both sides
+    // (floor-then-cast: Spark CAST truncates, DuckDB rounds).
+    "mm_clip_filter" ->
+      s"""WITH $embCte,
+         |p AS (
+         |  SELECT i.vec_id // 2 AS pair_id, i.label,
+         |    CAST(floor(list_sum(list_transform(generate_series(1, len(i.v)),
+         |        k -> i.v[k] * c.v[k])) / (i.nrm * c.nrm) * 1000000)
+         |      AS BIGINT) AS clip_micro
+         |  FROM ne i JOIN ne c ON c.vec_id = i.vec_id + 1
+         |  WHERE i.vec_id % 2 = 0),
+         |g AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN clip_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept,
+         |    CAST(coalesce(sum(CASE WHEN clip_micro >= 0 THEN clip_micro END), 0)
+         |      AS BIGINT) AS kept_clip_micro_sum,
+         |    CAST(max(clip_micro) AS BIGINT) AS max_clip_micro
+         |  FROM p GROUP BY label)
+         |SELECT label, n_pairs, n_kept, kept_clip_micro_sum, max_clip_micro,
+         |  n_kept * 1000000 // n_pairs AS kept_ppm
+         |FROM g ORDER BY label""".stripMargin,
   )
 
   /** Shared embeddings-with-norm CTE (doubles BEFORE any arithmetic). */

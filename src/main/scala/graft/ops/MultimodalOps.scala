@@ -234,4 +234,44 @@ object MultimodalOps {
         min("media_id").as("first_id"), max("media_id").as("last_id"))
       .orderBy("format", "shard_id")
   }
+
+  /** CLIP-score gating of image–caption pairs (mm_clip_filter) — the
+    * LAION-style curation step: every candidate pair gets an image-text
+    * similarity from a two-tower embedding model, and pairs below the
+    * alignment threshold are dropped before training. Pairs are formed
+    * deterministically from the embeddings table (even vec_id = image
+    * tower, odd vec_id = its caption tower — the two-tower layout a real
+    * CLIP batch inference emits), joined on pair_id = vec_id DIV 2: an
+    * EQUI-join that shuffles both sides once on the pair key at 100 TB,
+    * never an all-pairs comparison. The cosine uses the codegen'd
+    * `DotProduct` fold (same index order as the oracle's list_sum), then
+    * drops to exact integer micros via floor — sums of micros are
+    * partial-agg-safe, so the per-label retention stats (n_pairs, n_kept,
+    * kept_ppm, kept mass) hash-certify across engines. One scan, one
+    * equi-join, one hash aggregate. */
+  def clipFilter(spark: SparkSession, sfDir: String, thresholdMicro: Long = 0L): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.ops.SimilarityOps.dot(col("v"), col("v"))))
+    val img = e.filter(expr("vec_id % 2 = 0"))
+      .select(expr("vec_id DIV 2").as("pair_id"), col("label"),
+        col("v").as("iv"), col("nrm").as("inrm"))
+    val cap = e.filter(expr("vec_id % 2 = 1"))
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    img.join(cap, "pair_id")
+      .withColumn("clip_micro",
+        floor(graft.ops.SimilarityOps.dot(col("iv"), col("cv")) /
+          (col("inrm") * col("cnrm")) * lit(1000000.0)).cast("long"))
+      .withColumn("keep", col("clip_micro") >= thresholdMicro)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("clip_micro"))), lit(0L))
+          .as("kept_clip_micro_sum"),
+        max("clip_micro").as("max_clip_micro"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_pairs"))
+      .orderBy("label")
+  }
 }

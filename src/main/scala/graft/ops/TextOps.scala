@@ -1637,4 +1637,82 @@ object TextOps {
       .limit(k)
       .select(col("doc_id"), col("n_chars"),
         round(col("es_key") * 1e9).cast("long").as("key_nano"))
+
+  /** URL-canonicalization dedup (dd_url_dedup) — the web-crawl dedup pass
+    * that runs BEFORE any content hashing: the same page is fetched under
+    * many surface forms (host case, trailing slash, tracking params,
+    * fragments, query-param order), and canonicalizing the URL collapses
+    * them without reading a byte of the body. Three deterministic surface
+    * variants are derived per logical page (uppercase host + trailing
+    * slash + utm_ junk; reordered params + fragment), then canonicalized:
+    * lowercase host, strip the trailing slash, drop the fragment, drop
+    * `utm_*` params, SORT the survivors. The canonical key feeds exactly
+    * dd_exact's shape — one scan of codegen'd string ops into one hash
+    * aggregate, no joins — so the pass costs the same at 100 TB as a
+    * plain distinct. `n_raw_forms` certifies the collapse is real work
+    * (three DISTINCT raw strings per full group, not accidental equality).
+    * Reference anchor: the crawl-side twin of app.py:60-69's
+    * constraint-backed entity dedup. */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("doc_id DIV 3").as("page_id"),
+        expr("doc_id % 3").as("variant"))
+      .withColumn("url",
+        when(col("variant") === 0,
+          concat(lit("https://cdn"), col("page_id") % 4,
+            lit(".example.org/p/"), col("page_id"),
+            lit("?id="), col("page_id"), lit("&lang=l"), col("page_id") % 5))
+        .when(col("variant") === 1,
+          concat(lit("HTTPS://CDN"), col("page_id") % 4,
+            lit(".Example.ORG/p/"), col("page_id"), lit("/"),
+            lit("?lang=l"), col("page_id") % 5, lit("&id="), col("page_id"),
+            lit("&utm_source=feed")))
+        .otherwise(
+          concat(lit("https://cdn"), col("page_id") % 4,
+            lit(".example.org/p/"), col("page_id"),
+            lit("?lang=l"), col("page_id") % 5, lit("&id="), col("page_id"),
+            lit("#section-2"))))
+    raw
+      .withColumn("canon", concat(lit("https://"),
+        lower(expr("parse_url(url, 'HOST')")),
+        regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+        lit("?"),
+        expr("array_join(array_sort(filter(split(parse_url(url, 'QUERY'), '&')," +
+          " p -> substr(p, 1, 4) != 'utm_')), '&')")))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min("doc_id").as("keep_id"))
+      .orderBy("canon")
+  }
+
+  /** Group-relative advantage computation (tx_grpo_advantage) — the RL
+    * post-training prep step (GRPO family): k sampled completions per
+    * prompt, advantage = reward − group mean. Floats would make the mean
+    * unhashable (partial-agg order), so the advantage is kept EXACT and
+    * scale-free as `reward·n − Σreward` (n× the advantage, pure integer —
+    * same sign, same argmax). Two hash aggregates + one equi-join back on
+    * the group key (co-partitioned with the grouping that produced it —
+    * one shuffle of each side at 100 TB, no window, no broadcast of a
+    * data-sized side). `zero_sum` rides the output: Σ(n·adv) over a group
+    * is identically 0, so any nonzero cell is an exactness violation the
+    * driver sees as a hash miss. Rewards reuse tx_preference_pairs'
+    * deterministic stand-in (content length + multiplicative-hash
+    * tie-noise, no RNG state). */
+  def grpoAdvantage(spark: SparkSession, sfDir: String, groupSize: Int = 8): DataFrame = {
+    val r = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(s"doc_id DIV $groupSize").as("prompt_id"),
+        (col("n_chars") * lit(1000L) +
+          expr("doc_id * 2654435761 % 1009 % 1000")).as("reward"))
+    val stats = r.groupBy("prompt_id")
+      .agg(count(lit(1)).as("n"), sum("reward").as("rsum"))
+    r.join(stats, "prompt_id")
+      .withColumn("adv", col("reward") * col("n") - col("rsum"))
+      .groupBy("prompt_id")
+      .agg(max("n").as("n_samples"),
+        sum(when(col("adv") > 0, 1L).otherwise(0L)).as("n_pos"),
+        max("adv").as("max_adv_scaled"),
+        sum(col("adv")).as("zero_sum"))
+      .orderBy("prompt_id")
+  }
 }

@@ -1227,4 +1227,45 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(mean(en) > mean(other),
       s"importance ratio must separate the target slice: en=${mean(en)} other=${mean(other)}")
   }
+
+  test("url dedup: canonicalization collapses three DISTINCT raw forms per full group") {
+    // Each full page group must collapse exactly its 3 variants — and the
+    // collapse must be real normalization work (3 distinct raw strings),
+    // not accidental string equality. The group count pins coverage.
+    val rows = TextOps.urlDedup(spark, sf).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length == ((nDocs + 2) / 3).toInt, "one canon group per logical page")
+    val full = rows.filter(_.getAs[Long]("n_variants") == 3L)
+    assert(full.length >= rows.length - 1, "all full groups must collapse 3 variants")
+    assert(full.forall(_.getAs[Long]("n_raw_forms") == 3L),
+      "variants must be distinct raw strings (the canonicalizer must earn the collapse)")
+    assert(rows.forall(r => r.getAs[Long]("keep_id") % 3 == 0 ||
+      r.getAs[Long]("n_variants") < 3), "survivor must be the variant-0 doc")
+  }
+
+  test("grpo advantage: zero-sum certificate holds and advantages are scale-free exact") {
+    // Σ(n·adv) over each group is identically 0 by construction — any
+    // nonzero cell means the join/aggregate lost exactness. n_pos < n
+    // unless all rewards tie (then every advantage is 0).
+    val rows = TextOps.grpoAdvantage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("zero_sum") == 0L), "zero-sum certificate violated")
+    assert(rows.forall(r => r.getAs[Long]("n_pos") < r.getAs[Long]("n_samples")),
+      "argmax group membership: strictly fewer positive advantages than samples")
+    assert(rows.forall(r => r.getAs[Long]("max_adv_scaled") >= 0L),
+      "max advantage is never below the group mean")
+  }
+
+  test("clip filter: pair coverage is exhaustive and retention stats are consistent") {
+    val rows = graft.ops.MultimodalOps.clipFilter(spark, sf).collect()
+    val nEmb = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nEmb / 2,
+      "every even/odd tower pair must be scored exactly once")
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"))
+      assert(k <= n && r.getAs[Long]("kept_ppm") == k * 1000000L / n)
+      assert(r.getAs[Long]("max_clip_micro") <= 1000000L, "cosine cannot exceed 1")
+      if (k > 0) assert(r.getAs[Long]("kept_clip_micro_sum") >= 0L)
+    }
+  }
 }

@@ -576,4 +576,27 @@ class PlanSpec extends AnyFunSuite {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2,
       s"election lost map-side partials:\n$p")
   }
+
+  test("dd_url_dedup: one scan into a hash aggregate — no joins anywhere") {
+    // Canonicalization is pure per-row string work; the dedup must keep
+    // dd_exact's join-free shape or it stops being a 100 TB pass.
+    val p = plan(graft.ops.TextOps.urlDedup(spark, sf))
+    assert(!p.contains("Join"), s"URL dedup must not join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"canonical-key dedup lost map-side partials:\n$p")
+  }
+
+  test("tx_grpo_advantage: equi-join on the group key, no window, no nested loop") {
+    val p = plan(graft.ops.TextOps.grpoAdvantage(spark, sf))
+    assert(!p.contains("Window"), s"advantage must not use a data-sized window:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"group-stats join must stay an equi-join:\n$p")
+  }
+
+  test("mm_clip_filter: two-tower pairing is an equi-join, never all-pairs") {
+    val p = plan(graft.ops.MultimodalOps.clipFilter(spark, sf))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"CLIP pairing must be an equi-join on pair_id:\n$p")
+    assert(!p.contains("Window"), s"retention stats are one aggregate, no window:\n$p")
+  }
 }
