@@ -226,6 +226,8 @@ object SparkEntry {
     "sim_quantize_int8" -> ((s, d) => SimilarityOps.quantizedTopK(s, d)),
     "sim_radius_search" -> ((s, d) => SimilarityOps.radiusSearch(s, d)),
     "sim_batch_topk" -> ((s, d) => SimilarityOps.batchTopK(s, d)),
+    // Triplet prep: hardest positive + top-k hard negatives per anchor.
+    "sim_hard_negatives" -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "sim_cosine_hist" -> ((s, d) => SimilarityOps.cosineHistogram(s, d)),
     "sim_vq_assign" -> ((s, d) => SimilarityOps.vqAssign(s, d)),
     // —— relational / temporal (SURVEY §2.3 missing-join-kinds + §2.4 note) ——
@@ -352,6 +354,8 @@ object SparkEntry {
     "rq91_lateral_join" -> ((s, d) => graft.ops.SqlSurface.lateralTopOrders(s, d)),
     // Named-parameter SQL binding: markers bind as literals post-parse.
     "rq92_param_sql" -> ((s, d) => graft.ops.SqlSurface.parameterizedQuery(s, d)),
+    // IDENTIFIER(:param): templated table/column names, analysis-time bound.
+    "rq102_identifier" -> ((s, d) => graft.ops.SqlSurface.identifierClause(s, d)),
     // Spark 4 VARIANT type: parse_json once, typed variant_get paths.
     "rq94_variant" -> ((s, d) => graft.ops.SqlSurface.variantPayloads(s, d)),
     // Spark 4 collations: case-insensitive grouping/equality as a type.
@@ -1699,6 +1703,29 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
          |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, label, cosine
          |FROM rk WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // sim_hard_negatives: triplet mining replayed — same fold order, same
+    // floor-to-micros, same tie order (cos desc, vec_id asc).
+    "sim_hard_negatives" ->
+      s"""WITH $embCte
+         |, q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+         |        FROM ne WHERE vec_id < 8),
+         |sc AS (
+         |  SELECT q.qid, q.qlabel, ne.vec_id, ne.label,
+         |    CAST(floor(list_sum(list_transform(generate_series(1, len(v)),
+         |        i -> v[i] * qv[i])) / (nrm * qn) * 1000000) AS BIGINT) AS cos_micro
+         |  FROM ne, q WHERE ne.vec_id <> q.qid),
+         |hp AS (SELECT qid, max(cos_micro) AS pos_micro FROM sc
+         |       WHERE label = qlabel GROUP BY qid),
+         |neg AS (
+         |  SELECT qid, vec_id, label, cos_micro,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_micro DESC, vec_id) AS rnk
+         |  FROM sc WHERE label <> qlabel)
+         |SELECT n.qid, CAST(rnk AS INT) AS rnk, n.vec_id AS neg_id,
+         |  n.label AS neg_label, n.cos_micro AS neg_micro, hp.pos_micro,
+         |  n.cos_micro > hp.pos_micro - 100000 AS margin_violation
+         |FROM neg n JOIN hp USING (qid)
+         |WHERE rnk <= 3 ORDER BY n.qid, rnk""".stripMargin,
     // sim_cosine_hist: pairwise-cosine histogram over the bounded sample;
     // bucket membership on the ROUNDED score.
     "sim_cosine_hist" ->
@@ -1762,6 +1789,16 @@ object SparkEntry {
         |FROM customer
         |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey < 400
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // rq102: IDENTIFIER(:p) binds names at analysis time — the oracle is
+    // the literal query those bindings resolve to.
+    "rq102_identifier" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS qty_x100,
+        |  CAST(max(l_quantity) AS DOUBLE) AS max_qty
+        |FROM lineitem
+        |WHERE l_orderkey < 5000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // rq94: same payloads through DuckDB's JSON extraction — only the
     // extracted values compare, so the certification is representation-
     // independent (Spark walks binary VARIANT, DuckDB walks JSON text).

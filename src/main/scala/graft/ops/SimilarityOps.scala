@@ -756,4 +756,45 @@ object SimilarityOps {
       .select(col("qid"), col("rnk"), col("vec_id"), col("label"), col("cosine"))
       .orderBy("qid", "rnk")
   }
+
+  /** Hard-negative mining for contrastive training (sim_hard_negatives) —
+    * the triplet-prep pass of embedding-model training: for each anchor,
+    * the hardest POSITIVE (highest-cosine same-label neighbor) and the
+    * top-k hardest NEGATIVES (highest-cosine different-label vectors),
+    * plus the triplet-margin violation flag (negative within `marginMicro`
+    * of the hardest positive — the pairs a triplet loss actually learns
+    * from). Everything integer-micros (floor of cosine·10⁶): max/argmax
+    * are order-independent, so the per-anchor elections are
+    * partial-agg-safe at any partitioning. Plan shape: the bounded anchor
+    * set broadcasts against ONE corpus scan (batchTopK's shape); the
+    * hardest positive is a plain hash-aggregate argmax; the negative
+    * ranking is a window over the |anchors|-bounded qid domain. At 100 TB
+    * the anchor batch stays the broadcast side and the corpus is read
+    * once. */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+                    nAnchors: Long = 8L, k: Int = 3,
+                    marginMicro: Long = 100000L): DataFrame = {
+    val e = normed(spark, sfDir)
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        floor(dot(col("v"), col("qv")) / (col("nrm") * col("qn")) *
+          lit(1000000.0)).cast("long").as("cos_micro"))
+    val hardestPos = scored.filter(col("label") === col("qlabel"))
+      .groupBy("qid").agg(max("cos_micro").as("pos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_micro"), asc("vec_id"))
+    scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .join(broadcast(hardestPos), "qid")
+      .select(col("qid"), col("rnk"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("cos_micro").as("neg_micro"),
+        col("pos_micro"),
+        (col("cos_micro") > col("pos_micro") - marginMicro).as("margin_violation"))
+      .orderBy("qid", "rnk")
+  }
 }

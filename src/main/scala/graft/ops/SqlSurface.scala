@@ -94,6 +94,27 @@ object SqlSurface {
       Map("seg" -> "MACHINERY", "cap" -> Int.box(400)))
   }
 
+  /** IDENTIFIER clause (rq102_identifier) — Spark 4's templated-name
+    * surface: table AND column references bound from named parameters
+    * through `IDENTIFIER(:param)`, the safe form of dynamic SQL that
+    * multi-tenant warehouse jobs use instead of string interpolation
+    * (names resolve at ANALYSIS time, so injection is impossible and the
+    * optimized plan is identical to the literal query — same pushed scan,
+    * same two-phase aggregate). The oracle is that literal query. */
+  def identifierClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(CAST(IDENTIFIER(:measure) AS DECIMAL(18,2)) * 100
+        |    AS DECIMAL(38,0))) AS BIGINT) AS qty_x100,
+        |  CAST(max(IDENTIFIER(:measure)) AS DOUBLE) AS max_qty
+        |FROM IDENTIFIER(:tbl)
+        |WHERE IDENTIFIER(:key_col) < :cap
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("tbl" -> "graft_lineitem", "measure" -> "l_quantity",
+        "key_col" -> "l_orderkey", "cap" -> Int.box(5000)))
+  }
+
   /** Spark 4 VARIANT surface (rq94) — semi-structured payloads parsed
     * ONCE into the binary VARIANT type (`parse_json`), then served by
     * TYPED path extraction (`variant_get` with an explicit result type):

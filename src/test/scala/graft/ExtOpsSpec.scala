@@ -1256,6 +1256,26 @@ class ExtOpsSpec extends AnyFunSuite {
       "max advantage is never below the group mean")
   }
 
+  test("hard negatives: labels genuinely differ, ranking is tight, margin flag consistent") {
+    val rows = SimilarityOps.hardNegatives(spark, sf).collect()
+    val anchorLabels = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 8).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 3),
+      "every anchor must yield exactly k negatives")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neg_label") != anchorLabels(r.getAs[Long]("qid")),
+        "a negative must come from a different label")
+      assert(r.getAs[Boolean]("margin_violation") ==
+        (r.getAs[Long]("neg_micro") > r.getAs[Long]("pos_micro") - 100000L))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val ms = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("neg_micro"))
+      assert(ms.zip(ms.tail).forall { case (a, b) => a >= b },
+        "negatives must be ranked hardest-first")
+    }
+  }
+
   test("clip filter: pair coverage is exhaustive and retention stats are consistent") {
     val rows = graft.ops.MultimodalOps.clipFilter(spark, sf).collect()
     val nEmb = graft.core.Tables.embeddings(spark, sf).count()

@@ -593,6 +593,17 @@ class PlanSpec extends AnyFunSuite {
       s"group-stats join must stay an equi-join:\n$p")
   }
 
+  test("rq102_identifier: parameter-bound names resolve to the literal plan — filter pushed") {
+    // IDENTIFIER(:p) binds at analysis time; the proof is that the
+    // bound key column's predicate reaches the parquet scan exactly as
+    // the literal query's would.
+    val p = plan(graft.ops.SqlSurface.identifierClause(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_orderkey"),
+      s"bound predicate not pushed to scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bound aggregate lost map-side partials:\n$p")
+  }
+
   test("mm_clip_filter: two-tower pairing is an equi-join, never all-pairs") {
     val p = plan(graft.ops.MultimodalOps.clipFilter(spark, sf))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
