@@ -82,6 +82,8 @@ object SparkEntry {
     "s38_add_column" -> ((s, d) => GraphOps.txAddColumn(s, d)),
     // RENAME COLUMN: metadata-only column-mapping rename on TxTable.
     "s39_rename_column" -> ((s, d) => GraphOps.txRenameColumn(s, d)),
+    // DSv2 connector read: format("graft") with bucket + column pushdown.
+    "s40_dsv2_read" -> ((s, d) => GraphOps.txDsv2Read(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3470,6 +3472,20 @@ object SparkEntry {
     // digit-4 names credited 1000 and audited); cat_v = 1 and both
     // atomicity certificates must come back true. Money as BIGINT cents
     // (round-4 lesson: derived-DECIMAL hashing is driver-hostile).
+    // s40: the connector must agree with the protocol replay — merge the
+    // %7 promotion, drop the DV'd key, money as BIGINT cents; the three
+    // connector certificates (full-read equality, one-bucket prune, DV
+    // applied) are asserted engine-side and ride as literal true.
+    "s40_dsv2_read" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%7' THEN 'PROMOTED' ELSE house END AS house,
+         |  CAST(round((CASE WHEN name LIKE '%7' THEN acctbal + 1000
+         |              ELSE acctbal END) * 100) AS BIGINT) AS acctbal_x100,
+         |  true AS conn_full_match, true AS pruned_plan, true AS dv_applied
+         |FROM n
+         |WHERE name IN ('Customer#000000002', 'Customer#000000007')
+         |ORDER BY name""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte
          |SELECT name,

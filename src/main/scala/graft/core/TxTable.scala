@@ -269,6 +269,15 @@ final class TxTable private (spark: SparkSession, dir: String,
       a.toSeq.sortBy(_._1)
         .map { case (c, as) => s"$c\t${as.mkString(",")}" }.mkString("\n"))
 
+  /** Resolved physical layout of version `v` for external readers (the
+    * DSv2 connector): bucketId → (data bucket dir, DV bucket dirs).
+    * Paths come through `bucketPath`, so shallow-clone absolute pointers
+    * resolve exactly as the native read path resolves them. */
+  private[graft] def layoutAt(v: Long): Map[Long, (String, Seq[String])] =
+    manifest(v).map { case (b, r) =>
+      b -> (bucketPath(r.data, b), r.dvs.map(d => bucketPath(d, b)))
+    }
+
   /** Time travel: the table exactly as of committed version `v`. Every
     * manifest is immutable and copy-on-write never rewrites a referenced
     * file in place, so any still-present version reconstructs exactly —

@@ -573,6 +573,69 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** DataSource V2 connector demo (s40_dsv2_read) — the TxTable read
+    * through `spark.read.format("graft")` (graft.sources.GraftDataSource):
+    * the connector packaging that lets ANY Spark consumer read the
+    * transactional table without linking this library. The lifecycle
+    * exercises the contract end-to-end: copy-on-write merge (v1) then a
+    * merge-on-read delete (v2, DV'd bucket), read back through the
+    * connector. Three certificates ride the hash channel:
+    * `conn_full_match` — the connector's full-table read equals the
+    * native snapshot row-for-row (including the DV anti-join, applied
+    * reader-side from planning-shipped key sets); `pruned_plan` — a key
+    * equality pushed through SupportsPushDownFilters plans exactly ONE
+    * input partition out of the manifest's buckets (the connector
+    * re-derives the bucket with Catalyst's own XxHash64, so hash
+    * agreement with the write path is by construction); `dv_applied` —
+    * the deleted key is absent from the connector read. Write-path
+    * governance-demo class like s28 (bounded base; the protocol is the
+    * product). Reference anchor: the durable MERGE target any external
+    * reader of app.py:100-132's store would need. */
+  def txDsv2Read(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s40").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED"))
+        .withColumn("acctbal", col("acctbal") + 1000))
+      t.deleteMergeOnRead(spark.createDataFrame(
+        Seq(Tuple1("Customer#000000013"))).toDF("name"))
+
+      def conn = spark.read.format("graft").option("keys", "name").load(dir)
+      val fullMatch = conn.collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().collect().map(_.mkString("|")).sorted.toSeq
+      // Plan-level probe: the pushed key equality must prune the batch to
+      // one bucket of the manifest's eight.
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+      val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(cmap)
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(Array(org.apache.spark.sql.sources.EqualTo(
+          "name", "Customer#000000007")))
+      val planned = sb.build().toBatch.planInputPartitions().length
+      val pruned = planned == 1 && t.layoutAt(t.version).size > 1
+      val dvApplied =
+        conn.filter(col("name") === "Customer#000000013").count() == 0
+
+      conn.filter(col("name").isin(
+          "Customer#000000002", "Customer#000000007", "Customer#000000013"))
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          lit(fullMatch).as("conn_full_match"),
+          lit(pruned).as("pruned_plan"),
+          lit(dvApplied).as("dv_applied"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
     * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
     * audited there, and only then fast-forwarded to main. Two certificates

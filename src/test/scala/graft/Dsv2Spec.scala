@@ -1,0 +1,119 @@
+package graft
+
+import graft.core.{Graph, TxTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 connector must agree with the native TxTable read path on
+  * every feature the table can carry — evolution, defaults, renames,
+  * merge-on-read deletes, time travel — and its pushdown hooks must
+  * actually prune (buckets at the listing level, columns at the parquet
+  * projection level). */
+class Dsv2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshTable(prefix: String): (String, TxTable) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val base = Graph.nodes(spark, sf)
+      .filter(col("name") <= "Customer#000000199")
+      .select("name", "house", "acctbal")
+    (dir, TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8))
+  }
+
+  private def connRead(dir: String, extra: (String, String)*) = {
+    val r = spark.read.format("graft").option("keys", "name")
+    extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(dir)
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("connector read equals the native snapshot through the full feature gauntlet") {
+    val (dir, t) = freshTable("graft_dsv2_full")
+    try {
+      // merge (copy-on-write v1) — update two keys
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED")))
+      // widening evolution with a DEFAULT (v2)
+      t.addColumn("tier", "INT", "3")
+      // rename (v3): readers must serve pre-rename files under the new name
+      t.renameColumn("house", "segment")
+      // merge-on-read delete (v4): DV applied, not rewritten
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000013").toDF("name"))
+
+      val native = t.snapshot()
+      val conn = connRead(dir)
+      assert(conn.schema.fieldNames.toSeq == native.schema.fieldNames.toSeq,
+        "connector schema must match the evolved logical schema")
+      assert(asSet(conn.select("name", "segment", "tier")) ==
+        asSet(native.select("name", "segment", "tier")),
+        "connector disagrees with the native read path")
+      assert(!asSet(conn.select("name")).contains("Customer#000000013"),
+        "merge-on-read delete not applied by the connector")
+    } finally TxTable.drop(dir)
+  }
+
+  test("time travel via versionAsOf matches snapshotAt") {
+    val (dir, t) = freshTable("graft_dsv2_tt")
+    try {
+      t.merge(t.snapshot().filter(col("name").endsWith("2"))
+        .withColumn("acctbal", col("acctbal") + 1000))
+      assert(asSet(connRead(dir, "versionAsOf" -> "0")) == asSet(t.snapshotAt(0)))
+      assert(asSet(connRead(dir)) == asSet(t.snapshotAt(1)))
+    } finally TxTable.drop(dir)
+  }
+
+  test("key-equality filter prunes the plan to ONE bucket; unfiltered plans all") {
+    val (dir, t) = freshTable("graft_dsv2_prune")
+    try {
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new CaseInsensitiveStringMap(opts)
+      val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+      def partitions(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+        val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions().length
+      }
+      val full = partitions(Array.empty)
+      assert(full == t.layoutAt(t.version).size, "unfiltered scan must plan every bucket")
+      assert(partitions(Array(EqualTo("name", "Customer#000000002"))) == 1,
+        "key equality must prune to the single hashed bucket")
+      // The pruned bucket must actually CONTAIN the key (hash agreement
+      // between the connector's Catalyst eval and the write path).
+      val row = connRead(dir).filter(col("name") === "Customer#000000002").collect()
+      assert(row.length == 1, "pruned read lost the row — hash mismatch")
+    } finally TxTable.drop(dir)
+  }
+
+  test("column pruning survives a DV (key fetched internally, not emitted)") {
+    val (dir, t) = freshTable("graft_dsv2_prunecols")
+    try {
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000002").toDF("name"))
+      val houses = connRead(dir).select("house") // key column pruned away
+      assert(houses.schema.fieldNames.toSeq == Seq("house"))
+      assert(houses.count() == t.snapshot().count(),
+        "DV must still apply when the key column is pruned from the output")
+    } finally TxTable.drop(dir)
+  }
+
+  test("unsupported schemas and missing options refuse loudly") {
+    val (dir, _) = freshTable("graft_dsv2_refuse")
+    try {
+      intercept[IllegalArgumentException] {
+        spark.read.format("graft").load(dir).collect() // no keys option
+      }
+      val p = new graft.sources.GraftTableProvider
+      val bad = StructType.fromDDL("a ARRAY<INT>")
+      assert(!graft.sources.GraftDataSource.supported(bad.fields.head.dataType))
+    } finally TxTable.drop(dir)
+  }
+}
