@@ -64,7 +64,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   private def open(options: CaseInsensitiveStringMap): graft.core.TxTable = {
-    val dir = Option(options.get("path")).getOrElse(
+    val dir = Option(options.get("path")).map(GraftDataSource.localPath).getOrElse(
       throw new IllegalArgumentException("graft source requires a path"))
     val keys = Option(options.get("keys")).getOrElse(
       throw new IllegalArgumentException(
@@ -88,7 +88,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(opts.get("path"), opts.get("keys").split(',').toSeq.map(_.trim),
+    new GraftTable(GraftDataSource.localPath(opts.get("path")),
+      opts.get("keys").split(',').toSeq.map(_.trim),
       schema, Option(opts.get("versionAsOf")).map(_.toLong))
   }
 
@@ -96,6 +97,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 private[graft] object GraftDataSource {
+  /** The session catalog hands LOCATION/path down as a `file:` URI; the
+    * table's log lives on the local filesystem path underneath it. */
+  def localPath(p: String): String =
+    if (p != null && p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
+
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType |
          DateType | TimestampType => true
@@ -260,7 +268,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       GraftInputPartition(b, files.toArray,
         resolved.map(_._1).toArray, resolved.map(_._2).toArray,
         fetch.toDDL, required.length,
-        keyCols.indices.map(i => fetch.fieldIndex(keyCols(i))).toArray,
+        if (hasDvs) keyCols.map(fetch.fieldIndex).toArray else Array.empty[Int],
         dvKeys(dvDirs),
         fetch.fields.map(f => defaultValues.get(f.name).orNull))
         .asInstanceOf[InputPartition]
@@ -289,7 +297,10 @@ final class GraftReaderFactory extends PartitionReaderFactory {
 final class GraftPartitionReader(p: GraftInputPartition)
   extends PartitionReader[InternalRow] {
 
-  private val fetch = StructType.fromDDL(p.fetchDdl)
+  // count(*)-style scans prune every column away: the fetch DDL is empty
+  // and rows carry zero fields (row COUNT is still exact).
+  private val fetch =
+    if (p.fetchDdl.isEmpty) new StructType() else StructType.fromDDL(p.fetchDdl)
   private val deleted: Set[List[Any]] = p.deletedKeys.map(_.toList).toSet
   private var fileIdx = -1
   private var reader: ParquetReader[Group] = null

@@ -105,6 +105,23 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("SQL surface: CREATE TABLE ... USING graft serves SELECTs through the catalog") {
+    val (dir, t) = freshTable("graft_dsv2_sql")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_sql_tx")
+      spark.sql(s"CREATE TABLE graft_sql_tx USING graft " +
+        s"OPTIONS (path '$dir', keys 'name')")
+      try {
+        val viaSql = spark.sql(
+          "SELECT name, house FROM graft_sql_tx WHERE name = 'Customer#000000002'")
+        assert(viaSql.collect().map(_.getString(1)).length == 1,
+          "catalog-registered connector table must serve SQL point reads")
+        assert(spark.sql("SELECT count(*) FROM graft_sql_tx").head().getLong(0) ==
+          t.snapshot().count())
+      } finally spark.sql("DROP TABLE IF EXISTS graft_sql_tx")
+    } finally TxTable.drop(dir)
+  }
+
   test("unsupported schemas and missing options refuse loudly") {
     val (dir, _) = freshTable("graft_dsv2_refuse")
     try {
