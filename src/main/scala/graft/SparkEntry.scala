@@ -358,6 +358,10 @@ object SparkEntry {
     "rq92_param_sql" -> ((s, d) => graft.ops.SqlSurface.parameterizedQuery(s, d)),
     // IDENTIFIER(:param): templated table/column names, analysis-time bound.
     "rq102_identifier" -> ((s, d) => graft.ops.SqlSurface.identifierClause(s, d)),
+    // EXECUTE IMMEDIATE: dynamic SQL text in a variable, ? bound via USING.
+    "rq103_execute_immediate" -> ((s, d) => graft.ops.SqlSurface.executeImmediate(s, d)),
+    // ntile/rank/dense_rank over bounded per-order partitions, honest ties.
+    "rq104_ntile" -> ((s, d) => graft.ops.SqlSurface.ntileRanks(s, d)),
     // Spark 4 VARIANT type: parse_json once, typed variant_get paths.
     "rq94_variant" -> ((s, d) => graft.ops.SqlSurface.variantPayloads(s, d)),
     // Spark 4 collations: case-insensitive grouping/equality as a type.
@@ -478,6 +482,8 @@ object SparkEntry {
     "mm_phash_neardup" -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
     // CLIP-score gating of two-tower image/caption pairs, integer micros.
     "mm_clip_filter" -> ((s, d) => MultimodalOps.clipFilter(s, d)),
+    // VAD-style activity segmentation: HOF folds, no explode, no window.
+    "mm_vad_segments" -> ((s, d) => MultimodalOps.vadSegments(s, d)),
     // feat_sum / feat0 are exact integers (decodeStub accumulates raw byte
     // values — float32-exact below 2²⁴), so the stub decode is fully
     // DuckDB-checkable: the oracle recomputes the byte sums from the text.
@@ -1801,6 +1807,28 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey < 5000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // rq103: EXECUTE IMMEDIATE compiles to the literal statement.
+    "rq103_execute_immediate" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS DECIMAL(38,0))) AS BIGINT) AS price_x100
+        |FROM orders WHERE o_custkey < 300
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // rq104: identical window SQL — ntile on the total order (position-
+    // deterministic), rank/dense_rank on the tied order (tie-defined).
+    "rq104_ntile" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity / 10) AS BIGINT) AS qbucket
+        |  FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber, qbucket,
+        |  CAST(ntile(4) OVER (PARTITION BY l_orderkey
+        |    ORDER BY qbucket DESC, l_linenumber) AS INT) AS quartile,
+        |  CAST(rank() OVER (PARTITION BY l_orderkey
+        |    ORDER BY qbucket DESC) AS INT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY l_orderkey
+        |    ORDER BY qbucket DESC) AS INT) AS drnk
+        |FROM l ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // rq94: same payloads through DuckDB's JSON extraction — only the
     // extracted values compare, so the certification is representation-
     // independent (Spark walks binary VARIANT, DuckDB walks JSON text).
@@ -4330,6 +4358,36 @@ object SparkEntry {
          |SELECT label, n_pairs, n_kept, kept_clip_micro_sum, max_clip_micro,
          |  n_kept * 1000000 // n_pairs AS kept_ppm
          |FROM g ORDER BY label""".stripMargin,
+    // mm_vad_segments: framing, energy gate, and both run-length scans
+    // replayed with the identical integer recurrences (the max-run fold
+    // encodes (current, best) as cur·10⁵ + best in one BIGINT).
+    "mm_vad_segments" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |    text, CAST(ceil(length(text) / 32.0) AS INT) AS nf
+        |  FROM documents WHERE doc_id < 100 AND length(text) > 0),
+        |a AS (
+        |  SELECT media_id, format, nf,
+        |    list_transform(generate_series(1, nf), j ->
+        |      CASE WHEN list_sum(list_transform(
+        |          generate_series((j - 1) * 32 + 1, least(j * 32, length(text))),
+        |          i -> unicode(text[i]))) >= 2560
+        |      THEN 1 ELSE 0 END) AS acts
+        |  FROM d)
+        |SELECT media_id, format, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(list_sum(acts), 0) AS BIGINT) AS n_active,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, nf), i ->
+        |    acts[i] * (1 - CASE WHEN i = 1 THEN 0 ELSE acts[i - 1] END))), 0)
+        |    AS BIGINT) AS n_segments,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(acts, x -> CAST(x AS BIGINT))),
+        |    (acc, x) -> CASE WHEN x = 1
+        |      THEN ((acc // 100000) + 1) * 100000
+        |         + greatest(acc % 100000, (acc // 100000) + 1)
+        |      ELSE acc % 100000 END) % 100000 AS BIGINT) AS max_run
+        |FROM a ORDER BY media_id""".stripMargin,
   )
 
   /** Shared embeddings-with-norm CTE (doubles BEFORE any arithmetic). */

@@ -235,6 +235,53 @@ object MultimodalOps {
       .orderBy("format", "shard_id")
   }
 
+  /** Activity segmentation over opaque media bytes (mm_vad_segments) —
+    * the voice-activity-detection shape of audio curation: the byte
+    * stream is cut into fixed frames, each frame's ENERGY (byte-value
+    * sum — the stub stand-in for RMS, same contract as decodeStub) gates
+    * it active/inactive, and maximal active runs become segments. The
+    * interesting part is the PLAN: everything — framing, energy, the
+    * run-length scan — is higher-order-function folds inside ONE
+    * map-only codegen projection; no explode (no per-byte row blowup,
+    * the dd_cdc_chunk lesson), no window, no shuffle until the final
+    * display sort. The max-run fold carries (current, best) encoded in
+    * one BIGINT (cur·10⁵ + best) so the same integer recurrence replays
+    * verbatim as DuckDB's list_reduce. Bounded demo set (media_id < 100,
+    * the mm_features contract); at 100 TB the projection maps over every
+    * row with zero extra rows materialized. */
+  def vadSegments(spark: SparkSession, sfDir: String,
+                  frame: Int = 32, perByteFloor: Int = 80,
+                  maxId: Long = 100L): DataFrame = {
+    val threshold = frame * perByteFloor
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxId && length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        element_at(lit(Formats.toArray), (col("doc_id") % 3 + 1).cast("int"))
+          .as("format"),
+        col("text"))
+      .withColumn("nf", ceil(length(col("text")) / lit(frame)).cast("int"))
+      .withColumn("acts", expr(
+        s"""transform(sequence(1, nf), j ->
+           |  CASE WHEN aggregate(
+           |    sequence((j - 1) * $frame + 1, least(j * $frame, length(text))),
+           |    0L, (a, i) -> a + ascii(substr(text, i, 1))) >= $threshold
+           |  THEN 1 ELSE 0 END)""".stripMargin))
+      .select(col("media_id"), col("format"),
+        col("nf").cast("long").as("n_frames"),
+        expr("aggregate(acts, 0L, (a, x) -> a + x)").as("n_active"),
+        // A segment starts where an active frame follows an inactive one.
+        expr("""aggregate(transform(sequence(1, nf), i ->
+               |  element_at(acts, i) *
+               |    (1 - IF(i = 1, 0, element_at(acts, i - 1)))),
+               |0L, (a, x) -> a + x)""".stripMargin).as("n_segments"),
+        expr("""aggregate(acts, 0L, (acc, x) ->
+               |  CASE WHEN x = 1
+               |    THEN ((acc DIV 100000) + 1) * 100000
+               |       + greatest(acc % 100000, (acc DIV 100000) + 1)
+               |    ELSE acc % 100000 END) % 100000""".stripMargin).as("max_run"))
+      .orderBy("media_id")
+  }
+
   /** CLIP-score gating of image–caption pairs (mm_clip_filter) — the
     * LAION-style curation step: every candidate pair gets an image-text
     * similarity from a two-tower embedding model, and pairs below the

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, dense_rank, floor, ntile, rank}
 
 /** The textual-SQL entry point (`spark.sql`) over the engine's tables —
   * the API surface a reference user gets "for free" from an engine built
@@ -92,6 +93,53 @@ object SqlSurface {
         |WHERE c_mktsegment <> :seg AND c_custkey < :cap
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       Map("seg" -> "MACHINERY", "cap" -> Int.box(400)))
+  }
+
+  /** EXECUTE IMMEDIATE (rq103_execute_immediate) — Spark 4's dynamic-SQL
+    * verb, composed with the session-variable surface (rq96): the
+    * statement TEXT lives in a SQL variable and positional `?` markers
+    * bind from USING — the parameterized form that replaces string
+    * interpolation in warehouse job runners (the statement compiles
+    * through the normal analyzer, so the plan is the literal query's:
+    * pushed scan filter, two-phase aggregate). Oracle = that literal
+    * query. */
+  def executeImmediate(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    spark.sql(
+      """SET VAR graft_stmt =
+        |  'SELECT o_orderstatus, count(*) AS n,
+        |     CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |       AS DECIMAL(38,0))) AS BIGINT) AS price_x100
+        |   FROM graft_orders WHERE o_custkey < ?
+        |   GROUP BY o_orderstatus ORDER BY o_orderstatus'""".stripMargin)
+    spark.sql("EXECUTE IMMEDIATE graft_stmt USING 300")
+  }
+
+  /** Ranking-function family over BOUNDED partitions (rq104_ntile):
+    * ntile / rank / dense_rank, the three the window suites (rq5, rq13,
+    * rq31) don't already cover. Tie semantics are exercised HONESTLY:
+    * rank/dense_rank order by a coarse quantity bucket (real ties —
+    * their outputs are well-defined under ties), while ntile orders by
+    * the fully-tiebroken key, because ntile assigns by ROW POSITION and
+    * would be engine-dependent under ties. Partitions are per-order
+    * (≤ 7 rows each, the lineitem contract) — the window never sees a
+    * data-sized partition, so at 100 TB this is a partial sort inside
+    * each hash-clustered order, the rq32 rule's bounded shape. */
+  def ntileRanks(spark: SparkSession, sfDir: String, maxOrder: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(col("l_quantity") / 10).cast("long")
+    val tied = Window.partitionBy("l_orderkey").orderBy(col("qbucket").desc)
+    val total = Window.partitionBy("l_orderkey")
+      .orderBy(col("qbucket").desc, col("l_linenumber").asc)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < maxOrder)
+      .withColumn("qbucket", bucket)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qbucket"),
+        ntile(4).over(total).cast("int").as("quartile"),
+        rank().over(tied).cast("int").as("rnk"),
+        dense_rank().over(tied).cast("int").as("drnk"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** IDENTIFIER clause (rq102_identifier) — Spark 4's templated-name

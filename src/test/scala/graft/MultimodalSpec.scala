@@ -172,4 +172,27 @@ class MultimodalSpec extends AnyFunSuite {
       expr("graft_rolling_hash(trim(regexp_replace(lower(text), '\\\\s+', ' ')))").as("sqlfn"))
     assert(three.filter(col("hof") =!= col("native") || col("hof") =!= col("sqlfn")).count() == 0)
   }
+
+  test("vad segments: run-length invariants hold against a plain Scala replay") {
+    val rows = graft.ops.MultimodalOps.vadSegments(spark, sf).collect()
+    val texts = graft.core.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100 && length(col("text")) > 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("media_id"))
+      val acts = text.grouped(32).map(b =>
+        if (b.map(_.toInt).sum >= 2560) 1 else 0).toSeq
+      val runs = acts.foldLeft(List.empty[Int]) {
+        case (h :: t, 1) if h > 0 => (h + 1) :: t
+        case (acc, 1) => 1 :: acc
+        case (acc, _) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_frames") == acts.length, "frame count")
+      assert(r.getAs[Long]("n_active") == acts.sum, "active count")
+      assert(r.getAs[Long]("n_segments") == runs.length, "segment count")
+      assert(r.getAs[Long]("max_run") == (if (runs.isEmpty) 0 else runs.max), "max run")
+    }
+  }
 }

@@ -604,6 +604,24 @@ class PlanSpec extends AnyFunSuite {
       s"bound aggregate lost map-side partials:\n$p")
   }
 
+  test("mm_vad_segments: one map-only projection — no explode, no window, no join") {
+    // The run-length scan must stay inside the row (HOF folds): a
+    // Generate (per-frame explode) or Window would materialize
+    // data-proportional intermediate rows — the dd_cdc_chunk lesson.
+    val p = plan(graft.ops.MultimodalOps.vadSegments(spark, sf))
+    assert(!p.contains("Generate"), s"frame explode crept in:\n$p")
+    assert(!p.contains("Window"), s"run-length scan regressed to a window:\n$p")
+    assert(!p.contains("Join"), s"segmentation must not join:\n$p")
+  }
+
+  test("rq103_execute_immediate: dynamic text compiles to the literal pushed plan") {
+    val p = plan(graft.ops.SqlSurface.executeImmediate(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(o_custkey"),
+      s"USING-bound predicate not pushed to scan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"dynamic statement lost map-side partials:\n$p")
+  }
+
   test("mm_clip_filter: two-tower pairing is an equi-join, never all-pairs") {
     val p = plan(graft.ops.MultimodalOps.clipFilter(spark, sf))
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
