@@ -57,7 +57,8 @@ object Bench {
     // class), and Map hash order let that churn land on arbitrary
     // neighbors, making round-over-round per-query reads noisy.
     val isStreaming = (n: String) =>
-      n.startsWith("st_") || n == "s13_stream_merge" || n == "s14_stream_file_sink"
+      n.startsWith("st_") || n == "s13_stream_merge" ||
+        n == "s14_stream_file_sink" || n == "s41_change_feed"
     val ordered = selected.toSeq.sortBy { case (n, _) => (isStreaming(n), n) }
     val results = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>

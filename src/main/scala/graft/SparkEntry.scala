@@ -84,6 +84,8 @@ object SparkEntry {
     "s39_rename_column" -> ((s, d) => GraphOps.txRenameColumn(s, d)),
     // DSv2 connector read: format("graft") with bucket + column pushdown.
     "s40_dsv2_read" -> ((s, d) => GraphOps.txDsv2Read(s, d)),
+    // Streaming change feed: readStream over the commit log, fold == snapshot.
+    "s41_change_feed" -> ((s, d) => GraphOps.txChangeFeed(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3511,6 +3513,18 @@ object SparkEntry {
          |  CAST(round((CASE WHEN name LIKE '%7' THEN acctbal + 1000
          |              ELSE acctbal END) * 100) AS BIGINT) AS acctbal_x100,
          |  true AS conn_full_match, true AS pruned_plan, true AS dv_applied
+         |FROM n
+         |WHERE name IN ('Customer#000000002', 'Customer#000000007')
+         |ORDER BY name""".stripMargin,
+    // s41: the folded change feed must equal the protocol replay (same
+    // lifecycle as s40); the streaming certificates ride as literal true.
+    "s41_change_feed" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%7' THEN 'PROMOTED' ELSE house END AS house,
+         |  CAST(round((CASE WHEN name LIKE '%7' THEN acctbal + 1000
+         |              ELSE acctbal END) * 100) AS BIGINT) AS acctbal_x100,
+         |  true AS replay_matches, true AS versions_ok, true AS delete_exact
          |FROM n
          |WHERE name IN ('Customer#000000002', 'Customer#000000007')
          |ORDER BY name""".stripMargin,

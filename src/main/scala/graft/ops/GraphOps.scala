@@ -636,6 +636,70 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Streaming change-feed demo (s41_change_feed) — the SOURCE half of the
+    * lakehouse streaming loop (s13's foreachBatch MERGE is the sink half):
+    * `spark.readStream.format("graft").option("changeFeed", "true")`
+    * streams the TxTable's commit log as micro-batches — offsets are
+    * table VERSIONS (immutable, atomically published manifests — the
+    * natural exactly-once unit), each version contributing its freshly
+    * written bucket files as `insert` post-images (copy-on-write means a
+    * commit's files ARE its delta — no diff computation anywhere) and its
+    * new deletion-vector dirs as `delete` key rows. The entry runs the
+    * real stream (AvailableNow → memory sink) over a create→merge→
+    * MOR-delete lifecycle, then FOLDS the feed (latest post-image per
+    * key, later-or-equal delete retires) and certifies the fold
+    * reconstructs the live snapshot exactly — the upsert-consumer
+    * contract any downstream materializer relies on. At 100 TB each
+    * micro-batch reads only the new commit's files: feed cost is
+    * O(changed buckets), never O(table). */
+  def txChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s41").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED"))
+        .withColumn("acctbal", col("acctbal") + 1000))
+      t.deleteMergeOnRead(spark.createDataFrame(
+        Seq(Tuple1("Customer#000000013"))).toDF("name"))
+
+      val feed = graft.streaming.StreamingOps.runToMemory(spark,
+        spark.readStream.format("graft")
+          .option("keys", "name").option("changeFeed", "true").load(dir),
+        "append").localCheckpoint()
+
+      // Fold: latest event per key via one struct-extrema aggregate
+      // (version, then delete-beats-insert at the same version).
+      val replay = feed.groupBy("name")
+        .agg(max(struct(col("_commit_version").as("v"),
+          (col("_change_type") === "delete").cast("int").as("d"),
+          col("house").as("h"), col("acctbal").as("a"))).as("top"))
+        .filter(col("top.d") === 0)
+        .select(col("name"), col("top.h").as("house"), col("top.a").as("acctbal"))
+
+      val replayMatches = replay.collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().select("name", "house", "acctbal")
+          .collect().map(_.mkString("|")).sorted.toSeq
+      val versionsOk = feed.select("_commit_version").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(0L, 1L, 2L)
+      val deleteExact = feed.filter(col("_change_type") === "delete")
+        .select("name").collect().map(_.getString(0)).toSeq ==
+        Seq("Customer#000000013")
+
+      replay.filter(col("name").isin(
+          "Customer#000000002", "Customer#000000007", "Customer#000000013"))
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          lit(replayMatches).as("replay_matches"),
+          lit(versionsOk).as("versions_ok"),
+          lit(deleteExact).as("delete_exact"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
     * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
     * audited there, and only then fast-forwarded to main. Two certificates

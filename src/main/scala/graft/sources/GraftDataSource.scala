@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, X
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,7 +83,9 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
       require(GraftDataSource.supported(f.dataType),
         s"graft connector does not support column type ${f.dataType.sql} (${f.name})")
     }
-    schema
+    if (options.getBoolean("changeFeed", false))
+      StructType(schema.fields ++ GraftDataSource.FeedMeta.fields)
+    else schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -90,7 +93,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftTable(GraftDataSource.localPath(opts.get("path")),
       opts.get("keys").split(',').toSeq.map(_.trim),
-      schema, Option(opts.get("versionAsOf")).map(_.toLong))
+      schema, Option(opts.get("versionAsOf")).map(_.toLong),
+      opts.getBoolean("changeFeed", false))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -113,23 +117,76 @@ private[graft] object GraftDataSource {
   /** Physical-type codes shipped to readers (per file × logical field). */
   val Absent = 0; val I32 = 1; val I64 = 2; val F64 = 3; val Utf8 = 4
   val Bool = 5; val F32 = 6
+
+  /** Metadata columns the change-feed stream appends to every row. */
+  val FeedMeta: StructType = StructType(Seq(
+    StructField("_commit_version", LongType, nullable = false),
+    StructField("_change_type", StringType, nullable = false)))
+
+  def parquetFiles(bucketDir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(bucketDir)
+    if (!java.nio.file.Files.isDirectory(p)) Nil
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toList.sorted
+      finally s.close()
+    }
+  }
+
+  def footerSchema(file: String, conf: Configuration): MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+    try r.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Per file, per fetch field: the physical column serving it (current
+    * name first, then rename aliases) and its primitive-type code. */
+  def resolveFile(file: String, fetch: StructType,
+                  aliases: Map[String, Seq[String]],
+                  conf: Configuration): (Array[String], Array[Int]) = {
+    val m = footerSchema(file, conf)
+    val phys = m.getFields.asScala.map(f => f.getName -> f).toMap
+    val names = new Array[String](fetch.length)
+    val codes = new Array[Int](fetch.length)
+    fetch.fields.zipWithIndex.foreach { case (f, i) =>
+      val variant = (f.name +: aliases.getOrElse(f.name, Nil)).find(phys.contains)
+      variant match {
+        case Some(n) =>
+          val pt = phys(n).asPrimitiveType().getPrimitiveTypeName
+          names(i) = n
+          codes(i) = pt match {
+            case PrimitiveType.PrimitiveTypeName.INT32 => I32
+            case PrimitiveType.PrimitiveTypeName.INT64 => I64
+            case PrimitiveType.PrimitiveTypeName.DOUBLE => F64
+            case PrimitiveType.PrimitiveTypeName.FLOAT => F32
+            case PrimitiveType.PrimitiveTypeName.BINARY => Utf8
+            case PrimitiveType.PrimitiveTypeName.BOOLEAN => Bool
+            case other => throw new IllegalArgumentException(
+              s"graft connector: unsupported physical type $other for ${f.name} in $file")
+          }
+        case None => names(i) = null; codes(i) = Absent
+      }
+    }
+    (names, codes)
+  }
 }
 
 final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
-                       versionAsOf: Option[Long])
+                       versionAsOf: Option[Long], changeFeed: Boolean = false)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, keyCols, schema0, versionAsOf)
+    new GraftScanBuilder(dir, keyCols, schema0, versionAsOf, changeFeed)
 }
 
 final class GraftScanBuilder(dir: String, keyCols: Seq[String],
-                             tableSchema: StructType, versionAsOf: Option[Long])
+                             tableSchema: StructType, versionAsOf: Option[Long],
+                             changeFeed: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -155,16 +212,32 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(dir, keyCols, tableSchema, required, pushed, versionAsOf)
+    new GraftScan(dir, keyCols, tableSchema, required, pushed, versionAsOf, changeFeed)
 }
 
 final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
-                      versionAsOf: Option[Long])
+                      versionAsOf: Option[Long], changeFeed: Boolean = false)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!changeFeed,
+      "graft changeFeed is a STREAMING read — use spark.readStream (batch " +
+        "state lives at snapshot()/versionAsOf)")
+    this
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(changeFeed,
+      "graft streaming reads require .option(\"changeFeed\", \"true\") — " +
+        "the stream is the table's commit-granular change feed")
+    // Strip the synthesized metadata columns: partitions read the table's
+    // physical fields, the reader appends (_commit_version, _change_type).
+    val metaNames = GraftDataSource.FeedMeta.fieldNames.toSet
+    new GraftMicroBatchStream(dir, keyCols,
+      StructType(tableSchema.fields.filterNot(f => metaNames.contains(f.name))))
+  }
   override def description(): String =
     s"GraftScan(dir=$dir, keys=${keyCols.mkString(",")}, " +
       s"pushed=[${pushed.mkString(", ")}], columns=[${required.fieldNames.mkString(",")}])"
@@ -211,48 +284,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     }
 
     val conf = new Configuration()
-    def parquetFiles(bucketDir: String): Seq[String] = {
-      val p = java.nio.file.Paths.get(bucketDir)
-      if (!java.nio.file.Files.isDirectory(p)) Nil
-      else {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toList.sorted
-        finally s.close()
-      }
-    }
-    def footer(file: String): MessageType = {
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
-      try r.getFileMetaData.getSchema finally r.close()
-    }
-    // Per file, per fetch field: the physical column serving it (current
-    // name first, then rename aliases) and its primitive-type code.
-    def resolve(file: String): (Array[String], Array[Int]) = {
-      val m = footer(file)
-      val phys = m.getFields.asScala.map(f => f.getName -> f).toMap
-      val names = new Array[String](fetch.length)
-      val codes = new Array[Int](fetch.length)
-      fetch.fields.zipWithIndex.foreach { case (f, i) =>
-        val variant = (f.name +: aliases.getOrElse(f.name, Nil)).find(phys.contains)
-        variant match {
-          case Some(n) =>
-            val pt = phys(n).asPrimitiveType().getPrimitiveTypeName
-            names(i) = n
-            codes(i) = pt match {
-              case PrimitiveType.PrimitiveTypeName.INT32 => GraftDataSource.I32
-              case PrimitiveType.PrimitiveTypeName.INT64 => GraftDataSource.I64
-              case PrimitiveType.PrimitiveTypeName.DOUBLE => GraftDataSource.F64
-              case PrimitiveType.PrimitiveTypeName.FLOAT => GraftDataSource.F32
-              case PrimitiveType.PrimitiveTypeName.BINARY => GraftDataSource.Utf8
-              case PrimitiveType.PrimitiveTypeName.BOOLEAN => GraftDataSource.Bool
-              case other => throw new IllegalArgumentException(
-                s"graft connector: unsupported physical type $other for ${f.name} in $file")
-            }
-          case None => names(i) = null; codes(i) = GraftDataSource.Absent
-        }
-      }
-      (names, codes)
-    }
+    import GraftDataSource.{parquetFiles, resolveFile}
 
     // DV key sets are bounded (equality deletes); load them at planning
     // and ship per bucket — external (JVM) values, converted at compare.
@@ -264,7 +296,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 
     chosen.toSeq.sortBy(_._1).map { case (b, (dataDir, dvDirs)) =>
       val files = parquetFiles(dataDir)
-      val resolved = files.map(resolve)
+      val resolved = files.map(f => resolveFile(f, fetch, aliases, conf))
       GraftInputPartition(b, files.toArray,
         resolved.map(_._1).toArray, resolved.map(_._2).toArray,
         fetch.toDDL, required.length,
@@ -287,7 +319,77 @@ final case class GraftInputPartition(bucket: Long, files: Array[String],
                                      fetchDdl: String, emitCount: Int,
                                      keyIdx: Array[Int],
                                      deletedKeys: Array[Array[Any]],
-                                     defaults: Array[Any]) extends InputPartition
+                                     defaults: Array[Any],
+                                     feedVersion: Long = -1L,
+                                     changeType: String = null) extends InputPartition
+
+/** Stream offset = committed table version (the natural exactly-once unit:
+  * manifests are immutable and atomically published). */
+final case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** Commit-granular CHANGE FEED over the TxTable log — the streaming-source
+  * half of the lakehouse loop (s13's foreachBatch MERGE is the sink half).
+  * Each micro-batch covers the versions committed since the last offset:
+  * for every version, the buckets whose data commit CHANGED contribute
+  * their freshly written files as `insert` post-images (copy-on-write
+  * means a commit's files are exactly its delta — no diffing needed, no
+  * driver-side row compute), and newly attached deletion-vector dirs
+  * contribute `delete` key rows. Offsets are table versions, so recovery
+  * replays exactly the unseen commits. Caveat, by design: a physical
+  * rewrite (compact/rebucket) re-emits its buckets — consumers key on the
+  * merge keys, the same contract Delta's CDF without per-row tracking has. */
+final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
+                                  dataSchema: StructType) extends MicroBatchStream {
+
+  private def table = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+
+  override def latestOffset(): Offset = GraftOffset(table.version)
+  override def initialOffset(): Offset = GraftOffset(-1L)
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    val t = table
+    val aliases = t.aliasesAt(math.max(e, 0L))
+    val conf = new Configuration()
+    import GraftDataSource.{parquetFiles, resolveFile}
+    val noDefaults = dataSchema.fields.map(_ => null: Any)
+
+    def partition(files: Seq[String], v: Long, change: String): Option[InputPartition] =
+      if (files.isEmpty) None
+      else {
+        val resolved = files.map(f => resolveFile(f, dataSchema, aliases, conf))
+        Some(GraftInputPartition(-1L, files.toArray,
+          resolved.map(_._1).toArray, resolved.map(_._2).toArray,
+          dataSchema.toDDL, dataSchema.length,
+          Array.empty[Int], Array.empty, noDefaults, v, change))
+      }
+
+    (s + 1 to e).flatMap { v =>
+      val cur = t.layoutAt(v)
+      val prev: Map[Long, (String, Seq[String])] =
+        if (v == 0) Map.empty else t.layoutAt(v - 1)
+      val inserts = cur.toSeq.sortBy(_._1).flatMap { case (b, (dataDir, _)) =>
+        if (prev.get(b).exists(_._1 == dataDir)) None
+        else partition(parquetFiles(dataDir), v, "insert")
+      }
+      val deletes = cur.toSeq.sortBy(_._1).flatMap { case (b, (_, dvs)) =>
+        val prevDvs = prev.get(b).map(_._2.toSet).getOrElse(Set.empty[String])
+        partition(dvs.filterNot(d => prevDvs.contains(
+          // prev stores RESOLVED paths too; compare resolved
+          d)).flatMap(parquetFiles), v, "delete")
+      }
+      inserts ++ deletes
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
 
 final class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -383,8 +485,13 @@ final class GraftPartitionReader(p: GraftInputPartition)
         val isDeleted = deleted.nonEmpty &&
           deleted.contains(p.keyIdx.map(k => toExternal(vals(k))).toList)
         if (!isDeleted) {
-          val emit = new Array[Any](p.emitCount)
+          val meta = if (p.changeType == null) 0 else 2
+          val emit = new Array[Any](p.emitCount + meta)
           System.arraycopy(vals, 0, emit, 0, p.emitCount)
+          if (meta == 2) {
+            emit(p.emitCount) = p.feedVersion
+            emit(p.emitCount + 1) = UTF8String.fromString(p.changeType)
+          }
           current = new GenericInternalRow(emit)
           return true
         }

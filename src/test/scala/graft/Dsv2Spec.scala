@@ -122,6 +122,39 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("change feed: streaming the commit log and folding it reconstructs the snapshot") {
+    val (dir, t) = freshTable("graft_dsv2_feed")
+    try {
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED")))
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000013").toDF("name"))
+
+      val feed = graft.streaming.StreamingOps.runToMemory(spark,
+        spark.readStream.format("graft")
+          .option("keys", "name").option("changeFeed", "true").load(dir),
+        "append").collect()
+
+      assert(feed.map(_.getAs[Long]("_commit_version")).toSet == Set(0L, 1L, 2L),
+        "feed must cover every committed version")
+      val deletes = feed.filter(_.getAs[String]("_change_type") == "delete")
+      assert(deletes.map(_.getAs[String]("name")).toSeq == Seq("Customer#000000013"),
+        "delete feed must carry exactly the DV'd key")
+      // Fold the feed: per key, the latest insert post-image wins unless a
+      // later-or-equal delete retires it — the upsert-consumer contract.
+      val replay = feed.groupBy(_.getAs[String]("name")).flatMap { case (_, evs) =>
+        val last = evs.maxBy(r =>
+          (r.getAs[Long]("_commit_version"),
+            if (r.getAs[String]("_change_type") == "delete") 1 else 0))
+        if (last.getAs[String]("_change_type") == "delete") None
+        else Some((last.getAs[String]("name"), last.getAs[String]("house")))
+      }.toSet
+      val now = t.snapshot().collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("house"))).toSet
+      assert(replay == now, "feed fold must reconstruct the live snapshot")
+    } finally TxTable.drop(dir)
+  }
+
   test("unsupported schemas and missing options refuse loudly") {
     val (dir, _) = freshTable("graft_dsv2_refuse")
     try {
