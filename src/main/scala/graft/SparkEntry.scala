@@ -154,6 +154,8 @@ object SparkEntry {
     "fn_json_suite" -> ((s, d) => graft.ops.ScalarSuites.jsonSuite(s, d)),
     // Higher-order lambdas: ordered fold, quantifiers, zip_with.
     "fn_hof_suite" -> ((s, d) => graft.ops.ScalarSuites.hofSuite(s, d)),
+    // Sign/modulo/floor-direction arithmetic corners, engine-pinned.
+    "fn_math_suite" -> ((s, d) => graft.ops.ScalarSuites.mathSuite(s, d)),
     // —— text analysis (extension: BASELINE.json north star) ——
     "tx_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     // SFT chat templating: role sentinels, token budget, loss-mask offsets.
@@ -362,6 +364,8 @@ object SparkEntry {
     "rq102_identifier" -> ((s, d) => graft.ops.SqlSurface.identifierClause(s, d)),
     // EXECUTE IMMEDIATE: dynamic SQL text in a variable, ? bound via USING.
     "rq103_execute_immediate" -> ((s, d) => graft.ops.SqlSurface.executeImmediate(s, d)),
+    // NOT IN vs NOT EXISTS under NULLs: the three-valued-logic trap, pinned.
+    "rq105_not_in_nulls" -> ((s, d) => graft.ops.SqlSurface.notInNulls(s, d)),
     // ntile/rank/dense_rank over bounded per-order partitions, honest ties.
     "rq104_ntile" -> ((s, d) => graft.ops.SqlSurface.ntileRanks(s, d)),
     // Spark 4 VARIANT type: parse_json once, typed variant_get paths.
@@ -930,6 +934,25 @@ object SparkEntry {
         |  array_to_string(list_transform(generate_series(1, len(qs)),
         |    i -> qs[i] + qs[len(qs) + 1 - i]), ',') AS palindrome_sums
         |FROM g ORDER BY l_orderkey""".stripMargin,
+    // fn_math_suite: pmod replayed as ((k%m)+m)%m (DuckDB has no pmod);
+    // double→BIGINT casts only where the double is an exact integer
+    // (floor/ceil/pow2/factorial), so truncate-vs-round can't diverge.
+    "fn_math_suite" ->
+      """SELECT c_custkey,
+        |  c_acctbal - 500.0 AS v,
+        |  abs(c_acctbal - 500.0) AS abs_v,
+        |  CAST(sign(c_acctbal - 500.0) AS BIGINT) AS sign_v,
+        |  CAST(c_custkey % 7 AS BIGINT) - 3 AS k,
+        |  CAST((CAST(c_custkey % 7 AS BIGINT) - 3) % 5 AS BIGINT) AS mod_k,
+        |  CAST((((CAST(c_custkey % 7 AS BIGINT) - 3) % 5) + 5) % 5 AS BIGINT) AS pmod_k,
+        |  greatest(c_custkey % 10, c_custkey % 7, 3) AS g3,
+        |  least(c_custkey % 10, c_custkey % 7, 3) AS l3,
+        |  CAST(floor(c_acctbal - 500.0) AS BIGINT) AS fl,
+        |  CAST(ceil(c_acctbal - 500.0) AS BIGINT) AS ce,
+        |  sqrt(abs(c_acctbal - 500.0)) AS sq,
+        |  CAST(pow(2.0, c_custkey % 11) AS BIGINT) AS pow2,
+        |  CAST(factorial(CAST(c_custkey % 6 AS INT)) AS BIGINT) AS fact
+        |FROM customer WHERE c_custkey < 60 ORDER BY c_custkey""".stripMargin,
     // tx_dataset_card: volumes + dominant language (count desc, lang asc
     // tie-break) + within-source exact-dup rate, all integer ppm.
     "tx_dataset_card" ->
@@ -1809,6 +1832,24 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey < 5000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // rq105: identical ANSI text both engines — the NOT IN + NULL
+    // collapse (0) and the NOT EXISTS complement, side by side.
+    "rq105_not_in_nulls" ->
+      """WITH probe AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey < 100),
+        |probe_null AS (
+        |  SELECT CASE WHEN o_orderkey = 7 THEN NULL ELSE o_custkey END AS o_custkey
+        |  FROM orders WHERE o_orderkey < 100)
+        |SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS not_in_clean,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM probe_null)) AS not_in_nulled,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (
+        |    SELECT 1 FROM probe_null p WHERE p.o_custkey = c.c_custkey))
+        |    AS not_exists_nulled,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM probe_null)) AS in_nulled""".stripMargin,
     // rq103: EXECUTE IMMEDIATE compiles to the literal statement.
     "rq103_execute_immediate" ->
       """SELECT o_orderstatus, count(*) AS n,

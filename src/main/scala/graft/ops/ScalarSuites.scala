@@ -180,6 +180,35 @@ object ScalarSuites {
       .orderBy("l_returnflag")
   }
 
+  /** Arithmetic-semantics sweep (fn_math_suite) — the sign/modulo corners
+    * a migration silently breaks on: `%` (sign of the DIVIDEND in both
+    * engines) vs `pmod` (always non-negative — DuckDB has no pmod, the
+    * oracle replays ((k%m)+m)%m), floor/ceil on NEGATIVE doubles (toward
+    * −∞ / +∞, not toward zero), abs/sign, greatest/least over mixed
+    * expressions, factorial as exact BIGINT, and the two
+    * cross-engine-safe float channels (sqrt is IEEE-exact; powers of two
+    * are exact doubles). Deliberately absent: round() on doubles (Spark
+    * rounds the DECIMAL rendering, DuckDB the binary double — the
+    * nullSuite note) and transcendentals (libm differs — BASELINE rule).
+    * All scalar, codegen'd, one scan. */
+  def mathSuite(spark: SparkSession, sfDir: String, maxKey: Long = 60): DataFrame =
+    Tables.customer(spark, sfDir).filter(col("c_custkey") < maxKey)
+      .selectExpr("c_custkey",
+        "c_acctbal - 500.0 AS v",
+        "abs(c_acctbal - 500.0) AS abs_v",
+        "CAST(sign(c_acctbal - 500.0) AS BIGINT) AS sign_v",
+        "CAST(c_custkey % 7 AS BIGINT) - 3 AS k",
+        "CAST((CAST(c_custkey % 7 AS BIGINT) - 3) % 5 AS BIGINT) AS mod_k",
+        "pmod(CAST(c_custkey % 7 AS BIGINT) - 3, 5) AS pmod_k",
+        "greatest(c_custkey % 10, c_custkey % 7, 3) AS g3",
+        "least(c_custkey % 10, c_custkey % 7, 3) AS l3",
+        "CAST(floor(c_acctbal - 500.0) AS BIGINT) AS fl",
+        "CAST(ceil(c_acctbal - 500.0) AS BIGINT) AS ce",
+        "sqrt(abs(c_acctbal - 500.0)) AS sq",
+        "CAST(power(2.0D, c_custkey % 11) AS BIGINT) AS pow2",
+        "CAST(factorial(CAST(c_custkey % 6 AS INT)) AS BIGINT) AS fact")
+      .orderBy("c_custkey")
+
   /** Null-semantics sweep — the three-valued-logic corner every SQL engine
     * must agree on before any filter can be trusted: NULLIF / COALESCE /
     * NVL / NVL2, null-safe equality (`<=>`, including the NULL<=>NULL

@@ -95,6 +95,37 @@ object SqlSurface {
       Map("seg" -> "MACHINERY", "cap" -> Int.box(400)))
   }
 
+  /** NOT IN vs NOT EXISTS under NULLs (rq105_not_in_nulls) — the
+    * three-valued-logic trap every SQL migration hits: `x NOT IN (subquery
+    * containing NULL)` is UNKNOWN for every row (the comparison to NULL
+    * can never confirm absence), so the count collapses to 0, while
+    * NOT EXISTS — a genuine anti-join — still returns the real complement.
+    * Both engines implement the ANSI rule; certifying the four counts
+    * side by side pins that the engine's null-aware anti-join planning
+    * (Spark rewrites NOT IN to a null-aware anti join, a broadcast-only
+    * plan shape when the subquery is small) preserves the standard's
+    * semantics rather than the intuitive ones. */
+  def notInNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """WITH probe AS (
+        |  SELECT o_custkey FROM graft_orders WHERE o_orderkey < 100),
+        |probe_null AS (
+        |  SELECT CASE WHEN o_orderkey = 7 THEN NULL ELSE o_custkey END AS o_custkey
+        |  FROM graft_orders WHERE o_orderkey < 100)
+        |SELECT
+        |  (SELECT count(*) FROM graft_customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS not_in_clean,
+        |  (SELECT count(*) FROM graft_customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM probe_null)) AS not_in_nulled,
+        |  (SELECT count(*) FROM graft_customer c WHERE NOT EXISTS (
+        |    SELECT 1 FROM probe_null p WHERE p.o_custkey = c.c_custkey))
+        |    AS not_exists_nulled,
+        |  (SELECT count(*) FROM graft_customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM probe_null)) AS in_nulled""".stripMargin)
+  }
+
   /** EXECUTE IMMEDIATE (rq103_execute_immediate) — Spark 4's dynamic-SQL
     * verb, composed with the session-variable surface (rq96): the
     * statement TEXT lives in a SQL variable and positional `?` markers
