@@ -19,6 +19,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -187,20 +189,50 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
 final class GraftScanBuilder(dir: String, keyCols: Seq[String],
                              tableSchema: StructType, versionAsOf: Option[Long],
                              changeFeed: Boolean = false)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
 
-  /** Key equalities covering EVERY key column prune to one bucket; the
-    * filters are still handed back as residuals (listing-level pruning
-    * only — Spark re-evaluates, so a hash bug could never drop rows
-    * silently, it would only read too much). */
+  /** COUNT(*) with no grouping, no residual filters, and no deletion
+    * vectors in the snapshot is answered from parquet FOOTER row counts —
+    * on a 100 TB table the count costs one footer read per file, zero
+    * data pages. A DV'd bucket cannot metadata-count (an equality delete
+    * only retires keys that exist), so any DV refuses the pushdown and
+    * the count falls back to the scanning path — correctness never rides
+    * on the shortcut. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = !changeFeed && pushed.isEmpty &&
+      aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar] && {
+        val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+        val v = versionAsOf.getOrElse(t.version)
+        t.layoutAt(v).values.forall(_._2.isEmpty)
+      }
+    if (ok) countStarPushed = true
+    ok
+  }
+
+  /** Key predicates prune the bucket listing: an equality covering EVERY
+    * key column prunes to ONE bucket; for single-key tables an IN list
+    * prunes to at most |list| buckets (the batched point-lookup shape —
+    * s28's use case through the connector). The filters are still handed
+    * back as residuals (listing-level pruning only — Spark re-evaluates,
+    * so a hash bug could never drop rows silently, it would only read
+    * too much). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val eqs = filters.collect { case EqualTo(a, v) if keyCols.contains(a) => a -> v }.toMap
-    if (keyCols.forall(eqs.contains)) {
+    val inList = keyCols.length == 1 &&
+      filters.exists { case org.apache.spark.sql.sources.In(a, _) => a == keyCols.head
+                       case _ => false }
+    if (keyCols.forall(eqs.contains) || inList) {
       pushed = filters.filter {
         case EqualTo(a, _) => keyCols.contains(a)
+        case org.apache.spark.sql.sources.In(a, _) =>
+          keyCols.length == 1 && a == keyCols.head
         case _ => false
       }
     }
@@ -212,7 +244,45 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(dir, keyCols, tableSchema, required, pushed, versionAsOf, changeFeed)
+    if (countStarPushed) new GraftCountScan(dir, keyCols, versionAsOf)
+    else new GraftScan(dir, keyCols, tableSchema, required, pushed, versionAsOf, changeFeed)
+}
+
+/** Metadata-only COUNT(*): the driver sums footer record counts at
+  * planning and ships ONE literal row; Spark's final aggregate folds it
+  * (partial-pushdown contract — supportCompletePushDown stays false). */
+final class GraftCountScan(dir: String, keyCols: Seq[String],
+                           versionAsOf: Option[Long]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCountScan(dir=$dir, PushedAggregation=[COUNT(*)] via parquet footers)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    val v = versionAsOf.getOrElse(t.version)
+    val conf = new Configuration()
+    val total = t.layoutAt(v).values.map { case (dataDir, dvs) =>
+      require(dvs.isEmpty, "metadata count planned over a DV'd bucket")
+      GraftDataSource.parquetFiles(dataDir).map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.sum
+    Array(GraftCountPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
+
+final case class GraftCountPartition(count: Long) extends InputPartition
+
+final class GraftCountReader(count: Long) extends PartitionReader[InternalRow] {
+  private var served = false
+  override def next(): Boolean = if (served) false else { served = true; true }
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
 }
 
 final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType,
@@ -255,17 +325,32 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val defaults = t.defaultsAt(v)
 
     val chosen: Map[Long, (String, Seq[String])] = {
-      val eqs = pushed.collect { case EqualTo(a, value) => a -> value }.toMap
-      if (keyCols.nonEmpty && keyCols.forall(eqs.contains)) {
-        val n = t.bucketCountAt(v)
-        val lits = keyCols.map { k =>
-          val dt = tableSchema(k).dataType
-          Literal.create(eqs(k), dt).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+      // Each pushed key tuple hashes to its bucket (the write path's
+      // pmod(xxhash64(keys), n), evaluated through Catalyst's own
+      // XxHash64); EqualTo yields one tuple, a single-key IN one per
+      // list element.
+      def bucketOf(tuple: Seq[Any], n: Long): Long = {
+        val lits = keyCols.zip(tuple).map { case (k, value) =>
+          Literal.create(value, tableSchema(k).dataType)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
         }
         val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
-        val b = ((h % n) + n) % n
-        layout.filter(_._1 == b)
-      } else layout
+        ((h % n) + n) % n
+      }
+      val eqs = pushed.collect { case EqualTo(a, value) => a -> value }.toMap
+      val tuples: Seq[Seq[Any]] =
+        if (keyCols.nonEmpty && keyCols.forall(eqs.contains))
+          Seq(keyCols.map(eqs))
+        else if (keyCols.length == 1)
+          pushed.toSeq.collect { case org.apache.spark.sql.sources.In(a, vs)
+            if a == keyCols.head => vs.toSeq.map(v0 => Seq(v0)) }.flatten
+        else Nil
+      if (tuples.isEmpty) layout
+      else {
+        val n = t.bucketCountAt(v)
+        val buckets = tuples.map(bucketOf(_, n)).toSet
+        layout.filter { case (b, _) => buckets.contains(b) }
+      }
     }
 
     // Readers must see the key columns whenever a DV has to be applied,
@@ -378,11 +463,11 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
         if (prev.get(b).exists(_._1 == dataDir)) None
         else partition(parquetFiles(dataDir), v, "insert")
       }
+      // layoutAt resolves DV paths on both sides, so set difference on the
+      // resolved strings yields exactly the DVs this version attached.
       val deletes = cur.toSeq.sortBy(_._1).flatMap { case (b, (_, dvs)) =>
         val prevDvs = prev.get(b).map(_._2.toSet).getOrElse(Set.empty[String])
-        partition(dvs.filterNot(d => prevDvs.contains(
-          // prev stores RESOLVED paths too; compare resolved
-          d)).flatMap(parquetFiles), v, "delete")
+        partition(dvs.filterNot(prevDvs.contains).flatMap(parquetFiles), v, "delete")
       }
       inserts ++ deletes
     }.toArray
@@ -392,8 +477,10 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
 }
 
 final class GraftReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition])
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case GraftCountPartition(c) => new GraftCountReader(c)
+    case gp: GraftInputPartition => new GraftPartitionReader(gp)
+  }
 }
 
 final class GraftPartitionReader(p: GraftInputPartition)

@@ -90,6 +90,15 @@ class Dsv2Spec extends AnyFunSuite {
       // between the connector's Catalyst eval and the write path).
       val row = connRead(dir).filter(col("name") === "Customer#000000002").collect()
       assert(row.length == 1, "pruned read lost the row — hash mismatch")
+      // IN-list pruning: at most |list| buckets planned, strictly fewer
+      // than the full layout, and no row lost.
+      val keys = Seq("Customer#000000002", "Customer#000000007", "Customer#000000013")
+      val inParts = partitions(Array(org.apache.spark.sql.sources.In(
+        "name", keys.toArray[Any])))
+      assert(inParts <= 3 && inParts < full,
+        s"IN list must prune to <= |list| buckets, planned $inParts of $full")
+      val got = connRead(dir).filter(col("name").isin(keys: _*)).collect()
+      assert(got.length == 3, "IN-pruned read lost rows — hash mismatch")
     } finally TxTable.drop(dir)
   }
 
@@ -152,6 +161,26 @@ class Dsv2Spec extends AnyFunSuite {
       val now = t.snapshot().collect()
         .map(r => (r.getAs[String]("name"), r.getAs[String]("house"))).toSet
       assert(replay == now, "feed fold must reconstruct the live snapshot")
+    } finally TxTable.drop(dir)
+  }
+
+  test("count(*) pushes to footer metadata on clean tables, scans when DVs exist") {
+    val (dir, t) = freshTable("graft_dsv2_count")
+    try {
+      // Clean table: the count scan must be the metadata path.
+      val df = connRead(dir).groupBy().count()
+      assert(df.head().getLong(0) == t.snapshot().count())
+      assert(df.queryExecution.executedPlan.toString.contains("GraftCountScan"),
+        "clean-table count(*) must plan the footer-metadata scan")
+      // DV'd table: pushdown must REFUSE (equality deletes only retire
+      // keys that exist — footer counts cannot see that) and the
+      // scanning path must still be exact.
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000013").toDF("name"))
+      val df2 = connRead(dir).groupBy().count()
+      assert(!df2.queryExecution.executedPlan.toString.contains("GraftCountScan"),
+        "DV'd count(*) must fall back to scanning")
+      assert(df2.head().getLong(0) == t.snapshot().count())
     } finally TxTable.drop(dir)
   }
 
