@@ -491,6 +491,14 @@ final class GraftPartitionReader(p: GraftInputPartition)
   private val fetch =
     if (p.fetchDdl.isEmpty) new StructType() else StructType.fromDDL(p.fetchDdl)
   private val deleted: Set[List[Any]] = p.deletedKeys.map(_.toList).toSet
+  // Defaults convert to Catalyst values ONCE; field indexes into the
+  // file's read schema resolve ONCE per file — the per-row loop below
+  // does no string lookups and no converter allocation.
+  private val defaultCatalyst: Array[Any] = p.defaults.map {
+    case null => null
+    case d => org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(d)
+  }
+  private var fieldIdx: Array[Int] = Array.empty
   private var fileIdx = -1
   private var reader: ParquetReader[Group] = null
   private var current: InternalRow = null
@@ -502,18 +510,21 @@ final class GraftPartitionReader(p: GraftInputPartition)
     else {
       val wanted = p.physNames(fileIdx).filter(_ != null)
       val conf = new Configuration()
-      if (wanted.nonEmpty) {
-        // Parquet-level projection: only the physical columns this file
-        // actually serves are materialized (the DSv2 column-prune hook
-        // carried down to the page level).
-        val full = {
-          val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new HPath(p.files(fileIdx)), conf))
-          try r.getFileMetaData.getSchema finally r.close()
+      val full = GraftDataSource.footerSchema(p.files(fileIdx), conf)
+      val readSchema =
+        if (wanted.isEmpty) full
+        else {
+          // Parquet-level projection: only the physical columns this file
+          // actually serves are materialized (the DSv2 column-prune hook
+          // carried down to the page level).
+          val proj = new MessageType(full.getName,
+            full.getFields.asScala.filter(f => wanted.contains(f.getName)).asJava)
+          conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+          proj
         }
-        val proj = new MessageType(full.getName,
-          full.getFields.asScala.filter(f => wanted.contains(f.getName)).asJava)
-        conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+      fieldIdx = p.physNames(fileIdx).map {
+        case null => -1
+        case n => readSchema.getFieldIndex(n)
       }
       reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p.files(fileIdx)))
         .withConf(conf).build()
@@ -526,8 +537,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
     case other => other
   }
 
-  private def convert(g: Group, name: String, code: Int, target: DataType): Any = {
-    val idx = g.getType.getFieldIndex(name)
+  private def convert(g: Group, idx: Int, code: Int, target: DataType): Any = {
     if (g.getFieldRepetitionCount(idx) == 0) null
     else (code, target) match {
       case (GraftDataSource.I64, LongType) => g.getLong(idx, 0)
@@ -541,7 +551,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
         UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
       case (GraftDataSource.Bool, BooleanType) => g.getBoolean(idx, 0)
       case (c, t) => throw new IllegalArgumentException(
-        s"graft connector: cannot serve $name (physical code $c) as ${t.sql}")
+        s"graft connector: cannot serve field $idx (physical code $c) as ${t.sql}")
     }
   }
 
@@ -552,21 +562,16 @@ final class GraftPartitionReader(p: GraftInputPartition)
       if (g == null) {
         if (!openNext()) return false
       } else {
-        val names = p.physNames(fileIdx)
         val codes = p.physCodes(fileIdx)
         val vals = new Array[Any](fetch.length)
         var i = 0
         while (i < fetch.length) {
           vals(i) =
-            if (names(i) == null) {
+            if (fieldIdx(i) < 0)
               // Absent column: the ADD-COLUMN default if one is recorded,
               // else a typed NULL — the conform() contract per file.
-              p.defaults(i) match {
-                case null => null
-                case d => org.apache.spark.sql.catalyst.CatalystTypeConverters
-                  .convertToCatalyst(d)
-              }
-            } else convert(g, names(i), codes(i), fetch.fields(i).dataType)
+              defaultCatalyst(i)
+            else convert(g, fieldIdx(i), codes(i), fetch.fields(i).dataType)
           i += 1
         }
         val isDeleted = deleted.nonEmpty &&
