@@ -86,6 +86,8 @@ object SparkEntry {
     "s40_dsv2_read" -> ((s, d) => GraphOps.txDsv2Read(s, d)),
     // Streaming change feed: readStream over the commit log, fold == snapshot.
     "s41_change_feed" -> ((s, d) => GraphOps.txChangeFeed(s, d)),
+    // COUNT(*) from parquet footers on clean snapshots; DVs fall back.
+    "s42_count_pushdown" -> ((s, d) => GraphOps.txCountPushdown(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3569,6 +3571,17 @@ object SparkEntry {
          |FROM n
          |WHERE name IN ('Customer#000000002', 'Customer#000000007')
          |ORDER BY name""".stripMargin,
+    // s42: both counts replayed from the base relation (199-name slice;
+    // the DV'd phase minus the one deleted key); plan certificates ride
+    // as literal true.
+    "s42_count_pushdown" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT count(*) AS n FROM n WHERE name <= 'Customer#000000199')
+         |SELECT 'after_mor_delete' AS phase, CAST(n - 1 AS BIGINT) AS n_rows,
+         |  true AS plan_and_count_ok FROM b
+         |UNION ALL
+         |SELECT 'clean', CAST(n AS BIGINT), true FROM b
+         |ORDER BY phase""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte
          |SELECT name,

@@ -700,6 +700,46 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Aggregate-pushdown demo (s42_count_pushdown) — COUNT(*) through the
+    * connector on a clean snapshot is answered from parquet FOOTER record
+    * counts (SupportsPushDownAggregates → GraftCountScan: one footer read
+    * per file, zero data pages — the O(files) count a 100 TB table
+    * wants), while the same count after a merge-on-read delete REFUSES
+    * the shortcut (an equality delete only retires keys that exist;
+    * footers cannot know) and scans — both counts certified against the
+    * native snapshot, both PLANS certified from executedPlan. Lifecycle
+    * class like s40. */
+  def txCountPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s42").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      def conn = spark.read.format("graft").option("keys", "name").load(dir)
+
+      val clean = conn.groupBy().count()
+      val cleanMeta = clean.queryExecution.executedPlan.toString
+        .contains("GraftCountScan")
+      val cleanCount = clean.head().getLong(0)
+
+      t.deleteMergeOnRead(spark.createDataFrame(
+        Seq(Tuple1("Customer#000000013"))).toDF("name"))
+      val dvd = conn.groupBy().count()
+      val dvdScans = !dvd.queryExecution.executedPlan.toString
+        .contains("GraftCountScan")
+      val dvdCount = dvd.head().getLong(0)
+
+      spark.createDataFrame(Seq(
+          ("clean", cleanCount, cleanMeta && cleanCount == base.count()),
+          ("after_mor_delete", dvdCount,
+            dvdScans && dvdCount == t.snapshot().count())))
+        .toDF("phase", "n_rows", "plan_and_count_ok")
+        .orderBy("phase")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
     * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
     * audited there, and only then fast-forwarded to main. Two certificates
