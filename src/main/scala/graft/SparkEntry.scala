@@ -88,6 +88,8 @@ object SparkEntry {
     "s41_change_feed" -> ((s, d) => GraphOps.txChangeFeed(s, d)),
     // COUNT(*) from parquet footers on clean snapshots; DVs fall back.
     "s42_count_pushdown" -> ((s, d) => GraphOps.txCountPushdown(s, d)),
+    // MIN/MAX from parquet footer statistics; DVs and strings fall back.
+    "s43_minmax_pushdown" -> ((s, d) => GraphOps.txMinMaxPushdown(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3581,6 +3583,23 @@ object SparkEntry {
          |  true AS plan_and_count_ok FROM b
          |UNION ALL
          |SELECT 'clean', CAST(n AS BIGINT), true FROM b
+         |ORDER BY phase""".stripMargin,
+    // s43: both extrema phases replayed from the base relation (199-name
+    // slice; the DV'd phase minus the one deleted key), money as BIGINT
+    // cents; plan certificates ride as literal true.
+    "s43_minmax_pushdown" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT name, acctbal FROM n WHERE name <= 'Customer#000000199')
+         |SELECT 'after_mor_delete' AS phase,
+         |  CAST(round(min(acctbal) * 100) AS BIGINT) AS lo_x100,
+         |  CAST(round(max(acctbal) * 100) AS BIGINT) AS hi_x100,
+         |  true AS plan_and_value_ok, true AS string_refused
+         |FROM b WHERE name <> 'Customer#000000013'
+         |UNION ALL
+         |SELECT 'clean',
+         |  CAST(round(min(acctbal) * 100) AS BIGINT),
+         |  CAST(round(max(acctbal) * 100) AS BIGINT), true, true
+         |FROM b
          |ORDER BY phase""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte

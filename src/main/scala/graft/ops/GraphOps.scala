@@ -740,6 +740,62 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** MIN/MAX-pushdown demo (s43_minmax_pushdown) — MIN/MAX of a numeric
+    * column through the connector on a clean snapshot is answered from
+    * parquet FOOTER column statistics (SupportsPushDownAggregates →
+    * GraftStatsScan: one footer read per file, zero data pages — the
+    * O(files) extrema a 100 TB table wants), while the same aggregate
+    * REFUSES the shortcut after a merge-on-read delete (a retired row may
+    * have held the extremum — footers cannot know) and for STRING columns
+    * always (writers may truncate binary footer stats; a truncated min is
+    * silently wrong). Both values certified bit-exactly against the
+    * scanning path, both PLANS certified from executedPlan — correctness
+    * never rides the optimization. Lifecycle class like s42. */
+  def txMinMaxPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s43").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      def conn = spark.read.format("graft").option("keys", "name").load(dir)
+      def scanned(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(min("acctbal"), max("acctbal")).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+
+      val clean = conn.agg(min("acctbal").as("lo"), max("acctbal").as("hi"))
+      val cleanStats = clean.queryExecution.executedPlan.toString
+        .contains("GraftStatsScan")
+      val cleanRow = clean.head()
+      val cleanOk = cleanStats &&
+        (cleanRow.getDouble(0), cleanRow.getDouble(1)) == scanned(t.snapshot())
+      // Strings must always scan: binary footer stats may be truncated.
+      val strRefused = !conn.agg(min("name")).queryExecution.executedPlan
+        .toString.contains("GraftStatsScan")
+
+      t.deleteMergeOnRead(spark.createDataFrame(
+        Seq(Tuple1("Customer#000000013"))).toDF("name"))
+      val dvd = conn.agg(min("acctbal").as("lo"), max("acctbal").as("hi"))
+      val dvdScans = !dvd.queryExecution.executedPlan.toString
+        .contains("GraftStatsScan")
+      val dvdRow = dvd.head()
+      val dvdOk = dvdScans &&
+        (dvdRow.getDouble(0), dvdRow.getDouble(1)) == scanned(t.snapshot())
+
+      spark.createDataFrame(Seq(
+          ("clean",
+            math.round(cleanRow.getDouble(0) * 100),
+            math.round(cleanRow.getDouble(1) * 100), cleanOk, strRefused),
+          ("after_mor_delete",
+            math.round(dvdRow.getDouble(0) * 100),
+            math.round(dvdRow.getDouble(1) * 100), dvdOk, strRefused)))
+        .toDF("phase", "lo_x100", "hi_x100", "plan_and_value_ok", "string_refused")
+        .orderBy("phase")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
     * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
     * audited there, and only then fast-forwarded to main. Two certificates

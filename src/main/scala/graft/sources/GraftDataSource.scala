@@ -11,16 +11,16 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,6 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the cluster) can read a TxTable without linking graft's classes.
   *
   * What the connector maps onto the DSv2 contract:
+  *  - **snapshot pinning** (the Delta/Iceberg snapshot-at-analysis
+  *    contract): the committed version is resolved ONCE, when the table is
+  *    resolved (`inferSchema`/`getTable`), and that pinned version is
+  *    threaded through schema, aggregate pushdown and scan planning — a
+  *    commit landing mid-planning can never mix schema v+1 with data v,
+  *    tear a self-join across two versions, or invalidate a pushed
+  *    metadata aggregate before execution;
   *  - one `InputPartition` per manifest BUCKET — the table's physical
   *    parallelism unit, so a 100 TB table plans one task per bucket and
   *    readers never contend on a file;
@@ -48,15 +55,42 @@ import org.apache.spark.unsafe.types.UTF8String
   *    stays with the engine;
   *  - `SupportsPushDownRequiredColumns`: the pruned schema becomes the
   *    parquet projection each reader requests (footer-level column skip);
+  *  - `SupportsPushDownAggregates`: COUNT(*) answers from footer record
+  *    counts; MIN/MAX of numeric/date/timestamp columns answer from
+  *    footer column statistics — both REFUSE whenever a deletion vector
+  *    exists (equality deletes retire rows footers still count/bound),
+  *    whenever a file lacks usable statistics, and (MIN/MAX) for string
+  *    columns (writers may truncate binary footer stats — a truncated
+  *    min is silently wrong, so strings always scan);
   *  - merge-on-read deletion vectors: DV key sets load once at planning
-  *    (they are bounded — deleted keys, not data) and ship with the
-  *    bucket's partition; readers drop matching rows, which is exactly
-  *    the native path's anti-join semantics for the equality-delete case;
+  *    (they are bounded — deleted keys, not data), are converted to
+  *    CATALYST values per key type (UTF8String / days / micros — so
+  *    DATE and TIMESTAMP keys compare correctly against what the reader
+  *    materializes), and ship with the bucket's partition; readers drop
+  *    matching rows, which is exactly the native path's anti-join
+  *    semantics for the equality-delete case;
   *  - schema evolution: per-file footers are probed once at planning and
   *    each file ships its logical→physical column resolution (rename
   *    ALIASES, ADD-COLUMN DEFAULTS evaluated driver-side to literals,
   *    absent columns as typed NULL) — the `conform` rules, applied
-  *    per file inside the reader.
+  *    per file inside the reader. TIMESTAMP columns honor the parquet
+  *    logical-type annotation (MICROS native, MILLIS converted, legacy
+  *    INT96 — the Spark writer's default — decoded from its Julian-day
+  *    layout, NANOS rejected eagerly at planning with a clear message);
+  *  - the change feed accepts `.option("skipLayoutOnly", "true")` to drop
+  *    layout-only commits (compact / rebucket / compact-partial) from the
+  *    stream — they rewrite bucket POINTERS, not logical rows (s20's own
+  *    snapshot-unchanged certificate), so merge-key consumers see
+  *    identical state with O(changed buckets) instead of O(table) per
+  *    OPTIMIZE.
+  *
+  * Data-plane note (measured, see BASELINE.md): the reader materializes
+  * one parquet-example `Group` per row — pruning, pushdown and
+  * parallelism match the native path, but the per-row constant factor is
+  * several × Spark's vectorized parquet reader. The connector is the
+  * INTEROP contract (point lookups, feeds, external readers); bulk
+  * analytical scans should use the library's native
+  * `TxTable.snapshot()`, which reads through Spark's vectorized path.
   *
   * Read-only by design: writes go through the library's transactional
   * protocol (optimistic publish, rebase) — a connector write path that
@@ -65,6 +99,16 @@ import org.apache.spark.unsafe.types.UTF8String
 final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Snapshot pinning: `inferSchema` resolves the committed version once
+    * and remembers it; `getTable` (always called on the SAME provider
+    * instance, right after) reuses it for identical options, so schema
+    * and data come from one version even if a commit lands in between. */
+  @volatile private var lastResolved: (String, Long) = null
+
+  private def pinKey(options: CaseInsensitiveStringMap): String =
+    s"${GraftDataSource.localPath(options.get("path"))}|${options.get("keys")}|" +
+      s"${Option(options.get("versionAsOf")).getOrElse("")}"
 
   private def open(options: CaseInsensitiveStringMap): graft.core.TxTable = {
     val dir = Option(options.get("path")).map(GraftDataSource.localPath).getOrElse(
@@ -80,7 +124,9 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val t = open(options)
-    val schema = t.schemaAt(versionOf(t, options))
+    val v = versionOf(t, options)
+    lastResolved = (pinKey(options), v)
+    val schema = t.schemaAt(v)
     schema.fields.foreach { f =>
       require(GraftDataSource.supported(f.dataType),
         s"graft connector does not support column type ${f.dataType.sql} (${f.name})")
@@ -93,10 +139,15 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val cached = lastResolved
+    val pinned =
+      if (cached != null && cached._1 == pinKey(opts)) cached._2
+      else versionOf(open(opts), opts) // catalog path without a fresh inferSchema
     new GraftTable(GraftDataSource.localPath(opts.get("path")),
       opts.get("keys").split(',').toSeq.map(_.trim),
-      schema, Option(opts.get("versionAsOf")).map(_.toLong),
-      opts.getBoolean("changeFeed", false))
+      schema, pinned,
+      opts.getBoolean("changeFeed", false),
+      opts.getBoolean("skipLayoutOnly", false))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -119,6 +170,15 @@ private[graft] object GraftDataSource {
   /** Physical-type codes shipped to readers (per file × logical field). */
   val Absent = 0; val I32 = 1; val I64 = 2; val F64 = 3; val Utf8 = 4
   val Bool = 5; val F32 = 6
+  /** INT64 annotated TIMESTAMP(MILLIS) — reader converts to micros. */
+  val I64Ms = 7
+  /** INT96 legacy timestamp (the Spark writer's default) — reader decodes
+    * the 12-byte (nanos-of-day, Julian-day) layout to Catalyst micros. */
+  val I96 = 8
+
+  /** Commit ops that rewrite bucket POINTERS but no logical rows — the
+    * set `skipLayoutOnly` drops from the change feed. */
+  val LayoutOnlyOps: Set[String] = Set("compact", "rebucket", "compact-partial")
 
   /** Metadata columns the change-feed stream appends to every row. */
   val FeedMeta: StructType = StructType(Seq(
@@ -141,6 +201,22 @@ private[graft] object GraftDataSource {
     try r.getFileMetaData.getSchema finally r.close()
   }
 
+  /** The physical-type code an INT64 column serves under, honoring the
+    * parquet logical-type annotation: un-annotated and TIMESTAMP(MICROS)
+    * read natively; TIMESTAMP(MILLIS) converts at the reader; NANOS has
+    * no lossless micros representation and is rejected at planning. */
+  private def int64Code(f: org.apache.parquet.schema.Type, col: String, file: String): Int =
+    f.getLogicalTypeAnnotation match {
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => I64
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => I64Ms
+          case other => throw new IllegalArgumentException(
+            s"graft connector: unsupported timestamp unit $other for $col in $file")
+        }
+      case _ => I64
+    }
+
   /** Per file, per fetch field: the physical column serving it (current
     * name first, then rename aliases) and its primitive-type code. */
   def resolveFile(file: String, fetch: StructType,
@@ -158,11 +234,11 @@ private[graft] object GraftDataSource {
           names(i) = n
           codes(i) = pt match {
             case PrimitiveType.PrimitiveTypeName.INT32 => I32
-            case PrimitiveType.PrimitiveTypeName.INT64 => I64
+            case PrimitiveType.PrimitiveTypeName.INT64 => int64Code(phys(n), f.name, file)
             case PrimitiveType.PrimitiveTypeName.DOUBLE => F64
             case PrimitiveType.PrimitiveTypeName.FLOAT => F32
             case PrimitiveType.PrimitiveTypeName.BINARY => Utf8
-            case PrimitiveType.PrimitiveTypeName.BOOLEAN => Bool
+            case PrimitiveType.PrimitiveTypeName.INT96 => I96
             case other => throw new IllegalArgumentException(
               s"graft connector: unsupported physical type $other for ${f.name} in $file")
           }
@@ -174,7 +250,8 @@ private[graft] object GraftDataSource {
 }
 
 final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
-                       versionAsOf: Option[Long], changeFeed: Boolean = false)
+                       pinnedVersion: Long, changeFeed: Boolean = false,
+                       skipLayoutOnly: Boolean = false)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$dir`"
@@ -183,37 +260,149 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, keyCols, schema0, versionAsOf, changeFeed)
+    new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed, skipLayoutOnly)
 }
 
 final class GraftScanBuilder(dir: String, keyCols: Seq[String],
-                             tableSchema: StructType, versionAsOf: Option[Long],
-                             changeFeed: Boolean = false)
+                             tableSchema: StructType, pinnedVersion: Long,
+                             changeFeed: Boolean = false,
+                             skipLayoutOnly: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var countStarPushed = false
+  private var statsSchema: StructType = null
+  private var statsRow: Array[Any] = null
 
-  /** COUNT(*) with no grouping, no residual filters, and no deletion
-    * vectors in the snapshot is answered from parquet FOOTER row counts —
-    * on a 100 TB table the count costs one footer read per file, zero
-    * data pages. A DV'd bucket cannot metadata-count (an equality delete
-    * only retires keys that exist), so any DV refuses the pushdown and
-    * the count falls back to the scanning path — correctness never rides
-    * on the shortcut. */
+  /** Aggregates with no grouping, no residual filters, and no deletion
+    * vectors in the pinned snapshot are answered from parquet FOOTERS —
+    * COUNT(*) from record counts, MIN/MAX of numeric/date/timestamp
+    * columns from column statistics. On a 100 TB table that costs one
+    * footer read per file, zero data pages. Refusals keep correctness off
+    * the shortcut: any DV (an equality delete only retires keys that
+    * exist — footers cannot know), any file missing the column (its rows
+    * answer from the ADD-COLUMN default, which stats don't cover), any
+    * chunk without usable statistics (writer disabled them, or doubles
+    * saw a NaN), STRING columns always (binary footer stats may be
+    * writer-truncated — a truncated min is silently wrong), and any
+    * timestamp unit other than MICROS. All metadata resolves against the
+    * PINNED version, so a DV landing after pushdown cannot invalidate
+    * the answer. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = !changeFeed && pushed.isEmpty &&
-      aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar] && {
-        val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
-        val v = versionAsOf.getOrElse(t.version)
-        t.layoutAt(v).values.forall(_._2.isEmpty)
+    if (changeFeed || pushed.nonEmpty ||
+      aggregation.groupByExpressions().nonEmpty ||
+      aggregation.aggregateExpressions().isEmpty) return false
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    val layout = t.layoutAt(pinnedVersion)
+    if (!layout.values.forall(_._2.isEmpty)) return false
+    if (aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])) {
+      countStarPushed = true
+      return true
+    }
+    computeStats(t, layout, aggregation) match {
+      case Some((schema, row)) => statsSchema = schema; statsRow = row; true
+      case None => false
+    }
+  }
+
+  /** A pushed aggregate position: None = COUNT(*), Some((col, isMin)). */
+  private def classify(aggregation: Aggregation): Option[Array[Option[(String, Boolean)]]] = {
+    def statCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+          tableSchema.fieldNames.contains(nr.fieldNames()(0)) &&
+          (tableSchema(nr.fieldNames()(0)).dataType match {
+            case LongType | IntegerType | DoubleType | DateType | TimestampType => true
+            case _ => false // strings/booleans always scan
+          }) => Some(nr.fieldNames()(0))
+        case _ => None
       }
-    if (ok) countStarPushed = true
-    ok
+    val specs = aggregation.aggregateExpressions().map {
+      case _: CountStar => Some(None)
+      case m: Min => statCol(m.column).map(c => Some((c, true)))
+      case m: Max => statCol(m.column).map(c => Some((c, false)))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None else Some(specs.map(_.get))
+  }
+
+  private def computeStats(t: graft.core.TxTable,
+                           layout: Map[Long, (String, Seq[String])],
+                           aggregation: Aggregation): Option[(StructType, Array[Any])] = {
+    val specs = classify(aggregation).getOrElse(return None)
+    val cols = specs.flatten.map(_._1).distinct.toSeq
+    val aliases = t.aliasesAt(pinnedVersion)
+    val conf = new Configuration()
+    var count = 0L
+    // Running extrema per column, as CATALYST values (Long/Int/Double).
+    val lo = scala.collection.mutable.Map.empty[String, Any]
+    val hi = scala.collection.mutable.Map.empty[String, Any]
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int) => Integer.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case _ => throw new IllegalStateException("graft stats: mixed extrema types")
+    }
+    val files = layout.values.toSeq.sortBy(_._1)
+      .flatMap { case (dataDir, _) => GraftDataSource.parquetFiles(dataDir) }
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
+      try {
+        count += r.getRecordCount
+        val footer = r.getFooter
+        val phys = footer.getFileMetaData.getSchema.getFields.asScala
+          .map(fl => fl.getName -> fl).toMap
+        cols.foreach { c =>
+          val physName = (c +: aliases.getOrElse(c, Nil)).find(phys.contains)
+            .getOrElse(return None) // absent column: default semantics → scan
+          val field = phys(physName)
+          val pt = field.asPrimitiveType().getPrimitiveTypeName
+          val tdt = tableSchema(c).dataType
+          // Physical value → Catalyst value for this (file, column), or
+          // refuse: the combination the footer stats can answer exactly.
+          val conv: Any => Any = (pt, tdt) match {
+            case (PrimitiveType.PrimitiveTypeName.INT64, LongType) => identity
+            case (PrimitiveType.PrimitiveTypeName.INT64, TimestampType)
+              if (field.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                case _ => false
+              }) => identity
+            case (PrimitiveType.PrimitiveTypeName.INT32, IntegerType) => identity
+            case (PrimitiveType.PrimitiveTypeName.INT32, DateType) => identity
+            case (PrimitiveType.PrimitiveTypeName.INT32, LongType) =>
+              v => v.asInstanceOf[Integer].longValue()
+            case (PrimitiveType.PrimitiveTypeName.DOUBLE, DoubleType) => identity
+            case _ => return None
+          }
+          footer.getBlocks.asScala.foreach { block =>
+            val chunk = block.getColumns.asScala
+              .find(_.getPath.toDotString == physName).getOrElse(return None)
+            val stats: org.apache.parquet.column.statistics.Statistics[_] =
+              chunk.getStatistics
+            if (stats == null || stats.isEmpty) return None // stats disabled
+            if (stats.hasNonNullValue) {
+              val mn = conv(stats.genericGetMin); val mx = conv(stats.genericGetMax)
+              if (!lo.contains(c) || cmp(mn, lo(c)) < 0) lo(c) = mn
+              if (!hi.contains(c) || cmp(mx, hi(c)) > 0) hi(c) = mx
+            } else if (!(stats.isNumNullsSet && stats.getNumNulls == chunk.getValueCount))
+              return None // can't distinguish all-null from missing stats
+          }
+        }
+      } finally r.close()
+    }
+    val fields = specs.map {
+      case None => StructField("count(*)", LongType, nullable = false)
+      case Some((c, isMin)) =>
+        StructField(s"${if (isMin) "min" else "max"}($c)", tableSchema(c).dataType)
+    }
+    val row = specs.map[Any] {
+      case None => count
+      case Some((c, isMin)) => (if (isMin) lo else hi).getOrElse(c, null)
+    }
+    Some((StructType(fields.toSeq), row))
   }
 
   /** Key predicates prune the bucket listing: an equality covering EVERY
@@ -244,15 +433,17 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     required = requiredSchema
 
   override def build(): Scan =
-    if (countStarPushed) new GraftCountScan(dir, keyCols, versionAsOf)
-    else new GraftScan(dir, keyCols, tableSchema, required, pushed, versionAsOf, changeFeed)
+    if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow)
+    else if (countStarPushed) new GraftCountScan(dir, keyCols, pinnedVersion)
+    else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
+      changeFeed, skipLayoutOnly)
 }
 
 /** Metadata-only COUNT(*): the driver sums footer record counts at
   * planning and ships ONE literal row; Spark's final aggregate folds it
   * (partial-pushdown contract — supportCompletePushDown stays false). */
 final class GraftCountScan(dir: String, keyCols: Seq[String],
-                           versionAsOf: Option[Long]) extends Scan with Batch {
+                           pinnedVersion: Long) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
@@ -261,9 +452,8 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
-    val v = versionAsOf.getOrElse(t.version)
     val conf = new Configuration()
-    val total = t.layoutAt(v).values.map { case (dataDir, dvs) =>
+    val total = t.layoutAt(pinnedVersion).values.map { case (dataDir, dvs) =>
       require(dvs.isEmpty, "metadata count planned over a DV'd bucket")
       GraftDataSource.parquetFiles(dataDir).map { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
@@ -285,9 +475,36 @@ final class GraftCountReader(count: Long) extends PartitionReader[InternalRow] {
   override def close(): Unit = ()
 }
 
+/** Metadata-only MIN/MAX (+ COUNT(*)) from parquet footer column
+  * statistics, fully computed at PUSHDOWN time against the pinned
+  * snapshot (so a refusal is a clean `false`, never a mid-query abort)
+  * and shipped as one literal row. Spark's final aggregate folds it —
+  * min of one min is the min (partial-pushdown contract). */
+final class GraftStatsScan(dir: String, schema: StructType, row: Array[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftStatsScan(dir=$dir, PushedAggregation=[${schema.fieldNames.mkString(", ")}] " +
+      "via parquet footer statistics)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftStatsPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
+
+final case class GraftStatsPartition(values: Array[Any]) extends InputPartition
+
+final class GraftStatsReader(values: Array[Any]) extends PartitionReader[InternalRow] {
+  private var served = false
+  override def next(): Boolean = if (served) false else { served = true; true }
+  override def get(): InternalRow = new GenericInternalRow(values)
+  override def close(): Unit = ()
+}
+
 final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
-                      versionAsOf: Option[Long], changeFeed: Boolean = false)
+                      pinnedVersion: Long, changeFeed: Boolean = false,
+                      skipLayoutOnly: Boolean = false)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -306,20 +523,23 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     // physical fields, the reader appends (_commit_version, _change_type).
     val metaNames = GraftDataSource.FeedMeta.fieldNames.toSet
     new GraftMicroBatchStream(dir, keyCols,
-      StructType(tableSchema.fields.filterNot(f => metaNames.contains(f.name))))
+      StructType(tableSchema.fields.filterNot(f => metaNames.contains(f.name))),
+      skipLayoutOnly)
   }
   override def description(): String =
-    s"GraftScan(dir=$dir, keys=${keyCols.mkString(",")}, " +
+    s"GraftScan(dir=$dir, keys=${keyCols.mkString(",")}, version=$pinnedVersion, " +
       s"pushed=[${pushed.mkString(", ")}], columns=[${required.fieldNames.mkString(",")}])"
 
   /** One partition per manifest bucket, pruned by the pushed key equality.
     * All metadata work (manifest resolve, footer probes, DV key load,
     * default evaluation) happens HERE, once, on the driver — partitions
-    * ship plain strings/arrays and the executors never touch the log. */
+    * ship plain strings/arrays and the executors never touch the log.
+    * Everything resolves at the PINNED version: schema, layout, aliases
+    * and defaults all describe the same committed snapshot. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val t = graft.core.TxTable.open(spark, dir, keyCols)
-    val v = versionAsOf.getOrElse(t.version)
+    val v = pinnedVersion
     val layout = t.layoutAt(v)
     val aliases = t.aliasesAt(v)
     val defaults = t.defaultsAt(v)
@@ -371,13 +591,18 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val conf = new Configuration()
     import GraftDataSource.{parquetFiles, resolveFile}
 
-    // DV key sets are bounded (equality deletes); load them at planning
-    // and ship per bucket — external (JVM) values, converted at compare.
+    // DV key sets are bounded (equality deletes); load them at planning,
+    // convert to CATALYST form per key type (UTF8String / days-Int /
+    // micros-Long — so DATE/TIMESTAMP keys compare correctly against the
+    // Catalyst values the reader materializes) and ship per bucket.
+    val keyConverters = keyCols.map(k =>
+      CatalystTypeConverters.createToCatalystConverter(tableSchema(k).dataType))
     def dvKeys(dvDirs: Seq[String]): Array[Array[Any]] =
       if (dvDirs.isEmpty) Array.empty
       else spark.read.parquet(dvDirs.flatMap(parquetFiles): _*)
         .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-        .collect().map(r => Array.tabulate[Any](keyCols.length)(r.get))
+        .collect().map(r => Array.tabulate[Any](keyCols.length)(i =>
+          keyConverters(i)(r.get(i))))
 
     chosen.toSeq.sortBy(_._1).map { case (b, (dataDir, dvDirs)) =>
       val files = parquetFiles(dataDir)
@@ -397,7 +622,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 
 /** Everything a reader needs, resolved at planning: files, the per-file
   * logical→physical mapping, the fetch schema (required + key columns when
-  * DVs apply), deleted keys, and evaluated default literals. */
+  * DVs apply), deleted keys (CATALYST values), and evaluated default
+  * literals. */
 final case class GraftInputPartition(bucket: Long, files: Array[String],
                                      physNames: Array[Array[String]],
                                      physCodes: Array[Array[Int]],
@@ -424,9 +650,16 @@ final case class GraftOffset(version: Long) extends Offset {
   * contribute `delete` key rows. Offsets are table versions, so recovery
   * replays exactly the unseen commits. Caveat, by design: a physical
   * rewrite (compact/rebucket) re-emits its buckets — consumers key on the
-  * merge keys, the same contract Delta's CDF without per-row tracking has. */
+  * merge keys, the same contract Delta's CDF without per-row tracking
+  * has — UNLESS `skipLayoutOnly` is set, which drops those versions
+  * entirely: they are layout-only by construction (the manifest's `#op=`
+  * header names them; s20's certificate proves the snapshot unchanged),
+  * so merge-key consumers see identical state with O(changed buckets)
+  * instead of O(table) per OPTIMIZE. */
 final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
-                                  dataSchema: StructType) extends MicroBatchStream {
+                                  dataSchema: StructType,
+                                  skipLayoutOnly: Boolean = false)
+  extends MicroBatchStream {
 
   private def table = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
 
@@ -455,22 +688,24 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
           Array.empty[Int], Array.empty, noDefaults, v, change))
       }
 
-    (s + 1 to e).flatMap { v =>
-      val cur = t.layoutAt(v)
-      val prev: Map[Long, (String, Seq[String])] =
-        if (v == 0) Map.empty else t.layoutAt(v - 1)
-      val inserts = cur.toSeq.sortBy(_._1).flatMap { case (b, (dataDir, _)) =>
-        if (prev.get(b).exists(_._1 == dataDir)) None
-        else partition(parquetFiles(dataDir), v, "insert")
-      }
-      // layoutAt resolves DV paths on both sides, so set difference on the
-      // resolved strings yields exactly the DVs this version attached.
-      val deletes = cur.toSeq.sortBy(_._1).flatMap { case (b, (_, dvs)) =>
-        val prevDvs = prev.get(b).map(_._2.toSet).getOrElse(Set.empty[String])
-        partition(dvs.filterNot(prevDvs.contains).flatMap(parquetFiles), v, "delete")
-      }
-      inserts ++ deletes
-    }.toArray
+    (s + 1 to e)
+      .filterNot(v => skipLayoutOnly && GraftDataSource.LayoutOnlyOps.contains(t.opAt(v)))
+      .flatMap { v =>
+        val cur = t.layoutAt(v)
+        val prev: Map[Long, (String, Seq[String])] =
+          if (v == 0) Map.empty else t.layoutAt(v - 1)
+        val inserts = cur.toSeq.sortBy(_._1).flatMap { case (b, (dataDir, _)) =>
+          if (prev.get(b).exists(_._1 == dataDir)) None
+          else partition(parquetFiles(dataDir), v, "insert")
+        }
+        // layoutAt resolves DV paths on both sides, so set difference on the
+        // resolved strings yields exactly the DVs this version attached.
+        val deletes = cur.toSeq.sortBy(_._1).flatMap { case (b, (_, dvs)) =>
+          val prevDvs = prev.get(b).map(_._2.toSet).getOrElse(Set.empty[String])
+          partition(dvs.filterNot(prevDvs.contains).flatMap(parquetFiles), v, "delete")
+        }
+        inserts ++ deletes
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -479,6 +714,7 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
 final class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftCountPartition(c) => new GraftCountReader(c)
+    case GraftStatsPartition(vs) => new GraftStatsReader(vs)
     case gp: GraftInputPartition => new GraftPartitionReader(gp)
   }
 }
@@ -490,6 +726,9 @@ final class GraftPartitionReader(p: GraftInputPartition)
   // and rows carry zero fields (row COUNT is still exact).
   private val fetch =
     if (p.fetchDdl.isEmpty) new StructType() else StructType.fromDDL(p.fetchDdl)
+  // Deleted keys arrive in CATALYST form (planning converts per key type),
+  // so the membership test below is Catalyst-to-Catalyst — exact for
+  // strings (UTF8String), DATE (days Int) and TIMESTAMP (micros Long).
   private val deleted: Set[List[Any]] = p.deletedKeys.map(_.toList).toSet
   // Defaults convert to Catalyst values ONCE; field indexes into the
   // file's read schema resolve ONCE per file — the per-row loop below
@@ -532,11 +771,6 @@ final class GraftPartitionReader(p: GraftInputPartition)
     }
   }
 
-  private def toExternal(v: Any): Any = v match {
-    case s: UTF8String => s.toString
-    case other => other
-  }
-
   private def convert(g: Group, idx: Int, code: Int, target: DataType): Any = {
     if (g.getFieldRepetitionCount(idx) == 0) null
     else (code, target) match {
@@ -545,6 +779,17 @@ final class GraftPartitionReader(p: GraftInputPartition)
       case (GraftDataSource.I32, IntegerType) => g.getInteger(idx, 0)
       case (GraftDataSource.I32, DateType) => g.getInteger(idx, 0)
       case (GraftDataSource.I64, TimestampType) => g.getLong(idx, 0)
+      case (GraftDataSource.I64Ms, TimestampType) =>
+        // TIMESTAMP(MILLIS)-annotated INT64: Catalyst wants micros.
+        java.lang.Math.multiplyExact(g.getLong(idx, 0), 1000L)
+      case (GraftDataSource.I96, TimestampType) =>
+        // Legacy INT96 (the Spark writer's default): 12 little-endian
+        // bytes — 8 of nanos-of-day, 4 of Julian day (2440588 = epoch).
+        val buf = java.nio.ByteBuffer.wrap(g.getInt96(idx, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
       case (GraftDataSource.F64, DoubleType) => g.getDouble(idx, 0)
       case (GraftDataSource.F32, DoubleType) => g.getFloat(idx, 0).toDouble
       case (GraftDataSource.Utf8, StringType) =>
@@ -575,7 +820,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
           i += 1
         }
         val isDeleted = deleted.nonEmpty &&
-          deleted.contains(p.keyIdx.map(k => toExternal(vals(k))).toList)
+          deleted.contains(p.keyIdx.map(k => vals(k)).toList)
         if (!isDeleted) {
           val meta = if (p.changeType == null) 0 else 2
           val emit = new Array[Any](p.emitCount + meta)

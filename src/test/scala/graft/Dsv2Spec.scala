@@ -184,6 +184,152 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("snapshot version pins at table resolution: a commit mid-planning cannot mix versions") {
+    val (dir, t) = freshTable("graft_dsv2_pin")
+    try {
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new CaseInsensitiveStringMap(opts)
+      // Resolve the schema (this pins the version)…
+      val schema = provider.inferSchema(cmap)
+      val before = t.snapshot().agg(sum("acctbal")).head().getDouble(0)
+      // …then land a commit BETWEEN schema resolution and scan planning.
+      t.merge(t.snapshot().withColumn("acctbal", col("acctbal") + 1000))
+      val table = provider.getTable(schema, Array.empty, opts)
+      val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(cmap)
+      val scan = sb.build()
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      val balIdx = scan.readSchema().fieldIndex("acctbal")
+      var sumBal = 0.0
+      batch.planInputPartitions().foreach { p =>
+        val r = factory.createReader(p)
+        try while (r.next()) sumBal += r.get().getDouble(balIdx)
+        finally r.close()
+      }
+      assert(math.abs(sumBal - before) < 1e-6,
+        "pinned scan must read the version resolved at inferSchema, not the mid-planning commit")
+    } finally TxTable.drop(dir)
+  }
+
+  test("merge-on-read deletes apply through the connector for DATE-typed keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_datekey").toString
+    try {
+      val base = spark.sql(
+        "SELECT date_add(DATE '2024-01-01', CAST(id AS INT)) AS day, id AS v FROM range(30)")
+      val t = TxTable.create(spark, dir, base, Seq("day"), numBuckets = 4)
+      t.deleteMergeOnRead(spark.sql("SELECT DATE '2024-01-05' AS day"))
+      val conn = spark.read.format("graft").option("keys", "day").load(dir)
+      assert(conn.count() == 29,
+        "date-keyed DV must retire exactly the deleted day (Catalyst-to-Catalyst compare)")
+      assert(conn.filter(col("day") === lit("2024-01-05").cast("date")).count() == 0,
+        "the DV'd date key must be absent from the connector read")
+      assert(asSet(conn) == asSet(t.snapshot()),
+        "connector must agree with the native snapshot on a date-keyed table")
+    } finally TxTable.drop(dir)
+  }
+
+  test("timestamp columns round-trip through the connector (legacy INT96 decoded)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_ts").toString
+    try {
+      val base = spark.sql(
+        "SELECT CAST(id AS STRING) AS k, " +
+          "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS ts " +
+          "FROM range(20)")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 4)
+      val conn = spark.read.format("graft").option("keys", "k").load(dir)
+      assert(asSet(conn.select("k", "ts")) == asSet(t.snapshot().select("k", "ts")),
+        "timestamp values must round-trip exactly (INT96 / micros decode)")
+    } finally TxTable.drop(dir)
+  }
+
+  test("merge-on-read deletes apply through the connector for TIMESTAMP-typed keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_tskey").toString
+    try {
+      val base = spark.sql(
+        "SELECT timestampadd(HOUR, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS at, " +
+          "id AS v FROM range(24)")
+      val t = TxTable.create(spark, dir, base, Seq("at"), numBuckets = 4)
+      t.deleteMergeOnRead(spark.sql("SELECT TIMESTAMP '2024-01-01 05:00:00' AS at"))
+      val conn = spark.read.format("graft").option("keys", "at").load(dir)
+      assert(conn.count() == 23,
+        "timestamp-keyed DV must retire exactly the deleted instant")
+      assert(asSet(conn) == asSet(t.snapshot()),
+        "connector must agree with the native snapshot on a timestamp-keyed table")
+    } finally TxTable.drop(dir)
+  }
+
+  test("min/max push to footer statistics; DVs and string columns refuse") {
+    val (dir, t) = freshTable("graft_dsv2_minmax")
+    try {
+      val native = t.snapshot().agg(min("acctbal"), max("acctbal")).head()
+      // Clean table, numeric column: the stats scan must answer.
+      val df = connRead(dir).agg(min("acctbal").as("lo"), max("acctbal").as("hi"))
+      assert(df.queryExecution.executedPlan.toString.contains("GraftStatsScan"),
+        "clean-table min/max over a double must plan the footer-statistics scan")
+      val got = df.head()
+      assert(got.getDouble(0) == native.getDouble(0) &&
+        got.getDouble(1) == native.getDouble(1),
+        "footer-statistics min/max must equal the scanned values bit-exactly")
+      // String column: always scans (binary footer stats may be truncated).
+      val s = connRead(dir).agg(min("name"))
+      assert(!s.queryExecution.executedPlan.toString.contains("GraftStatsScan"),
+        "string min/max must refuse the stats pushdown")
+      assert(s.head().getString(0) ==
+        t.snapshot().agg(min("name")).head().getString(0))
+      // Mixed with count(*): still correct whether or not the mix pushes.
+      val m2 = connRead(dir).groupBy().agg(
+        min("acctbal"), max("acctbal"), count(lit(1)))
+      assert(m2.head().getLong(2) == t.snapshot().count())
+      // DV'd table: pushdown must refuse and the scan stays exact.
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000013").toDF("name"))
+      val dvd = connRead(dir).agg(min("acctbal"), max("acctbal"))
+      assert(!dvd.queryExecution.executedPlan.toString.contains("GraftStatsScan"),
+        "DV'd min/max must fall back to scanning")
+      val nat2 = t.snapshot().agg(min("acctbal"), max("acctbal")).head()
+      val got2 = dvd.head()
+      assert(got2.getDouble(0) == nat2.getDouble(0) &&
+        got2.getDouble(1) == nat2.getDouble(1))
+    } finally TxTable.drop(dir)
+  }
+
+  test("change feed with skipLayoutOnly drops compaction versions; fold still reconstructs") {
+    val (dir, t) = freshTable("graft_dsv2_skiplayout")
+    try {
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED")))          // v1
+      t.compact()                                        // v2: layout-only
+      t.merge(t.snapshot().filter(col("name").endsWith("2"))
+        .withColumn("house", lit("SECOND")))            // v3
+      def run(skip: Boolean) = graft.streaming.StreamingOps.runToMemory(spark,
+        spark.readStream.format("graft")
+          .option("keys", "name").option("changeFeed", "true")
+          .option("skipLayoutOnly", skip.toString).load(dir),
+        "append").collect()
+      val full = run(skip = false)
+      assert(full.map(_.getAs[Long]("_commit_version")).toSet == Set(0L, 1L, 2L, 3L),
+        "without the option, the compaction version re-emits")
+      val skipped = run(skip = true)
+      assert(skipped.map(_.getAs[Long]("_commit_version")).toSet == Set(0L, 1L, 3L),
+        "skipLayoutOnly must drop exactly the compact version")
+      // The folded skipped feed must still reconstruct the live snapshot:
+      // compaction moved bytes, not rows.
+      val replay = skipped.groupBy(_.getAs[String]("name")).flatMap { case (_, evs) =>
+        val last = evs.maxBy(r =>
+          (r.getAs[Long]("_commit_version"),
+            if (r.getAs[String]("_change_type") == "delete") 1 else 0))
+        if (last.getAs[String]("_change_type") == "delete") None
+        else Some((last.getAs[String]("name"), last.getAs[String]("house")))
+      }.toSet
+      val now = t.snapshot().collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("house"))).toSet
+      assert(replay == now, "skipLayoutOnly fold must reconstruct the live snapshot")
+    } finally TxTable.drop(dir)
+  }
+
   test("unsupported schemas and missing options refuse loudly") {
     val (dir, _) = freshTable("graft_dsv2_refuse")
     try {
