@@ -441,6 +441,9 @@ object SparkEntry {
     // Corpus-scale aggregateMessages: per-vertex neighbor-k sums, exact
     // down/up closed forms per vertex.
     "gx_corpus_nbrsum" -> ((s, d) => GraphAnalytics.corpusNeighborKSum(s, d)),
+    // Corpus-scale coreness decomposition: banded block topologies
+    // (chain/ring/circulant) make the full peel's spectrum {1,2,4} exact.
+    "gx_corpus_kcore" -> ((s, d) => GraphAnalytics.corpusKCore(s, d)),
     "gx_triangles" -> ((s, d) => GraphAnalytics.triangleCounts(s, d)),
     "gx_nbr_degree_sum" -> ((s, d) => GraphAnalytics.neighborDegreeSum(s, d)),
     "gx_pagerank" -> ((s, d) => GraphAnalytics.pageRankTop(s, d)),
@@ -2274,6 +2277,23 @@ object SparkEntry {
          |       THEN length(bin(r)) * k + (CAST(1 AS BIGINT) << length(bin(r))) - 1 ELSE 0 END)
          |  AS BIGINT) AS nbr_k_sum
          |FROM t ORDER BY nid""".stripMargin,
+    // gx_corpus_kcore: the banded block topologies fix the full peel's
+    // coreness spectrum exactly — band (residue mod 3) 0 = chain → 1,
+    // 1 = ring → 2, 2 = chord-completed K4 → 3; only full 4-member blocks
+    // enter (both engines derive fullness from the data), so the
+    // per-(residue, coreness) census certifies every graph vertex.
+    "gx_corpus_kcore" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT nid, nid % ${graft.core.Graph.FamilyMod} AS residue,
+         |        (nid // ${graft.core.Graph.FamilyMod}) // 4 AS blk FROM n),
+         |f AS (SELECT residue, blk FROM b GROUP BY residue, blk
+         |      HAVING count(*) = 4)
+         |SELECT CAST(b.residue AS BIGINT) AS residue,
+         |  CAST(CASE b.residue % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+         |    AS INT) AS coreness,
+         |  count(*) AS n_nodes
+         |FROM b JOIN f ON b.residue = f.residue AND b.blk = f.blk
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // gx_corpus_scc: SCCs are exactly the 8-blocks (bridges are one-way),
     // so scc(nid) = block anchor = nid − FamilyMod·(k mod 8); per-residue
     // census over member labels certifies every node.

@@ -389,6 +389,92 @@ object GraphAnalytics {
     out
   }
 
+  /** CORPUS-SCALE coreness decomposition (gx_corpus_kcore) — the FULL
+    * k-core peel (successive `peelKCore` levels, each a degree-recompute
+    * fixpoint) over a linear-in-sf relation built to have a NON-TRIVIAL
+    * coreness spectrum: within each family residue, class indices are cut
+    * into blocks of 8 (only blocks with all 8 members present enter — the
+    * one partial block per residue would degrade the topology at the
+    * boundary, and both engines derive "full" from the data, so the
+    * filters can never desync), and the block's internal topology is
+    * banded by residue mod 3 (block size 4, so even the 150-customer
+    * sf0.001 corpus carries full blocks in every residue):
+    *   band 0 — a CHAIN (k → k+1): unravels at the 2-peel → coreness 1;
+    *   band 1 — a RING (chain + wrap): a cycle survives every 2-peel but
+    *     dies at 3 → coreness 2;
+    *   band 2 — the ring CHORD-COMPLETED to K4 (adding only the two
+    *     {0,2}/{1,3} diagonals — emitting all four i → i+2 chords of
+    *     C4(1,2) would double-cover them as parallel edges and corrupt
+    *     the peel's multigraph degrees): 3-regular → coreness 3.
+    * The closed form is exact by construction — coreness(v) = band(v)'s
+    * constant — so the per-(residue, coreness) census certifies every
+    * vertex, with counts that grow with sf. Supersteps are CONSTANT at
+    * any corpus size: each peel level converges within the 4-vertex block
+    * diameter (~8 subgraph rounds total, at 10⁹ nodes as at sf0.001),
+    * while the input grows linearly — and unlike the other gx_corpus
+    * entries this one exercises vertex REMOVAL with degree recomputation,
+    * the peeling shape GraphX analytics pipelines use for core/shell
+    * filtering of web and citation graphs. Edges are pure arithmetic on
+    * contiguous nids; the only shuffles are the full-block semi-join and
+    * the peel's own degree passes. */
+  def corpusKCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = Graph.FamilyMod.toLong
+    val B = 4L
+    val base = Graph.nodes(spark, sfDir)
+      .select(col("nid").cast("long").as("nid"))
+      .withColumn("residue", col("nid") % mod)
+      .withColumn("k", expr(s"nid DIV $mod"))
+      .withColumn("blk", expr(s"k DIV $B"))
+      .withColumn("pos", col("k") % B)
+    val full = base.groupBy("residue", "blk")
+      .agg(count(lit(1)).as("m")).filter(col("m") === B)
+      .select("residue", "blk")
+    val mem = base.join(full, Seq("residue", "blk"))
+    val band = col("residue") % 3
+    // Canonical direction (src < dst) everywhere, and the three edge
+    // families have pairwise-distinct spans (1, 3, 2 × mod), so the
+    // undirected degree is exactly the family sum — no dedup pass needed.
+    val chain = mem.filter(col("pos") < B - 1)
+      .select(col("nid").as("src"), (col("nid") + mod).as("dst"))
+    val wrap = mem.filter(band >= 1 && col("pos") === B - 1)
+      .select((col("nid") - (B - 1) * mod).as("src"), col("nid").as("dst"))
+    val chord = mem.filter(band === 2 && col("pos") < B - 2)
+      .select(col("nid").as("src"), (col("nid") + 2 * mod).as("dst"))
+    var g = XGraph.fromEdges(
+      chain.unionByName(wrap).unionByName(chord)
+        .rdd.coalesce(8).map(r => Edge(r.getLong(0), r.getLong(1), 1)), 0,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK).cache()
+    val sc = spark.sparkContext
+    // Coreness = the peel level that dropped the vertex, minus one: peel
+    // at k ascending, diff the survivor sets. 4 levels suffice (max
+    // coreness 3 by construction; the guard labels any 4-core remnant).
+    var acc: org.apache.spark.rdd.RDD[(Long, Int)] = sc.emptyRDD
+    for (kk <- 1 to 4) {
+      val before = g.vertices.keys.persist(StorageLevel.MEMORY_AND_DISK)
+      before.foreachPartition(_ => ())
+      val peeled = peelKCore(g, kk)
+      // Force each level's dropped set while its survivor graph is still
+      // cached — the next peel unpersists it, and a lazy diff would replay
+      // the whole peel chain at the final census (the PageRank lesson).
+      val dropped = before.subtract(peeled.vertices.keys).map(v => (v, kk - 1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dropped.foreachPartition(_ => ())
+      before.unpersist(blocking = false)
+      acc = acc.union(dropped)
+      g = peeled
+    }
+    val all = acc.union(g.vertices.keys.map(v => (v, 4)))
+    val out = spark.createDataFrame(all.map { case (v, c) => (v % mod, c) })
+      .toDF("residue", "coreness")
+      .groupBy("residue", "coreness")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("residue", "coreness")
+      .localCheckpoint()
+    g.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vertex triangle count on a bounded FRIEND_OF subgraph. Same-house
     * cliques make the closed form (size-1 choose 2) the oracle. GraphX
     * requires canonical partitioning for triangleCount. */

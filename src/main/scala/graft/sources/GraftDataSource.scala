@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
@@ -55,6 +55,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    stays with the engine;
   *  - `SupportsPushDownRequiredColumns`: the pruned schema becomes the
   *    parquet projection each reader requests (footer-level column skip);
+  *  - `SupportsRuntimeFiltering`: when the table is the probe side of a
+  *    broadcast join on its (single) key, the build side's collected key
+  *    values arrive as a runtime IN filter before partitions are planned
+  *    — the DSv2 analogue of dynamic partition pruning, so a
+  *    dim-filtered fact lookup reads only the buckets the surviving keys
+  *    hash into (intersected with any planning-time prune);
   *  - `SupportsPushDownAggregates`: COUNT(*) answers from footer record
   *    counts; MIN/MAX of numeric/date/timestamp columns answer from
   *    footer column statistics — both REFUSE whenever a deletion vector
@@ -84,11 +90,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    identical state with O(changed buckets) instead of O(table) per
   *    OPTIMIZE.
   *
-  * Data-plane note (measured, see BASELINE.md): the reader materializes
-  * one parquet-example `Group` per row — pruning, pushdown and
-  * parallelism match the native path, but the per-row constant factor is
-  * several × Spark's vectorized parquet reader. The connector is the
-  * INTEROP contract (point lookups, feeds, external readers); bulk
+  * Data-plane note (measured — tools.ConnScanProbe, BASELINE.md note 64):
+  * the reader materializes one parquet-example `Group` per row — pruning,
+  * pushdown and parallelism match the native path, but on a
+  * data-dominated bulk scan (4.8M rows × 6 cols) the connector reads
+  * 5.25× slower than Spark's vectorized parquet path (~360 ns/row
+  * marginal). The connector is the INTEROP contract (point lookups,
+  * change feeds, metadata-answered aggregates, external readers); bulk
   * analytical scans should use the library's native
   * `TxTable.snapshot()`, which reads through Spark's vectorized path.
   *
@@ -505,7 +513,30 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                       required: StructType, pushed: Array[Filter],
                       pinnedVersion: Long, changeFeed: Boolean = false,
                       skipLayoutOnly: Boolean = false)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Runtime (join-derived) filters — the DSv2 analogue of dynamic
+    * partition pruning: when this table is the probe side of a broadcast
+    * join on its key, Spark collects the build side's key values and
+    * hands them here as an IN filter BEFORE partitions are planned, so a
+    * dim-filtered fact lookup reads only the buckets the surviving keys
+    * hash into. Single-key tables only (one column of a composite hash
+    * cannot prune alone); same listing-level contract as the static
+    * pushdown — filters stay residuals, Spark re-evaluates them. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (keyCols.length == 1 && !changeFeed)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyCols.head))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter {
+      case org.apache.spark.sql.sources.In(a, _) =>
+        keyCols.length == 1 && a == keyCols.head
+      case EqualTo(a, _) => keyCols.length == 1 && a == keyCols.head
+      case _ => false
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
@@ -557,18 +588,25 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
         ((h % n) + n) % n
       }
-      val eqs = pushed.collect { case EqualTo(a, value) => a -> value }.toMap
-      val tuples: Seq[Seq[Any]] =
+      def tuplesOf(filters: Array[Filter]): Seq[Seq[Any]] = {
+        val eqs = filters.collect { case EqualTo(a, value) => a -> value }.toMap
         if (keyCols.nonEmpty && keyCols.forall(eqs.contains))
           Seq(keyCols.map(eqs))
         else if (keyCols.length == 1)
-          pushed.toSeq.collect { case org.apache.spark.sql.sources.In(a, vs)
+          filters.toSeq.collect { case org.apache.spark.sql.sources.In(a, vs)
             if a == keyCols.head => vs.toSeq.map(v0 => Seq(v0)) }.flatten
         else Nil
-      if (tuples.isEmpty) layout
+      }
+      val n = t.bucketCountAt(v)
+      // Static (planning-time) and runtime (join-derived) key sets each
+      // yield a bucket set; both present means both predicates hold, so
+      // the read is their INTERSECTION.
+      val sets = Seq(tuplesOf(pushed), tuplesOf(runtimeFilters))
+        .filter(_.nonEmpty)
+        .map(_.map(bucketOf(_, n)).toSet)
+      if (sets.isEmpty) layout
       else {
-        val n = t.bucketCountAt(v)
-        val buckets = tuples.map(bucketOf(_, n)).toSet
+        val buckets = sets.reduce(_ intersect _)
         layout.filter { case (b, _) => buckets.contains(b) }
       }
     }

@@ -330,6 +330,45 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("runtime (join-derived) filters prune buckets at execution time") {
+    val (dir, t) = freshTable("graft_dsv2_runtime")
+    try {
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new CaseInsensitiveStringMap(opts)
+      val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+      def scan(runtime: Option[Array[org.apache.spark.sql.sources.Filter]]) = {
+        val s = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap).build()
+        runtime.foreach(fs =>
+          s.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+            .filter(fs))
+        s.toBatch.planInputPartitions().length
+      }
+      val full = scan(None)
+      assert(full == t.layoutAt(t.version).size)
+      // The DPP shape: a broadcast join's build side arrives as IN.
+      val keys = Seq("Customer#000000002", "Customer#000000007")
+      val pruned = scan(Some(Array(
+        org.apache.spark.sql.sources.In("name", keys.toArray[Any]))))
+      assert(pruned <= 2 && pruned < full,
+        s"runtime IN must prune to <= |list| buckets, planned $pruned of $full")
+      // The scan advertises exactly the single key as filterable.
+      val attrs = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(cmap).build()
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filterAttributes()
+      assert(attrs.map(_.fieldNames().mkString).toSeq == Seq("name"))
+      // End-to-end: a broadcast join on the key stays correct whether or
+      // not the optimizer chose to inject the runtime filter.
+      import spark.implicits._
+      val dim = keys.toDF("name")
+      val joined = connRead(dir).join(broadcast(dim), "name")
+      assert(joined.count() == 2, "broadcast key join lost rows")
+    } finally TxTable.drop(dir)
+  }
+
   test("unsupported schemas and missing options refuse loudly") {
     val (dir, _) = freshTable("graft_dsv2_refuse")
     try {

@@ -1,0 +1,52 @@
+package graft
+
+import graft.tools.ScalingCurve
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scaling-curve harness is a regression GATE, so its math and its
+  * committed measurement record are both pinned: the exponent fit must be
+  * exact on synthetic curves, the classification bands must catch the
+  * superlinear class (the r11 PageRank lineage bug read e ≈ 2), and the
+  * checked-in `scaling_out.json` — the round's actual measurement — must
+  * stay under the bound and cover the asymptotic-sensitive subset. */
+class ScalingSpec extends AnyFunSuite {
+
+  test("exponent fit is exact on synthetic power-law curves") {
+    assert(math.abs(ScalingCurve.exponent(1.0, 10.0, 10.0) - 1.0) < 1e-12,
+      "10x time over 10x data is linear")
+    assert(math.abs(ScalingCurve.exponent(1.0, 100.0, 10.0) - 2.0) < 1e-12,
+      "100x time over 10x data is quadratic")
+    assert(math.abs(ScalingCurve.exponent(0.5, 0.5, 10.0)) < 1e-12,
+      "flat time is constant")
+    assert(ScalingCurve.exponent(1.0, 0.8, 10.0) < 0,
+      "time can shrink (AQE coalescing at tiny sf) — negative exponent, not an error")
+    intercept[IllegalArgumentException] { ScalingCurve.exponent(0.0, 1.0, 10.0) }
+  }
+
+  test("classification bands: the superlinear class is caught, the floor is not") {
+    assert(ScalingCurve.classify(0.05) == "constant")
+    assert(ScalingCurve.classify(0.5) == "sublinear")
+    assert(ScalingCurve.classify(1.0) == "linear")
+    assert(ScalingCurve.classify(ScalingCurve.Bound) == "linear", "bound is inclusive")
+    assert(ScalingCurve.classify(1.9) == "SUPERLINEAR",
+      "a quadratic plan (~e=2 per 10x step) must classify as a regression")
+  }
+
+  test("the committed scaling record stays under the bound and covers the subset") {
+    val p = java.nio.file.Paths.get("/root/repo/scaling_out.json")
+    assume(java.nio.file.Files.exists(p), "no scaling_out.json committed yet")
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // Worst exponent recorded by the harness itself.
+    val worst = """"worst":\{"entry":"[^"]+","exponent":(-?[0-9.]+)\}""".r
+      .findFirstMatchIn(text).map(_.group(1).toDouble)
+    assert(worst.nonEmpty, "scaling_out.json lost its worst-exponent record")
+    assert(worst.get <= ScalingCurve.Bound,
+      s"committed scaling record shows a superlinear entry (worst=${worst.get}) — " +
+        "re-run graft.tools.ScalingCurve and fix the plan before re-recording")
+    assert(text.contains(""""failed":[]"""),
+      "committed scaling record contains failed entries")
+    // Every default entry must appear in the record (no silent coverage drop).
+    val missing = ScalingCurve.DefaultEntries.filterNot(n => text.contains("\"" + n + "\""))
+    assert(missing.isEmpty, s"scaling record lost entries: $missing")
+  }
+}
