@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, XxHash64}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
@@ -513,7 +513,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                       required: StructType, pushed: Array[Filter],
                       pinnedVersion: Long, changeFeed: Boolean = false,
                       skipLayoutOnly: Boolean = false)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering
+  with SupportsReportStatistics {
 
   /** Runtime (join-derived) filters — the DSv2 analogue of dynamic
     * partition pruning: when this table is the probe side of a broadcast
@@ -546,6 +547,71 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     this
   }
 
+  /** The manifest buckets this scan will read: the full pinned layout,
+    * pruned by the static (planning-time) and runtime (join-derived) key
+    * sets — each yields a bucket set via the write path's
+    * pmod(xxhash64(keys), n) (evaluated through Catalyst's own XxHash64);
+    * both present means both predicates hold, so the read is their
+    * INTERSECTION. */
+  private def chosenLayout(t: graft.core.TxTable,
+                           layout: Map[Long, (String, Seq[String])])
+      : Map[Long, (String, Seq[String])] = {
+    def bucketOf(tuple: Seq[Any], n: Long): Long = {
+      val lits = keyCols.zip(tuple).map { case (k, value) =>
+        Literal.create(value, tableSchema(k).dataType)
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+      }
+      val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
+      ((h % n) + n) % n
+    }
+    def tuplesOf(filters: Array[Filter]): Seq[Seq[Any]] = {
+      val eqs = filters.collect { case EqualTo(a, value) => a -> value }.toMap
+      if (keyCols.nonEmpty && keyCols.forall(eqs.contains))
+        Seq(keyCols.map(eqs))
+      else if (keyCols.length == 1)
+        filters.toSeq.collect { case org.apache.spark.sql.sources.In(a, vs)
+          if a == keyCols.head => vs.toSeq.map(v0 => Seq(v0)) }.flatten
+      else Nil
+    }
+    val n = t.bucketCountAt(pinnedVersion)
+    val sets = Seq(tuplesOf(pushed), tuplesOf(runtimeFilters))
+      .filter(_.nonEmpty)
+      .map(_.map(bucketOf(_, n)).toSet)
+    if (sets.isEmpty) layout
+    else {
+      val buckets = sets.reduce(_ intersect _)
+      layout.filter { case (b, _) => buckets.contains(b) }
+    }
+  }
+
+  /** Size statistics from the pinned manifest's file lengths (one
+    * directory listing per chosen bucket, zero footer reads), scaled by
+    * Spark's own file-compression factor — so the optimizer sees a real
+    * size instead of the conf default and a SMALL graft table becomes
+    * broadcast-joinable automatically, exactly like a FileScan relation.
+    * Respects the static bucket prune: a point lookup reports one
+    * bucket's bytes, not the table's. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val t = graft.core.TxTable.open(spark, dir, keyCols)
+    val chosen = chosenLayout(t, t.layoutAt(pinnedVersion))
+    var bytes = 0L
+    chosen.values.foreach { case (dataDir, _) =>
+      GraftDataSource.parquetFiles(dataDir).foreach { f =>
+        bytes += java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      }
+    }
+    val factor =
+      spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+    val sz = math.max(1L, (bytes * factor).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sz)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(changeFeed,
       "graft streaming reads require .option(\"changeFeed\", \"true\") — " +
@@ -575,41 +641,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val aliases = t.aliasesAt(v)
     val defaults = t.defaultsAt(v)
 
-    val chosen: Map[Long, (String, Seq[String])] = {
-      // Each pushed key tuple hashes to its bucket (the write path's
-      // pmod(xxhash64(keys), n), evaluated through Catalyst's own
-      // XxHash64); EqualTo yields one tuple, a single-key IN one per
-      // list element.
-      def bucketOf(tuple: Seq[Any], n: Long): Long = {
-        val lits = keyCols.zip(tuple).map { case (k, value) =>
-          Literal.create(value, tableSchema(k).dataType)
-            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
-        }
-        val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
-        ((h % n) + n) % n
-      }
-      def tuplesOf(filters: Array[Filter]): Seq[Seq[Any]] = {
-        val eqs = filters.collect { case EqualTo(a, value) => a -> value }.toMap
-        if (keyCols.nonEmpty && keyCols.forall(eqs.contains))
-          Seq(keyCols.map(eqs))
-        else if (keyCols.length == 1)
-          filters.toSeq.collect { case org.apache.spark.sql.sources.In(a, vs)
-            if a == keyCols.head => vs.toSeq.map(v0 => Seq(v0)) }.flatten
-        else Nil
-      }
-      val n = t.bucketCountAt(v)
-      // Static (planning-time) and runtime (join-derived) key sets each
-      // yield a bucket set; both present means both predicates hold, so
-      // the read is their INTERSECTION.
-      val sets = Seq(tuplesOf(pushed), tuplesOf(runtimeFilters))
-        .filter(_.nonEmpty)
-        .map(_.map(bucketOf(_, n)).toSet)
-      if (sets.isEmpty) layout
-      else {
-        val buckets = sets.reduce(_ intersect _)
-        layout.filter { case (b, _) => buckets.contains(b) }
-      }
-    }
+    val chosen = chosenLayout(t, layout)
 
     // Readers must see the key columns whenever a DV has to be applied,
     // even if the query pruned them away; fetch = required ++ missing keys.

@@ -369,6 +369,41 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("reported statistics: real bytes, prune-aware, and small tables auto-broadcast") {
+    val (dir, t) = freshTable("graft_dsv2_stats")
+    try {
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new CaseInsensitiveStringMap(opts)
+      val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+      def stats(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+        val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(filters)
+        sb.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+          .estimateStatistics().sizeInBytes().getAsLong
+      }
+      val full = stats(Array.empty)
+      assert(full > 0, "unpruned scan must report real bytes")
+      val pruned = stats(Array(EqualTo("name", "Customer#000000002")))
+      assert(pruned < full, "a point lookup must report one bucket's bytes, not the table's")
+      // The optimizer must see the size and choose a broadcast join on
+      // its own — no explicit broadcast() hint. The fact side is sized
+      // PAST the auto-broadcast threshold, so the only broadcastable
+      // side is the graft table: a BroadcastHashJoin in the plan proves
+      // the reported statistics were read and believed.
+      val fact = spark.range(2000000).selectExpr(
+        "concat('Customer#', lpad(CAST(id AS STRING), 9, '0')) AS name", "id AS v")
+      val joined = fact.join(connRead(dir), "name")
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "a small graft table with reported stats must auto-broadcast")
+      assert(joined.count() == t.snapshot().count(),
+        "broadcast-joined read lost rows")
+    } finally TxTable.drop(dir)
+  }
+
   test("unsupported schemas and missing options refuse loudly") {
     val (dir, _) = freshTable("graft_dsv2_refuse")
     try {
