@@ -90,6 +90,9 @@ object SparkEntry {
     "s42_count_pushdown" -> ((s, d) => GraphOps.txCountPushdown(s, d)),
     // MIN/MAX from parquet footer statistics; DVs and strings fall back.
     "s43_minmax_pushdown" -> ((s, d) => GraphOps.txMinMaxPushdown(s, d)),
+    // Catalog plugin + storage-partitioned join: zero-shuffle co-bucketed
+    // merge-key join through KeyGroupedPartitioning + FunctionCatalog.
+    "s44_catalog_spj" -> ((s, d) => GraphOps.txCatalogSpj(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3621,6 +3624,21 @@ object SparkEntry {
          |  CAST(round(max(acctbal) * 100) AS BIGINT), true, true
          |FROM b
          |ORDER BY phase""".stripMargin,
+    // s44: the zero-shuffle catalog join replayed from the base relation
+    // (199-slice joined to its %7 projection), money as BIGINT cents;
+    // the plan and read-only certificates ride as literal true.
+    "s44_catalog_spj" ->
+      s"""WITH $nodesCte,
+         |f AS (SELECT name, house, acctbal FROM n
+         |      WHERE name <= 'Customer#000000199'),
+         |s AS (SELECT name, acctbal * 2 AS score FROM f WHERE name LIKE '%7')
+         |SELECT f.name, f.house,
+         |  CAST(round(f.acctbal * 100) AS BIGINT) AS acctbal_x100,
+         |  CAST(round(s.score * 100) AS BIGINT) AS score_x100,
+         |  true AS spj_plan, true AS read_only
+         |FROM f JOIN s ON f.name = s.name
+         |WHERE f.name <= 'Customer#000000079'
+         |ORDER BY f.name""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte
          |SELECT name,

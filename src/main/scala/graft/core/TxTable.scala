@@ -1213,7 +1213,21 @@ object TxTable {
     // empty snapshot with correct columns.
     Files.writeString(Paths.get(dir, "_log", "schema.ddl"), base.schema.toDDL)
     Files.writeString(Paths.get(dir, "_log", "schema-v00000000.ddl"), base.schema.toDDL)
+    // Persist the merge keys: the table is SELF-DESCRIBING, so catalog
+    // consumers (GraftCatalog, the DSv2 connector without a keys option)
+    // can open it from the directory alone. Keys are fixed at create time
+    // — the bucketing hash is derived from them, so they can never change
+    // without a rebucket-equivalent rewrite.
+    Files.writeString(Paths.get(dir, "_log", "keys.txt"), keyCols.mkString(","))
     t
+  }
+
+  /** The merge keys a table at `dir` was created with (the `keys.txt`
+    * sidecar) — None for pre-sidecar tables, which need explicit keys. */
+  def keysOf(dir: String): Option[Seq[String]] = {
+    val p = Paths.get(dir, "_log", "keys.txt")
+    if (Files.exists(p)) Some(Files.readString(p).trim.split(',').toSeq.map(_.trim))
+    else None
   }
 
   /** Attach to an existing table (manifest log already present). */

@@ -796,6 +796,64 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Catalog + storage-partitioned-join demo (s44_catalog_spj) — the
+    * GraftCatalog plugin end-to-end: two co-bucketed TxTables under a
+    * warehouse resolve as multi-part SQL identifiers (keys from the
+    * sidecar, snapshot pinned at loadTable), and their merge-key join
+    * plans with ZERO shuffle — GraftScan reports
+    * KeyGroupedPartitioning(bucket(n, keys)), each partition carries its
+    * bucket id, and the catalog's FunctionCatalog resolves the bucket
+    * function, so Spark zips the bucket partitions pairwise instead of
+    * exchanging both sides. At 100 TB that turns the fact-to-fact
+    * merge-key join from the biggest shuffle in the plan into a local
+    * zip. Certificates: `spj_plan` — the executed join plan contains NO
+    * Exchange; `read_only` — catalog DDL refuses (writes stay with the
+    * transactional protocol). Lifecycle class like s40. */
+  def txCatalogSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tx_s44").toString
+    val cat = s"gcat_s44_${CatalogSeq.incrementAndGet()}" // session caches catalogs by name
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val before = (
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      graft.core.TxTable.create(spark, s"$wh/facts", base, Seq("name"), numBuckets = 8)
+      graft.core.TxTable.create(spark, s"$wh/scores",
+        base.filter(col("name").endsWith("7"))
+          .select(col("name"), (col("acctbal") * 2).as("score")),
+        Seq("name"), numBuckets = 8)
+
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        s"""SELECT f.name, f.house, f.acctbal, s.score
+           |FROM $cat.facts f JOIN $cat.scores s ON f.name = s.name""".stripMargin)
+      val spjPlan =
+        !joined.queryExecution.executedPlan.toString.contains("Exchange")
+      val readOnly =
+        try { spark.sql(s"DROP TABLE $cat.facts"); false }
+        catch { case e: Exception => e.getMessage.contains("read-only") }
+
+      joined
+        .filter(col("name") <= "Customer#000000079")
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          round(col("score") * 100).cast("long").as("score_x100"),
+          lit(spjPlan).as("spj_plan"), lit(readOnly).as("read_only"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", before._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before._2)
+      graft.core.TxTable.drop(wh)
+    }
+  }
+  private val CatalogSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
     * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
     * audited there, and only then fast-forwarded to main. Two certificates

@@ -121,10 +121,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   private def open(options: CaseInsensitiveStringMap): graft.core.TxTable = {
     val dir = Option(options.get("path")).map(GraftDataSource.localPath).getOrElse(
       throw new IllegalArgumentException("graft source requires a path"))
-    val keys = Option(options.get("keys")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft source requires .option(\"keys\", \"col1[,col2]\") — the table's merge keys"))
-    graft.core.TxTable.open(SparkSession.active, dir, keys.split(',').toSeq.map(_.trim))
+    graft.core.TxTable.open(SparkSession.active, dir, GraftDataSource.keysFor(dir, options))
   }
 
   private def versionOf(t: graft.core.TxTable, options: CaseInsensitiveStringMap): Long =
@@ -151,8 +148,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     val pinned =
       if (cached != null && cached._1 == pinKey(opts)) cached._2
       else versionOf(open(opts), opts) // catalog path without a fresh inferSchema
-    new GraftTable(GraftDataSource.localPath(opts.get("path")),
-      opts.get("keys").split(',').toSeq.map(_.trim),
+    val dir = GraftDataSource.localPath(opts.get("path"))
+    new GraftTable(dir, GraftDataSource.keysFor(dir, opts),
       schema, pinned,
       opts.getBoolean("changeFeed", false),
       opts.getBoolean("skipLayoutOnly", false))
@@ -162,6 +159,15 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 private[graft] object GraftDataSource {
+  /** Merge keys for a table: the explicit `keys` option wins; tables
+    * created with the keys sidecar are self-describing and need none. */
+  def keysFor(dir: String, options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("keys")).map(_.split(',').toSeq.map(_.trim))
+      .orElse(graft.core.TxTable.keysOf(dir))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft source requires .option(\"keys\", \"col1[,col2]\") — the table's " +
+          "merge keys (tables created with a keys sidecar are self-describing)"))
+
   /** The session catalog hands LOCATION/path down as a `file:` URI; the
     * table's log lives on the local filesystem path underneath it. */
   def localPath(p: String): String =
@@ -259,7 +265,8 @@ private[graft] object GraftDataSource {
 
 final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
                        pinnedVersion: Long, changeFeed: Boolean = false,
-                       skipLayoutOnly: Boolean = false)
+                       skipLayoutOnly: Boolean = false,
+                       spjCapable: Boolean = false)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$dir`"
@@ -267,14 +274,28 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  /** The table IS bucket-partitioned by its merge keys — advertising the
+    * transform lets catalog-resolved joins use storage-partitioned
+    * planning. ONLY when resolved through [[GraftCatalog]] (spjCapable):
+    * the bucket function must resolve through a FunctionCatalog that
+    * knows it, and other routes (the session catalog, plain format
+    * reads) THROW on the lookup instead of falling back. */
+  override def partitioning(): Array[Transform] =
+    if (!spjCapable || changeFeed) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+        .bucketCountAt(pinnedVersion), keyCols: _*))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed, skipLayoutOnly)
+    new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed,
+      skipLayoutOnly, spjCapable)
 }
 
 final class GraftScanBuilder(dir: String, keyCols: Seq[String],
                              tableSchema: StructType, pinnedVersion: Long,
                              changeFeed: Boolean = false,
-                             skipLayoutOnly: Boolean = false)
+                             skipLayoutOnly: Boolean = false,
+                             spjCapable: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -444,7 +465,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow)
     else if (countStarPushed) new GraftCountScan(dir, keyCols, pinnedVersion)
     else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
-      changeFeed, skipLayoutOnly)
+      changeFeed, skipLayoutOnly, spjCapable)
 }
 
 /** Metadata-only COUNT(*): the driver sums footer record counts at
@@ -512,9 +533,11 @@ final class GraftStatsReader(values: Array[Any]) extends PartitionReader[Interna
 final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType,
                       required: StructType, pushed: Array[Filter],
                       pinnedVersion: Long, changeFeed: Boolean = false,
-                      skipLayoutOnly: Boolean = false)
+                      skipLayoutOnly: Boolean = false,
+                      spjCapable: Boolean = false)
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Runtime (join-derived) filters — the DSv2 analogue of dynamic
     * partition pruning: when this table is the probe side of a broadcast
@@ -582,6 +605,29 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       val buckets = sets.reduce(_ intersect _)
       layout.filter { case (b, _) => buckets.contains(b) }
     }
+  }
+
+  /** The scan's output is one partition per manifest bucket, keyed by the
+    * bucket id of `bucket(n, keys)` — reported as KeyGroupedPartitioning
+    * so two graft tables with the same bucketing joined on their keys can
+    * use a STORAGE-PARTITIONED join (zero shuffle: Spark zips the bucket
+    * partitions pairwise, exactly the co-located join the write path's
+    * layout was designed for). Effective when the table resolves through
+    * [[GraftCatalog]] (the bucket function needs a FunctionCatalog) with
+    * spark.sql.sources.v2.bucketing.enabled; other resolution routes
+    * (session catalog, plain format reads) report unknown partitioning —
+    * their function lookup would THROW rather than fall back. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    val parts = chosenLayout(t, t.layoutAt(pinnedVersion)).size
+    if (!spjCapable)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          t.bucketCountAt(pinnedVersion), keyCols: _*)),
+        parts)
   }
 
   /** Size statistics from the pinned manifest's file lengths (one
@@ -702,7 +748,14 @@ final case class GraftInputPartition(bucket: Long, files: Array[String],
                                      deletedKeys: Array[Array[Any]],
                                      defaults: Array[Any],
                                      feedVersion: Long = -1L,
-                                     changeType: String = null) extends InputPartition
+                                     changeType: String = null)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** The bucket id — the value of the reported bucket(n, keys) transform
+    * for every row in this partition (storage-partitioned join key). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket.toInt))
+}
 
 /** Stream offset = committed table version (the natural exactly-once unit:
   * manifests are immutable and atomically published). */

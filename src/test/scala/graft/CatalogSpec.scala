@@ -1,0 +1,102 @@
+package graft
+
+import graft.core.{Graph, TxTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GraftCatalog plugin: multi-part SQL identifiers over
+  * self-describing TxTable directories, read-only DDL stance, and the
+  * FunctionCatalog-backed bucket function that unlocks
+  * storage-partitioned (zero-shuffle) joins between co-bucketed tables. */
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // The session CACHES catalog instances by name at first use, so each
+  // test registers its own catalog name bound to its own warehouse.
+  private var seq = 0
+  private def withCatalog[A](f: (String, String) => A): A = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+    seq += 1
+    val cat = s"gcat$seq"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try f(cat, wh)
+    finally TxTable.drop(wh)
+  }
+
+  private def makeTable(wh: String, name: String, even: Boolean): TxTable = {
+    val base = Graph.nodes(spark, sf)
+      .filter(col("name") <= "Customer#000000199")
+      .filter(if (even) col("nid") % 2 === 0 else lit(true))
+      .select(col("name"), col("acctbal"))
+    TxTable.create(spark, s"$wh/$name", base, Seq("name"), numBuckets = 8)
+  }
+
+  test("multi-part identifiers resolve self-describing tables; DDL refuses") {
+    withCatalog { (cat, wh) =>
+      val t = makeTable(wh, "customers", even = false)
+      val viaSql = spark.sql(s"SELECT name, acctbal FROM $cat.customers ORDER BY name")
+      assert(viaSql.count() == t.snapshot().count(),
+        "catalog identifier must serve the full snapshot")
+      assert(spark.sql(
+        s"SELECT acctbal FROM $cat.customers WHERE name = 'Customer#000000002'")
+        .count() == 1, "catalog point read lost the row")
+      // Read-only stance: DDL points at the transactional protocol.
+      val e = intercept[Exception] {
+        spark.sql(s"DROP TABLE $cat.customers")
+      }
+      assert(e.getMessage.contains("read-only"), s"unexpected: ${e.getMessage}")
+      // listTables sees the directory.
+      assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+        .map(_.getString(1)).contains("customers"))
+    }
+  }
+
+  test("storage-partitioned join: co-bucketed tables join with ZERO shuffle") {
+    withCatalog { (cat, wh) =>
+      val ta = makeTable(wh, "a", even = false)
+      val tb = makeTable(wh, "b", even = true)
+      val before = (
+        spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false"),
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.sql(
+          s"""SELECT a.name, a.acctbal AS ba, b.acctbal AS bb
+            |FROM $cat.a a JOIN $cat.b b ON a.name = b.name""".stripMargin)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"co-bucketed key join must be storage-partitioned (no shuffle); got:\n$plan")
+        // And the zipped join is CORRECT: equals the plain DataFrame join.
+        val expected = ta.snapshot().select("name").intersect(
+          tb.snapshot().select("name")).count()
+        assert(joined.count() == expected, "storage-partitioned join lost rows")
+      } finally {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", before._1)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before._2)
+      }
+    }
+  }
+
+  test("the catalog bucket function agrees with the write path bit-exactly") {
+    withCatalog { (cat, wh) =>
+      makeTable(wh, "c", even = false)
+      val bound = graft.sources.GraftBucketFunction.bind(
+        org.apache.spark.sql.types.StructType.fromDDL("n INT, k STRING"))
+      // Every row of every bucket must hash back to the bucket that holds
+      // it — the function IS the layout.
+      val t = TxTable.open(spark, s"$wh/c", Seq("name"))
+      val withBucket = t.snapshot().withColumn("b",
+        expr("pmod(xxhash64(name), 8)").cast("int"))
+      withBucket.collect().foreach { r =>
+        val viaFn = bound.asInstanceOf[
+          org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+          .produceResult(org.apache.spark.sql.catalyst.InternalRow(
+            8, org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+        assert(viaFn == r.getAs[Int]("b"),
+          s"bucket function disagrees with the write path for ${r.getString(0)}")
+      }
+    }
+  }
+}

@@ -404,13 +404,18 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
-  test("unsupported schemas and missing options refuse loudly") {
-    val (dir, _) = freshTable("graft_dsv2_refuse")
+  test("unsupported schemas refuse loudly; keys come from the sidecar when omitted") {
+    val (dir, t) = freshTable("graft_dsv2_refuse")
     try {
+      // Tables are SELF-DESCRIBING since the keys sidecar: a keys-less
+      // read resolves the merge keys from keys.txt.
+      assert(spark.read.format("graft").load(dir).count() == t.snapshot().count(),
+        "sidecar tables must serve keys-less reads")
+      // A pre-sidecar (legacy) table still refuses without explicit keys.
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_log", "keys.txt"))
       intercept[IllegalArgumentException] {
-        spark.read.format("graft").load(dir).collect() // no keys option
+        spark.read.format("graft").load(dir).collect()
       }
-      val p = new graft.sources.GraftTableProvider
       val bad = StructType.fromDDL("a ARRAY<INT>")
       assert(!graft.sources.GraftDataSource.supported(bad.fields.head.dataType))
     } finally TxTable.drop(dir)
