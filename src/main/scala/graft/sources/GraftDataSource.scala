@@ -288,22 +288,35 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed,
-      skipLayoutOnly, spjCapable)
+      skipLayoutOnly, spjCapable,
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
 }
 
 final class GraftScanBuilder(dir: String, keyCols: Seq[String],
                              tableSchema: StructType, pinnedVersion: Long,
                              changeFeed: Boolean = false,
                              skipLayoutOnly: Boolean = false,
-                             spjCapable: Boolean = false)
+                             spjCapable: Boolean = false,
+                             startingVersion: Long = 0L)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var countStarPushed = false
   private var statsSchema: StructType = null
   private var statsRow: Array[Any] = null
+  private var limit: Int = Int.MaxValue
+
+  /** LIMIT pushes PARTIALLY: each partition's reader stops after emitting
+    * `limit` surviving rows (post-DV), so a `LIMIT 10` on a 100 TB table
+    * reads at most 10 rows per bucket instead of every page; Spark's own
+    * global Limit stays above the scan and trims the per-bucket heads. */
+  override def pushLimit(l: Int): Boolean = {
+    if (changeFeed) false
+    else { limit = l; true }
+  }
 
   /** Aggregates with no grouping, no residual filters, and no deletion
     * vectors in the pinned snapshot are answered from parquet FOOTERS —
@@ -465,7 +478,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow)
     else if (countStarPushed) new GraftCountScan(dir, keyCols, pinnedVersion)
     else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
-      changeFeed, skipLayoutOnly, spjCapable)
+      changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion)
 }
 
 /** Metadata-only COUNT(*): the driver sums footer record counts at
@@ -534,7 +547,9 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                       required: StructType, pushed: Array[Filter],
                       pinnedVersion: Long, changeFeed: Boolean = false,
                       skipLayoutOnly: Boolean = false,
-                      spjCapable: Boolean = false)
+                      spjCapable: Boolean = false,
+                      limit: Int = Int.MaxValue,
+                      startingVersion: Long = 0L)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -667,11 +682,12 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val metaNames = GraftDataSource.FeedMeta.fieldNames.toSet
     new GraftMicroBatchStream(dir, keyCols,
       StructType(tableSchema.fields.filterNot(f => metaNames.contains(f.name))),
-      skipLayoutOnly)
+      skipLayoutOnly, startingVersion)
   }
   override def description(): String =
     s"GraftScan(dir=$dir, keys=${keyCols.mkString(",")}, version=$pinnedVersion, " +
-      s"pushed=[${pushed.mkString(", ")}], columns=[${required.fieldNames.mkString(",")}])"
+      s"pushed=[${pushed.mkString(", ")}], columns=[${required.fieldNames.mkString(",")}]" +
+      (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "") + ")"
 
   /** One partition per manifest bucket, pruned by the pushed key equality.
     * All metadata work (manifest resolve, footer probes, DV key load,
@@ -728,7 +744,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         fetch.toDDL, required.length,
         if (hasDvs) keyCols.map(fetch.fieldIndex).toArray else Array.empty[Int],
         dvKeys(dvDirs),
-        fetch.fields.map(f => defaultValues.get(f.name).orNull))
+        fetch.fields.map(f => defaultValues.get(f.name).orNull),
+        limit = limit)
         .asInstanceOf[InputPartition]
     }.toArray
   }
@@ -748,7 +765,8 @@ final case class GraftInputPartition(bucket: Long, files: Array[String],
                                      deletedKeys: Array[Array[Any]],
                                      defaults: Array[Any],
                                      feedVersion: Long = -1L,
-                                     changeType: String = null)
+                                     changeType: String = null,
+                                     limit: Int = Int.MaxValue)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The bucket id — the value of the reported bucket(n, keys) transform
@@ -781,13 +799,18 @@ final case class GraftOffset(version: Long) extends Offset {
   * instead of O(table) per OPTIMIZE. */
 final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
                                   dataSchema: StructType,
-                                  skipLayoutOnly: Boolean = false)
+                                  skipLayoutOnly: Boolean = false,
+                                  startingVersion: Long = 0L)
   extends MicroBatchStream {
 
   private def table = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
 
   override def latestOffset(): Offset = GraftOffset(table.version)
-  override def initialOffset(): Offset = GraftOffset(-1L)
+  /** The feed starts at `startingVersion` (default 0 = full history):
+    * consumers that already hold a snapshot start from its version + 1
+    * instead of replaying every commit — the Delta CDF startingVersion
+    * contract. */
+  override def initialOffset(): Offset = GraftOffset(startingVersion - 1L)
   override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -864,6 +887,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
   private var fileIdx = -1
   private var reader: ParquetReader[Group] = null
   private var current: InternalRow = null
+  private var emitted = 0
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
@@ -924,6 +948,10 @@ final class GraftPartitionReader(p: GraftInputPartition)
   }
 
   override def next(): Boolean = {
+    // Pushed LIMIT: stop as soon as this partition has emitted its quota
+    // of SURVIVING rows (deleted rows don't count — the limit is on what
+    // the engine would see).
+    if (emitted >= p.limit) return false
     while (true) {
       if (reader == null && !openNext()) return false
       val g = reader.read()
@@ -953,6 +981,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
             emit(p.emitCount + 1) = UTF8String.fromString(p.changeType)
           }
           current = new GenericInternalRow(emit)
+          emitted += 1
           return true
         }
       }

@@ -79,6 +79,25 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("group-by merge key over a catalog table aggregates with ZERO shuffle") {
+    withCatalog { (cat, wh) =>
+      val t = makeTable(wh, "t", even = false)
+      val before = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        // KeyGroupedPartitioning(bucket(n, name)) clusters every key into
+        // one partition, so the partial and final aggregate fuse with no
+        // exchange — the 100 TB GROUP BY merge-key is map-side only.
+        val agg = spark.sql(
+          s"SELECT name, sum(acctbal) AS s FROM $cat.t GROUP BY name")
+        assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+          "group-by merge key must not shuffle a bucket-partitioned scan")
+        assert(agg.count() == t.snapshot().count(),
+          "shuffle-free aggregate lost groups")
+      } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", before)
+    }
+  }
+
   test("the catalog bucket function agrees with the write path bit-exactly") {
     withCatalog { (cat, wh) =>
       makeTable(wh, "c", even = false)

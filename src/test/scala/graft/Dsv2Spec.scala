@@ -404,6 +404,41 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("LIMIT pushes to the reader: each partition stops at its quota, post-DV") {
+    val (dir, t) = freshTable("graft_dsv2_limit")
+    try {
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000002").toDF("name"))
+      val limited = connRead(dir).limit(5)
+      assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit=5"),
+        "LIMIT must reach the scan description")
+      assert(limited.count() == 5, "pushed limit changed the result")
+      // The DV'd key must never satisfy the limit: deleted rows don't
+      // count toward the quota, so a limit equal to the table size still
+      // excludes it.
+      val all = connRead(dir).limit(10000)
+      assert(!all.collect().map(_.getString(0)).contains("Customer#000000002"),
+        "pushed limit must count SURVIVING rows only")
+    } finally TxTable.drop(dir)
+  }
+
+  test("change feed honors startingVersion (consumers resume from a snapshot)") {
+    val (dir, t) = freshTable("graft_dsv2_startver")
+    try {
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED")))          // v1
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000013").toDF("name")) // v2
+      val feed = graft.streaming.StreamingOps.runToMemory(spark,
+        spark.readStream.format("graft")
+          .option("keys", "name").option("changeFeed", "true")
+          .option("startingVersion", "1").load(dir),
+        "append").collect()
+      assert(feed.map(_.getAs[Long]("_commit_version")).toSet == Set(1L, 2L),
+        "startingVersion must skip the already-held history")
+    } finally TxTable.drop(dir)
+  }
+
   test("unsupported schemas refuse loudly; keys come from the sidecar when omitted") {
     val (dir, t) = freshTable("graft_dsv2_refuse")
     try {
