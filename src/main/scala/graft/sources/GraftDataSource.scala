@@ -90,15 +90,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    identical state with O(changed buckets) instead of O(table) per
   *    OPTIMIZE.
   *
-  * Data-plane note (measured — tools.ConnScanProbe, BASELINE.md note 64):
-  * the reader materializes one parquet-example `Group` per row — pruning,
-  * pushdown and parallelism match the native path, but on a
-  * data-dominated bulk scan (4.8M rows × 6 cols) the connector reads
-  * 5.25× slower than Spark's vectorized parquet path (~360 ns/row
-  * marginal). The connector is the INTEROP contract (point lookups,
-  * change feeds, metadata-answered aggregates, external readers); bulk
-  * analytical scans should use the library's native
-  * `TxTable.snapshot()`, which reads through Spark's vectorized path.
+  * Data plane (measured — tools.ConnScanProbe, BASELINE.md notes 64/68):
+  * bulk scans read COLUMNAR through Spark's own vectorized parquet
+  * reader (ColumnarBatch straight into whole-stage codegen) — 1.30× the
+  * native `TxTable.snapshot()` path on a data-dominated 4.8M-row scan at
+  * equal parallelism, vs 5.25× for the original Group-per-row reader,
+  * which remains the exact-fallback row path for DV'd buckets (the
+  * anti-join drops individual rows), change-feed partitions (synthesized
+  * metadata columns), empty projections, and any file/type pairing the
+  * vectorized reader can't serve. Planning probes all footers in
+  * PARALLEL and ships each file's projected parquet schema with its
+  * partition, so executors never re-read footers; planned partitions are
+  * cached per runtime-filter state (AQE re-asks several times). The scan
+  * parallelism unit is the BUCKET, by design — size bucket counts to the
+  * cluster, as the write path's layout intends.
   *
   * Read-only by design: writes go through the library's transactional
   * protocol (optimistic publish, rebase) — a connector write path that
@@ -210,6 +215,17 @@ private[graft] object GraftDataSource {
     }
   }
 
+  /** Driver-side metadata fan-out: parquet footer opens cost ~20 ms each
+    * (measured), so planning a many-file snapshot probes them in
+    * parallel — a 1000-file table's footers resolve in one footer's
+    * latency x depth/32, not serially. */
+  def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
+  }
+
   def footerSchema(file: String, conf: Configuration): MessageType = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
     try r.getFileMetaData.getSchema finally r.close()
@@ -235,7 +251,7 @@ private[graft] object GraftDataSource {
     * name first, then rename aliases) and its primitive-type code. */
   def resolveFile(file: String, fetch: StructType,
                   aliases: Map[String, Seq[String]],
-                  conf: Configuration): (Array[String], Array[Int]) = {
+                  conf: Configuration): (Array[String], Array[Int], String) = {
     val m = footerSchema(file, conf)
     val phys = m.getFields.asScala.map(f => f.getName -> f).toMap
     val names = new Array[String](fetch.length)
@@ -259,7 +275,15 @@ private[graft] object GraftDataSource {
         case None => names(i) = null; codes(i) = Absent
       }
     }
-    (names, codes)
+    // Ship the file's (projected) parquet schema with the partition, so
+    // the ROW reader never re-opens the footer executor-side: projection
+    // when any column is wanted, the full schema otherwise.
+    val wanted = names.filter(_ != null)
+    val proj =
+      if (wanted.isEmpty) m
+      else new MessageType(m.getName,
+        m.getFields.asScala.filter(fl => wanted.contains(fl.getName)).asJava)
+    (names, codes, proj.toString)
   }
 }
 
@@ -389,10 +413,14 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     }
     val files = layout.values.toSeq.sortBy(_._1)
       .flatMap { case (dataDir, _) => GraftDataSource.parquetFiles(dataDir) }
-    files.foreach { f =>
+    // One footer per file, probed in PARALLEL (the parMap note): each
+    // yields (rowCount, per-column extrema) or None = refuse the pushdown.
+    def fileStats(f: String): Option[(Long, Map[String, Any], Map[String, Any])] = {
+      val flo = scala.collection.mutable.Map.empty[String, Any]
+      val fhi = scala.collection.mutable.Map.empty[String, Any]
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
       try {
-        count += r.getRecordCount
+        val fcount = r.getRecordCount
         val footer = r.getFooter
         val phys = footer.getFileMetaData.getSchema.getFields.asScala
           .map(fl => fl.getName -> fl).toMap
@@ -427,13 +455,23 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
             if (stats == null || stats.isEmpty) return None // stats disabled
             if (stats.hasNonNullValue) {
               val mn = conv(stats.genericGetMin); val mx = conv(stats.genericGetMax)
-              if (!lo.contains(c) || cmp(mn, lo(c)) < 0) lo(c) = mn
-              if (!hi.contains(c) || cmp(mx, hi(c)) > 0) hi(c) = mx
+              if (!flo.contains(c) || cmp(mn, flo(c)) < 0) flo(c) = mn
+              if (!fhi.contains(c) || cmp(mx, fhi(c)) > 0) fhi(c) = mx
             } else if (!(stats.isNumNullsSet && stats.getNumNulls == chunk.getValueCount))
               return None // can't distinguish all-null from missing stats
           }
         }
+        Some((fcount, flo.toMap, fhi.toMap))
       } finally r.close()
+    }
+    val perFile = GraftDataSource.parMap(files)(fileStats)
+    if (perFile.exists(_.isEmpty)) return None
+    perFile.flatten.foreach { case (fcount, flo, fhi) =>
+      count += fcount
+      flo.foreach { case (c, v) =>
+        if (!lo.contains(c) || cmp(v, lo(c)) < 0) lo(c) = v }
+      fhi.foreach { case (c, v) =>
+        if (!hi.contains(c) || cmp(v, hi(c)) > 0) hi(c) = v }
     }
     val fields = specs.map {
       case None => StructField("count(*)", LongType, nullable = false)
@@ -495,12 +533,13 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
     val conf = new Configuration()
-    val total = t.layoutAt(pinnedVersion).values.map { case (dataDir, dvs) =>
+    val allFiles = t.layoutAt(pinnedVersion).values.toSeq.flatMap { case (dataDir, dvs) =>
       require(dvs.isEmpty, "metadata count planned over a DV'd bucket")
-      GraftDataSource.parquetFiles(dataDir).map { f =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+      GraftDataSource.parquetFiles(dataDir)
+    }
+    val total = GraftDataSource.parMap(allFiles) { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
+      try r.getRecordCount finally r.close()
     }.sum
     Array(GraftCountPartition(total))
   }
@@ -695,7 +734,22 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     * ship plain strings/arrays and the executors never touch the log.
     * Everything resolves at the PINNED version: schema, layout, aliases
     * and defaults all describe the same committed snapshot. */
+  // AQE and the columnar-support check call planInputPartitions several
+  // times per query on the same Scan instance; the footer probing is
+  // driver-side work worth doing once. Keyed on the runtime-filter state
+  // so a join-derived prune still re-plans.
+  @volatile private var plannedCache: (Seq[String], Array[InputPartition]) = null
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val cacheKey = runtimeFilters.toSeq.map(_.toString)
+    val hit = plannedCache
+    if (hit != null && hit._1 == cacheKey) return hit._2
+    val planned = doPlanInputPartitions()
+    plannedCache = (cacheKey, planned)
+    planned
+  }
+
+  private def doPlanInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val t = graft.core.TxTable.open(spark, dir, keyCols)
     val v = pinnedVersion
@@ -736,18 +790,28 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         .collect().map(r => Array.tabulate[Any](keyCols.length)(i =>
           keyConverters(i)(r.get(i))))
 
-    chosen.toSeq.sortBy(_._1).map { case (b, (dataDir, dvDirs)) =>
+    val parts = chosen.toSeq.sortBy(_._1).map { case (b, (dataDir, dvDirs)) =>
       val files = parquetFiles(dataDir)
-      val resolved = files.map(f => resolveFile(f, fetch, aliases, conf))
+      val resolved = GraftDataSource.parMap(files)(f =>
+        resolveFile(f, fetch, aliases, conf))
       GraftInputPartition(b, files.toArray,
         resolved.map(_._1).toArray, resolved.map(_._2).toArray,
+        resolved.map(_._3).toArray,
         fetch.toDDL, required.length,
         if (hasDvs) keyCols.map(fetch.fieldIndex).toArray else Array.empty[Int],
         dvKeys(dvDirs),
         fetch.fields.map(f => defaultValues.get(f.name).orNull),
         limit = limit)
-        .asInstanceOf[InputPartition]
-    }.toArray
+    }
+    // Columnar is a SCAN-LEVEL decision (Spark refuses mixed partitions):
+    // vectorize only when no partition carries a DV, the projection is
+    // non-empty, and every file/field pairing is one the vectorized
+    // reader serves natively.
+    val columnar = !hasDvs && fetch.nonEmpty && parts.forall(p =>
+      p.physCodes.forall(_.zipWithIndex.forall { case (code, i) =>
+        GraftVectorReader.vectorizable(code, fetch.fields(i).dataType)
+      }))
+    parts.map(_.copy(columnar = columnar).asInstanceOf[InputPartition]).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -760,13 +824,15 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 final case class GraftInputPartition(bucket: Long, files: Array[String],
                                      physNames: Array[Array[String]],
                                      physCodes: Array[Array[Int]],
+                                     physSchemas: Array[String],
                                      fetchDdl: String, emitCount: Int,
                                      keyIdx: Array[Int],
                                      deletedKeys: Array[Array[Any]],
                                      defaults: Array[Any],
                                      feedVersion: Long = -1L,
                                      changeType: String = null,
-                                     limit: Int = Int.MaxValue)
+                                     limit: Int = Int.MaxValue,
+                                     columnar: Boolean = false)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The bucket id — the value of the reported bucket(n, keys) transform
@@ -827,9 +893,11 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
     def partition(files: Seq[String], v: Long, change: String): Option[InputPartition] =
       if (files.isEmpty) None
       else {
-        val resolved = files.map(f => resolveFile(f, dataSchema, aliases, conf))
+        val resolved = GraftDataSource.parMap(files)(f =>
+          resolveFile(f, dataSchema, aliases, conf))
         Some(GraftInputPartition(-1L, files.toArray,
           resolved.map(_._1).toArray, resolved.map(_._2).toArray,
+          resolved.map(_._3).toArray,
           dataSchema.toDDL, dataSchema.length,
           Array.empty[Int], Array.empty, noDefaults, v, change))
       }
@@ -863,6 +931,143 @@ final class GraftReaderFactory extends PartitionReaderFactory {
     case GraftStatsPartition(vs) => new GraftStatsReader(vs)
     case gp: GraftInputPartition => new GraftPartitionReader(gp)
   }
+
+  /** Bulk scans read COLUMNAR (Spark's own vectorized parquet reader —
+    * the 5.25× row-materialization penalty measured in BASELINE note 64
+    * applied only to the Group-per-row path, which stays as the exact
+    * fallback). Row path remains for: DV'd buckets (the anti-join drops
+    * individual rows — a selection vector over shared batches isn't
+    * worth the complexity at DV rates compaction keeps low), change-feed
+    * partitions (synthesized metadata columns), empty projections, and
+    * any file whose physical/logical pairing the vectorized reader can't
+    * serve (FLOAT-as-double, widened ints). */
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    // Spark requires ALL of a scan's partitions to agree (mixing is an
+    // error, not a fallback), so the decision is made ONCE at planning
+    // and stamped on every partition.
+    case gp: GraftInputPartition => gp.columnar
+    case _ => false
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case gp: GraftInputPartition => new GraftVectorReader(gp)
+    case other => throw new IllegalStateException(s"no columnar reader for $other")
+  }
+}
+
+private[graft] object GraftVectorReader {
+  /** The (physical code, logical type) pairs Spark's vectorized parquet
+    * reader serves natively; anything else stays on the row path. */
+  def vectorizable(code: Int, dt: DataType): Boolean = (code, dt) match {
+    case (GraftDataSource.Absent, _) => true // constant vector via initBatch
+    case (GraftDataSource.I32, IntegerType | DateType) => true
+    case (GraftDataSource.I64, LongType | TimestampType) => true
+    case (GraftDataSource.I64Ms, TimestampType) => true
+    case (GraftDataSource.I96, TimestampType) => true
+    case (GraftDataSource.F64, DoubleType) => true
+    case (GraftDataSource.Utf8, StringType) => true
+    case (GraftDataSource.Bool, BooleanType) => true
+    case _ => false
+  }
+}
+
+/** Columnar partition reader: one [[VectorizedParquetRecordReader]] per
+  * file, requesting exactly the per-file PHYSICAL columns (rename aliases
+  * resolved at planning) in fetch order; absent columns (ADD COLUMN after
+  * the file was written) ride as CONSTANT vectors through `initBatch`'s
+  * partition-column mechanism, carrying the evaluated default. Because
+  * the inner batch lays columns out as (present…, absent…), a zero-copy
+  * wrapper batch re-orders the column VECTORS back to fetch order once
+  * per file. Pushed limits stop the batch stream at the quota (batches
+  * may overshoot within one batch — Spark's global Limit trims). */
+final class GraftVectorReader(p: GraftInputPartition)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val fetch = StructType.fromDDL(p.fetchDdl)
+  private var fileIdx = -1
+  private var reader: org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = null
+  private var wrapper: org.apache.spark.sql.vectorized.ColumnarBatch = null
+  private var inner: org.apache.spark.sql.vectorized.ColumnarBatch = null
+  private var emitted = 0L
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    fileIdx += 1
+    if (fileIdx >= p.files.length) false
+    else {
+      val phys = p.physNames(fileIdx)
+      val present = phys.zipWithIndex.filter(_._1 != null)
+      val absent = phys.zipWithIndex.filter(_._1 == null).map(_._2)
+      reader = new org.apache.spark.sql.execution.datasources.parquet
+        .VectorizedParquetRecordReader(null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+          false, 4096)
+      // The requested schema carries the file's PHYSICAL column names with
+      // the logical fetch types; the reader resolves it from the task conf
+      // (the same contract Spark's own parquet scan uses).
+      val requested = StructType(present.map { case (n, i) =>
+        fetch.fields(i).copy(name = n)
+      })
+      val conf = new Configuration()
+      conf.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
+      conf.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+      conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+      conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+      conf.setBoolean("spark.sql.caseSensitive", false)
+      conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+      conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+      conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+      conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
+      conf.setBoolean("spark.sql.parquet.respectSummaryFiles", false)
+      // The base reader expects the OLD-API split type (mapred, not
+      // mapreduce.lib.input) and a real length for its row-group range.
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new HPath(p.files(fileIdx)), 0,
+        java.nio.file.Files.size(java.nio.file.Paths.get(p.files(fileIdx))),
+        Array.empty[String])
+      reader.initialize(split,
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+      // Absent columns ship as constant "partition" vectors holding the
+      // evaluated ADD-COLUMN default (or typed null).
+      val absSchema = StructType(absent.map(i => fetch.fields(i)))
+      val absValues = new GenericInternalRow(absent.map[Any] { i =>
+        p.defaults(i) match {
+          case null => null
+          case d => CatalystTypeConverters.convertToCatalyst(d)
+        }
+      })
+      reader.initBatch(absSchema, absValues)
+      reader.enableReturningBatches()
+      inner = reader.resultBatch()
+      // Zero-copy re-order: inner = (present…, absent…) → fetch order.
+      val innerIdx = new Array[Int](fetch.length)
+      present.map(_._2).zipWithIndex.foreach { case (f, pos) => innerIdx(f) = pos }
+      absent.zipWithIndex.foreach { case (f, pos) => innerIdx(f) = present.length + pos }
+      wrapper = new org.apache.spark.sql.vectorized.ColumnarBatch(
+        Array.tabulate(fetch.length)(i => inner.column(innerIdx(i))))
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    if (emitted >= p.limit) return false
+    while (true) {
+      if (reader == null && !openNext()) return false
+      if (reader.nextBatch()) {
+        wrapper.setNumRows(inner.numRows())
+        emitted += inner.numRows()
+        return true
+      }
+      if (!openNext()) return false
+    }
+    false
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = wrapper
+
+  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
 }
 
 final class GraftPartitionReader(p: GraftInputPartition)
@@ -896,18 +1101,15 @@ final class GraftPartitionReader(p: GraftInputPartition)
     else {
       val wanted = p.physNames(fileIdx).filter(_ != null)
       val conf = new Configuration()
-      val full = GraftDataSource.footerSchema(p.files(fileIdx), conf)
-      val readSchema =
-        if (wanted.isEmpty) full
-        else {
-          // Parquet-level projection: only the physical columns this file
-          // actually serves are materialized (the DSv2 column-prune hook
-          // carried down to the page level).
-          val proj = new MessageType(full.getName,
-            full.getFields.asScala.filter(f => wanted.contains(f.getName)).asJava)
-          conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-          proj
-        }
+      // The per-file PROJECTED parquet schema was resolved (and the footer
+      // read) once at planning; executors parse the shipped string — no
+      // footer re-read, and only the physical columns this file actually
+      // serves are materialized (the DSv2 column-prune hook carried down
+      // to the page level).
+      val readSchema = org.apache.parquet.schema.MessageTypeParser
+        .parseMessageType(p.physSchemas(fileIdx))
+      if (wanted.nonEmpty)
+        conf.set(ReadSupport.PARQUET_READ_SCHEMA, readSchema.toString)
       fieldIdx = p.physNames(fileIdx).map {
         case null => -1
         case n => readSchema.getFieldIndex(n)

@@ -32,7 +32,7 @@ object ConnScanProbe {
           col("l_orderkey") + lit(i.toLong * 10000000L)))
         .reduce(_ unionByName _)
       val t = graft.core.TxTable.create(spark, dir, base,
-        Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+        Seq("l_orderkey", "l_linenumber"), numBuckets = 32)
       val rows = t.snapshot().count()
 
       def conn = spark.read.format("graft")
@@ -49,7 +49,9 @@ object ConnScanProbe {
         println(f"$label%-22s min=${ts.min}%.3f s  (runs ${ts.map(v => f"$v%.3f").mkString(", ")})")
         ts.min
       }
-      println(s"rows=$rows, buckets=16, sf=$sfDir")
+      println(s"rows=$rows, buckets=32, sf=$sfDir")
+      println("nativeParts=" + t.snapshot().rdd.getNumPartitions +
+        " connParts=" + conn.rdd.getNumPartitions)
       val native = time("native snapshot()")(bulkAgg(t.snapshot()))
       val connector = time("connector format(graft)")(bulkAgg(conn))
       println(f"connector/native = ${connector / native}%.2f x")
