@@ -93,6 +93,9 @@ object SparkEntry {
     // Catalog plugin + storage-partitioned join: zero-shuffle co-bucketed
     // merge-key join through KeyGroupedPartitioning + FunctionCatalog.
     "s44_catalog_spj" -> ((s, d) => GraphOps.txCatalogSpj(s, d)),
+    // Reported statistics pick a hint-free broadcast; runtime IN filters
+    // prune buckets at execution (the DSv2 DPP shape).
+    "s45_stats_runtime" -> ((s, d) => GraphOps.txStatsRuntime(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3639,6 +3642,20 @@ object SparkEntry {
          |FROM f JOIN s ON f.name = s.name
          |WHERE f.name <= 'Customer#000000079'
          |ORDER BY f.name""".stripMargin,
+    // s45: the broadcast join replayed from the base relation (199-slice
+    // against its zero-padded id projection), money as BIGINT cents; grp
+    // replays id % 7 from the numeric suffix; plan certificates ride as
+    // literal true.
+    "s45_stats_runtime" ->
+      s"""WITH $nodesCte,
+         |f AS (SELECT name, house, acctbal,
+         |        CAST(substr(name, 10) AS BIGINT) % 7 AS grp
+         |      FROM n WHERE name <= 'Customer#000000199')
+         |SELECT name, house,
+         |  CAST(round(acctbal * 100) AS BIGINT) AS acctbal_x100, grp,
+         |  true AS stats_broadcast, true AS runtime_pruned
+         |FROM f WHERE name <= 'Customer#000000079'
+         |ORDER BY name""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte
          |SELECT name,

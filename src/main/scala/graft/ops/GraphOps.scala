@@ -796,6 +796,67 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Statistics + runtime-filtering demo (s45_stats_runtime) — the two
+    * optimizer-facing connector hooks, driver-visible: the scan reports
+    * PRUNE-AWARE size statistics from the pinned manifest's file lengths
+    * (SupportsReportStatistics), so joining a fact frame deliberately
+    * sized past the auto-broadcast threshold against the graft table
+    * picks a BroadcastHashJoin with NO hint — the optimizer read and
+    * believed the reported bytes (`stats_broadcast` certificate; without
+    * stats a DSv2 relation defaults to "huge" and the join would
+    * sort-merge); and a runtime (join-derived) IN filter handed to the
+    * scan (SupportsRuntimeFiltering — the DSv2 dynamic-partition-pruning
+    * shape) prunes the planned partitions to at most |keys| of the
+    * manifest's buckets (`runtime_pruned`). At 100 TB these two hooks are
+    * what turn "join a dim to the table" from a full-table sort-merge
+    * into a broadcast probe of exactly the buckets the keys hash into.
+    * Lifecycle class like s40. */
+  def txStatsRuntime(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s45").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      def conn = spark.read.format("graft").option("keys", "name").load(dir)
+
+      // Fact side past the broadcast threshold: only the graft side can
+      // broadcast, so the join shape proves the reported statistics.
+      val fact = spark.range(2000000).selectExpr(
+        "concat('Customer#', lpad(CAST(id AS STRING), 9, '0')) AS name",
+        "id % 7 AS grp")
+      val joined = fact.join(conn, "name")
+      val statsBroadcast = joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+
+      // Runtime prune: the broadcast-join shape hands the build side's
+      // keys to the scan before partitions are planned.
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+      val scan = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(cmap).build()
+      scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("name",
+            Array[Any]("Customer#000000002", "Customer#000000007"))))
+      val planned = scan.toBatch.planInputPartitions().length
+      val runtimePruned = planned <= 2 && planned < t.layoutAt(t.version).size
+
+      joined
+        .filter(col("name") <= "Customer#000000079")
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          col("grp"),
+          lit(statsBroadcast).as("stats_broadcast"),
+          lit(runtimePruned).as("runtime_pruned"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Catalog + storage-partitioned-join demo (s44_catalog_spj) — the
     * GraftCatalog plugin end-to-end: two co-bucketed TxTables under a
     * warehouse resolve as multi-part SQL identifiers (keys from the
