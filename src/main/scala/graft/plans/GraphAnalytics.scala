@@ -393,12 +393,13 @@ object GraphAnalytics {
     * k-core peel (successive `peelKCore` levels, each a degree-recompute
     * fixpoint) over a linear-in-sf relation built to have a NON-TRIVIAL
     * coreness spectrum: within each family residue, class indices are cut
-    * into blocks of 8 (only blocks with all 8 members present enter — the
+    * into blocks of 4 (only blocks with all 4 members present enter — the
     * one partial block per residue would degrade the topology at the
     * boundary, and both engines derive "full" from the data, so the
-    * filters can never desync), and the block's internal topology is
-    * banded by residue mod 3 (block size 4, so even the 150-customer
-    * sf0.001 corpus carries full blocks in every residue):
+    * filters can never desync; block size 4, unlike the scc family's 8,
+    * so even the 150-customer sf0.001 corpus carries full blocks in every
+    * residue), and the block's internal topology is banded by residue
+    * mod 3:
     *   band 0 — a CHAIN (k → k+1): unravels at the 2-peel → coreness 1;
     *   band 1 — a RING (chain + wrap): a cycle survives every 2-peel but
     *     dies at 3 → coreness 2;

@@ -62,11 +62,35 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def name(): String = catalogName
 
+  /** Identifier parts map to path segments, so quoted parts must not be
+    * able to escape the warehouse root (`gcat.`..`.other`): reject
+    * separators and dot-only parts, then belt-and-braces verify the
+    * normalized result still lives under the warehouse. */
+  private def safeParts(parts: Seq[String]): Seq[String] = {
+    parts.foreach { p =>
+      require(p.nonEmpty && p != "." && p != ".." &&
+        !p.contains('/') && !p.contains('\\'),
+        s"graft catalog: invalid identifier part '$p' (path separators and " +
+          "'.'/'..' segments are not allowed)")
+    }
+    parts
+  }
+
+  private def underWarehouse(path: String): String = {
+    val root = java.nio.file.Paths.get(warehouse).toAbsolutePath.normalize
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    require(p.startsWith(root),
+      s"graft catalog: resolved path escapes the warehouse root ($p)")
+    path
+  }
+
   private def dirOf(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+    underWarehouse((warehouse +: safeParts(ident.namespace().toSeq :+ ident.name()))
+      .mkString("/"))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val base = java.nio.file.Paths.get((warehouse +: namespace.toSeq).mkString("/"))
+    val base = java.nio.file.Paths.get(
+      underWarehouse((warehouse +: safeParts(namespace.toSeq)).mkString("/")))
     if (!java.nio.file.Files.isDirectory(base)) Array.empty
     else {
       val s = java.nio.file.Files.list(base)

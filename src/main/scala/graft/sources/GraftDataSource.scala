@@ -114,10 +114,15 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   /** Snapshot pinning: `inferSchema` resolves the committed version once
-    * and remembers it; `getTable` (always called on the SAME provider
-    * instance, right after) reuses it for identical options, so schema
-    * and data come from one version even if a commit lands in between. */
-  @volatile private var lastResolved: (String, Long) = null
+    * and remembers it; `getTable` reuses (and consumes) it for identical
+    * options, so schema and data come from one version even if a commit
+    * lands in between. Keyed per (path, keys, versionAsOf) rather than a
+    * single slot, so interleaved resolutions of two tables through one
+    * provider instance cannot evict each other's pin, and a later
+    * re-resolution of the same table re-pins instead of silently serving
+    * a stale version (the pin is removed once consumed). */
+  private val pinned =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def pinKey(options: CaseInsensitiveStringMap): String =
     s"${GraftDataSource.localPath(options.get("path"))}|${options.get("keys")}|" +
@@ -135,7 +140,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val t = open(options)
     val v = versionOf(t, options)
-    lastResolved = (pinKey(options), v)
+    pinned.put(pinKey(options), v)
     val schema = t.schemaAt(v)
     schema.fields.foreach { f =>
       require(GraftDataSource.supported(f.dataType),
@@ -149,13 +154,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val cached = lastResolved
-    val pinned =
-      if (cached != null && cached._1 == pinKey(opts)) cached._2
+    val cached = pinned.remove(pinKey(opts)) // consume: next resolution re-pins
+    val version =
+      if (cached != null) cached.longValue()
       else versionOf(open(opts), opts) // catalog path without a fresh inferSchema
     val dir = GraftDataSource.localPath(opts.get("path"))
     new GraftTable(dir, GraftDataSource.keysFor(dir, opts),
-      schema, pinned,
+      schema, version,
       opts.getBoolean("changeFeed", false),
       opts.getBoolean("skipLayoutOnly", false))
   }
@@ -268,6 +273,7 @@ private[graft] object GraftDataSource {
             case PrimitiveType.PrimitiveTypeName.DOUBLE => F64
             case PrimitiveType.PrimitiveTypeName.FLOAT => F32
             case PrimitiveType.PrimitiveTypeName.BINARY => Utf8
+            case PrimitiveType.PrimitiveTypeName.BOOLEAN => Bool
             case PrimitiveType.PrimitiveTypeName.INT96 => I96
             case other => throw new IllegalArgumentException(
               s"graft connector: unsupported physical type $other for ${f.name} in $file")
@@ -363,7 +369,11 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
     val layout = t.layoutAt(pinnedVersion)
     if (!layout.values.forall(_._2.isEmpty)) return false
-    if (aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])) {
+    // Exactly-one guard: GraftCountScan emits a single count(*) column, so
+    // a hypothetical multi-CountStar aggregation routes through
+    // computeStats/GraftStatsScan (one column per pushed expression).
+    if (aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]) {
       countStarPushed = true
       return true
     }

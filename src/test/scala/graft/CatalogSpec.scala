@@ -52,6 +52,24 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("identifiers cannot escape the warehouse root") {
+    withCatalog { (cat, wh) =>
+      // A TxTable OUTSIDE the warehouse that a traversal would reach.
+      val outside = java.nio.file.Files.createTempDirectory("graft_cat_outside")
+      val victim = makeTable(outside.toString, "victim", even = false)
+      try {
+        val leaf = java.nio.file.Paths.get(outside.toString).getFileName
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT * FROM $cat.`..`.`$leaf`.victim").collect()
+        }
+        assert(e.getMessage.contains("invalid identifier part") ||
+          e.getMessage.contains("escapes the warehouse root") ||
+          e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+          s"traversal was not rejected: ${e.getMessage}")
+      } finally TxTable.drop(s"$outside/victim")
+    }
+  }
+
   test("storage-partitioned join: co-bucketed tables join with ZERO shuffle") {
     withCatalog { (cat, wh) =>
       val ta = makeTable(wh, "a", even = false)

@@ -455,4 +455,51 @@ class Dsv2Spec extends AnyFunSuite {
       assert(!graft.sources.GraftDataSource.supported(bad.fields.head.dataType))
     } finally TxTable.drop(dir)
   }
+
+  test("boolean columns round-trip on both the vectorized and the row path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bool").toString
+    try {
+      import spark.implicits._
+      val base = (0 until 64).map(i => (s"k$i", i % 3 == 0, i.toLong))
+        .toDF("k", "flag", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 4)
+      // No DVs → the scan vectorizes; Bool must be a supported code.
+      val conn = spark.read.format("graft").load(dir)
+      assert(asSet(conn) == asSet(t.snapshot()),
+        "boolean table disagrees with the native snapshot (vectorized path)")
+      assert(conn.filter(col("flag")).count() == 22)
+      // A DV forces the row path — Bool must convert there too.
+      t.deleteMergeOnRead(Seq("k0").toDF("k"))
+      val rowPath = spark.read.format("graft").load(dir)
+      assert(asSet(rowPath) == asSet(t.snapshot()),
+        "boolean table disagrees with the native snapshot (row path)")
+      assert(rowPath.filter(col("flag")).count() == 21)
+    } finally TxTable.drop(dir)
+  }
+
+  test("snapshot pins are per-table: interleaved resolutions don't evict each other") {
+    val (dirA, tA) = freshTable("graft_dsv2_pin_a")
+    val (dirB, _) = freshTable("graft_dsv2_pin_b")
+    try {
+      val provider = new graft.sources.GraftTableProvider
+      def optsOf(dir: String) = {
+        val m = new java.util.HashMap[String, String]()
+        m.put("path", dir); m.put("keys", "name"); m
+      }
+      val v0 = tA.version
+      val schemaA = provider.inferSchema(new CaseInsensitiveStringMap(optsOf(dirA)))
+      // Interleaved resolution of ANOTHER table through the same provider
+      // must not evict A's pin...
+      provider.inferSchema(new CaseInsensitiveStringMap(optsOf(dirB)))
+      // ...even when a commit lands on A before getTable.
+      tA.merge(tA.snapshot().filter(col("name").endsWith("3"))
+        .withColumn("house", lit("LATE-COMMIT")))
+      val table = provider.getTable(schemaA, Array.empty, optsOf(dirA))
+      val desc = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(optsOf(dirA)))
+        .build().description()
+      assert(desc.contains(s"version=$v0"),
+        s"pin evicted — scan resolved a post-commit version: $desc")
+    } finally { TxTable.drop(dirA); TxTable.drop(dirB) }
+  }
 }
