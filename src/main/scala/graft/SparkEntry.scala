@@ -96,6 +96,9 @@ object SparkEntry {
     // Reported statistics pick a hint-free broadcast; runtime IN filters
     // prune buckets at execution (the DSv2 DPP shape).
     "s45_stats_runtime" -> ((s, d) => GraphOps.txStatsRuntime(s, d)),
+    // Parquet row-group skipping: pushed non-key predicates prune row
+    // groups via footer statistics in both connector read paths.
+    "s46_rowgroup_skip" -> ((s, d) => GraphOps.txRowGroupSkip(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3655,6 +3658,19 @@ object SparkEntry {
          |  CAST(round(acctbal * 100) AS BIGINT) AS acctbal_x100, grp,
          |  true AS stats_broadcast, true AS runtime_pruned
          |FROM f WHERE name <= 'Customer#000000079'
+         |ORDER BY name""".stripMargin,
+    // s46: the skipping read replayed from the base relation (199-slice,
+    // acctbal predicate, bounded name slice), money as BIGINT cents; the
+    // with/without-skipping equality and the measured row-group prune
+    // ride as literal true. The xxhash-derived bucket column never
+    // reaches the hashed output (Spark-only hash).
+    "s46_rowgroup_skip" ->
+      s"""WITH $nodesCte
+         |SELECT name, house,
+         |  CAST(round(acctbal * 100) AS BIGINT) AS acctbal_x100,
+         |  true AS skip_hash_match, true AS rowgroups_skipped
+         |FROM n
+         |WHERE name <= 'Customer#000000059' AND acctbal > 1000
          |ORDER BY name""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte

@@ -857,6 +857,59 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Row-group-skipping demo (s46_rowgroup_skip) — pushed NON-KEY
+    * predicates reach the parquet reader as a FilterPredicate, so row
+    * groups whose footer statistics refute the predicate are never
+    * decoded (the lakehouse data-skipping layer below bucket pruning: on
+    * a 100 TB table a selective predicate reads the few row groups whose
+    * min/max admit it, not every page of every surviving bucket). Two
+    * engine-side certificates ride the hash channel:
+    * `skip_hash_match` — the same predicate evaluated through the
+    * skipping connector and through the native snapshot returns identical
+    * rows (skipping never changes results); `rowgroups_skipped` — a point
+    * predicate on a column that is constant per bucket by construction
+    * (`pmod(xxhash64(name), 8)` = the write path's own bucket id, so
+    * every file's min == max == its bucket) shrinks the SCAN's measured
+    * output to exactly the matching rows — residual filters evaluate
+    * above the scan, so only footer-level skipping can shrink it. The
+    * returned rows are the oracle-able slice (plain acctbal predicate);
+    * the xxhash-derived column never reaches the hashed output. */
+  def txRowGroupSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s46").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+        .withColumn("vb", pmod(xxhash64(col("name")), lit(8)))
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      def conn = spark.read.format("graft").load(dir)
+
+      // Certificate 1: with-skipping == without-skipping, row for row.
+      val pred = col("acctbal") > 1000.0
+      val hashMatch = conn.filter(pred)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+
+      // Certificate 2: scan-level output shrinks to the one bucket whose
+      // footer stats admit the point predicate (vb == bucket id).
+      val matching = t.snapshot().filter(col("vb") === 3).count()
+      val total = t.snapshot().count()
+      val skipDf = conn.filter(col("vb") === 3)
+      skipDf.collect()
+      val emitted = skipDf.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      val skipped = emitted == matching && emitted < total
+
+      conn.filter(pred).filter(col("name") <= "Customer#000000059")
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          lit(hashMatch).as("skip_hash_match"),
+          lit(skipped).as("rowgroups_skipped"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Catalog + storage-partitioned-join demo (s44_catalog_spj) — the
     * GraftCatalog plugin end-to-end: two co-bucketed TxTables under a
     * warehouse resolve as multi-part SQL identifiers (keys from the

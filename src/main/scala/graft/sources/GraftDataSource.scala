@@ -291,6 +291,84 @@ private[graft] object GraftDataSource {
         m.getFields.asScala.filter(fl => wanted.contains(fl.getName)).asJava)
     (names, codes, proj.toString)
   }
+
+  /** Per-file skip-filter preparation for parquet row-group/page skipping:
+    * logical column names remapped to the file's physical names (rename
+    * aliases), and any filter touching a column whose physical/logical
+    * pairing is NOT stats-native dropped entirely — a MILLIS or INT96
+    * timestamp, a widened INT32-as-long, a FLOAT-as-double all keep their
+    * footer statistics in FILE units, so comparing logical-unit filter
+    * values against them would skip row groups that actually match
+    * (silent data loss). Absent columns pass through under their logical
+    * name: ParquetFilters refuses them per file, which is the
+    * conservative fallback (no skipping; the engine residual still
+    * applies — ADD-COLUMN default semantics are never consulted for
+    * skipping). */
+  def skipPredicateFilters(filters: Array[Filter], fetch: StructType,
+                           physNames: Array[String], physCodes: Array[Int])
+      : Seq[Filter] = {
+    if (filters.isEmpty) return Nil
+    val rename = scala.collection.mutable.Map.empty[String, String]
+    val unsafe = scala.collection.mutable.Set.empty[String]
+    fetch.fields.zipWithIndex.foreach { case (f, i) =>
+      if (physCodes(i) != Absent) {
+        val native = (physCodes(i), f.dataType) match {
+          case (I64, LongType) | (I32, IntegerType) | (I32, DateType) |
+               (F64, DoubleType) | (Utf8, StringType) | (Bool, BooleanType) |
+               (I64, TimestampType) => true
+          case _ => false
+        }
+        if (native) rename(f.name) = physNames(i) else unsafe += f.name
+      }
+    }
+    filters.toSeq
+      .filter(_.references.forall(r => !unsafe.contains(r)))
+      .flatMap(renameFilter(_, n => rename.getOrElse(n, n)))
+  }
+
+  /** The per-file parquet FilterPredicate for a partition's skip filters,
+    * or None when nothing survives translation (no skipping — the
+    * engine's residual filter owns correctness either way). */
+  def filePredicate(p: GraftInputPartition, fileIdx: Int, fetch: StructType)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (p.skipFilters.isEmpty) None
+    else {
+      val remapped = skipPredicateFilters(p.skipFilters, fetch,
+        p.physNames(fileIdx), p.physCodes(fileIdx))
+      if (remapped.isEmpty) None
+      else org.apache.spark.sql.graftbridge.Bridge.parquetFilterPredicate(
+        org.apache.parquet.schema.MessageTypeParser
+          .parseMessageType(p.physSchemas(fileIdx)),
+        remapped)
+    }
+
+  /** Structural rename of a source filter's attribute references; an
+    * unrecognized node drops the whole filter (conservative — skipping is
+    * an optimization, the residual filter owns correctness). */
+  def renameFilter(f: Filter, m: String => String): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(m(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(m(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(m(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(m(a), v))
+      case LessThan(a, v) => Some(LessThan(m(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(m(a), v))
+      case In(a, vs) => Some(In(m(a), vs))
+      case IsNull(a) => Some(IsNull(m(a)))
+      case IsNotNull(a) => Some(IsNotNull(m(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(m(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(m(a), v))
+      case StringContains(a, v) => Some(StringContains(m(a), v))
+      case And(l, r) =>
+        for { a <- renameFilter(l, m); b <- renameFilter(r, m) } yield And(a, b)
+      case Or(l, r) =>
+        for { a <- renameFilter(l, m); b <- renameFilter(r, m) } yield Or(a, b)
+      case Not(c) => renameFilter(c, m).map(Not)
+      case _: AlwaysTrue | _: AlwaysFalse => Some(f)
+      case _ => None
+    }
+  }
 }
 
 final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
@@ -334,6 +412,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
   private var countStarPushed = false
   private var statsSchema: StructType = null
   private var statsRow: Array[Any] = null
@@ -363,7 +442,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     * PINNED version, so a DV landing after pushdown cannot invalidate
     * the answer. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (changeFeed || pushed.nonEmpty ||
+    if (changeFeed || pushed.nonEmpty || dataFilters.nonEmpty ||
       aggregation.groupByExpressions().nonEmpty ||
       aggregation.aggregateExpressions().isEmpty) return false
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
@@ -503,6 +582,14 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     * so a hash bug could never drop rows silently, it would only read
     * too much). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Every filter is also recorded for parquet ROW-GROUP/PAGE SKIPPING:
+    // readers translate them per file (physical names, stats-native types
+    // only) and hand them to the parquet reader as a FilterPredicate, so
+    // a selective non-key predicate skips whole row groups via footer
+    // statistics instead of decoding every page of every surviving
+    // bucket. Correctness never rides on it — the same filters return as
+    // residuals below and Spark re-evaluates them above the scan.
+    if (!changeFeed) dataFilters = filters
     val eqs = filters.collect { case EqualTo(a, v) if keyCols.contains(a) => a -> v }.toMap
     val inList = keyCols.length == 1 &&
       filters.exists { case org.apache.spark.sql.sources.In(a, _) => a == keyCols.head
@@ -526,7 +613,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow)
     else if (countStarPushed) new GraftCountScan(dir, keyCols, pinnedVersion)
     else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
-      changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion)
+      changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion, dataFilters)
 }
 
 /** Metadata-only COUNT(*): the driver sums footer record counts at
@@ -598,7 +685,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                       skipLayoutOnly: Boolean = false,
                       spjCapable: Boolean = false,
                       limit: Int = Int.MaxValue,
-                      startingVersion: Long = 0L)
+                      startingVersion: Long = 0L,
+                      dataFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -743,7 +831,9 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
   override def description(): String =
     s"GraftScan(dir=$dir, keys=${keyCols.mkString(",")}, version=$pinnedVersion, " +
       s"pushed=[${pushed.mkString(", ")}], columns=[${required.fieldNames.mkString(",")}]" +
-      (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "") + ")"
+      (if (limit != Int.MaxValue) s", PushedLimit=$limit" else "") +
+      (if (dataFilters.nonEmpty)
+        s", RowGroupSkipFilters=[${dataFilters.mkString(", ")}]" else "") + ")"
 
   /** One partition per manifest bucket, pruned by the pushed key equality.
     * All metadata work (manifest resolve, footer probes, DV key load,
@@ -818,7 +908,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         if (hasDvs) keyCols.map(fetch.fieldIndex).toArray else Array.empty[Int],
         dvKeys(dvDirs),
         fetch.fields.map(f => defaultValues.get(f.name).orNull),
-        limit = limit)
+        limit = limit, skipFilters = dataFilters)
     }
     // Columnar is a SCAN-LEVEL decision (Spark refuses mixed partitions):
     // vectorize only when no partition carries a DV, the projection is
@@ -849,7 +939,8 @@ final case class GraftInputPartition(bucket: Long, files: Array[String],
                                      feedVersion: Long = -1L,
                                      changeType: String = null,
                                      limit: Int = Int.MaxValue,
-                                     columnar: Boolean = false)
+                                     columnar: Boolean = false,
+                                     skipFilters: Array[Filter] = Array.empty)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The bucket id — the value of the reported bucket(n, keys) transform
@@ -1037,6 +1128,13 @@ final class GraftVectorReader(p: GraftInputPartition)
       conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
       conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
       conf.setBoolean("spark.sql.parquet.respectSummaryFiles", false)
+      // Row-group/page skipping: the pushed filters, translated to this
+      // file's physical columns, ride the conf as a parquet
+      // FilterPredicate — HadoopReadOptions picks it up inside the
+      // reader's initialize, so row groups whose footer statistics refute
+      // the predicate are never decoded (and with column indexes, pages).
+      GraftDataSource.filePredicate(p, fileIdx, fetch).foreach(pred =>
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred))
       // The base reader expects the OLD-API split type (mapred, not
       // mapreduce.lib.input) and a real length for its row-group range.
       val split = new org.apache.hadoop.mapred.FileSplit(
@@ -1131,8 +1229,18 @@ final class GraftPartitionReader(p: GraftInputPartition)
         case null => -1
         case n => readSchema.getFieldIndex(n)
       }
-      reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p.files(fileIdx)))
-        .withConf(conf).build()
+      // Same row-group skipping as the vectorized path (plus parquet's
+      // record-level filtering, which only drops rows the engine residual
+      // would drop anyway — the translated predicate is the one Spark's
+      // own record-level filter mode uses).
+      val builder = ParquetReader
+        .builder(new GroupReadSupport(), new HPath(p.files(fileIdx)))
+        .withConf(conf)
+      reader = GraftDataSource.filePredicate(p, fileIdx, fetch)
+        .map(pred => builder.withFilter(
+          org.apache.parquet.filter2.compat.FilterCompat.get(pred)))
+        .getOrElse(builder)
+        .build()
       true
     }
   }

@@ -29,4 +29,31 @@ object Bridge {
     * building custom plan nodes on top). */
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Spark `sources.Filter`s → one conjunctive parquet `FilterPredicate`
+    * against a file's physical `MessageType`, via Spark's own
+    * `ParquetFilters` translator (the exact class the built-in parquet
+    * scan uses — `private[sql]`, hence this bridge). Filters whose
+    * columns the given schema lacks convert to `None` and drop out of the
+    * conjunction (including partial `And` pushdown), which is the
+    * per-file conservative fallback: no skipping, the engine's residual
+    * filter still applies. Caller must pass filters already referencing
+    * the file's PHYSICAL column names (`caseSensitive = true` here). */
+  def parquetFilterPredicate(
+      schema: org.apache.parquet.schema.MessageType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    val pf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFilters(
+      schema,
+      /* pushDownDate = */ true,
+      /* pushDownTimestamp = */ true,
+      /* pushDownDecimal = */ true,
+      /* pushDownStringPredicate = */ true,
+      /* pushDownInFilterThreshold = */ 10,
+      /* caseSensitive = */ true,
+      org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+        org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED, None))
+    filters.flatMap(f => pf.createFilter(f))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+  }
 }
