@@ -99,6 +99,9 @@ object SparkEntry {
     // Parquet row-group skipping: pushed non-key predicates prune row
     // groups via footer statistics in both connector read paths.
     "s46_rowgroup_skip" -> ((s, d) => GraphOps.txRowGroupSkip(s, d)),
+    // Composite-key storage-partitioned join via the _graft_bucket
+    // metadata column: zero-shuffle 2-key merge joins + bucket pruning.
+    "s47_composite_spj" -> ((s, d) => GraphOps.txCompositeSpj(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -3644,6 +3647,24 @@ object SparkEntry {
          |  true AS spj_plan, true AS read_only
          |FROM f JOIN s ON f.name = s.name
          |WHERE f.name <= 'Customer#000000079'
+         |ORDER BY f.name""".stripMargin,
+    // s47: the composite-key SPJ join replayed from the base relation —
+    // the _graft_bucket join term is a pure function of the merge keys,
+    // so the oracle join on (name, house) is equivalent; plan/pruning
+    // certificates ride as literal true (Spark-only xxhash never reaches
+    // the hashed output).
+    "s47_composite_spj" ->
+      s"""WITH $nodesCte,
+         |f AS (SELECT name, house, acctbal FROM n
+         |      WHERE name <= 'Customer#000000199'),
+         |s AS (SELECT name, house, acctbal * 2 AS score FROM f
+         |      WHERE name LIKE '%7')
+         |SELECT f.name, f.house,
+         |  CAST(round(f.acctbal * 100) AS BIGINT) AS acctbal_x100,
+         |  CAST(round(s.score * 100) AS BIGINT) AS score_x100,
+         |  true AS spj_plan, true AS bucket_col_ok, true AS bucket_pruned
+         |FROM f JOIN s ON f.name = s.name AND f.house = s.house
+         |WHERE f.name <= 'Customer#000000149'
          |ORDER BY f.name""".stripMargin,
     // s45: the broadcast join replayed from the base relation (199-slice
     // against its zero-padded id projection), money as BIGINT cents; grp

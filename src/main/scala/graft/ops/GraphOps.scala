@@ -968,6 +968,87 @@ object GraphOps {
   }
   private val CatalogSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Composite-key storage-partitioned join demo (s47_composite_spj) —
+    * the round-13 close of the SPJ caveat: Spark's SPJ machinery accepts
+    * only single-reference transforms, so 2-key TxTables serve their
+    * bucket id as the `_graft_bucket` METADATA column (a per-partition
+    * constant — each scan partition IS one bucket) and report
+    * identity(_graft_bucket) partitioning. A merge-key join that adds the
+    * implied `a._graft_bucket = b._graft_bucket` term (bucket is a pure
+    * function of the merge keys — the term never changes results) plans
+    * with ZERO shuffle under v2 bucketing +
+    * requireAllClusterKeysForCoPartition=false (safe: the bucket column
+    * alone fully determines the partition). Three certificates ride the
+    * hash channel: `spj_plan` — the executed composite-key join holds no
+    * Exchange; `bucket_col_ok` — the metadata column is bit-exact with
+    * the write path's pmod(xxhash64(keys), n) on every row; and
+    * `bucket_pruned` — a pushed `_graft_bucket = 3` predicate shrinks the
+    * scan to exactly that bucket's rows (pruning without hashing: the
+    * column IS the partition id). At 100 TB this turns the composite
+    * merge-key fact-to-fact join from the plan's biggest exchange into a
+    * local zip, the same win s44 certifies for single keys. */
+  def txCompositeSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tx_s47").toString
+    val cat = s"gcat_s47_${CatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val before = (
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition"))
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      graft.core.TxTable.create(spark, s"$wh/facts", base,
+        Seq("name", "house"), numBuckets = 8)
+      graft.core.TxTable.create(spark, s"$wh/scores",
+        base.filter(col("name").endsWith("7"))
+          .select(col("name"), col("house"), (col("acctbal") * 2).as("score")),
+        Seq("name", "house"), numBuckets = 8)
+
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val joined = spark.sql(
+        s"""SELECT f.name, f.house, f.acctbal, s.score
+           |FROM $cat.facts f JOIN $cat.scores s
+           |ON f.name = s.name AND f.house = s.house
+           |AND f._graft_bucket = s._graft_bucket""".stripMargin)
+      val spjPlan =
+        !joined.queryExecution.executedPlan.toString.contains("Exchange")
+
+      val bucketColOk = spark.sql(
+        s"SELECT name, house, _graft_bucket FROM $cat.facts")
+        .filter(col("_graft_bucket") =!=
+          pmod(xxhash64(col("name"), col("house")), lit(8)).cast("int"))
+        .count() == 0L
+
+      val pruned = spark.sql(s"SELECT name FROM $cat.facts WHERE _graft_bucket = 3")
+      pruned.collect()
+      val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      val inBucket = base
+        .filter(pmod(xxhash64(col("name"), col("house")), lit(8)) === 3).count()
+      val bucketPruned = scanned == inBucket && scanned < base.count()
+
+      joined
+        .filter(col("name") <= "Customer#000000149")
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          round(col("score") * 100).cast("long").as("score_x100"),
+          lit(spjPlan).as("spj_plan"), lit(bucketColOk).as("bucket_col_ok"),
+          lit(bucketPruned).as("bucket_pruned"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", before._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before._2)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", before._3)
+      graft.core.TxTable.drop(wh)
+    }
+  }
+
   /** Write-audit-publish demo — the WAP pattern on TxTable branches: the
     * batch (last-digit-3 names flipped to 'STAGED') is MERGED ON A BRANCH,
     * audited there, and only then fast-forwarded to main. Two certificates

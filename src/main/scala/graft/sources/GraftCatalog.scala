@@ -134,9 +134,21 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "bucket"))
 
+  /** `graft_bucket_<n>` is the same write-path hash under the name
+    * composite-key tables report their transform as (Spark resolves the
+    * standard bucket transform with exactly one reference, so multi-key
+    * tables use the general named-transform path, and the bucket count
+    * rides in the NAME so the transform's only leaves are the key
+    * attributes — a literal child would fail
+    * KeyGroupedPartitioning.satisfies — while canonicalName still
+    * carries n for co-partition comparisons). */
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else ident.name() match {
+      case GraftCatalog.BucketN(n) if n.toInt > 0 => GraftBucketNFunction(n.toInt)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 }
 
 /** The TxTable bucket hash as a V2 catalog function, so Spark can resolve
@@ -145,6 +157,42 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
   * function's `canonicalName`). `produceResult` evaluates the EXACT
   * write-path rule — Catalyst `XxHash64(keys, 42)` then positive mod — so
   * even evaluated uses (partially-clustered SPJ) agree with the layout. */
+private[graft] object GraftCatalog {
+  /** Names of the composite-key bucket transform: `graft_bucket_<n>`. */
+  val BucketN = "graft_bucket_([0-9]+)".r
+}
+
+/** The composite-key variant of [[GraftBucketFunction]]: the bucket count
+  * is a parameter of the FUNCTION (parsed from its name), not a leading
+  * argument, so the transform expression's only leaves are the key
+  * attributes (KeyGroupedPartitioning.satisfies demands it) and the
+  * canonicalName still distinguishes bucket counts. Hash rule identical
+  * to the write path: pmod(xxhash64(keys…, seed 42), n). */
+private[graft] final case class GraftBucketNFunction(n: Int) extends UnboundFunction {
+  override def name(): String = s"graft_bucket_$n"
+  override def description(): String =
+    s"graft_bucket_$n(keys...): pmod(xxhash64(keys...), $n) — the graft TxTable bucket id"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.nonEmpty, s"graft_bucket_$n(keys...) binds at least one key")
+    val types = inputType.fields.map(_.dataType)
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = types
+      override def resultType(): DataType = IntegerType
+      override def name(): String = s"graft_bucket_$n"
+      override def canonicalName(): String = s"graft.bucket_$n"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val lits = types.indices.map(i =>
+          Literal(input.get(i, types(i)), types(i))
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])
+        val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
+        (((h % n) + n) % n).toInt
+      }
+    }
+  }
+}
+
 private[graft] object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =

@@ -292,6 +292,66 @@ private[graft] object GraftDataSource {
     (names, codes, proj.toString)
   }
 
+  /** The bucket-id METADATA COLUMN (SupportsMetadataColumns): invisible
+    * to SELECT *, explicitly selectable like Spark's own `_metadata`
+    * family, served as a zero-cost per-partition CONSTANT (each scan
+    * partition IS one bucket). This is what carries storage-partitioned
+    * joins past Spark's one-reference transform limit for COMPOSITE-key
+    * tables: the scan reports `identity(_graft_bucket)` partitioning
+    * when the column is in the projection, so a join that adds the
+    * (implied) `a._graft_bucket = b._graft_bucket` term — or a GROUP BY
+    * that lists it alongside the merge keys — plans with zero shuffle. */
+  val BucketCol = "_graft_bucket"
+
+  /** The table's DESCRIPTIVE partitioning transform. Single-key tables
+    * use Spark's own `bucket(n, key)` (which also drives their SPJ
+    * resolution); composite keys report the hash as a named
+    * `graft_bucket_<n>(keys…)` transform — Spark's SPJ machinery
+    * accepts only single-reference transforms
+    * (KeyGroupedPartitioning.supportsExpressions), so the composite
+    * zero-shuffle path rides [[BucketCol]] instead, and this form is
+    * the catalog-facing description (the bucket count lives in the
+    * NAME so the transform's only leaves are the key attributes and
+    * the bound function's canonicalName still distinguishes bucket
+    * counts). */
+  def bucketTransform(n: Int, keys: Seq[String])
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions}
+    if (keys.length == 1) Expressions.bucket(n, keys.head)
+    else Expressions.apply(s"graft_bucket_$n",
+      keys.map(k => Expressions.column(k).asInstanceOf[VExpr]): _*)
+  }
+
+  /** Candidate key TUPLES implied by EqualTo/In key predicates — the
+    * bucket-pruning generalization past single-key IN lists: every key
+    * column must be pinned (EqualTo → one candidate, In → the list;
+    * several predicates on one key intersect), and the cartesian product
+    * must stay under `cap` — past it, or with any key unconstrained, the
+    * result is empty = "cannot prune" and the scan reads the full
+    * listing (the residual filters own correctness either way, so this
+    * can only ever read too much, never too little). A 2-key table
+    * probed with `k1 = x AND k2 IN (…)` now plans ≤|list| buckets
+    * instead of all of them. */
+  def keyTuples(keyCols: Seq[String], filters: Array[Filter],
+                cap: Int = 256): Seq[Seq[Any]] = {
+    if (keyCols.isEmpty || filters.isEmpty) return Nil
+    val perKey: Seq[Seq[Any]] = keyCols.map { k =>
+      val cands = filters.toSeq.collect {
+        case EqualTo(a, v) if a == k => Seq(v)
+        case org.apache.spark.sql.sources.In(a, vs) if a == k =>
+          vs.toSeq.distinct
+      }
+      if (cands.isEmpty) Nil else cands.reduce(_ intersect _)
+    }
+    if (perKey.exists(_.isEmpty)) return Nil
+    var product: Seq[Seq[Any]] = Seq(Seq.empty)
+    for (cands <- perKey) {
+      if (product.size.toLong * cands.size > cap) return Nil
+      product = for { t <- product; c <- cands } yield t :+ c
+    }
+    product
+  }
+
   /** Per-file skip-filter preparation for parquet row-group/page skipping:
     * logical column names remapped to the file's physical names (rename
     * aliases), and any filter touching a column whose physical/logical
@@ -375,24 +435,44 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
                        pinnedVersion: Long, changeFeed: Boolean = false,
                        skipLayoutOnly: Boolean = false,
                        spjCapable: Boolean = false)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  /** `_graft_bucket` — the storage bucket id as a DSv2 metadata column
+    * (excluded from SELECT *, explicitly selectable; readers serve it as
+    * a free per-partition constant since every scan partition is exactly
+    * one bucket). Not offered on the change feed (it synthesizes its own
+    * metadata) or if a real column shadows the name. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (changeFeed || schema0.fieldNames.contains(GraftDataSource.BucketCol))
+      Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftDataSource.BucketCol
+      override def dataType(): org.apache.spark.sql.types.DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "storage bucket id: pmod(xxhash64(merge keys), bucket count)"
+    })
+
   /** The table IS bucket-partitioned by its merge keys — advertising the
     * transform lets catalog-resolved joins use storage-partitioned
     * planning. ONLY when resolved through [[GraftCatalog]] (spjCapable):
     * the bucket function must resolve through a FunctionCatalog that
     * knows it, and other routes (the session catalog, plain format
-    * reads) THROW on the lookup instead of falling back. */
+    * reads) THROW on the lookup instead of falling back. Composite-key
+    * tables report the named `graft_bucket(n, keys…)` form (see
+    * [[GraftDataSource.bucketTransform]]). */
   override def partitioning(): Array[Transform] =
     if (!spjCapable || changeFeed) Array.empty
-    else Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+    else Array(GraftDataSource.bucketTransform(
       graft.core.TxTable.open(SparkSession.active, dir, keyCols)
-        .bucketCountAt(pinnedVersion), keyCols: _*))
+        .bucketCountAt(pinnedVersion), keyCols))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed,
@@ -575,12 +655,14 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
   }
 
   /** Key predicates prune the bucket listing: an equality covering EVERY
-    * key column prunes to ONE bucket; for single-key tables an IN list
-    * prunes to at most |list| buckets (the batched point-lookup shape —
-    * s28's use case through the connector). The filters are still handed
-    * back as residuals (listing-level pruning only — Spark re-evaluates,
-    * so a hash bug could never drop rows silently, it would only read
-    * too much). */
+    * key column prunes to ONE bucket; IN lists generalize that to
+    * candidate TUPLES (each key pinned by EqualTo or In, cartesian
+    * product bounded — see [[GraftDataSource.keyTuples]]), so both the
+    * single-key batched point lookup (s28's shape) and the composite-key
+    * `k1 = x AND k2 IN (…)` probe plan ≤|tuples| buckets. The filters
+    * are still handed back as residuals (listing-level pruning only —
+    * Spark re-evaluates, so a hash bug could never drop rows silently,
+    * it would only read too much). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Every filter is also recorded for parquet ROW-GROUP/PAGE SKIPPING:
     // readers translate them per file (physical names, stats-native types
@@ -590,15 +672,17 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     // bucket. Correctness never rides on it — the same filters return as
     // residuals below and Spark re-evaluates them above the scan.
     if (!changeFeed) dataFilters = filters
-    val eqs = filters.collect { case EqualTo(a, v) if keyCols.contains(a) => a -> v }.toMap
-    val inList = keyCols.length == 1 &&
-      filters.exists { case org.apache.spark.sql.sources.In(a, _) => a == keyCols.head
-                       case _ => false }
-    if (keyCols.forall(eqs.contains) || inList) {
+    val bucketPred = filters.exists {
+      case EqualTo(a, _) => a == GraftDataSource.BucketCol
+      case org.apache.spark.sql.sources.In(a, _) => a == GraftDataSource.BucketCol
+      case _ => false
+    }
+    if (GraftDataSource.keyTuples(keyCols, filters).nonEmpty || bucketPred) {
       pushed = filters.filter {
-        case EqualTo(a, _) => keyCols.contains(a)
+        case EqualTo(a, _) =>
+          keyCols.contains(a) || a == GraftDataSource.BucketCol
         case org.apache.spark.sql.sources.In(a, _) =>
-          keyCols.length == 1 && a == keyCols.head
+          keyCols.contains(a) || a == GraftDataSource.BucketCol
         case _ => false
       }
     }
@@ -739,19 +823,22 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
       ((h % n) + n) % n
     }
-    def tuplesOf(filters: Array[Filter]): Seq[Seq[Any]] = {
-      val eqs = filters.collect { case EqualTo(a, value) => a -> value }.toMap
-      if (keyCols.nonEmpty && keyCols.forall(eqs.contains))
-        Seq(keyCols.map(eqs))
-      else if (keyCols.length == 1)
-        filters.toSeq.collect { case org.apache.spark.sql.sources.In(a, vs)
-          if a == keyCols.head => vs.toSeq.map(v0 => Seq(v0)) }.flatten
-      else Nil
-    }
     val n = t.bucketCountAt(pinnedVersion)
-    val sets = Seq(tuplesOf(pushed), tuplesOf(runtimeFilters))
+    // Direct predicates on the bucket-id metadata column prune without
+    // hashing (the column IS the partition id by construction).
+    def bucketIds(filters: Array[Filter]): Set[Long] = filters.flatMap {
+      case EqualTo(a, v: Number) if a == GraftDataSource.BucketCol =>
+        Some(Set(v.longValue))
+      case org.apache.spark.sql.sources.In(a, vs)
+        if a == GraftDataSource.BucketCol =>
+        Some(vs.collect { case v: Number => v.longValue }.toSet)
+      case _ => None
+    }.reduceOption(_ intersect _).getOrElse(Set.empty)
+    val sets = (Seq(GraftDataSource.keyTuples(keyCols, pushed),
+        GraftDataSource.keyTuples(keyCols, runtimeFilters))
       .filter(_.nonEmpty)
-      .map(_.map(bucketOf(_, n)).toSet)
+      .map(_.map(bucketOf(_, n)).toSet) ++
+      Seq(bucketIds(pushed), bucketIds(runtimeFilters)).filter(_.nonEmpty))
     if (sets.isEmpty) layout
     else {
       val buckets = sets.reduce(_ intersect _)
@@ -773,20 +860,33 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     * join-input exchanges (1 vs 3 Exchange nodes) and runs 1.22× faster
     * even locally where the scan dominates — on a real cluster the
     * eliminated exchange is the network shuffle of both fact tables.
-    * Caveat: SINGLE-key tables only — Spark resolves bucket transforms
-    * with one reference; a composite-key table's 2-ref transform fails
-    * resolution and the join falls back to the (correct) shuffled plan. */
+    * Single-key tables report Spark's own bucket(n, key). COMPOSITE-key
+    * tables hit Spark's hard one-reference transform limit
+    * (KeyGroupedPartitioning.supportsExpressions vetoes any multi-child
+    * transform at BatchScanExec), so they report `identity(_graft_bucket)`
+    * over the bucket-id metadata column instead — valid because every
+    * partition IS one bucket, so the column is partition-constant — and
+    * engage SPJ whenever the query references the column (a join adding
+    * the implied `a._graft_bucket = b._graft_bucket` term, or a GROUP BY
+    * listing it with the merge keys, plans with zero shuffle). */
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
     val parts = chosenLayout(t, t.layoutAt(pinnedVersion)).size
     if (!spjCapable)
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts)
-    else
+    else if (keyCols.length == 1)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          t.bucketCountAt(pinnedVersion), keyCols: _*)),
+        Array(GraftDataSource.bucketTransform(
+          t.bucketCountAt(pinnedVersion), keyCols)),
         parts)
+    else if (required.fieldNames.contains(GraftDataSource.BucketCol))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(GraftDataSource.BucketCol)),
+        parts)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts)
   }
 
   /** Size statistics from the pinned manifest's file lengths (one
@@ -907,7 +1007,14 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         fetch.toDDL, required.length,
         if (hasDvs) keyCols.map(fetch.fieldIndex).toArray else Array.empty[Int],
         dvKeys(dvDirs),
-        fetch.fields.map(f => defaultValues.get(f.name).orNull),
+        // The bucket-id metadata column is a per-partition CONSTANT (the
+        // partition IS one bucket) — served through the same
+        // absent-column default machinery as ADD-COLUMN defaults.
+        fetch.fields.map(f =>
+          if (f.name == GraftDataSource.BucketCol &&
+            !tableSchema.fieldNames.contains(GraftDataSource.BucketCol))
+            Int.box(b.toInt)
+          else defaultValues.get(f.name).orNull),
         limit = limit, skipFilters = dataFilters)
     }
     // Columnar is a SCAN-LEVEL decision (Spark refuses mixed partitions):

@@ -97,6 +97,86 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("composite-key tables storage-partition-join with ZERO shuffle too") {
+    withCatalog { (cat, wh) =>
+      // Two-key merge keys hit Spark's hard one-reference SPJ transform
+      // limit (KeyGroupedPartitioning.supportsExpressions), so the
+      // connector serves the bucket id as the `_graft_bucket` METADATA
+      // column (a free per-partition constant) and reports
+      // identity(_graft_bucket) partitioning when it's referenced. The
+      // zero-shuffle recipe for composite keys: add the implied
+      // `a._graft_bucket = b._graft_bucket` join term (bucket is a pure
+      // function of the merge keys, so it never changes the result) and
+      // relax requireAllClusterKeysForCoPartition — safe here because
+      // the bucket column alone fully DETERMINES the partition.
+      def make(name: String, even: Boolean): TxTable = {
+        val base = Graph.nodes(spark, sf)
+          .filter(col("name") <= "Customer#000000199")
+          .filter(if (even) col("nid") % 2 === 0 else lit(true))
+          .select(col("name"), col("house"), col("acctbal"))
+        TxTable.create(spark, s"$wh/$name", base, Seq("name", "house"), numBuckets = 8)
+      }
+      val ta = make("ca", even = false)
+      val tb = make("cb", even = true)
+      val before = (
+        spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false"),
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition"))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        // The metadata column: hidden from SELECT *, explicitly
+        // selectable, bit-exact with the write path's bucket hash.
+        assert(!spark.sql(s"SELECT * FROM $cat.ca").columns.contains("_graft_bucket"),
+          "metadata column must not leak into SELECT *")
+        val mismatches = spark.sql(s"SELECT name, house, _graft_bucket FROM $cat.ca")
+          .withColumn("expect",
+            pmod(xxhash64(col("name"), col("house")), lit(8)).cast("int"))
+          .filter(col("_graft_bucket") =!= col("expect")).count()
+        assert(mismatches == 0, "_graft_bucket disagrees with the write-path hash")
+
+        val joined = spark.sql(
+          s"""SELECT a.name, a.acctbal AS ba, b.acctbal AS bb
+            |FROM $cat.ca a JOIN $cat.cb b
+            |ON a.name = b.name AND a.house = b.house
+            |AND a._graft_bucket = b._graft_bucket""".stripMargin)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"composite-key co-bucketed join must be storage-partitioned; got:\n$plan")
+        val expected = ta.snapshot().select("name", "house").intersect(
+          tb.snapshot().select("name", "house")).count()
+        assert(joined.count() == expected, "composite-key SPJ lost rows")
+
+        // GROUP BY listing the bucket column with the merge keys (it is
+        // functionally dependent on them, so groups are unchanged).
+        val agg = spark.sql(
+          s"""SELECT name, house, sum(acctbal) AS s FROM $cat.ca
+             |GROUP BY _graft_bucket, name, house""".stripMargin)
+        assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+          "composite merge-key GROUP BY must not shuffle")
+        assert(agg.count() == ta.snapshot().count(), "composite agg lost groups")
+
+        // A pushed _graft_bucket predicate prunes the listing to that
+        // one bucket's partition (the column IS the partition id).
+        val f = spark.sql(s"SELECT name FROM $cat.ca WHERE _graft_bucket = 3")
+        val scanned = {
+          f.collect()
+          f.queryExecution.executedPlan.collectLeaves()
+            .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+        }
+        val inBucket = ta.snapshot()
+          .filter(pmod(xxhash64(col("name"), col("house")), lit(8)) === 3).count()
+        assert(scanned == inBucket,
+          s"bucket-filter scan read $scanned rows, expected the one bucket's $inBucket")
+      } finally {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", before._1)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before._2)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", before._3)
+      }
+    }
+  }
+
   test("group-by merge key over a catalog table aggregates with ZERO shuffle") {
     withCatalog { (cat, wh) =>
       val t = makeTable(wh, "t", even = false)

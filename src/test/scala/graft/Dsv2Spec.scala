@@ -525,6 +525,54 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("_graft_bucket metadata column serves the bucket id on both read paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_metacol").toString
+    try {
+      import spark.implicits._
+      val base = (0 until 200).map(i => (s"k$i", s"h${i % 7}", i.toLong))
+        .toDF("k", "h", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k", "h"), numBuckets = 8)
+      def conn = spark.read.format("graft").load(dir)
+
+      // Hidden from SELECT */plain load; explicitly selectable; equal to
+      // the write path's own hash on the vectorized (DV-free) path.
+      assert(!conn.columns.contains("_graft_bucket"))
+      val withMeta = conn.select(col("k"), col("h"), col("_graft_bucket"))
+      assert(withMeta.count() == 200)
+      assert(withMeta.filter(col("_graft_bucket") =!=
+        pmod(xxhash64(col("k"), col("h")), lit(8)).cast("int")).count() == 0,
+        "metadata bucket id disagrees with the write-path hash (vectorized path)")
+
+      // Same through the DV-carrying ROW path (constant still served).
+      t.deleteMergeOnRead(Seq(("k5", "h5")).toDF("k", "h"))
+      val afterDv = conn.select(col("k"), col("h"), col("_graft_bucket"))
+      assert(afterDv.count() == 199)
+      assert(afterDv.filter(col("_graft_bucket") =!=
+        pmod(xxhash64(col("k"), col("h")), lit(8)).cast("int")).count() == 0,
+        "metadata bucket id disagrees with the write-path hash (row path)")
+    } finally TxTable.drop(dir)
+  }
+
+  test("composite EqualTo+In key predicates prune to the candidate tuples' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_tupleprune").toString
+    try {
+      import spark.implicits._
+      val base = (0 until 256).map(i => (s"k${i % 16}", s"h${i / 16}", i.toLong))
+        .toDF("k", "h", "v")
+      TxTable.create(spark, dir, base, Seq("k", "h"), numBuckets = 16)
+      // k pinned by equality, h by a 2-element IN: 2 candidate tuples →
+      // at most 2 buckets planned (of 16), rows exactly the predicate's.
+      val q = spark.read.format("graft").load(dir)
+        .filter(col("k") === "k3" && col("h").isin("h1", "h2"))
+      assert(q.count() == 2, "tuple-pruned read lost or invented rows")
+      val parts = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.get
+      assert(parts <= 2, s"expected <=2 pruned buckets, planned $parts")
+    } finally TxTable.drop(dir)
+  }
+
   test("snapshot pins are per-table: interleaved resolutions don't evict each other") {
     val (dirA, tA) = freshTable("graft_dsv2_pin_a")
     val (dirB, _) = freshTable("graft_dsv2_pin_b")
