@@ -44,6 +44,26 @@ import scala.jdk.CollectionConverters._
   * are invisible to readers (no manifest points at them) and `vacuum()`
   * reclaims them by manifest reachability, retaining the version horizon
   * you ask it to keep time travel for.
+  *
+  * **Torn-state contract** (crash anywhere in the protocol leaves the
+  * table readable and writable; PropertySpec's fault-injection cases pin
+  * each clause):
+  * - An ORPHAN commit dir (writer died after writing data, before
+  *   publishing a manifest) is invisible to every reader — snapshots,
+  *   time travel, and the change feed resolve buckets only through
+  *   published manifests — and `vacuum()` reclaims it past `retainMs`.
+  * - A STALE TEMP MANIFEST (`.tmp-*` — writer died between materializing
+  *   the manifest and the atomic publish link) is never a version:
+  *   resolution matches only `v*.txt`, the next writer takes the same
+  *   version number unhindered, and `vacuum()` reclaims the temp file
+  *   under the same age guard as data dirs.
+  * - A MISSING `keys.txt` sidecar degrades loudly, never silently:
+  *   catalog resolution refuses with the explicit-keys remedy; the DSv2
+  *   `keys` option remains the working fallback.
+  * - VACUUM vs TIME TRAVEL at the retention boundary: a retired version
+  *   fails fast ("has been vacuumed") rather than scanning half a
+  *   version, and the head snapshot stays fully readable through and
+  *   after any vacuum.
   */
 final class TxTable private (spark: SparkSession, dir: String,
                              keyCols: Seq[String], numBuckets: Int,
@@ -723,6 +743,16 @@ final class TxTable private (spark: SparkSession, dir: String,
             n.stripPrefix("v").stripSuffix(".txt").toLong < floor)
           Files.deleteIfExists(logDir.resolve(n))
       }
+    // A writer that died between materializing its temp manifest and the
+    // publish link leaves a `.tmp-*` file behind — invisible to readers
+    // (version resolution matches only v*.txt) but a leak. Reclaim them
+    // under the same age guard as data dirs: an IN-FLIGHT publish's temp
+    // file is seconds old and protected by retainMs.
+    listNames(logDir).foreach { n =>
+      if (n.startsWith(".tmp-") &&
+          Files.getLastModifiedTime(logDir.resolve(n)).toMillis < cutoff)
+        Files.deleteIfExists(logDir.resolve(n))
+    }
     dead.size
   }
 

@@ -538,6 +538,81 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable fault injection: torn protocol states leave the table readable and writable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_fault").toString
+    import java.nio.file.{Files => F, Paths => P}
+    try {
+      val t = graft.core.TxTable.create(spark, dir,
+        (0 until 20).map(i => f"K$i%02d" -> i.toLong).toDF("k", "v"),
+        Seq("k"), numBuckets = 4)
+      t.merge(Seq("K03" -> 30L).toDF("k", "v")) // v1
+      val cleanRows = t.snapshot().collect().map(_.mkString("|")).sorted.toSeq
+
+      // (1) ORPHAN COMMIT DIR — a writer died after writing data, before
+      // publishing. Readers must not see its rows; vacuum reclaims it.
+      val orphan = P.get(dir, "data", "t-deadbeef0001")
+      F.createDirectories(orphan.resolve("_b=0"))
+      Seq("ZZ-GHOST" -> -1L).toDF("k", "v")
+        .write.mode("overwrite").parquet(orphan.resolve("_b=0").toString)
+      assert(t.snapshot().collect().map(_.mkString("|")).sorted.toSeq == cleanRows,
+        "orphan commit dir leaked into the snapshot")
+      F.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(1L)) // age past retainMs
+      assert(t.vacuum(retainMs = 0L) >= 1, "vacuum must reclaim the orphan dir")
+      assert(!F.exists(orphan), "orphan dir survived vacuum")
+
+      // (2) STALE TEMP MANIFEST — a writer died between materializing the
+      // temp manifest and the atomic link. It is never a version, the next
+      // writer is unhindered, and vacuum reclaims the file.
+      val headBefore = t.version
+      val tmp = P.get(dir, "_log", ".tmp-dead-writer")
+      F.writeString(tmp, "#buckets=4\n#op=merge\n0\tt-deadbeef0002")
+      assert(t.version == headBefore, "a temp manifest must never resolve as a version")
+      val v2 = t.merge(Seq("K04" -> 40L).toDF("k", "v"))
+      assert(v2 == headBefore + 1, "publish blocked by a stale temp manifest")
+      F.setLastModifiedTime(tmp, java.nio.file.attribute.FileTime.fromMillis(1L))
+      t.vacuum(retainMs = 0L)
+      assert(!F.exists(tmp), "stale temp manifest survived vacuum")
+
+      // (3) MISSING keys.txt SIDECAR — catalog resolution refuses loudly
+      // with the remedy; the DSv2 keys option remains the fallback.
+      val sidecar = P.get(dir, "_log", "keys.txt")
+      val sidecarText = F.readString(sidecar)
+      F.delete(sidecar)
+      try {
+        val wh = P.get(dir).getParent.toString
+        spark.conf.set("spark.sql.catalog.gfault", classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.gfault.warehouse", dir)
+        val err = intercept[Exception] {
+          spark.sql(s"SELECT * FROM gfault.`$dir`").collect()
+        }
+        assert(!err.getMessage.contains("NullPointer"),
+          s"sidecar-less table must refuse with a clear message, got: ${err.getMessage}")
+        val viaOption = spark.read.format("graft")
+          .option("keys", "k").load(dir)
+        assert(viaOption.count() == t.snapshot().count(),
+          "explicit keys option must still read a sidecar-less table")
+      } finally F.writeString(sidecar, sidecarText)
+
+      // (4) VACUUM vs TIME TRAVEL at the retention boundary: retired
+      // versions fail fast with the vacuumed message; the head stays
+      // fully readable through and after the vacuum.
+      val head = t.version
+      t.vacuum(retainMs = 0L, keepVersions = 1)
+      val gone = intercept[IllegalArgumentException] { t.snapshotAt(0L).collect() }
+      assert(gone.getMessage.contains("vacuumed"),
+        s"retired version must fail fast as vacuumed, got: ${gone.getMessage}")
+      assert(t.version == head, "vacuum must never move the head")
+      val survivors = t.snapshot().collect().map(_.mkString("|")).sorted
+      assert(survivors.length == 20 && survivors.exists(_.startsWith("K04|40")),
+        "head snapshot must replay fully after aggressive vacuum")
+      // And the table stays WRITABLE: the protocol resumes cleanly.
+      t.merge(Seq("K06" -> 60L).toDF("k", "v"))
+      assert(t.snapshot().filter(col("k") === "K06").head().getLong(1) == 60L)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable vacuum reclaims loser/orphan dirs by manifest reachability; every retained version replays") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_vac").toString
