@@ -32,6 +32,31 @@ class ScalingSpec extends AnyFunSuite {
       "a quadratic plan (~e=2 per 10x step) must classify as a regression")
   }
 
+  test("the committed 4-point record keeps the worst entries sublinear over a fourth decade") {
+    // tools.ScaleUp synthesizes a local 10x corpus (customer/lineitem/
+    // documents — Caesar-rotated text keeps the duplicate rate constant,
+    // plain duplication would measure a pair-explosion artifact) and the
+    // harness extends the FIVE worst r12 exponents to a 4th point; the
+    // recorded exponent is the largest decade's (sf0.1 -> sf1).
+    val p = java.nio.file.Paths.get("/root/repo/scaling_out4.json")
+    assume(java.nio.file.Files.exists(p), "no scaling_out4.json committed yet")
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val worst = """"worst":\{"entry":"[^"]+","exponent":(-?[0-9.]+)\}""".r
+      .findFirstMatchIn(text).map(_.group(1).toDouble)
+    assert(worst.nonEmpty && worst.get <= ScalingCurve.Bound,
+      s"4-point record superlinear (worst=$worst)")
+    assert(text.contains(""""failed":[]"""), "4-point record contains failed entries")
+    val expected = Seq("rq75_group_median", "gx_corpus_triangles",
+      "dd_containment", "dd_source_overlap", "dd_edit_distance")
+    val missing = expected.filterNot(n => text.contains("\"" + n + "\""))
+    assert(missing.isEmpty, s"4-point record lost entries: $missing")
+    // Four sf dirs → four time points per entry.
+    val times = """"times":\[([^\]]+)\]""".r.findAllMatchIn(text)
+      .map(_.group(1).split(',').length).toSeq
+    assert(times.nonEmpty && times.forall(_ == 4),
+      s"4-point record must hold 4 times per entry, got $times")
+  }
+
   test("the committed scaling record stays under the bound and covers the subset") {
     val p = java.nio.file.Paths.get("/root/repo/scaling_out.json")
     assume(java.nio.file.Files.exists(p), "no scaling_out.json committed yet")
