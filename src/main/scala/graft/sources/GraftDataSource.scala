@@ -1141,21 +1141,32 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
 }
 
 final class GraftReaderFactory extends PartitionReaderFactory {
+  /** Row-mode reads still DECODE vectorized when the files allow it:
+    * DV'd buckets and change-feed partitions can't go batch-columnar
+    * (the anti-join drops individual rows; the feed synthesizes metadata
+    * columns), but their pages decode through Spark's columnar reader
+    * with only the emission row-at-a-time ([[GraftVectorRowReader]]).
+    * parquet-mr's Group-per-row reader remains only for empty
+    * projections and file/field pairings the vectorized reader can't
+    * serve (FLOAT-as-double, widened INT32-as-long). */
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftCountPartition(c) => new GraftCountReader(c)
     case GraftStatsPartition(vs) => new GraftStatsReader(vs)
-    case gp: GraftInputPartition => new GraftPartitionReader(gp)
+    case gp: GraftInputPartition =>
+      val fetch =
+        if (gp.fetchDdl.isEmpty) new StructType() else StructType.fromDDL(gp.fetchDdl)
+      val vectorServable = fetch.nonEmpty && gp.physCodes.forall(
+        _.zipWithIndex.forall { case (code, i) =>
+          GraftVectorReader.vectorizable(code, fetch.fields(i).dataType)
+        })
+      if (vectorServable) new GraftVectorRowReader(gp)
+      else new GraftPartitionReader(gp)
   }
 
   /** Bulk scans read COLUMNAR (Spark's own vectorized parquet reader —
     * the 5.25× row-materialization penalty measured in BASELINE note 64
-    * applied only to the Group-per-row path, which stays as the exact
-    * fallback). Row path remains for: DV'd buckets (the anti-join drops
-    * individual rows — a selection vector over shared batches isn't
-    * worth the complexity at DV rates compaction keeps low), change-feed
-    * partitions (synthesized metadata columns), empty projections, and
-    * any file whose physical/logical pairing the vectorized reader can't
-    * serve (FLOAT-as-double, widened ints). */
+    * applied only to the Group-per-row path; row-mode scans now decode
+    * vectorized too, see createReader). */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     // Spark requires ALL of a scan's partitions to agree (mixing is an
     // error, not a fallback), so the decision is made ONCE at planning
@@ -1290,6 +1301,68 @@ final class GraftVectorReader(p: GraftInputPartition)
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = wrapper
 
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+/** Row-emitting reader over the VECTORIZED decode path — the fallback for
+  * scans that cannot go columnar as a whole (a DV'd bucket's anti-join,
+  * change-feed metadata synthesis, or Spark asking for rows) but whose
+  * file/field pairings the vectorized reader CAN serve. Parquet pages
+  * decode through Spark's own columnar reader — the cheap half of the
+  * 5.25× gap BASELINE note 64 measured against parquet-mr's Group
+  * assembly — and only the emission is row-at-a-time: DV membership is
+  * tested on the batch-row VIEW (dropped rows cost zero copies), each
+  * surviving row is copied out once (strings deep-copied — the batch's
+  * memory is reused on the next load), and the pushed LIMIT counts
+  * post-DV rows here, never inside the batch source. */
+final class GraftVectorRowReader(p: GraftInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  // The batch source must not stop early on the pushed limit: its count
+  // would be pre-DV. The post-DV quota is enforced in next() below.
+  private val inner = new GraftVectorReader(p.copy(limit = Int.MaxValue))
+  private val fetch = StructType.fromDDL(p.fetchDdl)
+  private val types = fetch.fields.map(_.dataType)
+  private val deleted: Set[List[Any]] = p.deletedKeys.map(_.toList).toSet
+  private var rows: java.util.Iterator[InternalRow] = null
+  private var current: InternalRow = null
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (emitted >= p.limit) return false
+    while (true) {
+      if (rows == null || !rows.hasNext) {
+        if (!inner.next()) return false
+        rows = inner.get().rowIterator()
+      } else {
+        val view = rows.next()
+        val isDeleted = deleted.nonEmpty &&
+          deleted.contains(p.keyIdx.map(k => view.get(k, types(k))).toList)
+        if (!isDeleted) {
+          val meta = if (p.changeType == null) 0 else 2
+          val emit = new Array[Any](p.emitCount + meta)
+          var i = 0
+          while (i < p.emitCount) {
+            emit(i) = view.get(i, types(i)) match {
+              case u: UTF8String => u.copy()
+              case other => other
+            }
+            i += 1
+          }
+          if (meta == 2) {
+            emit(p.emitCount) = p.feedVersion
+            emit(p.emitCount + 1) = UTF8String.fromString(p.changeType)
+          }
+          current = new GenericInternalRow(emit)
+          emitted += 1
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 final class GraftPartitionReader(p: GraftInputPartition)

@@ -55,6 +55,18 @@ object ConnScanProbe {
       val native = time("native snapshot()")(bulkAgg(t.snapshot()))
       val connector = time("connector format(graft)")(bulkAgg(conn))
       println(f"connector/native = ${connector / native}%.2f x")
+
+      // The ROW-MODE fallback's cost: one MOR delete forces every bucket
+      // of the connector scan off the columnar handoff (Spark refuses
+      // mixed partitions), so this measures the DV'd-scan path —
+      // vectorized DECODE with row-at-a-time emission
+      // (GraftVectorRowReader) — against the native snapshot's
+      // vectorized-scan-plus-anti-join.
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq((1L, 1)).toDF("l_orderkey", "l_linenumber"))
+      val nativeDv = time("native DV'd snapshot()")(bulkAgg(t.snapshot()))
+      val connDv = time("connector DV'd scan")(bulkAgg(conn))
+      println(f"DV'd connector/native = ${connDv / nativeDv}%.2f x")
     } finally graft.core.TxTable.drop(dir)
     spark.stop()
   }
