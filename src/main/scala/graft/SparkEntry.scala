@@ -128,6 +128,9 @@ object SparkEntry {
     "p7_min_degree" -> ((s, d) => GraphOps.minDegree(s, d, 2)),
     // —— joins (§2.3) ——
     "j1_winder_topk" -> ((s, d) => GraphOps.winderTopK(s, d, WinderFriends)),
+    // Depth-2 winder: friends-of-friends ring scored by distinct
+    // connectors — past the reference's own depth-1 capability.
+    "j1_winder_depth2" -> ((s, d) => GraphOps.winderDepth2(s, d, WinderFriends)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -727,6 +730,30 @@ object SparkEntry {
          |       common_friends, shared_with, likelihood
          |FROM tk JOIN n ON tk.candidate = n.name
          |ORDER BY common_friends DESC, candidate""".stripMargin,
+    // j1 depth 2: D1 = the friend set's distinct any-type neighbors
+    // (friends excluded); candidates sit at distance EXACTLY 2 (reached
+    // through a connector, outside F ∪ D1), scored by distinct
+    // connectors with the flagship's tie order and payload join.
+    "j1_winder_depth2" ->
+      s"""WITH $nodesCte, $personEdgesUndirCte,
+         |fr AS (SELECT name AS f_name FROM n WHERE nid IN (${WinderFriends.mkString(", ")})),
+         |d1 AS (SELECT DISTINCT pu.dst AS b FROM pu JOIN fr ON pu.src = fr.f_name
+         |       WHERE pu.dst NOT IN (SELECT f_name FROM fr)),
+         |hop2 AS (
+         |  SELECT pu.dst AS candidate, pu.src AS via
+         |  FROM pu JOIN d1 ON pu.src = d1.b
+         |  WHERE pu.dst NOT IN (SELECT f_name FROM fr)
+         |    AND pu.dst NOT IN (SELECT b FROM d1)),
+         |tk AS (
+         |  SELECT candidate, count(DISTINCT via) AS common_connectors,
+         |         min(via) AS via_first,
+         |         count(DISTINCT via) * 10 AS likelihood
+         |  FROM hop2 GROUP BY candidate
+         |  ORDER BY common_connectors DESC, candidate LIMIT 3)
+         |SELECT candidate, n.house, 'img/' || candidate || '.png' AS image,
+         |       common_connectors, via_first, likelihood
+         |FROM tk JOIN n ON tk.candidate = n.name
+         |ORDER BY common_connectors DESC, candidate""".stripMargin,
     "j2_expand_1hop" ->
       s"""WITH $nodesCte, $personEdgesCte,
          |ae AS (SELECT src, dst, relType FROM pe

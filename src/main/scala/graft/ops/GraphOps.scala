@@ -51,6 +51,53 @@ object GraphOps {
       .orderBy(desc("common_friends"), asc("candidate"))
   }
 
+  /** Depth-2 winder (j1_winder_depth2) — the extension SURVEY §2.9 names:
+    * scoring past the reference's own depth-1 capability (app.py:206-245
+    * stops at common neighbors; this scores the NEXT ring — "people your
+    * connections know that you don't"). Semantics: D1 = the friend set's
+    * distinct any-type neighbors (connectors; friends themselves
+    * excluded); a candidate is a node at distance EXACTLY 2 — reached
+    * through some connector, itself outside F ∪ D1 — scored by the
+    * number of DISTINCT connectors, tie-broken by name, top-k, with the
+    * flagship's payload join and ×10 display transform.
+    *
+    * Physical shape at scale — two artifact probes, NO clique expansion:
+    * hop 1 is the flagship's literal-pruned bucketed-artifact read (the
+    * isin pushes to the scan, |F| of 32 buckets), materialized once
+    * (localCheckpoint — D1 is the interactive query's bounded working
+    * set, Σ deg(F) rows); hop 2 joins that set back to the artifact as a
+    * BROADCAST hash join — one pass over the edge side with no shuffle
+    * and no driver-side collect — with the exactly-distance-2 exclusion
+    * as a broadcast ANTI join on the same bounded set, partial+final
+    * agg on candidate, TakeOrderedAndProject top-k. At 100 TB the
+    * broadcasts are KBs and the single edge pass is the one linear
+    * term — the generic distance-2 shape when the src-bucketed artifact
+    * is the only index. PlanSpec pins the shape (one artifact scan in
+    * the final plan, broadcast joins only, no cartesian). */
+  def winderDepth2(spark: SparkSession, sfDir: String, friendKeys: Seq[Int], k: Int = 3): DataFrame = {
+    val friendNames = friendKeys.map(Graph.fullName)
+    val art = Graph.personEdgesU(spark, sfDir)
+    val d1 = art.filter(col("src").isin(friendNames: _*))   // hop-1 pruned probe
+      .select(col("dst").as("b")).distinct()
+      .filter(!col("b").isin(friendNames: _*))              // connectors strictly new
+      .localCheckpoint()
+    val topk = art.join(broadcast(d1), col("src") === col("b"))  // hop-2 single pass
+      .filter(!col("dst").isin(friendNames: _*))
+      .join(broadcast(d1.select(col("b").as("dst"))), Seq("dst"), "left_anti")
+      .groupBy(col("dst").as("candidate"))
+      .agg(countDistinct("src").as("common_connectors"),
+        min("src").as("via_first"))
+      .withColumn("likelihood", col("common_connectors") * 10)
+      .orderBy(desc("common_connectors"), asc("candidate"))
+      .limit(k)
+    val n = Graph.nodes(spark, sfDir)
+      .select(col("name").as("candidate"), col("house"),
+        Graph.imageUrl(col("name")).as("image"))
+    broadcast(topk).join(n, "candidate")
+      .select("candidate", "house", "image", "common_connectors", "via_first", "likelihood")
+      .orderBy(desc("common_connectors"), asc("candidate"))
+  }
+
   /** S1+P8+T2 — full node scan, project the person card, sort by name
     * (app.py:189-203). Column pruning reaches the parquet scan. */
   def scanPersons(spark: SparkSession, sfDir: String): DataFrame =

@@ -76,6 +76,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("j1 depth-2 winder: one artifact pass at hop 2, broadcast joins only, no clique expansion") {
+    val df = graft.ops.GraphOps.winderDepth2(spark, sf, SparkEntry.WinderFriends)
+    val p = plan(df)
+    // Hop 2 is a single pass over the bucketed artifact joined against
+    // the BROADCAST bounded D1 set; the exactly-distance-2 exclusion is
+    // a broadcast ANTI join. No shuffled join, no cartesian product —
+    // the plan must never expand houses × houses.
+    val artifactScans = "edges_und".r.findAllIn(p).length
+    assert(artifactScans >= 1, s"hop-2 artifact pass missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hop-2 join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"depth-2 winder must not shuffle or cross-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
   test("rq1 aggregates inside whole-stage codegen (no UDF breaks the span)") {
     val p = plan(graft.ops.RelOps.pricingSummary(spark, sf))
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
