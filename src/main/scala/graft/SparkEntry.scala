@@ -131,6 +131,9 @@ object SparkEntry {
     // Depth-2 winder: friends-of-friends ring scored by distinct
     // connectors — past the reference's own depth-1 capability.
     "j1_winder_depth2" -> ((s, d) => GraphOps.winderDepth2(s, d, WinderFriends)),
+    // Concurrency certificate: the interactive class re-run on 9
+    // concurrent threads, every response bit-identical to serial.
+    "s48_concurrent_stability" -> ((s, d) => GraphOps.txConcurrentStability(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -698,6 +701,12 @@ object SparkEntry {
     "p3_search_ci" ->
       s"""WITH $nodesCte
          |SELECT name, house FROM n
+         |WHERE contains(lower(name), '#00000014') ORDER BY name LIMIT 10""".stripMargin,
+    // s48: p3's own rows replayed; the concurrent-vs-serial equality
+    // certificate rides as literal true.
+    "s48_concurrent_stability" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, true AS all_stable FROM n
          |WHERE contains(lower(name), '#00000014') ORDER BY name LIMIT 10""".stripMargin,
     "p4_filter_house_in" ->
       s"""WITH $nodesCte

@@ -73,7 +73,12 @@ object GraphOps {
     * broadcasts are KBs and the single edge pass is the one linear
     * term — the generic distance-2 shape when the src-bucketed artifact
     * is the only index. PlanSpec pins the shape (one artifact scan in
-    * the final plan, broadcast joins only, no cartesian). */
+    * the final plan, broadcast joins only, no cartesian). Cost is
+    * OUTPUT-bound, not plan-bound: the distinct-connector election
+    * shuffles one (candidate, connector) pair per hop-2 edge — ~18M
+    * pairs at sf0.1's dense same-house cliques — which is the inherent
+    * size of the depth-2 ring; the scaling harness measures the whole
+    * entry at exponent ≈ 0.74, comfortably sublinear. */
   def winderDepth2(spark: SparkSession, sfDir: String, friendKeys: Seq[Int], k: Int = 3): DataFrame = {
     val friendNames = friendKeys.map(Graph.fullName)
     val art = Graph.personEdgesU(spark, sfDir)
@@ -1014,6 +1019,39 @@ object GraphOps {
     }
   }
   private val CatalogSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Service-shape concurrency certificate (s48_concurrent_stability) —
+    * the reference is an interactive web app (Flask, app.py:449): a query
+    * service multiplexes many requests over one session, so "same query,
+    * same answer, under load" is a CORRECTNESS property, not a latency
+    * one. This entry runs the interactive class (flagship j1 scoring, j2
+    * 1-hop expansion, p3 ci-search) 3× each on 9 CONCURRENT driver
+    * threads against this session — Spark schedules the 9 jobs over the
+    * shared executor pool, the deployment shape tools.ConcurrencyProbe
+    * measures latency for (BASELINE note 74) — and certifies every
+    * concurrent response bit-identical to its serial reference on the
+    * hash channel (`all_stable`). The oracle-able rows are p3's own
+    * result replayed from the base relation. */
+  def txConcurrentStability(spark: SparkSession, sfDir: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val runs: Seq[() => DataFrame] = Seq(
+      () => winderTopK(spark, sfDir, graft.SparkEntry.WinderFriends),
+      () => expand1HopAny(spark, sfDir, 7),
+      () => searchCi(spark, sfDir, "#00000014"))
+    def fingerprint(df: DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val serial = runs.map(r => fingerprint(r()))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stable = try {
+      val futs = (0 until 9).map(i => Future(fingerprint(runs(i % 3)()) == serial(i % 3)))
+      Await.result(Future.sequence(futs), 5.minutes).forall(identity)
+    } finally pool.shutdown()
+    searchCi(spark, sfDir, "#00000014")
+      .withColumn("all_stable", lit(stable))
+      .orderBy("name")
+  }
 
   /** Composite-key storage-partitioned join demo (s47_composite_spj) —
     * the round-13 close of the SPJ caveat: Spark's SPJ machinery accepts

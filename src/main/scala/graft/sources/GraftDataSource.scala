@@ -1142,12 +1142,17 @@ final class GraftMicroBatchStream(dir: String, keyCols: Seq[String],
 
 final class GraftReaderFactory extends PartitionReaderFactory {
   /** Row-mode reads still DECODE vectorized when the files allow it:
-    * DV'd buckets and change-feed partitions can't go batch-columnar
-    * (the anti-join drops individual rows; the feed synthesizes metadata
-    * columns), but their pages decode through Spark's columnar reader
-    * with only the emission row-at-a-time ([[GraftVectorRowReader]]).
-    * parquet-mr's Group-per-row reader remains only for empty
-    * projections and file/field pairings the vectorized reader can't
+    * DV'd buckets (and plain row-mode bulk reads) can't go
+    * batch-columnar, but their pages decode through Spark's columnar
+    * reader with only the emission row-at-a-time
+    * ([[GraftVectorRowReader]] — DV'd bulk scan measured 1.32× native
+    * vs the Group path's ~5×, BASELINE note 77). CHANGE-FEED partitions
+    * stay on the Group reader deliberately: a feed micro-batch reads the
+    * few SMALL files one commit just wrote, where the vectorized
+    * reader's per-file batch setup (footer read, vector allocation)
+    * costs more than Group assembly saves (measured: s41 2.7 s → 4.2 s
+    * when fed through the batch reader). The Group reader also remains
+    * for empty projections and pairings the vectorized reader can't
     * serve (FLOAT-as-double, widened INT32-as-long). */
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftCountPartition(c) => new GraftCountReader(c)
@@ -1155,8 +1160,8 @@ final class GraftReaderFactory extends PartitionReaderFactory {
     case gp: GraftInputPartition =>
       val fetch =
         if (gp.fetchDdl.isEmpty) new StructType() else StructType.fromDDL(gp.fetchDdl)
-      val vectorServable = fetch.nonEmpty && gp.physCodes.forall(
-        _.zipWithIndex.forall { case (code, i) =>
+      val vectorServable = gp.changeType == null && fetch.nonEmpty &&
+        gp.physCodes.forall(_.zipWithIndex.forall { case (code, i) =>
           GraftVectorReader.vectorizable(code, fetch.fields(i).dataType)
         })
       if (vectorServable) new GraftVectorRowReader(gp)

@@ -52,6 +52,7 @@ object ScalingCurve {
     "dd_minhash_lsh", "dd_ngram_jaccard", "dd_semantic_cluster",
     "dd_simhash", "dd_similarity_curve", "dd_source_overlap",
     "dd_survivorship", "dd_url_dedup",
+    "j1_winder_depth2",
     "gx_corpus_bfs", "gx_corpus_cc", "gx_corpus_kcore", "gx_corpus_nbrsum",
     "gx_corpus_pagerank", "gx_corpus_scc", "gx_corpus_sssp",
     "gx_corpus_triangles",
