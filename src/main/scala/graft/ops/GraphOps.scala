@@ -73,12 +73,12 @@ object GraphOps {
     * broadcasts are KBs and the single edge pass is the one linear
     * term — the generic distance-2 shape when the src-bucketed artifact
     * is the only index. PlanSpec pins the shape (one artifact scan in
-    * the final plan, broadcast joins only, no cartesian). Cost is
-    * OUTPUT-bound, not plan-bound: the distinct-connector election
-    * shuffles one (candidate, connector) pair per hop-2 edge — ~18M
-    * pairs at sf0.1's dense same-house cliques — which is the inherent
-    * size of the depth-2 ring; the scaling harness measures the whole
-    * entry at exponent ≈ 0.74, comfortably sublinear. */
+    * the final plan, broadcast joins only, no cartesian). Cost profile,
+    * measured at sf0.1: the warm hop-2 compute (join + distinct-connector
+    * aggregate) is sub-second; the entry's wall time is the COLD read of
+    * the full artifact plus the per-invocation probe jobs — IO-bound, not
+    * plan-bound (a bitmap-indexed aggregate variant measured equal wall
+    * time and was dropped for the simpler codegen'd count(DISTINCT)). */
   def winderDepth2(spark: SparkSession, sfDir: String, friendKeys: Seq[Int], k: Int = 3): DataFrame = {
     val friendNames = friendKeys.map(Graph.fullName)
     val art = Graph.personEdgesU(spark, sfDir)
