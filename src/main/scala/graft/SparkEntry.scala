@@ -134,6 +134,9 @@ object SparkEntry {
     // Concurrency certificate: the interactive class re-run on 9
     // concurrent threads, every response bit-identical to serial.
     "s48_concurrent_stability" -> ((s, d) => GraphOps.txConcurrentStability(s, d)),
+    // OPTIMIZE with clustering: sortBy compaction makes row-group
+    // skipping effective for range predicates (layout-only rewrite).
+    "s49_sorted_compact" -> ((s, d) => GraphOps.txSortedCompact(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -708,6 +711,16 @@ object SparkEntry {
       s"""WITH $nodesCte
          |SELECT name, house, true AS all_stable FROM n
          |WHERE contains(lower(name), '#00000014') ORDER BY name LIMIT 10""".stripMargin,
+    // s49: the range aggregate replayed from lineitem; layout
+    // certificates ride as literal true (row-group boundaries never
+    // reach the result — residual filters own correctness).
+    "s49_sorted_compact" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS snapshot_unchanged, true AS skip_effective
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     "p4_filter_house_in" ->
       s"""WITH $nodesCte
          |SELECT name, house, nation FROM n

@@ -771,24 +771,50 @@ final class TxTable private (spark: SparkSession, dir: String,
     * writer rebases on the new snapshot (compacting stale data would
     * silently drop the winner's rows otherwise). Old versions stay
     * readable for time travel until `vacuum` retires them. */
-  def compact(newBuckets: Int = 0): Long = {
+  def compact(newBuckets: Int = 0): Long = compact(newBuckets, Nil)
+
+  /** OPTIMIZE with data CLUSTERING (the Delta `OPTIMIZE … ZORDER BY` /
+    * Iceberg sort-order analog for one dimension): `sortBy` columns sort
+    * rows WITHIN each rewritten bucket, so every parquet row group's
+    * footer min/max covers a narrow slice of the sort key instead of the
+    * bucket's full range — which is what makes the connector's
+    * row-group/page skipping (BASELINE note 72) EFFECTIVE for range
+    * predicates: a selective `WHERE x BETWEEN …` on a sorted-compacted
+    * table decodes only the few row groups whose ranges admit it, while
+    * on an unsorted layout every row group's stats span everything and
+    * nothing can skip. Clustering changes bytes-on-disk layout only —
+    * same rows, same manifest shape, `diff(v, compact(...)) == empty`
+    * like any compaction, and readers need no new code: the stats were
+    * always consulted, they just become selective. At 100 TB the sort
+    * rides the same per-bucket rewrite the compaction already pays
+    * (sortWithinPartitions — no extra shuffle beyond the bucket
+    * repartition). */
+  def compact(newBuckets: Int, sortBy: Seq[String]): Long = {
     var committed = -1L
     while (committed < 0) {
       val v = version
       require(v >= 0, s"no committed version to compact at $dir")
+      val cur = schemaAt(v)
+      sortBy.foreach(c => require(cur.fieldNames.contains(c),
+        s"sortBy column '$c' not in schema at v$v"))
       val m = manifest(v)
       // Layout evolution rides the full rewrite: `newBuckets > 0` re-hashes
       // every row under the new count and the published header flips the
       // table's write-time layout — subsequent merges hash with it (and a
       // merge racing this rebucket loses the publish, rebases, re-hashes).
       val n = if (newBuckets > 0) newBuckets else bucketCountAt(v)
-      val cur = schemaAt(v)
       // DV-applied read: compaction FOLDS deletion vectors — the output
       // manifest is all-clean.
       val rows = readBuckets(m, m.keySet, cur, defaultsAt(v), aliasesAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
-      rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
-        .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      val laid = rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
+      // A hash partition can hold several buckets, so the cluster sort
+      // leads with _b (bucket-local ordering); plain compaction skips
+      // the sort entirely.
+      val clustered =
+        if (sortBy.isEmpty) laid
+        else laid.sortWithinPartitions((col("_b") +: sortBy.map(col)): _*)
+      clustered.write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
       val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
       val op = if (newBuckets > 0 && newBuckets != bucketCountAt(v)) "rebucket" else "compact"
       if (publish(v + 1, n, op, lines)) {

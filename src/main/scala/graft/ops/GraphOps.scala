@@ -1020,6 +1020,69 @@ object GraphOps {
   }
   private val CatalogSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Sorted-compaction demo (s49_sorted_compact) — OPTIMIZE with data
+    * CLUSTERING, the layout half of round 13's row-group skipping
+    * (s46): `compact(sortBy = price)` rewrites each bucket with rows
+    * sorted by the query dimension, so every parquet row group's footer
+    * min/max covers a narrow value slice and a selective range
+    * predicate decodes only the admitting groups — on the unsorted
+    * layout the same footer stats span everything and skip NOTHING.
+    * This is the Delta `OPTIMIZE … ZORDER BY` / Iceberg sort-order
+    * mechanism in one dimension, and at 100 TB it is what turns the
+    * skipping machinery from "consulted" into "effective". Small
+    * parquet row groups (32 KB blocks) make one bucket file hold many
+    * groups at test scale — granularity, not semantics. Certificates on
+    * the hash channel: `snapshot_unchanged` — count and sum are
+    * bit-identical across the sorted rewrite (clustering is layout
+    * only); `skip_effective` — the same range scan's measured
+    * numOutputRows shrinks ≥2× after sorting (scan-level: residual
+    * filters run above it, only footer skipping can shrink it). */
+  def txSortedCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s49").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    hconf.setInt("parquet.page.size", 8 * 1024)
+    try {
+      val base = graft.core.Tables.lineitem(spark, sfDir).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_returnflag").as("flag"))
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      val pred = col("price_cents").between(2000000L, 2100000L)
+      def emitted(): Long = {
+        val q = conn.filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val Array(b0) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val unsorted = emitted()
+      t.compact(0, Seq("price_cents"))
+      val sorted = emitted()
+      val Array(b1) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
+      val effective = sorted * 2 <= unsorted
+
+      conn.filter(pred)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("snapshot_unchanged", lit(unchanged))
+        .withColumn("skip_effective", lit(effective))
+        .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
   /** Service-shape concurrency certificate (s48_concurrent_stability) —
     * the reference is an interactive web app (Flask, app.py:449): a query
     * service multiplexes many requests over one session, so "same query,

@@ -573,6 +573,54 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("sorted compaction makes row-group skipping effective for range predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sortcompact").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    // Small row groups so one bucket file holds MANY of them — the unit
+    // the footer-stats skipping operates on.
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    hconf.setInt("parquet.page.size", 16 * 1024)
+    try {
+      import spark.implicits._
+      // Values in pseudo-random order: on the unsorted layout every row
+      // group's min/max spans nearly the full domain, so a narrow range
+      // predicate can skip NOTHING; after compact(sortBy = v) each row
+      // group covers a tight slice and the same predicate decodes only
+      // the few admitting groups.
+      val nRows = 200000
+      val base = (0 until nRows)
+        .map(i => (s"k$i", (i.toLong * 2654435761L) % nRows)).toDF("k", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      val pred = col("v") >= 1000L && col("v") < 3000L
+      val expected = base.filter(pred).count()
+
+      def scanRows(): Long = {
+        val q = conn.filter(pred)
+        assert(q.collect().length == expected, "range query wrong")
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val unsorted = scanRows()
+      t.compact(0, Seq("v"))
+      val sorted = scanRows()
+      assert(t.snapshot().count() == nRows, "sorted compaction changed the row count")
+      assert(unsorted > nRows / 2,
+        s"unsorted layout unexpectedly skipped (emitted $unsorted of $nRows) — " +
+          "the baseline premise broke")
+      assert(sorted < unsorted / 10,
+        s"sorted layout must skip most row groups: emitted $sorted vs unsorted $unsorted")
+      assert(sorted >= expected, "scan emitted fewer rows than the predicate matches")
+    } finally {
+      TxTable.drop(dir)
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+    }
+  }
+
   test("snapshot pins are per-table: interleaved resolutions don't evict each other") {
     val (dirA, tA) = freshTable("graft_dsv2_pin_a")
     val (dirB, _) = freshTable("graft_dsv2_pin_b")
