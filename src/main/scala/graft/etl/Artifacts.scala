@@ -39,6 +39,28 @@ object Artifacts {
     spark.read.parquet(p)
   }
 
+  /** Graft-TxTable artifact: data written once as a transactional graft
+    * table keyed on `keys` (so the DSv2 connector serves it with bucket
+    * pruning, RUNTIME join-derived pruning, row-group skipping, and
+    * reported statistics — the index-complete read stack), optionally
+    * sorted-compacted for effective row-group skipping on `sortBy`.
+    * Build-once: a ready-marker gates readers from a half-built table
+    * (create and the clustering compact are two commits). Returns the
+    * table directory for `spark.read.format("graft").load(dir)`. */
+  def ensureTx(spark: SparkSession, sfDir: String, name: String,
+               keys: Seq[String], buckets: Int, sortBy: Seq[String] = Nil)
+              (build: => DataFrame): String = {
+    val p = path(sfDir, s"tx_$name")
+    val ready = new java.io.File(s"$p/_ARTIFACT_READY")
+    if (!ready.exists()) {
+      graft.core.TxTable.drop(p) // clear any half-built attempt
+      val t = graft.core.TxTable.create(spark, p, build, keys, buckets)
+      if (sortBy.nonEmpty) t.compact(0, sortBy)
+      ready.createNewFile()
+    }
+    p
+  }
+
   /** Bucketed-table artifact: data written once hash-bucketed (+ sorted)
     * on the join key; later sessions re-attach the bucket spec with an
     * external CREATE TABLE over the same files. Joins between tables

@@ -61,44 +61,59 @@ object GraphOps {
     * number of DISTINCT connectors, tie-broken by name, top-k, with the
     * flagship's payload join and ×10 display transform.
     *
-    * Physical shape at scale — two artifact probes, NO clique expansion:
-    * hop 1 is the flagship's literal-pruned bucketed-artifact read (the
-    * isin pushes to the scan, |F| of 32 buckets), materialized once
-    * (localCheckpoint — D1 is the interactive query's bounded working
-    * set, Σ deg(F) rows); hop 2 joins that set back to the artifact as a
-    * BROADCAST hash join — one pass over the edge side with no shuffle
-    * and no driver-side collect — with the exactly-distance-2 exclusion
-    * as a broadcast ANTI join on the same bounded set, partial+final
-    * agg on candidate, TakeOrderedAndProject top-k. At 100 TB the
-    * broadcasts are KBs and the single edge pass is the one linear
-    * term — the generic distance-2 shape when the src-bucketed artifact
-    * is the only index. PlanSpec pins the shape (one artifact scan in
-    * the final plan, broadcast joins only, no cartesian). Cost profile,
-    * measured at sf0.1: the warm hop-2 compute (join + distinct-connector
-    * aggregate) is sub-second; the entry's wall time is the COLD read of
-    * the full artifact plus the per-invocation probe jobs — IO-bound, not
-    * plan-bound (a bitmap-indexed aggregate variant measured equal wall
-    * time and was dropped for the simpler codegen'd count(DISTINCT)). */
+    * Physical shape at scale — two probes of the DICTIONARY-ENCODED
+    * adjacency index ([[Graph.personEdgeIds]]: distinct int (src_id,
+    * dst_id) pairs as a graft TxTable, src_id-keyed, 32 buckets), NO
+    * clique expansion and no driver-side collect:
+    *  - hop 1 is a literal-pruned connector probe — the `isin` on the
+    *    merge key pushes as an In filter and the scan plans |F| of 32
+    *    buckets;
+    *  - hop 2 joins the D1 frontier back to the index as a BROADCAST
+    *    hash join, and because the frontier plan carries a selective
+    *    predicate, Spark injects a dynamic-pruning subquery
+    *    (SupportsRuntimeFiltering): the build side's ids are handed to
+    *    the scan BEFORE partitions are planned, so the hop-2 read plans
+    *    only the buckets the frontier hashes into — the index-complete
+    *    distance-2 plan (PlanSpec pins the dynamicpruning expression on
+    *    the hop-2 scan). At the test SFs the flagship's D1 covers ~65%
+    *    of all nodes (same-house clique data), so the prune admits every
+    *    bucket; on a sparse 100 TB graph the same plan reads |D1|-of-N
+    *    buckets. The exactly-distance-2 exclusion is a broadcast ANTI
+    *    join on the same bounded frontier.
+    *  - pairs are pre-deduplicated, so the connector score is a plain
+    *    codegen'd count over int ids (the r13 string-pair
+    *    `countDistinct` dominated the entry's wall time: 7-9 s → ~2 s),
+    *    partial+final agg, TakeOrderedAndProject top-k; names/payload
+    *    join AFTER the top-k against the k-row broadcast (id order ==
+    *    name order — names are Customer#%09d(nid) — so ordering and
+    *    min-connector semantics survive encoding). */
   def winderDepth2(spark: SparkSession, sfDir: String, friendKeys: Seq[Int], k: Int = 3): DataFrame = {
-    val friendNames = friendKeys.map(Graph.fullName)
-    val art = Graph.personEdgesU(spark, sfDir)
-    val d1 = art.filter(col("src").isin(friendNames: _*))   // hop-1 pruned probe
-      .select(col("dst").as("b")).distinct()
-      .filter(!col("b").isin(friendNames: _*))              // connectors strictly new
-      .localCheckpoint()
-    val topk = art.join(broadcast(d1), col("src") === col("b"))  // hop-2 single pass
-      .filter(!col("dst").isin(friendNames: _*))
-      .join(broadcast(d1.select(col("b").as("dst"))), Seq("dst"), "left_anti")
-      .groupBy(col("dst").as("candidate"))
-      .agg(countDistinct("src").as("common_connectors"),
-        min("src").as("via_first"))
+    val dir = Graph.personEdgeIds(spark, sfDir)
+    def art = spark.read.format("graft").load(dir)
+    // No materialization: keeping D1 a live plan (selective isin → In) is
+    // what lets PartitionPruning inject the runtime-filter subquery on the
+    // hop-2 scan; the broadcast exchange evaluates it once and the DPP
+    // subquery REUSES that broadcast (reuseBroadcastOnly default).
+    val d1 = art.filter(col("src_id").isin(friendKeys: _*))  // hop-1 pruned probe
+      .select(col("dst_id").as("b")).distinct()
+      .filter(!col("b").isin(friendKeys: _*))                // connectors strictly new
+    val topk = art.join(broadcast(d1), col("src_id") === col("b")) // hop-2 runtime-pruned pass
+      .filter(!col("dst_id").isin(friendKeys: _*))
+      .join(broadcast(d1.select(col("b").as("dst_id"))), Seq("dst_id"), "left_anti")
+      .groupBy(col("dst_id"))
+      .agg(count(lit(1)).as("common_connectors"),  // distinct pairs → count == countDistinct
+        min("src_id").as("via_id"))
       .withColumn("likelihood", col("common_connectors") * 10)
-      .orderBy(desc("common_connectors"), asc("candidate"))
+      .orderBy(desc("common_connectors"), asc("dst_id"))
       .limit(k)
+    // Payload decode: two passes of the (column-pruned) node table against
+    // the k-row broadcast — the small side broadcasts at any scale.
     val n = Graph.nodes(spark, sfDir)
-      .select(col("name").as("candidate"), col("house"),
-        Graph.imageUrl(col("name")).as("image"))
-    broadcast(topk).join(n, "candidate")
+    val withCand = broadcast(topk)
+      .join(n.select(col("nid").as("dst_id"), col("name").as("candidate"),
+        col("house"), Graph.imageUrl(col("name")).as("image")), "dst_id")
+    broadcast(withCand)
+      .join(n.select(col("nid").as("via_id"), col("name").as("via_first")), "via_id")
       .select("candidate", "house", "image", "common_connectors", "via_first", "likelihood")
       .orderBy(desc("common_connectors"), asc("candidate"))
   }
@@ -1122,8 +1137,7 @@ object GraphOps {
     * bucket id as the `_graft_bucket` METADATA column (a per-partition
     * constant — each scan partition IS one bucket) and report
     * identity(_graft_bucket) partitioning. A merge-key join that adds the
-    * implied `a._graft_bucket = b._graft_bucket` term (bucket is a pure
-    * function of the merge keys — the term never changes results) plans
+    * implied `a._graft_bucket = b._graft_bucket` term plans
     * with ZERO shuffle under v2 bucketing +
     * requireAllClusterKeysForCoPartition=false (safe: the bucket column
     * alone fully determines the partition). Three certificates ride the
@@ -1134,7 +1148,17 @@ object GraphOps {
     * scan to exactly that bucket's rows (pruning without hashing: the
     * column IS the partition id). At 100 TB this turns the composite
     * merge-key fact-to-fact join from the plan's biggest exchange into a
-    * local zip, the same win s44 certifies for single keys. */
+    * local zip, the same win s44 certifies for single keys.
+    *
+    * PRECONDITION for the added bucket-equality term: BOTH tables must
+    * have the SAME bucket count. Bucket is pmod(xxhash64(keys), n) — a
+    * pure function of the merge keys only for a fixed n; after a
+    * compact(newBuckets) rebuckets one side, equal merge keys land in
+    * DIFFERENT bucket ids and the term would silently drop matching
+    * rows. (The single-key path is immune: its transform's canonicalName
+    * carries n, so mismatched counts fall back to a shuffled plan.) The
+    * recipe below verifies `bucketCountAt` equality before adding the
+    * term, and any caller composing it by hand must do the same. */
   def txCompositeSpj(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = java.nio.file.Files.createTempDirectory("graft_tx_s47").toString
     val cat = s"gcat_s47_${CatalogSeq.incrementAndGet()}"
@@ -1158,6 +1182,13 @@ object GraphOps {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // The bucket-equality term is only sound when both sides share one
+      // bucket count (see the precondition above) — verify, don't assume.
+      val keys = Seq("name", "house")
+      val nF = graft.core.TxTable.open(spark, s"$wh/facts", keys).bucketCount
+      val nS = graft.core.TxTable.open(spark, s"$wh/scores", keys).bucketCount
+      require(nF == nS,
+        s"composite-SPJ bucket term needs equal bucket counts, got $nF vs $nS")
       val joined = spark.sql(
         s"""SELECT f.name, f.house, f.acctbal, s.score
            |FROM $cat.facts f JOIN $cat.scores s

@@ -145,7 +145,8 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
     else ident.name() match {
-      case GraftCatalog.BucketN(n) if n.toInt > 0 => GraftBucketNFunction(n.toInt)
+      case GraftCatalog.BucketN(n) if n.toIntOption.exists(_ > 0) =>
+        GraftBucketNFunction(n.toInt)
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }

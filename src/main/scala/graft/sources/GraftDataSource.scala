@@ -344,6 +344,11 @@ private[graft] object GraftDataSource {
       if (cands.isEmpty) Nil else cands.reduce(_ intersect _)
     }
     if (perKey.exists(_.isEmpty)) return Nil
+    // Single-key tables bypass the cap: there is no cartesian blow-up to
+    // guard against, and an arbitrarily long IN list (including a runtime
+    // DPP filter, the s45 shape) should keep pruning like it always did —
+    // hashing |list| values at planning is cheap next to reading a bucket.
+    if (keyCols.length == 1) return perKey.head.map(Seq(_))
     var product: Seq[Seq[Any]] = Seq(Seq.empty)
     for (cands <- perKey) {
       if (product.size.toLong * cands.size > cap) return Nil
@@ -672,7 +677,13 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     // bucket. Correctness never rides on it — the same filters return as
     // residuals below and Spark re-evaluates them above the scan.
     if (!changeFeed) dataFilters = filters
-    val bucketPred = filters.exists {
+    // The bucket-id fast paths apply ONLY when _graft_bucket is the
+    // metadata column — a real table column of that name shadows it
+    // (metadataColumns() already withholds it), and treating a DATA
+    // predicate as a storage-bucket id would prune away matching rows
+    // in every other bucket.
+    val bucketMeta = !tableSchema.fieldNames.contains(GraftDataSource.BucketCol)
+    val bucketPred = bucketMeta && filters.exists {
       case EqualTo(a, _) => a == GraftDataSource.BucketCol
       case org.apache.spark.sql.sources.In(a, _) => a == GraftDataSource.BucketCol
       case _ => false
@@ -680,9 +691,9 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     if (GraftDataSource.keyTuples(keyCols, filters).nonEmpty || bucketPred) {
       pushed = filters.filter {
         case EqualTo(a, _) =>
-          keyCols.contains(a) || a == GraftDataSource.BucketCol
+          keyCols.contains(a) || (bucketMeta && a == GraftDataSource.BucketCol)
         case org.apache.spark.sql.sources.In(a, _) =>
-          keyCols.contains(a) || a == GraftDataSource.BucketCol
+          keyCols.contains(a) || (bucketMeta && a == GraftDataSource.BucketCol)
         case _ => false
       }
     }
@@ -825,15 +836,20 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     }
     val n = t.bucketCountAt(pinnedVersion)
     // Direct predicates on the bucket-id metadata column prune without
-    // hashing (the column IS the partition id by construction).
-    def bucketIds(filters: Array[Filter]): Set[Long] = filters.flatMap {
-      case EqualTo(a, v: Number) if a == GraftDataSource.BucketCol =>
-        Some(Set(v.longValue))
-      case org.apache.spark.sql.sources.In(a, vs)
-        if a == GraftDataSource.BucketCol =>
-        Some(vs.collect { case v: Number => v.longValue }.toSet)
-      case _ => None
-    }.reduceOption(_ intersect _).getOrElse(Set.empty)
+    // hashing (the column IS the partition id by construction) — but only
+    // when it IS the metadata column: a real table column named
+    // _graft_bucket shadows it, and its predicates are plain data filters.
+    val bucketMeta = !tableSchema.fieldNames.contains(GraftDataSource.BucketCol)
+    def bucketIds(filters: Array[Filter]): Set[Long] =
+      if (!bucketMeta) Set.empty
+      else filters.flatMap {
+        case EqualTo(a, v: Number) if a == GraftDataSource.BucketCol =>
+          Some(Set(v.longValue))
+        case org.apache.spark.sql.sources.In(a, vs)
+          if a == GraftDataSource.BucketCol =>
+          Some(vs.collect { case v: Number => v.longValue }.toSet)
+        case _ => None
+      }.reduceOption(_ intersect _).getOrElse(Set.empty)
     val sets = (Seq(GraftDataSource.keyTuples(keyCols, pushed),
         GraftDataSource.keyTuples(keyCols, runtimeFilters))
       .filter(_.nonEmpty)
@@ -880,7 +896,10 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         Array(GraftDataSource.bucketTransform(
           t.bucketCountAt(pinnedVersion), keyCols)),
         parts)
-    else if (required.fieldNames.contains(GraftDataSource.BucketCol))
+    else if (required.fieldNames.contains(GraftDataSource.BucketCol) &&
+             !tableSchema.fieldNames.contains(GraftDataSource.BucketCol))
+      // identity(_graft_bucket) is partition-constant ONLY for the
+      // metadata column; a shadowing data column varies within a bucket.
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .identity(GraftDataSource.BucketCol)),

@@ -76,20 +76,47 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("j1 depth-2 winder: one artifact pass at hop 2, broadcast joins only, no clique expansion") {
+  test("j1 depth-2 winder: runtime-pruned hop 2 over the id index, broadcast joins only") {
     val df = graft.ops.GraphOps.winderDepth2(spark, sf, SparkEntry.WinderFriends)
-    val p = plan(df)
-    // Hop 2 is a single pass over the bucketed artifact joined against
-    // the BROADCAST bounded D1 set; the exactly-distance-2 exclusion is
-    // a broadcast ANTI join. No shuffled join, no cartesian product —
-    // the plan must never expand houses × houses.
-    val artifactScans = "edges_und".r.findAllIn(p).length
-    assert(artifactScans >= 1, s"hop-2 artifact pass missing:\n$p")
+    df.collect() // executedPlan: DPP subqueries materialize at execution
+    val p = df.queryExecution.executedPlan.toString
+    // Hop 1 probes the dictionary-encoded adjacency index with the friend
+    // ids PUSHED (In on the merge key → |F|-of-32 bucket listing).
+    assert(p.contains("tx_edges_und_ids"), s"id-index scan missing:\n$p")
+    assert(p.contains("In(src_id"), s"hop-1 friend ids not pushed:\n$p")
+    // Hop 2 is a broadcast hash join whose D1 frontier Spark hands to the
+    // scan as a dynamic-pruning subquery (SupportsRuntimeFiltering) — the
+    // index-complete distance-2 plan: on a sparse graph the hop-2 read
+    // plans |D1|-of-32 buckets instead of the full artifact.
+    assert(p.contains("dynamicpruning"),
+      s"hop-2 scan not runtime-pruned (no DPP subquery):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"hop-2 join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"depth-2 winder must not shuffle or cross-join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("j1 depth-2 winder: a sparse frontier ACTUALLY prunes hop-2 buckets at runtime") {
+    // The flagship friend set's D1 covers ~65% of all nodes (same-house
+    // clique data) so its prune admits every bucket; this pins the
+    // mechanism with a frontier that hashes into few buckets: handing a
+    // 2-id IN to the scan plans ≤2 of the manifest's 32 partitions.
+    val dir = graft.core.Graph.personEdgeIds(spark, sf)
+    val provider = new graft.sources.GraftTableProvider
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", dir)
+    val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+    val scan = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(cmap).build()
+    val all = scan.toBatch.planInputPartitions().length
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("src_id", Array[Any](1L, 5L))))
+    val pruned = scan.toBatch.planInputPartitions().length
+    assert(all == 32, s"id index should hold 32 buckets, had $all")
+    assert(pruned <= 2, s"2-id runtime filter planned $pruned of $all buckets")
   }
 
   test("rq1 aggregates inside whole-stage codegen (no UDF breaks the span)") {
