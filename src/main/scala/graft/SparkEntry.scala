@@ -102,6 +102,9 @@ object SparkEntry {
     // Composite-key storage-partitioned join via the _graft_bucket
     // metadata column: zero-shuffle 2-key merge joins + bucket pruning.
     "s47_composite_spj" -> ((s, d) => GraphOps.txCompositeSpj(s, d)),
+    // Parquet bloom filters on declared point-lookup columns: EqualTo/In
+    // refutes row groups on a RANDOM layout where min/max stats cannot.
+    "s50_bloom_point" -> ((s, d) => GraphOps.txBloomPoint(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -137,6 +140,9 @@ object SparkEntry {
     // OPTIMIZE with clustering: sortBy compaction makes row-group
     // skipping effective for range predicates (layout-only rewrite).
     "s49_sorted_compact" -> ((s, d) => GraphOps.txSortedCompact(s, d)),
+    // OPTIMIZE with Z-ORDER: bit-interleaved 2-D clustering in the same
+    // per-bucket rewrite; range predicates on EITHER dimension skip.
+    "s51_zorder_compact" -> ((s, d) => GraphOps.txZorderCompact(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -719,6 +725,15 @@ object SparkEntry {
         |                  l_returnflag AS flag FROM lineitem)
         |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       true AS snapshot_unchanged, true AS skip_effective
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s51: same replay shape as s49; the Z-order layout certificates ride
+    // as literal true (2-D clustering is layout only).
+    "s51_zorder_compact" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS snapshot_unchanged, true AS skip_both_effective
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
         |GROUP BY flag ORDER BY flag""".stripMargin,
     "p4_filter_house_in" ->
@@ -3741,6 +3756,16 @@ object SparkEntry {
          |  true AS skip_hash_match, true AS rowgroups_skipped
          |FROM n
          |WHERE name <= 'Customer#000000059' AND acctbal > 1000
+         |ORDER BY name""".stripMargin,
+    "s50_bloom_point" ->
+      s"""WITH $nodesCte
+         |SELECT name, house,
+         |  CAST(round(acctbal * 100) AS BIGINT) AS acctbal_x100,
+         |  true AS bloom_hash_match, true AS bloom_skip_effective
+         |FROM n
+         |WHERE name <= 'Customer#000000199'
+         |  AND md5(name) IN (md5('Customer#000000007'),
+         |    md5('Customer#000000034'), md5('Customer#000000121'))
          |ORDER BY name""".stripMargin,
     "s31_catalog_txn" ->
       s"""WITH $nodesCte

@@ -414,10 +414,42 @@ final class TxTable private (spark: SparkSession, dir: String,
     listNames(dataDir.resolve(commit))
       .collect { case s if s.startsWith("_b=") => s.stripPrefix("_b=").toLong }
 
+  /** Columns carrying a parquet BLOOM FILTER in every data file this
+    * table writes (the `_log/bloom.txt` sidecar, set at create or via
+    * [[setBloomColumns]]). Blooms are the point-lookup complement of
+    * sorted clustering: min/max footer stats only skip row groups when
+    * the column is clustered, but a bloom answers "value definitely
+    * absent" on ANY layout — so an EqualTo/In pushed through the s46
+    * skipping path refutes row groups of an unsorted high-cardinality
+    * column without decoding them. Purely a write-layout property:
+    * readers need no code (the parquet reader consults blooms whenever
+    * the FilterPredicate is set — parquet.filter.bloom.enabled defaults
+    * true), absence of a bloom just means no skipping. Applies to
+    * FUTURE writes; run `compact()` after setting to rewrite existing
+    * files under it. Recorded by CURRENT column name (a later RENAME
+    * orphans the entry — harmless: blooms are advisory only). */
+  def bloomColumns: Seq[String] = {
+    val p = logDir.resolve("bloom.txt")
+    if (Files.exists(p))
+      Files.readString(p).trim.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    else Nil
+  }
+
+  def setBloomColumns(cols: Seq[String]): Unit = {
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("bloom.txt"), cols.mkString(","))
+  }
+
+  /** Writer options enabling the configured blooms (parquet-mr sizes
+    * them adaptively when no NDV hint is given). */
+  private def bloomOptions: Map[String, String] =
+    bloomColumns.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   private def writeCommit(df: DataFrame, buckets: Int): String = {
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
     df.withColumn("_b", bucketColFor(buckets))
-      .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      .write.options(bloomOptions)
+      .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
     commit
   }
 
@@ -789,14 +821,63 @@ final class TxTable private (spark: SparkSession, dir: String,
     * rides the same per-bucket rewrite the compaction already pays
     * (sortWithinPartitions — no extra shuffle beyond the bucket
     * repartition). */
-  def compact(newBuckets: Int, sortBy: Seq[String]): Long = {
+  def compact(newBuckets: Int, sortBy: Seq[String]): Long =
+    compactClustered(newBuckets, sortBy, rows => sortBy.map(rows(_)))
+
+  /** OPTIMIZE with MULTI-dimensional clustering — `ZORDER BY (a, b)`:
+    * rows sort within each rewritten bucket by the bit-INTERLEAVED
+    * Z-value of the two columns, so every parquet row group's footer
+    * min/max covers a tight cell in the (a, b) plane and range/point
+    * predicates on EITHER dimension skip row groups — where a 1-D sort
+    * (the two-arg `compact`) serves only its leading column and leaves
+    * the second dimension's stats spanning everything. Mapping: each
+    * column is scaled to a 16-bit cell over its [min, max] span (one
+    * stats pass over the rewrite input — no extra shuffle; NULLs and a
+    * constant column map to cell 0), the two cells interleave to a
+    * 32-bit Morton code via the classic mask-spread (all codegen'd
+    * bitwise ops), and the per-bucket rewrite sorts by it exactly like
+    * the 1-D path. The Z-value is LAYOUT ONLY — never written, never
+    * read back; both dimensions keep their ordinary footer stats, which
+    * is all the skipping path consults. Numeric/date/timestamp columns
+    * only (a 16-bit cell needs a total order with distance). */
+  def compactZOrder(zorderBy: Seq[String], newBuckets: Int = 0): Long = {
+    require(zorderBy.length == 2,
+      s"z-order clustering interleaves exactly two columns, got $zorderBy")
+    compactClustered(newBuckets, zorderBy, { rows =>
+      import org.apache.spark.sql.functions.{shiftleft, lit, min => fmin, max => fmax, floor, coalesce}
+      val stats = rows.agg(
+        fmin(rows(zorderBy.head)).cast("double"), fmax(rows(zorderBy.head)).cast("double"),
+        fmin(rows(zorderBy(1))).cast("double"), fmax(rows(zorderBy(1))).cast("double"))
+        .collect()(0)
+      def cell(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+        val span = hi - lo
+        val scaled =
+          if (span > 0) floor((c.cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+          else lit(0L)
+        coalesce(scaled.cast("long"), lit(0L))
+      }
+      // Morton spread: 16 significant bits every other position.
+      def spread(x0: org.apache.spark.sql.Column) = {
+        val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+        val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+        val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+        (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+      }
+      val a = cell(rows(zorderBy.head), stats.getDouble(0), stats.getDouble(1))
+      val b = cell(rows(zorderBy(1)), stats.getDouble(2), stats.getDouble(3))
+      Seq(spread(a).bitwiseOR(shiftleft(spread(b), 1)))
+    })
+  }
+
+  private def compactClustered(newBuckets: Int, clusterCols: Seq[String],
+                               clusterOf: DataFrame => Seq[org.apache.spark.sql.Column]): Long = {
     var committed = -1L
     while (committed < 0) {
       val v = version
       require(v >= 0, s"no committed version to compact at $dir")
       val cur = schemaAt(v)
-      sortBy.foreach(c => require(cur.fieldNames.contains(c),
-        s"sortBy column '$c' not in schema at v$v"))
+      clusterCols.foreach(c => require(cur.fieldNames.contains(c),
+        s"cluster column '$c' not in schema at v$v"))
       val m = manifest(v)
       // Layout evolution rides the full rewrite: `newBuckets > 0` re-hashes
       // every row under the new count and the published header flips the
@@ -811,10 +892,12 @@ final class TxTable private (spark: SparkSession, dir: String,
       // A hash partition can hold several buckets, so the cluster sort
       // leads with _b (bucket-local ordering); plain compaction skips
       // the sort entirely.
+      val clusterExprs = clusterOf(rows)
       val clustered =
-        if (sortBy.isEmpty) laid
-        else laid.sortWithinPartitions((col("_b") +: sortBy.map(col)): _*)
-      clustered.write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+        if (clusterExprs.isEmpty) laid
+        else laid.sortWithinPartitions((col("_b") +: clusterExprs): _*)
+      clustered.write.options(bloomOptions)
+        .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
       val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
       val op = if (newBuckets > 0 && newBuckets != bucketCountAt(v)) "rebucket" else "compact"
       if (publish(v + 1, n, op, lines)) {
@@ -986,7 +1069,8 @@ final class TxTable private (spark: SparkSession, dir: String,
       // Same bucket count -> the rewrite reproduces exactly the degraded
       // bucket ids; repartition puts each in one task = one file.
       rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
-        .write.partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+        .write.options(bloomOptions)
+        .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
       // Degraded buckets are REPLACED (a bucket whose DVs deleted every
       // row drops out of the manifest entirely, like a full-delete merge).
       val next = (m -- degraded.keySet) ++
@@ -1256,11 +1340,15 @@ final class TxTable private (spark: SparkSession, dir: String,
 
 object TxTable {
 
-  /** Create a new table at `dir` from `base` (version 0). */
+  /** Create a new table at `dir` from `base` (version 0). `bloomCols`
+    * columns get a parquet bloom filter in every data file from the
+    * first commit on (see [[TxTable.bloomColumns]]). */
   def create(spark: SparkSession, dir: String, base: DataFrame,
-             keyCols: Seq[String], numBuckets: Int = 16): TxTable = {
+             keyCols: Seq[String], numBuckets: Int = 16,
+             bloomCols: Seq[String] = Nil): TxTable = {
     val t = new TxTable(spark, dir, keyCols, numBuckets)
     require(t.version < 0, s"table already exists at $dir")
+    if (bloomCols.nonEmpty) t.setBloomColumns(bloomCols)
     val commit = t.writeCommit(base, numBuckets)
     require(t.publish(0L, numBuckets, "create",
       t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),

@@ -977,6 +977,73 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Bloom-filter point-lookup demo (s50_bloom_point) — the data-skipping
+    * layer s46/s49 cannot reach: min/max footer stats only skip row
+    * groups when the predicate column is CLUSTERED (s49 sorts ONE
+    * dimension), so a point lookup on any other high-cardinality column
+    * decodes every surviving row group. Parquet BLOOM FILTERS close that:
+    * the table declares bloom columns (TxTable `bloomCols`, the
+    * `_log/bloom.txt` sidecar), every data file carries a bloom per
+    * declared column, and the s46 skipping path's pushed EqualTo/In
+    * FilterPredicate lets the parquet reader refute "value definitely
+    * absent" row groups WITHOUT decoding them — on a RANDOM layout where
+    * stats admit everything. Two certificates ride the hash channel:
+    * `bloom_hash_match` — the bloom-skipping connector returns exactly
+    * the native snapshot's rows (skipping never changes results; bloom
+    * false positives only admit extra row groups, the residual filter
+    * still applies); `bloom_skip_effective` — the same 3-value In probe
+    * emits strictly fewer scan rows through the bloom'd table than
+    * through a bloom-less twin of identical layout (which admits every
+    * row group — random md5 tokens give min/max stats nothing to
+    * refute), and at most the 3 admitted buckets' worth. At 100 TB this
+    * is the secondary-index story for point lookups: sorted clustering
+    * serves ONE dimension, blooms serve every other equality column at
+    * ~1% file-size cost. */
+  def txBloomPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s50").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tx_s50n").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+        .withColumn("token", md5(col("name")))   // high-card, unsorted vs layout
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"),
+        numBuckets = 8, bloomCols = Seq("token"))
+      graft.core.TxTable.create(spark, dir2, base, Seq("name"), numBuckets = 8)
+      def conn = spark.read.format("graft").load(dir)
+      def twin = spark.read.format("graft").load(dir2)
+
+      def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val targets = Seq(7, 34, 121).map(k => hex(Graph.fullName(k)))
+      def pred = col("token").isin(targets: _*)
+
+      val hashMatch = conn.filter(pred)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+
+      def emitted(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val total = t.snapshot().count()
+      val withBloom = emitted(conn.filter(pred))
+      val without = emitted(twin.filter(pred))
+      val effective = withBloom < without && withBloom <= (3L * total) / 8
+
+      conn.filter(pred)
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          lit(hashMatch).as("bloom_hash_match"),
+          lit(effective).as("bloom_skip_effective"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally {
+      graft.core.TxTable.drop(dir); graft.core.TxTable.drop(dir2)
+    }
+  }
+
   /** Catalog + storage-partitioned-join demo (s44_catalog_spj) — the
     * GraftCatalog plugin end-to-end: two co-bucketed TxTables under a
     * warehouse resolve as multi-part SQL identifiers (keys from the
@@ -1087,6 +1154,72 @@ object GraphOps {
         .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
         .withColumn("snapshot_unchanged", lit(unchanged))
         .withColumn("skip_effective", lit(effective))
+        .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
+  /** Z-order-compaction demo (s51_zorder_compact) — MULTI-dimensional
+    * clustering, closing s49's 1-D limit: `compact(sortBy = x)` makes
+    * row-group stats selective on x but leaves every group's y-span
+    * covering the full domain, so y-predicates still decode everything.
+    * `compactZOrder(x, y)` sorts each rewritten bucket by the
+    * bit-interleaved Morton code of the two columns (16-bit cells over
+    * each column's min-max span — one stats pass, no extra shuffle, the
+    * Z-value never written), so every row group covers a tight CELL in
+    * the (x, y) plane and range predicates on EITHER dimension skip —
+    * the Delta OPTIMIZE…ZORDER BY mechanism. Certificates on the hash
+    * channel: `snapshot_unchanged` (clustering is layout only) and
+    * `skip_both_effective` — the same two range scans' measured
+    * numOutputRows BOTH shrink ≥2× across the one rewrite (scan-level;
+    * only footer skipping can shrink it). Small parquet row groups give
+    * test-scale granularity, as in s49. */
+  def txZorderCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s51").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    hconf.setInt("parquet.page.size", 4 * 1024)
+    try {
+      val base = graft.core.Tables.lineitem(spark, sfDir).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_partkey").as("part"),
+        col("l_returnflag").as("flag"))
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      val predX = col("price_cents").between(2000000L, 2100000L)
+      // SF-relative second dimension: a fixed partkey bound would cover
+      // the whole domain at small SFs (part count scales with SF).
+      val maxPart = base.agg(max("part")).head.getLong(0)
+      val predY = col("part") <= maxPart / 20
+      def emitted(pred: org.apache.spark.sql.Column): Long = {
+        val q = conn.filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val Array(b0) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val (ux, uy) = (emitted(predX), emitted(predY))
+      t.compactZOrder(Seq("price_cents", "part"))
+      val (zx, zy) = (emitted(predX), emitted(predY))
+      val Array(b1) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
+      val effective = zx * 2 <= ux && zy * 2 <= uy
+
+      conn.filter(predX)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("snapshot_unchanged", lit(unchanged))
+        .withColumn("skip_both_effective", lit(effective))
         .orderBy("flag")
         .localCheckpoint()
     } finally {

@@ -1823,17 +1823,17 @@ object RelOps {
     val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
     val targets = Seq(("p50", (n + 1) / 2), ("p90", (9 * n + 9) / 10),
       ("p99", (99 * n + 99) / 100))
-    val rows = targets.map { case (stat, k) =>
-      // The bucket whose cumulative count first reaches rank k, and the
-      // count strictly below it — pure driver arithmetic on ≤64k pairs.
+    // The bucket whose cumulative count first reaches rank k, and the
+    // count strictly below it — pure driver arithmetic on ≤64k pairs —
+    // then ALL three residual selections in ONE fused probe pass.
+    val probes = targets.map { case (_, k) =>
       val i = cum.indexWhere(_._2 >= k)
       val (bucket, _) = cum(i)
       val below = if (i == 0) 0L else cum(i - 1)._2
-      val j = (k - below).toInt
-      val value = kthProbe(spark, sfDir,
-        lo + bucket * width, lo + (bucket + 1) * width, j).head().getLong(0)
-      (stat, k, value)
+      (k, lo + bucket * width, lo + (bucket + 1) * width, (k - below).toInt)
     }
+    val got = kthProbes(spark, sfDir, probes)
+    val rows = targets.map { case (stat, k) => (stat, k, got(k)) }
     spark.createDataFrame(rows).toDF("stat", "k", "value").orderBy("stat")
   }
 
@@ -2013,41 +2013,69 @@ object RelOps {
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val cum = hist.scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
-    def rankValue(k: Long): Long = {
+    def probeOf(k: Long): (Long, Long, Long, Int) = {
       val i = cum.indexWhere(_._2 >= k)
       val (bucket, _) = cum(i)
       val below = if (i == 0) 0L else cum(i - 1)._2
-      kthProbe(spark, sfDir, lo + bucket * width, lo + (bucket + 1) * width,
-        (k - below).toInt).head().getLong(0)
+      (k, lo + bucket * width, lo + (bucket + 1) * width, (k - below).toInt)
     }
     val targets = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+    // Every needed rank (lower + interpolation upper, dedup'd) resolves
+    // through the ONE fused probe pass.
+    val needs = targets.flatMap { case (_, qn, qd) =>
+      val idx = qn * (n - 1); val k = idx / qd + 1
+      if (idx % qd == 0) Seq(k) else Seq(k, k + 1)
+    }.distinct
+    val got = kthProbes(spark, sfDir, needs.map(probeOf))
     val rows = targets.map { case (stat, qn, qd) =>
       val idx = qn * (n - 1) // fractional index numerator over qd
       val k = idx / qd + 1   // 1-indexed lower rank
       val rem = idx % qd
-      val vk = rankValue(k)
-      val vk1 = if (rem == 0) vk else rankValue(k + 1)
+      val vk = got(k)
+      val vk1 = if (rem == 0) vk else got(k + 1)
       (stat, k, vk * 1000000L + (vk1 - vk) * rem * 1000000L / qd)
     }
     spark.createDataFrame(rows).toDF("stat", "k", "pcont_micro").orderBy("stat")
   }
 
-  /** The pass-2 residual selection of `exactKth`: the j-th smallest value
-    * within one histogram bucket's range. The range filter is phrased on
-    * the RAW decimal column — `price*100 ∈ [lo,hi)` iff
-    * `price ∈ [lo/100, hi/100)` exactly — so it reaches the parquet
-    * reader as a min/max-prunable PushedFilter instead of dying on the
-    * derived cents column; the selection itself is a bounded top-j
-    * (TakeOrderedAndProject). PlanSpec pins both properties. */
-  private[graft] def kthProbe(spark: SparkSession, sfDir: String,
-                              loCents: Long, hiCents: Long, j: Int): DataFrame = {
-    val lo = java.math.BigDecimal.valueOf(loCents).movePointLeft(2)
-    val hi = java.math.BigDecimal.valueOf(hiCents).movePointLeft(2)
+  /** The pass-2 residual selection of `exactKth`/`percentileCont`, FUSED:
+    * every target rank's in-bucket selection runs in ONE pass instead of
+    * one serial Spark job per rank (the r13 shape paid up to 6 round
+    * trips). Each probe is (rank k, bucket range [lo,hi) in cents,
+    * residual index j); the single job filters the fact table with the
+    * OR of the ranges — phrased on the RAW decimal column, so
+    * `price*100 ∈ [lo,hi)` iff `price ∈ [lo/100, hi/100)` exactly and
+    * the disjunction reaches the parquet reader as a min/max-prunable
+    * PushedFilter — tags each surviving row with its probe(s) via a
+    * broadcast range join against the ≤6-row probe table, and ranks
+    * within each probe with one partitioned window over the bounded
+    * residuals (≤ n/64k rows per bucket — the rq32 bounded-domain rule).
+    * PlanSpec pins the pushed disjunction, the broadcast tag join, and
+    * percentileCont's total job count. */
+  private[graft] def kthProbesDf(spark: SparkSession, sfDir: String,
+      probes: Seq[(Long, Long, Long, Int)]): DataFrame = {
+    import spark.implicits._
+    val ranges = broadcast(probes.toDF("pk", "rlo", "rhi", "j"))
+    val orPred = probes.map { case (_, loC, hiC, _) =>
+      val lo = java.math.BigDecimal.valueOf(loC).movePointLeft(2)
+      val hi = java.math.BigDecimal.valueOf(hiC).movePointLeft(2)
+      col("l_extendedprice") >= lit(lo) && col("l_extendedprice") < lit(hi)
+    }.reduce(_ || _)
+    val w = Window.partitionBy("pk").orderBy("v")
     Tables.lineitem(spark, sfDir)
-      .filter(col("l_extendedprice") >= lit(lo) && col("l_extendedprice") < lit(hi))
+      .filter(orPred)
       .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
-      .orderBy("v").limit(j).agg(max(col("v")))
+      .join(ranges, col("v") >= col("rlo") && col("v") < col("rhi"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("j"))
+      .select("pk", "v")
   }
+
+  /** Collected form of [[kthProbesDf]]: rank k → its order statistic. */
+  private[graft] def kthProbes(spark: SparkSession, sfDir: String,
+      probes: Seq[(Long, Long, Long, Int)]): Map[Long, Long] =
+    kthProbesDf(spark, sfDir, probes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** TIME-WEIGHTED average (TWAP — the metrics/finance aggregate where
     * each observation HOLDS until the next one): per user, value×duration

@@ -621,6 +621,97 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("z-order compaction: range predicates on BOTH dimensions skip in one layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_zorder").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    hconf.setInt("parquet.page.size", 16 * 1024)
+    try {
+      import spark.implicits._
+      // Two independent pseudo-random dimensions: unsorted, every row
+      // group spans both domains; a 1-D sort would serve only its leading
+      // column — z-order must serve BOTH.
+      val nRows = 200000
+      val base = (0 until nRows).map { i =>
+        (s"k$i", (i.toLong * 2654435761L) % nRows, (i.toLong * 40503L) % nRows)
+      }.toDF("k", "x", "y")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      val predX = col("x") >= 1000L && col("x") < 3000L
+      val predY = col("y") >= 5000L && col("y") < 7000L
+      def scanRows(pred: org.apache.spark.sql.Column, expect: Long): Long = {
+        val q = conn.filter(pred)
+        assert(q.collect().length == expect, "range query wrong")
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val (ex, ey) = (base.filter(predX).count(), base.filter(predY).count())
+      val (ux, uy) = (scanRows(predX, ex), scanRows(predY, ey))
+      t.compactZOrder(Seq("x", "y"))
+      val (zx, zy) = (scanRows(predX, ex), scanRows(predY, ey))
+      assert(t.snapshot().count() == nRows, "z-order compaction changed the row count")
+      assert(ux > nRows / 2 && uy > nRows / 2,
+        s"unsorted layout unexpectedly skipped ($ux, $uy of $nRows)")
+      assert(zx * 2 <= ux, s"x dimension must skip >=2x: emitted $zx vs unsorted $ux")
+      assert(zy * 2 <= uy, s"y dimension must skip >=2x: emitted $zy vs unsorted $uy")
+      assert(zx >= ex && zy >= ey, "scan emitted fewer rows than the predicates match")
+    } finally {
+      TxTable.drop(dir)
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+    }
+  }
+
+  test("bloom filters skip row groups for point lookups on an UNSORTED column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bloom").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dsv2_nobloom").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    hconf.setInt("parquet.page.size", 16 * 1024)
+    try {
+      import spark.implicits._
+      // High-cardinality values in pseudo-random order: every row group's
+      // min/max spans nearly the full domain, so footer STATS admit all of
+      // them for any point probe — only a bloom can refute row groups here
+      // (s49's sorted clustering can't serve this column; it's the "every
+      // other equality column" case).
+      val nRows = 200000
+      val base = (0 until nRows)
+        .map(i => (s"k$i", (i.toLong * 2654435761L) % 1000000007L)).toDF("k", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1,
+        bloomCols = Seq("v"))
+      TxTable.create(spark, dir2, base, Seq("k"), numBuckets = 1)
+      assert(t.bloomColumns == Seq("v"), "bloom sidecar not persisted")
+
+      val probe = (777L * 2654435761L) % 1000000007L // exactly one matching row
+      def scanRows(d: String): Long = {
+        val q = spark.read.format("graft").load(d).filter(col("v") === probe)
+        assert(q.collect().map(_.getString(0)).toSeq == Seq("k777"),
+          "point lookup wrong")
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val without = scanRows(dir2)
+      val withBloom = scanRows(dir)
+      assert(without > nRows / 2,
+        s"bloom-less layout unexpectedly skipped (emitted $without of $nRows) — " +
+          "the baseline premise broke")
+      assert(withBloom < without / 10,
+        s"bloom must refute most row groups: emitted $withBloom vs $without without")
+      assert(withBloom >= 1, "scan emitted fewer rows than the probe matches")
+    } finally {
+      TxTable.drop(dir); TxTable.drop(dir2)
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+    }
+  }
+
   test("snapshot pins are per-table: interleaved resolutions don't evict each other") {
     val (dirA, tA) = freshTable("graft_dsv2_pin_a")
     val (dirB, _) = freshTable("graft_dsv2_pin_b")

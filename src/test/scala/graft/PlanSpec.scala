@@ -523,12 +523,41 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"no equi-join on cell keys:\n$p")
   }
 
-  test("rq72 exact k-th: bucket probe is a bounded top-j over a pushed range filter") {
-    val p = finalPlan(graft.ops.RelOps.kthProbe(spark, sf, 100000L, 200000L, 7))
-    assert(p.contains("TakeOrderedAndProject"),
-      s"residual select not a bounded top-j:\n$p")
-    assert(p.contains("GreaterThanOrEqual(l_extendedprice"),
-      s"range filter did not reach the parquet scan:\n$p")
+  test("rq72/rq80 fused rank probes: pushed OR-range filter, broadcast tag join, one window") {
+    val p = finalPlan(graft.ops.RelOps.kthProbesDf(spark, sf, Seq(
+      (10L, 100000L, 200000L, 7), (20L, 400000L, 500000L, 3))))
+    // The range disjunction reaches the parquet scan (min/max prunable on
+    // the raw decimal column), every residual row tags its probe via a
+    // BROADCAST join against the ≤6-row probe table, and ONE partitioned
+    // window ranks all probes together — no per-rank serial jobs.
+    assert(p.contains("Or(And(GreaterThanOrEqual(l_extendedprice") ||
+      (p.contains("GreaterThanOrEqual(l_extendedprice") && p.contains("Or(")),
+      s"range disjunction did not reach the parquet scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe tagging not a broadcast join:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1, s"no rank window:\n$p")
+  }
+
+  test("rq80 percentile_cont runs a bounded number of queries (fused probes, not serial)") {
+    // One driver round trip = one SQL execution id, however many jobs AQE
+    // stages it into. bounds + histogram + the ONE fused probe + this
+    // test's own final collect = 4; the r13 shape ran up to 6 serial probe
+    // executions on top — this pins the fusion.
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) execs.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.ops.RelOps.percentileCont(spark, sf).collect()
+      // listener events are async — give the bus a beat to drain
+      Thread.sleep(500)
+      assert(execs.size <= 4,
+        s"percentileCont ran ${execs.size} queries — probe fusion regressed")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("rq73 KMV: both sketch builds run on the native bounded-heap operator, no WindowExec") {
