@@ -68,10 +68,24 @@ object Bench {
     val isGraphX = (n: String) =>
       n.startsWith("gx_") || n == "dd_cluster_canonical" ||
         n == "dd_survivorship" || n == "dd_semantic_cluster"
+    // Lifecycle entries (create→commit→read a fresh TxTable per
+    // invocation) and the streaming tail are the suite's VARIANCE
+    // CARRIERS: their per-run cost is commit-protocol I/O, and this host
+    // shows multi-second write-path stalls on them (BASELINE note 80:
+    // j11 0.24–0.86 s, s13 3.3–9.8 s same day) while pure-compute entries
+    // hold steady. Min-of-3 there (min-of-2 elsewhere), so one host stall
+    // can't define the round's headline number.
+    val isLifecycle = (n: String) =>
+      n == "j11_upsert_edges" || n == "s5_upsert_person" ||
+        (n.startsWith("s") &&
+          n.drop(1).takeWhile(_.isDigit).toIntOption.exists(_ >= 12))
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (if (isStreaming(n)) 2 else if (isGraphX(n)) 1 else 0, n) }
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val nRuns =
+        if (runs > 1 && (isStreaming(name) || isLifecycle(name))) math.max(runs, 3)
+        else runs
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false

@@ -105,6 +105,9 @@ object SparkEntry {
     // Parquet bloom filters on declared point-lookup columns: EqualTo/In
     // refutes row groups on a RANDOM layout where min/max stats cannot.
     "s50_bloom_point" -> ((s, d) => GraphOps.txBloomPoint(s, d)),
+    // End-to-end medallion hop: change-feed stream -> foreachBatch fold ->
+    // MERGE into a downstream TxTable, kill-and-resume exactly-once.
+    "s52_medallion_stream" -> ((s, d) => GraphOps.txMedallionStream(s, d)),
     // CDC read over the TxTable: row-level insert/update/delete between
     // two versions, scan pruned to manifest-repointed buckets only.
     "s17_cdc_diff" -> ((s, d) => GraphOps.cdcDiff(s, d)),
@@ -727,6 +730,21 @@ object SparkEntry {
         |       true AS snapshot_unchanged, true AS skip_effective
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
         |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s52: the downstream table after both passes == the upstream
+    // lifecycle's final state, reconstructed relationally; pipeline
+    // certificates ride as literal true.
+    "s52_medallion_stream" ->
+      s"""WITH $nodesCte
+         |SELECT name,
+         |  CASE WHEN name LIKE '%7' THEN 'PROMOTED'
+         |       WHEN name LIKE '%4' THEN 'RESETTLED' ELSE house END AS house,
+         |  CAST(round((acctbal + CASE WHEN name LIKE '%7' THEN 1000
+         |       WHEN name LIKE '%4' THEN 500 ELSE 0 END) * 100) AS BIGINT)
+         |    AS acctbal_x100,
+         |  true AS replay_equivalent, true AS resume_no_reprocess
+         |FROM n
+         |WHERE name <= 'Customer#000000059' AND name <> 'Customer#000000013'
+         |ORDER BY name""".stripMargin,
     // s51: same replay shape as s49; the Z-order layout certificates ride
     // as literal true (2-D clustering is layout only).
     "s51_zorder_compact" ->

@@ -546,7 +546,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "merge-clauses", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
+      } else { // lost the race
+        publishRetries.incrementAndGet()
+        TxTable.drop(dataDir.resolve(commit).toString)
+      }
     }
     committed
   }
@@ -596,9 +599,11 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "update", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race:
-      // drop the losing attempt's commit dir (compact's idiom) instead of
-      // leaving orphan data files for vacuum to find.
+      } else { // lost the race: drop the losing attempt's commit dir
+        // (compact's idiom) instead of leaving orphans for vacuum to find.
+        publishRetries.incrementAndGet()
+        TxTable.drop(dataDir.resolve(commit).toString)
+      }
     }
     committed
   }
@@ -650,6 +655,7 @@ final class TxTable private (spark: SparkSession, dir: String,
         committed = v + 1
       } else {
         // Lost the commit race: drop the losing DV dir, rebase, retry.
+        publishRetries.incrementAndGet()
         TxTable.drop(dataDir.resolve(dvName).toString)
       }
     }
@@ -694,11 +700,18 @@ final class TxTable private (spark: SparkSession, dir: String,
         committed = v + 1
       } else {
         // Lost the commit race: drop the losing commit dir, rebase, retry.
+        publishRetries.incrementAndGet()
         TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
     committed
   }
+
+  /** Commit-race losses this INSTANCE has rebased through (optimistic
+    * concurrency observability: the write-contention probe and spec sum
+    * it across writers — a lost publish is never an error, but the rate
+    * tells an operator when one table has too many contending writers). */
+  private[graft] val publishRetries = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** CDC read: the row-level changes between two committed versions —
     * `insert` / `update` / `delete`, with the old and new value of every
@@ -903,7 +916,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, op, lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
+      } else { // lost the race
+        publishRetries.incrementAndGet()
+        TxTable.drop(dataDir.resolve(commit).toString)
+      }
     }
     committed
   }
@@ -1079,7 +1095,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "compact-partial", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else TxTable.drop(dataDir.resolve(commit).toString) // lost the race
+      } else { // lost the race
+        publishRetries.incrementAndGet()
+        TxTable.drop(dataDir.resolve(commit).toString)
+      }
     }
     committed
   }

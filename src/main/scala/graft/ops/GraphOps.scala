@@ -767,6 +767,71 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Streaming-lakehouse pipeline demo (s52_medallion_stream) — the
+    * END-TO-END composition of the shipped halves (the medallion hop
+    * every 100 TB pipeline runs): upstream TxTable → change-feed stream →
+    * foreachBatch fold → MERGE/delete into a DOWNSTREAM TxTable, with the
+    * streaming checkpoint owning which upstream versions were consumed
+    * and the TxTable's atomic manifest publish owning the sink commit
+    * (the per-batch fold is idempotent, so a replayed batch re-converges
+    * — the exactly-once shape; see [[graft.streaming.StreamingOps
+    * .medallionHop]]). The entry runs TWO real passes with the process
+    * shape a crash-resume has: pass 1 consumes the create+merge history,
+    * the stream STOPS, more upstream commits land (a MOR delete and a
+    * second merge), pass 2 RESUMES from the same checkpoint. Certificates
+    * on the hash channel: `replay_equivalent` — after each pass the
+    * downstream snapshot equals the upstream snapshot row-for-row (CDC
+    * replay ≡ direct recompute); `resume_no_reprocess` — pass 2 applied
+    * exactly the new versions and none of pass 1's (the checkpoint, not
+    * luck, decides). StreamingSpec runs the kill-and-resume case with a
+    * row-level no-dup/no-loss assertion. */
+  def txMedallionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val up = java.nio.file.Files.createTempDirectory("graft_tx_s52_up").toString
+    val dn = java.nio.file.Files.createTempDirectory("graft_tx_s52_dn").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tx_s52_ck").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val u = graft.core.TxTable.create(spark, up, base, Seq("name"), numBuckets = 4)
+      graft.core.TxTable.create(spark, dn, base.limit(0), Seq("name"), numBuckets = 4)
+      def upSnap = graft.core.TxTable.open(spark, up, Seq("name")).snapshot()
+      def dnSnap = graft.core.TxTable.open(spark, dn, Seq("name")).snapshot()
+      def converged: Boolean =
+        dnSnap.collect().map(_.mkString("|")).sorted.toSeq ==
+          upSnap.collect().map(_.mkString("|")).sorted.toSeq
+
+      // Pass 1: create + a merge land, the hop consumes them, then stops.
+      u.merge(u.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED"))
+        .withColumn("acctbal", col("acctbal") + 1000))
+      val applied1 = graft.streaming.StreamingOps.medallionHop(spark, up, dn, ck)
+      val pass1Ok = converged && applied1 == Set(0L, 1L)
+
+      // Stream is DOWN; more upstream commits land. Pass 2 resumes from
+      // the same checkpoint and must apply ONLY the new versions.
+      u.deleteMergeOnRead(spark.createDataFrame(
+        Seq(Tuple1("Customer#000000013"))).toDF("name"))
+      u.merge(u.snapshot().filter(col("name").endsWith("4"))
+        .withColumn("house", lit("RESETTLED"))
+        .withColumn("acctbal", col("acctbal") + 500))
+      val applied2 = graft.streaming.StreamingOps.medallionHop(spark, up, dn, ck)
+      val replayEquivalent = pass1Ok && converged
+      val noReprocess = applied2 == Set(2L, 3L)
+
+      dnSnap.filter(col("name") <= "Customer#000000059")
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          lit(replayEquivalent).as("replay_equivalent"),
+          lit(noReprocess).as("resume_no_reprocess"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally {
+      graft.core.TxTable.drop(up); graft.core.TxTable.drop(dn)
+      graft.core.TxTable.drop(ck)
+    }
+  }
+
   /** Aggregate-pushdown demo (s42_count_pushdown) — COUNT(*) through the
     * connector on a clean snapshot is answered from parquet FOOTER record
     * counts (SupportsPushDownAggregates → GraftCountScan: one footer read

@@ -539,4 +539,57 @@ object StreamingOps {
       .start()
     q.awaitTermination()
   }
+
+  /** The MEDALLION hop — upstream TxTable change feed → downstream
+    * TxTable, composed from the shipped halves (s41's change-feed source,
+    * the foreachBatch MERGE sink): one AvailableNow pass reads every
+    * not-yet-checkpointed upstream VERSION as a micro-batch, folds it to
+    * the latest event per key (post-image wins; a same-version delete
+    * beats its insert), MERGEs post-images and retires deletes on the
+    * downstream table, and records which upstream versions it applied.
+    * Exactly-once shape: offsets are upstream versions (immutable
+    * manifests) tracked by the streaming checkpoint, the sink commit is
+    * the TxTable's own atomic manifest publish, and the per-batch fold
+    * is IDEMPOTENT (re-merging the same post-images is a no-op), so a
+    * kill anywhere replays at most one batch with identical effect —
+    * Delta's own end-to-end story, run here over two real process-shaped
+    * passes (StreamingSpec kills between them). Returns the upstream
+    * versions this pass applied — a resumed pass must report ONLY new
+    * ones. */
+  def medallionHop(spark: SparkSession, upstream: String, downstream: String,
+                   checkpoint: String, keyCol: String = "name"): Set[Long] = {
+    import graft.core.TxTable
+    val applied = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(upstream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val valCols = batch.columns
+          .filterNot(c => c == "_commit_version" || c == "_change_type" ||
+            c == keyCol).toSeq
+        // Latest event per key: version, then delete-beats-insert. The
+        // ordering fields use reserved names so a value column named "v"
+        // or "d" can't make the struct extraction ambiguous.
+        val tops = batch.groupBy(keyCol)
+          .agg(max(struct(
+            Seq(col("_commit_version").as("__graft_cv"),
+              (col("_change_type") === "delete").cast("int").as("__graft_del")) ++
+              valCols.map(col): _*)).as("top"))
+          .localCheckpoint()
+        val dn = TxTable.open(spark, downstream, Seq(keyCol))
+        val ups = tops.filter(col("top.__graft_del") === 0)
+          .select(col(keyCol) +: valCols.map(c => col(s"top.$c").as(c)): _*)
+        if (!ups.isEmpty) dn.merge(ups)
+        val dels = tops.filter(col("top.__graft_del") === 1).select(keyCol)
+        if (!dels.isEmpty) dn.deleteMergeOnRead(dels)
+        batch.select("_commit_version").distinct().collect()
+          .foreach(r => applied += r.getLong(0))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    applied.toSet
+  }
 }

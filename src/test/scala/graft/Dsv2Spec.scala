@@ -665,6 +665,67 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("column indexes skip PAGES inside admitted row groups on a sorted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_colindex").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    // FEW big row groups, MANY small pages each: row-group stats are the
+    // coarse unit, the column index is the fine one.
+    hconf.setInt("parquet.block.size", 512 * 1024)
+    hconf.setInt("parquet.page.size", 4 * 1024)
+    try {
+      import spark.implicits._
+      val nRows = 400000
+      val base = (0 until nRows)
+        .map(i => (s"k$i", (i.toLong * 2654435761L) % nRows)).toDF("k", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      t.compact(0, Seq("v"))
+
+      // The writer must EMIT column indexes (parquet-mr default since
+      // 1.11) — read them back from the one data file's footer.
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      val live = files.filter { f => // compact leaves the v0 commit for time travel
+        f.toString.contains(t.layoutAt(t.version).values.head._1)
+      }
+      assert(live.size == 1, s"expected one live data file, got $live")
+      val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(live.head.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      val (minGroupRows, nGroups, hasIndex) = try {
+        val blocks = pf.getFooter.getBlocks.asScala
+        val vChunk = blocks.head.getColumns.asScala
+          .find(_.getPath.toDotString == "v").get
+        (blocks.map(_.getRowCount).min, blocks.size,
+          pf.readColumnIndex(vChunk) != null)
+      } finally pf.close()
+      assert(hasIndex, "writer did not emit a column index for v")
+      assert(nGroups >= 2, s"need several row groups for the contrast, got $nGroups")
+
+      // A narrow range on the sorted column: row-group skipping admits
+      // one group; the column index must then skip PAGES inside it, so
+      // the scan emits strictly fewer rows than ANY whole row group.
+      val pred = col("v") >= 1000L && col("v") < 1200L
+      val q = spark.read.format("graft").load(dir).filter(pred)
+      val got = q.collect().length
+      assert(got == base.filter(pred).count(), "range query wrong")
+      val emitted = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      assert(emitted < minGroupRows,
+        s"scan emitted $emitted rows — not finer than the smallest row group " +
+          s"($minGroupRows): page-level skipping is not engaging")
+      assert(emitted >= got, "scan emitted fewer rows than the predicate matches")
+    } finally {
+      TxTable.drop(dir)
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+    }
+  }
+
   test("bloom filters skip row groups for point lookups on an UNSORTED column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bloom").toString
     val dir2 = java.nio.file.Files.createTempDirectory("graft_dsv2_nobloom").toString

@@ -163,6 +163,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.version == 1L)
   }
 
+  test("medallion hop kill-and-resume: no duplicated and no lost upstream commits") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_medallion").toString
+    val (up, dn, ck) = (s"$root/up", s"$root/dn", s"$root/ck")
+    try {
+      import spark.implicits._
+      val base = (1 to 40).map(i => (s"u$i", i.toLong)).toDF("name", "v")
+      val u = graft.core.TxTable.create(spark, up, base, Seq("name"), numBuckets = 4)
+      graft.core.TxTable.create(spark, dn, base.limit(0), Seq("name"), numBuckets = 4)
+      u.merge(Seq(("u3", 300L), ("u41", 41L)).toDF("name", "v"))
+
+      def dnState = graft.core.TxTable.open(spark, dn, Seq("name")).snapshot()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def upState = graft.core.TxTable.open(spark, up, Seq("name")).snapshot()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // Pass 1 consumes {create, merge}; the "process" then dies (the
+      // query object is gone — only the checkpoint survives).
+      val applied1 = StreamingOps.medallionHop(spark, up, dn, ck)
+      assert(applied1 == Set(0L, 1L), s"pass 1 applied $applied1")
+      assert(dnState == upState, "downstream diverged after pass 1 (loss)")
+
+      // Commits land while the hop is down; resume must replay exactly
+      // them — nothing re-applied (dup), nothing skipped (loss).
+      u.deleteMergeOnRead(Seq(Tuple1("u7")).toDF("name"))
+      u.merge(Seq(("u3", 3000L), ("u42", 42L)).toDF("name", "v"))
+      val applied2 = StreamingOps.medallionHop(spark, up, dn, ck)
+      assert(applied2 == Set(2L, 3L), s"resume applied $applied2")
+      assert(dnState == upState, "downstream diverged after resume")
+      assert(dnState("u3") == 3000L && !dnState.contains("u7") &&
+        dnState("u42") == 42L)
+
+      // An idle resume is a no-op: nothing new, nothing re-applied.
+      val applied3 = StreamingOps.medallionHop(spark, up, dn, ck)
+      assert(applied3.isEmpty, s"idle resume re-applied $applied3")
+    } finally graft.core.TxTable.drop(root)
+  }
+
   test("streamed window counts equal the batch twin (streaming/batch parity)") {
     val streamed = StreamingOps.streamedWindowCounts(spark, sf)
       .collect().map(_.toString).sorted
