@@ -105,6 +105,9 @@ object SparkEntry {
     // Parquet bloom filters on declared point-lookup columns: EqualTo/In
     // refutes row groups on a RANDOM layout where min/max stats cannot.
     "s50_bloom_point" -> ((s, d) => GraphOps.txBloomPoint(s, d)),
+    // Bucket-tier bloom index: per-bucket sidecars refute whole buckets
+    // at planning for non-key point lookups, before any footer I/O.
+    "s53_bucket_bloom" -> ((s, d) => GraphOps.txBucketBloomIndex(s, d)),
     // End-to-end medallion hop: change-feed stream -> foreachBatch fold ->
     // MERGE into a downstream TxTable, kill-and-resume exactly-once.
     "s52_medallion_stream" -> ((s, d) => GraphOps.txMedallionStream(s, d)),
@@ -3694,9 +3697,9 @@ object SparkEntry {
       s"""WITH $nodesCte,
          |b AS (SELECT count(*) AS n FROM n WHERE name <= 'Customer#000000199')
          |SELECT 'after_mor_delete' AS phase, CAST(n - 1 AS BIGINT) AS n_rows,
-         |  true AS plan_and_count_ok FROM b
+         |  true AS plan_and_count_ok, true AS manifest_counted FROM b
          |UNION ALL
-         |SELECT 'clean', CAST(n AS BIGINT), true FROM b
+         |SELECT 'clean', CAST(n AS BIGINT), true, true FROM b
          |ORDER BY phase""".stripMargin,
     // s43: both extrema phases replayed from the base relation (199-name
     // slice; the DV'd phase minus the one deleted key), money as BIGINT
@@ -3780,6 +3783,16 @@ object SparkEntry {
          |SELECT name, house,
          |  CAST(round(acctbal * 100) AS BIGINT) AS acctbal_x100,
          |  true AS bloom_hash_match, true AS bloom_skip_effective
+         |FROM n
+         |WHERE name <= 'Customer#000000199'
+         |  AND md5(name) IN (md5('Customer#000000007'),
+         |    md5('Customer#000000034'), md5('Customer#000000121'))
+         |ORDER BY name""".stripMargin,
+    "s53_bucket_bloom" ->
+      s"""WITH $nodesCte
+         |SELECT name, house,
+         |  CAST(round(acctbal * 100) AS BIGINT) AS acctbal_x100,
+         |  true AS idx_hash_match, true AS idx_prune_effective
          |FROM n
          |WHERE name <= 'Customer#000000199'
          |  AND md5(name) IN (md5('Customer#000000007'),

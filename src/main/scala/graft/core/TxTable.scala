@@ -431,13 +431,31 @@ final class TxTable private (spark: SparkSession, dir: String,
   def bloomColumns: Seq[String] = {
     val p = logDir.resolve("bloom.txt")
     if (Files.exists(p))
-      Files.readString(p).trim.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      // First line only — the second (optional) line is the bucket-index
+      // `bits=N` sizing record (see bloomIndexBits).
+      Files.readString(p).linesIterator.toSeq.headOption.getOrElse("")
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     else Nil
   }
 
-  def setBloomColumns(cols: Seq[String]): Unit = {
+  def setBloomColumns(cols: Seq[String], indexBits: Long = TxTable.DefaultBloomIndexBits): Unit = {
     Files.createDirectories(logDir)
-    Files.writeString(logDir.resolve("bloom.txt"), cols.mkString(","))
+    Files.writeString(logDir.resolve("bloom.txt"),
+      s"${cols.mkString(",")}\nbits=$indexBits")
+  }
+
+  /** Size (in bits) of each BUCKET-tier bloom sidecar (the second
+    * `bloom.txt` line; tables from before the bucket index default).
+    * Sizing rule of thumb: ~10 bits per DISTINCT value per bucket for
+    * ~1% false positives — the default 2^20 bits (128 KiB serialized)
+    * covers ~100k distinct values per bucket; a 100 TB table sets this
+    * to its per-bucket cardinality at `setBloomColumns`. */
+  def bloomIndexBits: Long =  {
+    val p = logDir.resolve("bloom.txt")
+    if (!Files.exists(p)) TxTable.DefaultBloomIndexBits
+    else Files.readString(p).linesIterator.toSeq.lift(1)
+      .filter(_.startsWith("bits=")).map(_.stripPrefix("bits=").toLong)
+      .getOrElse(TxTable.DefaultBloomIndexBits)
   }
 
   /** Writer options enabling the configured blooms (parquet-mr sizes
@@ -445,11 +463,95 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def bloomOptions: Map[String, String] =
     bloomColumns.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
+  /** BUCKET-TIER bloom index — the skipping tier ABOVE the parquet
+    * footer: one bloom per (rewritten bucket × bloom column), stored as
+    * `_bloomidx.<col>.bin` INSIDE the bucket's data dir (underscore
+    * files are invisible to the parquet reader, travel with the
+    * copy-on-write commit — untouched buckets keep their old index,
+    * vacuum reclaims it with the dir, shallow clones resolve it through
+    * the same absolute pointers). The DSv2 scan consults it at PLANNING:
+    * a pushed EqualTo/In on an indexed non-key column refutes whole
+    * buckets before ANY file I/O — at 100 TB with 4096 buckets a point
+    * lookup on a non-key column plans ~1 bucket instead of opening 4096
+    * footers (parquet row-group blooms, s50, only help after the footer
+    * is read). Build cost: ONE extra aggregate pass over the just-written
+    * commit (touched buckets only, never the table), collected at
+    * O(buckets × numBits/8) bytes — data-size-independent. The file
+    * header records the column's WRITE-TIME type: a later widening
+    * changes xxhash64 values, so readers refuse a mismatched index
+    * rather than mis-refute (sound by construction — bloom membership
+    * has no false negatives under an identical hash). Runs before
+    * publish: a crash leaves an unreferenced commit dir, never a
+    * manifest pointing at a half-indexed bucket (and a missing sidecar
+    * just means no pruning — the index is advisory). */
+  /** Per-bucket ROW-COUNT sidecar (`_rows.txt` inside each bucket dir,
+    * invisible to the parquet reader like `_bloomidx`): the sum of the
+    * just-written files' footer record counts, recorded ONCE at write
+    * time (O(touched buckets) driver-side footer reads of files this
+    * commit just created — never the table). Readers that only need
+    * cardinality (the s42 COUNT(*) pushdown, the optimizer's numRows
+    * statistic) sum these tiny sidecars instead of re-opening every
+    * footer on every query — at 100 TB with ~4096 buckets a clean
+    * COUNT(*) is O(buckets) one-line reads, the Delta/Iceberg
+    * log-statistics story. Advisory like the bloom index: a missing
+    * sidecar (pre-sidecar commits) falls back to footer counts, and
+    * DV'd buckets never trust it (an equality delete changes the live
+    * count; the scan path refuses metadata counts there anyway). */
+  private def writeBucketRowCounts(commit: String): Unit = {
+    val cdir = dataDir.resolve(commit)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    bucketsIn(commit).foreach { b =>
+      val bdir = cdir.resolve(s"_b=$b")
+      val n = listNames(bdir).filter(_.endsWith(".parquet")).map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(bdir.resolve(f).toString), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      Files.writeString(bdir.resolve("_rows.txt"), n.toString)
+    }
+  }
+
+  /** All write-time sidecars for a freshly-written data commit: row
+    * counts always, the bucket-tier bloom index when declared. Runs
+    * BEFORE publish (commit dirs are invisible until a manifest points
+    * at them), so readers never race a half-written sidecar. */
+  private def writeBucketSidecars(commit: String): Unit = {
+    writeBucketRowCounts(commit)
+    writeBucketBloomIndex(commit)
+  }
+
+  private def writeBucketBloomIndex(commit: String): Unit = {
+    val cols = bloomColumns
+    if (cols.isEmpty || bucketsIn(commit).isEmpty) return
+    val cdir = dataDir.resolve(commit)
+    val df = spark.read.parquet(cdir.toString)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return
+    val bits = bloomIndexBits
+    import org.apache.spark.sql.graftbridge.Bridge
+    val aggs = present.map(c => Bridge.bloomAggregate(col(c), bits).as(c))
+    val rows = df.groupBy(col("_b")).agg(aggs.head, aggs.tail: _*).collect()
+    rows.foreach { r =>
+      val b = r.get(0).asInstanceOf[Number].longValue
+      present.foreach { c =>
+        val bytes = r.getAs[Array[Byte]](c)
+        if (bytes != null) {
+          val header = s"graftbloom\t$c\t${df.schema(c).dataType.catalogString}\n"
+            .getBytes(StandardCharsets.UTF_8)
+          Files.write(cdir.resolve(s"_b=$b").resolve(s"_bloomidx.$c.bin"),
+            header ++ bytes)
+        }
+      }
+    }
+  }
+
   private def writeCommit(df: DataFrame, buckets: Int): String = {
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
     df.withColumn("_b", bucketColFor(buckets))
       .write.options(bloomOptions)
       .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+    writeBucketSidecars(commit)
     commit
   }
 
@@ -911,6 +1013,7 @@ final class TxTable private (spark: SparkSession, dir: String,
         else laid.sortWithinPartitions((col("_b") +: clusterExprs): _*)
       clustered.write.options(bloomOptions)
         .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      writeBucketSidecars(commit)
       val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
       val op = if (newBuckets > 0 && newBuckets != bucketCountAt(v)) "rebucket" else "compact"
       if (publish(v + 1, n, op, lines)) {
@@ -1087,6 +1190,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
         .write.options(bloomOptions)
         .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      writeBucketSidecars(commit)
       // Degraded buckets are REPLACED (a bucket whose DVs deleted every
       // row drops out of the manifest entirely, like a full-delete merge).
       val next = (m -- degraded.keySet) ++
@@ -1358,6 +1462,10 @@ final class TxTable private (spark: SparkSession, dir: String,
 }
 
 object TxTable {
+
+  /** Default bucket-tier bloom sidecar size: 2^20 bits = 128 KiB per
+    * (bucket × column) — ~1% FPP at 100k distinct values per bucket. */
+  val DefaultBloomIndexBits: Long = 1L << 20
 
   /** Create a new table at `dir` from `base` (version 0). `bloomCols`
     * columns get a parquet bloom filter in every data file from the

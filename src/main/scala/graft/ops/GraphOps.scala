@@ -853,6 +853,12 @@ object GraphOps {
       val clean = conn.groupBy().count()
       val cleanMeta = clean.queryExecution.executedPlan.toString
         .contains("GraftCountScan")
+      // Sidecar tier (round 14): a clean count is answered from the
+      // write-time `_rows.txt` manifests — O(buckets) one-line reads,
+      // ZERO footer I/O (the description records which tier served it;
+      // Dsv2Spec proves usage by poisoning a sidecar).
+      val manifestCounted = clean.queryExecution.executedPlan.toString
+        .contains("manifest row counts")
       val cleanCount = clean.head().getLong(0)
 
       t.deleteMergeOnRead(spark.createDataFrame(
@@ -863,10 +869,11 @@ object GraphOps {
       val dvdCount = dvd.head().getLong(0)
 
       spark.createDataFrame(Seq(
-          ("clean", cleanCount, cleanMeta && cleanCount == base.count()),
+          ("clean", cleanCount, cleanMeta && cleanCount == base.count(),
+            manifestCounted),
           ("after_mor_delete", dvdCount,
-            dvdScans && dvdCount == t.snapshot().count())))
-        .toDF("phase", "n_rows", "plan_and_count_ok")
+            dvdScans && dvdCount == t.snapshot().count(), manifestCounted)))
+        .toDF("phase", "n_rows", "plan_and_count_ok", "manifest_counted")
         .orderBy("phase")
         .localCheckpoint()
     } finally graft.core.TxTable.drop(dir)
@@ -1092,10 +1099,19 @@ object GraphOps {
         df.queryExecution.executedPlan.collectLeaves()
           .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
       }
-      val total = t.snapshot().count()
       val withBloom = emitted(conn.filter(pred))
       val without = emitted(twin.filter(pred))
-      val effective = withBloom < without && withBloom <= (3L * total) / 8
+      // Exact admissibility bound, sf-agnostic: blooms can admit at most
+      // the rows of the buckets that CONTAIN a target (one row group per
+      // small bucket file; larger files shrink further as groups split).
+      // A share-of-total cap (3/8·total) is wrong under uneven bucket
+      // sizes — three target buckets can legitimately hold more than 3/8
+      // of the rows at small scale factors.
+      val tgtBuckets = t.lookupBuckets(spark.createDataFrame(
+        Seq(7, 34, 121).map(k => Tuple1(Graph.fullName(k)))).toDF("name"))
+      val admitCap = conn.select(col("_graft_bucket"))
+        .filter(col("_graft_bucket").isin(tgtBuckets.toSeq: _*)).count()
+      val effective = withBloom < without && withBloom <= admitCap
 
       conn.filter(pred)
         .select(col("name"), col("house"),
@@ -1107,6 +1123,76 @@ object GraphOps {
     } finally {
       graft.core.TxTable.drop(dir); graft.core.TxTable.drop(dir2)
     }
+  }
+
+  /** Bucket-tier bloom-index demo (s53_bucket_bloom) — the skipping tier
+    * ABOVE s50's parquet row-group blooms: every data write also builds
+    * one bloom per (rewritten bucket × declared column) — Spark's own
+    * BloomFilterAggregate over xxhash64, one extra aggregate pass over
+    * the touched buckets, never the table — stored as `_bloomidx` sidecar
+    * files INSIDE each bucket dir (they travel with the copy-on-write
+    * commit, vacuum with it, resolve through shallow clones). At
+    * PLANNING, a pushed EqualTo/In on the indexed NON-key column refutes
+    * whole buckets before ANY file I/O. That is the missing tier for the
+    * 100 TB point lookup on a non-key column: hash pruning can't apply
+    * (the predicate isn't on the key), and row-group blooms (s50) only
+    * refute AFTER a footer read per file — with 4096 buckets the sidecar
+    * plans ~1 bucket instead of opening 4096 footers. Certificates on the
+    * hash channel: `idx_hash_match` — the pruned connector returns
+    * exactly the native snapshot's rows (bloom membership has no false
+    * negatives under the identical hash, and the write-time-type header
+    * refuses a widened column rather than mis-hash); `idx_prune_effective`
+    * — the 3-value In probe plans ≤6 of 16 buckets (3 + false positives)
+    * while an unfiltered scan plans all 16, and a value absent from the
+    * table refutes EVERY bucket (planned = 0). Dsv2Spec adds the alias,
+    * type-guard, and copy-on-write-consistency cases. */
+  def txBucketBloomIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s53").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+        .withColumn("token", md5(col("name")))   // high-card, non-key
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"),
+        numBuckets = 16, bloomCols = Seq("token"))
+
+      def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val targets = Seq(7, 34, 121).map(k => hex(Graph.fullName(k)))
+
+      def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir); opts.put("keys", "name")
+        val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+        val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions().length
+      }
+      val full = planned(Array.empty)
+      val probe3 = planned(Array(
+        org.apache.spark.sql.sources.In("token", targets.toArray[Any])))
+      val absent = planned(Array(
+        org.apache.spark.sql.sources.EqualTo("token", hex("no-such-token"))))
+      val pruneEffective = full == 16 && probe3 >= 1 && probe3 <= 6 && absent == 0
+
+      def conn = spark.read.format("graft").option("keys", "name").load(dir)
+      def pred = col("token").isin(targets: _*)
+      val hashMatch = conn.filter(pred)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+
+      conn.filter(pred)
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("long").as("acctbal_x100"),
+          lit(hashMatch).as("idx_hash_match"),
+          lit(pruneEffective).as("idx_prune_effective"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
   }
 
   /** Catalog + storage-partitioned-join demo (s44_catalog_spj) — the

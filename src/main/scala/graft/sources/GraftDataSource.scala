@@ -720,18 +720,33 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCountScan(dir=$dir, PushedAggregation=[COUNT(*)] via parquet footers)"
+    "GraftCountScan(dir=" + dir + ", PushedAggregation=[COUNT(*)] via " +
+      (if (allSidecars) "manifest row counts" else "parquet footers") + ")"
+
+  /** True when EVERY bucket of the pinned layout carries a `_rows.txt`
+    * write-time sidecar — then COUNT(*) is O(buckets) one-line reads
+    * with zero footer I/O (the Delta/Iceberg log-stats count). Mixed or
+    * pre-sidecar layouts fall back to footer record counts per file —
+    * still metadata-only, just O(files) instead of O(buckets). */
+  private lazy val allSidecars: Boolean = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    t.layoutAt(pinnedVersion).values.forall { case (dataDir, _) =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "_rows.txt"))
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
     val conf = new Configuration()
-    val allFiles = t.layoutAt(pinnedVersion).values.toSeq.flatMap { case (dataDir, dvs) =>
+    val total = t.layoutAt(pinnedVersion).values.toSeq.map { case (dataDir, dvs) =>
       require(dvs.isEmpty, "metadata count planned over a DV'd bucket")
-      GraftDataSource.parquetFiles(dataDir)
-    }
-    val total = GraftDataSource.parMap(allFiles) { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
-      try r.getRecordCount finally r.close()
+      val sidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
+      if (java.nio.file.Files.exists(sidecar))
+        java.nio.file.Files.readString(sidecar).trim.toLong
+      else GraftDataSource.parMap(GraftDataSource.parquetFiles(dataDir)) { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
     }.sum
     Array(GraftCountPartition(total))
   }
@@ -855,10 +870,83 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       .filter(_.nonEmpty)
       .map(_.map(bucketOf(_, n)).toSet) ++
       Seq(bucketIds(pushed), bucketIds(runtimeFilters)).filter(_.nonEmpty))
-    if (sets.isEmpty) layout
+    val keyed = if (sets.isEmpty) layout
     else {
       val buckets = sets.reduce(_ intersect _)
       layout.filter { case (b, _) => buckets.contains(b) }
+    }
+    bloomPrune(t, keyed)
+  }
+
+  /** One parsed BUCKET-tier bloom sidecar per (bucket dir × column) for
+    * this scan's lifetime — chosenLayout runs for both outputPartitioning
+    * and planInputPartitions, so the tiny `_bloomidx` reads are cached.
+    * `None` = no usable index for that bucket (absent file, foreign
+    * header, parse failure) — never a refutation. */
+  private val bloomCache = scala.collection.mutable.Map
+    .empty[String, Option[(String, org.apache.spark.util.sketch.BloomFilter)]]
+
+  private def bucketBloom(bucketDir: String, colName: String)
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] = {
+    val p = java.nio.file.Paths.get(bucketDir, s"_bloomidx.$colName.bin")
+    bloomCache.getOrElseUpdate(p.toString, {
+      if (!java.nio.file.Files.exists(p)) None
+      else try {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val nl = bytes.indexOf('\n'.toByte)
+        val header = new String(bytes, 0, math.max(nl, 0),
+          java.nio.charset.StandardCharsets.UTF_8).split('\t')
+        if (nl < 0 || header.length != 3 || header(0) != "graftbloom" ||
+            header(1) != colName) None
+        else Some((header(2), org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes, nl + 1, bytes.length - nl - 1))))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
+  /** BUCKET-TIER BLOOM REFUTATION — the planning-time skipping tier
+    * above every file: a pushed EqualTo/In on a bloom-indexed NON-key
+    * column (TxTable `bloomCols` — the same declaration that enables the
+    * s50 row-group blooms) drops buckets whose `_bloomidx` sidecar says
+    * "value definitely absent" from the listing before ANY footer is
+    * opened. At 100 TB this is what makes a point lookup on a non-key
+    * column O(matching buckets): hash-key pruning can't help (the
+    * predicate isn't on the key) and parquet blooms only refute AFTER a
+    * footer read per surviving file. Soundness: membership has no false
+    * negatives when probe and build hash identically, so the sidecar
+    * header records the column's WRITE-TIME type and a mismatch (widening
+    * evolution) disables the index for that bucket instead of mis-hashing;
+    * rename aliases resolve like the data path (the sidecar under any
+    * recorded physical name serves the logical column); a missing sidecar
+    * (pre-index commits, undeclared columns) never prunes. In-list
+    * semantics: a bucket survives if ANY non-null value might be present
+    * (null literals can't match rows, so pruning on the non-null subset
+    * is exact); filters stay residuals above the scan either way. */
+  private def bloomPrune(t: graft.core.TxTable,
+                         layout: Map[Long, (String, Seq[String])])
+      : Map[Long, (String, Seq[String])] = {
+    if (changeFeed || layout.isEmpty) return layout
+    val eqPreds: Seq[(String, Seq[Any])] = dataFilters.toSeq.collect {
+      case EqualTo(a, v) if v != null && !keyCols.contains(a) &&
+        tableSchema.fieldNames.contains(a) => a -> Seq(v)
+      case org.apache.spark.sql.sources.In(a, vs) if !keyCols.contains(a) &&
+        tableSchema.fieldNames.contains(a) && vs.nonEmpty &&
+        vs.exists(_ != null) => a -> vs.toSeq.filter(_ != null)
+    }
+    if (eqPreds.isEmpty) return layout
+    val aliases = t.aliasesAt(pinnedVersion)
+    layout.filter { case (_, (dataDir, _)) =>
+      eqPreds.forall { case (c, vs) =>
+        val names = c +: aliases.getOrElse(c, Nil)
+        names.iterator.flatMap(n => bucketBloom(dataDir, n)).nextOption() match {
+          case Some((dtStr, bloom))
+            if dtStr == tableSchema(c).dataType.catalogString =>
+            vs.exists(v => bloom.mightContainLong(
+              org.apache.spark.sql.graftbridge.Bridge.xxhash64Of(
+                v, tableSchema(c).dataType)))
+          case _ => true
+        }
+      }
     }
   }
 
@@ -928,11 +1016,25 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val factor =
       spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
     val sz = math.max(1L, (bytes * factor).toLong)
+    // EXACT row count from the write-time `_rows.txt` sidecars — reported
+    // only when every chosen bucket is DV-free and sidecar'd (an equality
+    // delete changes the live count, and a pre-sidecar commit has no
+    // record), so the optimizer either sees the true cardinality of the
+    // pruned scan or nothing. Zero footer I/O either way.
+    val rowCounts = chosen.values.toSeq.map { case (dataDir, dvs) =>
+      val sidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
+      if (dvs.isEmpty && java.nio.file.Files.exists(sidecar))
+        scala.util.Try(java.nio.file.Files.readString(sidecar).trim.toLong).toOption
+      else None
+    }
+    val exactRows = if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
+      Some(rowCounts.flatten.sum) else None
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(sz)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        exactRows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
   }
 

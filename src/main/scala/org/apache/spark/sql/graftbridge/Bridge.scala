@@ -30,6 +30,34 @@ object Bridge {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Distributed bloom-filter BUILD over a column: Spark's own
+    * `BloomFilterAggregate` (the exact sketch its runtime-filter
+    * injection uses, catalyst-private hence this bridge) over
+    * `XxHash64(col)` (seed 42 — Spark's default, and the same hash the
+    * probe side below applies), serialized
+    * `org.apache.spark.util.sketch.BloomFilter` bytes out. `numBits`
+    * fixes the filter size; the items estimate is sized at ~8 bits/item
+    * so the sketch picks a near-optimal probe count for its budget. */
+  def bloomAggregate(c: Column, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(new XxHash64(Seq(expression(c)), 42L),
+      Literal(math.max(1L, numBits / 8L)), Literal(numBits))
+    column(agg.toAggregateExpression())
+  }
+
+  /** The PROBE-side hash matching [[bloomAggregate]]'s build: XxHash64
+    * (seed 42) of an external value as Catalyst internal type `dt` —
+    * evaluated driver-side (no job), so a literal predicate value hashes
+    * bit-identically to the column values the build pass hashed. The
+    * caller must pass the SAME `dt` the build read (a widened column
+    * hashes differently — refuse the index on type mismatch). */
+  def xxhash64Of(value: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal.create(value, dt)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+  }
+
   /** Spark `sources.Filter`s → one conjunctive parquet `FilterPredicate`
     * against a file's physical `MessageType`, via Spark's own
     * `ParquetFilters` translator (the exact class the built-in parquet

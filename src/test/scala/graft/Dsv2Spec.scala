@@ -773,6 +773,145 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("bucket-tier bloom index refutes whole buckets for non-key point lookups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bbloom").toString
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    try {
+      import spark.implicits._
+      // High-cardinality NON-key column: key-hash pruning can't serve a
+      // predicate on it, and md5 tokens give every bucket's min/max the
+      // full domain — only the _bloomidx sidecar can refute buckets at
+      // the listing tier (row-group blooms would still open every footer).
+      val base = (0 until 4000).map(i => (s"k$i", hex(s"k$i"))).toDF("k", "token")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 16,
+        bloomCols = Seq("token"))
+
+      def partitions(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir); opts.put("keys", "k")
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions().length
+      }
+      def rowsFor(c: String, vs: String*): Seq[String] =
+        spark.read.format("graft").option("keys", "k").load(dir)
+          .filter(col(c).isin(vs: _*)).collect().map(_.getString(0)).sorted.toSeq
+
+      val full = partitions(Array.empty)
+      assert(full == 16, "unfiltered scan must plan every bucket")
+      val probe = hex("k777")
+      val planned = partitions(Array(EqualTo("token", probe)))
+      assert(planned >= 1 && planned <= 2,
+        s"bloom index should refute ~15 of 16 buckets, planned $planned")
+      assert(rowsFor("token", probe) == Seq("k777"),
+        "bloom-pruned lookup lost the matching row")
+
+      // In-list: a bucket survives if ANY value might be present.
+      val probes = Seq(hex("k7"), hex("k123"))
+      val plannedIn = partitions(Array(
+        org.apache.spark.sql.sources.In("token", probes.toArray[Any])))
+      assert(plannedIn >= 1 && plannedIn <= 4,
+        s"In-list bloom prune admitted $plannedIn of 16 buckets")
+      assert(rowsFor("token", probes: _*) == Seq("k123", "k7"),
+        "In-list bloom prune lost rows")
+
+      // Copy-on-write keeps the index consistent: a merge rewrites only
+      // its touched buckets (fresh sidecars) while untouched buckets keep
+      // their existing ones — pruning and results stay exact.
+      t.merge(t.snapshot().filter(col("k").endsWith("77"))
+        .withColumn("token", lit(hex("rewritten"))))
+      assert(rowsFor("token", hex("rewritten")).nonEmpty,
+        "post-merge lookup on the NEW value lost rows")
+      assert(rowsFor("token", probe).isEmpty,
+        "post-merge lookup still returns the overwritten value")
+      assert(partitions(Array(EqualTo("token", hex("zzz-absent")))) == 0,
+        "absent value should refute every bucket")
+
+      // RENAME: the sidecar under the old physical name must keep serving
+      // the logical column through the alias record.
+      t.renameColumn("token", "tok")
+      val plannedAlias = partitions(Array(EqualTo("tok", hex("rewritten"))))
+      assert(plannedAlias < 16 && plannedAlias >= 1,
+        s"alias-resolved bloom prune planned $plannedAlias")
+      assert(rowsFor("tok", hex("rewritten")).nonEmpty,
+        "alias-resolved lookup lost rows")
+
+      // TYPE GUARD: a sidecar whose header records a different write-time
+      // type must be refused (a widened column hashes differently), never
+      // used to mis-refute.
+      import scala.jdk.CollectionConverters._
+      val data = java.nio.file.Paths.get(dir, "data")
+      java.nio.file.Files.walk(data).iterator().asScala
+        .filter(_.getFileName.toString == "_bloomidx.token.bin")
+        .foreach { p =>
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val nl = bytes.indexOf('\n'.toByte)
+          val body = bytes.drop(nl + 1)
+          java.nio.file.Files.write(p,
+            "graftbloom\ttoken\tbigint\n".getBytes("UTF-8") ++ body)
+        }
+      assert(partitions(Array(EqualTo("tok", hex("rewritten")))) == 16,
+        "type-mismatched bloom index must be refused, not trusted")
+      assert(rowsFor("tok", hex("rewritten")).nonEmpty,
+        "type-guarded lookup lost rows")
+    } finally TxTable.drop(dir)
+  }
+
+  test("COUNT(*) is served from the write-time _rows.txt sidecars, not footers") {
+    val (dir, t) = freshTable("graft_dsv2_rows")
+    try {
+      val cnt = connRead(dir).groupBy().count()
+      assert(cnt.queryExecution.executedPlan.toString.contains("manifest row counts"),
+        "clean COUNT(*) should plan the sidecar-count path")
+      val native = t.snapshot().count()
+      assert(cnt.head().getLong(0) == native, "metadata count wrong")
+
+      // Poison one sidecar: the metadata count must REFLECT the poke —
+      // the only way that happens is if the sidecar (not the footer)
+      // served the count. Restore afterwards and the truth returns.
+      import scala.jdk.CollectionConverters._
+      val sidecar = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.find(_.getFileName.toString == "_rows.txt").get
+      val orig = java.nio.file.Files.readString(sidecar)
+      java.nio.file.Files.writeString(sidecar, (orig.trim.toLong + 1000).toString)
+      assert(connRead(dir).groupBy().count().head().getLong(0) == native + 1000,
+        "COUNT(*) did not come from the sidecar")
+      java.nio.file.Files.writeString(sidecar, orig)
+      assert(connRead(dir).groupBy().count().head().getLong(0) == native)
+
+      // The optimizer-facing statistic: exact numRows from the sidecars.
+      val provider = new graft.sources.GraftTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir); opts.put("keys", "name")
+      val cmap = new CaseInsensitiveStringMap(opts)
+      val scan = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(cmap).build()
+      val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      assert(stats.numRows().isPresent && stats.numRows().getAsLong == native,
+        s"exact numRows statistic missing or wrong: ${stats.numRows()}")
+
+      // A merge-on-read delete invalidates the bucket's count — numRows
+      // must go silent rather than overcount.
+      import spark.implicits._
+      t.deleteMergeOnRead(Seq("Customer#000000013").toDF("name"))
+      val scan2 = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(cmap).build()
+      val stats2 = scan2.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      assert(!stats2.numRows().isPresent,
+        "numRows must be withheld when a chosen bucket carries DVs")
+    } finally TxTable.drop(dir)
+  }
+
   test("snapshot pins are per-table: interleaved resolutions don't evict each other") {
     val (dirA, tA) = freshTable("graft_dsv2_pin_a")
     val (dirB, _) = freshTable("graft_dsv2_pin_b")
