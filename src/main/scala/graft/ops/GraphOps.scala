@@ -1335,14 +1335,22 @@ object GraphOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s51").toString
     val hconf = spark.sparkContext.hadoopConfiguration
     val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
-    hconf.setInt("parquet.block.size", 16 * 1024)
-    hconf.setInt("parquet.page.size", 4 * 1024)
+    val base0 = graft.core.Tables.lineitem(spark, sfDir).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+      col("l_partkey").as("part"),
+      col("l_returnflag").as("flag"))
+    // Row-count-adaptive group size: small SFs need tiny groups for any
+    // skip granularity at all, but keeping 16 KB groups at sf0.1 means
+    // ~2300 groups whose per-group flush/decode overhead dominates the
+    // entry (~12 s) while ~50 groups of 256 KB prove the same ≥2×-both-
+    // dimensions certificate at a fraction of the cost.
+    val nRows = base0.count()
+    val block = if (nRows < 100000) 16 * 1024 else 256 * 1024
+    hconf.setInt("parquet.block.size", block)
+    hconf.setInt("parquet.page.size", block / 4)
     try {
-      val base = graft.core.Tables.lineitem(spark, sfDir).select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-        col("l_partkey").as("part"),
-        col("l_returnflag").as("flag"))
+      val base = base0
       val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
       def conn = spark.read.format("graft").load(dir)
       val predX = col("price_cents").between(2000000L, 2100000L)
