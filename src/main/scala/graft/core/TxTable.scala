@@ -555,6 +555,45 @@ final class TxTable private (spark: SparkSession, dir: String,
     commit
   }
 
+  /** LOGICAL CONFLICT RESOLUTION for a lost publish (the Delta/Iceberg
+    * commit-retry optimization): the loser's already-written commit dir
+    * stays EXACTLY RIGHT as long as every commit that beat it (a) kept
+    * the same bucket count, (b) kept the same schema, and (c) touched
+    * only buckets DISJOINT from the loser's — its keep-rows came from
+    * buckets no winner changed, so the expensive data pass need not
+    * rerun. This re-points the head manifest at the existing dir and
+    * re-publishes: a metadata-only retry instead of a full re-merge.
+    * Returns the committed version, or -1 on a REAL conflict (caller
+    * falls back to the rebase loop and drops the stale dir). At 100 TB
+    * this is the difference between N writers to disjoint key ranges
+    * scaling near-linearly and every loser re-reading gigabytes: the
+    * serial section shrinks to manifest I/O. WriteProbe measures both
+    * regimes; ConcurrencySpec pins that resolved histories stay
+    * linearizable and lose no updates. */
+  private def resolveDisjointPublish(vBase: Long, n: Int, touched: Set[Long],
+                                     commit: String, op: String,
+                                     outSchemaDdl: String): Long = {
+    val base = manifest(vBase)
+    var resolved = -1L
+    while (resolved < 0) {
+      val h = version
+      if (bucketCountAt(h) != n) return -1L
+      if (schemaAt(h).toDDL != schemaAt(vBase).toDDL) return -1L
+      val head = manifest(h)
+      val changed = (base.keySet ++ head.keySet)
+        .filter(b => base.get(b) != head.get(b))
+      if (changed.exists(touched.contains)) return -1L
+      val next = (head -- touched) ++
+        bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+      val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(h + 1, n, op, lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${h + 1}%08d.ddl"), outSchemaDdl)
+        resolved = h + 1
+      } else publishRetries.incrementAndGet() // lost again: re-check vs new head
+    }
+    resolved
+  }
+
   /** Publish `lines` as version `v` under layout `buckets` — atomic
     * create-exclusive via hard link, so exactly one writer can own a
     * version number. The `#buckets=` header travels with every manifest
@@ -648,9 +687,11 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "merge-clauses", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else { // lost the race
+      } else { // lost the race: try the disjoint-buckets metadata retry
         publishRetries.incrementAndGet()
-        TxTable.drop(dataDir.resolve(commit).toString)
+        committed = resolveDisjointPublish(v, n, touched, commit,
+          "merge-clauses", cur.toDDL)
+        if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
     committed
@@ -701,10 +742,13 @@ final class TxTable private (spark: SparkSession, dir: String,
       if (publish(v + 1, n, "update", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else { // lost the race: drop the losing attempt's commit dir
+      } else { // lost the race: try the disjoint-buckets metadata retry;
+        // a real conflict drops the losing attempt's commit dir
         // (compact's idiom) instead of leaving orphans for vacuum to find.
         publishRetries.incrementAndGet()
-        TxTable.drop(dataDir.resolve(commit).toString)
+        committed = resolveDisjointPublish(v, n, touched, commit,
+          "update", cur.toDDL)
+        if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
     committed
@@ -801,9 +845,13 @@ final class TxTable private (spark: SparkSession, dir: String,
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), out.schema.toDDL)
         committed = v + 1
       } else {
-        // Lost the commit race: drop the losing commit dir, rebase, retry.
+        // Lost the commit race: if every winner touched only DISJOINT
+        // buckets, re-point this commit dir at the new head (metadata-only
+        // retry); a real conflict drops the dir, rebases, retries.
         publishRetries.incrementAndGet()
-        TxTable.drop(dataDir.resolve(commit).toString)
+        committed = resolveDisjointPublish(v, n, touched, commit, op,
+          out.schema.toDDL)
+        if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
     committed

@@ -8,18 +8,29 @@ import org.apache.spark.sql.functions._
 
 /** Scratch: WRITE-CONTENTION measurement for the TxTable's optimistic
   * concurrency. ConcurrencyProbe covers the read/service shape; this
-  * probe puts N ∈ {2, 8} concurrent MERGE writers on ONE table (each
-  * writer repeatedly re-stamps its own key slice — disjoint keys,
-  * overlapping BUCKETS, so every commit races and losers must rebase
-  * through the retry loop) while R reader threads poll snapshots
-  * mid-flight. Reported per N: wall time, per-merge p50/p99, total
-  * publish retries (rebases), and two correctness counters that must
-  * be zero — `torn` (a snapshot showing one writer's key slice with
-  * MIXED stamps: commits are atomic, a reader sees all of a merge or
-  * none of it) and `lost` (a final-state key missing its writer's last
-  * stamp: a rebase that dropped the winner's rows). Linearizability of
-  * the version history itself (dense versions, one writer per number)
-  * is pinned by ConcurrencySpec; numbers recorded in BASELINE.md. */
+  * probe puts N ∈ {2, 8} concurrent MERGE writers on ONE table in TWO
+  * regimes, while R reader threads poll snapshots mid-flight:
+  *
+  *  - `shared`: each writer repeatedly re-stamps its own key slice —
+  *    disjoint KEYS, overlapping BUCKETS, so every commit races AND
+  *    conflicts: losers must rerun the full rebase loop. The OCC
+  *    worst case.
+  *  - `disjoint`: each writer's keys hash into its OWN bucket set, so
+  *    losers resolve through the DISJOINT-bucKETS metadata retry
+  *    (resolveDisjointPublish — the Delta-style logical conflict
+  *    resolution): the already-written commit dir is re-pointed at the
+  *    new head, no data recompute. The regime a partitioned 100 TB
+  *    ingest actually runs, and the one that must scale near-linearly.
+  *
+  * Reported per (regime, N): wall time, per-merge p50/p99, total
+  * publish retries (lost races), and two correctness counters that
+  * must be zero — `torn` (a snapshot showing one writer's key slice
+  * with MIXED stamps: commits are atomic, a reader sees all of a merge
+  * or none of it) and `lost` (a final-state key missing its writer's
+  * last stamp: a resolution that dropped the winner's rows).
+  * Linearizability of the version history itself (dense versions, one
+  * writer per number) is pinned by ConcurrencySpec; numbers recorded
+  * in BASELINE.md. */
 object WriteProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -31,13 +42,23 @@ object WriteProbe {
     spark.sparkContext.setLogLevel("WARN")
     val merges = 4
 
-    Seq(2, 8).foreach { n =>
+    for {
+      regime <- Seq("shared", "disjoint")
+      n <- Seq(2, 8)
+    } {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_writeprobe_$n").toString
       try {
+        // Writer-slice assignment: `shared` spreads each writer's keys
+        // over every bucket (max conflict); `disjoint` assigns keys by
+        // their BUCKET (pmod(xxhash64(name), 8) — the table's own
+        // bucketing), so writer bucket sets never overlap.
+        val writerOf =
+          if (regime == "shared") (col("nid") % n).cast("int")
+          else pmod(pmod(xxhash64(col("name")), lit(8)), lit(n)).cast("int")
         val base = graft.core.Graph.nodes(spark, sfDir)
-          .filter(col("nid") <= n * 25L)
-          .select(col("name"), (col("nid") % n).cast("int").as("writer"),
-            lit(0L).as("stamp"))
+          .filter(col("nid") <= 200L)
+          .select(col("name"), writerOf.as("writer"), lit(0L).as("stamp"))
+          .localCheckpoint()
         graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
 
         val torn = new java.util.concurrent.atomic.AtomicLong(0)
@@ -86,7 +107,7 @@ object WriteProbe {
           .filter(col("stamp") =!= col("writer") * 1000L + merges).count()
         val all = results.flatMap(_._1).sorted
         def pct(p: Double) = all(math.min(all.size - 1, (p * all.size).toInt))
-        println(f"""{"probe":"write_contention","writers":$n,"merges_each":$merges,""" +
+        println(f"""{"probe":"write_contention_$regime%s","writers":$n,"merges_each":$merges,""" +
           f""""wall_sec":$wall%.2f,"merge_p50":${pct(0.5)}%.2f,"merge_p99":${pct(0.99)}%.2f,""" +
           f""""retries":${results.map(_._2).sum},"final_version":${t.version},""" +
           f""""torn":${torn.get()},"lost":$lost}""")
