@@ -146,6 +146,9 @@ object SparkEntry {
     // OPTIMIZE with clustering: sortBy compaction makes row-group
     // skipping effective for range predicates (layout-only rewrite).
     "s49_sorted_compact" -> ((s, d) => GraphOps.txSortedCompact(s, d)),
+    // Cluster-on-write: declared cluster columns keep every copy-on-write
+    // rewrite sorted - row-group skipping stays effective with NO OPTIMIZE.
+    "s54_clustered_write" -> ((s, d) => GraphOps.txClusteredWrite(s, d)),
     // OPTIMIZE with Z-ORDER: bit-interleaved 2-D clustering in the same
     // per-bucket rewrite; range predicates on EITHER dimension skip.
     "s51_zorder_compact" -> ((s, d) => GraphOps.txZorderCompact(s, d)),
@@ -733,6 +736,20 @@ object SparkEntry {
         |       true AS snapshot_unchanged, true AS skip_effective
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
         |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s54: final state = base with flag flipped to 'U' where k % 7 = 0
+    // (k = l_orderkey*8 + l_linenumber); layout certificates ride as
+    // literal true.
+    "s54_clustered_write" ->
+      """WITH li0 AS (SELECT l_orderkey * 8 + l_linenumber AS k,
+        |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |                   l_returnflag AS fl FROM lineitem),
+        |li AS (SELECT k, max(pc) AS price_cents, max(fl) AS flag
+        |       FROM li0 GROUP BY k)
+        |SELECT CASE WHEN k % 7 = 0 THEN 'U' ELSE flag END AS flag,
+        |       count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS content_match, true AS clustered_no_optimize
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
     // s52: the downstream table after both passes == the upstream
     // lifecycle's final state, reconstructed relationally; pipeline
     // certificates ride as literal true.

@@ -463,6 +463,31 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def bloomOptions: Map[String, String] =
     bloomColumns.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
+  /** CLUSTER-ON-WRITE columns (`_log/cluster.txt`) — the continuous
+    * counterpart of `compact(sortBy)`: every data commit sorts its rows
+    * WITHIN each written bucket by these columns before the parquet
+    * write, so row-group footer min/max stay selective on the cluster
+    * dimension at ALL times — no periodic OPTIMIZE needed for skipping
+    * to work (the Delta liquid-clustering direction). Copy-on-write
+    * makes this total: a MERGE rewrites every touched bucket in full,
+    * so a touched bucket is always ENTIRELY sorted, not merely
+    * append-sorted. Cost: one sortWithinPartitions on rows the commit
+    * was writing anyway — no extra shuffle, no extra pass. Columns
+    * absent from a commit's frame (DV key-only commits) skip silently;
+    * Z-order stays a compact-time operation (its cells want stable
+    * global min/max). */
+  def clusterColumns: Seq[String] = {
+    val p = logDir.resolve("cluster.txt")
+    if (Files.exists(p))
+      Files.readString(p).trim.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    else Nil
+  }
+
+  def setClusterColumns(cols: Seq[String]): Unit = {
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("cluster.txt"), cols.mkString(","))
+  }
+
   /** BUCKET-TIER bloom index — the skipping tier ABOVE the parquet
     * footer: one bloom per (rewritten bucket × bloom column), stored as
     * `_bloomidx.<col>.bin` INSIDE the bucket's data dir (underscore
@@ -548,8 +573,16 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   private def writeCommit(df: DataFrame, buckets: Int): String = {
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
-    df.withColumn("_b", bucketColFor(buckets))
-      .write.options(bloomOptions)
+    val laid = df.withColumn("_b", bucketColFor(buckets))
+    // Cluster-on-write: sort this commit's rows within each task by
+    // (bucket, cluster cols) so every written file's row groups carry
+    // tight footer stats on the cluster dimension. Materialized column
+    // refs only (cheap comparator — see compactClustered's note).
+    val cluster = clusterColumns.filter(df.columns.contains)
+    val shaped =
+      if (cluster.isEmpty) laid
+      else laid.sortWithinPartitions((col("_b") +: cluster.map(col)): _*)
+    shaped.write.options(bloomOptions)
       .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
     writeBucketSidecars(commit)
     commit
@@ -1534,10 +1567,12 @@ object TxTable {
     * first commit on (see [[TxTable.bloomColumns]]). */
   def create(spark: SparkSession, dir: String, base: DataFrame,
              keyCols: Seq[String], numBuckets: Int = 16,
-             bloomCols: Seq[String] = Nil): TxTable = {
+             bloomCols: Seq[String] = Nil,
+             clusterCols: Seq[String] = Nil): TxTable = {
     val t = new TxTable(spark, dir, keyCols, numBuckets)
     require(t.version < 0, s"table already exists at $dir")
     if (bloomCols.nonEmpty) t.setBloomColumns(bloomCols)
+    if (clusterCols.nonEmpty) t.setClusterColumns(clusterCols)
     val commit = t.writeCommit(base, numBuckets)
     require(t.publish(0L, numBuckets, "create",
       t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),

@@ -1316,6 +1316,89 @@ object GraphOps {
     }
   }
 
+  /** Cluster-on-write demo (s54_clustered_write) — the CONTINUOUS
+    * counterpart of s49's OPTIMIZE-time clustering: the table declares
+    * cluster columns (`clusterCols` / `_log/cluster.txt`) and every data
+    * commit sorts its rows within each written bucket by them before
+    * the parquet write (one sortWithinPartitions on rows the commit was
+    * writing anyway — no extra shuffle, no extra pass). Copy-on-write
+    * makes the guarantee total: a MERGE rewrites every touched bucket
+    * in FULL, so a touched bucket is always entirely sorted — row-group
+    * footer stats stay selective at all times, with no periodic
+    * OPTIMIZE window where skipping degrades (the Delta
+    * liquid-clustering direction; at 100 TB, "run OPTIMIZE nightly" is
+    * a real operational tax and a real skew window). Certificates on
+    * the hash channel: `content_match` — the clustered table and an
+    * undeclared twin that received the IDENTICAL merge hold identical
+    * rows (clustering is layout only); `clustered_no_optimize` — after
+    * create + merge and NO compact (the version history is literally
+    * [create, merge]), the same range scan emits ≥2× fewer rows through
+    * the clustered table than the twin. */
+  def txClusteredWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s54").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tx_s54n").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    try {
+      // The synthetic lineitem repeats (orderkey, linenumber) pairs, so a
+      // keyed MERGE over the raw rows would collapse duplicates — fold to
+      // one row per k FIRST, deterministically (independent max per
+      // column), so the oracle can reproduce the exact same table.
+      val base = graft.core.Tables.lineitem(spark, sfDir).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"),
+          col("l_returnflag").as("fl"))
+        .groupBy("k")
+        .agg(max("pc").as("price_cents"), max("fl").as("flag"))
+        .localCheckpoint()
+      // Row-count-adaptive group size (s51's rule): tiny groups only where
+      // skip granularity needs them.
+      val block = if (base.count() < 100000) 32 * 1024 else 256 * 1024
+      hconf.setInt("parquet.block.size", block)
+      hconf.setInt("parquet.page.size", block / 4)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+        numBuckets = 1, clusterCols = Seq("price_cents"))
+      val twin = graft.core.TxTable.create(spark, dir2, base, Seq("k"),
+        numBuckets = 1)
+      // The same real update lands on both: every k ≡ 0 (mod 7) flips its
+      // flag. One bucket ⇒ the merge rewrites the WHOLE table through the
+      // write path — the clustered side comes back fully sorted, the twin
+      // in whatever order the rewrite produced.
+      val upd = base.filter(col("k") % 7 === 0).withColumn("flag", lit("U"))
+      t.merge(upd); twin.merge(upd)
+
+      def conn(d: String) = spark.read.format("graft").load(d)
+      val pred = col("price_cents").between(2000000L, 2100000L)
+      def emitted(d: String): Long = {
+        val q = conn(d).filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val contentMatch = t.snapshot().collect().map(_.mkString("|")).sorted.toSeq ==
+        twin.snapshot().collect().map(_.mkString("|")).sorted.toSeq
+      val ops = t.history().orderBy("version").collect().map(_.getString(1)).toSeq
+      val clustered = emitted(dir)
+      val unclustered = emitted(dir2)
+      val certNoOptimize = ops == Seq("create", "merge") &&
+        clustered * 2 <= unclustered
+
+      conn(dir).filter(pred)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("content_match", lit(contentMatch))
+        .withColumn("clustered_no_optimize", lit(certNoOptimize))
+        .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+      graft.core.TxTable.drop(dir); graft.core.TxTable.drop(dir2)
+    }
+  }
+
   /** Z-order-compaction demo (s51_zorder_compact) — MULTI-dimensional
     * clustering, closing s49's 1-D limit: `compact(sortBy = x)` makes
     * row-group stats selective on x but leaves every group's y-span
