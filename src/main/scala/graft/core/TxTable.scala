@@ -602,16 +602,20 @@ final class TxTable private (spark: SparkSession, dir: String,
     * scaling near-linearly and every loser re-reading gigabytes: the
     * serial section shrinks to manifest I/O. WriteProbe measures both
     * regimes; ConcurrencySpec pins that resolved histories stay
-    * linearizable and lose no updates. */
-  private def resolveDisjointPublish(vBase: Long, n: Int, touched: Set[Long],
+    * linearizable and lose no updates. The BASE manifest/schema come in
+    * from the caller's already-loaded state — never re-read from the
+    * log, where a concurrent zero-retention vacuum could have reclaimed
+    * the base version. */
+  private def resolveDisjointPublish(n: Int, touched: Set[Long],
                                      commit: String, op: String,
-                                     outSchemaDdl: String): Long = {
-    val base = manifest(vBase)
+                                     outSchemaDdl: String,
+                                     base: Map[Long, BucketRef],
+                                     baseSchemaDdl: String): Long = {
     var resolved = -1L
     while (resolved < 0) {
       val h = version
       if (bucketCountAt(h) != n) return -1L
-      if (schemaAt(h).toDDL != schemaAt(vBase).toDDL) return -1L
+      if (schemaAt(h).toDDL != baseSchemaDdl) return -1L
       val head = manifest(h)
       val changed = (base.keySet ++ head.keySet)
         .filter(b => base.get(b) != head.get(b))
@@ -722,8 +726,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         committed = v + 1
       } else { // lost the race: try the disjoint-buckets metadata retry
         publishRetries.incrementAndGet()
-        committed = resolveDisjointPublish(v, n, touched, commit,
-          "merge-clauses", cur.toDDL)
+        committed = resolveDisjointPublish(n, touched, commit,
+          "merge-clauses", cur.toDDL, m, cur.toDDL)
         if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
@@ -779,8 +783,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         // a real conflict drops the losing attempt's commit dir
         // (compact's idiom) instead of leaving orphans for vacuum to find.
         publishRetries.incrementAndGet()
-        committed = resolveDisjointPublish(v, n, touched, commit,
-          "update", cur.toDDL)
+        committed = resolveDisjointPublish(n, touched, commit,
+          "update", cur.toDDL, m, cur.toDDL)
         if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
@@ -882,8 +886,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         // buckets, re-point this commit dir at the new head (metadata-only
         // retry); a real conflict drops the dir, rebases, retries.
         publishRetries.incrementAndGet()
-        committed = resolveDisjointPublish(v, n, touched, commit, op,
-          out.schema.toDDL)
+        committed = resolveDisjointPublish(n, touched, commit, op,
+          out.schema.toDDL, m, curSchema.toDDL)
         if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
