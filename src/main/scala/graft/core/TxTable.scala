@@ -439,6 +439,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   def setBloomColumns(cols: Seq[String], indexBits: Long = TxTable.DefaultBloomIndexBits): Unit = {
+    require(cols.forall(c => !c.contains(",") && !c.contains("\n")),
+      s"bloom column names must be comma/newline-free: $cols")
     Files.createDirectories(logDir)
     Files.writeString(logDir.resolve("bloom.txt"),
       s"${cols.mkString(",")}\nbits=$indexBits")
@@ -484,6 +486,8 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   def setClusterColumns(cols: Seq[String]): Unit = {
+    require(cols.forall(c => !c.contains(",") && !c.contains("\n")),
+      s"cluster column names must be comma/newline-free: $cols")
     Files.createDirectories(logDir)
     Files.writeString(logDir.resolve("cluster.txt"), cols.mkString(","))
   }
@@ -551,7 +555,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     if (cols.isEmpty || bucketsIn(commit).isEmpty) return
     val cdir = dataDir.resolve(commit)
     val df = spark.read.parquet(cdir.toString)
+    // Sidecar file names embed the column name — index only names that
+    // are filename-safe (a column named "a/b" must not escape the bucket
+    // dir; skipping it just means no bucket-tier pruning for it).
     val present = cols.filter(df.columns.contains)
+      .filter(_.matches("[A-Za-z0-9_.:+-]+"))
     if (present.isEmpty) return
     val bits = bloomIndexBits
     import org.apache.spark.sql.graftbridge.Bridge

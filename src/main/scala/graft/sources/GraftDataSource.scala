@@ -941,9 +941,12 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         names.iterator.flatMap(n => bucketBloom(dataDir, n)).nextOption() match {
           case Some((dtStr, bloom))
             if dtStr == tableSchema(c).dataType.catalogString =>
-            vs.exists(v => bloom.mightContainLong(
+            // Advisory tier: any surprise (a literal Literal.create can't
+            // convert, a truncated sketch) must read the bucket, never
+            // fail the query or mis-refute.
+            scala.util.Try(vs.exists(v => bloom.mightContainLong(
               org.apache.spark.sql.graftbridge.Bridge.xxhash64Of(
-                v, tableSchema(c).dataType)))
+                v, tableSchema(c).dataType)))).getOrElse(true)
           case _ => true
         }
       }
