@@ -479,6 +479,27 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
       graft.core.TxTable.open(SparkSession.active, dir, keyCols)
         .bucketCountAt(pinnedVersion), keyCols))
 
+  /** Layout metadata as table properties (`SHOW TBLPROPERTIES` through
+    * [[GraftCatalog]]): how the table is keyed, bucketed, bloom-indexed
+    * and clustered — the operational facts a user needs to predict which
+    * predicates prune (key equality → bucket, bloom columns → bucket +
+    * row-group refutation, cluster columns → row-group/page ranges). */
+  override def properties(): JMap[String, String] = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft")
+    m.put("merge-keys", keyCols.mkString(","))
+    m.put("version", pinnedVersion.toString)
+    m.put("buckets", t.bucketCountAt(pinnedVersion).toString)
+    if (t.bloomColumns.nonEmpty) {
+      m.put("bloom-columns", t.bloomColumns.mkString(","))
+      m.put("bloom-index-bits", t.bloomIndexBits.toString)
+    }
+    if (t.clusterColumns.nonEmpty)
+      m.put("cluster-columns", t.clusterColumns.mkString(","))
+    m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed,
       skipLayoutOnly, spjCapable,

@@ -32,6 +32,27 @@ class CatalogSpec extends AnyFunSuite {
     TxTable.create(spark, s"$wh/$name", base, Seq("name"), numBuckets = 8)
   }
 
+  test("SHOW TBLPROPERTIES surfaces the layout metadata") {
+    withCatalog { (cat, wh) =>
+      val base = Graph.nodes(spark, sf)
+        .filter(col("name") <= "Customer#000000199")
+        // (not "token": Spark's SHOW TBLPROPERTIES redacts any property
+        // whose value matches its secret regex — (?i)token|secret|…)
+        .select(col("name"), col("acctbal"), md5(col("name")).as("digest"))
+      TxTable.create(spark, s"$wh/props", base, Seq("name"), numBuckets = 8,
+        bloomCols = Seq("digest"), clusterCols = Seq("acctbal"))
+      val props = spark.sql(s"SHOW TBLPROPERTIES $cat.props")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("merge-keys").contains("name"), props.toString)
+      assert(props.get("buckets").contains("8"), props.toString)
+      assert(props.get("bloom-columns").contains("digest"), props.toString)
+      assert(props.get("bloom-index-bits")
+        .contains(TxTable.DefaultBloomIndexBits.toString), props.toString)
+      assert(props.get("cluster-columns").contains("acctbal"), props.toString)
+      assert(props.get("version").contains("0"), props.toString)
+    }
+  }
+
   test("multi-part identifiers resolve self-describing tables; DDL refuses") {
     withCatalog { (cat, wh) =>
       val t = makeTable(wh, "customers", even = false)
