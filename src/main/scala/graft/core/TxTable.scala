@@ -477,7 +477,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     * was writing anyway — no extra shuffle, no extra pass. Columns
     * absent from a commit's frame (DV key-only commits) skip silently;
     * Z-order stays a compact-time operation (its cells want stable
-    * global min/max). */
+    * global min/max). Recorded by CURRENT column name — a later RENAME
+    * orphans the entry (harmless: writes skip absent names; re-declare
+    * under the new name to resume), the same semantics as
+    * [[bloomColumns]]. */
   def clusterColumns: Seq[String] = {
     val p = logDir.resolve("cluster.txt")
     if (Files.exists(p))

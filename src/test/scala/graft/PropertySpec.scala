@@ -882,6 +882,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-on-write survives rename gracefully: clustering stops, data stays exact") {
+    import graft.core.TxTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_clw").toString
+    try {
+      val base = Graph.nodes(spark, sf)
+        .filter(col("name") <= "Customer#000000099")
+        .select(col("name"), col("acctbal"))
+      val t = TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4,
+        clusterCols = Seq("acctbal"))
+      // Rename orphans the cluster record (same documented semantics as
+      // bloom.txt): subsequent writes must neither fail nor mis-sort —
+      // the declared name is simply absent from the frame and skipped.
+      t.renameColumn("acctbal", "balance")
+      assert(t.clusterColumns == Seq("acctbal"), "record keeps the stale name")
+      t.merge(t.snapshot().filter(col("name").endsWith("3"))
+        .withColumn("balance", col("balance") + 1))
+      val got = t.snapshot().filter(col("name").endsWith("3"))
+        .orderBy("name").collect().map(r => r.getDouble(1)).toSeq
+      val want = base.filter(col("name").endsWith("3"))
+        .orderBy("name").collect().map(r => r.getDouble(1) + 1).toSeq
+      assert(got == want, "merge after rename lost the update")
+      // Re-declaring under the new name resumes clustering.
+      t.setClusterColumns(Seq("balance"))
+      t.merge(t.snapshot().limit(1))
+      assert(t.clusterColumns == Seq("balance"))
+      // Column-name format guards refuse CSV-corrupting names loudly.
+      intercept[IllegalArgumentException] { t.setClusterColumns(Seq("a,b")) }
+      intercept[IllegalArgumentException] { t.setBloomColumns(Seq("a\nb")) }
+    } finally TxTable.drop(dir)
+  }
+
   test("shard packing conserves items and bytes for arbitrary budgets (randomized)") {
     val m = graft.ops.MultimodalOps.mediaTable(spark, sf)
       .select(col("meta.format").as("format"),
