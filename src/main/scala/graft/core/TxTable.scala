@@ -616,12 +616,30 @@ final class TxTable private (spark: SparkSession, dir: String,
     * linearizable and lose no updates. The BASE manifest/schema come in
     * from the caller's already-loaded state — never re-read from the
     * log, where a concurrent zero-retention vacuum could have reclaimed
-    * the base version. */
+    * the base version.
+    *
+    * READ-SET discipline: the disjoint-buckets test covers only writers
+    * whose read-set EQUALS their touched buckets — the keyed paths
+    * (merge / mergeClauses / delete), where every row the commit depends
+    * on hashes into a touched bucket. A predicate UPDATE's read-set is
+    * the whole table (it scanned every bucket for `where` matches), so a
+    * winner that committed predicate-matching rows into an UNTOUCHED
+    * bucket is a real conflict even though the bucket sets are disjoint:
+    * re-pointing would publish a version that silently misses those rows
+    * (write-skew — the same reason Delta's conflict checker flags
+    * concurrently-added files matching the read predicate). `readWhere`
+    * carries that predicate; the resolve re-evaluates it over the
+    * winners' changed buckets AT THE HEAD VERSION and returns -1 on any
+    * match, falling back to the rebase loop which recomputes the update
+    * from fresh state. Rows the winners REMOVED from changed buckets
+    * need no check: serialized after the winners, the update owes them
+    * nothing. */
   private def resolveDisjointPublish(n: Int, touched: Set[Long],
                                      commit: String, op: String,
                                      outSchemaDdl: String,
                                      base: Map[Long, BucketRef],
-                                     baseSchemaDdl: String): Long = {
+                                     baseSchemaDdl: String,
+                                     readWhere: Option[String] = None): Long = {
     var resolved = -1L
     while (resolved < 0) {
       val h = version
@@ -631,6 +649,16 @@ final class TxTable private (spark: SparkSession, dir: String,
       val changed = (base.keySet ++ head.keySet)
         .filter(b => base.get(b) != head.get(b))
       if (changed.exists(touched.contains)) return -1L
+      if (readWhere.isDefined && changed.nonEmpty &&
+          predicateMatchesIn(readWhere.get, head, changed, h)) return -1L
+      // The loser's commit dir has been unreferenced since its publish
+      // failed; a concurrent vacuum whose retainMs is shorter than this
+      // resolve loop's duration may have reclaimed it. Re-verify right
+      // before the publish link so a re-pointed manifest can never
+      // reference a deleted dir — the remaining check-to-link window is
+      // the same bounded writeCommit→publish gap every writer has (and
+      // vacuum's retainMs contract covers it). Vanished ⇒ rebase.
+      if (!Files.isDirectory(dataDir.resolve(commit))) return -1L
       val next = (head -- touched) ++
         bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
       val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
@@ -640,6 +668,18 @@ final class TxTable private (spark: SparkSession, dir: String,
       } else publishRetries.incrementAndGet() // lost again: re-check vs new head
     }
     resolved
+  }
+
+  /** True when any row of `buckets` under manifest `m` (at version `v`)
+    * satisfies `where` — the update-retry read-set conflict probe. NULL
+    * predicate evaluations don't fire (the update's own contract), and
+    * the LIMIT 1 under the count keeps the probe O(first match). */
+  private def predicateMatchesIn(where: String, m: Map[Long, BucketRef],
+                                 buckets: Set[Long], v: Long): Boolean = {
+    val present = buckets.filter(m.contains)
+    present.nonEmpty &&
+      readBuckets(m, present, schemaAt(v), defaultsAt(v), aliasesAt(v))
+        .filter(coalesce(expr(where), lit(false))).limit(1).count() > 0
   }
 
   /** Publish `lines` as version `v` under layout `buckets` — atomic
@@ -787,15 +827,19 @@ final class TxTable private (spark: SparkSession, dir: String,
       val next = (m -- touched) ++
         bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
       val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      updatePrePublishHook()
       if (publish(v + 1, n, "update", lines)) {
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
         committed = v + 1
-      } else { // lost the race: try the disjoint-buckets metadata retry;
-        // a real conflict drops the losing attempt's commit dir
+      } else { // lost the race: try the disjoint-buckets metadata retry —
+        // WITH the read-set predicate: UPDATE read every bucket, so a
+        // winner's matching rows in an untouched bucket are a real
+        // conflict (write-skew otherwise; see resolveDisjointPublish).
+        // A real conflict drops the losing attempt's commit dir
         // (compact's idiom) instead of leaving orphans for vacuum to find.
         publishRetries.incrementAndGet()
         committed = resolveDisjointPublish(n, touched, commit,
-          "update", cur.toDDL, m, cur.toDDL)
+          "update", cur.toDDL, m, cur.toDDL, readWhere = Some(where))
         if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
@@ -905,6 +949,13 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** Spec-only fault injection: runs between an UPDATE's data write and
+    * its publish attempt, so a test can interleave a winning commit
+    * DETERMINISTICALLY (the update write-skew regression case — a race
+    * this narrow cannot be provoked reliably from outside). No-op in
+    * production use; nothing else consults it. */
+  private[graft] var updatePrePublishHook: () => Unit = () => ()
+
   /** Commit-race losses this INSTANCE has rebased through (optimistic
     * concurrency observability: the write-contention probe and spec sum
     * it across writers — a lost publish is never an error, but the rate
@@ -964,7 +1015,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     * written commit dir is ALSO unreferenced until its manifest publishes
     * — deleting it would corrupt the commit — so only dirs older than
     * `retainMs` are reclaimed: any concurrent write finishes publish long
-    * before the window expires. Returns the number of dirs removed. */
+    * before the window expires. A loser spinning in the disjoint-publish
+    * retry can stay unreferenced LONGER than one write; it re-verifies
+    * its dir still exists immediately before each publish attempt and
+    * falls back to a rebase if a too-aggressive vacuum reclaimed it — so
+    * `retainMs` only needs to cover the bounded check-to-link gap, not
+    * the whole retry. Returns the number of dirs removed. */
   def vacuum(retainMs: Long = 10 * 60 * 1000L,
              keepVersions: Int = Int.MaxValue): Int = {
     require(!isBranch, "vacuum applies to the main table (shared data dir)")

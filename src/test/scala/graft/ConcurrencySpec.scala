@@ -163,4 +163,65 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(retries > 0, "no publish race occurred — probe lost its teeth")
     } finally graft.core.TxTable.drop(dir)
   }
+
+  test("update(where,set) loser rebases when a winner adds matching rows to an untouched bucket") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_updskew").toString
+    try {
+      // UPDATE's read-set is every bucket (predicate scan), so the
+      // disjoint-buckets metadata retry alone is UNSOUND for it: a winner
+      // that commits predicate-matching rows into a bucket the loser
+      // never touched must force a rebase, or the loser publishes a head
+      // that silently misses those rows (write-skew / lost update). The
+      // race window is a few milliseconds wide, so the spec drives it
+      // DETERMINISTICALLY through the update pre-publish hook.
+      val base = spark.range(1, 51)
+        .select(concat(lit("k"), col("id")).as("id"),
+          (col("id") % 10 * 10).cast("long").as("v"),
+          lit("old").as("flag"))
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("id"),
+        numBuckets = 16)
+      // Warm-up merge: normalizes the recorded schema DDL to the
+      // conform'd (all-nullable) form every later commit writes.
+      // Without it the loser's resolve would bail on a NULLABILITY
+      // mismatch between create-time and merge-time DDL — a rebase for
+      // the wrong reason, and this spec would pass even against the
+      // unsound retry it exists to catch.
+      t.merge(base.filter(col("id") === "k1"))
+
+      // The update touches only buckets holding v >= 90 rows; pick a
+      // winner key whose bucket is OUTSIDE that set (exists w.h.p. over
+      // 16 buckets; assert to keep the spec honest).
+      val touched = t.lookupBuckets(base.filter(col("v") >= 90).select("id"))
+      val winnerKey = (1 to 1000).map(i => s"w$i").find { k =>
+        !touched.contains(t.lookupBuckets(
+          spark.createDataFrame(Seq(Tuple1(k))).toDF("id")).head)
+      }.get
+      val winnerRow = spark.createDataFrame(Seq((winnerKey, 500L, "old")))
+        .toDF("id", "v", "flag")
+
+      // Fire once: the winner merges mid-flight (between the loser's data
+      // write and its publish), wins the version, and the loser's publish
+      // fails — landing it exactly in the resolve path under test.
+      @volatile var fired = false
+      t.updatePrePublishHook = () => if (!fired) {
+        fired = true
+        graft.core.TxTable.open(spark, dir, Seq("id")).merge(winnerRow)
+      }
+      t.update("v >= 90", Map("flag" -> "'hit'"))
+      assert(fired, "hook never ran — the spec exercised nothing")
+
+      // Serialized after the winner, the update owes its SET to EVERY
+      // matching row — including the winner's row in the untouched
+      // bucket. The unsound metadata retry leaves it at 'old'.
+      val missed = t.snapshot()
+        .filter(col("v") >= 90 && col("flag") =!= "hit").count()
+      assert(missed == 0,
+        s"$missed matching rows missed the UPDATE (write-skew): the " +
+          "loser re-pointed its stale commit over a conflicting winner")
+      assert(t.snapshot()
+        .filter(col("v") < 90 && col("flag") =!= "old").count() == 0,
+        "the rebase touched rows outside the predicate")
+    } finally graft.core.TxTable.drop(dir)
+  }
 }
