@@ -38,9 +38,23 @@ object BloomSkipIndex {
         .withColumn("pb", pmod(col("o_custkey"), lit(Partitions)))
     }
 
-  /** k=2 double-hash bit positions for a key. */
+  /** k=2 double-hash bit positions for a key (BUILD side — executors). */
   private def positions(key: Column): Column =
     array(pmod(xxhash64(key), lit(Bits)), pmod(xxhash64(lit(1), key), lit(Bits)))
+
+  /** The same two positions computed DRIVER-side: Catalyst's own XxHash64
+    * (seed 42 — exactly what `functions.xxhash64` binds to) evaluated on
+    * literals, so probe and build hash bit-identically by construction
+    * (SourcesSpec pins driver == executor for a key sample, the same
+    * discipline the LSH key derivation uses). An interactive point lookup
+    * must not spin a 1-row Spark job just to hash its key. */
+  private[graft] def positionsOf(key: Long): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def h(exprs: Seq[Literal]): Long = ((XxHash64(exprs, 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long] % Bits) + Bits) % Bits
+    Seq(h(Seq(Literal(key))), h(Seq(Literal(1), Literal(key))))
+  }
 
   /** Sidecar: (pb, word index, 64-bit word) — the OR of every key's bit
     * masks, one aggregation over the layout. 32 × 1024 rows total. */
@@ -53,26 +67,34 @@ object BloomSkipIndex {
         .groupBy("pb", "w").agg(expr("bit_or(m)").as("bits"))
     }
 
+  /** The whole sidecar, resident driver-side: 32 partitions × 1024 words
+    * = 32k (pb, w) → bits entries (256 KiB) — bounded by the LAYOUT, not
+    * the data, and immutable once built (the artifact is build-once per
+    * sf dir), so it loads with ONE tiny job on first probe and every
+    * later probe is pure driver arithmetic: zero Spark jobs before the
+    * pruned scan (PlanSpec pins that budget). At 100 TB the same cache
+    * is a transaction-log read — Delta keeps file-level stats resident
+    * the same way. */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(Long, Long), Long]]()
+
+  private def sidecarMap(spark: SparkSession, sfDir: String): Map[(Long, Long), Long] =
+    sidecarCache.computeIfAbsent(sfDir, _ =>
+      // pb comes back as INT from the partition-dir readback — normalize.
+      sidecar(spark, sfDir)
+        .select(col("pb").cast("long"), col("w"), col("bits"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+
   /** Partitions whose bloom may contain `key`: every probe word must have
-    * every probe bit set. Driver-side on ≤64 sidecar rows (2 words × 32
-    * partitions) — metadata, not data. */
+    * every probe bit set. Pure driver arithmetic over the cached sidecar
+    * — metadata, not data, and (warm) not even a job. */
   private[graft] def candidates(spark: SparkSession, sfDir: String, key: Long): Seq[Long] = {
-    val probeWords = spark.range(1)
-      .select(explode(positions(lit(key))).as("p"))
-      .select(expr("p div 64").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probeWords = positionsOf(key).map(p => (p / 64, 1L << (p % 64).toInt))
       .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toMap
-    // pb comes back as INT from the partition-dir readback — normalize.
-    val hit = sidecar(spark, sfDir)
-      .filter(col("w").isin(probeWords.keys.toSeq: _*))
-      .select(col("pb").cast("long"), col("w"), col("bits"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    hit.collect { case (pb, rows)
-      if probeWords.forall { case (w, m) =>
-        rows.exists(r => r._2 == w && (r._3 & m) == m) } => pb
-    }.toSeq.sorted
+    val side = sidecarMap(spark, sfDir)
+    (0L until Partitions.toLong).filter(pb =>
+      probeWords.forall { case (w, m) =>
+        side.get((pb, w)).exists(bits => (bits & m) == m) }).toList
   }
 
   /** Equality probe through the sidecar: scan only candidate `pb=` dirs

@@ -331,9 +331,23 @@ private[graft] object GraftDataSource {
     * listing (the residual filters own correctness either way, so this
     * can only ever read too much, never too little). A 2-key table
     * probed with `k1 = x AND k2 IN (…)` now plans ≤|list| buckets
-    * instead of all of them. */
+    * instead of all of them.
+    *
+    * The cap sizes a DRIVER HASHING budget, nothing else: each tuple
+    * costs one xxhash64 at planning (~100 ns), so 64k tuples hash in
+    * milliseconds — cheap next to reading even ONE bucket it might
+    * prune. It exists only to stop a pathological many-key × long-IN
+    * query from building a combinatorial tuple list. Degrading past the
+    * cap to PARTIAL-key pruning is not possible, by construction: the
+    * bucket id is pmod(xxhash64(k1, …, km), n) and XxHash64 CHAINS over
+    * the key columns, so knowing a subset of keys constrains the final
+    * hash not at all — every bucket stays reachable. The honest degrade
+    * is therefore a budget generous enough that real composite probes
+    * (an EqualTo plus a few-hundred-value IN — the DPP shape) always
+    * enumerate, with "cannot prune" reserved for genuinely unbounded
+    * products. */
   def keyTuples(keyCols: Seq[String], filters: Array[Filter],
-                cap: Int = 256): Seq[Seq[Any]] = {
+                cap: Int = 65536): Seq[Seq[Any]] = {
     if (keyCols.isEmpty || filters.isEmpty) return Nil
     val perKey: Seq[Seq[Any]] = keyCols.map { k =>
       val cands = filters.toSeq.collect {
@@ -762,12 +776,19 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
     val total = t.layoutAt(pinnedVersion).values.toSeq.map { case (dataDir, dvs) =>
       require(dvs.isEmpty, "metadata count planned over a DV'd bucket")
       val sidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
-      if (java.nio.file.Files.exists(sidecar))
-        java.nio.file.Files.readString(sidecar).trim.toLong
-      else GraftDataSource.parMap(GraftDataSource.parquetFiles(dataDir)) { f =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+      // The sidecar is ADVISORY (the documented contract): a corrupt or
+      // empty file falls back to the per-file footer counts exactly like
+      // a missing one — same Try discipline as the numRows stats path.
+      val fromSidecar =
+        if (java.nio.file.Files.exists(sidecar))
+          scala.util.Try(
+            java.nio.file.Files.readString(sidecar).trim.toLong).toOption
+        else None
+      fromSidecar.getOrElse(
+        GraftDataSource.parMap(GraftDataSource.parquetFiles(dataDir)) { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
+          try r.getRecordCount finally r.close()
+        }.sum)
     }.sum
     Array(GraftCountPartition(total))
   }

@@ -570,6 +570,33 @@ class Dsv2Spec extends AnyFunSuite {
           b.inputRDD.getNumPartitions
       }.get
       assert(parts <= 2, s"expected <=2 pruned buckets, planned $parts")
+
+      // LONG composite probe: EqualTo on one key × a 300-value IN on the
+      // other — 300 candidate tuples, past the old 256-tuple cap that
+      // used to abandon pruning entirely. The cap is a driver HASHING
+      // budget (one xxhash64 per tuple), so a few hundred tuples must
+      // keep pruning. To make the assertion deterministic the IN values
+      // are chosen so their (k3, h) tuples hash into ≤3 of the 16
+      // buckets (with arbitrary values, 300 tuples would legitimately
+      // cover all 16 — enumeration still ran, but nothing would show).
+      import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+      val concentrated = (0 until 20000).map(i => s"g$i").toDF("h")
+        .withColumn("b", pmod(xxhash64(lit("k3"), col("h")), lit(16)))
+        .filter(col("b") <= 2).select("h")
+        .limit(300).as[String].collect()
+      assert(concentrated.length == 300, "not enough concentrated values")
+      val many = concentrated.map(x => x: Any)
+      val q2 = spark.read.format("graft").load(dir)
+        .filter(col("k") === "k3" && col("h").isin(many: _*))
+      assert(q2.count() === base.where(col("k") === "k3" &&
+        col("h").isin(many: _*)).count(),
+        "long-IN tuple-pruned read lost or invented rows")
+      val parts2 = q2.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.get
+      assert(parts2 <= 3,
+        s"300-tuple composite probe abandoned pruning: planned $parts2 of 16")
     } finally TxTable.drop(dir)
   }
 
@@ -882,6 +909,16 @@ class Dsv2Spec extends AnyFunSuite {
       java.nio.file.Files.writeString(sidecar, (orig.trim.toLong + 1000).toString)
       assert(connRead(dir).groupBy().count().head().getLong(0) == native + 1000,
         "COUNT(*) did not come from the sidecar")
+      // A CORRUPT sidecar is advisory like a missing one: the count path
+      // must fall back to that bucket's footer record counts, never
+      // throw (the documented contract; the numRows stats path already
+      // had the Try — this pins the count path's parity with it).
+      java.nio.file.Files.writeString(sidecar, "not-a-number")
+      assert(connRead(dir).groupBy().count().head().getLong(0) == native,
+        "corrupt _rows.txt must fall back to footer counts, not fail")
+      java.nio.file.Files.writeString(sidecar, "")
+      assert(connRead(dir).groupBy().count().head().getLong(0) == native,
+        "empty _rows.txt must fall back to footer counts, not fail")
       java.nio.file.Files.writeString(sidecar, orig)
       assert(connRead(dir).groupBy().count().head().getLong(0) == native)
 

@@ -340,6 +340,51 @@ class PlanSpec extends AnyFunSuite {
     // The original orders table is never consulted on the probe path.
     assert(!finalSection.contains("orders.parquet"),
       s"probe fell back to the unindexed table:\n$p")
+
+    // Driver-side probe hashing equals the executor-side build hash
+    // bit-for-bit (the bloom soundness precondition — same guard the LSH
+    // key derivation carries): positionsOf evaluates Catalyst's XxHash64
+    // on the driver; the sidecar build evaluates functions.xxhash64 in
+    // executors. Any drift would silently mis-prune.
+    val sample = Seq(1L, 7L, 999L, 123456789L, -5L)
+    val viaSpark = sample.map { k =>
+      val r = spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit(k)),
+          org.apache.spark.sql.functions.lit(graft.sources.BloomSkipIndex.Bits)),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.lit(k)),
+          org.apache.spark.sql.functions.lit(graft.sources.BloomSkipIndex.Bits)))
+        .head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    assert(sample.map(graft.sources.BloomSkipIndex.positionsOf) == viaSpark,
+      "driver-side probe positions diverged from the executor-side build hash")
+
+    // WARM probe budget: zero Spark jobs before the pruned scan — the
+    // candidate selection is driver arithmetic over the cached sidecar
+    // (the first probe above already paid the one-time load).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    Thread.sleep(500) // drain in-flight listener events from prior work
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val warm = graft.sources.BloomSkipIndex.candidates(spark, sf, 34L)
+      assert(warm.size <= 4, s"warm probe degenerated: ${warm.size}")
+      // Listener events post asynchronously; a job started during the
+      // probe surfaces well within this window.
+      Thread.sleep(1000)
+      assert(jobCount.get() == 0,
+        s"warm bloom probe ran ${jobCount.get()} Spark jobs — candidate " +
+          "selection must be pure driver metadata work")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("tx_bm25 probes the postings index with listing-level bucket pruning, no corpus scan") {
