@@ -152,6 +152,18 @@ object SparkEntry {
     // OPTIMIZE with Z-ORDER: bit-interleaved 2-D clustering in the same
     // per-bucket rewrite; range predicates on EITHER dimension skip.
     "s51_zorder_compact" -> ((s, d) => GraphOps.txZorderCompact(s, d)),
+    // N-way Z-ORDER: round-robin bit interleave of 3+ columns — one
+    // layout serves range predicates on every clustered dimension.
+    "s57_zorder_nway" -> ((s, d) => GraphOps.txZorderNway(s, d)),
+    // ZONE-MAP sidecars: per-file min/max recorded at write time — range
+    // predicates refute files (and whole buckets) before any footer I/O.
+    "s55_zonemap_range" -> ((s, d) => GraphOps.txZonemapRange(s, d)),
+    // TYPE WIDENING: int->bigint metadata-only evolution; mixed-physical
+    // commits read grouped + cast, skipping tiers refuse conservatively.
+    "s56_widen_column" -> ((s, d) => GraphOps.txWidenColumn(s, d)),
+    // DATE PARTITIONING: hidden days(ts) transform — day dirs inside
+    // buckets, path-derived planning prune, per-commit evolution.
+    "s58_date_partition" -> ((s, d) => GraphOps.txDatePartition(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -773,6 +785,51 @@ object SparkEntry {
         |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       true AS snapshot_unchanged, true AS skip_both_effective
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s58: hidden partitioning changes WHAT IS READ, never the answer —
+    // the oracle replays both eras and the band; prune certs ride as true.
+    "s58_date_partition" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, event_type,
+        |    value + CASE WHEN event_id IN (1, 4, 7) THEN 1000 ELSE 0 END AS value
+        |  FROM events WHERE event_id % 3 = 0 OR event_id IN (1, 4, 7))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)))
+        |    AS BIGINT) AS sum_micro,
+        |  true AS dp_hash_match, true AS dp_prune_effective, true AS dp_evolution_ok
+        |FROM ev
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // s56: widening is metadata-only — the oracle replays both merges and
+    // the int->bigint promotion declaratively; certs ride as true.
+    "s56_widen_column" ->
+      s"""WITH $nodesCte,
+         |sel AS (SELECT name,
+         |  CASE WHEN name LIKE '%7' THEN 'PROMOTED' ELSE house END AS house,
+         |  CAST(round(acctbal * 100) AS BIGINT)
+         |    + CASE WHEN name LIKE '%3' THEN 3000000000 ELSE 0 END AS qty
+         | FROM n WHERE name <= 'Customer#000000199')
+         |SELECT name, house, qty, true AS widen_metadata_only,
+         |  true AS widen_conn_match, true AS widen_range_real
+         |FROM sel WHERE name <= 'Customer#000000059' ORDER BY name""".stripMargin,
+    // s55: the zone-map sidecar changes WHAT IS READ, never the answer —
+    // the oracle is the plain band replay; the prune certs ride as true.
+    "s55_zonemap_range" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS zm_hash_match, true AS zm_file_prune, true AS zm_bucket_prune
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s57: same replay shape as s51 with a tighter price band; the 3-D
+    // layout certificates ride as literal true (clustering is layout only).
+    "s57_zorder_nway" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS snapshot_unchanged, true AS skip_all3_effective
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2060000
         |GROUP BY flag ORDER BY flag""".stripMargin,
     "p4_filter_house_in" ->
       s"""WITH $nodesCte

@@ -159,35 +159,68 @@ final class TxTable private (spark: SparkSession, dir: String,
                           defaults: Map[String, String] = Map.empty,
                           aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val refs = m.filter { case (b, _) => buckets.contains(b) }
-    // Which defaulted columns a commit dir's files physically LACK — the
-    // Iceberg initial-default rule needs per-FILE schema knowledge (a
-    // merged scan reads absent and explicit-NULL identically), and since
-    // every file in one commit shares its write-time schema, one footer
-    // probe per distinct commit dir settles all its buckets. Commits are
-    // bounded by history length, never data size. A column counts as
-    // present if ANY of its physical names (current or pre-rename alias)
-    // is in the footer.
-    val sigCache = scala.collection.mutable.Map.empty[String, Set[String]]
-    def missingIn(path: String): Set[String] =
-      sigCache.getOrElseUpdate(Paths.get(path).getParent.toString, {
-        val phys = spark.read.parquet(path).schema.fieldNames.toSet
-        defaults.keySet.filter(c =>
-          !phys.contains(c) && !aliases.getOrElse(c, Nil).exists(phys.contains))
-      })
-    def read(paths: Seq[String]): DataFrame =
+    // Per-commit-dir WRITE-TIME schema — the Iceberg initial-default rule
+    // (absent vs explicit-NULL) and the type-widening evolution both need
+    // per-FILE schema knowledge, and since every file in one commit
+    // shares its write-time schema, one probe per distinct commit dir
+    // settles all its buckets. Commits are bounded by history length,
+    // never data size.
+    val schemaCache = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.sql.types.StructType]
+    def commitSchema(path: String): org.apache.spark.sql.types.StructType =
+      schemaCache.getOrElseUpdate(Paths.get(path).getParent.toString,
+        spark.read.parquet(path).schema)
+    // Which defaulted columns a commit dir's files physically LACK. A
+    // column counts as present if ANY of its physical names (current or
+    // pre-rename alias) is in the footer.
+    def missingIn(path: String): Set[String] = {
+      val phys = commitSchema(path).fieldNames.toSet
+      defaults.keySet.filter(c =>
+        !phys.contains(c) && !aliases.getOrElse(c, Nil).exists(phys.contains))
+    }
+    // Widened tables hold files of MIXED physical types (int32 files from
+    // before a widen next to int64 files after) — Spark's mergeSchema
+    // refuses to merge those, so reads group by the commit's full
+    // physical-type signature and each group casts to the logical schema
+    // before unionByName. Only consulted when a widen was ever recorded:
+    // the common table keeps its single-read path.
+    def typeSig(path: String): String =
+      commitSchema(path).fields
+        .map(f => s"${f.name}:${f.dataType.catalogString}").sorted.mkString(";")
+    // PARTITIONED commits nest files in `_p=` dirs; reading their bucket
+    // dirs as roots would drag Spark's partition DISCOVERY in (and its
+    // "conflicting directory structures" refusal across mixed eras), so
+    // the native path expands each bucket dir to its `_p=` LEAF dirs —
+    // plain parquet dirs, no discovery, no synthetic `_p` column (the
+    // value is derived from the source column, which the files store).
+    def leafDirs(path: String): Seq[String] = {
+      val subs = listNames(Paths.get(path)).filter(_.startsWith("_p="))
+      if (subs.isEmpty) Seq(path)
+      else subs.sorted.map(s => Paths.get(path).resolve(s).toString)
+    }
+    val expand: Seq[String] => Seq[String] =
+      if (everPartitioned) _.flatMap(leafDirs) else identity
+    // Widened tables hold mixed physical types — group by the commit's
+    // schema signature so each mergeSchema read is type-homogeneous.
+    val sigGrouped = everWidened
+    def read(paths0: Seq[String]): DataFrame = {
+      val paths = expand(paths0)
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else if (defaults.isEmpty)
+      else if (defaults.isEmpty && !sigGrouped)
         conform(spark.read.option("mergeSchema", "true").parquet(paths: _*),
           schema, Map.empty, aliases)
       else
-        // Group by which defaults apply: files written BEFORE an add serve
+        // Group by which defaults apply (files written BEFORE an add serve
         // the default; files written after serve their stored value, so an
-        // explicit NULL stays NULL (physical presence wins).
-        paths.groupBy(missingIn).map { case (missing, ps) =>
-          conform(spark.read.option("mergeSchema", "true").parquet(ps: _*),
-            schema, defaults.view.filterKeys(missing.contains).toMap, aliases)
-        }.reduce(_ unionByName _)
+        // explicit NULL stays NULL — physical presence wins) and, for
+        // widened/partitioned tables, by physical signature.
+        paths.groupBy(p => (missingIn(p), if (sigGrouped) typeSig(p) else ""))
+          .map { case ((missing, _), ps) =>
+            conform(spark.read.option("mergeSchema", "true").parquet(ps: _*),
+              schema, defaults.view.filterKeys(missing.contains).toMap, aliases)
+          }.reduce(_ unionByName _)
+    }
     val (dirty, clean) = refs.partition(_._2.dvs.nonEmpty)
     val cleanDf = read(clean.toSeq.sortBy(_._1).map { case (b, r) => bucketPath(r.data, b) })
     if (dirty.isEmpty) cleanDf
@@ -465,6 +498,124 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def bloomOptions: Map[String, String] =
     bloomColumns.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
 
+  /** ZONE-MAP columns (`_log/zonemap.txt`) — the RANGE-predicate
+    * counterpart of [[bloomColumns]]'s equality tier: every data commit
+    * also records each written file's min/max (and all-null flag) for
+    * the declared columns in a `_zonemap.txt` sidecar per bucket dir,
+    * harvested from the parquet footers the row-count sidecar pass was
+    * ALREADY opening — zero extra I/O, zero extra Spark work. The DSv2
+    * scan consults it at PLANNING: a pushed range predicate
+    * (`price > x`, `date BETWEEN …`) refutes whole FILES — and, when
+    * every file of a bucket refutes, the bucket — before ANY footer is
+    * opened. That is the missing top tier for range probes: row-group
+    * min/max (s46/s49) only applies after a footer read per file, so a
+    * 100 TB table at 4096 buckets × k files paid 4096·k footer opens
+    * per range probe; with the sidecar the planning cost is O(buckets)
+    * tiny line reads and the footer I/O is proportional to ADMITTED
+    * files only. Under pure hash bucketing a bucket's min/max on an
+    * uncorrelated column spans everything (each bucket is a uniform
+    * sample — per-BUCKET zone maps are provably non-selective there),
+    * which is exactly why the sidecar records per-FILE bounds: a
+    * cluster-sorted or Z-ordered rewrite emits range-disjoint files
+    * within each bucket (`maxRecordsPerFile` splitting a sorted task),
+    * and bucket-correlated columns (tenant/time locality) refute whole
+    * buckets too. Numeric/date/timestamp columns only — fixed-width
+    * physical types whose footer stats are exact (binary stats may be
+    * writer-truncated, so strings never zone-map); doubles normalize
+    * -0.0 and refuse NaN bounds. Advisory like every skipping tier: a
+    * missing line or sidecar, a type mismatch (widening), or a foreign
+    * header means "read the file", never a wrong refusal — residual
+    * filters own correctness above the scan. Recorded by CURRENT column
+    * name (rename orphans the entry, harmless — see [[bloomColumns]]). */
+  def zoneMapColumns: Seq[String] = {
+    val p = logDir.resolve("zonemap.txt")
+    if (Files.exists(p))
+      Files.readString(p).trim.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    else Nil
+  }
+
+  def setZoneMapColumns(cols: Seq[String]): Unit = {
+    require(cols.forall(c => !c.contains(",") && !c.contains("\n") && !c.contains("\t")),
+      s"zone-map column names must be comma/tab/newline-free: $cols")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("zonemap.txt"), cols.mkString(","))
+  }
+
+  /** Declared PARTITION TRANSFORM (`_log/partition.txt`) — the
+    * partition-VALUE tier above hash bucketing: every real 100 TB fact
+    * table is time-partitioned first, bucketed second, because a time
+    * predicate must prune whole directory subtrees before any
+    * per-bucket machinery runs. With a declared `days(col)` transform
+    * (col DATE or TIMESTAMP; the day is the UTC epoch-day —
+    * `unix_micros/86.4e9` — so the mapping is session-timezone-proof),
+    * every data commit lays its rows out as `_b=K/_p=<epochday>/` and
+    * records the transform it used in a `_pspec.txt` file inside the
+    * commit dir. This is Iceberg HIDDEN partitioning: queries filter on
+    * the SOURCE column, never on `_p` — the DSv2 scan derives each
+    * file's covered value interval from its `_p=` path segment plus the
+    * commit's recorded transform and refutes files (and whole buckets)
+    * at planning, the same seam the zone-map tier uses. PARTITION
+    * EVOLUTION is per-commit by construction: changing (or clearing)
+    * the declared transform affects FUTURE commits only — each commit
+    * carries its own `_pspec.txt`, so a table can hold flat,
+    * days-partitioned and re-partitioned eras side by side, every era
+    * readable and every era pruned by exactly the transform it was
+    * written under (the s27 rebucket discipline applied to
+    * partitioning). Copy-on-write composes: a MERGE rewrites its
+    * touched buckets under the CURRENT transform, migrating them
+    * incrementally; `compact()` migrates the whole table in one
+    * rewrite. The manifest stays bucket-granular — `_p` dirs live
+    * INSIDE bucket dirs — so commit/publish/conflict semantics are
+    * untouched at any partition count. */
+  def partitionSpec: Option[(String, String)] = {
+    val p = logDir.resolve("partition.txt")
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim match {
+      case TxTable.SpecRe(tf, c) => Some((tf, c))
+      case _ => None // cleared ("" after evolution to none) or unreadable
+    }
+  }
+
+  /** Declare (or, with "", clear) the partition transform for FUTURE
+    * commits. Supported: `days(col)`. The file persists even when
+    * cleared — its existence flips reads into per-commit structure
+    * grouping, which older partitioned commits still need. */
+  def setPartitioning(spec: String): Unit = {
+    require(spec.isEmpty || TxTable.SpecRe.matches(spec),
+      s"unsupported partition spec '$spec' (supported: days(col), '' to clear)")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("partition.txt"), spec)
+  }
+
+  private def everPartitioned: Boolean =
+    Files.exists(logDir.resolve("partition.txt"))
+
+  /** The `_p` derivation for the declared transform over `df`, or None
+    * when no transform applies (undeclared, source column absent from
+    * this commit's frame, or unsupported source type). */
+  private def partitionColumn(df: DataFrame): Option[(org.apache.spark.sql.Column, String)] =
+    partitionSpec.flatMap { case (tf, c) =>
+      if (!df.columns.contains(c)) None
+      else (tf, df.schema(c).dataType) match {
+        case ("days", org.apache.spark.sql.types.DateType) =>
+          Some((datediff(col(c), to_date(lit("1970-01-01"))), s"$tf($c)"))
+        case ("days", org.apache.spark.sql.types.TimestampType) =>
+          Some((floor(unix_micros(col(c)) / lit(86400000000L)).cast("int"),
+            s"$tf($c)"))
+        case _ => None
+      }
+    }
+
+  /** All parquet files under a bucket dir, any depth — partitioned
+    * commits nest them under `_p=` dirs. */
+  private def parquetFilesUnder(bdir: Path): Seq[Path] = {
+    if (!Files.isDirectory(bdir)) return Nil
+    val s = Files.walk(bdir)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
+    finally s.close()
+  }
+
   /** CLUSTER-ON-WRITE columns (`_log/cluster.txt`) — the continuous
     * counterpart of `compact(sortBy)`: every data commit sorts its rows
     * WITHIN each written bucket by these columns before the parquet
@@ -532,15 +683,28 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def writeBucketRowCounts(commit: String): Unit = {
     val cdir = dataDir.resolve(commit)
     val conf = new org.apache.hadoop.conf.Configuration()
+    val zcols = zoneMapColumns.filter(_.nonEmpty)
     bucketsIn(commit).foreach { b =>
       val bdir = cdir.resolve(s"_b=$b")
-      val n = listNames(bdir).filter(_.endsWith(".parquet")).map { f =>
+      val zoneLines = Seq.newBuilder[String]
+      val n = parquetFilesUnder(bdir).map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(bdir.resolve(f).toString), conf))
-        try r.getRecordCount finally r.close()
+            new org.apache.hadoop.fs.Path(f.toString), conf))
+        try {
+          if (zcols.nonEmpty)
+            // Keyed by bucket-RELATIVE path: partitioned commits repeat
+            // the same part-file base name in every _p dir.
+            zoneLines ++= TxTable.zoneMapLines(
+              bdir.relativize(f).toString, r.getFooter, zcols)
+          r.getRecordCount
+        } finally r.close()
       }.sum
       Files.writeString(bdir.resolve("_rows.txt"), n.toString)
+      val zl = zoneLines.result()
+      if (zl.nonEmpty)
+        Files.writeString(bdir.resolve("_zonemap.txt"),
+          (TxTable.ZoneMapHeader +: zl).mkString("\n"))
     }
   }
 
@@ -584,17 +748,26 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   private def writeCommit(df: DataFrame, buckets: Int): String = {
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
-    val laid = df.withColumn("_b", bucketColFor(buckets))
+    val laid0 = df.withColumn("_b", bucketColFor(buckets))
+    // Partition-value tier: the declared transform adds a derived `_p`
+    // dir level inside each bucket (hidden partitioning — `_p` is never
+    // part of the logical schema; readers recover values from paths).
+    val pcol = partitionColumn(df)
+    val laid = pcol.map { case (c, _) => laid0.withColumn("_p", c) }.getOrElse(laid0)
+    val partCols = if (pcol.isDefined) Seq("_b", "_p") else Seq("_b")
     // Cluster-on-write: sort this commit's rows within each task by
-    // (bucket, cluster cols) so every written file's row groups carry
-    // tight footer stats on the cluster dimension. Materialized column
-    // refs only (cheap comparator — see compactClustered's note).
+    // (dir cols, cluster cols) so every written file's row groups carry
+    // tight footer stats on the cluster dimension — and the dynamic
+    // partition writer streams one open file at a time. Materialized
+    // column refs only (cheap comparator — see compactClustered's note).
     val cluster = clusterColumns.filter(df.columns.contains)
     val shaped =
-      if (cluster.isEmpty) laid
-      else laid.sortWithinPartitions((col("_b") +: cluster.map(col)): _*)
+      if (cluster.isEmpty && pcol.isEmpty) laid
+      else laid.sortWithinPartitions((partCols.map(col) ++ cluster.map(col)): _*)
     shaped.write.options(bloomOptions)
-      .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      .partitionBy(partCols: _*).parquet(dataDir.resolve(commit).toString)
+    pcol.foreach { case (_, spec) =>
+      Files.writeString(dataDir.resolve(commit).resolve("_pspec.txt"), spec) }
     writeBucketSidecars(commit)
     commit
   }
@@ -846,6 +1019,35 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** CDC APPLY — one ATOMIC commit applying `upserts` (replace-or-insert)
+    * and `deleteKeys` (remove) together: the per-batch verb a
+    * change-data-capture consumer needs (Delta's APPLY CHANGES INTO). A
+    * fold of one upstream micro-batch yields exactly this pair, and
+    * applying it as merge-then-delete would publish TWO versions, read
+    * the touched buckets TWICE, and expose a mid-batch state where the
+    * upserts are visible but the deletes are not — this applies both in
+    * ONE copy-on-write pass over the union of touched buckets with one
+    * manifest publish, so downstream readers see each upstream batch as
+    * one indivisible hop. A key in both inputs resolves as upsert-wins
+    * (rewriteTouched re-adds the upsert row after the anti-join).
+    * Deletes here are copy-on-write (folded immediately), not
+    * merge-on-read — the bucket is being rewritten for the upserts
+    * anyway, so the DV would buy nothing. Same widening/defaults/
+    * constraint semantics as `merge`; same optimistic rebase. */
+  def applyChanges(upserts: DataFrame, deleteKeys: DataFrame): Long = {
+    val up = upserts.dropDuplicates(keyCols).localCheckpoint()
+    validate(up) // CHECK constraints: reject BEFORE any write or publish.
+    val touchKeys = up.select(keyCols.map(col): _*)
+      .unionByName(deleteKeys.select(keyCols.map(col): _*))
+      .dropDuplicates(keyCols).localCheckpoint()
+    rewriteTouched(touchKeys, "apply-changes") { (keep, cur) =>
+      val newFields = up.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+      val widened = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
+      val dflt = defaultsAt(version)
+      conform(up, widened, dflt).unionByName(conform(keep, widened, dflt))
+    }
+  }
+
   /** DELETE by key (the MERGE matched-delete clause): rows whose key
     * appears in `keys` are removed via the same copy-on-write bucket
     * rewrite; absent keys are a no-op. A bucket whose rows are all
@@ -1091,50 +1293,69 @@ final class TxTable private (spark: SparkSession, dir: String,
   def compact(newBuckets: Int, sortBy: Seq[String]): Long =
     compactClustered(newBuckets, sortBy, rows => sortBy.map(rows(_)))
 
-  /** OPTIMIZE with MULTI-dimensional clustering — `ZORDER BY (a, b)`:
-    * rows sort within each rewritten bucket by the bit-INTERLEAVED
-    * Z-value of the two columns, so every parquet row group's footer
-    * min/max covers a tight cell in the (a, b) plane and range/point
-    * predicates on EITHER dimension skip row groups — where a 1-D sort
-    * (the two-arg `compact`) serves only its leading column and leaves
-    * the second dimension's stats spanning everything. Mapping: each
-    * column is scaled to a 16-bit cell over its [min, max] span (one
-    * stats pass over the rewrite input — no extra shuffle; NULLs and a
-    * constant column map to cell 0), the two cells interleave to a
-    * 32-bit Morton code via the classic mask-spread (all codegen'd
-    * bitwise ops), and the per-bucket rewrite sorts by it exactly like
-    * the 1-D path. The Z-value is LAYOUT ONLY — never written, never
-    * read back; both dimensions keep their ordinary footer stats, which
-    * is all the skipping path consults. Numeric/date/timestamp columns
-    * only (a 16-bit cell needs a total order with distance). */
+  /** OPTIMIZE with MULTI-dimensional clustering — `ZORDER BY (a, b, …)`,
+    * 2 to 8 columns: rows sort within each rewritten bucket by the
+    * bit-INTERLEAVED Z-value of the columns, so every parquet row
+    * group's footer min/max covers a tight cell in the n-dimensional
+    * space and range/point predicates on ANY clustered dimension skip
+    * row groups — where a 1-D sort (the two-arg `compact`) serves only
+    * its leading column and leaves every other dimension's stats
+    * spanning everything. Mapping: each column is scaled to a
+    * `min(16, 63/n)`-bit cell over its [min, max] span (one stats pass
+    * over the rewrite input — no extra shuffle; NULLs, an all-null
+    * column and a constant column map to cell 0), and the cells
+    * interleave round-robin — bit j of column i lands at position
+    * j·n + i — so the combined code always fits a positive Long. The
+    * interleave is a flat OR of n·cellBits codegen'd mask-and-shift
+    * terms; per-column resolution shrinks as n grows (16 bits at n≤3,
+    * 7 at n=8), which is the inherent Z-order trade — more clustered
+    * dimensions, coarser cells each (Delta caps ZORDER BY columns for
+    * the same reason). The Z-value is LAYOUT ONLY — never written,
+    * never read back; every dimension keeps its ordinary footer stats,
+    * which is all the skipping path consults. Numeric/date/timestamp
+    * columns only (a cell needs a total order with distance). */
   def compactZOrder(zorderBy: Seq[String], newBuckets: Int = 0): Long = {
-    require(zorderBy.length == 2,
-      s"z-order clustering interleaves exactly two columns, got $zorderBy")
+    val n = zorderBy.length
+    require(n >= 2 && n <= 8,
+      s"z-order clustering interleaves 2 to 8 columns, got $zorderBy")
+    require(zorderBy.distinct.length == n, s"duplicate z-order column in $zorderBy")
+    val cellBits = math.min(16, 63 / n)
+    val cellMax = (1L << cellBits) - 1
     compactClustered(newBuckets, zorderBy, { rows =>
       import org.apache.spark.sql.functions.{shiftleft, lit, min => fmin, max => fmax, floor, coalesce}
-      val stats = rows.agg(
-        fmin(rows(zorderBy.head)).cast("double"), fmax(rows(zorderBy.head)).cast("double"),
-        fmin(rows(zorderBy(1))).cast("double"), fmax(rows(zorderBy(1))).cast("double"))
-        .collect()(0)
+      // One stats pass: (min, max) pairs in column order — min of column
+      // i at position 2i, max at 2i+1.
+      val aggs = zorderBy.flatMap(c =>
+        Seq(fmin(rows(c)).cast("double"), fmax(rows(c)).cast("double")))
+      val stats = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val mins = Array.tabulate(n)(i => statAt(stats, 2 * i))
+      val maxs = Array.tabulate(n)(i => statAt(stats, 2 * i + 1))
       def cell(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
         val span = hi - lo
         val scaled =
-          if (span > 0) floor((c.cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+          if (span > 0)
+            floor((c.cast("double") - lit(lo)) / lit(span) * lit(cellMax.toDouble))
           else lit(0L)
         coalesce(scaled.cast("long"), lit(0L))
       }
-      // Morton spread: 16 significant bits every other position.
-      def spread(x0: org.apache.spark.sql.Column) = {
-        val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
-        val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-        val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
-        (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
-      }
-      val a = cell(rows(zorderBy.head), stats.getDouble(0), stats.getDouble(1))
-      val b = cell(rows(zorderBy(1)), stats.getDouble(2), stats.getDouble(3))
-      Seq(spread(a).bitwiseOR(shiftleft(spread(b), 1)))
+      // Round-robin interleave: bit j of cell i → position j·n + i. Each
+      // term isolates one source bit and shifts it to its slot — plain
+      // codegen'd bitwise ops, evaluated ONCE per row because the caller
+      // materializes the key before the sort (compactClustered's note).
+      val z = zorderBy.zipWithIndex.map { case (cn, i) =>
+        val ci = cell(rows(cn), mins(i), maxs(i))
+        (0 until cellBits).map { j =>
+          shiftleft(ci.bitwiseAND(lit(1L << j)), j * (n - 1) + i)
+        }.reduce(_ bitwiseOR _)
+      }.reduce(_ bitwiseOR _)
+      Seq(z)
     })
   }
+
+  /** A min/max stat as Double, 0 for an all-null column (its cell is
+    * constant 0 — NULL rows sort first, a layout choice, not semantics). */
+  private def statAt(r: org.apache.spark.sql.Row, i: Int): Double =
+    if (r.isNullAt(i)) 0.0 else r.getDouble(i)
 
   private def compactClustered(newBuckets: Int, clusterCols: Seq[String],
                                clusterOf: DataFrame => Seq[org.apache.spark.sql.Column]): Long = {
@@ -1155,30 +1376,38 @@ final class TxTable private (spark: SparkSession, dir: String,
       // manifest is all-clean.
       val rows = readBuckets(m, m.keySet, cur, defaultsAt(v), aliasesAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
-      val laid = rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
+      val pcol = partitionColumn(rows)
+      val laid0 = rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
+      // OPTIMIZE migrates the whole table to the CURRENT partition
+      // transform in one rewrite (merge migrates incrementally).
+      val laid = pcol.map { case (c, _) => laid0.withColumn("_p", c) }.getOrElse(laid0)
+      val partCols = if (pcol.isDefined) Seq("_b", "_p") else Seq("_b")
       // A hash partition can hold several buckets, so the cluster sort
-      // leads with _b (bucket-local ordering); plain compaction skips
-      // the sort entirely. The cluster keys are MATERIALIZED as temp
-      // columns before the sort and dropped before the write: SortExec's
-      // radix prefix covers only the FIRST key (_b — constant within a
-      // partition), so every comparison falls through to the full
-      // comparator, which re-evaluates ordering EXPRESSIONS per
-      // comparison — for the ~30-op Morton code that made the Z-order
-      // rewrite O(n log n · exprCost) (measured 10 s for a 600k-row
-      // bucket vs 1.5 s sorting a plain column). A materialized key is
-      // an attribute read in the comparator: evaluated once per ROW.
+      // leads with the dir columns (bucket-local ordering); plain
+      // compaction skips the sort entirely. The cluster keys are
+      // MATERIALIZED as temp columns before the sort and dropped before
+      // the write: SortExec's radix prefix covers only the FIRST key
+      // (_b — constant within a partition), so every comparison falls
+      // through to the full comparator, which re-evaluates ordering
+      // EXPRESSIONS per comparison — for the ~30-op Morton code that
+      // made the Z-order rewrite O(n log n · exprCost) (measured 10 s
+      // for a 600k-row bucket vs 1.5 s sorting a plain column). A
+      // materialized key is an attribute read in the comparator:
+      // evaluated once per ROW.
       val clusterExprs = clusterOf(rows)
       val clustered =
-        if (clusterExprs.isEmpty) laid
+        if (clusterExprs.isEmpty && pcol.isEmpty) laid
         else {
           val keyNames = clusterExprs.indices.map(i => s"__graft_cluster_$i")
           keyNames.zip(clusterExprs)
             .foldLeft(laid) { case (df, (nm, e)) => df.withColumn(nm, e) }
-            .sortWithinPartitions((col("_b") +: keyNames.map(col)): _*)
+            .sortWithinPartitions((partCols.map(col) ++ keyNames.map(col)): _*)
             .drop(keyNames: _*)
         }
       clustered.write.options(bloomOptions)
-        .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+        .partitionBy(partCols: _*).parquet(dataDir.resolve(commit).toString)
+      pcol.foreach { case (_, spec) =>
+        Files.writeString(dataDir.resolve(commit).resolve("_pspec.txt"), spec) }
       writeBucketSidecars(commit)
       val lines = bucketsIn(commit).sorted.map(b => s"$b\t$commit")
       val op = if (newBuckets > 0 && newBuckets != bucketCountAt(v)) "rebucket" else "compact"
@@ -1268,6 +1497,86 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** True when any widening evolution was ever recorded — flips the read
+    * path into per-commit type grouping (a cheap log listing; widen
+    * records are tiny and never deleted). */
+  private def everWidened: Boolean =
+    Files.isDirectory(logDir) && listNames(logDir).exists(_.startsWith("widen-v"))
+
+  /** Widening records as of `v`: column → the catalog types its files may
+    * PHYSICALLY carry from before each widen (most recent record ≤ v,
+    * cumulative like defaults/renames). Documentation + read-path flag;
+    * the reader's type grouping keys on actual footer schemas, so the
+    * record never has to be exhaustive to be safe. */
+  def widenedAt(v: Long): Map[String, Seq[String]] = {
+    val recorded = listNames(logDir)
+      .filter(n => n.startsWith("widen-v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("widen-v").stripSuffix(".txt").toLong)
+      .filter(_ <= v)
+    if (recorded.isEmpty) Map.empty
+    else Files.readAllLines(
+        logDir.resolve(f"widen-v${recorded.max}%08d.txt"), StandardCharsets.UTF_8)
+      .asScala.filter(_.nonEmpty)
+      .map { l => val p = l.split('\t'); p(0) -> p(1).split(',').toSeq }
+      .toMap
+  }
+
+  /** WIDEN COLUMN TYPE — the remaining Delta/Iceberg schema-evolution
+    * verb after add/drop/rename/default: `int → bigint` and
+    * `float → double` (the value-preserving promotions whose every
+    * source value round-trips exactly), METADATA-ONLY like the rest of
+    * the DDL triad — the new version re-publishes the same manifest
+    * (zero data rewritten, `dataPointers` unchanged; on a 100 TB table
+    * the widen costs two small log files) with the field's type widened
+    * in the recorded schema and a `widen-v*.txt` record that flips the
+    * read path into per-commit physical-type grouping: pre-widen files
+    * keep serving their int32/float pages, cast to the logical type at
+    * read (`conform`), while post-widen commits store the wide type
+    * physically. Every skipping tier REFUSES the widened column by its
+    * write-time-type guard (bucket blooms hash differently, zone maps
+    * and row-group stats are in file units — GraftDataSource's
+    * `skipPredicateFilters` / bloom header / zone-map type checks), so
+    * evolution degrades skipping to conservative no-skip, never to a
+    * wrong refusal; a later `compact()` rewrites everything under the
+    * wide type and full skipping resumes. Key columns refuse: the
+    * bucket hash of an int differs from the same value hashed as long,
+    * so widening a key would strand every row's bucket assignment. */
+  def widenColumn(colName: String, newDdlType: String): Long = {
+    require(!keyCols.contains(colName),
+      s"cannot widen key column '$colName' (bucket hashing is type-sensitive)")
+    val to = org.apache.spark.sql.types.StructType
+      .fromDDL(s"`x` $newDdlType").fields.head.dataType
+    val allowed = Map(
+      "int" -> Set("bigint", "double"),
+      "float" -> Set("double"))
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val cur = schemaAt(v)
+      require(cur.fieldNames.contains(colName), s"no column '$colName' at v$v")
+      val from = cur(colName).dataType.catalogString
+      require(allowed.getOrElse(from, Set.empty).contains(to.catalogString),
+        s"cannot widen $from to ${to.catalogString} — value-preserving " +
+          s"promotions only: ${allowed.map { case (k, vs) => s"$k->{${vs.mkString(",")}}" }.mkString(", ")}")
+      val m = manifest(v)
+      val lines = m.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      if (publish(v + 1, bucketCountAt(v), s"widen-$colName", lines)) {
+        val widenedSchema = org.apache.spark.sql.types.StructType(
+          cur.fields.map(f =>
+            if (f.name == colName) f.copy(dataType = to) else f))
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"),
+          widenedSchema.toDDL)
+        val next = widenedAt(v) + (colName ->
+          (from +: widenedAt(v).getOrElse(colName, Nil)).distinct)
+        Files.writeString(logDir.resolve(f"widen-v${v + 1}%08d.txt"),
+          next.toSeq.sortBy(_._1)
+            .map { case (c, ts) => s"$c\t${ts.mkString(",")}" }.mkString("\n"))
+        committed = v + 1
+      }
+    }
+    committed
+  }
+
   /** RENAME COLUMN — metadata-only, completing the DDL triad with
     * `dropColumn` / `addColumn`: the new version re-publishes the same
     * manifest (zero data rewritten, `dataPointers` unchanged — on a
@@ -1345,17 +1654,22 @@ final class TxTable private (spark: SparkSession, dir: String,
       val cur = schemaAt(v)
       val degraded = m.filter { case (b, r) =>
         r.dvs.nonEmpty ||
-          listNames(Paths.get(bucketPath(r.data, b)))
-            .count(_.endsWith(".parquet")) >= minFiles
+          parquetFilesUnder(Paths.get(bucketPath(r.data, b))).size >= minFiles
       }
       if (degraded.isEmpty) return v
       val rows = readBuckets(m, degraded.keySet, cur, defaultsAt(v), aliasesAt(v))
       val commit = s"t-${UUID.randomUUID().toString.take(12)}"
       // Same bucket count -> the rewrite reproduces exactly the degraded
-      // bucket ids; repartition puts each in one task = one file.
-      rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
-        .write.options(bloomOptions)
-        .partitionBy("_b").parquet(dataDir.resolve(commit).toString)
+      // bucket ids; repartition puts each in one task = one file (one
+      // per partition value under a declared transform).
+      val pcol0 = partitionColumn(rows)
+      val laid0 = rows.withColumn("_b", bucketColFor(n)).repartition(col("_b"))
+      val laidP = pcol0.map { case (c, _) => laid0.withColumn("_p", c) }.getOrElse(laid0)
+      laidP.write.options(bloomOptions)
+        .partitionBy((if (pcol0.isDefined) Seq("_b", "_p") else Seq("_b")): _*)
+        .parquet(dataDir.resolve(commit).toString)
+      pcol0.foreach { case (_, spec) =>
+        Files.writeString(dataDir.resolve(commit).resolve("_pspec.txt"), spec) }
       writeBucketSidecars(commit)
       // Degraded buckets are REPLACED (a bucket whose DVs deleted every
       // row drops out of the manifest entirely, like a full-delete merge).
@@ -1621,7 +1935,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     val m = manifest(version)
     val commits = m.values.map(_.data).toSet
     val files = m.toSeq.map { case (b, r) =>
-      listNames(Paths.get(bucketPath(r.data, b))).count(_.endsWith(".parquet"))
+      parquetFilesUnder(Paths.get(bucketPath(r.data, b))).size
     }.sum
     (commits.size, files)
   }
@@ -1633,17 +1947,112 @@ object TxTable {
     * (bucket × column) — ~1% FPP at 100k distinct values per bucket. */
   val DefaultBloomIndexBits: Long = 1L << 20
 
+  /** Zone-map sidecar header (format version travels with the file, so
+    * an old reader refuses a future format instead of misparsing it). */
+  val ZoneMapHeader = "graftzonemap\t1"
+
+  /** Partition-spec grammar: `days(col)`. */
+  private[graft] val SpecRe = "(days)\\(([A-Za-z0-9_]+)\\)".r
+
+  /** Per-(file × declared column) zone-map lines from an ALREADY-open
+    * footer: `file<TAB>col<TAB>type<TAB>min<TAB>max`, with `null null`
+    * for an all-null column. A column is OMITTED (no line) when the file
+    * lacks it, the physical/logical pairing's footer stats aren't exact
+    * in Catalyst units (strings may be writer-truncated, MILLIS/INT96
+    * timestamps are in file units, unsigned ints lie), any chunk's
+    * statistics are missing, or a double bound is NaN — omission means
+    * "cannot refute", never "empty". Doubles normalize -0.0 to 0.0 so
+    * the recorded bound can never be strictly inside the SQL-comparable
+    * value range. */
+  private[graft] def zoneMapLines(relPath: String,
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      cols: Seq[String]): Seq[String] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    val schema = footer.getFileMetaData.getSchema
+    val base = relPath
+    def render(v: Any): String = v match {
+      case d: java.lang.Double =>
+        val x = if (d.doubleValue() == 0.0) 0.0 else d.doubleValue()
+        java.lang.Double.toString(x) // round-trips exactly
+      case other => other.toString
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+      case _ => throw new IllegalStateException("zonemap: mixed stat types")
+    }
+    def usable(v: Any): Boolean = v match {
+      case d: java.lang.Double => !d.isNaN
+      case _: java.lang.Integer | _: java.lang.Long => true
+      case _ => false
+    }
+    cols.flatMap { c =>
+      val fieldIdx = if (schema.containsField(c)) schema.getFieldIndex(c) else -1
+      if (fieldIdx < 0 || !schema.getType(fieldIdx).isPrimitive) None
+      else {
+        val pt = schema.getType(fieldIdx).asPrimitiveType()
+        val typ: Option[String] = pt.getPrimitiveTypeName match {
+          case PrimitiveType.PrimitiveTypeName.INT32 =>
+            pt.getLogicalTypeAnnotation match {
+              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+              case null => Some("int")
+              case _ => None
+            }
+          case PrimitiveType.PrimitiveTypeName.INT64 =>
+            pt.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some("timestamp")
+              case null => Some("bigint")
+              case _ => None
+            }
+          case PrimitiveType.PrimitiveTypeName.DOUBLE => Some("double")
+          case _ => None
+        }
+        typ.flatMap { t =>
+          var lo: Any = null; var hi: Any = null
+          var ok = true; var sawValue = false
+          footer.getBlocks.asScala.foreach { blk =>
+            if (ok) blk.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case None => ok = false
+              case Some(chunk) =>
+                val st: org.apache.parquet.column.statistics.Statistics[_] =
+                  chunk.getStatistics
+                if (st == null || st.isEmpty) ok = false
+                else if (st.hasNonNullValue) {
+                  val mn = st.genericGetMin; val mx = st.genericGetMax
+                  if (!usable(mn) || !usable(mx)) ok = false
+                  else {
+                    sawValue = true
+                    if (lo == null || cmp(mn, lo) < 0) lo = mn
+                    if (hi == null || cmp(mx, hi) > 0) hi = mx
+                  }
+                } else if (!(st.isNumNullsSet && st.getNumNulls == chunk.getValueCount))
+                  ok = false // can't distinguish all-null from missing stats
+            }
+          }
+          if (!ok) None
+          else if (!sawValue) Some(s"$base\t$c\t$t\tnull\tnull")
+          else Some(s"$base\t$c\t$t\t${render(lo)}\t${render(hi)}")
+        }
+      }
+    }
+  }
+
   /** Create a new table at `dir` from `base` (version 0). `bloomCols`
     * columns get a parquet bloom filter in every data file from the
     * first commit on (see [[TxTable.bloomColumns]]). */
   def create(spark: SparkSession, dir: String, base: DataFrame,
              keyCols: Seq[String], numBuckets: Int = 16,
              bloomCols: Seq[String] = Nil,
-             clusterCols: Seq[String] = Nil): TxTable = {
+             clusterCols: Seq[String] = Nil,
+             zoneMapCols: Seq[String] = Nil): TxTable = {
     val t = new TxTable(spark, dir, keyCols, numBuckets)
     require(t.version < 0, s"table already exists at $dir")
     if (bloomCols.nonEmpty) t.setBloomColumns(bloomCols)
     if (clusterCols.nonEmpty) t.setClusterColumns(clusterCols)
+    if (zoneMapCols.nonEmpty) t.setZoneMapColumns(zoneMapCols)
     val commit = t.writeCommit(base, numBuckets)
     require(t.publish(0L, numBuckets, "create",
       t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),

@@ -1473,6 +1473,310 @@ object GraphOps {
     }
   }
 
+  /** Date-partitioning demo (s58_date_partition) — the partition-VALUE
+    * tier above hash bucketing, the layout every real 100 TB fact table
+    * leads with: a declared `days(ts)` transform makes every data
+    * commit lay rows out as `_b=K/_p=<epochday>/` (hidden partitioning
+    * — queries filter on `ts`, never on `_p`; the UTC epoch-day mapping
+    * is session-timezone-proof), records itself in a per-commit
+    * `_pspec.txt`, and the DSv2 scan derives each file's covered time
+    * interval from its path at PLANNING — a date-range probe reads only
+    * matching day dirs, zero footer I/O on the rest. PARTITION
+    * EVOLUTION is per-commit: this entry creates the table FLAT,
+    * declares the transform afterwards, and merges — the touched
+    * buckets migrate to day layout while untouched buckets keep their
+    * flat era, both eras readable in one scan and each pruned by
+    * exactly its own recorded transform (the s27 rebucket discipline
+    * applied to partitioning). Certificates on the hash channel:
+    * `dp_hash_match` (pruned band == native snapshot band),
+    * `dp_prune_effective` (the 3-of-30-day probe plans ≤ half the
+    * files), `dp_evolution_ok` (flat-era and day-era commits BOTH
+    * present in the final manifest, and the full unpruned read equals
+    * the native snapshot row-for-row). */
+  def txDatePartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s58").toString
+    try {
+      val events = graft.core.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "event_type", "value")
+      val era1 = events.filter(col("event_id") % 3 === 0)
+      val t = graft.core.TxTable.create(spark, dir, era1, Seq("event_id"),
+        numBuckets = 16) // created FLAT — the pre-partitioning era
+      t.setPartitioning("days(ts)")
+      // Three literal keys (present at every SF) — the merge rewrites
+      // only their buckets, migrating those to day layout; the rest of
+      // the table keeps its flat-era commit.
+      val era2 = events.filter(col("event_id").isin(1L, 4L, 7L))
+        .withColumn("value", col("value") + 1000.0)
+      t.merge(era2)
+
+      val commits = t.dataPointers(t.version).values.toSet
+      val (dayEra, flatEra) = commits.partition(c => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "data", c, "_pspec.txt")))
+      def conn = spark.read.format("graft").load(dir)
+      val native = t.snapshot()
+      val evolutionOk = dayEra.nonEmpty && flatEra.nonEmpty &&
+        conn.collect().map(_.mkString("|")).sorted.toSeq ==
+          native.collect().map(_.mkString("|")).sorted.toSeq
+
+      def plannedFiles(preds: Array[org.apache.spark.sql.sources.Filter]): Int = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (preds.nonEmpty) sb
+          .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(preds)
+        sb.build().toBatch.planInputPartitions()
+          .collect { case p: graft.sources.GraftInputPartition => p.files.length }.sum
+      }
+      val bandLo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+      val bandHi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val allFiles = plannedFiles(Array.empty)
+      val bandFiles = plannedFiles(Array(
+        GreaterThanOrEqual("ts", bandLo), LessThan("ts", bandHi)))
+      val pruneEffective = bandFiles >= 1 && bandFiles * 2 <= allFiles
+
+      val pred = col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp")
+      val hashMatch = conn.filter(pred)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+        native.filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+
+      conn.filter(pred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,6)") * 1000000)
+            .cast("decimal(38,0)")).cast("long").as("sum_micro"))
+        .withColumn("dp_hash_match", lit(hashMatch))
+        .withColumn("dp_prune_effective", lit(pruneEffective))
+        .withColumn("dp_evolution_ok", lit(evolutionOk))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  /** Type-widening evolution demo (s56_widen_column) — the remaining
+    * Delta/Iceberg schema-evolution verb after add/drop/rename/default:
+    * `widenColumn("qty", "BIGINT")` republishes the manifest with the
+    * column's type widened and ZERO data rewritten (`dataPointers`
+    * unchanged — on a 100 TB table the DDL costs two small log files).
+    * Pre-widen files keep serving int32 pages cast at read; post-widen
+    * commits store int64 physically; the read path groups commits by
+    * physical-type signature (Spark's mergeSchema refuses int/long
+    * merges) and the DSv2 connector serves the mixed layout through its
+    * per-file type codes. Every skipping tier refuses the widened
+    * column by its write-time-type guard (conservative no-skip, never
+    * wrong — Dsv2Spec pins it). Certificates on the hash channel:
+    * `widen_metadata_only` (the widen commit re-points nothing),
+    * `widen_conn_match` (connector == native over the mixed-type
+    * layout), `widen_range_real` (post-widen values exceed Int.MaxValue
+    * — the wide path carries real wide values, not just a type label). */
+  def txWidenColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s56").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select(col("name"), col("house"),
+          round(col("acctbal") * 100).cast("int").as("qty"))
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"),
+        numBuckets = 8)
+      // A real pre-widen merge: the table holds int32 commits.
+      t.merge(t.snapshot().filter(col("name").endsWith("7"))
+        .withColumn("house", lit("PROMOTED")))
+      val preV = t.version
+      val prePointers = t.dataPointers(preV)
+      t.widenColumn("qty", "BIGINT")
+      val metaOnly = t.version == preV + 1 &&
+        t.dataPointers(t.version) == prePointers
+      // Post-widen merge with values an int CANNOT hold — lands int64
+      // files next to the untouched int32 commits.
+      t.merge(t.snapshot().filter(col("name").endsWith("3"))
+        .withColumn("qty", col("qty") + lit(3000000000L)))
+
+      val native = t.snapshot()
+      def conn = spark.read.format("graft").load(dir)
+      val connMatch = conn.collect().map(_.mkString("|")).sorted.toSeq ==
+        native.collect().map(_.mkString("|")).sorted.toSeq
+      val rangeReal = native.agg(max("qty")).head.getLong(0) > Int.MaxValue.toLong
+
+      conn.filter(col("name") <= "Customer#000000059")
+        .select(col("name"), col("house"), col("qty"))
+        .withColumn("widen_metadata_only", lit(metaOnly))
+        .withColumn("widen_conn_match", lit(connMatch))
+        .withColumn("widen_range_real", lit(rangeReal))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  /** Zone-map range-skipping demo (s55_zonemap_range) — the missing TOP
+    * tier for RANGE predicates, completing the equality-only tier s53
+    * shipped: declared zone-map columns (`zoneMapCols` /
+    * `_log/zonemap.txt`) make every data commit record each written
+    * file's min/max in a `_zonemap.txt` sidecar per bucket dir —
+    * harvested from the footers the `_rows.txt` pass already opens, zero
+    * extra I/O — and the DSv2 scan consults it at PLANNING: a pushed
+    * range predicate refutes whole FILES (and, when every file refutes,
+    * whole BUCKETS) before ANY footer is opened. Without it a range
+    * probe on a 100 TB table paid one footer open per file (4096
+    * buckets × k files) before row-group stats could refuse anything;
+    * with it, footer I/O is proportional to ADMITTED files. Honest
+    * scale note, measured not hand-waved: per-BUCKET min/max under pure
+    * hash bucketing is provably non-selective on uncorrelated columns
+    * (every bucket is a uniform sample), so the sidecar records
+    * per-FILE bounds — a cluster-sorted rewrite under
+    * `maxRecordsPerFile` emits range-DISJOINT files within each bucket,
+    * which is what this entry builds (Dsv2Spec adds the
+    * bucket-correlated case where whole buckets refute, plus the
+    * poisoned-file proof that refuted files see zero I/O). Certificates
+    * on the hash channel: `zm_hash_match` (pruned connector result ==
+    * native snapshot), `zm_file_prune` (the band probe plans ≤ half the
+    * files), `zm_bucket_prune` (a below-domain probe refutes EVERY
+    * bucket at planning — 0 partitions). */
+  def txZonemapRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s55").toString
+    val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      val base = graft.core.Tables.lineitem(spark, sfDir).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_returnflag").as("flag"))
+      val nRows = base.count()
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+        numBuckets = 8, zoneMapCols = Seq("price_cents"))
+      // Sorted rewrite split into ~6 range-disjoint files per bucket:
+      // the layout a 100 TB table maintains continuously via
+      // cluster-on-write + size-targeted compaction.
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
+      t.compact(0, Seq("price_cents"))
+
+      def conn = spark.read.format("graft").load(dir)
+      // Filters arrive as TOP-LEVEL conjuncts (Spark splits And before
+      // pushdown), so the helper passes them the same way.
+      def plannedFiles(preds: Array[org.apache.spark.sql.sources.Filter]): (Int, Int) = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+        val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (preds.nonEmpty) sb
+          .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(preds)
+        val parts = sb.build().toBatch.planInputPartitions()
+        (parts.length,
+          parts.collect { case p: graft.sources.GraftInputPartition => p.files.length }.sum)
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual, LessThan}
+      val lo = 2000000L; val hi = 2100000L
+      val (_, allFiles) = plannedFiles(Array.empty)
+      val (_, bandFiles) = plannedFiles(Array(
+        GreaterThanOrEqual("price_cents", lo), LessThanOrEqual("price_cents", hi)))
+      val globalMin = base.agg(min("price_cents")).head.getLong(0)
+      val (noneParts, _) = plannedFiles(Array(LessThan("price_cents", globalMin)))
+      val filePrune = bandFiles * 2 <= allFiles && bandFiles >= 1
+      val bucketPrune = noneParts == 0
+
+      val pred = col("price_cents").between(lo, hi)
+      val hashMatch = conn.filter(pred)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+
+      conn.filter(pred)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("zm_hash_match", lit(hashMatch))
+        .withColumn("zm_file_prune", lit(filePrune))
+        .withColumn("zm_bucket_prune", lit(bucketPrune))
+        .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      maxRecBefore match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
+  /** N-way Z-order demo (s57_zorder_nway) — closing s51's 2-column limit:
+    * `compactZOrder(a, b, c)` interleaves THREE dimensions round-robin
+    * (bit j of column i at position j·n + i, cells of min(16, 63/n)
+    * bits over each column's min-max span — one stats pass, no extra
+    * shuffle, the Z-value never written), so ONE layout serves range
+    * predicates on ALL THREE columns, where a 1-D sort serves one and a
+    * 2-D Morton two. The inherent trade: per-dimension resolution falls
+    * as dimensions join (the same reason Delta caps ZORDER BY columns),
+    * so the per-dimension shrink here is g^(1/3)-ish against g row
+    * groups rather than s49's g — still ≥2× on every dimension, which
+    * is the certificate. Certificates on the hash channel:
+    * `snapshot_unchanged` (clustering is layout only) and
+    * `skip_all3_effective` — the same three range scans' measured
+    * numOutputRows EACH shrink ≥2× across the one rewrite (scan-level;
+    * only footer skipping can shrink it). Row-group size is row-count-
+    * adaptive like s51: three dimensions need more groups than two for
+    * the same per-dimension granularity. */
+  def txZorderNway(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s57").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    val base = graft.core.Tables.lineitem(spark, sfDir).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+      col("l_partkey").as("part"),
+      col("l_suppkey").as("sup"),
+      col("l_returnflag").as("flag"))
+    val nRows = base.count()
+    val block =
+      if (nRows < 10000) 4 * 1024
+      else if (nRows < 100000) 16 * 1024
+      else 192 * 1024
+    hconf.setInt("parquet.block.size", block)
+    hconf.setInt("parquet.page.size", block / 4)
+    try {
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      // All three bounds SF-relative, each admitting a narrow slice.
+      val Array(b0) = base.agg(max("part"), max("sup"),
+        count(lit(1)), sum("price_cents")).collect()
+      val predX = col("price_cents").between(2000000L, 2060000L)
+      val predY = col("part") <= b0.getLong(0) / 30
+      val predZ = col("sup") <= b0.getLong(1) / 30
+      def emitted(pred: org.apache.spark.sql.Column): Long = {
+        val q = conn.filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val (ux, uy, uz) = (emitted(predX), emitted(predY), emitted(predZ))
+      t.compactZOrder(Seq("price_cents", "part", "sup"))
+      val (zx, zy, zz) = (emitted(predX), emitted(predY), emitted(predZ))
+      val Array(b1) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val unchanged = b0.getLong(2) == b1.getLong(0) && b0.getLong(3) == b1.getLong(1)
+      val effective = zx * 2 <= ux && zy * 2 <= uy && zz * 2 <= uz
+
+      conn.filter(predX)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("snapshot_unchanged", lit(unchanged))
+        .withColumn("skip_all3_effective", lit(effective))
+        .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
   /** Service-shape concurrency certificate (s48_concurrent_stability) —
     * the reference is an interactive web app (Flask, app.py:449): a query
     * service multiplexes many requests over one session, so "same query,

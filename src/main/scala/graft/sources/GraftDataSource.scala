@@ -209,11 +209,13 @@ private[graft] object GraftDataSource {
     StructField("_commit_version", LongType, nullable = false),
     StructField("_change_type", StringType, nullable = false)))
 
+  /** All parquet files under a bucket dir, ANY depth — commits written
+    * under a declared partition transform nest them in `_p=` dirs. */
   def parquetFiles(bucketDir: String): Seq[String] = {
     val p = java.nio.file.Paths.get(bucketDir)
     if (!java.nio.file.Files.isDirectory(p)) Nil
     else {
-      val s = java.nio.file.Files.list(p)
+      val s = java.nio.file.Files.walk(p)
       try s.iterator().asScala.map(_.toString)
         .filter(_.endsWith(".parquet")).toList.sorted
       finally s.close()
@@ -511,6 +513,10 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
     }
     if (t.clusterColumns.nonEmpty)
       m.put("cluster-columns", t.clusterColumns.mkString(","))
+    if (t.zoneMapColumns.nonEmpty)
+      m.put("zonemap-columns", t.zoneMapColumns.mkString(","))
+    t.partitionSpec.foreach { case (tf, c) =>
+      m.put("partition-spec", s"$tf($c)") }
     m
   }
 
@@ -917,8 +923,213 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       val buckets = sets.reduce(_ intersect _)
       layout.filter { case (b, _) => buckets.contains(b) }
     }
-    bloomPrune(t, keyed)
+    val bloomed = bloomPrune(t, keyed)
+    // Zone-map bucket refutation: a bucket EVERY file of which the range
+    // sidecar refutes drops from the plan (file-level pruning inside
+    // surviving buckets happens at partition build). Only consulted when
+    // a zone-eligible predicate was pushed — otherwise no listing work.
+    if (zoneConds.isEmpty || changeFeed) bloomed
+    else bloomed.filter { case (_, (dataDir, _)) => zoneFiles(dataDir).nonEmpty }
   }
+
+  /** Simple pushed conditions usable for zone-map refutation: (column,
+    * op, value) over numeric/date/timestamp NON-key columns (key
+    * equality already prunes exactly via the hash). Null literals never
+    * compile (a comparison with NULL matches nothing and Spark folds it
+    * first); an In keeps its non-null values. */
+  private lazy val zoneConds: Seq[(String, String, Any)] =
+    dataFilters.toSeq.flatMap {
+      case org.apache.spark.sql.sources.GreaterThan(a, v)
+        if zoneEligible(a, v) => Seq((a, ">", v))
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
+        if zoneEligible(a, v) => Seq((a, ">=", v))
+      case org.apache.spark.sql.sources.LessThan(a, v)
+        if zoneEligible(a, v) => Seq((a, "<", v))
+      case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
+        if zoneEligible(a, v) => Seq((a, "<=", v))
+      case EqualTo(a, v) if zoneEligible(a, v) => Seq((a, "=", v))
+      case org.apache.spark.sql.sources.In(a, vs)
+        if vs != null && vs.exists(_ != null) &&
+          zoneEligible(a, vs.find(_ != null).get) =>
+        Seq((a, "in", vs.toSeq.filter(_ != null)))
+      case _ => Nil
+    }
+
+  private def zoneEligible(a: String, v: Any): Boolean =
+    v != null && tableSchema.fieldNames.contains(a) &&
+      (tableSchema(a).dataType match {
+        case IntegerType | LongType | DoubleType | DateType | TimestampType => true
+        case _ => false
+      })
+
+  /** Parsed `_zonemap.txt` per bucket dir: file name → column →
+    * (write-time type, min, max) with "null null" for all-null. None =
+    * no usable sidecar (absent, foreign header, parse failure) — never
+    * a refutation. Cached for the scan's lifetime like the bloom tier. */
+  private val zoneCache = scala.collection.mutable.Map
+    .empty[String, Option[Map[String, Map[String, (String, String, String)]]]]
+
+  private def zoneSidecar(bucketDir: String)
+      : Option[Map[String, Map[String, (String, String, String)]]] =
+    zoneCache.getOrElseUpdate(bucketDir, {
+      val p = java.nio.file.Paths.get(bucketDir, "_zonemap.txt")
+      if (!java.nio.file.Files.exists(p)) None
+      else try {
+        val lines = java.nio.file.Files.readAllLines(p).asScala.toList
+        if (lines.headOption.getOrElse("") != graft.core.TxTable.ZoneMapHeader) None
+        else Some(lines.tail.filter(_.nonEmpty).map { l =>
+          val a = l.split('\t')
+          (a(0), a(1), (a(2), a(3), a(4)))
+        }.groupBy(_._1).view
+          .mapValues(_.map(x => x._2 -> x._3).toMap).toMap)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+
+  private lazy val zoneAliases: Map[String, Seq[String]] =
+    graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+      .aliasesAt(pinnedVersion)
+
+  /** Does a file's recorded (type, min, max) ADMIT the condition? True on
+    * any surprise (type mismatch from widening, parse failure, NaN probe)
+    * — the advisory-tier contract: read the file, never mis-refute. */
+  private def zoneAdmits(rec: (String, String, String), c: String,
+                         op: String, v: Any): Boolean = {
+    val (typ, loS, hiS) = rec
+    val dt = tableSchema(c).dataType
+    if (typ != dt.catalogString) return true // widened column: refuse index
+    scala.util.Try {
+      if (loS == "null") false // all-null file: no comparison matches
+      else {
+        val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+        def one(value: Any): Boolean = conv(value) match {
+          case d: java.lang.Double =>
+            val p = if (d.doubleValue() == 0.0) 0.0 else d.doubleValue()
+            if (p.isNaN) true // Spark orders NaN above all — stats can't refute
+            else {
+              val lo = loS.toDouble; val hi = hiS.toDouble
+              op match {
+                case ">" => hi > p
+                case ">=" => hi >= p
+                case "<" => lo < p
+                case "<=" => lo <= p
+                case "=" => lo <= p && p <= hi
+              }
+            }
+          case n: java.lang.Number =>
+            val p = n.longValue()
+            val lo = loS.toLong; val hi = hiS.toLong
+            op match {
+              case ">" => hi > p
+              case ">=" => hi >= p
+              case "<" => lo < p
+              case "<=" => lo <= p
+              case "=" => lo <= p && p <= hi
+            }
+          case _ => true
+        }
+        if (op == "in") v.asInstanceOf[Seq[Any]].exists(x => one(x))
+        else one(v)
+      }
+    }.getOrElse(true)
+  }
+
+  /** The partition transform a commit's files were written under — the
+    * `_pspec.txt` beside its bucket dirs; evolution is per-commit, so
+    * each commit prunes by exactly its own transform. */
+  private val pspecCache =
+    scala.collection.mutable.Map.empty[String, Option[(String, String)]]
+
+  private def commitPspec(dataDir: String): Option[(String, String)] =
+    pspecCache.getOrElseUpdate(dataDir, {
+      val p = java.nio.file.Paths.get(dataDir).getParent.resolve("_pspec.txt")
+      if (p == null || !java.nio.file.Files.exists(p)) None
+      else scala.util.Try(java.nio.file.Files.readString(p).trim).toOption
+        .collect { case graft.core.TxTable.SpecRe(tf, c) => (tf, c) }
+    })
+
+  /** HIDDEN-partition admission: does the file's `_p=` path segment admit
+    * condition (cc, op, v)? The `days` transform covers the value
+    * interval [day, day] (DATE, Catalyst days) or
+    * [day·86.4e9, (day+1)·86.4e9) (TIMESTAMP, Catalyst micros), so the
+    * same interval logic as the zone tier applies — conditions filter on
+    * the SOURCE column, never on `_p`. True on any surprise. */
+  private def partitionAdmits(day: Long, specCol: String,
+                              cc: String, op: String, v: Any): Boolean = {
+    if (!(cc == specCol || zoneAliases.getOrElse(cc, Nil).contains(specCol)))
+      return true // condition is on a different column
+    scala.util.Try {
+      val dt = tableSchema(cc).dataType
+      val (lo, hi) = dt match {
+        case DateType => (day, day)
+        case TimestampType => (day * 86400000000L, day * 86400000000L + 86399999999L)
+        case _ => return true
+      }
+      val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+      def one(value: Any): Boolean = conv(value) match {
+        case n: java.lang.Number =>
+          val p = n.longValue()
+          op match {
+            case ">" => hi > p
+            case ">=" => hi >= p
+            case "<" => lo < p
+            case "<=" => lo <= p
+            case "=" => lo <= p && p <= hi
+          }
+        case _ => true
+      }
+      if (op == "in") v.asInstanceOf[Seq[Any]].exists(one) else one(v)
+    }.getOrElse(true)
+  }
+
+  private def partitionDayOf(dataDir: String, f: String): Option[Long] = {
+    val rel = java.nio.file.Paths.get(dataDir)
+      .relativize(java.nio.file.Paths.get(f))
+    (0 until rel.getNameCount).iterator.map(rel.getName(_).toString)
+      .find(_.startsWith("_p="))
+      .flatMap(s => scala.util.Try(s.stripPrefix("_p=").toLong).toOption)
+  }
+
+  /** Files of `dataDir` surviving zone-map AND hidden-partition
+    * refutation under this scan's pushed filters — cached so
+    * chosenLayout, planInputPartitions and estimateStatistics see ONE
+    * consistent answer. A file with no line for a probed column
+    * (pre-sidecar commit, undeclared or refused column) and a file with
+    * no `_p=` segment (flat-era commit) always survive their tier. */
+  private val zoneFileCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  private def zoneFiles(dataDir: String): Seq[String] =
+    zoneFileCache.getOrElseUpdate(dataDir, {
+      val files = GraftDataSource.parquetFiles(dataDir)
+      if (zoneConds.isEmpty || changeFeed) files
+      else {
+        val byFile = zoneSidecar(dataDir)
+        val pspec = commitPspec(dataDir)
+        files.filter { f =>
+          // Bucket-RELATIVE key: partitioned commits repeat part-file
+          // base names across _p dirs.
+          val name = java.nio.file.Paths.get(dataDir)
+            .relativize(java.nio.file.Paths.get(f)).toString
+          val zoneOk = byFile.flatMap(_.get(name)) match {
+            case None => true
+            case Some(cols) => zoneConds.forall { case (c, op, v) =>
+              val names = c +: zoneAliases.getOrElse(c, Nil)
+              names.iterator.flatMap(cols.get).nextOption() match {
+                case Some(rec) => zoneAdmits(rec, c, op, v)
+                case None => true
+              }
+            }
+          }
+          zoneOk && (pspec match {
+            case Some(("days", pc)) => partitionDayOf(dataDir, f) match {
+              case Some(day) => zoneConds.forall { case (cc, op, v) =>
+                partitionAdmits(day, pc, cc, op, v) }
+              case None => true
+            }
+            case _ => true
+          })
+        }
+      }
+    })
 
   /** One parsed BUCKET-tier bloom sidecar per (bucket dir × column) for
     * this scan's lifetime — chosenLayout runs for both outputPartitioning
@@ -1072,7 +1283,12 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         scala.util.Try(java.nio.file.Files.readString(sidecar).trim.toLong).toOption
       else None
     }
-    val exactRows = if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
+    // Exactness also requires that zone-map pruning dropped no files
+    // inside the chosen buckets — the bucket sidecar counts whole
+    // buckets, and a pruned scan emits fewer. No zone-eligible predicate
+    // pushed (the common case) keeps the exact path untouched.
+    val exactRows = if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined) &&
+        zoneConds.isEmpty)
       Some(rowCounts.flatten.sum) else None
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1164,7 +1380,11 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
           keyConverters(i)(r.get(i))))
 
     val parts = chosen.toSeq.sortBy(_._1).map { case (b, (dataDir, dvDirs)) =>
-      val files = parquetFiles(dataDir)
+      // Zone-map FILE pruning: refuted files never reach the footer
+      // probe below — the planning-tier range-skipping tier (whole
+      // buckets were already dropped in chosenLayout when every file
+      // refuted).
+      val files = zoneFiles(dataDir)
       val resolved = GraftDataSource.parMap(files)(f =>
         resolveFile(f, fetch, aliases, conf))
       GraftInputPartition(b, files.toArray,

@@ -580,9 +580,13 @@ object StreamingOps {
         val dn = TxTable.open(spark, downstream, Seq(keyCol))
         val ups = tops.filter(col("top.__graft_del") === 0)
           .select(col(keyCol) +: valCols.map(c => col(s"top.$c").as(c)): _*)
-        if (!ups.isEmpty) dn.merge(ups)
         val dels = tops.filter(col("top.__graft_del") === 1).select(keyCol)
-        if (!dels.isEmpty) dn.deleteMergeOnRead(dels)
+        // One ATOMIC commit per micro-batch: upserts and deletes land
+        // together (TxTable.applyChanges), so the downstream never shows
+        // a mid-batch state and each batch costs one bucket pass + one
+        // publish instead of two of each (the merge-then-MoR-delete
+        // shape this hop originally ran).
+        dn.applyChanges(ups, dels)
         batch.select("_commit_version").distinct().collect()
           .foreach(r => applied += r.getLong(0))
         ()

@@ -39,8 +39,10 @@ class CatalogSpec extends AnyFunSuite {
         // (not "token": Spark's SHOW TBLPROPERTIES redacts any property
         // whose value matches its secret regex — (?i)token|secret|…)
         .select(col("name"), col("acctbal"), md5(col("name")).as("digest"))
-      TxTable.create(spark, s"$wh/props", base, Seq("name"), numBuckets = 8,
-        bloomCols = Seq("digest"), clusterCols = Seq("acctbal"))
+      val pt = TxTable.create(spark, s"$wh/props", base, Seq("name"), numBuckets = 8,
+        bloomCols = Seq("digest"), clusterCols = Seq("acctbal"),
+        zoneMapCols = Seq("acctbal"))
+      pt.setPartitioning("days(ingested)") // declared for future commits
       val props = spark.sql(s"SHOW TBLPROPERTIES $cat.props")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(props.get("merge-keys").contains("name"), props.toString)
@@ -49,6 +51,8 @@ class CatalogSpec extends AnyFunSuite {
       assert(props.get("bloom-index-bits")
         .contains(TxTable.DefaultBloomIndexBits.toString), props.toString)
       assert(props.get("cluster-columns").contains("acctbal"), props.toString)
+      assert(props.get("zonemap-columns").contains("acctbal"), props.toString)
+      assert(props.get("partition-spec").contains("days(ingested)"), props.toString)
       assert(props.get("version").contains("0"), props.toString)
     }
   }

@@ -600,6 +600,217 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("zone-map sidecar refutes whole buckets on a correlated column and files see zero I/O") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_zonemap").toString
+    try {
+      import spark.implicits._
+      // v CORRELATES with the storage bucket (the tenant/time-locality
+      // case): bucket b holds exactly v ∈ [b·1000, b·1000+999], so
+      // per-bucket bounds are disjoint and a narrow range probe refutes
+      // every bucket but one AT PLANNING. The correlation is built with
+      // the same hash the write path buckets by.
+      val base = (0 until 4000).map(i => s"k$i").toDF("k")
+        .withColumn("b", pmod(xxhash64(col("k")), lit(8)))
+        .withColumn("v", col("b") * 1000 + pmod(xxhash64(col("k"), lit(7)), lit(1000)))
+        .drop("b")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 8,
+        zoneMapCols = Seq("v"))
+
+      def planned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (filters.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions()
+          .collect { case p: graft.sources.GraftInputPartition => p }
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+      val all = planned(Array.empty)
+      assert(all.length == 8, s"expected 8 buckets, planned ${all.length}")
+      val band = planned(Array(
+        GreaterThanOrEqual("v", 2100L), LessThanOrEqual("v", 2200L)))
+      assert(band.length == 1,
+        s"correlated range probe must refute 7 of 8 buckets at planning, planned ${band.length}")
+
+      // Zero-I/O proof: poison every REFUTED file on disk — the pruned
+      // query must still answer correctly (planning consulted only the
+      // sidecar; refuted files' footers are never opened), while an
+      // UNPRUNED read of the same table fails on the garbage.
+      val surviving = band.flatMap(_.files).toSet
+      val poisoned = all.flatMap(_.files).filterNot(surviving.contains)
+      assert(poisoned.nonEmpty)
+      val backups = poisoned.map { f =>
+        val p = java.nio.file.Paths.get(f)
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON-not-a-parquet-file".getBytes("UTF-8"))
+        (p, orig)
+      }
+      try {
+        val expect = base.filter(col("v").between(2100, 2200)).count()
+        val got = spark.read.format("graft").load(dir)
+          .filter(col("v").between(2100, 2200))
+        assert(got.count() == expect && got.collect().forall { r =>
+          val v = r.getAs[Long]("v"); v >= 2100 && v <= 2200 },
+          "zone-pruned read wrong — or it touched a refuted (poisoned) file")
+        // A plain count() would answer from the _rows.txt metadata path
+        // and never touch a data file — use a real column scan.
+        val unpruned = scala.util.Try(
+          spark.read.format("graft").load(dir).select("v").collect()).isFailure
+        assert(unpruned, "poison had no teeth — unpruned read should fail")
+      } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
+      assert(spark.read.format("graft").load(dir).select("v").collect().length == 4000)
+
+      // Type-guard: a sidecar recording a FOREIGN type for the column
+      // must be refused (no pruning), never trusted.
+      import scala.jdk.CollectionConverters._
+      val sidecars = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.filter(_.getFileName.toString == "_zonemap.txt").toList
+      assert(sidecars.nonEmpty)
+      sidecars.foreach { p =>
+        java.nio.file.Files.writeString(p,
+          java.nio.file.Files.readString(p).replace("\tbigint\t", "\tint\t"))
+      }
+      val guarded = planned(Array(
+        GreaterThanOrEqual("v", 2100L), LessThanOrEqual("v", 2200L)))
+      assert(guarded.length == 8,
+        "type-mismatched zone map must be refused, not trusted")
+    } finally TxTable.drop(dir)
+  }
+
+  test("hidden date partitioning: path-derived pruning, zero I/O on refuted days, eras coexist") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_datepart").toString
+    try {
+      import spark.implicits._
+      val day0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      // 20 days × 100 rows, keyed by id, partitioned days(ts) from birth.
+      val base = (0 until 2000).map { i =>
+        (s"k$i", java.sql.Timestamp.from(day0.plusSeconds((i % 20) * 86400L + i)), i.toLong)
+      }.toDF("id", "ts", "v")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("id"), numBuckets = 4)
+      t.setPartitioning("days(ts)")
+      t.merge(base)
+
+      def planned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (filters.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions()
+          .collect { case p: graft.sources.GraftInputPartition => p }
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val allFiles = planned(Array.empty).flatMap(_.files)
+      val lo = java.time.Instant.parse("2024-03-05T00:00:00Z")
+      val hi = java.time.Instant.parse("2024-03-07T00:00:00Z")
+      val band = planned(Array(GreaterThanOrEqual("ts", lo), LessThan("ts", hi)))
+      val bandFiles = band.flatMap(_.files)
+      // 2 of 20 days: planned files must shrink to ~1/10th.
+      assert(bandFiles.nonEmpty && bandFiles.length * 5 <= allFiles.length,
+        s"day-range probe planned ${bandFiles.length} of ${allFiles.length} files")
+
+      // Poison the refuted files: the pruned band query answers right
+      // (their paths were never opened), an unpruned scan fails.
+      val surviving = bandFiles.toSet
+      val poisoned = allFiles.filterNot(surviving.contains)
+      val backups = poisoned.map { f =>
+        val p = java.nio.file.Paths.get(f)
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON".getBytes("UTF-8"))
+        (p, orig)
+      }
+      try {
+        val pred = col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+          col("ts") < lit(java.sql.Timestamp.from(hi))
+        val expect = base.filter(pred).count()
+        assert(expect > 0)
+        assert(spark.read.format("graft").load(dir).filter(pred).count() == expect,
+          "day-pruned read wrong — or it touched a refuted (poisoned) file")
+        assert(scala.util.Try(spark.read.format("graft").load(dir)
+          .select("v").collect()).isFailure, "poison had no teeth")
+      } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
+
+      // Native read path (leaf-dir expansion) agrees with the connector,
+      // and the pre-partitioning v0 era remains time-travelable.
+      assert(t.snapshot().count() == 2000)
+      assert(asSet(spark.read.format("graft").load(dir)) == asSet(t.snapshot()))
+      assert(t.snapshotAt(0).count() == 0)
+
+      // EVOLUTION: clear the spec — the next merge writes flat; both
+      // eras stay readable side by side and day pruning still applies
+      // to the day-era commits (per-commit _pspec).
+      t.setPartitioning("")
+      t.merge(Seq(("kNEW", java.sql.Timestamp.from(day0), 99999L)).toDF("id", "ts", "v"))
+      assert(t.snapshot().count() == 2001)
+      assert(spark.read.format("graft").load(dir).filter(col("v") === 99999L)
+        .count() == 1)
+      val bandAfter = planned(Array(GreaterThanOrEqual("ts", lo), LessThan("ts", hi)))
+        .flatMap(_.files)
+      assert(bandAfter.length < planned(Array.empty).flatMap(_.files).length,
+        "day-era commits must keep pruning after evolution to flat")
+    } finally TxTable.drop(dir)
+  }
+
+  test("widened columns skip SAFELY: every tier refuses, no row lost, compact restores skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_widen").toString
+    try {
+      import spark.implicits._
+      val base = (0 until 2000).map(i => (s"k$i", i)).toDF("k", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 8,
+        bloomCols = Seq("v"), zoneMapCols = Seq("v"))
+      t.widenColumn("v", "BIGINT")
+
+      def planned(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (filters.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions().length
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+      // Both planning tiers must REFUSE the widened column (its sidecars
+      // record the int32 write-time type; the probe value is a long) —
+      // conservative no-skip, planned = all 8 buckets, and no row lost.
+      assert(planned(Array(EqualTo("v", 7L))) == 8,
+        "bucket bloom must refuse a widened column, not mis-refute")
+      assert(planned(Array(GreaterThanOrEqual("v", 7L),
+        LessThanOrEqual("v", 9L))) == 8,
+        "zone map must refuse a widened column, not mis-refute")
+      val got = spark.read.format("graft").load(dir)
+        .filter(col("v") === 7L).collect()
+      assert(got.length == 1 && got.head.getAs[Long]("v") == 7L,
+        "widened-column lookup lost the row")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("v").between(100L, 110L)).count() == 11,
+        "widened-column range scan wrong")
+
+      // A compact() rewrites everything under the wide type: the sidecar
+      // guards now MATCH and both tiers prune again.
+      t.compact()
+      assert(planned(Array(EqualTo("v", 7L))) < 8,
+        "post-compact bloom should prune the rewritten (bigint) layout")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("v") === 7L).count() == 1)
+    } finally TxTable.drop(dir)
+  }
+
   test("sorted compaction makes row-group skipping effective for range predicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_sortcompact").toString
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -181,6 +181,37 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable applyChanges: one atomic version per batch, upsert-wins, model-faithful") {
+    import spark.implicits._
+    val batchGen: Gen[(Seq[(String, Long)], Seq[String])] = for {
+      nu <- Gen.chooseNum(0, 6)
+      nd <- Gen.chooseNum(0, 4)
+      upKeys <- Gen.listOfN(nu, Gen.choose(0, 24).map(i => f"K$i%02d"))
+      upVals <- Gen.listOfN(nu, Gen.chooseNum(0L, 999L))
+      delKeys <- Gen.listOfN(nd, Gen.choose(0, 24).map(i => f"K$i%02d"))
+    } yield (upKeys.zip(upVals), delKeys)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_applyc").toString
+    try {
+      var model = (0 until 10).map(i => f"K$i%02d" -> i.toLong).toMap
+      val t = graft.core.TxTable.create(spark, dir,
+        model.toSeq.toDF("k", "v"), Seq("k"), numBuckets = 8)
+      samples(batchGen, 8).foreach { case (ups0, dels) =>
+        val ups = ups0.toMap.toSeq // key-unique, model well-defined
+        val before = t.version
+        // Model: deletes apply, then upserts — a key in BOTH inputs
+        // resolves as upsert-wins (the CDC fold contract).
+        model --= dels
+        model ++= ups
+        val v = t.applyChanges(ups.toDF("k", "v"), dels.distinct.toDF("k"))
+        assert(v == before + 1,
+          s"applyChanges must publish exactly ONE version (got $before -> $v)")
+        assert(t.opAt(v) == "apply-changes")
+        val snap = t.snapshot().as[(String, Long)].collect().toMap
+        assert(snap == model, s"after v$v: $snap != $model")
+      }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable mergeClauses: delete precedes update, conditions gate each clause") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_clauses").toString
