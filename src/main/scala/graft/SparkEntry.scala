@@ -593,7 +593,9 @@ object SparkEntry {
          |merged AS (
          |  SELECT name, house, acctbal FROM u2
          |  UNION ALL
-         |  SELECT name, house, acctbal FROM n WHERE name NOT IN (SELECT name FROM upd)),
+         |  SELECT name, house, acctbal FROM n
+         |  WHERE name <= 'Customer#000000199'
+         |    AND name NOT IN (SELECT name FROM upd)),
          |probe AS (
          |  SELECT DISTINCT CASE WHEN user_id % 3 = 0
          |    THEN 'Customer#' || lpad(CAST(user_id AS VARCHAR), 9, '0')

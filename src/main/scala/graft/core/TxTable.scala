@@ -684,24 +684,35 @@ final class TxTable private (spark: SparkSession, dir: String,
     val cdir = dataDir.resolve(commit)
     val conf = new org.apache.hadoop.conf.Configuration()
     val zcols = zoneMapColumns.filter(_.nonEmpty)
-    bucketsIn(commit).foreach { b =>
+    // One footer open per freshly-written file. A merge's task-parallel
+    // write leaves MANY small files per touched bucket (each shuffle
+    // task writes its slice — deliberately: forcing one-file-per-bucket
+    // here would add a shuffle to every write, which compactPartial
+    // exists to avoid), and a SERIAL driver loop at ~10 ms per open was
+    // the single largest term of a small merge's wall time (measured
+    // 2.2 s of a 4 s commit at sf0.1). The opens are independent
+    // metadata reads — fan them out like the connector's planning pass.
+    val files = bucketsIn(commit).flatMap { b =>
       val bdir = cdir.resolve(s"_b=$b")
-      val zoneLines = Seq.newBuilder[String]
-      val n = parquetFilesUnder(bdir).map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString), conf))
-        try {
-          if (zcols.nonEmpty)
-            // Keyed by bucket-RELATIVE path: partitioned commits repeat
-            // the same part-file base name in every _p dir.
-            zoneLines ++= TxTable.zoneMapLines(
-              bdir.relativize(f).toString, r.getFooter, zcols)
-          r.getRecordCount
-        } finally r.close()
-      }.sum
-      Files.writeString(bdir.resolve("_rows.txt"), n.toString)
-      val zl = zoneLines.result()
+      parquetFilesUnder(bdir).map(f => (b, bdir, f))
+    }
+    val stats = TxTable.parMap(files) { case (b, bdir, f) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        // Keyed by bucket-RELATIVE path: partitioned commits repeat the
+        // same part-file base name in every _p dir.
+        val lines = if (zcols.isEmpty) Nil
+          else TxTable.zoneMapLines(bdir.relativize(f).toString, r.getFooter, zcols)
+        (b, bdir, r.getRecordCount, lines)
+      } finally r.close()
+    }
+    stats.groupBy(_._1).foreach { case (_, perBucket) =>
+      val bdir = perBucket.head._2
+      Files.writeString(bdir.resolve("_rows.txt"),
+        perBucket.map(_._3).sum.toString)
+      val zl = perBucket.flatMap(_._4)
       if (zl.nonEmpty)
         Files.writeString(bdir.resolve("_zonemap.txt"),
           (TxTable.ZoneMapHeader +: zl).mkString("\n"))
@@ -1953,6 +1964,15 @@ object TxTable {
 
   /** Partition-spec grammar: `days(col)`. */
   private[graft] val SpecRe = "(days)\\(([A-Za-z0-9_]+)\\)".r
+
+  /** Driver-side metadata fan-out (the connector's parMap, shared shape):
+    * independent footer opens cost ~10 ms each serially. */
+  private[graft] def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.traverse(items)(a => Future(f(a))), Duration.Inf)
+  }
 
   /** Per-(file × declared column) zone-map lines from an ALREADY-open
     * footer: `file<TAB>col<TAB>type<TAB>min<TAB>max`, with `null null`

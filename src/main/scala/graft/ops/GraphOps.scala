@@ -802,7 +802,9 @@ object GraphOps {
           upSnap.collect().map(_.mkString("|")).sorted.toSeq
 
       // Pass 1: create + a merge land, the hop consumes them, then stops.
-      u.merge(u.snapshot().filter(col("name").endsWith("7"))
+      // Updates derive from `base` (== snapshot v0 for these keys): same
+      // rows as a snapshot read, without re-reading the table per pass.
+      u.merge(base.filter(col("name").endsWith("7"))
         .withColumn("house", lit("PROMOTED"))
         .withColumn("acctbal", col("acctbal") + 1000))
       val applied1 = graft.streaming.StreamingOps.medallionHop(spark, up, dn, ck)
@@ -812,7 +814,9 @@ object GraphOps {
       // the same checkpoint and must apply ONLY the new versions.
       u.deleteMergeOnRead(spark.createDataFrame(
         Seq(Tuple1("Customer#000000013"))).toDF("name"))
-      u.merge(u.snapshot().filter(col("name").endsWith("4"))
+      // ('4'-keys were untouched by pass 1 and the '13' delete, so the
+      // base-derived rows equal the snapshot-derived ones.)
+      u.merge(base.filter(col("name").endsWith("4"))
         .withColumn("house", lit("RESETTLED"))
         .withColumn("acctbal", col("acctbal") + 500))
       val applied2 = graft.streaming.StreamingOps.medallionHop(spark, up, dn, ck)
