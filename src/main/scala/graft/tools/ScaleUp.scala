@@ -59,6 +59,10 @@ object ScaleUp {
     blow("documents", "doc_id", (df, i) =>
       df.withColumn("text",
         translate(col("text"), Lower + Upper, rot(Lower, i) + rot(Upper, i))))
+    // events: ids shifted, timestamps kept — the day span stays 30 days at
+    // 10x the density, which is what a growing fact table actually does
+    // (the partition count is time's, not the data's).
+    blow("events", "event_id", (df, _) => df)
     spark.stop()
   }
 }

@@ -74,4 +74,31 @@ class ScalingSpec extends AnyFunSuite {
     val missing = ScalingCurve.DefaultEntries.filterNot(n => text.contains("\"" + n + "\""))
     assert(missing.isEmpty, s"scaling record lost entries: $missing")
   }
+
+  test("the committed skipping-ladder record: planning stays metadata-flat over three decades") {
+    // tools.SkipScale isolates the PROBE phases of the storage skipping
+    // tiers (bucket blooms, zone maps, hidden day partitioning) from the
+    // honest-linear table build, across sf0.01 → sf0.1 → synthetic sf1.
+    // The claim under pin: scan PLANNING is metadata work — O(buckets +
+    // admitted files) — so a 10× data step must not move it by more than
+    // the sublinear band, and the pruned end-to-end probes grow with
+    // admitted bytes, never table bytes. A planning exponent near 1
+    // means a tier silently stopped refuting (the harness itself caught
+    // exactly that once: an undersized, saturated bucket bloom admits
+    // every bucket — hence the cardinality-sizing contract).
+    val p = java.nio.file.Paths.get("/root/repo/skipscale_out.json")
+    assume(java.nio.file.Files.exists(p), "no skipscale_out.json committed yet")
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val probes = Seq("plan_bloom_point", "plan_zone_range", "plan_day_range",
+      "e2e_bloom_point", "e2e_zone_range")
+    val recorded = """"([a-z0-9_]+)": \{"times": \[[^\]]+\], "exponent": (-?[0-9.Ee]+)\}""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val missing = probes.filterNot(recorded.contains)
+    assert(missing.isEmpty, s"skipping-ladder record lost probes: $missing")
+    recorded.foreach { case (probe, e) =>
+      assert(e <= 0.75,
+        s"skipping-ladder probe '$probe' grew superlinearly for metadata " +
+          s"work (exponent $e > 0.75) — a pruning tier stopped refuting")
+    }
+  }
 }
