@@ -1264,8 +1264,13 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val t = graft.core.TxTable.open(spark, dir, keyCols)
     val chosen = chosenLayout(t, t.layoutAt(pinnedVersion))
     var bytes = 0L
+    // zoneFiles = the files the scan will actually read (zone-map and
+    // hidden-partition refutation applied), so a range-pruned scan
+    // reports its admitted bytes and can become broadcast-joinable —
+    // with no zone-eligible predicate it degenerates to the full
+    // listing, unchanged.
     chosen.values.foreach { case (dataDir, _) =>
-      GraftDataSource.parquetFiles(dataDir).foreach { f =>
+      zoneFiles(dataDir).foreach { f =>
         bytes += java.nio.file.Files.size(java.nio.file.Paths.get(f))
       }
     }

@@ -666,6 +666,29 @@ class Dsv2Spec extends AnyFunSuite {
       } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
       assert(spark.read.format("graft").load(dir).select("v").collect().length == 4000)
 
+      // The optimizer-facing size statistic follows the prune: a
+      // band-probed scan reports its ADMITTED bytes (broadcastable),
+      // not the table's.
+      def statBytes(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (filters.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(filters)
+        sb.build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+          .estimateStatistics().sizeInBytes().getAsLong
+      }
+      val fullBytes = statBytes(Array.empty)
+      val bandBytes = statBytes(Array(
+        GreaterThanOrEqual("v", 2100L), LessThanOrEqual("v", 2200L)))
+      assert(bandBytes * 2 <= fullBytes,
+        s"pruned scan must report admitted bytes: $bandBytes vs $fullBytes")
+
       // Type-guard: a sidecar recording a FOREIGN type for the column
       // must be refused (no pruning), never trusted.
       import scala.jdk.CollectionConverters._

@@ -212,6 +212,34 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable widenColumn: float->double metadata-only, mixed physical eras read exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_widenf").toString
+    try {
+      // Values chosen exactly representable in FLOAT (powers of two plus
+      // small integers), so the float->double promotion is value-exact
+      // and the assertion below can compare doubles with ==.
+      val base = (0 until 64).map(i => (s"k$i", (i * 0.25).toFloat)).toDF("k", "w")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 4)
+      val prePointers = t.dataPointers(t.version)
+      t.widenColumn("w", "DOUBLE")
+      assert(t.dataPointers(t.version) == prePointers, "widen must rewrite nothing")
+      assert(t.snapshot().schema("w").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      // Post-widen merge stores real doubles a float cannot hold.
+      t.merge(Seq(("k1", 0.1), ("kNEW", 1.0 / 3.0)).toDF("k", "w"))
+      val m = t.snapshot().as[(String, Double)].collect().toMap
+      assert(m("k1") == 0.1 && m("kNEW") == 1.0 / 3.0,
+        "post-widen doubles must round-trip exactly")
+      assert(m("k2") == 0.5 && m("k63") == 15.75,
+        "pre-widen float values must promote exactly")
+      assert(m.size == 65)
+      // Guards: key columns and non-promotions refuse.
+      intercept[IllegalArgumentException] { t.widenColumn("k", "BIGINT") }
+      intercept[IllegalArgumentException] { t.widenColumn("w", "FLOAT") }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable mergeClauses: delete precedes update, conditions gate each clause") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_clauses").toString
