@@ -294,6 +294,26 @@ private[graft] object GraftDataSource {
     (names, codes, proj.toString)
   }
 
+  /** Parse a bucket dir's `_zonemap.txt`: bucket-relative file path →
+    * column → (write-time type, min, max) with "null null" for
+    * all-null. None = no usable sidecar (absent, foreign header, parse
+    * failure) — never a refutation. Shared by the scan's file pruning
+    * and the aggregate pushdown's sidecar tier. */
+  def parseZoneSidecar(bucketDir: String)
+      : Option[Map[String, Map[String, (String, String, String)]]] = {
+    val p = java.nio.file.Paths.get(bucketDir, "_zonemap.txt")
+    if (!java.nio.file.Files.exists(p)) None
+    else try {
+      val lines = java.nio.file.Files.readAllLines(p).asScala.toList
+      if (lines.headOption.getOrElse("") != graft.core.TxTable.ZoneMapHeader) None
+      else Some(lines.tail.filter(_.nonEmpty).map { l =>
+        val a = l.split('\t')
+        (a(0), a(1), (a(2), a(3), a(4)))
+      }.groupBy(_._1).view
+        .mapValues(_.map(x => x._2 -> x._3).toMap).toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The bucket-id METADATA COLUMN (SupportsMetadataColumns): invisible
     * to SELECT *, explicitly selectable like Spark's own `_metadata`
     * family, served as a zero-cost per-partition CONSTANT (each scan
@@ -542,6 +562,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
   private var countStarPushed = false
   private var statsSchema: StructType = null
   private var statsRow: Array[Any] = null
+  private var statsVia: String = ""
   private var limit: Int = Int.MaxValue
 
   /** LIMIT pushes PARTIALLY: each partition's reader stops after emitting
@@ -583,7 +604,8 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
       return true
     }
     computeStats(t, layout, aggregation) match {
-      case Some((schema, row)) => statsSchema = schema; statsRow = row; true
+      case Some((schema, row, via)) =>
+        statsSchema = schema; statsRow = row; statsVia = via; true
       case None => false
     }
   }
@@ -611,7 +633,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
 
   private def computeStats(t: graft.core.TxTable,
                            layout: Map[Long, (String, Seq[String])],
-                           aggregation: Aggregation): Option[(StructType, Array[Any])] = {
+                           aggregation: Aggregation): Option[(StructType, Array[Any], String)] = {
     val specs = classify(aggregation).getOrElse(return None)
     val cols = specs.flatten.map(_._1).distinct.toSeq
     val aliases = t.aliasesAt(pinnedVersion)
@@ -626,8 +648,57 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
       case (x: Double, y: Double) => java.lang.Double.compare(x, y)
       case _ => throw new IllegalStateException("graft stats: mixed extrema types")
     }
-    val files = layout.values.toSeq.sortBy(_._1)
-      .flatMap { case (dataDir, _) => GraftDataSource.parquetFiles(dataDir) }
+    // SIDECAR TIER first: when every bucket carries a parsable _rows.txt
+    // (COUNT) and every file of every bucket carries a _zonemap line of
+    // each probed column's EXACT type, the whole aggregate answers from
+    // O(buckets) tiny sidecar reads — ZERO footer I/O, the same
+    // promotion the _rows.txt sidecars gave COUNT(*) in round 14 (at
+    // 100 TB: a MIN/MAX that read 4096×k footers now reads 4096 small
+    // text files the layout wrote at commit time). Any gap — missing
+    // sidecar, pre-sidecar commit, undeclared or type-mismatched
+    // (widened) column, an unparsable value — falls through to the
+    // footer path below; correctness never rides on the shortcut.
+    var via = "parquet footer statistics"
+    val sidecar: Option[Unit] = scala.util.Try {
+      layout.values.toSeq.sortBy(_._1).foreach { case (dataDir, _) =>
+        val rowsSidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
+        count += java.nio.file.Files.readString(rowsSidecar).trim.toLong
+        if (cols.nonEmpty) {
+          val zone = GraftDataSource.parseZoneSidecar(dataDir)
+            .getOrElse(throw new IllegalStateException("no zonemap"))
+          GraftDataSource.parquetFiles(dataDir).foreach { f =>
+            val rel = java.nio.file.Paths.get(dataDir)
+              .relativize(java.nio.file.Paths.get(f)).toString
+            val byCol = zone.getOrElse(rel,
+              throw new IllegalStateException(s"no zone lines for $rel"))
+            cols.foreach { c =>
+              val names = c +: aliases.getOrElse(c, Nil)
+              val (typ, loS, hiS) = names.iterator.flatMap(byCol.get)
+                .nextOption().getOrElse(
+                  throw new IllegalStateException(s"no zone line for $c"))
+              if (typ != tableSchema(c).dataType.catalogString)
+                throw new IllegalStateException(s"type drift for $c")
+              if (loS != "null") { // all-null files contribute no extrema
+                val (mn: Any, mx: Any) = typ match {
+                  case "int" | "date" => (loS.toInt, hiS.toInt)
+                  case "bigint" | "timestamp" => (loS.toLong, hiS.toLong)
+                  case "double" => (loS.toDouble, hiS.toDouble)
+                  case other =>
+                    throw new IllegalStateException(s"zone type $other")
+                }
+                if (!lo.contains(c) || cmp(mn, lo(c)) < 0) lo(c) = mn
+                if (!hi.contains(c) || cmp(mx, hi(c)) > 0) hi(c) = mx
+              }
+            }
+          }
+        }
+      }
+    }.toOption
+    if (sidecar.isDefined) via = "zone-map/row-count sidecars"
+    else { count = 0L; lo.clear(); hi.clear() }
+    val files = if (sidecar.isDefined) Nil
+      else layout.values.toSeq.sortBy(_._1)
+        .flatMap { case (dataDir, _) => GraftDataSource.parquetFiles(dataDir) }
     // One footer per file, probed in PARALLEL (the parMap note): each
     // yields (rowCount, per-column extrema) or None = refuse the pushdown.
     def fileStats(f: String): Option[(Long, Map[String, Any], Map[String, Any])] = {
@@ -697,7 +768,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
       case None => count
       case Some((c, isMin)) => (if (isMin) lo else hi).getOrElse(c, null)
     }
-    Some((StructType(fields.toSeq), row))
+    Some((StructType(fields.toSeq), row, via))
   }
 
   /** Key predicates prune the bucket listing: an equality covering EVERY
@@ -746,7 +817,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     required = requiredSchema
 
   override def build(): Scan =
-    if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow)
+    if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow, statsVia)
     else if (countStarPushed) new GraftCountScan(dir, keyCols, pinnedVersion)
     else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
       changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion, dataFilters)
@@ -816,13 +887,14 @@ final class GraftCountReader(count: Long) extends PartitionReader[InternalRow] {
   * snapshot (so a refusal is a clean `false`, never a mid-query abort)
   * and shipped as one literal row. Spark's final aggregate folds it —
   * min of one min is the min (partial-pushdown contract). */
-final class GraftStatsScan(dir: String, schema: StructType, row: Array[Any])
+final class GraftStatsScan(dir: String, schema: StructType, row: Array[Any],
+                           via: String = "parquet footer statistics")
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftStatsScan(dir=$dir, PushedAggregation=[${schema.fieldNames.mkString(", ")}] " +
-      "via parquet footer statistics)"
+      s"via $via)"
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftStatsPartition(row))
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
@@ -971,19 +1043,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 
   private def zoneSidecar(bucketDir: String)
       : Option[Map[String, Map[String, (String, String, String)]]] =
-    zoneCache.getOrElseUpdate(bucketDir, {
-      val p = java.nio.file.Paths.get(bucketDir, "_zonemap.txt")
-      if (!java.nio.file.Files.exists(p)) None
-      else try {
-        val lines = java.nio.file.Files.readAllLines(p).asScala.toList
-        if (lines.headOption.getOrElse("") != graft.core.TxTable.ZoneMapHeader) None
-        else Some(lines.tail.filter(_.nonEmpty).map { l =>
-          val a = l.split('\t')
-          (a(0), a(1), (a(2), a(3), a(4)))
-        }.groupBy(_._1).view
-          .mapValues(_.map(x => x._2 -> x._3).toMap).toMap)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    })
+    zoneCache.getOrElseUpdate(bucketDir,
+      GraftDataSource.parseZoneSidecar(bucketDir))
 
   private lazy val zoneAliases: Map[String, Seq[String]] =
     graft.core.TxTable.open(SparkSession.active, dir, keyCols)

@@ -296,6 +296,72 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("min/max answers from zone-map sidecars with ZERO footer or data I/O when declared") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_zmstats").toString
+    try {
+      import spark.implicits._
+      val base = (0 until 3000).map(i => (s"k$i", (i * 7 % 1000).toLong)).toDF("k", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 8,
+        zoneMapCols = Seq("v"))
+      def conn = spark.read.format("graft").load(dir)
+      val q = conn.agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("zone-map/row-count sidecars"),
+        "declared-column min/max should plan the sidecar tier:\n" +
+          q.queryExecution.executedPlan.toString)
+      val r = q.head()
+      assert(r.getLong(0) == 0L && r.getLong(1) == 999L && r.getLong(2) == 3000L)
+
+      // The zero-I/O proof: poison EVERY data file — the sidecar-served
+      // aggregate still answers exactly (nothing but the tiny text
+      // sidecars is read), while a real scan fails on the garbage.
+      import scala.jdk.CollectionConverters._
+      val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      val backups = dataFiles.map { p =>
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON".getBytes("UTF-8")); (p, orig)
+      }
+      try {
+        val r2 = conn.agg(min("v"), max("v"), count(lit(1))).head()
+        assert(r2.getLong(0) == 0L && r2.getLong(1) == 999L && r2.getLong(2) == 3000L,
+          "sidecar-tier aggregate touched a data file")
+        assert(scala.util.Try(conn.select("v").collect()).isFailure,
+          "poison had no teeth")
+      } finally backups.foreach { case (p, o) => java.nio.file.Files.write(p, o) }
+
+      // An UNDECLARED column falls back to footer statistics, exactly.
+      val t2dir = java.nio.file.Files.createTempDirectory("graft_dsv2_zmstats2").toString
+      try {
+        TxTable.create(spark, t2dir, base, Seq("k"), numBuckets = 8)
+        val q2 = spark.read.format("graft").load(t2dir)
+          .agg(min("v"), max("v"))
+        assert(q2.queryExecution.executedPlan.toString
+          .contains("parquet footer statistics"),
+          "undeclared column must take the footer path")
+        val r3 = q2.head()
+        assert(r3.getLong(0) == 0L && r3.getLong(1) == 999L)
+      } finally TxTable.drop(t2dir)
+
+      // A widened declared column refuses the sidecar tier (write-time
+      // type drift) and stays exact through the footer path, which
+      // converts int32 stats to the logical long itself.
+      val t3dir = java.nio.file.Files.createTempDirectory("graft_dsv2_zmstats3").toString
+      try {
+        val ib = (0 until 500).map(i => (s"k$i", i)).toDF("k", "w")
+        val t3 = TxTable.create(spark, t3dir, ib, Seq("k"), numBuckets = 4,
+          zoneMapCols = Seq("w"))
+        t3.widenColumn("w", "BIGINT")
+        val q3 = spark.read.format("graft").load(t3dir).agg(min("w"), max("w"))
+        val plan3 = q3.queryExecution.executedPlan.toString
+        assert(!plan3.contains("zone-map/row-count sidecars"),
+          "widened column must refuse the sidecar stats tier")
+        val r4 = q3.head()
+        assert(r4.getLong(0) == 0L && r4.getLong(1) == 499L)
+      } finally TxTable.drop(t3dir)
+    } finally TxTable.drop(dir)
+  }
+
   test("change feed with skipLayoutOnly drops compaction versions; fold still reconstructs") {
     val (dir, t) = freshTable("graft_dsv2_skiplayout")
     try {
