@@ -1004,28 +1004,39 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     else bloomed.filter { case (_, (dataDir, _)) => zoneFiles(dataDir).nonEmpty }
   }
 
-  /** Simple pushed conditions usable for zone-map refutation: (column,
-    * op, value) over numeric/date/timestamp NON-key columns (key
-    * equality already prunes exactly via the hash). Null literals never
-    * compile (a comparison with NULL matches nothing and Spark folds it
-    * first); an In keeps its non-null values. */
-  private lazy val zoneConds: Seq[(String, String, Any)] =
-    dataFilters.toSeq.flatMap {
-      case org.apache.spark.sql.sources.GreaterThan(a, v)
-        if zoneEligible(a, v) => Seq((a, ">", v))
-      case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
-        if zoneEligible(a, v) => Seq((a, ">=", v))
-      case org.apache.spark.sql.sources.LessThan(a, v)
-        if zoneEligible(a, v) => Seq((a, "<", v))
-      case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
-        if zoneEligible(a, v) => Seq((a, "<=", v))
-      case EqualTo(a, v) if zoneEligible(a, v) => Seq((a, "=", v))
-      case org.apache.spark.sql.sources.In(a, vs)
-        if vs != null && vs.exists(_ != null) &&
-          zoneEligible(a, vs.find(_ != null).get) =>
-        Seq((a, "in", vs.toSeq.filter(_ != null)))
-      case _ => Nil
-    }
+  /** A pushed filter leaf usable for zone/partition refutation —
+    * (column, op, value) over numeric/date/timestamp columns. Null
+    * literals never compile (a comparison with NULL matches nothing and
+    * Spark folds it first); an In keeps its non-null values. */
+  private def zoneLeaf(f: Filter): Option[(String, String, Any)] = f match {
+    case org.apache.spark.sql.sources.GreaterThan(a, v)
+      if zoneEligible(a, v) => Some((a, ">", v))
+    case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
+      if zoneEligible(a, v) => Some((a, ">=", v))
+    case org.apache.spark.sql.sources.LessThan(a, v)
+      if zoneEligible(a, v) => Some((a, "<", v))
+    case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
+      if zoneEligible(a, v) => Some((a, "<=", v))
+    case EqualTo(a, v) if zoneEligible(a, v) => Some((a, "=", v))
+    case org.apache.spark.sql.sources.In(a, vs)
+      if vs != null && vs.exists(_ != null) &&
+        zoneEligible(a, vs.find(_ != null).get) =>
+      Some((a, "in", vs.toSeq.filter(_ != null)))
+    case _ => None
+  }
+
+  /** Does the filter TREE contain any refutation-eligible leaf? (Gates
+    * the listing/sidecar work — a scan with no such leaf skips the
+    * tiers entirely.) Compound nodes recurse; the top-level pushed
+    * array is already a conjunction. */
+  private def hasZoneLeaf(f: Filter): Boolean = f match {
+    case org.apache.spark.sql.sources.And(l, r) => hasZoneLeaf(l) || hasZoneLeaf(r)
+    case org.apache.spark.sql.sources.Or(l, r) => hasZoneLeaf(l) || hasZoneLeaf(r)
+    case leaf => zoneLeaf(leaf).isDefined
+  }
+
+  private lazy val zoneConds: Seq[Filter] =
+    dataFilters.toSeq.filter(hasZoneLeaf)
 
   private def zoneEligible(a: String, v: Any): Boolean =
     v != null && tableSchema.fieldNames.contains(a) &&
@@ -1170,27 +1181,48 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
           // base names across _p dirs.
           val name = java.nio.file.Paths.get(dataDir)
             .relativize(java.nio.file.Paths.get(f)).toString
-          val zoneOk = byFile.flatMap(_.get(name)) match {
-            case None => true
-            case Some(cols) => zoneConds.forall { case (c, op, v) =>
-              val names = c +: zoneAliases.getOrElse(c, Nil)
-              names.iterator.flatMap(cols.get).nextOption() match {
-                case Some(rec) => zoneAdmits(rec, c, op, v)
-                case None => true
-              }
+          val recOf: String => Option[(String, String, String)] = c =>
+            byFile.flatMap(_.get(name)).flatMap { cols =>
+              (c +: zoneAliases.getOrElse(c, Nil)).iterator
+                .flatMap(cols.get).nextOption()
             }
+          val day = pspec match {
+            case Some(("days", _)) => partitionDayOf(dataDir, f)
+            case _ => None
           }
-          zoneOk && (pspec match {
-            case Some(("days", pc)) => partitionDayOf(dataDir, f) match {
-              case Some(day) => zoneConds.forall { case (cc, op, v) =>
-                partitionAdmits(day, pc, cc, op, v) }
-              case None => true
-            }
-            case _ => true
-          })
+          zoneConds.forall(fileAdmits(_, recOf, day, pspec.map(_._2)))
         }
       }
     })
+
+  /** Sound per-file admission over a pushed filter TREE — the
+    * generalization past top-level conjuncts: an `OR` of ranges
+    * (`price < 10 OR price > 1000`) arrives as ONE Or filter, and a
+    * conjunct-only tier would skip it entirely. `And` refutes when
+    * EITHER side refutes; `Or` only when BOTH sides do; any node or
+    * leaf the tiers cannot reason about ADMITS — so a file is refuted
+    * only when the tree provably matches none of its rows given the
+    * recorded zone bounds and the path-derived partition interval
+    * (both leaf evaluators keep their own type/alias/advisory guards). */
+  private def fileAdmits(filter: Filter,
+                         recOf: String => Option[(String, String, String)],
+                         day: Option[Long], specCol: Option[String]): Boolean =
+    filter match {
+      case org.apache.spark.sql.sources.And(l, r) =>
+        fileAdmits(l, recOf, day, specCol) && fileAdmits(r, recOf, day, specCol)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        fileAdmits(l, recOf, day, specCol) || fileAdmits(r, recOf, day, specCol)
+      case leaf => zoneLeaf(leaf) match {
+        case Some((c, op, v)) =>
+          val zOk = recOf(c).forall(rec => zoneAdmits(rec, c, op, v))
+          val pOk = (day, specCol) match {
+            case (Some(d), Some(pc)) => partitionAdmits(d, pc, c, op, v)
+            case _ => true
+          }
+          zOk && pOk
+        case None => true
+      }
+    }
 
   /** One parsed BUCKET-tier bloom sidecar per (bucket dir × column) for
     * this scan's lifetime — chosenLayout runs for both outputPartitioning

@@ -732,6 +732,20 @@ class Dsv2Spec extends AnyFunSuite {
       } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
       assert(spark.read.format("graft").load(dir).select("v").collect().length == 4000)
 
+      // A DISJUNCTION of ranges prunes too (the filter-tree evaluator):
+      // two disjoint narrow bands arrive as ONE Or filter — the plan
+      // must cover BOTH bands' buckets (2 of 8, the union) and must NOT
+      // over-refute (an Or misread as And would plan 0).
+      import org.apache.spark.sql.sources.{And => FAnd, Or => FOr}
+      val orParts = planned(Array(FOr(
+        FAnd(GreaterThanOrEqual("v", 2100L), LessThanOrEqual("v", 2200L)),
+        FAnd(GreaterThanOrEqual("v", 5100L), LessThanOrEqual("v", 5200L)))))
+      assert(orParts.length == 2,
+        s"OR of two bucket-disjoint bands must plan exactly their union, got ${orParts.length}")
+      val orPred = (col("v").between(2100, 2200)) || (col("v").between(5100, 5200))
+      assert(spark.read.format("graft").load(dir).filter(orPred).count() ==
+        base.filter(orPred).count(), "OR-pruned read lost rows")
+
       // The optimizer-facing size statistic follows the prune: a
       // band-probed scan reports its ADMITTED bytes (broadcastable),
       // not the table's.
