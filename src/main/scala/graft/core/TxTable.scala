@@ -739,7 +739,25 @@ final class TxTable private (spark: SparkSession, dir: String,
     val present = cols.filter(df.columns.contains)
       .filter(_.matches("[A-Za-z0-9_.:+-]+"))
     if (present.isEmpty) return
-    val bits = bloomIndexBits
+    // AUTO-SIZING against silent saturation: a bloom sized below its
+    // bucket's cardinality admits everything and the tier quietly stops
+    // refuting (tools.SkipScale measured exactly that at a 10× scale
+    // step under the fixed default). The row-count sidecars for this
+    // commit were JUST written, so size each build at
+    // max(declared, ~10 bits per row of the largest written bucket) —
+    // rows bound distinct values from above, the declared value stays a
+    // manual floor, and the cap keeps a pathological bucket from
+    // minting a multi-GB sidecar (2^27 bits = 16 MiB ≈ 13M values at
+    // 1% fpp — rebucket before that; buckets differ in size, so the
+    // single aggregate pass uses one size and the largest governs).
+    val maxRows = bucketsIn(commit).map { b =>
+      scala.util.Try(Files.readString(
+        cdir.resolve(s"_b=$b").resolve("_rows.txt")).trim.toLong).getOrElse(0L)
+    }.foldLeft(0L)(math.max)
+    val auto =
+      if (maxRows <= 0) bloomIndexBits
+      else java.lang.Long.highestOneBit(math.max(1L, maxRows * 10L - 1)) << 1
+    val bits = math.min(TxTable.MaxBloomIndexBits, math.max(bloomIndexBits, auto))
     import org.apache.spark.sql.graftbridge.Bridge
     val aggs = present.map(c => Bridge.bloomAggregate(col(c), bits).as(c))
     val rows = df.groupBy(col("_b")).agg(aggs.head, aggs.tail: _*).collect()
@@ -1955,8 +1973,14 @@ final class TxTable private (spark: SparkSession, dir: String,
 object TxTable {
 
   /** Default bucket-tier bloom sidecar size: 2^20 bits = 128 KiB per
-    * (bucket × column) — ~1% FPP at 100k distinct values per bucket. */
+    * (bucket × column) — ~1% FPP at 100k distinct values per bucket.
+    * A FLOOR, not a cap: each commit auto-sizes its builds up from the
+    * freshly-written per-bucket row counts so a growing bucket can
+    * never silently saturate its index (see writeBucketBloomIndex). */
   val DefaultBloomIndexBits: Long = 1L << 20
+
+  /** Auto-sizing ceiling: 2^27 bits = 16 MiB per (bucket × column). */
+  val MaxBloomIndexBits: Long = 1L << 27
 
   /** Zone-map sidecar header (format version travels with the file, so
     * an old reader refuses a future format instead of misparsing it). */

@@ -1114,6 +1114,43 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("bucket blooms auto-size up from written row counts — no silent saturation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bloomauto").toString
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    try {
+      import spark.implicits._
+      // Declare a bloom far too small for the data (1024 bits, 20k
+      // distinct values, ONE bucket): without auto-sizing the build
+      // saturates and an absent-value probe admits the bucket — the
+      // tier silently stops refuting (the SkipScale finding). The
+      // write path must size up from the just-written row counts.
+      val base = (0 until 20000).map(i => (s"k$i", hex(s"k$i"))).toDF("k", "token")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("k"), numBuckets = 1)
+      t.setBloomColumns(Seq("token"), indexBits = 1024)
+      t.merge(base)
+      def partitions(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions().length
+      }
+      assert(partitions(Array(EqualTo("token", hex("nope")))) == 0,
+        "auto-sized bloom must still refute an absent value at 20k rows " +
+          "(a saturated 1024-bit build would admit the bucket)")
+      assert(partitions(Array(EqualTo("token", hex("k7")))) == 1,
+        "present value must keep planning its bucket")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("token") === hex("k7")).count() == 1)
+    } finally TxTable.drop(dir)
+  }
+
   test("bucket-tier bloom index refutes whole buckets for non-key point lookups") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_bbloom").toString
     def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
