@@ -86,19 +86,16 @@ object SkipScale {
         val nRows = base.count()
         val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
           numBuckets = 16)
-        // The documented bucket-bloom sizing contract: ~10 bits per
-        // distinct value per bucket (TxTable.bloomIndexBits scaladoc) —
-        // a 100 TB table declares its cardinality; the default 2^20
-        // saturates past ~100k values/bucket and a saturated bloom
-        // admits everything (measured: the sf1 probe planned all 16
-        // buckets under the default).
-        val bits = math.max(1L << 20,
-          java.lang.Long.highestOneBit(nRows / 16 * 10) << 1)
-        t.setBloomColumns(Seq("token"), bits)
+        // No explicit sizing: the write path AUTO-SIZES each bucket's
+        // bloom from the just-written row counts (an earlier run of this
+        // harness measured the failure the auto-sizing now prevents —
+        // the fixed 2^20-bit default saturates past ~100k values per
+        // bucket and a saturated bloom admits every probe).
+        t.setBloomColumns(Seq("token"))
         t.setZoneMapColumns(Seq("price_cents"))
         spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 96))
         t.compact(0, Seq("price_cents")) // rebuilds under the declared sidecars
-        println(s"[skipscale] $tag lineitem layout built: $nRows rows, bloom bits=$bits")
+        println(s"[skipscale] $tag lineitem layout built: $nRows rows")
 
         def hex(k: Long): String = java.security.MessageDigest.getInstance("MD5")
           .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
