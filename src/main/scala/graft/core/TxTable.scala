@@ -600,8 +600,14 @@ final class TxTable private (spark: SparkSession, dir: String,
         case ("days", org.apache.spark.sql.types.DateType) =>
           Some((datediff(col(c), to_date(lit("1970-01-01"))), s"$tf($c)"))
         case ("days", org.apache.spark.sql.types.TimestampType) =>
-          Some((floor(unix_micros(col(c)) / lit(86400000000L)).cast("int"),
-            s"$tf($c)"))
+          // Exact integer FLOOR division in long arithmetic: `/` on
+          // longs is double division (exact only below 2^53 µs) and
+          // `div` alone truncates toward zero (wrong pre-1970); the
+          // pmod subtraction makes the operand exactly divisible, so
+          // div is floor for every representable timestamp. SpecRe
+          // restricts the column name, so embedding is injection-safe.
+          Some((expr(s"CAST((unix_micros(`$c`) - pmod(unix_micros(`$c`), " +
+            s"86400000000)) DIV 86400000000 AS INT)"), s"$tf($c)"))
         case _ => None
       }
     }

@@ -862,6 +862,31 @@ class Dsv2Spec extends AnyFunSuite {
         .flatMap(_.files)
       assert(bandAfter.length < planned(Array.empty).flatMap(_.files).length,
         "day-era commits must keep pruning after evolution to flat")
+
+      // Pre-epoch timestamps land on FLOOR days (negative _p), never
+      // truncated-toward-zero: 1969-12-31T18:00Z is day -1, and the
+      // path-derived interval must admit it exactly.
+      val oldDir = java.nio.file.Files.createTempDirectory("graft_dsv2_preepoch").toString
+      try {
+        val preRows = Seq(
+          ("a", java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T18:00:00Z")), 1L),
+          ("b", java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T06:00:00Z")), 2L))
+          .toDF("id", "ts", "v")
+        val ot = TxTable.create(spark, oldDir, preRows.limit(0), Seq("id"), numBuckets = 2)
+        ot.setPartitioning("days(ts)")
+        ot.merge(preRows)
+        import scala.jdk.CollectionConverters._
+        val pdirs = java.nio.file.Files.walk(java.nio.file.Paths.get(oldDir, "data"))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_p=")).toSet
+        assert(pdirs == Set("_p=-1", "_p=0"),
+          s"pre-epoch day must be FLOOR (-1), got $pdirs")
+        val got = spark.read.format("graft").load(oldDir)
+          .filter(col("ts") < lit(java.sql.Timestamp.from(
+            java.time.Instant.parse("1970-01-01T00:00:00Z")))).collect()
+        assert(got.map(_.getString(0)).toSeq == Seq("a"),
+          "pre-epoch day probe lost or invented rows")
+      } finally TxTable.drop(oldDir)
     } finally TxTable.drop(dir)
   }
 
