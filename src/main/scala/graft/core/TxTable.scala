@@ -577,12 +577,14 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** Declare (or, with "", clear) the partition transform for FUTURE
-    * commits. Supported: `days(col)`. The file persists even when
-    * cleared — its existence flips reads into per-commit structure
-    * grouping, which older partitioned commits still need. */
+    * commits. Supported: `days(col)`, `months(col)` (DATE source only).
+    * The file persists even when cleared — its existence flips reads
+    * into per-commit structure grouping, which older partitioned
+    * commits still need. */
   def setPartitioning(spec: String): Unit = {
     require(spec.isEmpty || TxTable.SpecRe.matches(spec),
-      s"unsupported partition spec '$spec' (supported: days(col), '' to clear)")
+      s"unsupported partition spec '$spec' " +
+        "(supported: days(col), months(col), '' to clear)")
     Files.createDirectories(logDir)
     Files.writeString(logDir.resolve("partition.txt"), spec)
   }
@@ -608,6 +610,12 @@ final class TxTable private (spark: SparkSession, dir: String,
           // restricts the column name, so embedding is injection-safe.
           Some((expr(s"CAST((unix_micros(`$c`) - pmod(unix_micros(`$c`), " +
             s"86400000000)) DIV 86400000000 AS INT)"), s"$tf($c)"))
+        case ("months", org.apache.spark.sql.types.DateType) =>
+          // Months since epoch: a DATE's year/month are intrinsic (no
+          // timezone), so the index is session-proof; negative for
+          // pre-1970 dates by plain arithmetic.
+          Some((expr(s"CAST((year(`$c`) - 1970) * 12 + month(`$c`) - 1 AS INT)"),
+            s"$tf($c)"))
         case _ => None
       }
     }
@@ -1992,8 +2000,11 @@ object TxTable {
     * an old reader refuses a future format instead of misparsing it). */
   val ZoneMapHeader = "graftzonemap\t1"
 
-  /** Partition-spec grammar: `days(col)`. */
-  private[graft] val SpecRe = "(days)\\(([A-Za-z0-9_]+)\\)".r
+  /** Partition-spec grammar: `days(col)` (DATE or TIMESTAMP source) or
+    * `months(col)` (DATE source only — a timestamp's month needs a
+    * timezone, and hidden partitioning must be session-timezone-proof;
+    * a DATE's year/month are intrinsic). */
+  private[graft] val SpecRe = "(days|months)\\(([A-Za-z0-9_]+)\\)".r
 
   /** Driver-side metadata fan-out (the connector's parMap, shared shape):
     * independent footer opens cost ~10 ms each serially. */

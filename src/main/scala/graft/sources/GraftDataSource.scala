@@ -1120,20 +1120,27 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     })
 
   /** HIDDEN-partition admission: does the file's `_p=` path segment admit
-    * condition (cc, op, v)? The `days` transform covers the value
-    * interval [day, day] (DATE, Catalyst days) or
-    * [day·86.4e9, (day+1)·86.4e9) (TIMESTAMP, Catalyst micros), so the
-    * same interval logic as the zone tier applies — conditions filter on
-    * the SOURCE column, never on `_p`. True on any surprise. */
-  private def partitionAdmits(day: Long, specCol: String,
+    * condition (cc, op, v)? Each transform maps its partition value to
+    * the SOURCE-column interval it covers — `days`: [day, day] (DATE,
+    * Catalyst days) or [day·86.4e9, (day+1)·86.4e9) (TIMESTAMP, micros);
+    * `months`: [first, last] epoch-day of the month (DATE only) — and
+    * the same interval logic as the zone tier applies: conditions filter
+    * on the SOURCE column, never on `_p`. True on any surprise. */
+  private def partitionAdmits(tf: String, pval: Long, specCol: String,
                               cc: String, op: String, v: Any): Boolean = {
     if (!(cc == specCol || zoneAliases.getOrElse(cc, Nil).contains(specCol)))
       return true // condition is on a different column
     scala.util.Try {
       val dt = tableSchema(cc).dataType
-      val (lo, hi) = dt match {
-        case DateType => (day, day)
-        case TimestampType => (day * 86400000000L, day * 86400000000L + 86399999999L)
+      val (lo, hi) = (tf, dt) match {
+        case ("days", DateType) => (pval, pval)
+        case ("days", TimestampType) =>
+          (pval * 86400000000L, pval * 86400000000L + 86399999999L)
+        case ("months", DateType) =>
+          val first = java.time.LocalDate.of(
+            (Math.floorDiv(pval, 12L) + 1970L).toInt,
+            Math.floorMod(pval, 12L).toInt + 1, 1)
+          (first.toEpochDay, first.plusMonths(1).toEpochDay - 1)
         case _ => return true
       }
       val conv = CatalystTypeConverters.createToCatalystConverter(dt)
@@ -1186,11 +1193,9 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
               (c +: zoneAliases.getOrElse(c, Nil)).iterator
                 .flatMap(cols.get).nextOption()
             }
-          val day = pspec match {
-            case Some(("days", _)) => partitionDayOf(dataDir, f)
-            case _ => None
-          }
-          zoneConds.forall(fileAdmits(_, recOf, day, pspec.map(_._2)))
+          val pval = if (pspec.isDefined) partitionDayOf(dataDir, f) else None
+          zoneConds.forall(fileAdmits(_, recOf,
+            pspec.map(_._1), pval, pspec.map(_._2)))
         }
       }
     })
@@ -1206,17 +1211,20 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     * (both leaf evaluators keep their own type/alias/advisory guards). */
   private def fileAdmits(filter: Filter,
                          recOf: String => Option[(String, String, String)],
-                         day: Option[Long], specCol: Option[String]): Boolean =
+                         tf: Option[String], pval: Option[Long],
+                         specCol: Option[String]): Boolean =
     filter match {
       case org.apache.spark.sql.sources.And(l, r) =>
-        fileAdmits(l, recOf, day, specCol) && fileAdmits(r, recOf, day, specCol)
+        fileAdmits(l, recOf, tf, pval, specCol) &&
+          fileAdmits(r, recOf, tf, pval, specCol)
       case org.apache.spark.sql.sources.Or(l, r) =>
-        fileAdmits(l, recOf, day, specCol) || fileAdmits(r, recOf, day, specCol)
+        fileAdmits(l, recOf, tf, pval, specCol) ||
+          fileAdmits(r, recOf, tf, pval, specCol)
       case leaf => zoneLeaf(leaf) match {
         case Some((c, op, v)) =>
           val zOk = recOf(c).forall(rec => zoneAdmits(rec, c, op, v))
-          val pOk = (day, specCol) match {
-            case (Some(d), Some(pc)) => partitionAdmits(d, pc, c, op, v)
+          val pOk = (tf, pval, specCol) match {
+            case (Some(t), Some(p), Some(pc)) => partitionAdmits(t, p, pc, c, op, v)
             case _ => true
           }
           zOk && pOk

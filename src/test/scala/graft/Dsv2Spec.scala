@@ -890,6 +890,69 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("months(date) partitioning prunes by month; mixed-transform eras each prune by their own spec") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_months").toString
+    try {
+      import spark.implicits._
+      // DATE column spanning 24 months; months are intrinsic to a DATE
+      // (no timezone), so the index is session-proof.
+      val day0 = java.time.LocalDate.of(2023, 1, 1)
+      val base = (0 until 2400).map { i =>
+        (s"k$i", java.sql.Date.valueOf(day0.plusDays(i % 720)))
+      }.toDF("id", "d")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("id"), numBuckets = 4)
+      t.setPartitioning("months(d)")
+      t.merge(base)
+
+      def planned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (filters.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions()
+          .collect { case p: graft.sources.GraftInputPartition => p }
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val all = planned(Array.empty).flatMap(_.files)
+      // One month of 24: planned files must shrink accordingly.
+      val mLo = java.sql.Date.valueOf("2023-03-01")
+      val mHi = java.sql.Date.valueOf("2023-04-01")
+      val band = planned(Array(
+        GreaterThanOrEqual("d", mLo), LessThan("d", mHi))).flatMap(_.files)
+      assert(band.nonEmpty && band.length * 8 <= all.length,
+        s"one-month probe planned ${band.length} of ${all.length} files")
+      val pred = col("d") >= lit(mLo) && col("d") < lit(mHi)
+      assert(spark.read.format("graft").load(dir).filter(pred).count() ==
+        base.filter(pred).count(), "month-pruned read lost rows")
+
+      // EVOLUTION to a FINER transform: later commits under days(d) —
+      // each era prunes by exactly its own recorded _pspec.
+      t.setPartitioning("days(d)")
+      t.merge(Seq(("kNEW1", java.sql.Date.valueOf("2023-03-05")),
+        ("kNEW2", java.sql.Date.valueOf("2024-07-07"))).toDF("id", "d"))
+      import scala.jdk.CollectionConverters._
+      val specs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala
+        .filter(_.getFileName.toString == "_pspec.txt")
+        .map(p => java.nio.file.Files.readString(p).trim).toSet
+      assert(specs == Set("months(d)", "days(d)"),
+        s"mixed-transform eras must each record their own spec, got $specs")
+      val band2 = planned(Array(
+        GreaterThanOrEqual("d", mLo), LessThan("d", mHi))).flatMap(_.files)
+      assert(band2.length < planned(Array.empty).flatMap(_.files).length,
+        "pruning must survive the transform evolution")
+      assert(spark.read.format("graft").load(dir).filter(pred).count() ==
+        base.filter(pred).count() + 1, // kNEW1 is in March 2023
+        "mixed-era month probe wrong")
+    } finally TxTable.drop(dir)
+  }
+
   test("widened columns skip SAFELY: every tier refuses, no row lost, compact restores skipping") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_widen").toString
     try {
