@@ -164,6 +164,9 @@ object SparkEntry {
     // DATE PARTITIONING: hidden days(ts) transform — day dirs inside
     // buckets, path-derived planning prune, per-commit evolution.
     "s58_date_partition" -> ((s, d) => GraphOps.txDatePartition(s, d)),
+    // HILBERT clustering: the locality-better 2-D alternative to Morton,
+    // as one codegen'd aggregate-HOF fold; curve properties spec-pinned.
+    "s59_hilbert_compact" -> ((s, d) => GraphOps.txHilbertCompact(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -786,6 +789,14 @@ object SparkEntry {
         |                  l_returnflag AS flag FROM lineitem)
         |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       true AS snapshot_unchanged, true AS skip_both_effective
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s59: same replay shape as s51 — Hilbert clustering is layout only.
+    "s59_hilbert_compact" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS snapshot_unchanged, true AS hskip_both_effective
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
         |GROUP BY flag ORDER BY flag""".stripMargin,
     // s58: hidden partitioning changes WHAT IS READ, never the answer —

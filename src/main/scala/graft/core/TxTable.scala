@@ -1400,6 +1400,43 @@ final class TxTable private (spark: SparkSession, dir: String,
   private def statAt(r: org.apache.spark.sql.Row, i: Int): Double =
     if (r.isNullAt(i)) 0.0 else r.getDouble(i)
 
+  /** OPTIMIZE with HILBERT clustering — the locality-better alternative
+    * to [[compactZOrder]]'s Morton interleave for TWO dimensions:
+    * consecutive Hilbert indexes are always Manhattan-distance-1
+    * neighbors in the (a, b) plane (Morton takes long diagonal jumps at
+    * power-of-two boundaries), so row groups cut from the sorted run
+    * cover marginally tighter rectangles and range predicates skip a
+    * little more. Same cell mapping as Z-order (16-bit min-max cells,
+    * one stats pass), same materialized-key per-bucket sort, same
+    * layout-only contract. The index is computed by the classic
+    * flip-and-rotate recurrence folded over the 16 cell bits with
+    * Spark's `aggregate` higher-order function — a linear-size,
+    * codegen'd expression carrying (x, y, d) state per round; no UDF.
+    * PropertySpec certifies the two DEFINING curve properties
+    * independently of any reference implementation: bijection over the
+    * full grid and unit-step adjacency between every pair of
+    * consecutive indexes. */
+  def compactHilbert(hilbertBy: Seq[String], newBuckets: Int = 0): Long = {
+    require(hilbertBy.length == 2,
+      s"hilbert clustering is two-dimensional, got $hilbertBy")
+    compactClustered(newBuckets, hilbertBy, { rows =>
+      import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+      val aggs = hilbertBy.flatMap(c =>
+        Seq(fmin(rows(c)).cast("double"), fmax(rows(c)).cast("double")))
+      val stats = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def cell(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+        val span = hi - lo
+        val scaled =
+          if (span > 0) floor((c.cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+          else lit(0L)
+        coalesce(scaled.cast("long"), lit(0L))
+      }
+      Seq(TxTable.hilbertIndex(
+        cell(rows(hilbertBy.head), statAt(stats, 0), statAt(stats, 1)),
+        cell(rows(hilbertBy(1)), statAt(stats, 2), statAt(stats, 3)), 16))
+    })
+  }
+
   private def compactClustered(newBuckets: Int, clusterCols: Seq[String],
                                clusterOf: DataFrame => Seq[org.apache.spark.sql.Column]): Long = {
     var committed = -1L
@@ -2005,6 +2042,39 @@ object TxTable {
     * timezone, and hidden partitioning must be session-timezone-proof;
     * a DATE's year/month are intrinsic). */
   private[graft] val SpecRe = "(days|months)\\(([A-Za-z0-9_]+)\\)".r
+
+  /** The 2-D HILBERT index of cells (x, y) ∈ [0, 2^bits)² as ONE
+    * codegen'd Column expression: the classic flip-and-rotate recurrence
+    * (for s = 2^(bits-1) … 1: rx/ry from bit s, d += s²·((3·rx) xor ry),
+    * then the quadrant rotation) folded over the bit positions with the
+    * `aggregate` higher-order function, carrying (x, y, d) as a struct
+    * accumulator — linear expression size, sequential-by-construction,
+    * no UDF. `pow(2, i)` is exact through 2^52, far past any cell
+    * width. Spec-pinned by its defining properties (bijection +
+    * unit-step adjacency), not by a transcribed reference. */
+  private[graft] def hilbertIndex(x0: org.apache.spark.sql.Column,
+                                  y0: org.apache.spark.sql.Column,
+                                  bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 16, s"hilbert cells of 1..16 bits, got $bits")
+    import org.apache.spark.sql.functions.{aggregate => hofAggregate, _}
+    hofAggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      struct(x0.cast("long").as("x"), y0.cast("long").as("y"), lit(0L).as("d")),
+      (acc, i) => {
+        val s = pow(lit(2.0), i.cast("double")).cast("long")
+        val rx = when(acc("x").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(acc("y").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+        val d2 = acc("d") + s * s * ((rx * 3).bitwiseXOR(ry))
+        val flip = ry === 0 && rx === 1
+        val xF = when(flip, s - 1 - acc("x")).otherwise(acc("x"))
+        val yF = when(flip, s - 1 - acc("y")).otherwise(acc("y"))
+        // ry == 0 ⇒ swap the (possibly flipped) axes.
+        val xN = when(ry === 0, yF).otherwise(xF)
+        val yN = when(ry === 0, xF).otherwise(yF)
+        struct(xN.as("x"), yN.as("y"), d2.as("d"))
+      },
+      acc => acc("d"))
+  }
 
   /** Driver-side metadata fan-out (the connector's parMap, shared shape):
     * independent footer opens cost ~10 ms each serially. */

@@ -1781,6 +1781,71 @@ object GraphOps {
     }
   }
 
+  /** Hilbert-clustering demo (s59_hilbert_compact) — the locality-better
+    * alternative to s51's Morton interleave: `compactHilbert(a, b)`
+    * sorts each rewritten bucket by the 2-D Hilbert index of the same
+    * 16-bit min-max cells, computed as one codegen'd `aggregate`
+    * higher-order-function fold (the classic flip-and-rotate recurrence
+    * — no UDF). Consecutive Hilbert indexes are always
+    * Manhattan-distance-1 neighbors, so sorted runs cut into row groups
+    * cover tighter rectangles than Morton's power-of-two jumps — same
+    * one-stats-pass, no-extra-shuffle, layout-only contract.
+    * Certificates on the hash channel: `snapshot_unchanged` and
+    * `hskip_both_effective` (the same two range scans' measured
+    * numOutputRows BOTH shrink ≥2× across the one rewrite).
+    * PropertySpec pins the curve itself by its DEFINING properties —
+    * full-grid bijection and unit-step adjacency. */
+  def txHilbertCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s59").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    val base = graft.core.Tables.lineitem(spark, sfDir).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+      col("l_partkey").as("part"),
+      col("l_returnflag").as("flag"))
+    val nRows = base.count()
+    val block = if (nRows < 100000) 16 * 1024 else 256 * 1024
+    hconf.setInt("parquet.block.size", block)
+    hconf.setInt("parquet.page.size", block / 4)
+    try {
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      val predX = col("price_cents").between(2000000L, 2100000L)
+      val maxPart = base.agg(max("part")).head.getLong(0)
+      val predY = col("part") <= maxPart / 20
+      def emitted(pred: org.apache.spark.sql.Column): Long = {
+        val q = conn.filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val Array(b0) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val (ux, uy) = (emitted(predX), emitted(predY))
+      t.compactHilbert(Seq("price_cents", "part"))
+      val (hx, hy) = (emitted(predX), emitted(predY))
+      val Array(b1) = t.snapshot()
+        .agg(count(lit(1)), sum("price_cents")).collect()
+      val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
+      val effective = hx * 2 <= ux && hy * 2 <= uy
+
+      conn.filter(predX)
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("snapshot_unchanged", lit(unchanged))
+        .withColumn("hskip_both_effective", lit(effective))
+        .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
   /** Service-shape concurrency certificate (s48_concurrent_stability) —
     * the reference is an interactive web app (Flask, app.py:449): a query
     * service multiplexes many requests over one session, so "same query,

@@ -240,6 +240,48 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("hilbertIndex satisfies the DEFINING curve properties: bijection + unit-step adjacency") {
+    import spark.implicits._
+    // The two properties that make a space-filling curve a HILBERT curve
+    // — checked directly, so no transcription error in the recurrence
+    // can hide behind an identically-transcribed reference:
+    //  (1) bijection: every cell of the 2^b × 2^b grid gets exactly one
+    //      index in [0, 4^b);
+    //  (2) continuity: cells at consecutive indexes are ALWAYS
+    //      Manhattan-distance-1 neighbors (Morton fails this at every
+    //      power-of-two boundary — it is the property Hilbert buys).
+    val bits = 5 // 32×32 grid = 1024 cells, full enumeration
+    val side = 1 << bits
+    val grid = spark.range(side.toLong * side)
+      .select((col("id") % side).as("x"), (col("id") / side).cast("long").as("y"))
+    val hs = grid.select(col("x"), col("y"),
+        graft.core.TxTable.hilbertIndex(col("x"), col("y"), bits).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    assert(hs.map(_._1).distinct.length == side * side, "index not injective")
+    assert(hs.map(_._1).min == 0L && hs.map(_._1).max == side.toLong * side - 1,
+      "index range must be exactly [0, 4^bits)")
+    val byIndex = hs.sortBy(_._1).map(_._2).toSeq
+    byIndex.zip(byIndex.tail).zipWithIndex.foreach {
+      case (((x1, y1), (x2, y2)), i) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"curve tears between index $i ($x1,$y1) and ${i + 1} ($x2,$y2)")
+    }
+    // And the clustering verb built on it is layout-only, like every
+    // compaction: same rows before and after.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_hilb").toString
+    try {
+      val base = (0 until 2000)
+        .map(i => (s"k$i", (i * 2654435761L) % 1000, (i * 40503L) % 1000))
+        .toDF("k", "a", "b")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 2)
+      val before = t.snapshot().collect().map(_.mkString("|")).sorted.toSeq
+      t.compactHilbert(Seq("a", "b"))
+      assert(t.snapshot().collect().map(_.mkString("|")).sorted.toSeq == before,
+        "hilbert compaction must be layout-only")
+      assert(t.opAt(t.version) == "compact")
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable mergeClauses: delete precedes update, conditions gate each clause") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_clauses").toString
