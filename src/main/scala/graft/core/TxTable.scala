@@ -2043,38 +2043,20 @@ object TxTable {
     * a DATE's year/month are intrinsic). */
   private[graft] val SpecRe = "(days|months)\\(([A-Za-z0-9_]+)\\)".r
 
-  /** The 2-D HILBERT index of cells (x, y) ∈ [0, 2^bits)² as ONE
-    * codegen'd Column expression: the classic flip-and-rotate recurrence
-    * (for s = 2^(bits-1) … 1: rx/ry from bit s, d += s²·((3·rx) xor ry),
-    * then the quadrant rotation) folded over the bit positions with the
-    * `aggregate` higher-order function, carrying (x, y, d) as a struct
-    * accumulator — linear expression size, sequential-by-construction,
-    * no UDF. `pow(2, i)` is exact through 2^52, far past any cell
-    * width. Spec-pinned by its defining properties (bijection +
-    * unit-step adjacency), not by a transcribed reference. */
+  /** The 2-D HILBERT index of cells (x, y) ∈ [0, 2^bits)² — a NATIVE
+    * Catalyst expression (graft.functions.HilbertIndex): `doGenCode`
+    * emits the classic flip-and-rotate recurrence as a tight Java loop
+    * that whole-stage codegen inlines. (A first cut used the
+    * `aggregate` higher-order function; HOFs are CodegenFallback and
+    * the interpreted 16-round struct fold cost 23.7 s for one 600k-row
+    * rewrite — the exact UDF-class trap the functions-not-UDFs rule
+    * exists for, one tier further down.) Spec-pinned by its defining
+    * properties (bijection + unit-step adjacency), not by a
+    * transcribed reference. */
   private[graft] def hilbertIndex(x0: org.apache.spark.sql.Column,
                                   y0: org.apache.spark.sql.Column,
-                                  bits: Int): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 16, s"hilbert cells of 1..16 bits, got $bits")
-    import org.apache.spark.sql.functions.{aggregate => hofAggregate, _}
-    hofAggregate(
-      sequence(lit(bits - 1), lit(0), lit(-1)),
-      struct(x0.cast("long").as("x"), y0.cast("long").as("y"), lit(0L).as("d")),
-      (acc, i) => {
-        val s = pow(lit(2.0), i.cast("double")).cast("long")
-        val rx = when(acc("x").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val ry = when(acc("y").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val d2 = acc("d") + s * s * ((rx * 3).bitwiseXOR(ry))
-        val flip = ry === 0 && rx === 1
-        val xF = when(flip, s - 1 - acc("x")).otherwise(acc("x"))
-        val yF = when(flip, s - 1 - acc("y")).otherwise(acc("y"))
-        // ry == 0 ⇒ swap the (possibly flipped) axes.
-        val xN = when(ry === 0, yF).otherwise(xF)
-        val yN = when(ry === 0, xF).otherwise(yF)
-        struct(xN.as("x"), yN.as("y"), d2.as("d"))
-      },
-      acc => acc("d"))
-  }
+                                  bits: Int): org.apache.spark.sql.Column =
+    graft.functions.HilbertIndex(x0.cast("long"), y0.cast("long"), bits)
 
   /** Driver-side metadata fan-out (the connector's parMap, shared shape):
     * independent footer opens cost ~10 ms each serially. */

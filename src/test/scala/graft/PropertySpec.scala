@@ -260,6 +260,12 @@ class PropertySpec extends AnyFunSuite {
     assert(hs.map(_._1).distinct.length == side * side, "index not injective")
     assert(hs.map(_._1).min == 0L && hs.map(_._1).max == side.toLong * side - 1,
       "index range must be exactly [0, 4^bits)")
+    // Interpreted twin: the df path ran through doGenCode's generated
+    // loop; the shared compute() must agree cell for cell.
+    hs.foreach { case (h, (x, y)) =>
+      assert(graft.functions.HilbertIndex.compute(x, y, bits) == h,
+        s"codegen/interpreted divergence at ($x,$y)")
+    }
     val byIndex = hs.sortBy(_._1).map(_._2).toSeq
     byIndex.zip(byIndex.tail).zipWithIndex.foreach {
       case (((x1, y1), (x2, y2)), i) =>
