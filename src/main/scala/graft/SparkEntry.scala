@@ -165,7 +165,7 @@ object SparkEntry {
     // buckets, path-derived planning prune, per-commit evolution.
     "s58_date_partition" -> ((s, d) => GraphOps.txDatePartition(s, d)),
     // HILBERT clustering: the locality-better 2-D alternative to Morton,
-    // as one codegen'd aggregate-HOF fold; curve properties spec-pinned.
+    // via the native codegen'd HilbertIndex expression; curve spec-pinned.
     "s59_hilbert_compact" -> ((s, d) => GraphOps.txHilbertCompact(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),

@@ -585,6 +585,28 @@ final class TxTable private (spark: SparkSession, dir: String,
     require(spec.isEmpty || TxTable.SpecRe.matches(spec),
       s"unsupported partition spec '$spec' " +
         "(supported: days(col), months(col), '' to clear)")
+    // DECLARE-TIME validation against the live schema: a typo'd column
+    // or an unsupported source type would otherwise be accepted and then
+    // silently no-op (partitionColumn skips what it can't derive), so
+    // every commit would write FLAT while the operator believes the
+    // table is day-partitioned. Tables with no schema yet (declared
+    // before the create commit) validate at first write instead.
+    if (spec.nonEmpty && version >= 0) {
+      val TxTable.SpecRe(tf, c) = spec
+      val sch = schemaAt(version)
+      require(sch.fieldNames.contains(c),
+        s"partition spec '$spec': column '$c' is not in the table schema " +
+          sch.fieldNames.mkString("(", ", ", ")"))
+      val ok = (tf, sch(c).dataType) match {
+        case ("days", org.apache.spark.sql.types.DateType |
+                      org.apache.spark.sql.types.TimestampType) => true
+        case ("months", org.apache.spark.sql.types.DateType) => true
+        case _ => false
+      }
+      require(ok, s"partition spec '$spec': transform '$tf' does not " +
+        s"support source type ${sch(c).dataType.catalogString} " +
+        "(days: DATE or TIMESTAMP; months: DATE)")
+    }
     Files.createDirectories(logDir)
     Files.writeString(logDir.resolve("partition.txt"), spec)
   }
@@ -790,6 +812,16 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   private def writeCommit(df: DataFrame, buckets: Int): String = {
+    // `_b` and `_p` are RESERVED physical-layout names (bucket and
+    // hidden-partition dir columns). A logical column with either name
+    // would be silently overwritten by withColumn below and then
+    // STRIPPED from the data files by partitionBy — losing its values on
+    // read. Rejecting here covers every data-commit verb (create, merge,
+    // mergeClauses, update, applyChanges) including widening evolution,
+    // where a batch can introduce new columns.
+    TxTable.ReservedCols.foreach(r => require(!df.columns.contains(r),
+      s"column name '$r' is reserved for the physical layout " +
+        "(bucket/partition dir columns) — rename it before writing"))
     val commit = s"t-${UUID.randomUUID().toString.take(12)}"
     val laid0 = df.withColumn("_b", bucketColFor(buckets))
     // Partition-value tier: the declared transform adds a derived `_p`
@@ -1062,6 +1094,55 @@ final class TxTable private (spark: SparkSession, dir: String,
     committed
   }
 
+  /** DELETE ... WHERE — the predicate-DML delete verb (Delta's DELETE):
+    * every row satisfying `where` is removed, every other row is
+    * byte-identical. Same honest shape as [[update]]: a predicate cannot
+    * be hash-pruned, so ONE manifest-wide pass finds the buckets that
+    * actually hold matching rows, and the copy-on-write rewrite then
+    * touches ONLY those — untouched pointers carry forward, a no-match
+    * delete publishes nothing (version unchanged), a bucket whose rows
+    * all matched drops out of the manifest entirely, and a
+    * NULL-evaluating predicate does not fire (three-valued logic — the
+    * row survives). CHECK constraints are deliberately NOT re-validated:
+    * a delete introduces no rows, and every survivor already satisfied
+    * the constraints when it was written. Lost publish races take the
+    * same write-skew-guarded disjoint retry as update — the read-set is
+    * the whole table, so a winner's predicate-matching rows in an
+    * untouched bucket force a full rebase (re-pointing would publish a
+    * version that silently missed deleting them). */
+  def deleteWhere(where: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val m = manifest(v)
+      val n = bucketCountAt(v)
+      val cur = schemaAt(v)
+      val touched = readBuckets(m, m.keySet, cur, defaultsAt(v), aliasesAt(v))
+        .filter(where)
+        .select(bucketColFor(n).as("_b")).distinct()
+        .collect().map(_.getLong(0)).toSet.filter(m.contains)
+      if (touched.isEmpty) return v // no matching rows: metadata no-op
+      val hit = coalesce(expr(where), lit(false))
+      val out = conform(readBuckets(m, touched, cur, defaultsAt(v), aliasesAt(v))
+        .filter(not(hit)), cur)
+      val commit = writeCommit(out, n)
+      val next = (m -- touched) ++
+        bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+      val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+      updatePrePublishHook()
+      if (publish(v + 1, n, "delete-where", lines)) {
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+        committed = v + 1
+      } else { // lost the race: disjoint retry WITH the read-set predicate
+        publishRetries.incrementAndGet()
+        committed = resolveDisjointPublish(n, touched, commit,
+          "delete-where", cur.toDDL, m, cur.toDDL, readWhere = Some(where))
+        if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
+      }
+    }
+    committed
+  }
+
   /** CDC APPLY — one ATOMIC commit applying `upserts` (replace-or-insert)
     * and `deleteKeys` (remove) together: the per-batch verb a
     * change-data-capture consumer needs (Delta's APPLY CHANGES INTO). A
@@ -1083,6 +1164,11 @@ final class TxTable private (spark: SparkSession, dir: String,
     val touchKeys = up.select(keyCols.map(col): _*)
       .unionByName(deleteKeys.select(keyCols.map(col): _*))
       .dropDuplicates(keyCols).localCheckpoint()
+    // A batch whose changes fold to zero upserts AND zero deletes is a
+    // metadata no-op: publishing would mint an empty version (and an
+    // empty commit dir) per such micro-batch — pointless version churn
+    // for a CDC consumer replaying quiet periods.
+    if (touchKeys.isEmpty) return version
     rewriteTouched(touchKeys, "apply-changes") { (keep, cur) =>
       val newFields = up.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
       val widened = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
@@ -1408,10 +1494,12 @@ final class TxTable private (spark: SparkSession, dir: String,
     * cover marginally tighter rectangles and range predicates skip a
     * little more. Same cell mapping as Z-order (16-bit min-max cells,
     * one stats pass), same materialized-key per-bucket sort, same
-    * layout-only contract. The index is computed by the classic
-    * flip-and-rotate recurrence folded over the 16 cell bits with
-    * Spark's `aggregate` higher-order function — a linear-size,
-    * codegen'd expression carrying (x, y, d) state per round; no UDF.
+    * layout-only contract. The index is computed by the NATIVE
+    * Catalyst expression [[graft.functions.HilbertIndex]]: `doGenCode`
+    * emits the classic flip-and-rotate recurrence as one tight Java
+    * loop inlined by whole-stage codegen (the first cut used the
+    * `aggregate` higher-order function, which is CodegenFallback and
+    * ran ~5× slower interpreted); no UDF.
     * PropertySpec certifies the two DEFINING curve properties
     * independently of any reference implementation: bijection over the
     * full grid and unit-step adjacency between every pair of
@@ -1546,6 +1634,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * (a literal or literal expression) — validated eagerly so a bad
     * type or unparseable default fails BEFORE anything publishes. */
   def addColumn(colName: String, ddlType: String, defaultSql: String): Long = {
+    require(!TxTable.ReservedCols.contains(colName),
+      s"column name '$colName' is reserved for the physical layout")
     val field = org.apache.spark.sql.types.StructType
       .fromDDL(s"`$colName` $ddlType").fields.head
     // Eager validation: the default must evaluate and cast to the column
@@ -1674,6 +1764,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     * breaking the predicate text. */
   def renameColumn(oldName: String, newName: String): Long = {
     require(oldName != newName, "rename must change the name")
+    require(!TxTable.ReservedCols.contains(newName),
+      s"column name '$newName' is reserved for the physical layout")
     require(!keyCols.contains(oldName), s"cannot rename key column '$oldName'")
     checks.foreach { case (ck, pred) =>
       require(!s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
@@ -2036,6 +2128,11 @@ object TxTable {
   /** Zone-map sidecar header (format version travels with the file, so
     * an old reader refuses a future format instead of misparsing it). */
   val ZoneMapHeader = "graftzonemap\t1"
+
+  /** Physical-layout directory column names — reserved: a logical column
+    * with either name would be overwritten by the write path's layout
+    * derivation and stripped from the data files by `partitionBy`. */
+  private[graft] val ReservedCols = Set("_b", "_p")
 
   /** Partition-spec grammar: `days(col)` (DATE or TIMESTAMP source) or
     * `months(col)` (DATE source only — a timestamp's month needs a

@@ -1784,9 +1784,10 @@ object GraphOps {
   /** Hilbert-clustering demo (s59_hilbert_compact) — the locality-better
     * alternative to s51's Morton interleave: `compactHilbert(a, b)`
     * sorts each rewritten bucket by the 2-D Hilbert index of the same
-    * 16-bit min-max cells, computed as one codegen'd `aggregate`
-    * higher-order-function fold (the classic flip-and-rotate recurrence
-    * — no UDF). Consecutive Hilbert indexes are always
+    * 16-bit min-max cells, computed by the native Catalyst expression
+    * `graft.functions.HilbertIndex` (the classic flip-and-rotate
+    * recurrence emitted by `doGenCode` as one whole-stage-codegen'd
+    * Java loop — no UDF, no HOF). Consecutive Hilbert indexes are always
     * Manhattan-distance-1 neighbors, so sorted runs cut into row groups
     * cover tighter rectangles than Morton's power-of-two jumps — same
     * one-stats-pass, no-extra-shuffle, layout-only contract.

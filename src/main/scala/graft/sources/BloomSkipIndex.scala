@@ -74,16 +74,28 @@ object BloomSkipIndex {
     * later probe is pure driver arithmetic: zero Spark jobs before the
     * pruned scan (PlanSpec pins that budget). At 100 TB the same cache
     * is a transaction-log read — Delta keeps file-level stats resident
-    * the same way. */
+    * the same way. Keyed on (sfDir, artifact mtime): a rebuilt sidecar
+    * (a dir regenerated in-process — the ScaleUp harness does exactly
+    * that) changes the directory's mtime and so can never be served
+    * stale bits, which matters because this pruning happens at the
+    * source LISTING — residual filters cannot recover a partition a
+    * stale bloom wrongly refuted. */
   private val sidecarCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[(Long, Long), Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[(Long, Long), Long]]()
 
-  private def sidecarMap(spark: SparkSession, sfDir: String): Map[(Long, Long), Long] =
-    sidecarCache.computeIfAbsent(sfDir, _ =>
+  private def sidecarMap(spark: SparkSession, sfDir: String): Map[(Long, Long), Long] = {
+    val p = java.nio.file.Paths.get(Artifacts.path(sfDir, "orders_bloom_sidecar"))
+    // Materialize the artifact BEFORE keying the cache, so the key is
+    // always a real mtime (an absent-then-built artifact under a
+    // sentinel key could be served stale after a later delete+rebuild).
+    if (!java.nio.file.Files.exists(p)) sidecar(spark, sfDir)
+    val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    sidecarCache.computeIfAbsent((sfDir, mtime), _ =>
       // pb comes back as INT from the partition-dir readback — normalize.
       sidecar(spark, sfDir)
         .select(col("pb").cast("long"), col("w"), col("bits"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+  }
 
   /** Partitions whose bloom may contain `key`: every probe word must have
     * every probe bit set. Pure driver arithmetic over the cached sidecar

@@ -204,6 +204,14 @@ private[graft] object GraftDataSource {
     * set `skipLayoutOnly` drops from the change feed. */
   val LayoutOnlyOps: Set[String] = Set("compact", "rebucket", "compact-partial")
 
+  /** Spec-only observation hook: called with every `_p=` directory the
+    * listing walk DESCENDS into, so Dsv2Spec can assert that a
+    * partition-refuted day dir is never even listed (the poisoned-dir
+    * proof — per-file refutation alone would also keep a poisoned file
+    * unopened, so only a listing probe distinguishes the tiers). No-op
+    * in production; nothing reads it. */
+  private[graft] var partDirProbe: String => Unit = _ => ()
+
   /** Metadata columns the change-feed stream appends to every row. */
   val FeedMeta: StructType = StructType(Seq(
     StructField("_commit_version", LongType, nullable = false),
@@ -1178,11 +1186,11 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 
   private def zoneFiles(dataDir: String): Seq[String] =
     zoneFileCache.getOrElseUpdate(dataDir, {
-      val files = GraftDataSource.parquetFiles(dataDir)
-      if (zoneConds.isEmpty || changeFeed) files
+      if (zoneConds.isEmpty || changeFeed) GraftDataSource.parquetFiles(dataDir)
       else {
-        val byFile = zoneSidecar(dataDir)
         val pspec = commitPspec(dataDir)
+        val files = prunedListing(dataDir, pspec)
+        val byFile = zoneSidecar(dataDir)
         files.filter { f =>
           // Bucket-RELATIVE key: partitioned commits repeat part-file
           // base names across _p dirs.
@@ -1199,6 +1207,47 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         }
       }
     })
+
+  /** The bucket dir's parquet listing with partition-REFUTED `_p=`
+    * subtrees pruned BEFORE the walk descends into them — the
+    * directory-level tier above the per-file checks: a 3-day probe on a
+    * 3000-day table lists ~3 day dirs per bucket instead of walking
+    * every file of all 3000 (at 100 TB × thousands of `_p=` dirs the
+    * walk itself is the planning cost; the per-file tiers below only
+    * save footer and data I/O). Same `partitionAdmits` interval logic
+    * via the same `fileAdmits` tree walk (the zone tier abstains at
+    * directory granularity — `recOf` yields nothing), so a dir is
+    * skipped exactly when every file inside it would have been refuted
+    * by its path anyway. Surprises admit: an unparsable `_p=` segment
+    * (the null-value `__HIVE_DEFAULT_PARTITION__` dir), a dir with no
+    * recorded `_pspec`, or any non-`_p` subdirectory all descend. */
+  private def prunedListing(dataDir: String,
+                            pspec: Option[(String, String)]): Seq[String] = {
+    val root = java.nio.file.Paths.get(dataDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val kids = {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val out = List.newBuilder[String]
+    kids.foreach { k =>
+      val name = k.getFileName.toString
+      if (java.nio.file.Files.isDirectory(k)) {
+        val admits =
+          if (!name.startsWith("_p=") || pspec.isEmpty) true
+          else scala.util.Try(name.stripPrefix("_p=").toLong).toOption match {
+            case None => true // null-partition dir: path proves nothing
+            case Some(pv) => zoneConds.forall(fileAdmits(_, _ => None,
+              pspec.map(_._1), Some(pv), pspec.map(_._2)))
+          }
+        if (admits) {
+          if (name.startsWith("_p=")) GraftDataSource.partDirProbe(k.toString)
+          out ++= GraftDataSource.parquetFiles(k.toString)
+        }
+      } else if (name.endsWith(".parquet")) out += k.toString
+    }
+    out.result().sorted
+  }
 
   /** Sound per-file admission over a pushed filter TREE — the
     * generalization past top-level conjuncts: an `OR` of ranges

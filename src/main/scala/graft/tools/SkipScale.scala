@@ -70,6 +70,7 @@ object SkipScale {
     }
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    var dayCountJson = ""
 
     sfDirs.foreach { sfDir =>
       val tag = sfDir.split('/').last
@@ -140,6 +141,49 @@ object SkipScale {
         graft.core.TxTable.drop(dir); graft.core.TxTable.drop(pdir)
       }
     }
+
+    // ---- DAY-COUNT sweep: constant rows, 10 → 100 → 1000 day dirs ----
+    // Scales the number of `_p=` directories (not the data) to measure
+    // the LISTING cost in isolation: before directory-level pruning the
+    // planning walk enumerated every file of every day dir before the
+    // path filter refuted them, so a 3-day probe's plan time grew
+    // linearly in the day count. With refuted subtrees skipped at the
+    // walk (plus the per-version stats manifest serving the listing from
+    // ONE metadata read), the probe's plan time should stay ~flat across
+    // a 100× day-count step.
+    {
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val dayCounts = Seq(10, 100, 1000)
+      val day0s = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+      val ev0 = graft.core.Tables.events(spark, sfDirs.head)
+        .select("event_id", "value").limit(60000)
+        // Day-locality like any real ingest: one day lands in few tasks,
+        // so the dynamic-partition writer creates O(days × buckets)
+        // files, not O(tasks × days × buckets).
+        .localCheckpoint()
+      val dayTimes = dayCounts.map { nd =>
+        val ddir = java.nio.file.Files
+          .createTempDirectory(s"graft_skipscale_d$nd").toString
+        try {
+          val rows = ev0.withColumn("ts", expr(
+            s"timestamp_seconds($day0s + (event_id % $nd) * 86400 + (event_id % 3600))"))
+            .repartition(32, expr("date_trunc('DAY', ts)"))
+          val dt = graft.core.TxTable.create(spark, ddir, rows.limit(0),
+            Seq("event_id"), numBuckets = 4)
+          dt.setPartitioning("days(ts)")
+          dt.merge(rows)
+          println(s"[skipscale] day-count layout built: $nd days")
+          val lo = java.time.Instant.ofEpochSecond(day0s + 3L * 86400)
+          val hi = java.time.Instant.ofEpochSecond(day0s + 6L * 86400)
+          timeMin3 { () =>
+            planOnly(ddir, Array(GreaterThanOrEqual("ts", lo), LessThan("ts", hi))) }
+        } finally graft.core.TxTable.drop(ddir)
+      }
+      val eDay = ScalingCurve.exponent(dayTimes(dayTimes.size - 2), dayTimes.last, 10.0)
+      println(f"| plan_day_count | ${dayTimes.map(v => f"$v%.3f").mkString(" | ")} " +
+        f"| $eDay%.3f | (10/100/1000 day dirs, constant rows)")
+      dayCountJson = s""", "plan_day_count": {"times": [${dayTimes.mkString(", ")}], "exponent": $eDay}"""
+    }
     spark.stop()
 
     val byProbe = rows.groupBy(_._2)
@@ -154,7 +198,7 @@ object SkipScale {
       if (i > 0) json.append(",")
       json.append(s""""$probe": {"times": [${ts.mkString(", ")}], "exponent": $e}""")
     }
-    json.append("}")
+    json.append(dayCountJson).append("}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("skipscale_out.json"), json.toString)
     println("\n[skipscale] wrote skipscale_out.json")

@@ -890,6 +890,77 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("directory-level listing pruning: refuted _p= subtrees are never descended, let alone read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_dirprune").toString
+    try {
+      import spark.implicits._
+      val day0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      // 30 days × 50 rows, day-partitioned from birth.
+      val base = (0 until 1500).map { i =>
+        (s"k$i", java.sql.Timestamp.from(day0.plusSeconds((i % 30) * 86400L + i)), i.toLong)
+      }.toDF("id", "ts", "v")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("id"), numBuckets = 4)
+      t.setPartitioning("days(ts)")
+      t.merge(base)
+
+      def planned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (filters.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(filters)
+        sb.build().toBatch.planInputPartitions()
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val lo = java.time.Instant.parse("2024-03-10T00:00:00Z")
+      val hi = java.time.Instant.parse("2024-03-13T00:00:00Z")
+      // Listing-count assertion: the walk visits ONLY admitted day dirs.
+      // (A poisoned file alone cannot distinguish this tier from the
+      // per-file path check — an unlisted file and a listed-but-refuted
+      // file are equally unread — so observe the walk itself.)
+      val visited = scala.collection.mutable.Set.empty[Long]
+      graft.sources.GraftDataSource.partDirProbe = { p =>
+        visited.synchronized { visited +=
+          p.split('/').last.stripPrefix("_p=").toLong }
+      }
+      try {
+        planned(Array(GreaterThanOrEqual("ts", lo), LessThan("ts", hi)))
+        val admittedDays = (lo.getEpochSecond / 86400L) until (hi.getEpochSecond / 86400L)
+        assert(visited.nonEmpty && visited.forall(admittedDays.contains),
+          s"walk descended refuted day dirs: ${visited.toSeq.sorted} vs $admittedDays")
+        // And an unpruned plan descends far more (every day dir).
+        visited.clear()
+        planned(Array(GreaterThanOrEqual("v", 0L))) // zone-eligible, admits all
+        assert(visited.size > 3 * admittedDays.size,
+          s"full plan should visit ~all day dirs, saw ${visited.size}")
+      } finally graft.sources.GraftDataSource.partDirProbe = _ => ()
+
+      // Belt and braces: poison EVERY file outside the band — the pruned
+      // read stays right without ever opening them.
+      val bandFiles = planned(Array(GreaterThanOrEqual("ts", lo), LessThan("ts", hi)))
+        .collect { case p: graft.sources.GraftInputPartition => p }.flatMap(_.files).toSet
+      val allFiles = planned(Array.empty)
+        .collect { case p: graft.sources.GraftInputPartition => p }.flatMap(_.files)
+      val backups = allFiles.filterNot(bandFiles.contains).map { f =>
+        val p = java.nio.file.Paths.get(f)
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON".getBytes("UTF-8"))
+        (p, orig)
+      }
+      try {
+        val pred = col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+          col("ts") < lit(java.sql.Timestamp.from(hi))
+        assert(spark.read.format("graft").load(dir).filter(pred).count() ==
+          base.filter(pred).count(), "dir-pruned read wrong or touched poison")
+      } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
+    } finally TxTable.drop(dir)
+  }
+
   test("months(date) partitioning prunes by month; mixed-transform eras each prune by their own spec") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_months").toString
     try {
@@ -1412,5 +1483,49 @@ class Dsv2Spec extends AnyFunSuite {
       assert(desc.contains(s"version=$v0"),
         s"pin evicted — scan resolved a post-commit version: $desc")
     } finally { TxTable.drop(dirA); TxTable.drop(dirB) }
+  }
+
+  test("declare-time guards: reserved layout names, partition-spec validation, empty CDC batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_guards").toString
+    try {
+      import spark.implicits._
+      // A logical column named `_p` (or `_b`) would be overwritten by the
+      // layout derivation and stripped by partitionBy — silent value loss.
+      // The write chokepoint must reject it at CREATE...
+      assert(scala.util.Try(TxTable.create(spark, dir + "/bad",
+        Seq(("a", 1L)).toDF("k", "_p"), Seq("k"), numBuckets = 2)).isFailure,
+        "create accepted a reserved column name")
+      val t = TxTable.create(spark, dir + "/t",
+        Seq(("a", java.sql.Date.valueOf("2024-01-05"), 1L)).toDF("k", "d", "v"),
+        Seq("k"), numBuckets = 2)
+      // ...at widening MERGE (a batch introducing the column)...
+      assert(scala.util.Try(t.merge(
+        Seq(("b", java.sql.Date.valueOf("2024-01-06"), 2L, 9L))
+          .toDF("k", "d", "v", "_b"))).isFailure,
+        "widening merge accepted a reserved column name")
+      // ...and at ADD COLUMN / RENAME.
+      assert(scala.util.Try(t.addColumn("_p", "bigint", "0")).isFailure)
+      assert(scala.util.Try(t.renameColumn("v", "_b")).isFailure)
+
+      // Partition-spec declaration validates against the live schema:
+      // a typo'd column or an unsupported source type would otherwise
+      // no-op silently (every commit written flat, no error).
+      assert(scala.util.Try(t.setPartitioning("days(nope)")).isFailure,
+        "partition spec accepted an absent column")
+      assert(scala.util.Try(t.setPartitioning("months(v)")).isFailure,
+        "months() accepted a BIGINT source")
+      assert(scala.util.Try(t.setPartitioning("days(v)")).isFailure,
+        "days() accepted a BIGINT source")
+      t.setPartitioning("days(d)") // DATE source: valid
+      t.setPartitioning("")        // clearing: always valid
+
+      // A CDC batch folding to zero upserts and zero deletes must not
+      // mint an empty version (version churn + an empty commit dir).
+      val v = t.version
+      val empty = t.snapshot().limit(0)
+      assert(t.applyChanges(empty, empty.select("k")) == v,
+        "empty applyChanges published a version")
+      assert(t.version == v)
+    } finally TxTable.drop(dir)
   }
 }

@@ -90,7 +90,7 @@ class ScalingSpec extends AnyFunSuite {
     assume(java.nio.file.Files.exists(p), "no skipscale_out.json committed yet")
     val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
     val probes = Seq("plan_bloom_point", "plan_zone_range", "plan_day_range",
-      "e2e_bloom_point", "e2e_zone_range")
+      "plan_day_count", "e2e_bloom_point", "e2e_zone_range")
     val recorded = """"([a-z0-9_]+)": \{"times": \[[^\]]+\], "exponent": (-?[0-9.Ee]+)\}""".r
       .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
     val missing = probes.filterNot(recorded.contains)
