@@ -167,6 +167,14 @@ object SparkEntry {
     // HILBERT clustering: the locality-better 2-D alternative to Morton,
     // via the native codegen'd HilbertIndex expression; curve spec-pinned.
     "s59_hilbert_compact" -> ((s, d) => GraphOps.txHilbertCompact(s, d)),
+    // Predicate DELETE ... WHERE: partial rewrite, CDC-exact, no-op no-publish.
+    "s61_delete_where" -> ((s, d) => GraphOps.txDeleteWhere(s, d)),
+    // Partition-covered COUNT(*): day-aligned range counts served from
+    // per-file row-count sidecars with zero data I/O; straddles fall back.
+    "s62_ranged_count" -> ((s, d) => GraphOps.txRangedCount(s, d)),
+    // String zone maps: truncated 16-byte bounds give string range probes
+    // file-tier skipping; bounds-not-extrema keeps them sound.
+    "s63_string_zonemap" -> ((s, d) => GraphOps.txStringZonemap(s, d)),
     "j2_expand_1hop" -> ((s, d) => GraphOps.expand1HopAny(s, d, 7)),
     "j3_housemates_2hop" -> ((s, d) => GraphOps.housemates2Hop(s, d, 7)),
     "j4_house_subgraph" -> ((s, d) => GraphOps.houseSubgraph(s, d, Seq("BUILDING", "AUTOMOBILE"))),
@@ -3615,6 +3623,38 @@ object SparkEntry {
     // both WAP certificates must come back true.
     // s37: BUILDING balances +100 (pre-update house decides), customer 7
     // flagged; exactly 1 of 8 bucket pointers moved for the point update.
+    // s63: the string band replays declaratively from part; the prune
+    // certificates ride the hash channel as literals.
+    "s63_string_zonemap" ->
+      """WITH p AS (SELECT p_name AS name,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents FROM part)
+        |SELECT name, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  true AS sz_hash_match, true AS sz_file_prune, true AS sz_bucket_prune
+        |FROM p WHERE name >= 'c' AND name < 'h'
+        |GROUP BY name ORDER BY name""".stripMargin,
+    // s62: both counts recompute declaratively from events; the sidecar/
+    // zero-IO/fallback certificates ride the hash channel as literals.
+    "s62_ranged_count" ->
+      """SELECT
+        |  (SELECT count(*) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |     AND ts < TIMESTAMP '2024-01-13 00:00:00') AS covered_n,
+        |  (SELECT count(*) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-10 12:00:00'
+        |     AND ts < TIMESTAMP '2024-01-13 00:00:00') AS straddle_n,
+        |  true AS rc_sidecar_served, true AS rc_zero_data_io,
+        |  true AS rc_straddle_fallback""".stripMargin,
+    // s61: the point-deleted key and every BUILDING row are gone; all
+    // four protocol certificates ride the hash channel as literals.
+    "s61_delete_where" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  CAST(7 AS BIGINT) AS untouched_ptrs, true AS cdc_delete_exact,
+         |  true AS noop_unpublished, true AS check_active
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |  AND name <> 'Customer#000000019' AND house <> 'BUILDING'
+         |ORDER BY name""".stripMargin,
     "s37_update_where" ->
       s"""WITH $nodesCte
          |SELECT name,

@@ -611,7 +611,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     Files.writeString(logDir.resolve("partition.txt"), spec)
   }
 
-  private def everPartitioned: Boolean =
+  private[graft] def everPartitioned: Boolean =
     Files.exists(logDir.resolve("partition.txt"))
 
   /** The `_p` derivation for the declared transform over `df`, or None
@@ -739,16 +739,24 @@ final class TxTable private (spark: SparkSession, dir: String,
       try {
         // Keyed by bucket-RELATIVE path: partitioned commits repeat the
         // same part-file base name in every _p dir.
+        val rel = bdir.relativize(f).toString
         val lines = if (zcols.isEmpty) Nil
-          else TxTable.zoneMapLines(bdir.relativize(f).toString, r.getFooter, zcols)
-        (b, bdir, r.getRecordCount, lines)
+          else TxTable.zoneMapLines(rel, r.getFooter, zcols)
+        (b, bdir, rel, r.getRecordCount, lines)
       } finally r.close()
     }
     stats.groupBy(_._1).foreach { case (_, perBucket) =>
       val bdir = perBucket.head._2
+      // v2 sidecar: line 1 is the bucket TOTAL (what every v1 consumer
+      // reads), the rest are `rel-path<TAB>rows` per file — the
+      // partition-covered COUNT tier and the manifest-served listing
+      // both need per-FILE granularity. A v1 reader parsing only the
+      // first line keeps working; a v1 FILE (one line) reads as a v2
+      // with no per-file records.
       Files.writeString(bdir.resolve("_rows.txt"),
-        perBucket.map(_._3).sum.toString)
-      val zl = perBucket.flatMap(_._4)
+        (perBucket.map(_._4).sum.toString +:
+          perBucket.map(s => s"${s._3}\t${s._4}")).mkString("\n"))
+      val zl = perBucket.flatMap(_._5)
       if (zl.nonEmpty)
         Files.writeString(bdir.resolve("_zonemap.txt"),
           (TxTable.ZoneMapHeader +: zl).mkString("\n"))
@@ -787,8 +795,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // 1% fpp — rebucket before that; buckets differ in size, so the
     // single aggregate pass uses one size and the largest governs).
     val maxRows = bucketsIn(commit).map { b =>
-      scala.util.Try(Files.readString(
-        cdir.resolve(s"_b=$b").resolve("_rows.txt")).trim.toLong).getOrElse(0L)
+      TxTable.rowsSidecarTotal(cdir.resolve(s"_b=$b").toString).getOrElse(0L)
     }.foldLeft(0L)(math.max)
     val auto =
       if (maxRows <= 0) bloomIndexBits
@@ -2129,6 +2136,34 @@ object TxTable {
     * an old reader refuses a future format instead of misparsing it). */
   val ZoneMapHeader = "graftzonemap\t1"
 
+  /** `_rows.txt` sidecar total — line 1 of the file (a v1 sidecar is
+    * exactly that line; v2 appends `rel-path<TAB>rows` per file). None =
+    * absent or unparsable — the advisory contract: every consumer falls
+    * back to footer counts. */
+  def rowsSidecarTotal(bucketDir: String): Option[Long] = {
+    val p = Paths.get(bucketDir, "_rows.txt")
+    if (!Files.exists(p)) None
+    else scala.util.Try(
+      Files.readString(p).linesIterator.next().trim.toLong).toOption
+  }
+
+  /** Per-FILE rows from a v2 `_rows.txt` sidecar: bucket-relative path →
+    * row count. None = absent, unparsable, or a v1 sidecar (total only)
+    * — consumers needing file granularity must fall back. */
+  def rowsSidecarPerFile(bucketDir: String): Option[Map[String, Long]] = {
+    val p = Paths.get(bucketDir, "_rows.txt")
+    if (!Files.exists(p)) return None
+    scala.util.Try {
+      val lines = Files.readString(p).linesIterator.toList
+      lines.head.trim.toLong // the total must parse or the sidecar is corrupt
+      val perFile = lines.tail.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+      if (perFile.isEmpty) None else Some(perFile)
+    }.toOption.flatten
+  }
+
   /** Physical-layout directory column names — reserved: a logical column
     * with either name would be overwritten by the write path's layout
     * derivation and stripped from the data files by `partitionBy`. */
@@ -2200,6 +2235,11 @@ object TxTable {
     cols.flatMap { c =>
       val fieldIdx = if (schema.containsField(c)) schema.getFieldIndex(c) else -1
       if (fieldIdx < 0 || !schema.getType(fieldIdx).isPrimitive) None
+      else if (schema.getType(fieldIdx).asPrimitiveType().getPrimitiveTypeName ==
+          PrimitiveType.PrimitiveTypeName.BINARY &&
+        schema.getType(fieldIdx).asPrimitiveType().getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+        stringZoneLine(base, c, footer)
       else {
         val pt = schema.getType(fieldIdx).asPrimitiveType()
         val typ: Option[String] = pt.getPrimitiveTypeName match {
@@ -2247,6 +2287,66 @@ object TxTable {
           else Some(s"$base\t$c\t$t\t${render(lo)}\t${render(hi)}")
         }
       }
+    }
+  }
+
+  /** TRUNCATED string bounds for the zone-map sidecar (`string:t16`,
+    * Iceberg `truncate(col, 16)` semantics): recorded are an explicit
+    * LOWER bound — the 16-byte prefix of the file's min (a prefix sorts
+    * ≤ its full string in the unsigned byte order Spark strings compare
+    * under) — and an explicit UPPER bound — the 16-byte prefix of the
+    * max with its last byte incremented, which sorts ≥ anything sharing
+    * the prefix ("*" when all 16 bytes are 0xFF and no finite 16-byte
+    * bound exists). These are BOUNDS, not exact extrema, which is why
+    * they are sound for range REFUTATION no matter what statistics
+    * truncation the parquet writer itself applied (a writer-truncated
+    * min is already a valid lower bound; a truncated max is rounded UP
+    * per the format spec) — and exactly why the MIN/MAX aggregate
+    * pushdown still refuses strings: a bound is not the extremum.
+    * Base64-rendered (TSV-safe; byte order preserved at compare time by
+    * decoding first). */
+  private def stringZoneLine(base: String, c: String,
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata): Option[String] = {
+    var lo: Array[Byte] = null; var hi: Array[Byte] = null
+    var ok = true; var sawValue = false
+    footer.getBlocks.asScala.foreach { blk =>
+      if (ok) blk.getColumns.asScala.find(_.getPath.toDotString == c) match {
+        case None => ok = false
+        case Some(chunk) =>
+          val st: org.apache.parquet.column.statistics.Statistics[_] =
+            chunk.getStatistics
+          if (st == null || st.isEmpty) ok = false
+          else if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+            case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+              sawValue = true
+              val mnB = mn.getBytes; val mxB = mx.getBytes
+              if (lo == null || java.util.Arrays.compareUnsigned(mnB, lo) < 0) lo = mnB
+              if (hi == null || java.util.Arrays.compareUnsigned(mxB, hi) > 0) hi = mxB
+            case _ => ok = false
+          }
+          else if (!(st.isNumNullsSet && st.getNumNulls == chunk.getValueCount))
+            ok = false // can't distinguish all-null from missing stats
+      }
+    }
+    if (!ok) None
+    else if (!sawValue) Some(s"$base\t$c\tstring:t16\tnull\tnull")
+    else {
+      val enc = java.util.Base64.getEncoder
+      val lower = enc.encodeToString(lo.take(16))
+      val upper =
+        if (hi.length <= 16) enc.encodeToString(hi) // whole max: exact bound
+        else {
+          val hiP = hi.take(16)
+          val idx = hiP.lastIndexWhere(b => (b & 0xFF) != 0xFF)
+          if (idx < 0) "*" // all 0xFF: no finite 16-byte upper bound
+          else {
+            val out = hiP.take(idx + 1)
+            out(idx) = (out(idx) + 1).toByte
+            enc.encodeToString(out)
+          }
+        }
+      Some(s"$base\t$c\tstring:t16\t$lower\t$upper")
     }
   }
 

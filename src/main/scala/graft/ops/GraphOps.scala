@@ -1563,6 +1563,70 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** Partition-covered ranged COUNT demo (s62_ranged_count) — the
+    * dashboard query every fact table serves constantly: `SELECT
+    * count(*) WHERE ts in [day range]`. When the range is exactly
+    * covered by the hidden-partition tier (every file's path-derived
+    * interval lies entirely inside or outside it), the pushed filters
+    * are accepted as EXACT (Iceberg's residual-evaluation move — no
+    * residual, so Spark can push the aggregate at all) and the COUNT
+    * answers from the v2 per-file `_rows.txt` sidecars with ZERO data or
+    * footer I/O. Certificates on the hash channel: `rc_sidecar_served`
+    * (the plan names the sidecar tier), `rc_zero_data_io` (the covered
+    * count stays right with EVERY data file poisoned — the only way
+    * that holds is if no data file was opened), `rc_straddle_fallback`
+    * (a mid-day boundary provably falls back: no stats scan in the
+    * plan, answer computed by the exactly-pruned data scan). At 100 TB:
+    * a 3-day count on a 3000-day table is O(admitted-day sidecar lines)
+    * of driver metadata, not a scan. Dsv2Spec adds the DV-refusal and
+    * exact-row-read cases. */
+  def txRangedCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s62").toString
+    try {
+      val events = graft.core.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "event_type", "value")
+      val t = graft.core.TxTable.create(spark, dir, events.limit(0),
+        Seq("event_id"), numBuckets = 16)
+      t.setPartitioning("days(ts)")
+      t.merge(events)
+      def conn = spark.read.format("graft").load(dir)
+      val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+      val mid = lit("2024-01-10 12:00:00").cast("timestamp")
+      def covered = conn.filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy().count()
+      def straddle = conn.filter(col("ts") >= mid && col("ts") < hi)
+        .groupBy().count()
+      val sidecarServed = covered.queryExecution.executedPlan.toString
+        .contains("partition-covered")
+      val straddleFellBack = !straddle.queryExecution.executedPlan.toString
+        .contains("partition-covered")
+      val native = t.snapshot()
+      val nativeCovered = native.filter(col("ts") >= lo && col("ts") < hi).count()
+      val straddleN = straddle.head().getLong(0) // needs real data: pre-poison
+      // Zero-data-I/O proof: poison EVERY parquet file; the covered count
+      // must still answer (paths + sidecars only), byte-identically.
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      val backups = files.map { p =>
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON".getBytes("UTF-8"))
+        (p, orig)
+      }
+      val coveredN =
+        try covered.head().getLong(0)
+        finally backups.foreach { case (p, o) => java.nio.file.Files.write(p, o) }
+      spark.range(1).select(
+        lit(coveredN).as("covered_n"),
+        lit(straddleN).as("straddle_n"),
+        lit(sidecarServed).as("rc_sidecar_served"),
+        lit(coveredN == nativeCovered).as("rc_zero_data_io"),
+        lit(straddleFellBack).as("rc_straddle_fallback"))
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Type-widening evolution demo (s56_widen_column) — the remaining
     * Delta/Iceberg schema-evolution verb after add/drop/rename/default:
     * `widenColumn("qty", "BIGINT")` republishes the manifest with the
@@ -1698,6 +1762,82 @@ object GraphOps {
         .withColumn("zm_file_prune", lit(filePrune))
         .withColumn("zm_bucket_prune", lit(bucketPrune))
         .orderBy("flag")
+        .localCheckpoint()
+    } finally {
+      maxRecBefore match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
+  /** String zone-map demo (s63_string_zonemap) — closing the s55 gap
+    * where strings got NO file-tier skipping: declared string zone-map
+    * columns record explicitly TRUNCATED 16-byte bounds (Iceberg
+    * `truncate(col, 16)` semantics — lower = prefix of min, upper =
+    * prefix of max with the last byte incremented) in the `_zonemap.txt`
+    * sidecar, and a pushed string range/equality probe refutes whole
+    * files (and buckets) at planning in the same unsigned byte order
+    * Spark compares strings by. Bounds, not extrema — sound under any
+    * writer-side statistics truncation, which is why MIN/MAX pushdown
+    * still refuses strings. Certificates on the hash channel:
+    * `sz_hash_match` (pruned band == native band), `sz_file_prune` (the
+    * one-adjective band plans ≤ half the files of the sorted layout),
+    * `sz_bucket_prune` (a below-domain probe plans ZERO partitions).
+    * PropertySpec adds the no-misrefute battery: values sharing a
+    * 16-byte prefix must always admit each other's files. */
+  def txStringZonemap(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s63").toString
+    val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      val base = graft.core.Tables.part(spark, sfDir).select(
+        col("p_partkey").as("k"), col("p_name").as("name"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val nRows = base.count()
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+        numBuckets = 8, zoneMapCols = Seq("name"))
+      // Sorted rewrite into ~6 range-disjoint files per bucket — the
+      // continuously-clustered layout of s55, on a STRING dimension.
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
+      t.compact(0, Seq("name"))
+
+      def conn = spark.read.format("graft").load(dir)
+      def plannedFiles(preds: Array[org.apache.spark.sql.sources.Filter]): (Int, Int) = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        val cmap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+        val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+        val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (preds.nonEmpty) sb
+          .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(preds)
+        val parts = sb.build().toBatch.planInputPartitions()
+        (parts.length,
+          parts.collect { case p: graft.sources.GraftInputPartition => p.files.length }.sum)
+      }
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+      val (_, allFiles) = plannedFiles(Array.empty)
+      val (_, bandFiles) = plannedFiles(Array(
+        GreaterThanOrEqual("name", "c"), LessThan("name", "h")))
+      val (noneParts, _) = plannedFiles(Array(LessThan("name", "a")))
+      val filePrune = bandFiles >= 1 && bandFiles * 2 <= allFiles
+      val bucketPrune = noneParts == 0
+
+      val pred = col("name") >= "c" && col("name") < "h"
+      val hashMatch = conn.filter(pred)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+
+      conn.filter(pred)
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+        .withColumn("sz_hash_match", lit(hashMatch))
+        .withColumn("sz_file_prune", lit(filePrune))
+        .withColumn("sz_bucket_prune", lit(bucketPrune))
+        .orderBy("name")
         .localCheckpoint()
     } finally {
       maxRecBefore match {
@@ -2048,6 +2188,57 @@ object GraphOps {
         .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
           lit(preserved.toLong).as("untouched_ptrs"),
           lit(v3 == v2).as("noop_unpublished"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  /** Predicate-DELETE demo (s61_delete_where) — the remaining DML verb
+    * after s37's UPDATE: `deleteWhere(predicate)` removes every matching
+    * row via the same scan-then-rewrite-touched-buckets-only shape. The
+    * entry certifies the protocol, all on the hash channel:
+    * `untouched_ptrs` (a point delete rewrites ONE bucket — 7 of 8
+    * pointers carry forward), `cdc_delete_exact` (the CDC diff across
+    * the class delete is ONLY deletes and its count equals the snapshot
+    * delta — a delete can never surface as an update or insert),
+    * `noop_unpublished` (a no-match predicate publishes nothing), and
+    * `check_active` (CHECK constraints survive the deletes untouched —
+    * a violating merge is still refused afterward; the deletes
+    * themselves never re-validate, since they introduce no rows).
+    * Write-path class like s37; the lost-publish retry carries the same
+    * read-set predicate guard (write-skew — ConcurrencySpec). */
+  def txDeleteWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s61").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      t.addCheck("house_known", "house IS NOT NULL")
+      // POINT delete: one key, one bucket rewritten — bounded metadata
+      // probe (8 manifest entries) counts the carried-forward pointers.
+      val v1 = t.deleteWhere("name = 'Customer#000000019'")
+      val preserved = t.dataPointers(0L).toSet
+        .intersect(t.dataPointers(v1).toSet).size
+      // CLASS delete: every BUILDING row in one copy-on-write commit.
+      val v2 = t.deleteWhere("house = 'BUILDING'")
+      val d = t.diff(v1, v2).localCheckpoint()
+      val cdcExact =
+        d.filter(col("change_type") =!= "delete").isEmpty &&
+          d.count() == t.snapshotAt(v1).count() - t.snapshotAt(v2).count()
+      // No-match predicate: metadata no-op, version unchanged.
+      val v3 = t.deleteWhere("house = 'NO_SUCH_HOUSE'")
+      // Constraints still enforced after the deletes: a violating merge
+      // (NULL house) is refused before anything publishes.
+      val checkActive = scala.util.Try(t.merge(
+        t.snapshot().limit(1).withColumn("house", lit(null: String)))).isFailure
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(preserved.toLong).as("untouched_ptrs"),
+          lit(cdcExact).as("cdc_delete_exact"),
+          lit(v3 == v2).as("noop_unpublished"),
+          lit(checkActive).as("check_active"))
         .orderBy("name")
         .localCheckpoint()
     } finally graft.core.TxTable.drop(dir)

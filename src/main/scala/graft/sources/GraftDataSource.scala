@@ -204,6 +204,45 @@ private[graft] object GraftDataSource {
     * set `skipLayoutOnly` drops from the change feed. */
   val LayoutOnlyOps: Set[String] = Set("compact", "rebucket", "compact-partial")
 
+  /** The SOURCE-column value interval (inclusive, in Catalyst units —
+    * epoch days for DATE, micros for TIMESTAMP) covered by partition
+    * value `pval` under transform `tf`. None = unknown combination, or a
+    * pval so far out of range the micros arithmetic would overflow (a
+    * tampered path segment must read as "undecidable", never wrap into a
+    * wrong interval — the exactness tier makes this correctness-bearing,
+    * not merely advisory). */
+  def partInterval(tf: String, dt: DataType, pval: Long): Option[(Long, Long)] =
+    (tf, dt) match {
+      case ("days", DateType) => Some((pval, pval))
+      case ("days", TimestampType) if math.abs(pval) < 105000000L =>
+        Some((pval * 86400000000L, pval * 86400000000L + 86399999999L))
+      case ("months", DateType) if math.abs(pval) < 1200000L =>
+        val first = java.time.LocalDate.of(
+          (Math.floorDiv(pval, 12L) + 1970L).toInt,
+          Math.floorMod(pval, 12L).toInt + 1, 1)
+        Some((first.toEpochDay, first.plusMonths(1).toEpochDay - 1))
+      case _ => None
+    }
+
+  /** The `_p=` path-segment value of file `f` under its bucket dir, or
+    * None for flat-era files and the null-value default dir. */
+  def partValOf(dataDir: String, f: String): Option[Long] = {
+    val rel = java.nio.file.Paths.get(dataDir)
+      .relativize(java.nio.file.Paths.get(f))
+    (0 until rel.getNameCount).iterator.map(rel.getName(_).toString)
+      .find(_.startsWith("_p="))
+      .flatMap(s => scala.util.Try(s.stripPrefix("_p=").toLong).toOption)
+  }
+
+  /** The partition transform a commit's files were written under — the
+    * `_pspec.txt` beside the bucket dir (inside the commit dir). */
+  def pspecOf(dataDir: String): Option[(String, String)] = {
+    val p = java.nio.file.Paths.get(dataDir).getParent.resolve("_pspec.txt")
+    if (p == null || !java.nio.file.Files.exists(p)) None
+    else scala.util.Try(java.nio.file.Files.readString(p).trim).toOption
+      .collect { case graft.core.TxTable.SpecRe(tf, c) => (tf, c) }
+  }
+
   /** Spec-only observation hook: called with every `_p=` directory the
     * listing walk DESCENDS into, so Dsv2Spec can assert that a
     * partition-refuted day dir is never even listed (the poisoned-dir
@@ -352,33 +391,18 @@ private[graft] object GraftDataSource {
       keys.map(k => Expressions.column(k).asInstanceOf[VExpr]): _*)
   }
 
-  /** Candidate key TUPLES implied by EqualTo/In key predicates — the
-    * bucket-pruning generalization past single-key IN lists: every key
-    * column must be pinned (EqualTo → one candidate, In → the list;
-    * several predicates on one key intersect), and the cartesian product
-    * must stay under `cap` — past it, or with any key unconstrained, the
-    * result is empty = "cannot prune" and the scan reads the full
-    * listing (the residual filters own correctness either way, so this
-    * can only ever read too much, never too little). A 2-key table
-    * probed with `k1 = x AND k2 IN (…)` now plans ≤|list| buckets
-    * instead of all of them.
-    *
-    * The cap sizes a DRIVER HASHING budget, nothing else: each tuple
-    * costs one xxhash64 at planning (~100 ns), so 64k tuples hash in
-    * milliseconds — cheap next to reading even ONE bucket it might
-    * prune. It exists only to stop a pathological many-key × long-IN
-    * query from building a combinatorial tuple list. Degrading past the
-    * cap to PARTIAL-key pruning is not possible, by construction: the
-    * bucket id is pmod(xxhash64(k1, …, km), n) and XxHash64 CHAINS over
-    * the key columns, so knowing a subset of keys constrains the final
-    * hash not at all — every bucket stays reachable. The honest degrade
-    * is therefore a budget generous enough that real composite probes
-    * (an EqualTo plus a few-hundred-value IN — the DPP shape) always
-    * enumerate, with "cannot prune" reserved for genuinely unbounded
-    * products. */
-  def keyTuples(keyCols: Seq[String], filters: Array[Filter],
-                cap: Int = 65536): Seq[Seq[Any]] = {
-    if (keyCols.isEmpty || filters.isEmpty) return Nil
+  /** Per-key candidate VALUE sets implied by EqualTo/In key predicates —
+    * the precondition for bucket pruning: every key column must be
+    * pinned (EqualTo → one candidate, In → the list; several predicates
+    * on one key intersect). None = some key unconstrained, or an
+    * intersection emptied (a contradictory `k = 1 AND k = 2` probe reads
+    * the full listing rather than special-casing to zero — the residual
+    * filters own correctness either way). The cartesian product of these
+    * sets is never materialized — [[GraftScan.keyBucketSet]] streams it
+    * straight into a bucket bit set. */
+  def perKeyCandidates(keyCols: Seq[String],
+                       filters: Array[Filter]): Option[Seq[Seq[Any]]] = {
+    if (keyCols.isEmpty || filters.isEmpty) return None
     val perKey: Seq[Seq[Any]] = keyCols.map { k =>
       val cands = filters.toSeq.collect {
         case EqualTo(a, v) if a == k => Seq(v)
@@ -387,18 +411,7 @@ private[graft] object GraftDataSource {
       }
       if (cands.isEmpty) Nil else cands.reduce(_ intersect _)
     }
-    if (perKey.exists(_.isEmpty)) return Nil
-    // Single-key tables bypass the cap: there is no cartesian blow-up to
-    // guard against, and an arbitrarily long IN list (including a runtime
-    // DPP filter, the s45 shape) should keep pruning like it always did —
-    // hashing |list| values at planning is cheap next to reading a bucket.
-    if (keyCols.length == 1) return perKey.head.map(Seq(_))
-    var product: Seq[Seq[Any]] = Seq(Seq.empty)
-    for (cands <- perKey) {
-      if (product.size.toLong * cands.size > cap) return Nil
-      product = for { t <- product; c <- cands } yield t :+ c
-    }
-    product
+    if (perKey.exists(_.isEmpty)) None else Some(perKey)
   }
 
   /** Per-file skip-filter preparation for parquet row-group/page skipping:
@@ -567,6 +580,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var dataFilters: Array[Filter] = Array.empty
+  private var exactFilters: Array[Filter] = Array.empty
   private var countStarPushed = false
   private var statsSchema: StructType = null
   private var statsRow: Array[Any] = null
@@ -597,12 +611,37 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     * PINNED version, so a DV landing after pushdown cannot invalidate
     * the answer. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (changeFeed || pushed.nonEmpty || dataFilters.nonEmpty ||
-      aggregation.groupByExpressions().nonEmpty ||
+    if (changeFeed || aggregation.groupByExpressions().nonEmpty ||
       aggregation.aggregateExpressions().isEmpty) return false
+    // Residual-bearing scans never reach here (Spark requires every
+    // post-scan filter gone before pushing an aggregate), so any filter
+    // state present is either key-pruning `pushed` markers or the
+    // partition-exact set. Anything beyond the exact set refuses.
+    if (pushed.exists(f => !exactFilters.contains(f)) ||
+      dataFilters.exists(f => !exactFilters.contains(f))) return false
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
     val layout = t.layoutAt(pinnedVersion)
     if (!layout.values.forall(_._2.isEmpty)) return false
+    if (exactFilters.nonEmpty) {
+      // RANGED COUNT tier: a single COUNT(*) under partition-exact
+      // filters answers from the v2 per-file `_rows.txt` sidecars with
+      // zero data or footer I/O — the date-range dashboard count. Other
+      // aggregates (MIN/MAX) refuse: Spark computes them over the
+      // exactly-pruned scan instead.
+      if (aggregation.aggregateExpressions().length == 1 &&
+        aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]) {
+        rangedCount(t, layout) match {
+          case Some(cnt) =>
+            statsSchema = StructType(Seq(
+              StructField("count(*)", LongType, nullable = false)))
+            statsRow = Array[Any](cnt)
+            statsVia = "partition-covered per-file row-count sidecars"
+            return true
+          case None => return false
+        }
+      }
+      return false
+    }
     // Exactly-one guard: GraftCountScan emits a single count(*) column, so
     // a hypothetical multi-CountStar aggregation routes through
     // computeStats/GraftStatsScan (one column per pushed expression).
@@ -616,6 +655,42 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
         statsSchema = schema; statsRow = row; statsVia = via; true
       case None => false
     }
+  }
+
+  /** COUNT(*) under partition-exact filters: per file, the filter
+    * conjunction is ALL (count its sidecar rows) or NONE (count zero) —
+    * exactness was proven at pushFilters against the same pinned
+    * snapshot, so a SOME here, or any file missing its per-file rows
+    * line (v1 sidecar, pre-sidecar commit), refuses the pushdown and the
+    * exactly-pruned scan computes the count instead. Zero footer I/O
+    * either way. */
+  private def rangedCount(t: graft.core.TxTable,
+                          layout: Map[Long, (String, Seq[String])])
+      : Option[Long] = {
+    val aliases = t.aliasesAt(pinnedVersion)
+    var total = 0L
+    layout.values.toSeq.foreach { case (dataDir, _) =>
+      val pspec = GraftDataSource.pspecOf(dataDir)
+      lazy val perFile = graft.core.TxTable.rowsSidecarPerFile(dataDir)
+      GraftDataSource.parquetFiles(dataDir).foreach { f =>
+        val cov = (for {
+          (tf, c) <- pspec
+          pv <- GraftDataSource.partValOf(dataDir, f)
+        } yield exactFilters.map(coverage(_, tf, pv, c, aliases))
+          .foldLeft(1)((a, b) =>
+            if (a == 0 || b == 0) 0 else if (a == 1 && b == 1) 1 else 2))
+          .getOrElse(2)
+        cov match {
+          case 0 => ()
+          case 1 =>
+            val rel = java.nio.file.Paths.get(dataDir)
+              .relativize(java.nio.file.Paths.get(f)).toString
+            total += perFile.flatMap(_.get(rel)).getOrElse(return None)
+          case _ => return None
+        }
+      }
+    }
+    Some(total)
   }
 
   /** A pushed aggregate position: None = COUNT(*), Some((col, isMin)). */
@@ -669,8 +744,8 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     var via = "parquet footer statistics"
     val sidecar: Option[Unit] = scala.util.Try {
       layout.values.toSeq.sortBy(_._1).foreach { case (dataDir, _) =>
-        val rowsSidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
-        count += java.nio.file.Files.readString(rowsSidecar).trim.toLong
+        count += graft.core.TxTable.rowsSidecarTotal(dataDir)
+          .getOrElse(throw new IllegalStateException("no rows sidecar"))
         if (cols.nonEmpty) {
           val zone = GraftDataSource.parseZoneSidecar(dataDir)
             .getOrElse(throw new IllegalStateException("no zonemap"))
@@ -781,8 +856,9 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
 
   /** Key predicates prune the bucket listing: an equality covering EVERY
     * key column prunes to ONE bucket; IN lists generalize that to
-    * candidate TUPLES (each key pinned by EqualTo or In, cartesian
-    * product bounded — see [[GraftDataSource.keyTuples]]), so both the
+    * candidate TUPLES (each key pinned by EqualTo or In — the product is
+    * streamed into a bucket set at planning, see
+    * [[GraftScan.keyBucketSet]]), so both the
     * single-key batched point lookup (s28's shape) and the composite-key
     * `k1 = x AND k2 IN (…)` probe plan ≤|tuples| buckets. The filters
     * are still handed back as residuals (listing-level pruning only —
@@ -808,7 +884,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
       case org.apache.spark.sql.sources.In(a, _) => a == GraftDataSource.BucketCol
       case _ => false
     }
-    if (GraftDataSource.keyTuples(keyCols, filters).nonEmpty || bucketPred) {
+    if (GraftDataSource.perKeyCandidates(keyCols, filters).isDefined || bucketPred) {
       pushed = filters.filter {
         case EqualTo(a, _) =>
           keyCols.contains(a) || (bucketMeta && a == GraftDataSource.BucketCol)
@@ -817,9 +893,152 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
         case _ => false
       }
     }
-    filters
+    // PARTITION-EXACT acceptance (the Iceberg residual-evaluation move):
+    // a filter whose truth the hidden-partition tier decides for EVERY
+    // file of the pinned snapshot — each file's path-derived interval
+    // lies entirely inside the predicate region (all rows match) or
+    // entirely outside it (none do), with no straddling file — is
+    // consumed here instead of returned as a residual. The scan then
+    // reads exactly the all-match files (the same partitionAdmits
+    // refutation it always ran) and Spark plans NO Filter node above it,
+    // which is what lets a ranged COUNT(*) reach pushAggregation: Spark
+    // only pushes aggregates over a scan with zero post-scan filters.
+    // This is the one tier where correctness rides on the metadata (no
+    // residual re-evaluation), so acceptance is per-file-proven against
+    // the pinned version, never heuristic; any undecidable file — flat
+    // era, null-partition dir, unparsable segment, boundary-straddling
+    // interval — keeps the filter a residual and the old plan shape.
+    exactFilters =
+      if (changeFeed) Array.empty else partitionExactFilters(filters)
+    if (exactFilters.nonEmpty) pushed = (pushed ++ exactFilters).distinct
+    filters.filterNot(exactFilters.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** Filters the partition tier decides exactly (ALL or NONE) for every
+    * file of the pinned layout — see the pushFilters note. Only
+    * attempted on tables that have ever declared a partition transform,
+    * and only for filters whose every referenced column could be a
+    * transform source (DATE/TIMESTAMP); everything else stays residual
+    * without touching the listing. */
+  private def partitionExactFilters(filters: Array[Filter]): Array[Filter] = {
+    val cand = filters.filter(f => f.references.nonEmpty &&
+      f.references.forall(r => tableSchema.fieldNames.contains(r) &&
+        (tableSchema(r).dataType match {
+          case DateType | TimestampType => true
+          case _ => false
+        })))
+    if (cand.isEmpty) return Array.empty
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    if (!t.everPartitioned) return Array.empty
+    val aliases = t.aliasesAt(pinnedVersion)
+    // (transform, pval, specCol) per file — None = undecidable file.
+    val fileParts: Seq[Option[(String, Long, String)]] =
+      t.layoutAt(pinnedVersion).values.toSeq.flatMap { case (dataDir, _) =>
+        val pspec = GraftDataSource.pspecOf(dataDir)
+        GraftDataSource.parquetFiles(dataDir).map { f =>
+          for {
+            (tf, c) <- pspec
+            pv <- GraftDataSource.partValOf(dataDir, f)
+          } yield (tf, pv, c)
+        }
+      }
+    cand.filter { flt =>
+      fileParts.forall {
+        case Some((tf, pv, c)) => coverage(flt, tf, pv, c, aliases) != 2
+        case None => false
+      }
+    }
+  }
+
+  /** Tri-state partition-interval evaluation of a pushed filter tree
+    * against one file's (transform, pval): 0 = provably no row matches,
+    * 1 = provably every row matches, 2 = undecidable. Sound because a
+    * parsed `_p=` dir holds only rows whose source column is non-null
+    * and truncates to exactly that partition value — so leaf predicates
+    * on the source column are two-valued over the file's interval (which
+    * also makes the Not inversion safe). Leaves on any other column, and
+    * anything unparsable, are 2. */
+  private def coverage(f: Filter, tf: String, pval: Long, specCol: String,
+                       aliases: Map[String, Seq[String]]): Int = f match {
+    case org.apache.spark.sql.sources.And(l, r) =>
+      val (a, b) = (coverage(l, tf, pval, specCol, aliases),
+        coverage(r, tf, pval, specCol, aliases))
+      if (a == 0 || b == 0) 0 else if (a == 1 && b == 1) 1 else 2
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      val (a, b) = (coverage(l, tf, pval, specCol, aliases),
+        coverage(r, tf, pval, specCol, aliases))
+      if (a == 1 || b == 1) 1 else if (a == 0 && b == 0) 0 else 2
+    case org.apache.spark.sql.sources.Not(x) =>
+      coverage(x, tf, pval, specCol, aliases) match {
+        case 0 => 1
+        case 1 => 0
+        case _ => 2
+      }
+    case leaf => leafCoverage(leaf, tf, pval, specCol, aliases)
+  }
+
+  private def leafCoverage(leaf: Filter, tf: String, pval: Long,
+                           specCol: String,
+                           aliases: Map[String, Seq[String]]): Int = {
+    import org.apache.spark.sql.sources._
+    def isSpecCol(c: String): Boolean =
+      c == specCol || aliases.getOrElse(c, Nil).contains(specCol)
+    // Null tests decide from the dir alone: a parsed `_p=` dir holds only
+    // rows whose source column is non-null (null rows land in the default
+    // dir, whose unparsable segment already made the file undecidable).
+    // Spark infers IsNotNull beside every binary comparison, so without
+    // this the inferred conjunct would block every exact acceptance.
+    leaf match {
+      case IsNotNull(a) if isSpecCol(a) => return 1
+      case IsNull(a) if isSpecCol(a) => return 0
+      case _ => ()
+    }
+    val parsed: Option[(String, String, Any)] = leaf match {
+      case GreaterThan(a, v) if v != null => Some((a, ">", v))
+      case GreaterThanOrEqual(a, v) if v != null => Some((a, ">=", v))
+      case LessThan(a, v) if v != null => Some((a, "<", v))
+      case LessThanOrEqual(a, v) if v != null => Some((a, "<=", v))
+      case EqualTo(a, v) if v != null => Some((a, "=", v))
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        Some((a, "in", vs.toSeq.filter(_ != null)))
+      case _ => None
+    }
+    parsed match {
+      case None => 2
+      case Some((c, op, v)) =>
+        if (!isSpecCol(c)) return 2
+        val dt = tableSchema(c).dataType
+        GraftDataSource.partInterval(tf, dt, pval) match {
+          case None => 2
+          case Some((lo, hi)) =>
+            scala.util.Try {
+              val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+              def one(value: Any): Int = conv(value) match {
+                case num: java.lang.Number =>
+                  val p = num.longValue()
+                  op match {
+                    case ">" => if (lo > p) 1 else if (hi <= p) 0 else 2
+                    case ">=" => if (lo >= p) 1 else if (hi < p) 0 else 2
+                    case "<" => if (hi < p) 1 else if (lo >= p) 0 else 2
+                    case "<=" => if (hi <= p) 1 else if (lo > p) 0 else 2
+                    case "=" =>
+                      if (lo == p && hi == p) 1
+                      else if (p < lo || p > hi) 0 else 2
+                  }
+                case _ => 2
+              }
+              if (op == "in") {
+                // OR over the values: any all-match value covers the
+                // file; NONE only when every value misses the interval.
+                val states = v.asInstanceOf[Seq[Any]].map(one)
+                if (states.contains(1)) 1
+                else if (states.forall(_ == 0)) 0 else 2
+              } else one(v)
+            }.getOrElse(2)
+        }
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -864,12 +1083,7 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
       // The sidecar is ADVISORY (the documented contract): a corrupt or
       // empty file falls back to the per-file footer counts exactly like
       // a missing one — same Try discipline as the numRows stats path.
-      val fromSidecar =
-        if (java.nio.file.Files.exists(sidecar))
-          scala.util.Try(
-            java.nio.file.Files.readString(sidecar).trim.toLong).toOption
-        else None
-      fromSidecar.getOrElse(
+      graft.core.TxTable.rowsSidecarTotal(dataDir).getOrElse(
         GraftDataSource.parMap(GraftDataSource.parquetFiles(dataDir)) { f =>
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
           try r.getRecordCount finally r.close()
@@ -969,14 +1183,6 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
   private def chosenLayout(t: graft.core.TxTable,
                            layout: Map[Long, (String, Seq[String])])
       : Map[Long, (String, Seq[String])] = {
-    def bucketOf(tuple: Seq[Any], n: Long): Long = {
-      val lits = keyCols.zip(tuple).map { case (k, value) =>
-        Literal.create(value, tableSchema(k).dataType)
-          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
-      }
-      val h = XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long]
-      ((h % n) + n) % n
-    }
     val n = t.bucketCountAt(pinnedVersion)
     // Direct predicates on the bucket-id metadata column prune without
     // hashing (the column IS the partition id by construction) — but only
@@ -993,10 +1199,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
           Some(vs.collect { case v: Number => v.longValue }.toSet)
         case _ => None
       }.reduceOption(_ intersect _).getOrElse(Set.empty)
-    val sets = (Seq(GraftDataSource.keyTuples(keyCols, pushed),
-        GraftDataSource.keyTuples(keyCols, runtimeFilters))
-      .filter(_.nonEmpty)
-      .map(_.map(bucketOf(_, n)).toSet) ++
+    val sets = (Seq(keyBucketSet(pushed, n), keyBucketSet(runtimeFilters, n))
+      .flatten ++
       Seq(bucketIds(pushed), bucketIds(runtimeFilters)).filter(_.nonEmpty))
     val keyed = if (sets.isEmpty) layout
     else {
@@ -1010,6 +1214,57 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     // a zone-eligible predicate was pushed — otherwise no listing work.
     if (zoneConds.isEmpty || changeFeed) bloomed
     else bloomed.filter { case (_, (dataDir, _)) => zoneFiles(dataDir).nonEmpty }
+  }
+
+  /** Bucket ids reachable from the pinned per-key candidate sets
+    * ([[GraftDataSource.perKeyCandidates]]) — the write path's
+    * pmod(xxhash64(k1, …, km), n), STREAMED: a depth-first walk over the
+    * cartesian product carries XxHash64's running seed (the hash CHAINS
+    * over the key columns, so each shared value-prefix hashes once, not
+    * once per tuple) and collects bucket ids into a set, with two early
+    * exits —
+    *
+    *  - SATURATION: once every bucket of the layout is reachable there
+    *    is nothing left to prune, so stop. A product of hash-random
+    *    tuples covers all n buckets after ~n·ln n draws (coupon
+    *    collector), so the typical huge product costs a few hundred
+    *    hashes, not |product|;
+    *  - an OP BUDGET (2²⁰ hashes, ~0.3 s of driver arithmetic) for the
+    *    adversarial case of a huge product that concentrates into few
+    *    buckets and never saturates. Exhausting it returns None =
+    *    "cannot prune", the sound fallback (the filters stay residuals,
+    *    so giving up only ever reads too much).
+    *
+    * This replaces the old materialize-then-cap tuple list (64k tuples,
+    * past which pruning was abandoned even though the answer was
+    * computable): no tuple list is ever built, memory is O(n), the
+    * enumerable region grows to the full budget, and a single-key IN —
+    * including the runtime-DPP shape, where the join can hand over a
+    * very long list — is just the depth-1 case of the same walk. */
+  private def keyBucketSet(filters: Array[Filter], n: Long): Option[Set[Long]] = {
+    val perKey = GraftDataSource.perKeyCandidates(keyCols, filters)
+      .getOrElse(return None)
+    val dts = keyCols.map(tableSchema(_).dataType)
+    val budget = 1 << 20
+    var ops = 0
+    val found = scala.collection.mutable.Set.empty[Long]
+    // Returns false to abort the walk (budget exhausted or saturated);
+    // which of the two happened is disambiguated from `found` below.
+    def rec(i: Int, seed: Long): Boolean = {
+      if (found.size >= n) return false // saturated: every bucket reachable
+      if (i == keyCols.length) { found += ((seed % n) + n) % n; true }
+      else perKey(i).forall { v =>
+        ops += 1
+        if (ops > budget) false
+        else rec(i + 1, XxHash64(
+          Seq(Literal.create(v, dts(i))), seed)
+          .eval(InternalRow.empty).asInstanceOf[Long])
+      }
+    }
+    val complete = rec(0, 42L)
+    if (found.size >= n) None      // saturated: no pruning possible
+    else if (!complete) None       // budget exhausted: remainder unknown
+    else Some(found.toSet)
   }
 
   /** A pushed filter leaf usable for zone/partition refutation —
@@ -1050,6 +1305,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     v != null && tableSchema.fieldNames.contains(a) &&
       (tableSchema(a).dataType match {
         case IntegerType | LongType | DoubleType | DateType | TimestampType => true
+        case StringType => true // truncated-prefix bounds (string:t16)
         case _ => false
       })
 
@@ -1076,6 +1332,10 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                          op: String, v: Any): Boolean = {
     val (typ, loS, hiS) = rec
     val dt = tableSchema(c).dataType
+    // String columns record truncated BOUNDS (`string:t16`), not exact
+    // extrema — their own admission arithmetic over unsigned byte order.
+    if (typ == "string:t16")
+      return if (dt == StringType) stringBoundsAdmit(loS, hiS, op, v) else true
     if (typ != dt.catalogString) return true // widened column: refuse index
     scala.util.Try {
       if (loS == "null") false // all-null file: no comparison matches
@@ -1120,12 +1380,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     scala.collection.mutable.Map.empty[String, Option[(String, String)]]
 
   private def commitPspec(dataDir: String): Option[(String, String)] =
-    pspecCache.getOrElseUpdate(dataDir, {
-      val p = java.nio.file.Paths.get(dataDir).getParent.resolve("_pspec.txt")
-      if (p == null || !java.nio.file.Files.exists(p)) None
-      else scala.util.Try(java.nio.file.Files.readString(p).trim).toOption
-        .collect { case graft.core.TxTable.SpecRe(tf, c) => (tf, c) }
-    })
+    pspecCache.getOrElseUpdate(dataDir, GraftDataSource.pspecOf(dataDir))
 
   /** HIDDEN-partition admission: does the file's `_p=` path segment admit
     * condition (cc, op, v)? Each transform maps its partition value to
@@ -1140,17 +1395,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       return true // condition is on a different column
     scala.util.Try {
       val dt = tableSchema(cc).dataType
-      val (lo, hi) = (tf, dt) match {
-        case ("days", DateType) => (pval, pval)
-        case ("days", TimestampType) =>
-          (pval * 86400000000L, pval * 86400000000L + 86399999999L)
-        case ("months", DateType) =>
-          val first = java.time.LocalDate.of(
-            (Math.floorDiv(pval, 12L) + 1970L).toInt,
-            Math.floorMod(pval, 12L).toInt + 1, 1)
-          (first.toEpochDay, first.plusMonths(1).toEpochDay - 1)
-        case _ => return true
-      }
+      val (lo, hi) = GraftDataSource.partInterval(tf, dt, pval)
+        .getOrElse(return true)
       val conv = CatalystTypeConverters.createToCatalystConverter(dt)
       def one(value: Any): Boolean = conv(value) match {
         case n: java.lang.Number =>
@@ -1168,13 +1414,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     }.getOrElse(true)
   }
 
-  private def partitionDayOf(dataDir: String, f: String): Option[Long] = {
-    val rel = java.nio.file.Paths.get(dataDir)
-      .relativize(java.nio.file.Paths.get(f))
-    (0 until rel.getNameCount).iterator.map(rel.getName(_).toString)
-      .find(_.startsWith("_p="))
-      .flatMap(s => scala.util.Try(s.stripPrefix("_p=").toLong).toOption)
-  }
+  private def partitionDayOf(dataDir: String, f: String): Option[Long] =
+    GraftDataSource.partValOf(dataDir, f)
 
   /** Files of `dataDir` surviving zone-map AND hidden-partition
     * refutation under this scan's pushed filters — cached so
@@ -1280,6 +1521,41 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         case None => true
       }
     }
+
+  /** Admission over a file's recorded truncated string BOUNDS: lower L
+    * (base64; ≤ every value in unsigned byte order — Spark's own string
+    * order) and upper U (base64; ≥ every value; "*" = no finite bound).
+    * Refutation uses only implications that survive the truncation —
+    * `col < P` refutes when L ≥ P (then min ≥ L ≥ P), `col > P` when
+    * U ≤ P (then max ≤ U ≤ P), equality when P < L or P > U — so two
+    * values sharing a 16-byte prefix can never mis-refute each other
+    * (their L/U straddle both; PropertySpec pins this with a randomized
+    * shared-prefix battery). True on any surprise. */
+  private def stringBoundsAdmit(loS: String, hiS: String,
+                                op: String, v: Any): Boolean =
+    scala.util.Try {
+      if (loS == "null") false // all-null file: no comparison matches
+      else {
+        val dec = java.util.Base64.getDecoder
+        val L = dec.decode(loS)
+        val U = if (hiS == "*") null else dec.decode(hiS)
+        def cmpU(a: Array[Byte], b: Array[Byte]): Int =
+          java.util.Arrays.compareUnsigned(a, b)
+        def one(value: Any): Boolean = value match {
+          case s: String =>
+            val p = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            op match {
+              case ">" => U == null || cmpU(U, p) > 0
+              case ">=" => U == null || cmpU(U, p) >= 0
+              case "<" => cmpU(L, p) < 0
+              case "<=" => cmpU(L, p) <= 0
+              case "=" => cmpU(p, L) >= 0 && (U == null || cmpU(p, U) <= 0)
+            }
+          case _ => true
+        }
+        if (op == "in") v.asInstanceOf[Seq[Any]].exists(one) else one(v)
+      }
+    }.getOrElse(true)
 
   /** One parsed BUCKET-tier bloom sidecar per (bucket dir × column) for
     * this scan's lifetime — chosenLayout runs for both outputPartitioning
@@ -1433,10 +1709,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     // record), so the optimizer either sees the true cardinality of the
     // pruned scan or nothing. Zero footer I/O either way.
     val rowCounts = chosen.values.toSeq.map { case (dataDir, dvs) =>
-      val sidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
-      if (dvs.isEmpty && java.nio.file.Files.exists(sidecar))
-        scala.util.Try(java.nio.file.Files.readString(sidecar).trim.toLong).toOption
-      else None
+      if (dvs.isEmpty) graft.core.TxTable.rowsSidecarTotal(dataDir) else None
     }
     // Exactness also requires that zone-map pruning dropped no files
     // inside the chosen buckets — the bucket sidecar counts whole

@@ -38,11 +38,14 @@ class CatalogSpec extends AnyFunSuite {
         .filter(col("name") <= "Customer#000000199")
         // (not "token": Spark's SHOW TBLPROPERTIES redacts any property
         // whose value matches its secret regex — (?i)token|secret|…)
-        .select(col("name"), col("acctbal"), md5(col("name")).as("digest"))
+        .select(col("name"), col("acctbal"), md5(col("name")).as("digest"),
+          // Real DATE source: setPartitioning validates column existence
+          // and type at declare time (a typo'd spec used to no-op).
+          to_date(lit("2024-01-01")).as("ingested"))
       val pt = TxTable.create(spark, s"$wh/props", base, Seq("name"), numBuckets = 8,
         bloomCols = Seq("digest"), clusterCols = Seq("acctbal"),
         zoneMapCols = Seq("acctbal"))
-      pt.setPartitioning("days(ingested)") // declared for future commits
+      pt.setPartitioning("days(ingested)") // applies to future commits
       val props = spark.sql(s"SHOW TBLPROPERTIES $cat.props")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(props.get("merge-keys").contains("name"), props.toString)

@@ -663,6 +663,29 @@ class Dsv2Spec extends AnyFunSuite {
       }.get
       assert(parts2 <= 3,
         s"300-tuple composite probe abandoned pruning: planned $parts2 of 16")
+
+      // PAST THE OLD 65536-TUPLE CAP: EqualTo × a 70k-value IN. The old
+      // materialize-then-cap path abandoned pruning here even though the
+      // bucket set was computable; the streamed walk (one xxhash64 per
+      // tuple, no tuple list) keeps pruning — concentrated values again,
+      // so the effect is observable against 16 buckets.
+      val concentratedBig = (0 until 600000).map(i => s"G$i").toDF("h")
+        .withColumn("b", pmod(xxhash64(lit("k3"), col("h")), lit(16)))
+        .filter(col("b") <= 2).select("h")
+        .limit(70000).as[String].collect()
+      assert(concentratedBig.length == 70000, "not enough concentrated values")
+      val huge = concentratedBig.map(x => x: Any)
+      val q3 = spark.read.format("graft").load(dir)
+        .filter(col("k") === "k3" && col("h").isin(huge: _*))
+      val parts3 = q3.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.get
+      assert(parts3 <= 3,
+        s"70k-tuple composite probe abandoned pruning: planned $parts3 of 16")
+      assert(q3.count() === base.where(col("k") === "k3" &&
+        col("h").isin(huge: _*)).count(),
+        "over-cap tuple-pruned read lost or invented rows")
     } finally TxTable.drop(dir)
   }
 
@@ -958,6 +981,78 @@ class Dsv2Spec extends AnyFunSuite {
         assert(spark.read.format("graft").load(dir).filter(pred).count() ==
           base.filter(pred).count(), "dir-pruned read wrong or touched poison")
       } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
+    } finally TxTable.drop(dir)
+  }
+
+  test("partition-covered COUNT(*) answers from per-file sidecars; straddling probes fall back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_rangedcount").toString
+    try {
+      import spark.implicits._
+      val day0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      val base = (0 until 2000).map { i =>
+        (s"k$i", java.sql.Timestamp.from(day0.plusSeconds((i % 20) * 86400L + (i % 86400))), i.toLong)
+      }.toDF("id", "ts", "v")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("id"), numBuckets = 4)
+      t.setPartitioning("days(ts)")
+      t.merge(base)
+
+      val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T00:00:00Z"))
+      val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-08T00:00:00Z"))
+      val covered = connRead(dir, "keys" -> "id")
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).groupBy().count()
+      assert(covered.queryExecution.executedPlan.toString
+        .contains("partition-covered"),
+        "day-aligned ranged COUNT should plan the sidecar tier:\n" +
+          covered.queryExecution.executedPlan.toString)
+      val expect = base.filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count()
+      assert(covered.head().getLong(0) == expect, "ranged metadata count wrong")
+
+      // ZERO data I/O proof: poison EVERY parquet file — the covered
+      // count still answers (sidecars + paths only).
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      val backups = files.map { p =>
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON".getBytes("UTF-8"))
+        (p, orig)
+      }
+      try {
+        assert(connRead(dir, "keys" -> "id")
+          .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).groupBy().count()
+          .head().getLong(0) == expect,
+          "covered count touched a data file")
+      } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
+
+      // BOUNDARY-STRADDLING probe (12:00 edge): provably falls back —
+      // no stats scan in the plan, and the scanned count is still right.
+      val mid = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-05T12:00:00Z"))
+      val straddle = connRead(dir, "keys" -> "id")
+        .filter(col("ts") >= lit(mid) && col("ts") < lit(hi)).groupBy().count()
+      assert(!straddle.queryExecution.executedPlan.toString
+        .contains("partition-covered"),
+        "straddling probe must not claim the sidecar tier")
+      assert(straddle.head().getLong(0) ==
+        base.filter(col("ts") >= lit(mid) && col("ts") < lit(hi)).count())
+
+      // The exact filter is CONSUMED for plain row reads too: the pruned
+      // scan returns exactly the matching rows with no residual filter.
+      val rows = connRead(dir, "keys" -> "id")
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      assert(rows.collect().map(_.getString(0)).sorted.toSeq ==
+        base.filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .collect().map(_.getString(0)).sorted.toSeq,
+        "exact-filter scan lost or invented rows")
+
+      // A DV'd bucket refuses the sidecar count (live rows changed).
+      t.deleteMergeOnRead(Seq("k100").toDF("id"))
+      val afterDv = connRead(dir, "keys" -> "id")
+        .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).groupBy().count()
+      assert(!afterDv.queryExecution.executedPlan.toString
+        .contains("partition-covered"))
+      assert(afterDv.head().getLong(0) ==
+        base.filter(col("ts") >= lit(lo) && col("ts") < lit(hi) &&
+          col("id") =!= "k100").count())
     } finally TxTable.drop(dir)
   }
 
@@ -1416,7 +1511,10 @@ class Dsv2Spec extends AnyFunSuite {
       val sidecar = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
         .iterator().asScala.find(_.getFileName.toString == "_rows.txt").get
       val orig = java.nio.file.Files.readString(sidecar)
-      java.nio.file.Files.writeString(sidecar, (orig.trim.toLong + 1000).toString)
+      // Poke the TOTAL (v2 line 1) and keep the per-file lines intact.
+      val lines = orig.linesIterator.toList
+      java.nio.file.Files.writeString(sidecar,
+        ((lines.head.trim.toLong + 1000).toString +: lines.tail).mkString("\n"))
       assert(connRead(dir).groupBy().count().head().getLong(0) == native + 1000,
         "COUNT(*) did not come from the sidecar")
       // A CORRUPT sidecar is advisory like a missing one: the count path

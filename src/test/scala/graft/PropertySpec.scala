@@ -203,9 +203,15 @@ class PropertySpec extends AnyFunSuite {
         model --= dels
         model ++= ups
         val v = t.applyChanges(ups.toDF("k", "v"), dels.distinct.toDF("k"))
-        assert(v == before + 1,
-          s"applyChanges must publish exactly ONE version (got $before -> $v)")
-        assert(t.opAt(v) == "apply-changes")
+        if (ups.isEmpty && dels.isEmpty)
+          // A batch folding to zero changes is a metadata no-op — no
+          // empty version minted (the round-16 applyChanges guard).
+          assert(v == before, s"empty batch must not publish ($before -> $v)")
+        else {
+          assert(v == before + 1,
+            s"applyChanges must publish exactly ONE version (got $before -> $v)")
+          assert(t.opAt(v) == "apply-changes")
+        }
         val snap = t.snapshot().as[(String, Long)].collect().toMap
         assert(snap == model, s"after v$v: $snap != $model")
       }
@@ -364,6 +370,85 @@ class PropertySpec extends AnyFunSuite {
       assert(kx.getMessage.contains("key column"))
       // Time travel still serves the pre-update state.
       assert(t.snapshotAt(0L).as[(String, Option[Long])].collect().toMap == base.toMap)
+    } finally graft.core.TxTable.drop(dir)
+  }
+
+  test("string zone bounds: shared-prefix battery never loses rows (randomized)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_strzone").toString
+    val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    try {
+      // The truncation hazard by construction: families sharing a 16-byte
+      // (or longer) prefix, a multibyte family whose 16-byte cut lands
+      // MID-CODEPOINT, and a 15-byte family straddling the cut — plus the
+      // bare prefixes themselves as rows AND as probe values.
+      val rnd = new scala.util.Random(42)
+      val prefixes = Seq("Customer#0000000", "ααββγγδδ", "zzzzzzzzzzzzzzz")
+      val suffixes = "" +: (0 until 30).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+      val values = (for { p <- prefixes; s <- suffixes } yield p + s).distinct
+      val base = values.zipWithIndex.map { case (v, i) => (f"k$i%03d", v) }
+        .toDF("k", "name")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+        numBuckets = 4, zoneMapCols = Seq("name"))
+      t.compact(0, Seq("name")) // many range-disjoint files per bucket
+      // The sidecar really recorded truncated string bounds.
+      import scala.jdk.CollectionConverters._
+      val zm = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.find(_.getFileName.toString == "_zonemap.txt").get
+      assert(java.nio.file.Files.readString(zm).contains("string:t16"),
+        "string zone lines missing from the sidecar")
+      val conn = spark.read.format("graft").load(dir)
+      val probes = (rnd.shuffle(values).take(7) ++ prefixes).distinct
+      probes.foreach { p =>
+        Seq[(String, org.apache.spark.sql.Column)](
+          ("<", col("name") < p), ("<=", col("name") <= p),
+          (">", col("name") > p), (">=", col("name") >= p),
+          ("=", col("name") === p)).foreach { case (op, pred) =>
+          val got = conn.filter(pred).select("k").as[String].collect().sorted.toSeq
+          val want = base.filter(pred).select("k").as[String].collect().sorted.toSeq
+          assert(got == want, s"probe name $op '$p' lost or invented rows")
+        }
+      }
+    } finally {
+      maxRecBefore match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
+  test("TxTable deleteWhere: predicate semantics, NULL no-fire, no-op, bucket drop, time travel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_delwhere").toString
+    try {
+      val base = Seq("A" -> Some(1L), "B" -> Some(5L), "C" -> None, "D" -> Some(9L))
+      val t = graft.core.TxTable.create(spark, dir, base.toDF("k", "v"), Seq("k"), numBuckets = 4)
+      // NULL predicate (v > 3 is NULL for C) must not fire — C survives.
+      val v1 = t.deleteWhere("v > 3")
+      assert(v1 == 1L)
+      assert(t.snapshot().as[(String, Option[Long])].collect().toMap ==
+        Map("A" -> Some(1L), "C" -> None))
+      // No-match predicate publishes nothing.
+      assert(t.deleteWhere("v > 1000000") == v1)
+      assert(t.version == v1)
+      // CHECK constraints never block a delete (it introduces no rows) —
+      // even one the SURVIVORS would now have to satisfy vacuously.
+      t.addCheck("v_pos", "v IS NULL OR v >= 0")
+      val v2 = t.deleteWhere("k = 'A'")
+      assert(v2 == v1 + 1)
+      assert(t.snapshot().count() == 1) // only C (NULL v) survives
+      // Deleting every remaining row empties the manifest entirely, and
+      // the snapshot still serves the schema.
+      val v3 = t.deleteWhere("true")
+      assert(t.dataPointers(v3).isEmpty, "all-deleted buckets must drop out")
+      assert(t.snapshot().count() == 0)
+      assert(t.snapshot().columns.toSeq == Seq("k", "v"))
+      // Time travel still serves every pre-delete state.
+      assert(t.snapshotAt(0L).as[(String, Option[Long])].collect().toMap == base.toMap)
+      assert(t.snapshotAt(v1).count() == 2)
     } finally graft.core.TxTable.drop(dir)
   }
 
