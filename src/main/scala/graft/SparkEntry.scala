@@ -167,6 +167,9 @@ object SparkEntry {
     // HILBERT clustering: the locality-better 2-D alternative to Morton,
     // via the native codegen'd HilbertIndex expression; curve spec-pinned.
     "s59_hilbert_compact" -> ((s, d) => GraphOps.txHilbertCompact(s, d)),
+    // Consolidated per-version stats manifest: planning = ONE metadata
+    // read (listing+rows+zones+blooms+pspec), identical decisions.
+    "s60_stats_manifest" -> ((s, d) => GraphOps.txStatsManifest(s, d)),
     // Predicate DELETE ... WHERE: partial rewrite, CDC-exact, no-op no-publish.
     "s61_delete_where" -> ((s, d) => GraphOps.txDeleteWhere(s, d)),
     // Partition-covered COUNT(*): day-aligned range counts served from
@@ -3623,6 +3626,16 @@ object SparkEntry {
     // both WAP certificates must come back true.
     // s37: BUILDING balances +100 (pre-update house decides), customer 7
     // flagged; exactly 1 of 8 bucket pointers moved for the point update.
+    // s60: the manifest changes WHERE metadata is read, never the answer
+    // — the oracle is the plain band replay; all four certs ride as true.
+    "s60_stats_manifest" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  true AS sm_one_read, true AS sm_fallback_obuckets,
+        |  true AS sm_same_decisions, true AS sm_hash_match
+        |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     // s63: the string band replays declaratively from part; the prune
     // certificates ride the hash channel as literals.
     "s63_string_zonemap" ->

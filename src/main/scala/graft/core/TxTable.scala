@@ -837,6 +837,21 @@ final class TxTable private (spark: SparkSession, dir: String,
     val pcol = partitionColumn(df)
     val laid = pcol.map { case (c, _) => laid0.withColumn("_p", c) }.getOrElse(laid0)
     val partCols = if (pcol.isDefined) Seq("_b", "_p") else Seq("_b")
+    // OPTIMIZED WRITE for partition-transformed commits (Delta's
+    // optimized-write move, applied only where the layout needs it):
+    // without it, every shuffle task writes one file per (bucket × day)
+    // combination it holds — O(tasks × buckets × days) small files per
+    // commit (measured: a full-table day-partitioned merge at sf0.1
+    // wrote ~15k files and the file creates dominated the commit wall
+    // time). One extra shuffle keyed by the layout dirs caps a commit at
+    // O(buckets × days) files; the parallel unit becomes the (bucket,
+    // day) cell, which IS the layout's read-side parallel unit. FLAT
+    // tables keep the shuffle-free task-parallel write — their
+    // amplification is only O(tasks × buckets), which compactPartial
+    // exists to fold (forcing a shuffle on every flat write would cost
+    // more than it saves; see the compactPartial rationale).
+    val laidOpt =
+      if (pcol.isDefined) laid.repartition(partCols.map(col): _*) else laid
     // Cluster-on-write: sort this commit's rows within each task by
     // (dir cols, cluster cols) so every written file's row groups carry
     // tight footer stats on the cluster dimension — and the dynamic
@@ -844,8 +859,8 @@ final class TxTable private (spark: SparkSession, dir: String,
     // column refs only (cheap comparator — see compactClustered's note).
     val cluster = clusterColumns.filter(df.columns.contains)
     val shaped =
-      if (cluster.isEmpty && pcol.isEmpty) laid
-      else laid.sortWithinPartitions((partCols.map(col) ++ cluster.map(col)): _*)
+      if (cluster.isEmpty && pcol.isEmpty) laidOpt
+      else laidOpt.sortWithinPartitions((partCols.map(col) ++ cluster.map(col)): _*)
     shaped.write.options(bloomOptions)
       .partitionBy(partCols: _*).parquet(dataDir.resolve(commit).toString)
     pcol.foreach { case (_, spec) =>
@@ -947,9 +962,95 @@ final class TxTable private (spark: SparkSession, dir: String,
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, (s"#buckets=$buckets" +: s"#op=$op" +: lines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
-    try { Files.createLink(logDir.resolve(f"v$v%08d.txt"), tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    val won =
+      try { Files.createLink(logDir.resolve(f"v$v%08d.txt"), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    // The winner also publishes the version's CONSOLIDATED stats
+    // manifest (after the link — the manifest is the atomicity point;
+    // readers that arrive before the stats file fall back per bucket).
+    if (won) writeStatsManifest(v, lines)
+    won
+  }
+
+  /** Fold this version's planning metadata into ONE `stats-v*.bin` file
+    * (see [[TxTable.BucketStats]]). INCREMENTAL like a Delta checkpoint:
+    * buckets whose manifest entry is unchanged vs the previous version
+    * reuse their prior serialized stats (sidecars are immutable per
+    * commit dir), so the harvest I/O is O(changed buckets) per commit
+    * and only the file write is O(buckets). Advisory end to end: any
+    * failure leaves readers on the per-bucket fallback, never a broken
+    * commit — which is why the Try swallows. */
+  private def writeStatsManifest(v: Long, lines: Seq[String]): Unit =
+    scala.util.Try {
+      val next: Seq[(Long, BucketRef)] = lines
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { line =>
+          val parts = line.split('\t')
+          val dvs = if (parts.length > 2 && parts(2).nonEmpty)
+            parts(2).split(',').toSeq else Nil
+          parts(0).toLong -> BucketRef(parts(1), dvs)
+        }.sortBy(_._1)
+      val prev: Map[Long, TxTable.BucketStats] =
+        if (v == 0) Map.empty
+        else TxTable.readStatsManifestAt(logDir, v - 1).getOrElse(Map.empty)
+      val entries = next.map { case (b, ref) =>
+        b -> (prev.get(b) match {
+          case Some(e) if e.commit == ref.data && e.dvs == ref.dvs => e
+          case Some(e) if e.commit == ref.data => e.copy(dvs = ref.dvs)
+          case _ => harvestStats(b, ref)
+        })
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeUTF(TxTable.StatsMagic)
+      out.writeInt(entries.size)
+      entries.foreach { case (b, e) =>
+        out.writeLong(b); out.writeUTF(e.commit)
+        out.writeUTF(e.dvs.mkString(","))
+        out.writeLong(e.rowsTotal)
+        out.writeInt(e.files.size)
+        e.files.foreach { case (rel, n, sz) =>
+          out.writeUTF(rel); out.writeLong(n); out.writeLong(sz) }
+        out.writeUTF(e.pspec)
+        out.writeInt(e.zonemap.length); out.write(e.zonemap)
+        out.writeInt(e.blooms.size)
+        e.blooms.foreach { case (c, bytes) =>
+          out.writeUTF(c); out.writeInt(bytes.length); out.write(bytes) }
+      }
+      out.flush()
+      val tmp = logDir.resolve(s".stats-tmp-${UUID.randomUUID()}")
+      Files.write(tmp, bos.toByteArray)
+      try Files.createLink(logDir.resolve(f"stats-v$v%08d.bin"), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }.getOrElse(())
+
+  /** One bucket's stats, harvested from its (immutable) sidecar files. */
+  private def harvestStats(b: Long, ref: BucketRef): TxTable.BucketStats = {
+    val dataDir = bucketPath(ref.data, b)
+    val rowsTotal = TxTable.rowsSidecarTotal(dataDir).getOrElse(-1L)
+    val files = TxTable.rowsSidecarPerFile(dataDir).getOrElse(Map.empty)
+      .toSeq.sorted.map { case (rel, n) =>
+        val sz = scala.util.Try(
+          Files.size(Paths.get(dataDir).resolve(rel))).getOrElse(-1L)
+        (rel, n, sz)
+      }
+    val pspecFile = Paths.get(dataDir).getParent.resolve("_pspec.txt")
+    val pspec =
+      if (Files.exists(pspecFile)) Files.readString(pspecFile).trim else ""
+    val zmFile = Paths.get(dataDir, "_zonemap.txt")
+    val zonemap =
+      if (Files.exists(zmFile)) Files.readAllBytes(zmFile) else Array.empty[Byte]
+    val blooms = {
+      val d = Paths.get(dataDir)
+      if (!Files.isDirectory(d)) Nil
+      else listNames(d)
+        .filter(n => n.startsWith("_bloomidx.") && n.endsWith(".bin")).sorted
+        .map(n => (n.stripPrefix("_bloomidx.").stripSuffix(".bin"),
+          Files.readAllBytes(d.resolve(n))))
+    }
+    TxTable.BucketStats(ref.data, ref.dvs, rowsTotal, files, pspec, zonemap, blooms)
   }
 
   /** MERGE `updates` into the table: matched keys are replaced (update
@@ -1379,6 +1480,11 @@ final class TxTable private (spark: SparkSession, dir: String,
         if (n.startsWith("v") && n.endsWith(".txt") &&
             n.stripPrefix("v").stripSuffix(".txt").toLong < floor)
           Files.deleteIfExists(logDir.resolve(n))
+        // Each version's stats manifest retires with its manifest.
+        if (n.startsWith("stats-v") && n.endsWith(".bin") &&
+            scala.util.Try(n.stripPrefix("stats-v").stripSuffix(".bin").toLong)
+              .toOption.exists(_ < floor))
+          Files.deleteIfExists(logDir.resolve(n))
       }
     // A writer that died between materializing its temp manifest and the
     // publish link leaves a `.tmp-*` file behind — invisible to readers
@@ -1386,7 +1492,7 @@ final class TxTable private (spark: SparkSession, dir: String,
     // under the same age guard as data dirs: an IN-FLIGHT publish's temp
     // file is seconds old and protected by retainMs.
     listNames(logDir).foreach { n =>
-      if (n.startsWith(".tmp-") &&
+      if ((n.startsWith(".tmp-") || n.startsWith(".stats-tmp-")) &&
           Files.getLastModifiedTime(logDir.resolve(n)).toMillis < cutoff)
         Files.deleteIfExists(logDir.resolve(n))
     }
@@ -2136,6 +2242,69 @@ object TxTable {
     * an old reader refuses a future format instead of misparsing it). */
   val ZoneMapHeader = "graftzonemap\t1"
 
+  /** One bucket's planning metadata inside a per-version STATS MANIFEST
+    * (`_log/stats-v*.bin`) — the Delta-checkpoint / Iceberg-manifest-list
+    * analogue: everything the scan's planning tiers used to collect from
+    * per-bucket sidecar files (`_rows.txt`, `_zonemap.txt`,
+    * `_bloomidx.*`, `_pspec.txt`) plus the per-file LISTING itself
+    * (bucket-relative path, rows, bytes), folded into ONE file published
+    * beside each manifest. Planning a snapshot is then one metadata read
+    * instead of O(buckets) sidecar opens and O(files) directory walking.
+    * Advisory like every sidecar: absent (pre-manifest versions, a crash
+    * between manifest link and stats write) or unparsable falls back to
+    * the per-bucket files. `pspec`/`zonemap` hold the RAW sidecar text
+    * (same parsers both paths); `rowsTotal` -1 = bucket had no sidecar;
+    * empty `files` = v1 rows sidecar (total only — listing falls back to
+    * the walk). */
+  private[graft] final case class BucketStats(
+      commit: String, dvs: Seq[String], rowsTotal: Long,
+      files: Seq[(String, Long, Long)], pspec: String,
+      zonemap: Array[Byte], blooms: Seq[(String, Array[Byte])])
+
+  /** Spec-only observation hook: fired with the path of every metadata
+    * FILE the planning tiers physically read (stats manifest, rows/zone/
+    * bloom/pspec sidecars), so a spec can assert the consolidated path
+    * costs ONE read where the per-bucket path costs O(buckets). No-op in
+    * production. */
+  private[graft] var metaReadProbe: String => Unit = _ => ()
+
+  private val StatsMagic = "graftstats\t1"
+
+  /** The per-version stats manifest of `tableDir` at version `v`, or
+    * None when absent/unparsable (readers fall back per bucket). */
+  private[graft] def readStatsManifest(tableDir: String, v: Long)
+      : Option[Map[Long, BucketStats]] =
+    readStatsManifestAt(Paths.get(tableDir, "_log"), v)
+
+  /** Same, against an explicit log dir (branch logs live elsewhere). */
+  private[graft] def readStatsManifestAt(logDir: Path, v: Long)
+      : Option[Map[Long, BucketStats]] = {
+    val p = logDir.resolve(f"stats-v$v%08d.bin")
+    if (!Files.exists(p)) return None
+    scala.util.Try {
+      metaReadProbe(p.toString)
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
+      require(in.readUTF() == StatsMagic, "foreign stats header")
+      (0 until in.readInt()).map { _ =>
+        val b = in.readLong()
+        val commit = in.readUTF()
+        val dvs = in.readUTF().split(',').toSeq.filter(_.nonEmpty)
+        val rowsTotal = in.readLong()
+        val files = (0 until in.readInt())
+          .map(_ => (in.readUTF(), in.readLong(), in.readLong()))
+        val pspec = in.readUTF()
+        val zm = new Array[Byte](in.readInt()); in.readFully(zm)
+        val blooms = (0 until in.readInt()).map { _ =>
+          val c = in.readUTF()
+          val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+          (c, bytes)
+        }
+        b -> BucketStats(commit, dvs, rowsTotal, files, pspec, zm, blooms)
+      }.toMap
+    }.toOption
+  }
+
   /** `_rows.txt` sidecar total — line 1 of the file (a v1 sidecar is
     * exactly that line; v2 appends `rel-path<TAB>rows` per file). None =
     * absent or unparsable — the advisory contract: every consumer falls
@@ -2143,8 +2312,11 @@ object TxTable {
   def rowsSidecarTotal(bucketDir: String): Option[Long] = {
     val p = Paths.get(bucketDir, "_rows.txt")
     if (!Files.exists(p)) None
-    else scala.util.Try(
-      Files.readString(p).linesIterator.next().trim.toLong).toOption
+    else {
+      metaReadProbe(p.toString)
+      scala.util.Try(
+        Files.readString(p).linesIterator.next().trim.toLong).toOption
+    }
   }
 
   /** Per-FILE rows from a v2 `_rows.txt` sidecar: bucket-relative path →
@@ -2153,6 +2325,7 @@ object TxTable {
   def rowsSidecarPerFile(bucketDir: String): Option[Map[String, Long]] = {
     val p = Paths.get(bucketDir, "_rows.txt")
     if (!Files.exists(p)) return None
+    metaReadProbe(p.toString)
     scala.util.Try {
       val lines = Files.readString(p).linesIterator.toList
       lines.head.trim.toLong // the total must parse or the sidecar is corrupt

@@ -239,8 +239,11 @@ private[graft] object GraftDataSource {
   def pspecOf(dataDir: String): Option[(String, String)] = {
     val p = java.nio.file.Paths.get(dataDir).getParent.resolve("_pspec.txt")
     if (p == null || !java.nio.file.Files.exists(p)) None
-    else scala.util.Try(java.nio.file.Files.readString(p).trim).toOption
-      .collect { case graft.core.TxTable.SpecRe(tf, c) => (tf, c) }
+    else {
+      graft.core.TxTable.metaReadProbe(p.toString)
+      scala.util.Try(java.nio.file.Files.readString(p).trim).toOption
+        .collect { case graft.core.TxTable.SpecRe(tf, c) => (tf, c) }
+    }
   }
 
   /** Spec-only observation hook: called with every `_p=` directory the
@@ -350,8 +353,19 @@ private[graft] object GraftDataSource {
       : Option[Map[String, Map[String, (String, String, String)]]] = {
     val p = java.nio.file.Paths.get(bucketDir, "_zonemap.txt")
     if (!java.nio.file.Files.exists(p)) None
-    else try {
-      val lines = java.nio.file.Files.readAllLines(p).asScala.toList
+    else {
+      graft.core.TxTable.metaReadProbe(p.toString)
+      parseZoneText(scala.util.Try(
+        java.nio.file.Files.readString(p)).getOrElse(""))
+    }
+  }
+
+  /** The `_zonemap.txt` parser proper — also fed the same text from the
+    * consolidated stats manifest, so both paths share one grammar. */
+  def parseZoneText(text: String)
+      : Option[Map[String, Map[String, (String, String, String)]]] =
+    try {
+      val lines = text.linesIterator.toList
       if (lines.headOption.getOrElse("") != graft.core.TxTable.ZoneMapHeader) None
       else Some(lines.tail.filter(_.nonEmpty).map { l =>
         val a = l.split('\t')
@@ -359,6 +373,31 @@ private[graft] object GraftDataSource {
       }.groupBy(_._1).view
         .mapValues(_.map(x => x._2 -> x._3).toMap).toMap)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A `_bloomidx` sidecar's raw bytes → (write-time type, sketch), or
+    * None on a foreign header/parse failure — never a refutation. */
+  def parseBloomBytes(colName: String, bytes: Array[Byte])
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    try {
+      val nl = bytes.indexOf('\n'.toByte)
+      val header = new String(bytes, 0, math.max(nl, 0),
+        java.nio.charset.StandardCharsets.UTF_8).split('\t')
+      if (nl < 0 || header.length != 3 || header(0) != "graftbloom" ||
+          header(1) != colName) None
+      else Some((header(2), org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes, nl + 1, bytes.length - nl - 1))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The bucket-tier bloom sidecar file for (bucket dir, column). */
+  def readBloomSidecar(bucketDir: String, colName: String)
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] = {
+    val p = java.nio.file.Paths.get(bucketDir, s"_bloomidx.$colName.bin")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      graft.core.TxTable.metaReadProbe(p.toString)
+      scala.util.Try(java.nio.file.Files.readAllBytes(p)).toOption
+        .flatMap(parseBloomBytes(colName, _))
+    }
   }
 
   /** The bucket-id METADATA COLUMN (SupportsMetadataColumns): invisible
@@ -564,7 +603,8 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, keyCols, schema0, pinnedVersion, changeFeed,
       skipLayoutOnly, spjCapable,
-      startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      ignoreStats = options.getBoolean("ignoreStatsManifest", false))
 }
 
 final class GraftScanBuilder(dir: String, keyCols: Seq[String],
@@ -572,7 +612,8 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
                              changeFeed: Boolean = false,
                              skipLayoutOnly: Boolean = false,
                              spjCapable: Boolean = false,
-                             startingVersion: Long = 0L)
+                             startingVersion: Long = 0L,
+                             ignoreStats: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -586,6 +627,13 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
   private var statsRow: Array[Any] = null
   private var statsVia: String = ""
   private var limit: Int = Int.MaxValue
+
+  /** One consolidated-stats read shared by the builder's planning work
+    * (partition-exact acceptance, ranged count, aggregate pushdown). */
+  private lazy val builderStats: StatsView = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    new StatsView(dir, pinnedVersion, t.layoutAt(pinnedVersion), ignoreStats)
+  }
 
   /** LIMIT pushes PARTIALLY: each partition's reader stops after emitting
     * `limit` surviving rows (post-DV), so a `LIMIT 10` on a 100 TB table
@@ -670,9 +718,10 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     val aliases = t.aliasesAt(pinnedVersion)
     var total = 0L
     layout.values.toSeq.foreach { case (dataDir, _) =>
-      val pspec = GraftDataSource.pspecOf(dataDir)
-      lazy val perFile = graft.core.TxTable.rowsSidecarPerFile(dataDir)
-      GraftDataSource.parquetFiles(dataDir).foreach { f =>
+      val pspec = builderStats.pspec(dataDir)
+      lazy val perFile = builderStats.perFileRows(dataDir)
+      builderStats.listing(dataDir)
+        .getOrElse(GraftDataSource.parquetFiles(dataDir)).foreach { f =>
         val cov = (for {
           (tf, c) <- pspec
           pv <- GraftDataSource.partValOf(dataDir, f)
@@ -744,12 +793,13 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     var via = "parquet footer statistics"
     val sidecar: Option[Unit] = scala.util.Try {
       layout.values.toSeq.sortBy(_._1).foreach { case (dataDir, _) =>
-        count += graft.core.TxTable.rowsSidecarTotal(dataDir)
+        count += builderStats.rowsTotal(dataDir)
           .getOrElse(throw new IllegalStateException("no rows sidecar"))
         if (cols.nonEmpty) {
-          val zone = GraftDataSource.parseZoneSidecar(dataDir)
+          val zone = builderStats.zoneSidecar(dataDir)
             .getOrElse(throw new IllegalStateException("no zonemap"))
-          GraftDataSource.parquetFiles(dataDir).foreach { f =>
+          builderStats.listing(dataDir)
+            .getOrElse(GraftDataSource.parquetFiles(dataDir)).foreach { f =>
             val rel = java.nio.file.Paths.get(dataDir)
               .relativize(java.nio.file.Paths.get(f)).toString
             val byCol = zone.getOrElse(rel,
@@ -933,10 +983,13 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     if (!t.everPartitioned) return Array.empty
     val aliases = t.aliasesAt(pinnedVersion)
     // (transform, pval, specCol) per file — None = undecidable file.
+    // Listing and pspec come from the consolidated stats manifest when
+    // the version carries one (no walk, no per-commit file reads).
     val fileParts: Seq[Option[(String, Long, String)]] =
       t.layoutAt(pinnedVersion).values.toSeq.flatMap { case (dataDir, _) =>
-        val pspec = GraftDataSource.pspecOf(dataDir)
-        GraftDataSource.parquetFiles(dataDir).map { f =>
+        val pspec = builderStats.pspec(dataDir)
+        builderStats.listing(dataDir)
+          .getOrElse(GraftDataSource.parquetFiles(dataDir)).map { f =>
           for {
             (tf, c) <- pspec
             pv <- GraftDataSource.partValOf(dataDir, f)
@@ -1045,16 +1098,100 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
 
   override def build(): Scan =
     if (statsRow != null) new GraftStatsScan(dir, statsSchema, statsRow, statsVia)
-    else if (countStarPushed) new GraftCountScan(dir, keyCols, pinnedVersion)
+    else if (countStarPushed)
+      new GraftCountScan(dir, keyCols, pinnedVersion, ignoreStats)
     else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
-      changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion, dataFilters)
+      changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion, dataFilters,
+      ignoreStats)
+}
+
+/** Planning-metadata view over one pinned snapshot: when the version
+  * carries a consolidated stats manifest (`_log/stats-v*.bin`, written
+  * with every publish), ONE read serves everything the planning tiers
+  * need — the per-bucket parquet LISTING (no directory walk at all),
+  * row counts and file sizes, partition specs, zone maps and bucket
+  * blooms. Versions that predate the manifest (or `ignore` = the
+  * `ignoreStatsManifest` read option, the parity-certification switch)
+  * fall back per bucket to the sidecar files and walks, bucket by
+  * bucket — a MIXED answer is fine because every entry describes an
+  * immutable commit dir. At 100 TB this is the Delta-checkpoint move:
+  * planning cost stops scaling with file count and becomes one
+  * manifest-sized read. */
+private[sources] final class StatsView(tableDir: String, pinnedVersion: Long,
+                                       layout: Map[Long, (String, Seq[String])],
+                                       ignore: Boolean) {
+  import graft.core.TxTable
+
+  private val byDir: Map[String, TxTable.BucketStats] =
+    if (ignore) Map.empty
+    else TxTable.readStatsManifest(tableDir, pinnedVersion) match {
+      case None => Map.empty
+      case Some(m) =>
+        layout.flatMap { case (b, (dataDir, _)) => m.get(b).map(dataDir -> _) }
+    }
+
+  /** The bucket's parquet listing from metadata — None (no manifest, or
+    * a v1 rows sidecar without per-file lines) = walk the directory. */
+  def listing(dataDir: String): Option[Seq[String]] =
+    byDir.get(dataDir).filter(_.files.nonEmpty).map(_.files.map {
+      case (rel, _, _) =>
+        java.nio.file.Paths.get(dataDir).resolve(rel).toString
+    }.sorted)
+
+  def rowsTotal(dataDir: String): Option[Long] =
+    byDir.get(dataDir) match {
+      case Some(e) => Some(e.rowsTotal).filter(_ >= 0)
+      case None => TxTable.rowsSidecarTotal(dataDir)
+    }
+
+  def perFileRows(dataDir: String): Option[Map[String, Long]] =
+    byDir.get(dataDir) match {
+      case Some(e) if e.files.nonEmpty =>
+        Some(e.files.map { case (rel, n, _) => rel -> n }.toMap)
+      case Some(_) => None
+      case None => TxTable.rowsSidecarPerFile(dataDir)
+    }
+
+  /** Bucket-relative path → file size, when the manifest recorded it. */
+  def bytesByFile(dataDir: String): Map[String, Long] =
+    byDir.get(dataDir).map(_.files.collect {
+      case (rel, _, sz) if sz >= 0 => rel -> sz
+    }.toMap).getOrElse(Map.empty)
+
+  def pspec(dataDir: String): Option[(String, String)] =
+    byDir.get(dataDir) match {
+      case Some(e) => e.pspec match {
+        case TxTable.SpecRe(tf, c) => Some((tf, c))
+        case _ => None
+      }
+      case None => GraftDataSource.pspecOf(dataDir)
+    }
+
+  def zoneSidecar(dataDir: String)
+      : Option[Map[String, Map[String, (String, String, String)]]] =
+    byDir.get(dataDir) match {
+      case Some(e) =>
+        if (e.zonemap.isEmpty) None
+        else GraftDataSource.parseZoneText(
+          new String(e.zonemap, java.nio.charset.StandardCharsets.UTF_8))
+      case None => GraftDataSource.parseZoneSidecar(dataDir)
+    }
+
+  def bloom(dataDir: String, colName: String)
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    byDir.get(dataDir) match {
+      case Some(e) => e.blooms.collectFirst { case (c, bytes) if c == colName =>
+        bytes }.flatMap(GraftDataSource.parseBloomBytes(colName, _))
+      case None => GraftDataSource.readBloomSidecar(dataDir, colName)
+    }
 }
 
 /** Metadata-only COUNT(*): the driver sums footer record counts at
   * planning and ships ONE literal row; Spark's final aggregate folds it
   * (partial-pushdown contract — supportCompletePushDown stays false). */
 final class GraftCountScan(dir: String, keyCols: Seq[String],
-                           pinnedVersion: Long) extends Scan with Batch {
+                           pinnedVersion: Long,
+                           ignoreStats: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
@@ -1067,10 +1204,15 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
     * with zero footer I/O (the Delta/Iceberg log-stats count). Mixed or
     * pre-sidecar layouts fall back to footer record counts per file —
     * still metadata-only, just O(files) instead of O(buckets). */
+  private lazy val statsView: StatsView = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    new StatsView(dir, pinnedVersion, t.layoutAt(pinnedVersion), ignoreStats)
+  }
+
   private lazy val allSidecars: Boolean = {
     val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
     t.layoutAt(pinnedVersion).values.forall { case (dataDir, _) =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir, "_rows.txt"))
+      statsView.rowsTotal(dataDir).isDefined
     }
   }
 
@@ -1079,11 +1221,10 @@ final class GraftCountScan(dir: String, keyCols: Seq[String],
     val conf = new Configuration()
     val total = t.layoutAt(pinnedVersion).values.toSeq.map { case (dataDir, dvs) =>
       require(dvs.isEmpty, "metadata count planned over a DV'd bucket")
-      val sidecar = java.nio.file.Paths.get(dataDir, "_rows.txt")
       // The sidecar is ADVISORY (the documented contract): a corrupt or
-      // empty file falls back to the per-file footer counts exactly like
-      // a missing one — same Try discipline as the numRows stats path.
-      graft.core.TxTable.rowsSidecarTotal(dataDir).getOrElse(
+      // empty record falls back to the per-file footer counts exactly
+      // like a missing one — same Try discipline as the numRows path.
+      statsView.rowsTotal(dataDir).getOrElse(
         GraftDataSource.parMap(GraftDataSource.parquetFiles(dataDir)) { f =>
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(f), conf))
           try r.getRecordCount finally r.close()
@@ -1138,7 +1279,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                       spjCapable: Boolean = false,
                       limit: Int = Int.MaxValue,
                       startingVersion: Long = 0L,
-                      dataFilters: Array[Filter] = Array.empty)
+                      dataFilters: Array[Filter] = Array.empty,
+                      ignoreStats: Boolean = false)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1152,6 +1294,12 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     * cannot prune alone); same listing-level contract as the static
     * pushdown — filters stay residuals, Spark re-evaluates them. */
   private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** One consolidated-stats read for this scan's whole planning pass. */
+  private lazy val statsView: StatsView = {
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    new StatsView(dir, pinnedVersion, t.layoutAt(pinnedVersion), ignoreStats)
+  }
 
   override def filterAttributes(): Array[NamedReference] =
     if (keyCols.length == 1 && !changeFeed)
@@ -1318,8 +1466,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 
   private def zoneSidecar(bucketDir: String)
       : Option[Map[String, Map[String, (String, String, String)]]] =
-    zoneCache.getOrElseUpdate(bucketDir,
-      GraftDataSource.parseZoneSidecar(bucketDir))
+    zoneCache.getOrElseUpdate(bucketDir, statsView.zoneSidecar(bucketDir))
 
   private lazy val zoneAliases: Map[String, Seq[String]] =
     graft.core.TxTable.open(SparkSession.active, dir, keyCols)
@@ -1380,7 +1527,7 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     scala.collection.mutable.Map.empty[String, Option[(String, String)]]
 
   private def commitPspec(dataDir: String): Option[(String, String)] =
-    pspecCache.getOrElseUpdate(dataDir, GraftDataSource.pspecOf(dataDir))
+    pspecCache.getOrElseUpdate(dataDir, statsView.pspec(dataDir))
 
   /** HIDDEN-partition admission: does the file's `_p=` path segment admit
     * condition (cc, op, v)? Each transform maps its partition value to
@@ -1427,10 +1574,15 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
 
   private def zoneFiles(dataDir: String): Seq[String] =
     zoneFileCache.getOrElseUpdate(dataDir, {
-      if (zoneConds.isEmpty || changeFeed) GraftDataSource.parquetFiles(dataDir)
+      // Manifest-served LISTING first (zero directory I/O); the walk —
+      // with its partition-refuted-subtree pruning — is the fallback.
+      lazy val listed = statsView.listing(dataDir)
+      if (changeFeed) GraftDataSource.parquetFiles(dataDir)
+      else if (zoneConds.isEmpty)
+        listed.getOrElse(GraftDataSource.parquetFiles(dataDir))
       else {
         val pspec = commitPspec(dataDir)
-        val files = prunedListing(dataDir, pspec)
+        val files = listed.getOrElse(prunedListing(dataDir, pspec))
         val byFile = zoneSidecar(dataDir)
         files.filter { f =>
           // Bucket-RELATIVE key: partitioned commits repeat part-file
@@ -1566,22 +1718,9 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     .empty[String, Option[(String, org.apache.spark.util.sketch.BloomFilter)]]
 
   private def bucketBloom(bucketDir: String, colName: String)
-      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] = {
-    val p = java.nio.file.Paths.get(bucketDir, s"_bloomidx.$colName.bin")
-    bloomCache.getOrElseUpdate(p.toString, {
-      if (!java.nio.file.Files.exists(p)) None
-      else try {
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        val nl = bytes.indexOf('\n'.toByte)
-        val header = new String(bytes, 0, math.max(nl, 0),
-          java.nio.charset.StandardCharsets.UTF_8).split('\t')
-        if (nl < 0 || header.length != 3 || header(0) != "graftbloom" ||
-            header(1) != colName) None
-        else Some((header(2), org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bytes, nl + 1, bytes.length - nl - 1))))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    })
-  }
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    bloomCache.getOrElseUpdate(s"$bucketDir#$colName",
+      statsView.bloom(bucketDir, colName))
 
   /** BUCKET-TIER BLOOM REFUTATION — the planning-time skipping tier
     * above every file: a pushed EqualTo/In on a bloom-indexed NON-key
@@ -1696,8 +1835,14 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     // with no zone-eligible predicate it degenerates to the full
     // listing, unchanged.
     chosen.values.foreach { case (dataDir, _) =>
+      // Manifest-recorded sizes when present — zero filesystem stats.
+      val recorded = statsView.bytesByFile(dataDir)
+      val root = java.nio.file.Paths.get(dataDir)
       zoneFiles(dataDir).foreach { f =>
-        bytes += java.nio.file.Files.size(java.nio.file.Paths.get(f))
+        bytes += recorded.getOrElse(
+          root.relativize(java.nio.file.Paths.get(f)).toString,
+          scala.util.Try(java.nio.file.Files.size(
+            java.nio.file.Paths.get(f))).getOrElse(0L))
       }
     }
     val factor =

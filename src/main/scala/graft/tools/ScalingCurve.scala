@@ -62,7 +62,19 @@ object ScalingCurve {
     "tx_bm25", "tx_dsir", "tx_pipeline", "tx_span_dedup", "tx_tfidf",
     "tx_tokens",
     "rq54_rolling_dau", "rq55_lift_gains", "rq72_exact_kth",
-    "rq75_group_median")
+    "rq75_group_median",
+    // Storage WRITE/COMPACTION paths whose input grows with sf (the
+    // lineitem/part/events-backed lifecycle entries): cluster-on-write,
+    // sorted/Z-order/Hilbert rewrites, sidecar builds, the consolidated
+    // stats manifest and the partition-covered count. Honest-linear is
+    // the expectation (they write the data once); the gate catches an
+    // accidental second pass or a driver-side O(files²). The bounded
+    // protocol demos (s52/s56/s61 — ≤199-row bases) stay excluded by
+    // the size-independence rule above.
+    "s49_sorted_compact", "s50_bloom_point", "s51_zorder_compact",
+    "s53_bucket_bloom", "s54_clustered_write", "s55_zonemap_range",
+    "s57_zorder_nway", "s58_date_partition", "s59_hilbert_compact",
+    "s60_stats_manifest", "s62_ranged_count", "s63_string_zonemap")
 
   def main(args: Array[String]): Unit = {
     val sfDirs =

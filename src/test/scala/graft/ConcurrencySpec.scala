@@ -224,4 +224,44 @@ class ConcurrencySpec extends AnyFunSuite {
         "the rebase touched rows outside the predicate")
     } finally graft.core.TxTable.drop(dir)
   }
+
+  test("deleteWhere loser rebases when a winner adds matching rows to an untouched bucket") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_delskew").toString
+    try {
+      // Same write-skew shape as the update case: deleteWhere's read-set
+      // is every bucket, so a winner committing predicate-MATCHING rows
+      // into a bucket the loser never touched must force a rebase — a
+      // re-pointed head would silently keep rows the delete owes removal.
+      val base = spark.range(1, 51)
+        .select(concat(lit("k"), col("id")).as("id"),
+          (col("id") % 10 * 10).cast("long").as("v"))
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("id"),
+        numBuckets = 16)
+      t.merge(base.filter(col("id") === "k1")) // normalize the DDL form
+      val touched = t.lookupBuckets(base.filter(col("v") >= 90).select("id"))
+      val winnerKey = (1 to 1000).map(i => s"w$i").find { k =>
+        !touched.contains(t.lookupBuckets(
+          spark.createDataFrame(Seq(Tuple1(k))).toDF("id")).head)
+      }.get
+      val winnerRow = spark.createDataFrame(Seq((winnerKey, 500L)))
+        .toDF("id", "v") // v=500 MATCHES the delete predicate
+      @volatile var fired = false
+      t.updatePrePublishHook = () => if (!fired) {
+        fired = true
+        graft.core.TxTable.open(spark, dir, Seq("id")).merge(winnerRow)
+      }
+      t.deleteWhere("v >= 90")
+      assert(fired, "hook never ran — the spec exercised nothing")
+      // Serialized after the winner, the delete owes removal to EVERY
+      // matching row — including the winner's row in the untouched
+      // bucket. The unsound metadata retry would leave it alive.
+      assert(t.snapshot().filter(col("v") >= 90).count() == 0,
+        "matching rows survived the DELETE (write-skew): the loser " +
+          "re-pointed its stale commit over a conflicting winner")
+      assert(t.snapshot().filter(col("v") < 90).count() ==
+        base.filter(col("v") < 90).count(),
+        "the rebase deleted rows outside the predicate")
+    } finally graft.core.TxTable.drop(dir)
+  }
 }

@@ -705,10 +705,14 @@ class Dsv2Spec extends AnyFunSuite {
       val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 8,
         zoneMapCols = Seq("v"))
 
+      // Pins the per-bucket sidecar-FILE path (the type-guard section
+      // below pokes the _zonemap.txt files; the consolidated manifest
+      // path is certified by its own spec).
       def planned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
         val provider = new graft.sources.GraftTableProvider
         val opts = new java.util.HashMap[String, String]()
         opts.put("path", dir)
+        opts.put("ignoreStatsManifest", "true")
         val cmap = new CaseInsensitiveStringMap(opts)
         val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -776,6 +780,7 @@ class Dsv2Spec extends AnyFunSuite {
         val provider = new graft.sources.GraftTableProvider
         val opts = new java.util.HashMap[String, String]()
         opts.put("path", dir)
+        opts.put("ignoreStatsManifest", "true")
         val cmap = new CaseInsensitiveStringMap(opts)
         val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -926,10 +931,14 @@ class Dsv2Spec extends AnyFunSuite {
       t.setPartitioning("days(ts)")
       t.merge(base)
 
+      // The walk only happens on the stats-manifest FALLBACK path (the
+      // manifest serves the listing with no directory I/O at all), so
+      // this test pins the walk explicitly.
       def planned(filters: Array[org.apache.spark.sql.sources.Filter]) = {
         val provider = new graft.sources.GraftTableProvider
         val opts = new java.util.HashMap[String, String]()
         opts.put("path", dir)
+        opts.put("ignoreStatsManifest", "true")
         val cmap = new CaseInsensitiveStringMap(opts)
         val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
           .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -1419,10 +1428,14 @@ class Dsv2Spec extends AnyFunSuite {
       val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 16,
         bloomCols = Seq("token"))
 
+      // This test POKES the _bloomidx files, so it pins the per-bucket
+      // sidecar-FILE path explicitly (ignoreStatsManifest) — the
+      // consolidated manifest path is certified by its own spec.
       def partitions(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
         val provider = new graft.sources.GraftTableProvider
         val opts = new java.util.HashMap[String, String]()
         opts.put("path", dir); opts.put("keys", "k")
+        opts.put("ignoreStatsManifest", "true")
         val cmap = new CaseInsensitiveStringMap(opts)
         val table = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
         val sb = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -1432,7 +1445,8 @@ class Dsv2Spec extends AnyFunSuite {
         sb.build().toBatch.planInputPartitions().length
       }
       def rowsFor(c: String, vs: String*): Seq[String] =
-        spark.read.format("graft").option("keys", "k").load(dir)
+        spark.read.format("graft").option("keys", "k")
+          .option("ignoreStatsManifest", "true").load(dir)
           .filter(col(c).isin(vs: _*)).collect().map(_.getString(0)).sorted.toSeq
 
       val full = partitions(Array.empty)
@@ -1498,7 +1512,10 @@ class Dsv2Spec extends AnyFunSuite {
   test("COUNT(*) is served from the write-time _rows.txt sidecars, not footers") {
     val (dir, t) = freshTable("graft_dsv2_rows")
     try {
-      val cnt = connRead(dir).groupBy().count()
+      // Pin the per-bucket sidecar-FILE path (the pokes below rewrite
+      // _rows.txt; the consolidated manifest has its own spec).
+      def connNoStats = connRead(dir, "ignoreStatsManifest" -> "true")
+      val cnt = connNoStats.groupBy().count()
       assert(cnt.queryExecution.executedPlan.toString.contains("manifest row counts"),
         "clean COUNT(*) should plan the sidecar-count path")
       val native = t.snapshot().count()
@@ -1515,20 +1532,20 @@ class Dsv2Spec extends AnyFunSuite {
       val lines = orig.linesIterator.toList
       java.nio.file.Files.writeString(sidecar,
         ((lines.head.trim.toLong + 1000).toString +: lines.tail).mkString("\n"))
-      assert(connRead(dir).groupBy().count().head().getLong(0) == native + 1000,
+      assert(connNoStats.groupBy().count().head().getLong(0) == native + 1000,
         "COUNT(*) did not come from the sidecar")
       // A CORRUPT sidecar is advisory like a missing one: the count path
       // must fall back to that bucket's footer record counts, never
       // throw (the documented contract; the numRows stats path already
       // had the Try — this pins the count path's parity with it).
       java.nio.file.Files.writeString(sidecar, "not-a-number")
-      assert(connRead(dir).groupBy().count().head().getLong(0) == native,
+      assert(connNoStats.groupBy().count().head().getLong(0) == native,
         "corrupt _rows.txt must fall back to footer counts, not fail")
       java.nio.file.Files.writeString(sidecar, "")
-      assert(connRead(dir).groupBy().count().head().getLong(0) == native,
+      assert(connNoStats.groupBy().count().head().getLong(0) == native,
         "empty _rows.txt must fall back to footer counts, not fail")
       java.nio.file.Files.writeString(sidecar, orig)
-      assert(connRead(dir).groupBy().count().head().getLong(0) == native)
+      assert(connNoStats.groupBy().count().head().getLong(0) == native)
 
       // The optimizer-facing statistic: exact numRows from the sidecars.
       val provider = new graft.sources.GraftTableProvider
@@ -1581,6 +1598,82 @@ class Dsv2Spec extends AnyFunSuite {
       assert(desc.contains(s"version=$v0"),
         s"pin evicted — scan resolved a post-commit version: $desc")
     } finally { TxTable.drop(dirA); TxTable.drop(dirB) }
+  }
+
+  test("stats manifest: ONE metadata read plans the snapshot; decisions match the per-bucket path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_statsman").toString
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    try {
+      import spark.implicits._
+      // Every planning tier loaded: hash buckets + day partitioning +
+      // zone maps + bucket blooms, across TWO commits (one carried
+      // forward — the incremental-reuse path).
+      val day0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      // v CORRELATES with the day (tenant/time locality), so the zone
+      // tier has real per-file selectivity under the optimized write's
+      // one-file-per-(bucket, day) layout.
+      val base = (0 until 4000).map { i =>
+        (s"k$i", hex(s"k$i"), ((i % 10) * 100 + i % 37).toLong,
+          java.sql.Timestamp.from(day0.plusSeconds((i % 10) * 86400L + i)))
+      }.toDF("k", "token", "v", "ts")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("k"), numBuckets = 8,
+        bloomCols = Seq("token"), zoneMapCols = Seq("v"))
+      t.setPartitioning("days(ts)")
+      t.merge(base.filter(col("v") < 500))
+      t.merge(base.filter(col("v") >= 500)) // untouched buckets reuse v1 stats
+
+      import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+      val probes: Seq[Array[org.apache.spark.sql.sources.Filter]] = Seq(
+        Array(GreaterThanOrEqual("v", 110L), LessThan("v", 150L)),
+        Array(GreaterThanOrEqual("ts",
+          java.time.Instant.parse("2024-03-03T00:00:00Z")), LessThan("ts",
+          java.time.Instant.parse("2024-03-05T00:00:00Z"))),
+        Array(EqualTo("token", hex("k7"))),
+        Array.empty)
+      def plannedFiles(ignore: Boolean,
+                       fs: Array[org.apache.spark.sql.sources.Filter]): Set[String] = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        if (ignore) opts.put("ignoreStatsManifest", "true")
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        if (fs.nonEmpty)
+          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+            .pushFilters(fs)
+        sb.build().toBatch.planInputPartitions()
+          .collect { case p: graft.sources.GraftInputPartition => p }
+          .flatMap(_.files).toSet
+      }
+      // IDENTICAL pruning decisions from the consolidated file and the
+      // per-bucket sidecars, for every tier's probe.
+      probes.foreach { fs =>
+        val a = plannedFiles(ignore = false, fs)
+        val b = plannedFiles(ignore = true, fs)
+        assert(a == b, s"stats-manifest decisions diverged for ${fs.mkString(",")}: " +
+          s"${(a diff b) ++ (b diff a)}")
+        assert(fs.isEmpty || a.size < plannedFiles(ignore = false, Array.empty).size,
+          "probe should actually prune — certificate would be vacuous")
+      }
+      // ONE metadata read: a fresh plan through the manifest fires the
+      // probe exactly once (the stats-v*.bin load); the per-bucket path
+      // fires per sidecar file. (The probe counts sidecar-tier reads —
+      // the admitted files' footer resolution is data-path work.)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      graft.core.TxTable.metaReadProbe = _ => { reads.incrementAndGet(); () }
+      try {
+        plannedFiles(ignore = false, probes.head)
+        val withStats = reads.get()
+        reads.set(0)
+        plannedFiles(ignore = true, probes.head)
+        val without = reads.get()
+        assert(withStats == 1, s"stats-manifest plan cost $withStats metadata reads")
+        assert(without > 8, s"per-bucket plan should cost O(buckets) reads, saw $without")
+      } finally graft.core.TxTable.metaReadProbe = _ => ()
+    } finally TxTable.drop(dir)
   }
 
   test("declare-time guards: reserved layout names, partition-spec validation, empty CDC batch") {
