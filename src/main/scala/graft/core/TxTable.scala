@@ -1714,6 +1714,14 @@ final class TxTable private (spark: SparkSession, dir: String,
     * by name — a production version would map columns by id. */
   def dropColumn(colName: String): Long = {
     require(!keyCols.contains(colName), s"cannot drop key column '$colName'")
+    // Dropping the declared partition source would silently flip every
+    // future commit to a FLAT layout (partitionColumn skips absent
+    // columns) — the same silent no-op class setPartitioning's
+    // declare-time validation exists to prevent. Clear the spec first.
+    partitionSpec.foreach { case (tf, c) =>
+      require(c != colName,
+        s"cannot drop '$colName': it is the declared partition source " +
+          s"($tf($c)) — setPartitioning(\"\") first") }
     var committed = -1L
     while (committed < 0) {
       val v = version
@@ -1912,6 +1920,15 @@ final class TxTable private (spark: SparkSession, dir: String,
           Files.writeString(logDir.resolve(f"defaults-v${v + 1}%08d.txt"),
             next.toSeq.sorted.map { case (c, e) => s"$c\t$e" }.mkString("\n"))
         }
+        // The partition spec FOLLOWS the rename (Iceberg tracks partition
+        // fields through renames): without this, future commits would
+        // silently write FLAT — partitionColumn can't find the old name —
+        // while the operator believes the table is still day-partitioned.
+        // Already-written eras are untouched: their per-commit `_pspec`
+        // records the old name, which the read path resolves through the
+        // alias chain written above.
+        partitionSpec.foreach { case (tf, c) =>
+          if (c == oldName) setPartitioning(s"$tf($newName)") }
         committed = v + 1
       }
     }

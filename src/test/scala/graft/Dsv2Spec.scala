@@ -1717,6 +1717,27 @@ class Dsv2Spec extends AnyFunSuite {
       assert(t.applyChanges(empty, empty.select("k")) == v,
         "empty applyChanges published a version")
       assert(t.version == v)
+
+      // DDL × partitioning: the spec FOLLOWS a rename of its source
+      // (future commits stay partitioned under the new name; the old
+      // era's _pspec resolves through the alias chain), and dropping
+      // the declared source is refused (it would silently flip future
+      // commits to flat).
+      t.setPartitioning("days(d)")
+      t.renameColumn("d", "event_date")
+      assert(t.partitionSpec.contains(("days", "event_date")),
+        s"partition spec must follow the rename, got ${t.partitionSpec}")
+      t.merge(Seq(("c", java.sql.Date.valueOf("2024-02-03"), 3L))
+        .toDF("k", "event_date", "v"))
+      import scala.jdk.CollectionConverters._
+      val pdirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t", "data"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_p=")).toSet
+      assert(pdirs.nonEmpty, "post-rename commit wrote FLAT — spec orphaned")
+      assert(scala.util.Try(t.dropColumn("event_date")).isFailure,
+        "dropping the declared partition source must be refused")
+      t.setPartitioning("")
+      assert(t.dropColumn("event_date") > 0, "drop after clearing must work")
     } finally TxTable.drop(dir)
   }
 }
