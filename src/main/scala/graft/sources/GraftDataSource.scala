@@ -972,7 +972,8 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
     * transform source (DATE/TIMESTAMP); everything else stays residual
     * without touching the listing. */
   private def partitionExactFilters(filters: Array[Filter]): Array[Filter] = {
-    val cand = filters.filter(f => f.references.nonEmpty &&
+    val cand = filters.filter(f => exactRefutableShape(f) &&
+      f.references.nonEmpty &&
       f.references.forall(r => tableSchema.fieldNames.contains(r) &&
         (tableSchema(r).dataType match {
           case DateType | TimestampType => true
@@ -1001,6 +1002,38 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
         case Some((tf, pv, c)) => coverage(flt, tf, pv, c, aliases) != 2
         case None => false
       }
+    }
+  }
+
+  /** Acceptance-side STRUCTURAL gate for partition-exact filters: only
+    * And/Or trees over interval-comparable leaves (>, >=, <, <=, =, In
+    * with ≥1 non-null value) plus IsNotNull may be consumed. The scan
+    * enforces a consumed filter via [[GraftScan.fileAdmits]], whose leaf
+    * evaluator ([[GraftScan.zoneLeaf]] → partitionAdmits) can refute
+    * EXACTLY these shapes; IsNotNull needs no refutation because its
+    * coverage is never 0 on a parsed `_p=` file (only 1 or, via an
+    * unparsable dir, undecidable — which blocks acceptance upstream).
+    * Anything else — Not trees, IsNull, string predicates — stays a
+    * residual: `coverage` could DECIDE e.g. Not(EqualTo) or IsNull per
+    * file, but the scan-side tier admits on those leaves, so consuming
+    * them would return the excluded rows with no Filter node above the
+    * scan (a wrong answer, not a slow one). Induction for the accepted
+    * shapes: a coverage-0 And has a coverage-0 side, a coverage-0 Or has
+    * two, and a coverage-0 comparison leaf is exactly a
+    * partitionAdmits=false leaf — so every coverage-0 file is refuted. */
+  private def exactRefutableShape(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case And(l, r) => exactRefutableShape(l) && exactRefutableShape(r)
+      case Or(l, r) => exactRefutableShape(l) && exactRefutableShape(r)
+      case IsNotNull(_) => true
+      case GreaterThan(_, v) => v != null
+      case GreaterThanOrEqual(_, v) => v != null
+      case LessThan(_, v) => v != null
+      case LessThanOrEqual(_, v) => v != null
+      case EqualTo(_, v) => v != null
+      case In(_, vs) => vs != null && vs.exists(_ != null)
+      case _ => false
     }
   }
 
@@ -1067,10 +1100,10 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
           case Some((lo, hi)) =>
             scala.util.Try {
               val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-              def one(value: Any): Int = conv(value) match {
+              def one(value: Any, vop: String): Int = conv(value) match {
                 case num: java.lang.Number =>
                   val p = num.longValue()
-                  op match {
+                  vop match {
                     case ">" => if (lo > p) 1 else if (hi <= p) 0 else 2
                     case ">=" => if (lo >= p) 1 else if (hi < p) 0 else 2
                     case "<" => if (hi < p) 1 else if (lo >= p) 0 else 2
@@ -1078,16 +1111,20 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
                     case "=" =>
                       if (lo == p && hi == p) 1
                       else if (p < lo || p > hi) 0 else 2
+                    case _ => 2
                   }
                 case _ => 2
               }
               if (op == "in") {
-                // OR over the values: any all-match value covers the
-                // file; NONE only when every value misses the interval.
-                val states = v.asInstanceOf[Seq[Any]].map(one)
+                // OR over the values, each evaluated with "=" semantics
+                // (the null values were stripped at parse — a null IN
+                // member yields UNKNOWN, never true, so dropping it is
+                // exact): any all-match value covers the file; NONE only
+                // when every value misses the interval.
+                val states = v.asInstanceOf[Seq[Any]].map(one(_, "="))
                 if (states.contains(1)) 1
                 else if (states.forall(_ == 0)) 0 else 2
-              } else one(v)
+              } else one(v, op)
             }.getOrElse(2)
         }
     }
@@ -1488,34 +1525,38 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       if (loS == "null") false // all-null file: no comparison matches
       else {
         val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-        def one(value: Any): Boolean = conv(value) match {
+        def one(value: Any, vop: String): Boolean = conv(value) match {
           case d: java.lang.Double =>
             val p = if (d.doubleValue() == 0.0) 0.0 else d.doubleValue()
             if (p.isNaN) true // Spark orders NaN above all — stats can't refute
             else {
               val lo = loS.toDouble; val hi = hiS.toDouble
-              op match {
+              vop match {
                 case ">" => hi > p
                 case ">=" => hi >= p
                 case "<" => lo < p
                 case "<=" => lo <= p
                 case "=" => lo <= p && p <= hi
+                case _ => true
               }
             }
           case n: java.lang.Number =>
             val p = n.longValue()
             val lo = loS.toLong; val hi = hiS.toLong
-            op match {
+            vop match {
               case ">" => hi > p
               case ">=" => hi >= p
               case "<" => lo < p
               case "<=" => lo <= p
               case "=" => lo <= p && p <= hi
+              case _ => true
             }
           case _ => true
         }
-        if (op == "in") v.asInstanceOf[Seq[Any]].exists(x => one(x))
-        else one(v)
+        // In refutes only when EVERY member misses the bounds; each
+        // member is a point probe, i.e. "=" semantics.
+        if (op == "in") v.asInstanceOf[Seq[Any]].exists(x => one(x, "="))
+        else one(v, op)
       }
     }.getOrElse(true)
   }
@@ -1545,19 +1586,24 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
       val (lo, hi) = GraftDataSource.partInterval(tf, dt, pval)
         .getOrElse(return true)
       val conv = CatalystTypeConverters.createToCatalystConverter(dt)
-      def one(value: Any): Boolean = conv(value) match {
+      def one(value: Any, vop: String): Boolean = conv(value) match {
         case n: java.lang.Number =>
           val p = n.longValue()
-          op match {
+          vop match {
             case ">" => hi > p
             case ">=" => hi >= p
             case "<" => lo < p
             case "<=" => lo <= p
             case "=" => lo <= p && p <= hi
+            case _ => true
           }
         case _ => true
       }
-      if (op == "in") v.asInstanceOf[Seq[Any]].exists(one) else one(v)
+      // Each In member is a point ("=") probe against the interval; the
+      // partition-EXACT tier's coverage-0 ⟺ refuted-here alignment for
+      // In rides on this (see exactRefutableShape).
+      if (op == "in") v.asInstanceOf[Seq[Any]].exists(one(_, "="))
+      else one(v, op)
     }.getOrElse(true)
   }
 
@@ -1693,19 +1739,23 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         val U = if (hiS == "*") null else dec.decode(hiS)
         def cmpU(a: Array[Byte], b: Array[Byte]): Int =
           java.util.Arrays.compareUnsigned(a, b)
-        def one(value: Any): Boolean = value match {
+        def one(value: Any, vop: String): Boolean = value match {
           case s: String =>
             val p = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            op match {
+            vop match {
               case ">" => U == null || cmpU(U, p) > 0
               case ">=" => U == null || cmpU(U, p) >= 0
               case "<" => cmpU(L, p) < 0
               case "<=" => cmpU(L, p) <= 0
               case "=" => cmpU(p, L) >= 0 && (U == null || cmpU(p, U) <= 0)
+              case _ => true
             }
           case _ => true
         }
-        if (op == "in") v.asInstanceOf[Seq[Any]].exists(one) else one(v)
+        // In = OR of point probes: refute only when every member falls
+        // outside [L, U] (each with the truncation-safe "=" arithmetic).
+        if (op == "in") v.asInstanceOf[Seq[Any]].exists(one(_, "="))
+        else one(v, op)
       }
     }.getOrElse(true)
 

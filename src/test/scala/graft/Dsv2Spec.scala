@@ -1065,6 +1065,139 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("exact-tier shape gate: <>/IS NULL stay residual; In probes are exact, counted, and refuted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_shapegate").toString
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+      def residualFilter(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect { case f: LFilter => f }.nonEmpty
+      val day0 = java.time.LocalDate.of(2024, 3, 1)
+      // DATE column: days(d) intervals are single points, so day-valued
+      // EqualTo/In probes are exactly decidable for every file.
+      val base = (0 until 2000).map { i =>
+        (s"k$i", java.sql.Date.valueOf(day0.plusDays(i % 20)), i.toLong)
+      }.toDF("id", "d", "v")
+      val t = TxTable.create(spark, dir, base.limit(0), Seq("id"), numBuckets = 4)
+      t.setPartitioning("days(d)")
+      t.merge(base)
+
+      // <> (arrives as Not(EqualTo)): coverage() could DECIDE it per
+      // file, but the scan-side refutation tier cannot evaluate Not —
+      // consuming it would return the excluded day. It must stay a
+      // residual Filter and the answer must exclude exactly day 7.
+      val x = java.sql.Date.valueOf(day0.plusDays(7))
+      val neq = connRead(dir, "keys" -> "id").filter(col("d") =!= lit(x))
+      assert(residualFilter(neq), "<> must keep a residual Filter node")
+      assert(neq.count() == base.filter(col("d") =!= lit(x)).count(),
+        "<> lost or invented rows")
+      assert(neq.collect().forall(_.getDate(1) != x), "<> returned the excluded day")
+
+      // IS NULL on a fully day-partitioned table: every file would be
+      // coverage-0, but no tier can refute an IsNull leaf — residual
+      // Filter stays and the answer is empty, not the whole table.
+      val isn = connRead(dir, "keys" -> "id").filter(col("d").isNull)
+      assert(residualFilter(isn), "IS NULL must keep a residual Filter node")
+      assert(isn.count() == 0, "IS NULL returned rows on a non-null column")
+
+      // The gate is STRUCTURAL: an Or tree with one refutable side and
+      // one IsNull side must also stay residual (fileAdmits would admit
+      // every file through the IsNull arm).
+      val orNull = connRead(dir, "keys" -> "id")
+        .filter(col("d") === lit(x) || col("d").isNull)
+      assert(residualFilter(orNull), "Or(=, IS NULL) must stay residual")
+      assert(orNull.count() == base.filter(col("d") === lit(x)).count())
+
+      // In over two days IS exactly accepted (no residual), prunes to
+      // the two day dirs (poison-proof), and a COUNT(*) under it answers
+      // from the sidecar tier.
+      val d3 = java.sql.Date.valueOf(day0.plusDays(3))
+      val d11 = java.sql.Date.valueOf(day0.plusDays(11))
+      val inPred = col("d").isin(d3, d11)
+      val inExpect = base.filter(inPred).collect().map(_.getString(0)).sorted.toSeq
+      val keepDirs = Set(day0.plusDays(3).toEpochDay, day0.plusDays(11).toEpochDay)
+        .map(e => s"_p=$e")
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      val backups = files.filterNot(f =>
+        keepDirs.exists(f.toString.contains)).map { p =>
+        val orig = java.nio.file.Files.readAllBytes(p)
+        java.nio.file.Files.write(p, "POISON".getBytes("UTF-8"))
+        (p, orig)
+      }
+      try {
+        assert(backups.nonEmpty)
+        val inDf = connRead(dir, "keys" -> "id").filter(inPred)
+        assert(!residualFilter(inDf),
+          "day-valued In should be consumed by the exact tier")
+        assert(inDf.collect().map(_.getString(0)).sorted.toSeq == inExpect,
+          "exact In scan wrong — or it opened a refuted (poisoned) file")
+        val cnt = connRead(dir, "keys" -> "id").filter(inPred).groupBy().count()
+        assert(cnt.queryExecution.executedPlan.toString.contains("partition-covered"),
+          "In-covered COUNT should plan the sidecar tier")
+        assert(cnt.head().getLong(0) == inExpect.length.toLong)
+      } finally backups.foreach { case (p, orig) => java.nio.file.Files.write(p, orig) }
+
+      // NUMERIC zone tier: an In point probe on the bucket-correlated
+      // column refutes 7 of 8 buckets at planning (was dead code — the
+      // In arm never fired).
+      val zdir = java.nio.file.Files.createTempDirectory("graft_dsv2_zonein").toString
+      try {
+        val zbase = (0 until 4000).map(i => s"k$i").toDF("k")
+          .withColumn("b", pmod(xxhash64(col("k")), lit(8)))
+          .withColumn("v", col("b") * 1000 + pmod(xxhash64(col("k"), lit(7)), lit(1000)))
+          .drop("b")
+        TxTable.create(spark, zdir, zbase, Seq("k"), numBuckets = 8,
+          zoneMapCols = Seq("v"))
+        def planned(f: Array[org.apache.spark.sql.sources.Filter], d: String) = {
+          val provider = new graft.sources.GraftTableProvider
+          val opts = new java.util.HashMap[String, String]()
+          opts.put("path", d)
+          val cmap = new CaseInsensitiveStringMap(opts)
+          val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+            .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+            .newScanBuilder(cmap)
+          if (f.nonEmpty)
+            sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+              .pushFilters(f)
+          sb.build().toBatch.planInputPartitions()
+            .collect { case p: graft.sources.GraftInputPartition => p }
+        }
+        assert(planned(Array.empty, zdir).length == 8)
+        val zin = planned(Array(org.apache.spark.sql.sources.In(
+          "v", Array[Any](2100L, 2150L))), zdir)
+        assert(zin.length == 1,
+          s"numeric In probe must refute 7 of 8 buckets, planned ${zin.length}")
+        // Null members are stripped, not a refutation blocker.
+        val zinNull = planned(Array(org.apache.spark.sql.sources.In(
+          "v", Array[Any](2100L, null))), zdir)
+        assert(zinNull.length == 1, "In with a null member must still refute")
+
+        // STRING bounds tier: In point probes over truncated bounds
+        // refute buckets whose [L, U] excludes every member.
+        val sdir = java.nio.file.Files.createTempDirectory("graft_dsv2_strin").toString
+        try {
+          val pfx = array(lit("aaa"), lit("bbb"), lit("ccc"), lit("ddd"))
+          val sbase = (0 until 2000).map(i => s"k$i").toDF("k")
+            .withColumn("s", concat(
+              element_at(pfx, (pmod(xxhash64(col("k")), lit(4)) + 1).cast("int")),
+              lit("-"), col("k")))
+          TxTable.create(spark, sdir, sbase, Seq("k"), numBuckets = 4,
+            zoneMapCols = Seq("s"))
+          val two = sbase.select("s").distinct().collect().map(_.getString(0))
+          val probeA = two.find(_.startsWith("aaa-")).get
+          val probeC = two.find(_.startsWith("ccc-")).get
+          assert(planned(Array.empty, sdir).length == 4)
+          val sin = planned(Array(org.apache.spark.sql.sources.In(
+            "s", Array[Any](probeA, probeC))), sdir)
+          assert(sin.length == 2,
+            s"string In probe must refute 2 of 4 buckets, planned ${sin.length}")
+        } finally TxTable.drop(sdir)
+      } finally TxTable.drop(zdir)
+    } finally TxTable.drop(dir)
+  }
+
   test("months(date) partitioning prunes by month; mixed-transform eras each prune by their own spec") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_months").toString
     try {
