@@ -172,6 +172,7 @@ object SparkEntry {
     "s60_stats_manifest" -> ((s, d) => GraphOps.txStatsManifest(s, d)),
     // Predicate DELETE ... WHERE: partial rewrite, CDC-exact, no-op no-publish.
     "s61_delete_where" -> ((s, d) => GraphOps.txDeleteWhere(s, d)),
+    "s64_sql_delete" -> ((s, d) => GraphOps.txSqlDelete(s, d)),
     // Partition-covered COUNT(*): day-aligned range counts served from
     // per-file row-count sidecars with zero data I/O; straddles fall back.
     "s62_ranged_count" -> ((s, d) => GraphOps.txRangedCount(s, d)),
@@ -3664,6 +3665,17 @@ object SparkEntry {
          |SELECT name, house, round(acctbal, 2) AS acctbal,
          |  CAST(7 AS BIGINT) AS untouched_ptrs, true AS cdc_delete_exact,
          |  true AS noop_unpublished, true AS check_active
+         |FROM n
+         |WHERE name <= 'Customer#000000030'
+         |  AND name <> 'Customer#000000019' AND house <> 'BUILDING'
+         |ORDER BY name""".stripMargin,
+    // s64: same visible state as s61's class+point delete, reached via
+    // SQL DML through the catalog; four protocol certificates as literals.
+    "s64_sql_delete" ->
+      s"""WITH $nodesCte
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  true AS native_parity, true AS cdc_delete_exact,
+         |  true AS untranslatable_refused, true AS truncate_empty
          |FROM n
          |WHERE name <= 'Customer#000000030'
          |  AND name <> 'Customer#000000019' AND house <> 'BUILDING'

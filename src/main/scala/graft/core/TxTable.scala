@@ -978,7 +978,15 @@ final class TxTable private (spark: SparkSession, dir: String,
     * buckets whose manifest entry is unchanged vs the previous version
     * reuse their prior serialized stats (sidecars are immutable per
     * commit dir), so the harvest I/O is O(changed buckets) per commit
-    * and only the file write is O(buckets). Advisory end to end: any
+    * and only the file write is O(buckets). Bloom payloads at or above
+    * [[TxTable.BlobThreshold]] are CONTENT-ADDRESSED: the bytes live
+    * once in `_log/blobs/<sha>.bin` and every manifest carries a (hash,
+    * length) reference — an unchanged bucket's bloom costs ZERO new
+    * bytes per commit (the ref re-serializes, the blob already exists)
+    * where inlining re-wrote up to 2²⁷-bit filters × buckets × columns
+    * every publish, and planning loads a blob only when that column is
+    * actually probed. The manifest streams to its temp file (never a
+    * driver byte-array of all-table metadata). Advisory end to end: any
     * failure leaves readers on the per-bucket fallback, never a broken
     * commit — which is why the Try swallows. */
   private def writeStatsManifest(v: Long, lines: Seq[String]): Unit =
@@ -1001,26 +1009,40 @@ final class TxTable private (spark: SparkSession, dir: String,
           case _ => harvestStats(b, ref)
         })
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      val out = new java.io.DataOutputStream(bos)
-      out.writeUTF(TxTable.StatsMagic)
-      out.writeInt(entries.size)
-      entries.foreach { case (b, e) =>
-        out.writeLong(b); out.writeUTF(e.commit)
-        out.writeUTF(e.dvs.mkString(","))
-        out.writeLong(e.rowsTotal)
-        out.writeInt(e.files.size)
-        e.files.foreach { case (rel, n, sz) =>
-          out.writeUTF(rel); out.writeLong(n); out.writeLong(sz) }
-        out.writeUTF(e.pspec)
-        out.writeInt(e.zonemap.length); out.write(e.zonemap)
-        out.writeInt(e.blooms.size)
-        e.blooms.foreach { case (c, bytes) =>
-          out.writeUTF(c); out.writeInt(bytes.length); out.write(bytes) }
-      }
-      out.flush()
       val tmp = logDir.resolve(s".stats-tmp-${UUID.randomUUID()}")
-      Files.write(tmp, bos.toByteArray)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp)))
+      try {
+        out.writeUTF(TxTable.StatsMagic2)
+        out.writeInt(entries.size)
+        entries.foreach { case (b, e) =>
+          out.writeLong(b); out.writeUTF(e.commit)
+          out.writeUTF(e.dvs.mkString(","))
+          out.writeLong(e.rowsTotal)
+          out.writeInt(e.files.size)
+          e.files.foreach { case (rel, n, sz) =>
+            out.writeUTF(rel); out.writeLong(n); out.writeLong(sz) }
+          out.writeUTF(e.pspec)
+          out.writeInt(e.zonemap.length); out.write(e.zonemap)
+          out.writeInt(e.blooms.size)
+          e.blooms.foreach { case (c, blob) =>
+            out.writeUTF(c)
+            blob match {
+              case TxTable.StoredBlob(_, hash, len) =>
+                // Carried forward from the previous manifest: the blob
+                // file already exists — write the ref, read nothing.
+                out.writeByte(1); out.writeUTF(hash); out.writeInt(len)
+              case TxTable.InlineBlob(bytes)
+                if bytes.length >= TxTable.BlobThreshold =>
+                val hash = TxTable.putBlob(logDir, bytes)
+                out.writeByte(1); out.writeUTF(hash); out.writeInt(bytes.length)
+              case TxTable.InlineBlob(bytes) =>
+                out.writeByte(0); out.writeInt(bytes.length); out.write(bytes)
+            }
+          }
+        }
+        out.flush()
+      } finally out.close()
       try Files.createLink(logDir.resolve(f"stats-v$v%08d.bin"), tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp)
@@ -1048,7 +1070,7 @@ final class TxTable private (spark: SparkSession, dir: String,
       else listNames(d)
         .filter(n => n.startsWith("_bloomidx.") && n.endsWith(".bin")).sorted
         .map(n => (n.stripPrefix("_bloomidx.").stripSuffix(".bin"),
-          Files.readAllBytes(d.resolve(n))))
+          TxTable.InlineBlob(Files.readAllBytes(d.resolve(n))): TxTable.Blob))
     }
     TxTable.BucketStats(ref.data, ref.dvs, rowsTotal, files, pspec, zonemap, blooms)
   }
@@ -1495,6 +1517,24 @@ final class TxTable private (spark: SparkSession, dir: String,
       if ((n.startsWith(".tmp-") || n.startsWith(".stats-tmp-")) &&
           Files.getLastModifiedTime(logDir.resolve(n)).toMillis < cutoff)
         Files.deleteIfExists(logDir.resolve(n))
+    }
+    // Content-addressed bloom blobs retire with the manifests that
+    // reference them: live = the union of refs across RETAINED stats
+    // files (ref-only reads — StoredBlob payloads stay on disk). The
+    // age guard protects a blob an in-flight publish has written but
+    // not yet referenced.
+    val blobDir = logDir.resolve("blobs")
+    if (Files.isDirectory(blobDir)) {
+      val liveBlobs = (math.max(0L, floor) to head).flatMap(v =>
+        TxTable.readStatsManifestAt(logDir, v).toSeq.flatMap(_.values.flatMap(
+          _.blooms.collect { case (_, TxTable.StoredBlob(_, h, _)) => h })))
+        .toSet
+      listNames(blobDir).foreach { n =>
+        val keep = n.endsWith(".bin") && liveBlobs.contains(n.stripSuffix(".bin"))
+        if (!keep &&
+            Files.getLastModifiedTime(blobDir.resolve(n)).toMillis < cutoff)
+          Files.deleteIfExists(blobDir.resolve(n))
+      }
     }
     dead.size
   }
@@ -2276,7 +2316,56 @@ object TxTable {
   private[graft] final case class BucketStats(
       commit: String, dvs: Seq[String], rowsTotal: Long,
       files: Seq[(String, Long, Long)], pspec: String,
-      zonemap: Array[Byte], blooms: Seq[(String, Array[Byte])])
+      zonemap: Array[Byte], blooms: Seq[(String, Blob)])
+
+  /** A manifest payload: inline bytes, or a lazy content-addressed
+    * reference into `_log/blobs/`. Bloom filters (up to 2²⁷ bits per
+    * bucket × column) ride as blobs so a commit's manifest re-serializes
+    * O(bytes-of-refs), not O(bytes-of-blooms), and planning loads a
+    * bloom only when its column is actually probed. */
+  private[graft] sealed trait Blob { def length: Int; def bytes: Array[Byte] }
+  private[graft] final case class InlineBlob(bytes: Array[Byte]) extends Blob {
+    def length: Int = bytes.length
+  }
+  /** `bytes` verifies the content hash on load — the bloom tier prunes
+    * at the LISTING level, where residual filters cannot recover a
+    * mis-refuted bucket, so a torn/substituted blob must read as absent
+    * (empty → consumers fall back to the per-bucket sidecar). */
+  private[graft] final case class StoredBlob(logDir: Path, hash: String,
+                                             length: Int) extends Blob {
+    lazy val bytes: Array[Byte] = scala.util.Try {
+      val p = logDir.resolve("blobs").resolve(hash + ".bin")
+      metaReadProbe(p.toString)
+      val b = Files.readAllBytes(p)
+      if (blobHash(b) == hash) b else Array.empty[Byte]
+    }.getOrElse(Array.empty[Byte])
+  }
+
+  /** Payloads at/above this many bytes are content-addressed instead of
+    * inlined (small blooms stay in the manifest — one read, no seek). */
+  private[graft] val BlobThreshold = 1024
+
+  private[graft] def blobHash(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(16).map("%02x".format(_)).mkString
+
+  /** Idempotent put-if-absent into `logDir/blobs` (same create-exclusive
+    * link primitive as publish): concurrent writers of the same content
+    * converge on one file; returns the content hash. */
+  private[graft] def putBlob(logDir: Path, bytes: Array[Byte]): String = {
+    val hash = blobHash(bytes)
+    val dir = logDir.resolve("blobs")
+    Files.createDirectories(dir)
+    val target = dir.resolve(hash + ".bin")
+    if (!Files.exists(target)) {
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      try Files.createLink(target, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    hash
+  }
 
   /** Spec-only observation hook: fired with the path of every metadata
     * FILE the planning tiers physically read (stats manifest, rows/zone/
@@ -2285,7 +2374,8 @@ object TxTable {
     * production. */
   private[graft] var metaReadProbe: String => Unit = _ => ()
 
-  private val StatsMagic = "graftstats\t1"
+  private val StatsMagic = "graftstats\t1"  // legacy: all payloads inline
+  private val StatsMagic2 = "graftstats\t2" // bloom payloads may be blob refs
 
   /** The per-version stats manifest of `tableDir` at version `v`, or
     * None when absent/unparsable (readers fall back per bucket). */
@@ -2302,7 +2392,10 @@ object TxTable {
       metaReadProbe(p.toString)
       val in = new java.io.DataInputStream(
         new java.io.ByteArrayInputStream(Files.readAllBytes(p)))
-      require(in.readUTF() == StatsMagic, "foreign stats header")
+      val magic = in.readUTF()
+      require(magic == StatsMagic || magic == StatsMagic2,
+        "foreign stats header")
+      val v2 = magic == StatsMagic2
       (0 until in.readInt()).map { _ =>
         val b = in.readLong()
         val commit = in.readUTF()
@@ -2314,8 +2407,14 @@ object TxTable {
         val zm = new Array[Byte](in.readInt()); in.readFully(zm)
         val blooms = (0 until in.readInt()).map { _ =>
           val c = in.readUTF()
-          val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
-          (c, bytes)
+          val blob: Blob =
+            if (v2 && in.readByte() == 1.toByte)
+              StoredBlob(logDir, in.readUTF(), in.readInt())
+            else {
+              val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+              InlineBlob(bytes)
+            }
+          (c, blob)
         }
         b -> BucketStats(commit, dvs, rowsTotal, files, pspec, zm, blooms)
       }.toMap

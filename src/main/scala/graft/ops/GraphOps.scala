@@ -2376,6 +2376,68 @@ object GraphOps {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  /** SQL-DML DELETE demo (s64_sql_delete) — `DELETE FROM <cat>.<t>
+    * WHERE …` issued as SQL through the GraftCatalog reaches the same
+    * predicate-DML verb s61 certifies: [[graft.sources.GraftTable]]
+    * implements `SupportsDelete`, translating the analyzer's pushed
+    * source filters back to a predicate ([[graft.sources
+    * .GraftDataSource.filterToSql]] — lossless literal rendering only)
+    * and committing through `TxTable.deleteWhere`'s copy-on-write
+    * write-skew-guarded protocol. Certificates on the hash channel:
+    * `native_parity` (the SQL delete's snapshot is row-identical to the
+    * native verb's on a twin table), `cdc_delete_exact` (the SQL-issued
+    * commit's CDC diff is ONLY deletes and matches the snapshot delta),
+    * `untranslatable_refused` (a predicate that cannot render to source
+    * filters — `length(name) > 3` — raises Spark's analysis error and
+    * publishes NOTHING), `truncate_empty` (`DELETE FROM t` with no
+    * WHERE arrives as AlwaysTrue and empties the table). Lifecycle
+    * class like s44 (catalog) + s61 (delete). */
+  def txSqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tx_s64").toString
+    val cat = s"gcat_s64_${CatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, s"$wh/facts", base,
+        Seq("name"), numBuckets = 8)
+      val twin = graft.core.TxTable.create(spark, s"$wh/twin", base,
+        Seq("name"), numBuckets = 8)
+      val v0 = t.version
+      val predSql = "house = 'BUILDING' OR name = 'Customer#000000019'"
+      spark.sql(s"DELETE FROM $cat.facts WHERE $predSql")
+      twin.deleteWhere(predSql)
+      val v1 = t.version
+      val parity =
+        t.snapshot().exceptAll(twin.snapshot()).isEmpty &&
+          twin.snapshot().exceptAll(t.snapshot()).isEmpty
+      val d = t.diff(v0, v1).localCheckpoint()
+      val cdcExact =
+        d.filter(col("change_type") =!= "delete").isEmpty &&
+          d.count() == t.snapshotAt(v0).count() - t.snapshotAt(v1).count()
+      // Untranslatable predicate: SupportsDelete.canDeleteWhere refuses
+      // (no source-filter rendering for length()), Spark raises its
+      // standard analysis error, and no version publishes.
+      val refused = scala.util.Try(
+        spark.sql(s"DELETE FROM $cat.facts WHERE length(name) > 3")).isFailure &&
+        t.version == v1
+      // Truncation: WHERE-less DELETE arrives as AlwaysTrue.
+      spark.sql(s"DELETE FROM $cat.twin")
+      val truncated = twin.snapshot().count() == 0
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030")
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(parity).as("native_parity"),
+          lit(cdcExact).as("cdc_delete_exact"),
+          lit(refused).as("untranslatable_refused"),
+          lit(truncated).as("truncate_empty"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(wh)
+  }
+
   /** Shallow-clone demo (s36) — Delta's zero-copy CLONE on TxTable: the
     * clone's v0 manifest points at the SOURCE's data files via absolute
     * pointers (zero bytes copied — its data dir is verifiably empty at

@@ -74,27 +74,50 @@ object BloomSkipIndex {
     * later probe is pure driver arithmetic: zero Spark jobs before the
     * pruned scan (PlanSpec pins that budget). At 100 TB the same cache
     * is a transaction-log read — Delta keeps file-level stats resident
-    * the same way. Keyed on (sfDir, artifact mtime): a rebuilt sidecar
-    * (a dir regenerated in-process — the ScaleUp harness does exactly
-    * that) changes the directory's mtime and so can never be served
-    * stale bits, which matters because this pruning happens at the
-    * source LISTING — residual filters cannot recover a partition a
-    * stale bloom wrongly refuted. */
+    * the same way. ONE entry per sfDir, validity-stamped by a content
+    * fingerprint of the artifact dir (every file's name, size and mtime
+    * nanos): a rebuilt sidecar (a dir regenerated in-process — the
+    * ScaleUp harness does exactly that) changes the fingerprint and so
+    * can never be served stale bits — even a same-millisecond
+    * delete+rebuild, which a bare mtime stamp would miss — and a
+    * superseded build's map is REPLACED, not leaked beside the new one.
+    * Staleness matters because this pruning happens at the source
+    * LISTING — residual filters cannot recover a partition a stale
+    * bloom wrongly refuted. */
   private val sidecarCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[(Long, Long), Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[(Long, Long), Long])]()
+
+  /** Order-independent fingerprint of the artifact dir's (name, size,
+    * mtime-nanos) triples — cheap (one listing, no content reads) and
+    * strictly finer than the dir mtime. */
+  private def fingerprint(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.map { f =>
+      val h = f.getFileName.toString.hashCode.toLong * 1000003L ^
+        scala.util.Try(java.nio.file.Files.size(f)).getOrElse(-1L) ^
+        java.lang.Long.rotateLeft(scala.util.Try(
+          java.nio.file.Files.getLastModifiedTime(f).to(
+            java.util.concurrent.TimeUnit.NANOSECONDS)).getOrElse(-1L), 17)
+      h * -7046029254386353131L // fmix-style spread, XOR-folded below
+    }.foldLeft(java.nio.file.Files.getLastModifiedTime(p).toMillis)(_ ^ _)
+    finally s.close()
+  }
 
   private def sidecarMap(spark: SparkSession, sfDir: String): Map[(Long, Long), Long] = {
     val p = java.nio.file.Paths.get(Artifacts.path(sfDir, "orders_bloom_sidecar"))
-    // Materialize the artifact BEFORE keying the cache, so the key is
-    // always a real mtime (an absent-then-built artifact under a
+    // Materialize the artifact BEFORE keying the cache, so the stamp is
+    // always a real fingerprint (an absent-then-built artifact under a
     // sentinel key could be served stale after a later delete+rebuild).
     if (!java.nio.file.Files.exists(p)) sidecar(spark, sfDir)
-    val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
-    sidecarCache.computeIfAbsent((sfDir, mtime), _ =>
-      // pb comes back as INT from the partition-dir readback — normalize.
-      sidecar(spark, sfDir)
-        .select(col("pb").cast("long"), col("w"), col("bits"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    val stamp = fingerprint(p)
+    sidecarCache.compute(sfDir, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else (stamp,
+        // pb comes back as INT from the partition-dir readback — normalize.
+        sidecar(spark, sfDir)
+          .select(col("pb").cast("long"), col("w"), col("bits"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap))._2
   }
 
   /** Partitions whose bloom may contain `key`: every probe word must have

@@ -530,6 +530,81 @@ private[graft] object GraftDataSource {
       case _ => None
     }
   }
+
+  /** Render a pushed source Filter as a Spark SQL boolean expression —
+    * the bridge that lets `DELETE FROM` through the catalog reach
+    * [[graft.core.TxTable.deleteWhere]] (which takes a predicate
+    * string). Total only over shapes whose VALUES render losslessly:
+    * strings (escaped), integral/decimal numbers, booleans, dates and
+    * timestamps (typed literals); None refuses the whole filter —
+    * `canDeleteWhere` then rejects the DELETE loudly instead of
+    * deleting the wrong rows. Floats/doubles render as
+    * `CAST('<toString>' AS …)`: Java guarantees
+    * `parseDouble(d.toString) == d` bit-exactly (incl. NaN/±Infinity/
+    * -0.0) and Spark's string→double cast IS parseDouble — a bare SQL
+    * decimal literal would instead parse as DECIMAL and break exactly
+    * there. Binary/structs refuse. */
+  def filterToSql(f: Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def ident(c: String): String = "`" + c.replace("`", "``") + "`"
+    def lit(v: Any): Option[String] = v match {
+      case null => Some("NULL")
+      case s: String =>
+        Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case s: org.apache.spark.unsafe.types.UTF8String => lit(s.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case n @ (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+                _: java.lang.Byte) => Some(n.toString + "L")
+      case d: java.lang.Double => Some(s"CAST('$d' AS DOUBLE)")
+      case f: java.lang.Float => Some(s"CAST('$f' AS FLOAT)")
+      case d: java.math.BigDecimal => Some(d.toPlainString + "BD")
+      case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString + "BD")
+      case d: java.sql.Date => Some(s"DATE'$d'")
+      case d: java.time.LocalDate => Some(s"DATE'$d'")
+      case t: java.sql.Timestamp =>
+        // Render via the instant with an explicit zone — `toString` is
+        // JVM-tz-local while TIMESTAMP'…' parses in the SESSION tz, and
+        // those can differ.
+        Some(s"TIMESTAMP'${java.time.format.DateTimeFormatter.ISO_INSTANT
+          .format(t.toInstant)}'")
+      case t: java.time.Instant =>
+        Some(s"TIMESTAMP'${java.time.format.DateTimeFormatter.ISO_INSTANT.format(t)}'")
+      case _ => None // floats/doubles/binary/structs: refuse
+    }
+    def bin(a: String, op: String, v: Any): Option[String] =
+      lit(v).map(l => s"(${ident(a)} $op $l)")
+    f match {
+      case EqualTo(a, v) => bin(a, "=", v)
+      case EqualNullSafe(a, v) => bin(a, "<=>", v)
+      case GreaterThan(a, v) => bin(a, ">", v)
+      case GreaterThanOrEqual(a, v) => bin(a, ">=", v)
+      case LessThan(a, v) => bin(a, "<", v)
+      case LessThanOrEqual(a, v) => bin(a, "<=", v)
+      case In(a, vs) if vs != null =>
+        if (vs.isEmpty) Some("false")
+        else {
+          val ls = vs.toSeq.map(lit)
+          if (ls.exists(_.isEmpty)) None
+          else Some(s"(${ident(a)} IN (${ls.flatten.mkString(", ")}))")
+        }
+      case IsNull(a) => Some(s"(${ident(a)} IS NULL)")
+      case IsNotNull(a) => Some(s"(${ident(a)} IS NOT NULL)")
+      case StringStartsWith(a, v) =>
+        lit(v).map(l => s"startswith(${ident(a)}, $l)")
+      case StringEndsWith(a, v) =>
+        lit(v).map(l => s"endswith(${ident(a)}, $l)")
+      case StringContains(a, v) =>
+        lit(v).map(l => s"contains(${ident(a)}, $l)")
+      case And(l, r) =>
+        for { a <- filterToSql(l); b <- filterToSql(r) } yield s"($a AND $b)"
+      case Or(l, r) =>
+        for { a <- filterToSql(l); b <- filterToSql(r) } yield s"($a OR $b)"
+      case Not(c) => filterToSql(c).map(s => s"(NOT $s)")
+      case _: AlwaysTrue => Some("true")
+      case _: AlwaysFalse => Some("false")
+      case _ => None
+    }
+  }
 }
 
 final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
@@ -537,12 +612,35 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
                        skipLayoutOnly: Boolean = false,
                        spjCapable: Boolean = false)
   extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  /** SQL DML: `DELETE FROM gcat.t WHERE …` maps to the library's
+    * predicate-DML verb [[graft.core.TxTable.deleteWhere]] (same
+    * copy-on-write commit, same CDC shape, same optimistic write-skew-
+    * guarded retry). Only filters whose every leaf and value render
+    * losslessly to SQL are accepted ([[GraftDataSource.filterToSql]]);
+    * everything else — and the change-feed relation — refuses HERE, so
+    * Spark raises its standard "cannot delete" analysis error instead
+    * of a partial or wrong delete. Truncation (`DELETE FROM t`) arrives
+    * as AlwaysTrue and maps to `deleteWhere("true")`. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !changeFeed && filters.forall(f => GraftDataSource.filterToSql(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!changeFeed, "DELETE is not defined on the change feed")
+    val where =
+      if (filters.isEmpty) "true"
+      else filters.map(f => GraftDataSource.filterToSql(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable DELETE filter: $f"))).mkString(" AND ")
+    graft.core.TxTable.open(SparkSession.active, dir, keyCols).deleteWhere(where)
+  }
 
   /** `_graft_bucket` — the storage bucket id as a DSv2 metadata column
     * (excluded from SELECT *, explicitly selectable; readers serve it as
@@ -1214,11 +1312,19 @@ private[sources] final class StatsView(tableDir: String, pinnedVersion: Long,
       case None => GraftDataSource.parseZoneSidecar(dataDir)
     }
 
+  /** A blob-backed bloom loads LAZILY — only a plan that actually probes
+    * `colName` pays the blob read; an unreadable/torn blob (hash
+    * mismatch reads as empty) falls back to the bucket's own sidecar
+    * file, never to a wrong filter. */
   def bloom(dataDir: String, colName: String)
       : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
     byDir.get(dataDir) match {
-      case Some(e) => e.blooms.collectFirst { case (c, bytes) if c == colName =>
-        bytes }.flatMap(GraftDataSource.parseBloomBytes(colName, _))
+      case Some(e) => e.blooms.collectFirst { case (c, blob) if c == colName =>
+        blob }.flatMap { blob =>
+        val bs = blob.bytes
+        if (bs.isEmpty) GraftDataSource.readBloomSidecar(dataDir, colName)
+        else GraftDataSource.parseBloomBytes(colName, bs)
+      }
       case None => GraftDataSource.readBloomSidecar(dataDir, colName)
     }
 }

@@ -98,6 +98,56 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DELETE reaches deleteWhere; untranslatable predicates refuse; no-WHERE truncates") {
+    withCatalog { (cat, wh) =>
+      val base = Graph.nodes(spark, sf)
+        .filter(col("name") <= "Customer#000000199")
+        .select(col("name"), col("house"), col("acctbal"))
+      val t = TxTable.create(spark, s"$wh/facts", base, Seq("name"), numBuckets = 8)
+      val twin = TxTable.create(spark, s"$wh/twin", base, Seq("name"), numBuckets = 8)
+
+      // Typed literals survive the SQL round-trip: string + numeric range.
+      val predSql = "house = 'BUILDING' OR acctbal < 0"
+      spark.sql(s"DELETE FROM $cat.facts WHERE house = 'BUILDING' OR acctbal < 0")
+      twin.deleteWhere(predSql)
+      assert(t.snapshot().exceptAll(twin.snapshot()).isEmpty &&
+        twin.snapshot().exceptAll(t.snapshot()).isEmpty,
+        "SQL DELETE diverged from the native verb")
+      assert(t.snapshot().filter(expr(predSql)).count() == 0)
+      assert(t.snapshot().count() > 0, "class delete emptied the table")
+
+      // NULL-predicate three-valued logic matches SQL: <> keeps only
+      // provably-unequal rows; rows where the comparison is UNKNOWN stay.
+      val beforeNeq = t.snapshot().count()
+      spark.sql(s"DELETE FROM $cat.facts WHERE name <> 'Customer#000000002'")
+      val afterNeq = t.snapshot().collect()
+      assert(afterNeq.map(_.getString(0)).toSeq == Seq("Customer#000000002"),
+        s"<> delete kept wrong rows (before=$beforeNeq)")
+
+      // Untranslatable predicate (no source-filter form): Spark refuses
+      // with an analysis error and NOTHING publishes.
+      val vBefore = t.version
+      val err = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.facts WHERE length(name) > 3")
+      }
+      assert(t.version == vBefore,
+        s"refused DELETE still published (error was: ${err.getMessage})")
+
+      // WHERE-less DELETE = truncation (AlwaysTrue through canDeleteWhere).
+      spark.sql(s"DELETE FROM $cat.twin")
+      assert(twin.snapshot().count() == 0, "truncating DELETE left rows")
+
+      // String escaping round-trips: a key with quote and backslash.
+      import spark.implicits._
+      val tricky = Seq(("it's a \\ path", "H1", 1.0), ("plain", "H2", 2.0))
+        .toDF("name", "house", "acctbal")
+      val tt = TxTable.create(spark, s"$wh/tricky", tricky, Seq("name"), numBuckets = 2)
+      spark.sql(s"DELETE FROM $cat.tricky WHERE name = 'it\\'s a \\\\ path'")
+      assert(tt.snapshot().collect().map(_.getString(0)).toSeq == Seq("plain"),
+        "escaped-literal DELETE missed or overshot")
+    }
+  }
+
   test("storage-partitioned join: co-bucketed tables join with ZERO shuffle") {
     withCatalog { (cat, wh) =>
       val ta = makeTable(wh, "a", even = false)

@@ -1809,6 +1809,103 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("stats manifest v2: bloom payloads are content-addressed — a 1-bucket commit writes O(1 bucket) metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_blobman").toString
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    try {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      // 2000 rows/bucket pushes each bucket's bloom past BlobThreshold,
+      // so blooms ride as blobs, not inline bytes.
+      val base = (0 until 16000).map(i => (s"k$i", hex(s"k$i"), i.toLong))
+        .toDF("k", "token", "v")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 8,
+        bloomCols = Seq("token"))
+      val logDir = java.nio.file.Paths.get(dir, "_log")
+      def logFiles: Map[String, Long] = {
+        val s = java.nio.file.Files.walk(logDir)
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+        finally s.close()
+      }
+      def blobs: Map[String, Long] = logFiles.collect {
+        case (p, sz) if p.contains("/blobs/") && p.endsWith(".bin") => p -> sz }
+
+      val after0 = logFiles
+      val blobs0 = blobs
+      assert(blobs0.size == 8, s"expected 8 bloom blobs, found ${blobs0.size}")
+      assert(blobs0.values.forall(_ >= 1024), "blobs below the inline threshold")
+      val bloomTotal = blobs0.values.sum
+      // The manifest itself must NOT carry the bloom bytes.
+      val stats0 = after0.collect {
+        case (p, sz) if p.contains("stats-v") => sz }.sum
+      assert(stats0 < bloomTotal / 2,
+        s"stats-v bytes $stats0 should exclude bloom payloads ($bloomTotal)")
+
+      // ONE-bucket merge: two keys of bucket 0, values changed + one new
+      // key (new key set → that bucket's bloom content changes).
+      val b0keys = spark.read.format("graft").load(dir)
+        .select(col("k"), col("_graft_bucket")).filter(col("_graft_bucket") === 0)
+        .limit(2).collect().map(_.getString(0))
+      t.merge((b0keys.map(k => (k, hex(k), -1L)) :+
+        (("kNEW", hex("kNEW"), -2L))).toSeq.toDF("k", "token", "v"))
+      val growth = logFiles.filterNot { case (p, _) => after0.contains(p) }
+        .values.sum
+      // Old behavior re-inlined EVERY bucket's bloom (≥ bloomTotal per
+      // commit); now: one new blob + ref-only manifest headers.
+      assert(growth < bloomTotal / 2,
+        s"1-bucket commit grew _log by $growth bytes vs $bloomTotal of blooms — O(N) rewrite is back")
+      assert(blobs.size == 9, "changed bucket should add exactly one blob")
+
+      // Decisions parity: a bloom point probe plans the same files via
+      // blob-backed manifest and via per-bucket sidecars, and answers right.
+      def plannedFiles(ignore: Boolean): Set[String] = {
+        val provider = new graft.sources.GraftTableProvider
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("path", dir)
+        if (ignore) opts.put("ignoreStatsManifest", "true")
+        val cmap = new CaseInsensitiveStringMap(opts)
+        val sb = provider.getTable(provider.inferSchema(cmap), Array.empty, opts)
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+          .newScanBuilder(cmap)
+        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+          .pushFilters(Array(EqualTo("token", hex("k7777"))))
+        sb.build().toBatch.planInputPartitions()
+          .collect { case p: graft.sources.GraftInputPartition => p }
+          .flatMap(_.files).toSet
+      }
+      val viaBlob = plannedFiles(ignore = false)
+      assert(viaBlob == plannedFiles(ignore = true),
+        "blob-backed bloom decisions diverged from the sidecar path")
+      assert(viaBlob.size < 8, "bloom probe should refute buckets")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("token") === hex("k7777")).collect()
+        .map(_.getString(0)).toSeq == Seq("k7777"))
+
+      // A TORN blob reads as absent (hash mismatch) and falls back to
+      // the bucket sidecar — same decisions, never a wrong filter.
+      val victim = blobs.keys.head
+      val orig = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(victim))
+      java.nio.file.Files.write(java.nio.file.Paths.get(victim),
+        orig.map(b => (b ^ 0x5a).toByte))
+      try assert(plannedFiles(ignore = false) == plannedFiles(ignore = true),
+        "torn blob changed planning decisions")
+      finally java.nio.file.Files.write(java.nio.file.Paths.get(victim), orig)
+
+      // Vacuum retires blobs with the manifests that referenced them:
+      // after keepVersions=1, on-disk blobs == exactly the head's refs.
+      t.vacuum(retainMs = 0L, keepVersions = 1)
+      val headRefs = graft.core.TxTable.readStatsManifest(dir, t.version).get
+        .values.flatMap(_.blooms.collect {
+          case (_, graft.core.TxTable.StoredBlob(_, h, _)) => h }).toSet
+      val onDisk = blobs.keys.map(p => java.nio.file.Paths.get(p)
+        .getFileName.toString.stripSuffix(".bin")).toSet
+      assert(headRefs.nonEmpty && onDisk == headRefs,
+        s"vacuum left orphan blobs or deleted live ones: disk=$onDisk refs=$headRefs")
+    } finally TxTable.drop(dir)
+  }
+
   test("declare-time guards: reserved layout names, partition-spec validation, empty CDC batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_guards").toString
     try {
