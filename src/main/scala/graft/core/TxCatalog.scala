@@ -63,9 +63,9 @@ final class TxCatalog private (spark: SparkSession, dir: String) {
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, r.toSeq.sortBy(_._1).map { case (n, tv) => s"$n\t$tv" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    try { Files.createLink(logDir.resolve(f"c$v%08d.txt"), tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    // Same single-atomicity-point contract as the table log: one
+    // conditional put, swappable for object stores (TxTable.commitPrimitive).
+    TxTable.commitPrimitive.putIfAbsent(logDir.resolve(f"c$v%08d.txt"), tmp)
   }
 
   /** Atomically move `updates`' refs in one new catalog version. All

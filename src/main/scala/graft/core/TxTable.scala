@@ -616,9 +616,20 @@ final class TxTable private (spark: SparkSession, dir: String,
 
   /** The `_p` derivation for the declared transform over `df`, or None
     * when no transform applies (undeclared, source column absent from
-    * this commit's frame, or unsupported source type). */
+    * this commit's frame, or unsupported source type). The spec column
+    * resolves THROUGH the alias chain: renameColumn re-points
+    * `partition.txt` only after its publish, so a crash in between
+    * leaves the spec naming the now-renamed column — resolving the
+    * current name whose chain contains the spec name keeps every later
+    * commit partitioned instead of silently flipping it to FLAT. */
   private def partitionColumn(df: DataFrame): Option[(org.apache.spark.sql.Column, String)] =
-    partitionSpec.flatMap { case (tf, c) =>
+    partitionSpec.flatMap { case (tf, c0) =>
+      val c =
+        if (df.columns.contains(c0)) c0
+        else aliasesAt(version).collectFirst {
+          case (cur, olds) if olds.contains(c0) && df.columns.contains(cur) =>
+            cur
+        }.getOrElse(c0)
       if (!df.columns.contains(c)) None
       else (tf, df.schema(c).dataType) match {
         case ("days", org.apache.spark.sql.types.DateType) =>
@@ -953,21 +964,19 @@ final class TxTable private (spark: SparkSession, dir: String,
   }
 
   /** Publish `lines` as version `v` under layout `buckets` — atomic
-    * create-exclusive via hard link, so exactly one writer can own a
-    * version number. The `#buckets=` header travels with every manifest
-    * (see `bucketCountAt`). */
+    * create-exclusive through [[TxTable.commitPrimitive]], so exactly
+    * one writer can own a version number. The `#buckets=` header
+    * travels with every manifest (see `bucketCountAt`). */
   private def publish(v: Long, buckets: Int, op: String,
                       lines: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, (s"#buckets=$buckets" +: s"#op=$op" +: lines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
-    val won =
-      try { Files.createLink(logDir.resolve(f"v$v%08d.txt"), tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally Files.deleteIfExists(tmp)
+    val won = TxTable.commitPrimitive.putIfAbsent(
+      logDir.resolve(f"v$v%08d.txt"), tmp)
     // The winner also publishes the version's CONSOLIDATED stats
-    // manifest (after the link — the manifest is the atomicity point;
+    // manifest (after the claim — the manifest is the atomicity point;
     // readers that arrive before the stats file fall back per bucket).
     if (won) writeStatsManifest(v, lines)
     won
@@ -1043,9 +1052,8 @@ final class TxTable private (spark: SparkSession, dir: String,
         }
         out.flush()
       } finally out.close()
-      try Files.createLink(logDir.resolve(f"stats-v$v%08d.bin"), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp)
+      TxTable.commitPrimitive.putIfAbsent(
+        logDir.resolve(f"stats-v$v%08d.bin"), tmp)
     }.getOrElse(())
 
   /** One bucket's stats, harvested from its (immutable) sidecar files. */
@@ -1759,7 +1767,10 @@ final class TxTable private (spark: SparkSession, dir: String,
     // columns) — the same silent no-op class setPartitioning's
     // declare-time validation exists to prevent. Clear the spec first.
     partitionSpec.foreach { case (tf, c) =>
-      require(c != colName,
+      // Through the alias chain, like partitionColumn: a spec left
+      // naming a renamed column still protects its current name.
+      val lineage = colName +: aliasesAt(version).getOrElse(colName, Nil)
+      require(!lineage.contains(c),
         s"cannot drop '$colName': it is the declared partition source " +
           s"($tf($c)) — setPartitioning(\"\") first") }
     var committed = -1L
@@ -2345,6 +2356,36 @@ object TxTable {
     * inlined (small blooms stay in the manifest — one read, no seek). */
   private[graft] val BlobThreshold = 1024
 
+  /** THE atomicity primitive the whole log rides on: claim `target`
+    * with `tmp`'s bytes iff nothing exists there, exactly-one-winner
+    * under concurrency. Everything else in the protocol — optimistic
+    * version publish, stats manifests, content-addressed blobs — is
+    * built so this single conditional-put is the only operation that
+    * must be atomic: local filesystems implement it with a hard link
+    * (create-exclusive), object stores with a conditional PUT
+    * (`If-None-Match: *` on S3/GCS/Azure), and the optimistic loop is
+    * agnostic to which (ConcurrencySpec proves convergence against a
+    * primitive that offers NOTHING but put-if-absent — no links, no
+    * rename). Contract: `tmp` is fully written before the call; the
+    * primitive consumes it (deletes it win or lose); a false return
+    * means some complete rival object owns `target`. */
+  trait CommitPrimitive {
+    def putIfAbsent(target: Path, tmp: Path): Boolean
+  }
+
+  /** Local-fs default: hard link = POSIX create-exclusive. */
+  object LinkCommitPrimitive extends CommitPrimitive {
+    def putIfAbsent(target: Path, tmp: Path): Boolean =
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Swappable for tests (a conditional-PUT mock) or an object-store
+    * deployment; every claim site routes through it. */
+  @volatile private[graft] var commitPrimitive: CommitPrimitive =
+    LinkCommitPrimitive
+
   private[graft] def blobHash(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).take(16).map("%02x".format(_)).mkString
@@ -2360,9 +2401,7 @@ object TxTable {
     if (!Files.exists(target)) {
       val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
       Files.write(tmp, bytes)
-      try Files.createLink(target, tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp)
+      commitPrimitive.putIfAbsent(target, tmp)
     }
     hash
   }

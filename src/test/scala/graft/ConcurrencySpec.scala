@@ -105,6 +105,70 @@ class ConcurrencySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("optimistic loop is correct over a primitive offering ONLY put-if-absent (object-store mock)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc_putif").toString
+    // Conditional-PUT mock: no hard links, no rename-into-place — a
+    // single atomic claim set + byte copy, the exact contract an object
+    // store's `If-None-Match: *` PUT gives. Claims are remembered even
+    // if a rival deleted/recreated nothing — one winner per target path
+    // EVER, which is strictly weaker than the local-fs primitive (a
+    // second claim after a delete would also fail) and therefore a
+    // sound stand-in.
+    object PutIfAbsentOnly extends graft.core.TxTable.CommitPrimitive {
+      val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val puts = new java.util.concurrent.atomic.AtomicLong(0)
+      def putIfAbsent(target: java.nio.file.Path,
+                      tmp: java.nio.file.Path): Boolean = {
+        puts.incrementAndGet()
+        val won = claims.add(target.toAbsolutePath.toString)
+        if (won) java.nio.file.Files.copy(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.deleteIfExists(tmp)
+        won
+      }
+    }
+    val before = graft.core.TxTable.commitPrimitive
+    graft.core.TxTable.commitPrimitive = PutIfAbsentOnly
+    try {
+      val writers = 3
+      val merges = 2
+      val base = graft.core.Graph.nodes(spark, sf)
+        .filter(col("nid") <= writers * 25L)
+        .select(col("name"), (col("nid") % writers).cast("int").as("writer"),
+          lit(0L).as("stamp"))
+      graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = (0 until writers).map { w =>
+        Future {
+          val t = graft.core.TxTable.open(spark, dir, Seq("name"))
+          (1 to merges).foreach { it =>
+            t.merge(base.filter(col("writer") === w)
+              .withColumn("stamp", lit(w * 1000L + it)))
+          }
+        }
+      }
+      try Await.result(Future.sequence(futs), 10.minutes)
+      finally pool.shutdown()
+      val t = graft.core.TxTable.open(spark, dir, Seq("name"))
+      assert(t.version == writers * merges,
+        s"expected ${writers * merges} merges after v0, head is v${t.version}")
+      val hist = t.history().orderBy("version").collect()
+      assert(hist.map(_.getLong(0)).toSeq == (0L to t.version),
+        "version history has gaps under the put-if-absent mock")
+      assert(t.snapshot()
+        .filter(col("stamp") =!= col("writer") * 1000L + merges).count() == 0,
+        "a rebase dropped a winner's rows (lost update) under the mock")
+      assert(PutIfAbsentOnly.puts.get() > 0 &&
+        PutIfAbsentOnly.claims.size() > 0,
+        "mock primitive never exercised — the seam is not wired")
+    } finally {
+      graft.core.TxTable.commitPrimitive = before
+      graft.core.TxTable.drop(dir)
+    }
+  }
+
   test("disjoint-bucket writers resolve lost races without recompute or corruption") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_conc_disjoint").toString

@@ -1966,6 +1966,29 @@ class Dsv2Spec extends AnyFunSuite {
       assert(pdirs.nonEmpty, "post-rename commit wrote FLAT — spec orphaned")
       assert(scala.util.Try(t.dropColumn("event_date")).isFailure,
         "dropping the declared partition source must be refused")
+
+      // CRASH WINDOW: renameColumn re-points partition.txt only AFTER
+      // its publish — simulate dying in between by writing the STALE
+      // spec back. The next commit must still partition (the spec
+      // column resolves through the alias chain), and dropping the
+      // CURRENT name must still refuse.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "t", "_log", "partition.txt"), "days(d)")
+      assert(scala.util.Try(t.dropColumn("event_date")).isFailure,
+        "stale spec lost its drop protection through the alias chain")
+      t.merge(Seq(("e", java.sql.Date.valueOf("2024-03-09"), 5L))
+        .toDF("k", "event_date", "v"))
+      val crashDay = java.time.LocalDate.of(2024, 3, 9).toEpochDay
+      val pdirs2 = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "t", "data"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_p=")).toSet
+      assert(pdirs2.contains(s"_p=$crashDay"),
+        s"commit under a stale (pre-rename) spec wrote FLAT: $pdirs2")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "t", "_log", "partition.txt"),
+        "days(event_date)")
+
       t.setPartitioning("")
       assert(t.dropColumn("event_date") > 0, "drop after clearing must work")
     } finally TxTable.drop(dir)
