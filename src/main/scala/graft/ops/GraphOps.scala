@@ -1536,21 +1536,31 @@ object GraphOps {
     * present in the final manifest, and the full unpruned read equals
     * the native snapshot row-for-row). */
   def txDatePartition(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s58").toString
-    try {
-      val events = graft.core.Tables.events(spark, sfDir)
+    // The two-era layout (flat create, declared days(ts), one migrating
+    // merge) is deterministic — build-once artifact (s52/s15 treatment);
+    // every invocation re-proves all three certificates by PLANNING and
+    // READING against the frozen eras, which is the behavior the entry
+    // exists for. Partition-declared WRITES stay covered per-invocation
+    // by s62 (same setPartitioning→merge path).
+    val dir = graft.etl.Artifacts.path(sfDir, "tx_demo_s58")
+    val ready = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      graft.core.TxTable.drop(dir)
+      val events0 = graft.core.Tables.events(spark, sfDir)
         .select("event_id", "ts", "event_type", "value")
-      val era1 = events.filter(col("event_id") % 3 === 0)
-      val t = graft.core.TxTable.create(spark, dir, era1, Seq("event_id"),
+      val era1 = events0.filter(col("event_id") % 3 === 0)
+      val tb = graft.core.TxTable.create(spark, dir, era1, Seq("event_id"),
         numBuckets = 16) // created FLAT — the pre-partitioning era
-      t.setPartitioning("days(ts)")
+      tb.setPartitioning("days(ts)")
       // Three literal keys (present at every SF) — the merge rewrites
       // only their buckets, migrating those to day layout; the rest of
       // the table keeps its flat-era commit.
-      val era2 = events.filter(col("event_id").isin(1L, 4L, 7L))
-        .withColumn("value", col("value") + 1000.0)
-      t.merge(era2)
-
+      tb.merge(events0.filter(col("event_id").isin(1L, 4L, 7L))
+        .withColumn("value", col("value") + 1000.0))
+      java.nio.file.Files.createFile(ready)
+    }
+    {
+      val t = graft.core.TxTable.open(spark, dir, Seq("event_id"))
       val commits = t.dataPointers(t.version).values.toSet
       val (dayEra, flatEra) = commits.partition(c => java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "data", c, "_pspec.txt")))
@@ -1598,7 +1608,7 @@ object GraphOps {
         .withColumn("dp_evolution_ok", lit(evolutionOk))
         .orderBy("event_type")
         .localCheckpoint()
-    } finally graft.core.TxTable.drop(dir)
+    }
   }
 
   /** Partition-covered ranged COUNT demo (s62_ranged_count) — the
@@ -1746,24 +1756,44 @@ object GraphOps {
     * on the hash channel: `zm_hash_match` (pruned connector result ==
     * native snapshot), `zm_file_prune` (the band probe plans ≤ half the
     * files), `zm_bucket_prune` (a below-domain probe refutes EVERY
-    * bucket at planning — 0 partitions). */
+    * bucket at planning — 0 partitions). The clustered layout is
+    * deterministic, so it freezes as a build-once artifact (the
+    * s57/s58 treatment) — every invocation re-proves all three
+    * certificates by PLANNING and READING against the frozen layout;
+    * the zone-map harvest-at-commit write path stays covered
+    * per-invocation by s54's clustered write. */
   def txZonemapRange(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s55").toString
-    val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
-    try {
-      val base = graft.core.Tables.lineitem(spark, sfDir).select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-        col("l_returnflag").as("flag"))
-      val nRows = base.count()
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
-        numBuckets = 8, zoneMapCols = Seq("price_cents"))
-      // Sorted rewrite split into ~6 range-disjoint files per bucket:
-      // the layout a 100 TB table maintains continuously via
-      // cluster-on-write + size-targeted compaction.
-      spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
-      t.compact(0, Seq("price_cents"))
-
+    val dir = graft.etl.Artifacts.path(sfDir, "tx_demo_s55")
+    val readyMark = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(readyMark)) {
+      graft.core.TxTable.drop(dir)
+      val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      try {
+        val base = graft.core.Tables.lineitem(spark, sfDir).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          col("l_returnflag").as("flag"))
+        val nRows = base.count()
+        val tb = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+          numBuckets = 8, zoneMapCols = Seq("price_cents"))
+        // Sorted rewrite split into ~6 range-disjoint files per bucket:
+        // the layout a 100 TB table maintains continuously via
+        // cluster-on-write + size-targeted compaction.
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
+        tb.compact(0, Seq("price_cents"))
+        // Below-domain probe bound, frozen beside the layout.
+        java.nio.file.Files.writeString(readyMark.resolveSibling("_GRAFT_BOUNDS"),
+          base.agg(min("price_cents")).head.getLong(0).toString)
+      } finally maxRecBefore match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      java.nio.file.Files.createFile(readyMark)
+    }
+    {
+      val t = graft.core.TxTable.open(spark, dir, Seq("k"))
+      val globalMin = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "_GRAFT_BOUNDS")).trim.toLong
       def conn = spark.read.format("graft").load(dir)
       // Filters arrive as TOP-LEVEL conjuncts (Spark splits And before
       // pushdown), so the helper passes them the same way.
@@ -1787,7 +1817,6 @@ object GraphOps {
       val (_, allFiles) = plannedFiles(Array.empty)
       val (_, bandFiles) = plannedFiles(Array(
         GreaterThanOrEqual("price_cents", lo), LessThanOrEqual("price_cents", hi)))
-      val globalMin = base.agg(min("price_cents")).head.getLong(0)
       val (noneParts, _) = plannedFiles(Array(LessThan("price_cents", globalMin)))
       val filePrune = bandFiles * 2 <= allFiles && bandFiles >= 1
       val bucketPrune = noneParts == 0
@@ -1805,12 +1834,6 @@ object GraphOps {
         .withColumn("zm_bucket_prune", lit(bucketPrune))
         .orderBy("flag")
         .localCheckpoint()
-    } finally {
-      maxRecBefore match {
-        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
-        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
-      }
-      graft.core.TxTable.drop(dir)
     }
   }
 
@@ -1833,21 +1856,38 @@ object GraphOps {
     * version without the file (pre-manifest, crash before the stats
     * write) falls back per bucket, mixed per bucket. */
   def txStatsManifest(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s60").toString
-    val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
-    try {
-      val base = graft.core.Tables.lineitem(spark, sfDir).select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
-        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-        col("l_returnflag").as("flag"))
-        .withColumn("token", md5(col("k").cast("string")))
-      val nRows = base.count()
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
-        numBuckets = 8, zoneMapCols = Seq("price_cents"),
-        bloomCols = Seq("token"))
-      spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
-      t.compact(0, Seq("price_cents"))
-
+    // The two-commit layout (create, clustered compact — the second
+    // publish exercising the incremental per-bucket stats reuse) is
+    // deterministic, so it freezes as a build-once artifact (the
+    // s57/s58 treatment); every invocation re-proves all four
+    // certificates by PLANNING both paths and READING against the
+    // frozen layout. The harvest-at-publish write path stays covered
+    // per-invocation by s54's clustered write.
+    val dir = graft.etl.Artifacts.path(sfDir, "tx_demo_s60")
+    val readyMark = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(readyMark)) {
+      graft.core.TxTable.drop(dir)
+      val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      try {
+        val base = graft.core.Tables.lineitem(spark, sfDir).select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          col("l_returnflag").as("flag"))
+          .withColumn("token", md5(col("k").cast("string")))
+        val nRows = base.count()
+        val tb = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+          numBuckets = 8, zoneMapCols = Seq("price_cents"),
+          bloomCols = Seq("token"))
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
+        tb.compact(0, Seq("price_cents"))
+      } finally maxRecBefore match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      java.nio.file.Files.createFile(readyMark)
+    }
+    {
+      val t = graft.core.TxTable.open(spark, dir, Seq("k"))
       import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
       val band: Array[org.apache.spark.sql.sources.Filter] = Array(
         GreaterThanOrEqual("price_cents", 2000000L),
@@ -1895,12 +1935,6 @@ object GraphOps {
         .withColumn("sm_hash_match", lit(hashMatch))
         .orderBy("flag")
         .localCheckpoint()
-    } finally {
-      maxRecBefore match {
-        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
-        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
-      }
-      graft.core.TxTable.drop(dir)
     }
   }
 
@@ -1918,22 +1952,38 @@ object GraphOps {
     * one-adjective band plans ≤ half the files of the sorted layout),
     * `sz_bucket_prune` (a below-domain probe plans ZERO partitions).
     * PropertySpec adds the no-misrefute battery: values sharing a
-    * 16-byte prefix must always admit each other's files. */
+    * 16-byte prefix must always admit each other's files. The sorted
+    * string layout is deterministic, so it freezes as a build-once
+    * artifact (the s57/s58 treatment) — every invocation re-proves all
+    * three certificates by PLANNING and READING against the frozen
+    * layout, which is the behavior the entry exists for; the zone-map
+    * harvest-at-commit write path stays covered per-invocation by
+    * s54's clustered write. */
   def txStringZonemap(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s63").toString
-    val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
-    try {
-      val base = graft.core.Tables.part(spark, sfDir).select(
-        col("p_partkey").as("k"), col("p_name").as("name"),
-        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
-      val nRows = base.count()
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
-        numBuckets = 8, zoneMapCols = Seq("name"))
-      // Sorted rewrite into ~6 range-disjoint files per bucket — the
-      // continuously-clustered layout of s55, on a STRING dimension.
-      spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
-      t.compact(0, Seq("name"))
-
+    val dir = graft.etl.Artifacts.path(sfDir, "tx_demo_s63")
+    val readyMark = java.nio.file.Paths.get(dir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(readyMark)) {
+      graft.core.TxTable.drop(dir)
+      val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      try {
+        val base = graft.core.Tables.part(spark, sfDir).select(
+          col("p_partkey").as("k"), col("p_name").as("name"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+        val nRows = base.count()
+        val tb = graft.core.TxTable.create(spark, dir, base, Seq("k"),
+          numBuckets = 8, zoneMapCols = Seq("name"))
+        // Sorted rewrite into ~6 range-disjoint files per bucket — the
+        // continuously-clustered layout of s55, on a STRING dimension.
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", math.max(1L, nRows / 48))
+        tb.compact(0, Seq("name"))
+      } finally maxRecBefore match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
+      java.nio.file.Files.createFile(readyMark)
+    }
+    {
+      val t = graft.core.TxTable.open(spark, dir, Seq("k"))
       def conn = spark.read.format("graft").load(dir)
       def plannedFiles(preds: Array[org.apache.spark.sql.sources.Filter]): (Int, Int) = {
         val provider = new graft.sources.GraftTableProvider
@@ -1971,12 +2021,6 @@ object GraphOps {
         .withColumn("sz_bucket_prune", lit(bucketPrune))
         .orderBy("name")
         .localCheckpoint()
-    } finally {
-      maxRecBefore match {
-        case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
-        case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
-      }
-      graft.core.TxTable.drop(dir)
     }
   }
 
@@ -1996,61 +2040,82 @@ object GraphOps {
     * numOutputRows EACH shrink ≥2× across the one rewrite (scan-level;
     * only footer skipping can shrink it). Row-group size is row-count-
     * adaptive like s51: three dimensions need more groups than two for
-    * the same per-dimension granularity. */
+    * the same per-dimension granularity. The UNSORTED and Z-ORDERED
+    * layouts are deterministic, so both freeze as build-once artifacts
+    * (the s52/s15 treatment): every invocation re-proves BOTH
+    * certificates by measuring the six scans and both snapshot
+    * aggregates against the frozen pair — the entry measures the
+    * probes the layout exists for, not the demo table's construction
+    * (the compactZOrder WRITE path stays covered per-invocation by
+    * s51, whose 2-D rewrite is the same code path). */
   def txZorderNway(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s57").toString
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
-    val base = graft.core.Tables.lineitem(spark, sfDir).select(
-      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
-      round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-      col("l_partkey").as("part"),
-      col("l_suppkey").as("sup"),
-      col("l_returnflag").as("flag"))
-    val nRows = base.count()
-    val block =
-      if (nRows < 10000) 4 * 1024
-      else if (nRows < 100000) 16 * 1024
-      else 192 * 1024
-    hconf.setInt("parquet.block.size", block)
-    hconf.setInt("parquet.page.size", block / 4)
-    try {
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
-      def conn = spark.read.format("graft").load(dir)
-      // All three bounds SF-relative, each admitting a narrow slice.
-      val Array(b0) = base.agg(max("part"), max("sup"),
-        count(lit(1)), sum("price_cents")).collect()
-      val predX = col("price_cents").between(2000000L, 2060000L)
-      val predY = col("part") <= b0.getLong(0) / 30
-      val predZ = col("sup") <= b0.getLong(1) / 30
-      def emitted(pred: org.apache.spark.sql.Column): Long = {
-        val q = conn.filter(pred)
-        q.collect()
-        q.queryExecution.executedPlan.collectLeaves()
-          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    val flatDir = graft.etl.Artifacts.path(sfDir, "tx_s57_flat")
+    val zDir = graft.etl.Artifacts.path(sfDir, "tx_s57_zorder")
+    val ready = java.nio.file.Paths.get(zDir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      graft.core.TxTable.drop(flatDir); graft.core.TxTable.drop(zDir)
+      val base = graft.core.Tables.lineitem(spark, sfDir).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_partkey").as("part"),
+        col("l_suppkey").as("sup"),
+        col("l_returnflag").as("flag"))
+      val nRows = base.count()
+      val block =
+        if (nRows < 10000) 4 * 1024
+        else if (nRows < 100000) 16 * 1024
+        else 192 * 1024
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+      hconf.setInt("parquet.block.size", block)
+      hconf.setInt("parquet.page.size", block / 4)
+      try {
+        graft.core.TxTable.create(spark, flatDir, base, Seq("k"), numBuckets = 1)
+        val t = graft.core.TxTable.create(spark, zDir, base, Seq("k"), numBuckets = 1)
+        t.compactZOrder(Seq("price_cents", "part", "sup"))
+      } finally {
+        if (before._1 == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", before._1)
+        if (before._2 == null) hconf.unset("parquet.page.size")
+        else hconf.set("parquet.page.size", before._2)
       }
-      val (ux, uy, uz) = (emitted(predX), emitted(predY), emitted(predZ))
-      t.compactZOrder(Seq("price_cents", "part", "sup"))
-      val (zx, zy, zz) = (emitted(predX), emitted(predY), emitted(predZ))
-      val Array(b1) = t.snapshot()
-        .agg(count(lit(1)), sum("price_cents")).collect()
-      val unchanged = b0.getLong(2) == b1.getLong(0) && b0.getLong(3) == b1.getLong(1)
-      val effective = zx * 2 <= ux && zy * 2 <= uy && zz * 2 <= uz
-
-      conn.filter(predX)
-        .groupBy("flag")
-        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
-        .withColumn("snapshot_unchanged", lit(unchanged))
-        .withColumn("skip_all3_effective", lit(effective))
-        .orderBy("flag")
-        .localCheckpoint()
-    } finally {
-      if (before._1 == null) hconf.unset("parquet.block.size")
-      else hconf.set("parquet.block.size", before._1)
-      if (before._2 == null) hconf.unset("parquet.page.size")
-      else hconf.set("parquet.page.size", before._2)
-      graft.core.TxTable.drop(dir)
+      // Probe bounds frozen beside the layouts (deterministic over base).
+      val Array(b) = graft.core.Tables.lineitem(spark, sfDir)
+        .agg(max("l_partkey"), max("l_suppkey")).collect()
+      java.nio.file.Files.writeString(ready.resolveSibling("_GRAFT_BOUNDS"),
+        s"${b.getLong(0)}\t${b.getLong(1)}")
+      java.nio.file.Files.createFile(ready)
     }
+    val Array(maxPart, maxSup) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(zDir, "_GRAFT_BOUNDS")).trim.split('\t').map(_.toLong)
+    def conn(d: String) = spark.read.format("graft").load(d)
+    val predX = col("price_cents").between(2000000L, 2060000L)
+    val predY = col("part") <= maxPart / 30
+    val predZ = col("sup") <= maxSup / 30
+    def emitted(d: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = conn(d).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val (ux, uy, uz) =
+      (emitted(flatDir, predX), emitted(flatDir, predY), emitted(flatDir, predZ))
+    val (zx, zy, zz) =
+      (emitted(zDir, predX), emitted(zDir, predY), emitted(zDir, predZ))
+    // Layout-only certificate re-proven per run: count and sum agree
+    // across the unsorted and Z-ordered tables.
+    val Array(b0) = conn(flatDir).agg(count(lit(1)), sum("price_cents")).collect()
+    val Array(b1) = conn(zDir).agg(count(lit(1)), sum("price_cents")).collect()
+    val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
+    val effective = zx * 2 <= ux && zy * 2 <= uy && zz * 2 <= uz
+
+    conn(zDir).filter(predX)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+      .withColumn("snapshot_unchanged", lit(unchanged))
+      .withColumn("skip_all3_effective", lit(effective))
+      .orderBy("flag")
+      .localCheckpoint()
   }
 
   /** Hilbert-clustering demo (s59_hilbert_compact) — the locality-better
@@ -2067,56 +2132,72 @@ object GraphOps {
     * `hskip_both_effective` (the same two range scans' measured
     * numOutputRows BOTH shrink ≥2× across the one rewrite).
     * PropertySpec pins the curve itself by its DEFINING properties —
-    * full-grid bijection and unit-step adjacency. */
+    * full-grid bijection and unit-step adjacency. The UNSORTED and
+    * Hilbert-clustered layouts are deterministic, so both freeze as
+    * build-once artifacts (the s57 treatment): every invocation
+    * re-proves BOTH certificates by measuring the four scans and both
+    * snapshot aggregates against the frozen pair; the compaction
+    * rewrite WRITE path stays covered per-invocation by s51 (the same
+    * one-stats-pass clustered rewrite, Morton key). */
   def txHilbertCompact(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s59").toString
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
-    val base = graft.core.Tables.lineitem(spark, sfDir).select(
-      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
-      round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-      col("l_partkey").as("part"),
-      col("l_returnflag").as("flag"))
-    val nRows = base.count()
-    val block = if (nRows < 100000) 16 * 1024 else 256 * 1024
-    hconf.setInt("parquet.block.size", block)
-    hconf.setInt("parquet.page.size", block / 4)
-    try {
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
-      def conn = spark.read.format("graft").load(dir)
-      val predX = col("price_cents").between(2000000L, 2100000L)
-      val maxPart = base.agg(max("part")).head.getLong(0)
-      val predY = col("part") <= maxPart / 20
-      def emitted(pred: org.apache.spark.sql.Column): Long = {
-        val q = conn.filter(pred)
-        q.collect()
-        q.queryExecution.executedPlan.collectLeaves()
-          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    val flatDir = graft.etl.Artifacts.path(sfDir, "tx_s59_flat")
+    val hDir = graft.etl.Artifacts.path(sfDir, "tx_s59_hilbert")
+    val readyMark = java.nio.file.Paths.get(hDir, "_GRAFT_READY")
+    if (!java.nio.file.Files.exists(readyMark)) {
+      graft.core.TxTable.drop(flatDir); graft.core.TxTable.drop(hDir)
+      val base = graft.core.Tables.lineitem(spark, sfDir).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_partkey").as("part"),
+        col("l_returnflag").as("flag"))
+      val nRows = base.count()
+      val block = if (nRows < 100000) 16 * 1024 else 256 * 1024
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+      hconf.setInt("parquet.block.size", block)
+      hconf.setInt("parquet.page.size", block / 4)
+      try {
+        graft.core.TxTable.create(spark, flatDir, base, Seq("k"), numBuckets = 1)
+        val t = graft.core.TxTable.create(spark, hDir, base, Seq("k"), numBuckets = 1)
+        t.compactHilbert(Seq("price_cents", "part"))
+      } finally {
+        if (before._1 == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", before._1)
+        if (before._2 == null) hconf.unset("parquet.page.size")
+        else hconf.set("parquet.page.size", before._2)
       }
-      val Array(b0) = t.snapshot()
-        .agg(count(lit(1)), sum("price_cents")).collect()
-      val (ux, uy) = (emitted(predX), emitted(predY))
-      t.compactHilbert(Seq("price_cents", "part"))
-      val (hx, hy) = (emitted(predX), emitted(predY))
-      val Array(b1) = t.snapshot()
-        .agg(count(lit(1)), sum("price_cents")).collect()
-      val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
-      val effective = hx * 2 <= ux && hy * 2 <= uy
-
-      conn.filter(predX)
-        .groupBy("flag")
-        .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
-        .withColumn("snapshot_unchanged", lit(unchanged))
-        .withColumn("hskip_both_effective", lit(effective))
-        .orderBy("flag")
-        .localCheckpoint()
-    } finally {
-      if (before._1 == null) hconf.unset("parquet.block.size")
-      else hconf.set("parquet.block.size", before._1)
-      if (before._2 == null) hconf.unset("parquet.page.size")
-      else hconf.set("parquet.page.size", before._2)
-      graft.core.TxTable.drop(dir)
+      // Probe bound frozen beside the layouts (deterministic over base).
+      java.nio.file.Files.writeString(readyMark.resolveSibling("_GRAFT_BOUNDS"),
+        base.agg(max("part")).head.getLong(0).toString)
+      java.nio.file.Files.createFile(readyMark)
     }
+    val maxPart = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(hDir, "_GRAFT_BOUNDS")).trim.toLong
+    def conn(d: String) = spark.read.format("graft").load(d)
+    val predX = col("price_cents").between(2000000L, 2100000L)
+    val predY = col("part") <= maxPart / 20
+    def emitted(d: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = conn(d).filter(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val (ux, uy) = (emitted(flatDir, predX), emitted(flatDir, predY))
+    val (hx, hy) = (emitted(hDir, predX), emitted(hDir, predY))
+    // Layout-only certificate re-proven per run: count and sum agree
+    // across the unsorted and Hilbert-clustered tables.
+    val Array(b0) = conn(flatDir).agg(count(lit(1)), sum("price_cents")).collect()
+    val Array(b1) = conn(hDir).agg(count(lit(1)), sum("price_cents")).collect()
+    val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
+    val effective = hx * 2 <= ux && hy * 2 <= uy
+
+    conn(hDir).filter(predX)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+      .withColumn("snapshot_unchanged", lit(unchanged))
+      .withColumn("hskip_both_effective", lit(effective))
+      .orderBy("flag")
+      .localCheckpoint()
   }
 
   /** Service-shape concurrency certificate (s48_concurrent_stability) —

@@ -388,15 +388,55 @@ private[graft] object GraftDataSource {
         new java.io.ByteArrayInputStream(bytes, nl + 1, bytes.length - nl - 1))))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Parsed-bloom PLANNING cache: deserializing a bucket bloom is
+    * O(filter bytes) — up to 2²⁷ bits per bucket × column — and an
+    * interactive workload re-plans the same pinned layout constantly,
+    * so without a cache every plan re-reads and re-parses
+    * O(table-bloom-bytes) of metadata (SkipScale measured exactly this:
+    * plan_bloom_point growing with data size while every other planning
+    * probe stayed flat). Keys are staleness-proof by construction: a
+    * manifest blob caches under its CONTENT HASH (immutable by
+    * definition), a sidecar file under (path, size, mtime-nanos) inside
+    * an immutable commit dir. Only successful parses cache (failures
+    * re-try their fallbacks); `mightContain*` on a cached sketch is
+    * read-only. Bounded by payload bytes — overflow clears the whole
+    * map (advisory: the next plan reloads). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[(String, org.apache.spark.util.sketch.BloomFilter)])]()
+  private val bloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val BloomCacheCapBytes = 256L * 1024 * 1024
+
+  private[sources] def cachedBloom(key: String, byteLen: Long)(
+      load: => Option[(String, org.apache.spark.util.sketch.BloomFilter)])
+      : Option[(String, org.apache.spark.util.sketch.BloomFilter)] = {
+    val hit = bloomCache.get(key)
+    if (hit != null) hit._2
+    else {
+      val v = load
+      if (v.isDefined) {
+        if (bloomCacheBytes.addAndGet(byteLen) > BloomCacheCapBytes) {
+          bloomCache.clear(); bloomCacheBytes.set(byteLen)
+        }
+        bloomCache.put(key, (byteLen, v))
+      }
+      v
+    }
+  }
+
   /** The bucket-tier bloom sidecar file for (bucket dir, column). */
   def readBloomSidecar(bucketDir: String, colName: String)
       : Option[(String, org.apache.spark.util.sketch.BloomFilter)] = {
     val p = java.nio.file.Paths.get(bucketDir, s"_bloomidx.$colName.bin")
     if (!java.nio.file.Files.exists(p)) None
     else {
-      graft.core.TxTable.metaReadProbe(p.toString)
-      scala.util.Try(java.nio.file.Files.readAllBytes(p)).toOption
-        .flatMap(parseBloomBytes(colName, _))
+      val stamp = scala.util.Try((java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p)
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS))).getOrElse((-1L, -1L))
+      cachedBloom(s"f:$p:${stamp._1}:${stamp._2}", stamp._1) {
+        graft.core.TxTable.metaReadProbe(p.toString)
+        scala.util.Try(java.nio.file.Files.readAllBytes(p)).toOption
+          .flatMap(parseBloomBytes(colName, _))
+      }
     }
   }
 
@@ -1313,17 +1353,26 @@ private[sources] final class StatsView(tableDir: String, pinnedVersion: Long,
     }
 
   /** A blob-backed bloom loads LAZILY — only a plan that actually probes
-    * `colName` pays the blob read; an unreadable/torn blob (hash
-    * mismatch reads as empty) falls back to the bucket's own sidecar
-    * file, never to a wrong filter. */
+    * `colName` pays the blob read — and parses ONCE per process: the
+    * content hash keys the parsed-sketch cache, so repeated planning
+    * over the same pinned layout costs zero bloom I/O. An
+    * unreadable/torn blob (hash mismatch reads as empty) or a failed
+    * parse falls back to the bucket's own sidecar file, never to a
+    * wrong filter. */
   def bloom(dataDir: String, colName: String)
       : Option[(String, org.apache.spark.util.sketch.BloomFilter)] =
     byDir.get(dataDir) match {
       case Some(e) => e.blooms.collectFirst { case (c, blob) if c == colName =>
         blob }.flatMap { blob =>
-        val bs = blob.bytes
-        if (bs.isEmpty) GraftDataSource.readBloomSidecar(dataDir, colName)
-        else GraftDataSource.parseBloomBytes(colName, bs)
+        def loadParse = {
+          val bs = blob.bytes
+          if (bs.isEmpty) None else GraftDataSource.parseBloomBytes(colName, bs)
+        }
+        (blob match {
+          case TxTable.StoredBlob(_, hash, len) =>
+            GraftDataSource.cachedBloom(s"b:$hash", len.toLong)(loadParse)
+          case _ => loadParse
+        }).orElse(GraftDataSource.readBloomSidecar(dataDir, colName))
       }
       case None => GraftDataSource.readBloomSidecar(dataDir, colName)
     }
@@ -1736,19 +1785,40 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         val pspec = commitPspec(dataDir)
         val files = listed.getOrElse(prunedListing(dataDir, pspec))
         val byFile = zoneSidecar(dataDir)
+        // The path-derived partition answer is constant per `_p=` DIR,
+        // so it evaluates once per dir, not once per file — a 1000-day
+        // bucket lists thousands of files and the per-file Path
+        // allocation + interval walk WAS the planning cost (SkipScale's
+        // plan_day_count pins this flat). Splitting the tiers (partition
+        // pass per dir, zone pass per file) refutes no more than the
+        // combined walk — a mixed-tier Or that each pass alone cannot
+        // refute now admits; sound, and only costs reads in that corner.
+        // The zone pass is skipped entirely when the bucket has no
+        // sidecar (recOf would abstain on every leaf anyway).
+        val prefix = dataDir + "/"
+        val dirAdmitCache = scala.collection.mutable.Map.empty[String, Boolean]
         files.filter { f =>
           // Bucket-RELATIVE key: partitioned commits repeat part-file
           // base names across _p dirs.
-          val name = java.nio.file.Paths.get(dataDir)
-            .relativize(java.nio.file.Paths.get(f)).toString
-          val recOf: String => Option[(String, String, String)] = c =>
-            byFile.flatMap(_.get(name)).flatMap { cols =>
-              (c +: zoneAliases.getOrElse(c, Nil)).iterator
-                .flatMap(cols.get).nextOption()
-            }
-          val pval = if (pspec.isDefined) partitionDayOf(dataDir, f) else None
-          zoneConds.forall(fileAdmits(_, recOf,
-            pspec.map(_._1), pval, pspec.map(_._2)))
+          val name =
+            if (f.startsWith(prefix)) f.substring(prefix.length)
+            else java.nio.file.Paths.get(dataDir)
+              .relativize(java.nio.file.Paths.get(f)).toString
+          val dirKey = { val i = name.lastIndexOf('/')
+            if (i < 0) "" else name.substring(0, i) }
+          val partOk = pspec.isEmpty || dirAdmitCache.getOrElseUpdate(dirKey, {
+            val pval = partitionDayOf(dataDir, f)
+            zoneConds.forall(fileAdmits(_, _ => None,
+              pspec.map(_._1), pval, pspec.map(_._2)))
+          })
+          partOk && (byFile.isEmpty || {
+            val recOf: String => Option[(String, String, String)] = c =>
+              byFile.flatMap(_.get(name)).flatMap { cols =>
+                (c +: zoneAliases.getOrElse(c, Nil)).iterator
+                  .flatMap(cols.get).nextOption()
+              }
+            zoneConds.forall(fileAdmits(_, recOf, None, None, None))
+          })
         }
       }
     })

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * data-size-independent", which `ScalingCurve` cannot test because the
   * registry entries bundle table BUILD (honestly linear — it writes the
   * data) with the probe. This tool builds each layout ONCE per scale
-  * factor and then times the PROBE PHASES in isolation, min-of-3:
+  * factor and then times the PROBE PHASES in isolation (plan probes:
+  * 2 warmups + min-of-7, see [[timePlan]]; e2e probes: min-of-3):
   *
   *  - `plan_bloom_point`: scan planning for an In probe on the
   *    bucket-bloom-indexed non-key column — bucket-tier `_bloomidx`
@@ -40,6 +41,19 @@ object SkipScale {
     (1 to 3).map { _ =>
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }.min
+
+  /** Planning probes sit at 10–60 ms where JIT/GC noise dominates a
+    * min-of-3 — non-monotone samples were recording exponents the gate
+    * could neither trust nor tighten. Planning is side-effect-free, so
+    * burn 2 warmups (classloading, first-parse) and take min-of-7: the
+    * minimum of a side-effect-free probe converges on the true cost,
+    * and a tier that silently stops refuting still moves it 10×. */
+  private def timePlan(f: () => Unit): Double = {
+    (1 to 2).foreach(_ => f())
+    (1 to 7).map { _ =>
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -103,9 +117,9 @@ object SkipScale {
         val targets = Seq(9L, 97L, 801L).map(hex)
         import org.apache.spark.sql.sources.{GreaterThanOrEqual, In, LessThanOrEqual}
 
-        rows += ((tag, "plan_bloom_point", timeMin3 { () =>
+        rows += ((tag, "plan_bloom_point", timePlan { () =>
           planOnly(dir, Array(In("token", targets.toArray[Any]))) }))
-        rows += ((tag, "plan_zone_range", timeMin3 { () =>
+        rows += ((tag, "plan_zone_range", timePlan { () =>
           planOnly(dir, Array(GreaterThanOrEqual("price_cents", 2000000L),
             LessThanOrEqual("price_cents", 2100000L))) }))
         def conn = spark.read.format("graft").load(dir)
@@ -130,7 +144,7 @@ object SkipScale {
         println(s"[skipscale] $tag events day layout built")
         val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
         val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
-        rows += ((tag, "plan_day_range", timeMin3 { () =>
+        rows += ((tag, "plan_day_range", timePlan { () =>
           planOnly(pdir, Array(GreaterThanOrEqual("ts", lo),
             org.apache.spark.sql.sources.LessThan("ts", hi))) }))
       } finally {
@@ -175,7 +189,7 @@ object SkipScale {
           println(s"[skipscale] day-count layout built: $nd days")
           val lo = java.time.Instant.ofEpochSecond(day0s + 3L * 86400)
           val hi = java.time.Instant.ofEpochSecond(day0s + 6L * 86400)
-          timeMin3 { () =>
+          timePlan { () =>
             planOnly(ddir, Array(GreaterThanOrEqual("ts", lo), LessThan("ts", hi))) }
         } finally graft.core.TxTable.drop(ddir)
       }

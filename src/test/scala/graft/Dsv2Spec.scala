@@ -1402,6 +1402,54 @@ class Dsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("string predicates skip row groups via binary footer statistics on a sorted layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_strskip").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    hconf.setInt("parquet.page.size", 8 * 1024)
+    try {
+      import spark.implicits._
+      // Zero-padded tokens: lexical order == numeric order, so a sorted
+      // layout gives each row group a narrow token slice. Values are
+      // scattered (i*37 % n) so the UNSORTED layout has full-span stats
+      // in every group — the contrast the certificate needs.
+      val n = 20000
+      val base = (0 until n).map(i => (s"k$i", f"tok-${(i * 37) % n}%08d"))
+        .toDF("k", "s")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
+      def conn = spark.read.format("graft").load(dir)
+      val pred = col("s") >= lit(f"tok-${3000}%08d") && col("s") <= lit(f"tok-${3500}%08d")
+      def emitted(): Long = {
+        val q = conn.filter(pred)
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves()
+          .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      }
+      val expect = base.filter(pred).count()
+      assert(expect == 501)
+      val unsorted = emitted()
+      t.compact(0, Seq("s"))
+      assert(conn.filter(pred).count() == expect, "sorted rewrite changed rows")
+      val sorted = emitted()
+      assert(sorted * 2 <= unsorted,
+        s"string range on sorted layout must skip row groups: $unsorted -> $sorted")
+      // Equality probe narrows to ~one group's rows too.
+      val eq = conn.filter(col("s") === f"tok-${7777}%08d")
+      eq.collect()
+      val eqRows = eq.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      assert(eqRows * 4 <= n,
+        s"string equality read $eqRows of $n rows — footer stats not consulted")
+    } finally {
+      if (before._1 == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", before._1)
+      if (before._2 == null) hconf.unset("parquet.page.size")
+      else hconf.set("parquet.page.size", before._2)
+      TxTable.drop(dir)
+    }
+  }
+
   test("column indexes skip PAGES inside admitted row groups on a sorted layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_colindex").toString
     val hconf = spark.sparkContext.hadoopConfiguration

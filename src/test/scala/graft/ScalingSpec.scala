@@ -96,9 +96,15 @@ class ScalingSpec extends AnyFunSuite {
     val missing = probes.filterNot(recorded.contains)
     assert(missing.isEmpty, s"skipping-ladder record lost probes: $missing")
     recorded.foreach { case (probe, e) =>
-      assert(e <= 0.75,
-        s"skipping-ladder probe '$probe' grew superlinearly for metadata " +
-          s"work (exponent $e > 0.75) — a pruning tier stopped refuting")
+      // Planning is pure metadata work, and its probes are de-noised
+      // (2 warmups + min-of-7, side-effect-free) — so the gate holds
+      // them near the real ≤0.3 behavior; a looser bound would let a
+      // tier that stopped refuting hide inside sampling variance. The
+      // e2e probes carry admitted-bytes growth and keep the wider band.
+      val bound = if (probe.startsWith("plan_")) 0.3 else 0.75
+      assert(e <= bound,
+        s"skipping-ladder probe '$probe' grew past its band " +
+          s"(exponent $e > $bound) — a pruning tier stopped refuting")
     }
   }
 }
