@@ -173,6 +173,9 @@ object SparkEntry {
     // Predicate DELETE ... WHERE: partial rewrite, CDC-exact, no-op no-publish.
     "s61_delete_where" -> ((s, d) => GraphOps.txDeleteWhere(s, d)),
     "s64_sql_delete" -> ((s, d) => GraphOps.txSqlDelete(s, d)),
+    // Row tracking: stable per-row ids assigned at insert, preserved by
+    // every copy-on-write rewrite; freed ids never reused.
+    "s65_row_lineage" -> ((s, d) => GraphOps.txRowLineage(s, d)),
     // Partition-covered COUNT(*): day-aligned range counts served from
     // per-file row-count sidecars with zero data I/O; straddles fall back.
     "s62_ranged_count" -> ((s, d) => GraphOps.txRangedCount(s, d)),
@@ -3679,6 +3682,34 @@ object SparkEntry {
          |FROM n
          |WHERE name <= 'Customer#000000030'
          |  AND name <> 'Customer#000000019' AND house <> 'BUILDING'
+         |ORDER BY name""".stripMargin,
+    // s65: the visible state replays the scripted create→merge→compact→
+    // update→delete→re-insert relationally; the five row-tracking
+    // certificates (id uniqueness, update/rewrite stability, insert
+    // freshness, re-insert novelty) ride the hash channel as literals.
+    "s65_row_lineage" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT name, house, acctbal FROM n
+         |      WHERE name <= 'Customer#000000199'),
+         |u1(name, house, acctbal) AS (VALUES
+         |  ('Customer#000000003', 'BUILDING', 1.0),
+         |  ('Customer#000000007', 'BUILDING', 2.0),
+         |  ('User#000000001', 'BUILDING', 10.0),
+         |  ('User#000000002', 'MACHINERY', 20.0)),
+         |m1 AS (SELECT * FROM u1 UNION ALL
+         |       SELECT * FROM b WHERE name NOT IN (SELECT name FROM u1)),
+         |u AS (SELECT name, house,
+         |        CASE WHEN house = 'BUILDING' THEN acctbal + 1.0
+         |             ELSE acctbal END AS acctbal FROM m1),
+         |f AS (SELECT name, house, acctbal FROM u
+         |        WHERE name <> 'Customer#000000003'
+         |      UNION ALL SELECT 'Customer#000000003', 'FURNITURE', 5.0)
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  true AS rid_unique, true AS rid_keep_on_update,
+         |  true AS rid_stable_rewrites, true AS rid_fresh_monotone,
+         |  true AS rid_reinsert_new
+         |FROM f
+         |WHERE name <= 'Customer#000000020' OR name LIKE 'User#%'
          |ORDER BY name""".stripMargin,
     "s37_update_where" ->
       s"""WITH $nodesCte

@@ -967,11 +967,43 @@ final class TxTable private (spark: SparkSession, dir: String,
     * create-exclusive through [[TxTable.commitPrimitive]], so exactly
     * one writer can own a version number. The `#buckets=` header
     * travels with every manifest (see `bucketCountAt`). */
+  /** A numeric `#key=value` header from manifest `v` (None when the
+    * version predates the header or never carried it). */
+  private def manifestHeader(v: Long, key: String): Option[Long] = {
+    val p = logDir.resolve(f"v$v%08d.txt")
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .takeWhile(_.startsWith("#"))
+      .collectFirst { case l if l.startsWith(s"#$key=") =>
+        l.stripPrefix(s"#$key=").trim.toLong }
+  }
+
+  /** Row-tracking high-water mark AS OF version `v`: every `_rid` ever
+    * assigned at or before `v` is strictly below it. Rides the manifest
+    * (`#ridhwm=`) so it is atomic with the commit claim — a lost publish
+    * race can never leave a stale mark, and `publish` carries it forward
+    * through verbs that allocate nothing (delete, compact, DDL). */
+  def ridHwmAt(v: Long): Long = manifestHeader(v, "ridhwm").getOrElse(0L)
+
+  /** True when the table carries the hidden-by-convention `_rid` row-
+    * tracking column as of `v` (opt-in at create; presence in the
+    * logical schema IS the feature flag, like Delta's table property). */
+  def rowTrackedAt(v: Long): Boolean =
+    v >= 0 && schemaAt(v).fieldNames.contains(TxTable.RidCol)
+
   private def publish(v: Long, buckets: Int, op: String,
-                      lines: Seq[String]): Boolean = {
+                      lines: Seq[String], ridHwm: Option[Long] = None): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, (s"#buckets=$buckets" +: s"#op=$op" +: lines).mkString("\n")
+    // Carry the row-tracking high-water mark forward monotonically: a
+    // verb that allocated ids passes its new mark, every other verb
+    // inherits the previous version's. max() keeps a replayed/raced
+    // writer from ever LOWERING the mark.
+    val hwm = (ridHwm.toSeq ++ (if (v > 0) manifestHeader(v - 1, "ridhwm") else None))
+      .reduceOption(_ max _)
+    val headers = Seq(s"#buckets=$buckets", s"#op=$op") ++
+      hwm.map(h => s"#ridhwm=$h")
+    Files.write(tmp, (headers ++ lines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     val won = TxTable.commitPrimitive.putIfAbsent(
       logDir.resolve(f"v$v%08d.txt"), tmp)
@@ -1123,6 +1155,10 @@ final class TxTable private (spark: SparkSession, dir: String,
       val m = manifest(v)
       val n = bucketCountAt(v)
       val cur = schemaAt(v)
+      require(!cur.fieldNames.contains(TxTable.RidCol),
+        "mergeClauses does not compose with row tracking (its batch must " +
+          "carry the full table schema, and ids are engine-assigned) — " +
+          "use merge/applyChanges on a row-tracked table")
       require(upd.columns.sorted.sameElements(cur.fieldNames.sorted),
         s"mergeClauses batch schema must match table schema ${cur.toDDL}")
       val touched = upd.select(bucketColFor(n).as("_b")).distinct()
@@ -1373,6 +1409,45 @@ final class TxTable private (spark: SparkSession, dir: String,
     * buckets `keySource` hashes into, anti-join the matched keys out of
     * those buckets' rows, let `build` shape the replacement rows, publish
     * — rebasing on a fresh snapshot if another writer commits first. */
+  /** Row-tracking id assignment for a rewrite's output: a row whose key
+    * exists in `existing` INHERITS that key's id (stability across
+    * updates — the row is the same logical row); every other row is new
+    * and takes a fresh id above `hwm`. Fresh ids are contiguous per
+    * bucket: the rank is a bucket-local sort over the keys (the write
+    * path shuffles by bucket anyway) and the per-bucket offsets are one
+    * bounded driver-side pass over bucket counts — no global sort or
+    * coordination at any scale, the same O(buckets) discipline as the
+    * touched-set collect. Returns the assigned frame and the new
+    * high-water mark (== hwm when nothing was inserted). */
+  private def assignRids(out: DataFrame, existing: DataFrame, n: Int,
+                         hwm: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val rids = existing.select(
+      keyCols.map(col) :+ col(TxTable.RidCol).as("_rid_old"): _*)
+    val joined = out.drop(TxTable.RidCol)
+      .join(rids, keyCols, "left")
+      .withColumn("_rb", bucketColFor(n))
+    val counts = joined.filter(col("_rid_old").isNull)
+      .groupBy("_rb").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = hwm
+    val offsets: Map[Long, Long] =
+      counts.map { case (b, c) => val o = acc; acc += c; b -> o }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(typedlit(offsets), col("_rb"))
+    // Rank only among the bucket's FRESH rows (the isNull leg), ordered
+    // by key — deterministic under retry, so a rebased re-run of the
+    // same batch assigns the same ids it would have the first time.
+    val w = Window.partitionBy(col("_rb"), col("_rid_old").isNull)
+      .orderBy(keyCols.map(col): _*)
+    val assigned = joined
+      .withColumn(TxTable.RidCol,
+        coalesce(col("_rid_old"), offExpr + row_number().over(w) - 1))
+      .drop("_rid_old", "_rb")
+    (assigned, acc)
+  }
+
   private def rewriteTouched(keySource: DataFrame, op: String)
       (build: (DataFrame, org.apache.spark.sql.types.StructType) => DataFrame): Long = {
     var committed = -1L
@@ -1390,17 +1465,29 @@ final class TxTable private (spark: SparkSession, dir: String,
       // predate a widening evolution and physically lack new columns);
       // readBuckets also applies any pending deletion vectors, so a
       // copy-on-write rewrite of a DV'd bucket FOLDS its tombstones.
-      val keep =
+      val existing =
         if (present.isEmpty) conform(keySource.limit(0), curSchema)
         else readBuckets(m, present, curSchema, defaultsAt(v), aliasesAt(v))
-          .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
-      val out = build(keep, curSchema)
+      val keep = existing
+        .join(keySource.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val out0 = build(keep, curSchema)
+      // Row tracking: every rewrite verb funnels through here, so id
+      // stability is enforced ONCE — rows keyed in `existing` keep their
+      // ids (merge updates, kept neighbors, applyChanges upserts), new
+      // keys draw fresh ids above the version's high-water mark.
+      val tracked = curSchema.fieldNames.contains(TxTable.RidCol)
+      val (out, newHwm) =
+        if (!tracked) (out0, None)
+        else {
+          val (a, h) = assignRids(out0, existing, n, ridHwmAt(v))
+          (a, Some(h))
+        }
       val commit = writeCommit(out, n)
       // Rewritten buckets come back CLEAN (their DVs were folded above).
       val next = (m -- touched) ++
         bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
       val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
-      if (publish(v + 1, n, op, lines)) {
+      if (publish(v + 1, n, op, lines, newHwm)) {
         // Record this version's logical schema (evolution is widening-only;
         // a delete carries the current schema forward unchanged).
         Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), out.schema.toDDL)
@@ -1408,10 +1495,17 @@ final class TxTable private (spark: SparkSession, dir: String,
       } else {
         // Lost the commit race: if every winner touched only DISJOINT
         // buckets, re-point this commit dir at the new head (metadata-only
-        // retry); a real conflict drops the dir, rebases, retries.
+        // retry); a real conflict drops the dir, rebases, retries. A
+        // row-tracked commit that ALLOCATED ids must always rebase — the
+        // winner drew from the same high-water mark, so a metadata-only
+        // re-point could publish overlapping ids; the rebase re-reads the
+        // winner's mark and re-assigns. Allocation-free rewrites (keyed
+        // deletes, pure updates) keep the cheap retry.
         publishRetries.incrementAndGet()
-        committed = resolveDisjointPublish(n, touched, commit, op,
-          out.schema.toDDL, m, curSchema.toDDL)
+        committed =
+          if (tracked && newHwm.exists(_ > ridHwmAt(v))) -1L
+          else resolveDisjointPublish(n, touched, commit, op,
+            out.schema.toDDL, m, curSchema.toDDL)
         if (committed < 0) TxTable.drop(dataDir.resolve(commit).toString)
       }
     }
@@ -2497,6 +2591,15 @@ object TxTable {
     * derivation and stripped from the data files by `partitionBy`. */
   private[graft] val ReservedCols = Set("_b", "_p")
 
+  /** Row-tracking id column (Delta row-tracking analogue): a stable
+    * 64-bit identity assigned once per logical row at insert and carried
+    * BY THE DATA through every copy-on-write rewrite (merge, update,
+    * compaction, clustering, rebucket) — an incremental consumer can
+    * follow a row across rewrites without diffing business keys. Freed
+    * ids are never reused (`#ridhwm=` manifest header); a key deleted
+    * and re-inserted is a NEW row and gets a NEW id. */
+  val RidCol = "_rid"
+
   /** Partition-spec grammar: `days(col)` (DATE or TIMESTAMP source) or
     * `months(col)` (DATE source only — a timestamp's month needs a
     * timezone, and hidden partitioning must be session-timezone-proof;
@@ -2685,20 +2788,34 @@ object TxTable {
              keyCols: Seq[String], numBuckets: Int = 16,
              bloomCols: Seq[String] = Nil,
              clusterCols: Seq[String] = Nil,
-             zoneMapCols: Seq[String] = Nil): TxTable = {
+             zoneMapCols: Seq[String] = Nil,
+             rowTracking: Boolean = false): TxTable = {
     val t = new TxTable(spark, dir, keyCols, numBuckets)
     require(t.version < 0, s"table already exists at $dir")
     if (bloomCols.nonEmpty) t.setBloomColumns(bloomCols)
     if (clusterCols.nonEmpty) t.setClusterColumns(clusterCols)
     if (zoneMapCols.nonEmpty) t.setZoneMapColumns(zoneMapCols)
-    val commit = t.writeCommit(base, numBuckets)
+    // Row tracking (opt-in, fixed at create like the merge keys): assign
+    // every base row its id here; from then on presence of the column in
+    // the logical schema routes every rewrite through id preservation.
+    val (base2, hwm) =
+      if (!rowTracking) (base, None)
+      else {
+        require(!base.columns.contains(RidCol),
+          s"$RidCol is assigned by the engine — drop it from the base frame")
+        val emptyRids = base.select(keyCols.map(col): _*).limit(0)
+          .withColumn(RidCol, lit(0L))
+        val (a, h) = t.assignRids(base, emptyRids, numBuckets, 0L)
+        (a, Some(h))
+      }
+    val commit = t.writeCommit(base2, numBuckets)
     require(t.publish(0L, numBuckets, "create",
-      t.bucketsIn(commit).sorted.map(b => s"$b\t$commit")),
+      t.bucketsIn(commit).sorted.map(b => s"$b\t$commit"), hwm),
       s"concurrent create at $dir")
     // Persist the schema so an all-rows-deleted version can still serve an
     // empty snapshot with correct columns.
-    Files.writeString(Paths.get(dir, "_log", "schema.ddl"), base.schema.toDDL)
-    Files.writeString(Paths.get(dir, "_log", "schema-v00000000.ddl"), base.schema.toDDL)
+    Files.writeString(Paths.get(dir, "_log", "schema.ddl"), base2.schema.toDDL)
+    Files.writeString(Paths.get(dir, "_log", "schema-v00000000.ddl"), base2.schema.toDDL)
     // Persist the merge keys: the table is SELF-DESCRIBING, so catalog
     // consumers (GraftCatalog, the DSv2 connector without a keys option)
     // can open it from the directory alone. Keys are fixed at create time

@@ -2200,6 +2200,80 @@ object GraphOps {
       .localCheckpoint()
   }
 
+  /** Row-tracking lineage demo (s65_row_lineage) — the Delta
+    * row-tracking analogue: a table created with `rowTracking = true`
+    * assigns every logical row a stable 64-bit `_rid` at insert, and
+    * every copy-on-write rewrite PRESERVES it — merge updates, layout
+    * compaction, predicate UPDATE — so an incremental consumer can
+    * follow a row across rewrites without diffing business keys. Freed
+    * ids are never reused (a `#ridhwm=` high-water mark rides each
+    * manifest, atomic with the commit claim); a key deleted and
+    * re-inserted is a NEW logical row and draws a NEW id. Assignment is
+    * scale-honest: fresh ids are contiguous per bucket (bucket-local
+    * rank + one bounded driver pass over bucket counts — no global
+    * sort), and preservation is one key join over the TOUCHED buckets
+    * only, the same bound as the rewrite itself. Certificates on the
+    * hash channel: `rid_unique` (head ids are distinct), `rid_keep_on_
+    * update` (every key present at v0 and v1 kept its id through the
+    * merge), `rid_stable_rewrites` (every surviving key's id is
+    * IDENTICAL before and after compact + predicate update),
+    * `rid_fresh_monotone` (the merge's inserted keys drew ids at or
+    * above the pre-merge high-water mark — disjoint from every earlier
+    * id by construction), `rid_reinsert_new` (the deleted-then-
+    * re-inserted key's head id differs from its original id).
+    * RowTrackingSpec adds the model-based random-sequence battery. */
+  def txRowLineage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_s65").toString
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"),
+        numBuckets = 8, rowTracking = true)
+      val rid = col(graft.core.TxTable.RidCol)
+      val hwm0 = t.ridHwmAt(t.version)
+      val v0 = t.snapshot().select(col("name"), rid.as("rid0")).localCheckpoint()
+      t.merge(Seq(
+        ("Customer#000000003", "BUILDING", 1.0),
+        ("Customer#000000007", "BUILDING", 2.0),
+        ("User#000000001", "BUILDING", 10.0),
+        ("User#000000002", "MACHINERY", 20.0)).toDF("name", "house", "acctbal"))
+      val v1 = t.snapshot().select(col("name"), rid.as("rid1")).localCheckpoint()
+      t.compact(0)
+      t.update("house = 'BUILDING'", Map("acctbal" -> "acctbal + 1.0"))
+      t.delete(Seq(Tuple1("Customer#000000003")).toDF("name"))
+      t.merge(Seq(("Customer#000000003", "FURNITURE", 5.0))
+        .toDF("name", "house", "acctbal"))
+      val head = t.snapshot().localCheckpoint()
+      val hd = head.select(col("name"), rid.as("ridH"))
+
+      val unique = head.select(rid).distinct().count() == head.count()
+      val keepOnUpdate = v0.join(v1, "name")
+        .filter(col("rid0") =!= col("rid1")).isEmpty
+      val stable = v1.join(hd, "name")
+        .filter(col("name") =!= "Customer#000000003")
+        .filter(col("rid1") =!= col("ridH")).isEmpty
+      val inserted = v1.join(v0, Seq("name"), "left_anti")
+      val freshMono = inserted.filter(col("rid1") < hwm0).isEmpty &&
+        inserted.count() == 2
+      val reinsertNew = v1.filter(col("name") === "Customer#000000003")
+        .join(hd.filter(col("name") === "Customer#000000003"))
+        .filter(col("rid1") === col("ridH")).isEmpty
+
+      head.filter(col("name") <= "Customer#000000020" ||
+          col("name").startsWith("User#"))
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"))
+        .withColumn("rid_unique", lit(unique))
+        .withColumn("rid_keep_on_update", lit(keepOnUpdate))
+        .withColumn("rid_stable_rewrites", lit(stable))
+        .withColumn("rid_fresh_monotone", lit(freshMono))
+        .withColumn("rid_reinsert_new", lit(reinsertNew))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   /** Service-shape concurrency certificate (s48_concurrent_stability) —
     * the reference is an interactive web app (Flask, app.py:449): a query
     * service multiplexes many requests over one session, so "same query,

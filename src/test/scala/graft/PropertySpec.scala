@@ -112,6 +112,73 @@ class PropertySpec extends AnyFunSuite {
     } finally graft.core.TxTable.drop(dir)
   }
 
+  test("TxTable row tracking: ids unique, stable across rewrites, never reused (model-based)") {
+    import spark.implicits._
+    // Model: the engine OWNS id values, so the model records them at
+    // first sight and then holds the contract: a live key's id never
+    // changes while the key persists (merge updates, predicate updates,
+    // compaction, rebucketed layouts), ids are always distinct, and an
+    // id freed by delete is NEVER issued again — a deleted-then-
+    // re-inserted key is a new logical row with a fresh id.
+    val keyGen = Gen.choose(0, 19).map(i => f"K$i%02d")
+    val opGen: Gen[(Int, Seq[(String, Long)])] = for {
+      op <- Gen.frequency(4 -> 0 /*merge*/, 2 -> 1 /*delete*/,
+        1 -> 2 /*update*/, 1 -> 3 /*compact*/)
+      n <- Gen.chooseNum(1, 5)
+      keys <- Gen.listOfN(n, keyGen)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 999L))
+    } yield (op, keys.zip(vals))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_rid").toString
+    try {
+      var values = (0 until 8).map(i => f"K$i%02d" -> i.toLong).toMap
+      val t = graft.core.TxTable.create(spark, dir,
+        values.toSeq.toDF("k", "v"), Seq("k"), numBuckets = 4,
+        rowTracking = true)
+      val rid = col(graft.core.TxTable.RidCol)
+      def observed: Map[String, (Long, Long)] = t.snapshot()
+        .select(col("k"), col("v"), rid).as[(String, Long, Long)]
+        .collect().map { case (k, v, r) => k -> (v, r) }.toMap
+      var live: Map[String, Long] = observed.map { case (k, (_, r)) => k -> r }
+      var used: Set[Long] = live.values.toSet
+      assert(live.size == values.size && used.size == values.size,
+        "create must assign one distinct id per row")
+      samples(opGen, 10).foreach { case (op, batch) =>
+        val before = live
+        op match {
+          case 0 =>
+            val uniq = batch.toMap.toSeq
+            values ++= uniq
+            t.merge(uniq.toDF("k", "v"))
+          case 1 =>
+            values --= batch.map(_._1)
+            t.delete(batch.map(_._1).distinct.toDF("k"))
+          case 2 =>
+            val cut = 500L
+            values = values.map { case (k, v) =>
+              k -> (if (v < cut) v + 1 else v) }
+            t.update(s"v < $cut", Map("v" -> "v + 1"))
+          case _ =>
+            t.compact(0)
+        }
+        val now = observed
+        assert(now.map { case (k, (v, _)) => k -> v } == values,
+          s"visible state diverged from the model after op $op")
+        val rids = now.values.map(_._2).toSeq
+        assert(rids.distinct.size == rids.size, "duplicate row ids")
+        now.foreach { case (k, (_, r)) =>
+          before.get(k).foreach(old => assert(old == r,
+            s"key $k changed id $old -> $r across op $op"))
+          if (!before.contains(k)) assert(!used.contains(r),
+            s"key $k reused a freed id $r")
+        }
+        live = now.map { case (k, (_, r)) => k -> r }
+        used ++= live.values
+        if (rids.nonEmpty) assert(t.ridHwmAt(t.version) > rids.max,
+          "high-water mark must stay above every issued id")
+      }
+    } finally graft.core.TxTable.drop(dir)
+  }
+
   test("TxTable lifecycle ops are model-faithful: random merge/delete/compact/rebucket/restore/branch") {
     import spark.implicits._
     // Extends the keyed-map model with the round-9 lifecycle surface.
