@@ -176,6 +176,9 @@ object SparkEntry {
     // Row tracking: stable per-row ids assigned at insert, preserved by
     // every copy-on-write rewrite; freed ids never reused.
     "s65_row_lineage" -> ((s, d) => GraphOps.txRowLineage(s, d)),
+    // DSv2 column statistics: exact key NDV + true zone-map min/max
+    // reported to the optimizer from resident planning metadata.
+    "s66_column_stats" -> ((s, d) => GraphOps.txColumnStats(s, d)),
     // Partition-covered COUNT(*): day-aligned range counts served from
     // per-file row-count sidecars with zero data I/O; straddles fall back.
     "s62_ranged_count" -> ((s, d) => GraphOps.txRangedCount(s, d)),
@@ -849,6 +852,16 @@ object SparkEntry {
         |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |       true AS zm_hash_match, true AS zm_file_prune, true AS zm_bucket_prune
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s66: the full-table rollup over the s55 layout; the four
+    // optimizer-stats certificates ride the hash channel as literals.
+    "s66_column_stats" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |                  l_returnflag AS flag FROM lineitem)
+        |SELECT flag, count(*) AS n, CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |       true AS cs_rowcount_exact, true AS cs_key_ndv_exact,
+        |       true AS cs_minmax_true, true AS cs_pruned_tighter
+        |FROM li
         |GROUP BY flag ORDER BY flag""".stripMargin,
     // s57: same replay shape as s51 with a tighter price band; the 3-D
     // layout certificates ride as literal true (clustering is layout only).

@@ -2200,6 +2200,71 @@ object GraphOps {
       .localCheckpoint()
   }
 
+  /** DSv2 column-statistics demo (s66_column_stats) — the optimizer-
+    * facing stats surface above s45's size/row reporting: the scan's
+    * `estimateStatistics` now also reports PER-COLUMN statistics
+    * (Spark's `Statistics.columnStats`, folded into the relation's
+    * `attributeStats` by `transformV2Stats` — the join-cardinality and
+    * CBO inputs). Two sources, both free from resident metadata: the
+    * merge key's distinct count is EXACTLY the row count by the
+    * one-row-per-key invariant (an NDV no sampling ANALYZE can state
+    * exactly), and long zone-mapped columns report true min/max folded
+    * from the same sidecars planning already holds — O(admitted files)
+    * driver work inside the byte-summing loop, zero extra I/O. String
+    * zones stay unreported (truncated bounds are sound for refutation
+    * but are not extrema). Certificates on the hash channel:
+    * `cs_rowcount_exact` (relation stats carry the exact row count),
+    * `cs_key_ndv_exact` (key NDV == row count), `cs_minmax_true`
+    * (reported bounds equal the data's true extrema), `cs_pruned_
+    * tighter` (a range-filtered scan's reported bounds tighten to the
+    * admitted files' span on the clustered layout — stats follow the
+    * pruned scan, not the table). Reads the s55 build-once artifact —
+    * this entry measures PLANNING metadata, not a table build. */
+  def txColumnStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.etl.Artifacts.path(sfDir, "tx_demo_s55")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_GRAFT_READY")))
+      txZonemapRange(spark, sfDir) // builds + freezes the layout
+    val t = graft.core.TxTable.open(spark, dir, Seq("k"))
+    val Array(truth) = t.snapshot()
+      .agg(count(lit(1)), min("price_cents"), max("price_cents")).collect()
+    val (n, pMin, pMax) = (truth.getLong(0), truth.getLong(1), truth.getLong(2))
+
+    def relStats(df: DataFrame) = df.queryExecution.optimizedPlan
+      .collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.get
+    def colStat(st: org.apache.spark.sql.catalyst.plans.logical.Statistics,
+                name: String) =
+      st.attributeStats.find(_._1.name == name).map(_._2)
+
+    val full = relStats(spark.read.format("graft").load(dir))
+    val rowcountExact = full.rowCount.contains(BigInt(n))
+    val ndvExact = colStat(full, "k").exists(_.distinctCount.contains(BigInt(n)))
+    val minmaxTrue = colStat(full, "price_cents").exists(s =>
+      s.min.contains(pMin) && s.max.contains(pMax))
+    // Mid-domain band on the range-clustered layout: admitted files span
+    // a strict subset of the domain, and the reported bounds follow.
+    val lo = (pMin * 3 + pMax) / 4
+    val hi = (pMin + pMax * 3) / 4
+    val pruned = relStats(spark.read.format("graft").load(dir)
+      .filter(col("price_cents").between(lo, hi)))
+    val prunedTighter = colStat(pruned, "price_cents").exists(s =>
+      s.min.exists(_.asInstanceOf[Long] > pMin) &&
+        s.max.exists(_.asInstanceOf[Long] < pMax))
+
+    spark.read.format("graft").load(dir)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("price_cents").as("sum_cents"))
+      .withColumn("cs_rowcount_exact", lit(rowcountExact))
+      .withColumn("cs_key_ndv_exact", lit(ndvExact))
+      .withColumn("cs_minmax_true", lit(minmaxTrue))
+      .withColumn("cs_pruned_tighter", lit(prunedTighter))
+      .orderBy("flag")
+      .localCheckpoint()
+  }
+
   /** Row-tracking lineage demo (s65_row_lineage) — the Delta
     * row-tracking analogue: a table created with `rowTracking = true`
     * assigns every logical row a stable 64-bit `_rid` at insert, and

@@ -2055,6 +2055,18 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val t = graft.core.TxTable.open(spark, dir, keyCols)
     val chosen = chosenLayout(t, t.layoutAt(pinnedVersion))
     var bytes = 0L
+    // Column bounds for the optimizer (DSv2 column statistics): fold the
+    // zone-map sidecars ALREADY resident for planning into per-column
+    // min/max over exactly the files this scan admits — zero extra I/O,
+    // O(admitted files) driver work inside the same loop that sums
+    // bytes. A column reports only when EVERY admitted file carries a
+    // long-typed record for it (a gap means the bound is unknowable —
+    // no stat beats a wrong stat). String zones stay unreported: their
+    // sidecar bounds are TRUNCATED (s63), sound for refutation but not
+    // true extrema, and catalyst ColumnStat min/max must be exact.
+    val boundsByCol = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val incompleteCols = scala.collection.mutable.Set.empty[String]
+    var filesSeen = 0L
     // zoneFiles = the files the scan will actually read (zone-map and
     // hidden-partition refutation applied), so a range-pruned scan
     // reports its admitted bytes and can become broadcast-joinable —
@@ -2063,14 +2075,34 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     chosen.values.foreach { case (dataDir, _) =>
       // Manifest-recorded sizes when present — zero filesystem stats.
       val recorded = statsView.bytesByFile(dataDir)
+      val byFile = statsView.zoneSidecar(dataDir)
       val root = java.nio.file.Paths.get(dataDir)
       zoneFiles(dataDir).foreach { f =>
-        bytes += recorded.getOrElse(
-          root.relativize(java.nio.file.Paths.get(f)).toString,
+        val rel = root.relativize(java.nio.file.Paths.get(f)).toString
+        bytes += recorded.getOrElse(rel,
           scala.util.Try(java.nio.file.Files.size(
             java.nio.file.Paths.get(f))).getOrElse(0L))
+        filesSeen += 1
+        val cols = byFile.flatMap(_.get(rel)).getOrElse(Map.empty)
+        val longBounds = cols.collect {
+          case (c, (tp, lo, hi)) if tp == "bigint" || tp == "long" => c ->
+            (scala.util.Try((lo.toLong, hi.toLong)).toOption)
+        }
+        // Any previously-seen column this file lacks (or carries
+        // unparsable/non-long bounds for) becomes unreportable.
+        (boundsByCol.keySet ++ longBounds.keySet).foreach { c =>
+          longBounds.get(c).flatten match {
+            case Some((lo, hi)) if !incompleteCols(c) =>
+              val cur = boundsByCol.get(c)
+              if (cur.isEmpty && filesSeen > 1) incompleteCols += c
+              else boundsByCol(c) = cur.fold((lo, hi)) { case (a, b) =>
+                (math.min(a, lo), math.max(b, hi)) }
+            case _ => incompleteCols += c
+          }
+        }
       }
     }
+    incompleteCols.foreach(boundsByCol.remove)
     val factor =
       spark.conf.get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
     val sz = math.max(1L, (bytes * factor).toLong)
@@ -2089,12 +2121,48 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val exactRows = if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined) &&
         zoneConds.isEmpty)
       Some(rowCounts.flatten.sum) else None
+    // DSv2 COLUMN statistics (Spark folds them into the relation's
+    // attributeStats via transformV2Stats — join-cardinality and CBO
+    // inputs): (a) the merge key's distinct count is EXACTLY the row
+    // count by the table's one-row-per-key invariant — an NDV no
+    // sampling-based ANALYZE can state exactly, free from metadata;
+    // (b) long zone-mapped columns report true min/max over the
+    // admitted files, folded above. Composite keys report nothing
+    // per-column (the invariant is on the tuple).
+    val schemaFields = readSchema().fieldNames.toSet
+    val colStatsMap = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    def ref(c: String) =
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)
+    if (keyCols.size == 1 && schemaFields.contains(keyCols.head))
+      exactRows.foreach { nr =>
+        colStatsMap.put(ref(keyCols.head),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nr)
+          })
+      }
+    boundsByCol.foreach { case (c, (lo, hi)) =>
+      if (schemaFields.contains(c) && !colStatsMap.containsKey(ref(c)))
+        colStatsMap.put(ref(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(java.lang.Long.valueOf(lo))
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(java.lang.Long.valueOf(hi))
+          })
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(sz)
       override def numRows(): java.util.OptionalLong =
         exactRows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStatsMap
     }
   }
 

@@ -1690,6 +1690,46 @@ class Dsv2Spec extends AnyFunSuite {
     } finally TxTable.drop(dir)
   }
 
+  test("column statistics: exact key NDV + true bounds; a gapped sidecar refuses, never misreports") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_colstats").toString
+    try {
+      val base = (0 until 4000)
+        .map(i => (i.toLong, ((i * 37) % 4000).toLong * 100, s"g${i % 3}"))
+        .toDF("k", "price_cents", "g")
+      val t = TxTable.create(spark, dir, base, Seq("k"), numBuckets = 4,
+        zoneMapCols = Seq("price_cents"))
+      def stats() = spark.read.format("graft").load(dir)
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.stats
+        }.get
+      def colStat(name: String) = stats().attributeStats
+        .find(_._1.name == name).map(_._2)
+      assert(stats().rowCount.contains(BigInt(4000)))
+      assert(colStat("k").exists(_.distinctCount.contains(BigInt(4000))),
+        "single-key tables must report exact key NDV from the row sidecars")
+      assert(colStat("price_cents").exists(s =>
+        s.min.contains(0L) && s.max.contains(399900L)),
+        "zone-mapped long column must report its true extrema")
+      // Remove ONE bucket's zone sidecar (and the consolidated stats
+      // manifest that also carries it): bounds for the column become
+      // unknowable and must DISAPPEAR (a wrong stat would mis-steer the
+      // optimizer); the key NDV rides _rows.txt and must survive.
+      val zm = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .filter(_.getFileName.toString == "_zonemap.txt").findFirst().get()
+      java.nio.file.Files.delete(zm)
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_log"))
+        .filter(_.getFileName.toString.startsWith("stats-v"))
+        .forEach(p => java.nio.file.Files.delete(p))
+      assert(colStat("price_cents").forall(s =>
+        !s.min.isDefined && !s.max.isDefined),
+        "a sidecar gap must withdraw the column's bounds, not misreport them")
+      assert(colStat("k").exists(_.distinctCount.contains(BigInt(4000))),
+        "key NDV must survive a zone-map gap (different sidecar)")
+    } finally TxTable.drop(dir)
+  }
+
   test("COUNT(*) is served from the write-time _rows.txt sidecars, not footers") {
     val (dir, t) = freshTable("graft_dsv2_rows")
     try {
