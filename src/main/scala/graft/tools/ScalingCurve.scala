@@ -63,14 +63,17 @@ object ScalingCurve {
     "tx_tokens",
     "rq54_rolling_dau", "rq55_lift_gains", "rq72_exact_kth",
     "rq75_group_median",
-    // Storage WRITE/COMPACTION paths whose input grows with sf (the
-    // lineitem/part/events-backed lifecycle entries): cluster-on-write,
-    // sorted/Z-order/Hilbert rewrites, sidecar builds, the consolidated
-    // stats manifest and the partition-covered count. Honest-linear is
-    // the expectation (they write the data once); the gate catches an
-    // accidental second pass or a driver-side O(files²). The bounded
-    // protocol demos (s52/s56/s61 — ≤199-row bases) stay excluded by
-    // the size-independence rule above.
+    // Storage paths whose input grows with sf (the lineitem/part/
+    // events-backed lifecycle entries). Two classes since r17: entries
+    // that WRITE per invocation (s49/s50/s51/s53/s54/s62 — honest-linear
+    // is the expectation, the gate catches an accidental second pass or
+    // a driver-side O(files²)) and the build-once demos (s55/s57/s58/
+    // s59/s60/s63 — their deterministic layout builds land in warmup
+    // like Bench's, so the curve measures the per-invocation PROBE
+    // phase, which must stay flat: a probe that grew would mean a
+    // pruning tier stopped refuting). The bounded protocol demos
+    // (s52/s56/s61 — ≤199-row bases) stay excluded by the
+    // size-independence rule above.
     "s49_sorted_compact", "s50_bloom_point", "s51_zorder_compact",
     "s53_bucket_bloom", "s54_clustered_write", "s55_zonemap_range",
     "s57_zorder_nway", "s58_date_partition", "s59_hilbert_compact",
