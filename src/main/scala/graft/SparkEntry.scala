@@ -179,6 +179,13 @@ object SparkEntry {
     // DSv2 column statistics: exact key NDV + true zone-map min/max
     // reported to the optimizer from resident planning metadata.
     "s66_column_stats" -> ((s, d) => GraphOps.txColumnStats(s, d)),
+    // SQL INSERT INTO / INSERT OVERWRITE through the catalog: keyed
+    // upsert appends, atomic one-commit full replacement.
+    "s67_sql_insert" -> ((s, d) => GraphOps.txSqlInsert(s, d)),
+    // SQL UPDATE / MERGE INTO via group-based row-level operations:
+    // bucket = replacement group, runtime group filter, distributed
+    // per-bucket replacement write, one-publish pointer swap.
+    "s68_sql_update_merge" -> ((s, d) => GraphOps.txSqlUpdateMerge(s, d)),
     // Partition-covered COUNT(*): day-aligned range counts served from
     // per-file row-count sidecars with zero data I/O; straddles fall back.
     "s62_ranged_count" -> ((s, d) => GraphOps.txRangedCount(s, d)),
@@ -853,6 +860,36 @@ object SparkEntry {
         |       true AS zm_hash_match, true AS zm_file_prune, true AS zm_bucket_prune
         |FROM li WHERE price_cents BETWEEN 2000000 AND 2100000
         |GROUP BY flag ORDER BY flag""".stripMargin,
+    // s68: replay the scripted UPDATE (+100 on C19) and three-clause
+    // MERGE (delete C5, replace C3, insert U42) relationally; the four
+    // row-level-operation certificates ride as literals.
+    "s68_sql_update_merge" ->
+      s"""WITH $nodesCte,
+         |b AS (SELECT name, house, acctbal FROM n
+         |      WHERE name <= 'Customer#000000199'),
+         |u AS (SELECT name, house,
+         |        CASE WHEN name = 'Customer#000000019' THEN acctbal + 100
+         |             ELSE acctbal END AS acctbal FROM b),
+         |f AS (SELECT name, house, acctbal FROM u
+         |        WHERE name NOT IN ('Customer#000000005', 'Customer#000000003')
+         |      UNION ALL SELECT 'Customer#000000003', 'MERGED', CAST(50.0 AS DOUBLE)
+         |      UNION ALL SELECT 'User#000000042', 'MERGED', CAST(60.0 AS DOUBLE))
+         |SELECT name, house, round(acctbal, 2) AS acctbal,
+         |  true AS upd_parity, true AS upd_untouched_ptrs,
+         |  true AS merge_parity, true AS tt_intact
+         |FROM f
+         |WHERE name <= 'Customer#000000030' OR name LIKE 'User#%'
+         |ORDER BY name""".stripMargin,
+    // s67: the final snapshot is exactly the overwrite's three literal
+    // rows; the four SQL-write certificates ride as literals.
+    "s67_sql_insert" ->
+      """SELECT * FROM (VALUES
+        |  ('Customer#000000003', 'KEPT', CAST(2.0 AS DOUBLE)),
+        |  ('User#000000009', 'FRESH', CAST(4.0 AS DOUBLE)),
+        |  ('User#000000010', 'FRESH', CAST(6.0 AS DOUBLE))) AS t(name, house, acctbal),
+        |  (SELECT true AS ins_upsert_parity, true AS ins_one_version_no_dup,
+        |          true AS ov_atomic_replace, true AS ov_time_travel_intact)
+        |ORDER BY name""".stripMargin,
     // s66: the full-table rollup over the s55 layout; the four
     // optimizer-stats certificates ride the hash channel as literals.
     "s66_column_stats" ->

@@ -1284,6 +1284,130 @@ final class TxTable private (spark: SparkSession, dir: String,
     * the whole table, so a winner's predicate-matching rows in an
     * untouched bucket force a full rebase (re-pointing would publish a
     * version that silently missed deleting them). */
+  /** Row-level-operation commit (SQL UPDATE / MERGE INTO): the
+    * replacement files for `affected` buckets are ALREADY on disk under
+    * `data/<commit>` (written by the distributed [[graft.sources
+    * .GraftReplaceWrite]]); this swaps the affected pointers to the new
+    * commit in ONE publish, carrying every other bucket forward
+    * untouched. An affected bucket absent from the commit (every row
+    * deleted by a MERGE clause) drops out of the manifest. CHECK
+    * constraints validate the written post-image BEFORE the publish; a
+    * table that moved past `expectedVersion` fails with a
+    * concurrent-modification error — the replacement was computed
+    * against that snapshot, so publishing over a newer head would be a
+    * lost update (the serializable-conflict contract; the caller
+    * re-runs the statement). `fileRows` feeds the per-bucket `_rows.txt`
+    * sidecars (v2: total line + per-file lines) so the planning tiers
+    * serve this commit like any other. */
+  private[graft] def replaceBuckets(replaced: Set[Long], commit: String,
+                                    expectedVersion: Long,
+                                    fileRows: Seq[(Long, String, Long)]): Long = {
+    val v = version
+    require(v == expectedVersion,
+      s"concurrent commit: table moved v$expectedVersion -> v$v while the " +
+        "row-level operation ran — re-run the statement against the new snapshot")
+    val cur = schemaAt(v)
+    val n = bucketCountAt(v)
+    val m = manifest(v)
+    // Post-image CHECK constraints over exactly the new rows (carryover
+    // below re-serves rows that already passed their write's checks).
+    validate(conform(
+      spark.read.parquet(dataDir.resolve(commit).toString).drop("_b"),
+      cur, defaultsAt(v)))
+    // A bucket the write produced WITHOUT the scan having planned it
+    // holds only NOT-MATCHED insert rows (a matched bucket is always
+    // scanned) — groups are buckets, so its new pointer would WIPE the
+    // existing rows. Carry the old content into the commit dir BEFORE
+    // the publish: a DV-free bucket's files copy byte-identical (no
+    // rewrite); a DV'd bucket materializes its visible rows (folding
+    // the tombstones, like any copy-on-write rewrite of that bucket).
+    val written = fileRows.map(_._1).toSet
+    var carryRows = List.empty[(Long, String, Long)]
+    (written -- replaced).foreach { b =>
+      m.get(b).foreach { ref =>
+        val bd = dataDir.resolve(commit).resolve(s"_b=$b")
+        if (ref.dvs.isEmpty) {
+          val src = Paths.get(bucketPath(ref.data, b))
+          val perFile = TxTable.rowsSidecarPerFile(src.toString)
+          listNames(src).filter(_.endsWith(".parquet")).foreach { f =>
+            Files.copy(src.resolve(f), bd.resolve(s"carry-$f"))
+            carryRows ::= ((b, s"carry-$f",
+              perFile.flatMap(_.get(f)).getOrElse(-1L)))
+          }
+        } else {
+          val rows = readBuckets(m, Set(b), cur, defaultsAt(v), aliasesAt(v))
+          val tmp = Files.createTempDirectory(dataDir, ".carry")
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val fs = listNames(tmp).filter(_.endsWith(".parquet"))
+          fs.zipWithIndex.foreach { case (f, i) =>
+            Files.move(tmp.resolve(f), bd.resolve(s"carry-$i.parquet")) }
+          TxTable.drop(tmp.toString)
+          carryRows :::= fs.indices.toList.map(i =>
+            (b, s"carry-$i.parquet", if (fs.size == 1) rows.count() else -1L))
+        }
+      }
+    }
+    (fileRows ++ carryRows).groupBy(_._1).foreach { case (b, fs) =>
+      val bd = dataDir.resolve(commit).resolve(s"_b=$b")
+      if (fs.forall(_._3 >= 0))
+        Files.writeString(bd.resolve("_rows.txt"),
+          (fs.map(_._3).sum.toString +:
+            fs.map(f => s"${f._2}\t${f._3}")).mkString("\n"))
+    }
+    val next = (m -- replaced -- written) ++
+      bucketsIn(commit).map(_ -> BucketRef(commit, Nil))
+    val lines = next.toSeq.sortBy(_._1).map { case (b, r) => fmt(b, r) }
+    require(publish(v + 1, n, "replace", lines),
+      s"concurrent commit while publishing the row-level operation at v${v + 1} " +
+        "— re-run the statement against the new snapshot")
+    Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+    v + 1
+  }
+
+  /** INSERT OVERWRITE — replace the table's entire visible content with
+    * `data` in ONE atomic commit (the SQL `INSERT OVERWRITE` / V2
+    * truncate-then-append contract, without the non-atomic two-version
+    * window a delete+merge pair would leave). The new manifest points
+    * ONLY at the fresh commit's buckets; every prior pointer ages out
+    * through the normal vacuum horizon, and time travel to pre-overwrite
+    * versions still works. Duplicate keys in `data` collapse (the merge
+    * batch rule); CHECK constraints validate the full replacement before
+    * anything publishes; on a row-tracked table every row is NEW by
+    * definition (the old rows' lineage ends here) and draws fresh ids. */
+  def overwriteAll(data: DataFrame): Long = {
+    val batch = data.dropDuplicates(keyCols).localCheckpoint()
+    validate(batch)
+    var committed = -1L
+    while (committed < 0) {
+      val v = version
+      val n = bucketCountAt(v)
+      val cur = schemaAt(v)
+      val conformed = conform(batch, cur, defaultsAt(v))
+      val tracked = cur.fieldNames.contains(TxTable.RidCol)
+      val (out, newHwm) =
+        if (!tracked) (conformed, None)
+        else {
+          val noExisting = batch.select(keyCols.map(col): _*).limit(0)
+            .withColumn(TxTable.RidCol, lit(0L))
+          val (a, h) = assignRids(conformed, noExisting, n, ridHwmAt(v))
+          (a, Some(h))
+        }
+      val commit = writeCommit(out, n)
+      val lines = bucketsIn(commit).sorted
+        .map(b => fmt(b, BucketRef(commit, Nil)))
+      if (publish(v + 1, n, "overwrite", lines, newHwm)) {
+        Files.writeString(logDir.resolve(f"schema-v${v + 1}%08d.ddl"), cur.toDDL)
+        committed = v + 1
+      } else {
+        // A full replacement conflicts with EVERY concurrent commit —
+        // no disjoint re-point exists; rebase and replace the new head.
+        publishRetries.incrementAndGet()
+        TxTable.drop(dataDir.resolve(commit).toString)
+      }
+    }
+    committed
+  }
+
   def deleteWhere(where: String): Long = {
     var committed = -1L
     while (committed < 0) {

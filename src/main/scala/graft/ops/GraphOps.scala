@@ -2667,6 +2667,152 @@ object GraphOps {
     } finally graft.core.TxTable.drop(wh)
   }
 
+  /** SQL-DML WRITE demo (s67_sql_insert) — the write half of the SQL
+    * surface s64's DELETE opened: `INSERT INTO <cat>.<t>` (and
+    * `DataFrameWriterV2.append`) reaches the keyed MERGE through the
+    * DSv2 V1 write bridge — on a keyed table an append IS an upsert:
+    * matched keys replace, new keys insert, read-your-writes — and
+    * `INSERT OVERWRITE` replaces the entire content in ONE atomic
+    * commit ([[graft.core.TxTable.overwriteAll]]; no delete+append
+    * two-version window) with time travel to pre-overwrite versions
+    * intact. Certificates on the hash channel: `ins_upsert_parity`
+    * (SQL-inserted state row-identical to the native merge on a twin,
+    * through BOTH the SQL and DataFrameWriterV2 hops), `ins_one_version
+    * _no_dup` (each append publishes exactly one version and a
+    * re-inserted key never duplicates), `ov_atomic_replace` (the
+    * overwrite is one commit and the snapshot is exactly the
+    * replacement), `ov_time_travel_intact` (the pre-overwrite version
+    * still reads complete). Lifecycle class like s64. */
+  def txSqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_tx_s67").toString
+    val cat = s"gcat_s67_${CatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, s"$wh/facts", base,
+        Seq("name"), numBuckets = 4)
+      val twin = graft.core.TxTable.create(spark, s"$wh/twin", base,
+        Seq("name"), numBuckets = 4)
+      val v0 = t.version
+      // SQL hop: one matched key (updates in place) + one new key.
+      spark.sql(s"INSERT INTO $cat.facts VALUES " +
+        "('Customer#000000003', 'SQLHOUSE', 1.5), " +
+        "('User#000000001', 'SQLHOUSE', 9.0)")
+      val sqlBatch = Seq(
+        ("Customer#000000003", "SQLHOUSE", 1.5),
+        ("User#000000001", "SQLHOUSE", 9.0)).toDF("name", "house", "acctbal")
+      twin.merge(sqlBatch)
+      val vSql = t.version
+      // DataFrameWriterV2 hop: the programmatic append, same verb.
+      val dfv2Batch = Seq(("User#000000002", "DFV2", 7.0))
+        .toDF("name", "house", "acctbal")
+      dfv2Batch.writeTo(s"$cat.facts").append()
+      twin.merge(dfv2Batch)
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.mkString("|")).sorted.toSeq
+      val upsertParity = rows(t.snapshot()) == rows(twin.snapshot())
+      val names = t.snapshot().select("name").as[String].collect()
+      val oneVersionNoDup = vSql == v0 + 1 && t.version == v0 + 2 &&
+        names.length == names.distinct.length
+      // Atomic full replacement, history intact.
+      val preCount = t.snapshot().count()
+      spark.sql(s"INSERT OVERWRITE $cat.facts VALUES " +
+        "('Customer#000000003', 'KEPT', 2.0), " +
+        "('User#000000009', 'FRESH', 4.0), " +
+        "('User#000000010', 'FRESH', 6.0)")
+      val ovAtomic = t.version == vSql + 2 && t.snapshot().count() == 3
+      val ttIntact = t.snapshotAt(vSql + 1).count() == preCount
+
+      t.snapshot()
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(upsertParity).as("ins_upsert_parity"),
+          lit(oneVersionNoDup).as("ins_one_version_no_dup"),
+          lit(ovAtomic).as("ov_atomic_replace"),
+          lit(ttIntact).as("ov_time_travel_intact"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(wh)
+  }
+
+  /** SQL UPDATE / MERGE INTO demo (s68_sql_update_merge) — the last two
+    * SQL-DML verbs, through Spark's GROUP-based row-level-operation
+    * contract with the storage BUCKET as the replacement group (see
+    * [[graft.sources.GraftRowLevelOperation]]): Spark's runtime group
+    * filter narrows the rewrite to the buckets holding matched rows
+    * (the same `_graft_bucket` runtime-filter channel join pruning
+    * uses), the replacement content writes DISTRIBUTED per-bucket
+    * parquet through the engine's own bucket hash, and commit is one
+    * manifest swap with every untouched bucket's pointer carried
+    * forward. Certificates on the hash channel: `upd_parity` (the SQL
+    * UPDATE's state is row-identical to the native `update` verb on a
+    * twin), `upd_untouched_ptrs` (a point UPDATE re-points exactly ONE
+    * of 4 buckets — the group filter is real), `merge_parity` (a
+    * three-clause SQL MERGE — conditional DELETE, UPDATE SET *, INSERT
+    * * — is row-identical to the native `mergeClauses` verb on the
+    * twin), `tt_intact` (every pre-DML version still reads complete).
+    * Lifecycle class like s64/s67. */
+  def txSqlUpdateMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_tx_s68").toString
+    val cat = s"gcat_s68_${CatalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val base = Graph.nodes(spark, sfDir)
+        .filter(col("name") <= "Customer#000000199")
+        .select("name", "house", "acctbal")
+      val t = graft.core.TxTable.create(spark, s"$wh/facts", base,
+        Seq("name"), numBuckets = 4)
+      val twin = graft.core.TxTable.create(spark, s"$wh/twin", base,
+        Seq("name"), numBuckets = 4)
+      val v0 = t.version
+      // Point UPDATE: the group filter must confine the rewrite to the
+      // one bucket the key hashes into.
+      spark.sql(s"UPDATE $cat.facts SET acctbal = acctbal + 100 " +
+        "WHERE name = 'Customer#000000019'")
+      twin.update("name = 'Customer#000000019'",
+        Map("acctbal" -> "acctbal + 100"))
+      def rows(df: DataFrame): Seq[String] =
+        df.collect().map(_.mkString("|")).sorted.toSeq
+      val updParity = rows(t.snapshot()) == rows(twin.snapshot())
+      val untouched = t.dataPointers(v0).toSet
+        .intersect(t.dataPointers(t.version).toSet).size
+      val vUpd = t.version
+      // Three-clause MERGE: conditional DELETE, UPDATE SET *, INSERT *.
+      val src = Seq(
+        ("Customer#000000005", "DELETE_ME", 0.0),
+        ("Customer#000000003", "MERGED", 50.0),
+        ("User#000000042", "MERGED", 60.0)).toDF("name", "house", "acctbal")
+      src.createOrReplaceTempView(s"src_$cat")
+      spark.sql(
+        s"""MERGE INTO $cat.facts t USING src_$cat s ON t.name = s.name
+           |WHEN MATCHED AND s.house = 'DELETE_ME' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      twin.mergeClauses(src, updateWhen = "true",
+        deleteWhen = "new_house = 'DELETE_ME'", insertWhen = "true")
+      val mergeParity = rows(t.snapshot()) == rows(twin.snapshot())
+      val ttIntact = t.snapshotAt(v0).count() == base.count() &&
+        t.snapshotAt(vUpd)
+          .filter(col("name") === "Customer#000000005").count() == 1
+
+      t.snapshot()
+        .filter(col("name") <= "Customer#000000030" ||
+          col("name").startsWith("User#"))
+        .select(col("name"), col("house"), round(col("acctbal"), 2).as("acctbal"),
+          lit(updParity).as("upd_parity"),
+          lit(untouched == 3).as("upd_untouched_ptrs"),
+          lit(mergeParity).as("merge_parity"),
+          lit(ttIntact).as("tt_intact"))
+        .orderBy("name")
+        .localCheckpoint()
+    } finally graft.core.TxTable.drop(wh)
+  }
+
   /** Shallow-clone demo (s36) — Delta's zero-copy CLONE on TxTable: the
     * clone's v0 manifest points at the SOURCE's data files via absolute
     * pointers (zero bytes copied — its data dir is verifiably empty at

@@ -652,13 +652,72 @@ final class GraftTable(dir: String, keyCols: Seq[String], schema0: StructType,
                        skipLayoutOnly: Boolean = false,
                        spjCapable: Boolean = false)
   extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** SQL `UPDATE` / `MERGE INTO`: the group-based row-level-operation
+    * contract with the storage BUCKET as the replacement group — see
+    * [[GraftRowLevelOperation]]. Boundaries enforced here with clear
+    * errors rather than wrong results downstream. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!changeFeed, "the change feed is read-only")
+    val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+    require(t.partitionSpec.isEmpty,
+      "row-level SQL DML is not yet supported on partition-transformed " +
+        "tables (the replacement writer emits the bucket tier only)")
+    require(info.command() ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE ||
+      !schema0.fieldNames.contains(graft.core.TxTable.RidCol),
+      "MERGE INTO is not supported on row-tracked tables (NOT MATCHED " +
+        "inserts cannot draw engine row ids on this path) — UPDATE, or " +
+        "the native merge verb, preserve ids and stay available")
+    () => new GraftRowLevelOperation(dir, keyCols, schema0, pinnedVersion,
+      info.command())
+  }
 
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL/DataFrame WRITES: `INSERT INTO` (and `DataFrameWriterV2.append`)
+    * MERGE the batch through the table's keyed upsert — on a keyed table
+    * an append IS an upsert: a row whose key exists replaces it, new
+    * keys insert (read-your-writes, the s12 contract); `INSERT
+    * OVERWRITE` / `.truncate().append()` replaces the entire content in
+    * ONE atomic commit ([[graft.core.TxTable.overwriteAll]] — no
+    * non-atomic delete+append window). The V1 write bridge hands the
+    * batch as a DataFrame, which is exactly what the driver-orchestrated
+    * commit protocol consumes — the executors still do the data write
+    * inside `merge`'s own job; only the COMMIT decision is driver-side,
+    * like every log-publishing lakehouse writer. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!changeFeed, "the change feed is read-only")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replaceAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              val t = graft.core.TxTable.open(SparkSession.active, dir, keyCols)
+              if (replaceAll || overwrite) t.overwriteAll(data)
+              else t.merge(data)
+            }
+        }
+    }
+  }
 
   /** SQL DML: `DELETE FROM gcat.t WHERE …` maps to the library's
     * predicate-DML verb [[graft.core.TxTable.deleteWhere]] (same
@@ -751,7 +810,8 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
                              skipLayoutOnly: Boolean = false,
                              spjCapable: Boolean = false,
                              startingVersion: Long = 0L,
-                             ignoreStats: Boolean = false)
+                             ignoreStats: Boolean = false,
+                             rowLevelOp: GraftRowLevelOperation = null)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -1277,7 +1337,7 @@ final class GraftScanBuilder(dir: String, keyCols: Seq[String],
       new GraftCountScan(dir, keyCols, pinnedVersion, ignoreStats)
     else new GraftScan(dir, keyCols, tableSchema, required, pushed, pinnedVersion,
       changeFeed, skipLayoutOnly, spjCapable, limit, startingVersion, dataFilters,
-      ignoreStats)
+      ignoreStats, rowLevelOp)
 }
 
 /** Planning-metadata view over one pinned snapshot: when the version
@@ -1472,10 +1532,23 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
                       limit: Int = Int.MaxValue,
                       startingVersion: Long = 0L,
                       dataFilters: Array[Filter] = Array.empty,
-                      ignoreStats: Boolean = false)
+                      ignoreStats: Boolean = false,
+                      rowLevelOp: GraftRowLevelOperation = null)
   extends Scan with Batch with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** V2 runtime filtering — the variant Spark's row-level-operation
+    * GROUP filter requires (`RowLevelOperationRuntimeGroupFiltering`
+    * matches `SupportsRuntimeV2Filtering` only; join-derived DPP also
+    * prefers it when both are present). Predicates that translate to V1
+    * filters funnel into the same acceptance logic; untranslatable ones
+    * drop — runtime filters are advisory, reading too much is sound. */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    filter(predicates.flatMap(p =>
+      org.apache.spark.sql.graft.ShimPredicateUtils.toV1(p)))
 
   /** Runtime (join-derived) filters — the DSv2 analogue of dynamic
     * partition pruning: when this table is the probe side of a broadcast
@@ -1493,16 +1566,31 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     new StatsView(dir, pinnedVersion, t.layoutAt(pinnedVersion), ignoreStats)
   }
 
-  override def filterAttributes(): Array[NamedReference] =
-    if (keyCols.length == 1 && !changeFeed)
+  override def filterAttributes(): Array[NamedReference] = {
+    // A row-level-operation scan advertises ONLY the bucket-id metadata
+    // column: the runtime GROUP filter builds one IN-subquery over ALL
+    // advertised attributes as a struct, so listing the key too turns
+    // the filter into an untranslatable (k, _graft_bucket) struct-IN
+    // and the group filter silently drops — bucket-only keeps it a
+    // plain integer IN that chosenLayout prunes on directly.
+    if (rowLevelOp != null)
+      if (!tableSchema.fieldNames.contains(GraftDataSource.BucketCol))
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(GraftDataSource.BucketCol))
+      else Array.empty
+    else if (keyCols.length == 1 && !changeFeed)
       Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyCols.head))
     else Array.empty
+  }
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter {
       case org.apache.spark.sql.sources.In(a, _) =>
-        keyCols.length == 1 && a == keyCols.head
-      case EqualTo(a, _) => keyCols.length == 1 && a == keyCols.head
+        (keyCols.length == 1 && a == keyCols.head) ||
+          (rowLevelOp != null && a == GraftDataSource.BucketCol)
+      case EqualTo(a, _) =>
+        (keyCols.length == 1 && a == keyCols.head) ||
+          (rowLevelOp != null && a == GraftDataSource.BucketCol)
       case _ => false
     }
 
@@ -2214,6 +2302,17 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
     val defaults = t.defaultsAt(v)
 
     val chosen = chosenLayout(t, layout)
+    // Row-level operations replace GROUPS = buckets: the scan's planned
+    // set is the affected-group set the commit swaps — recorded with
+    // whether this plan carried the runtime GROUP filter (the read-back
+    // plan) or not (the group-filter subquery / unfiltered fallback).
+    if (rowLevelOp != null) rowLevelOp.scanned(chosen.keySet,
+      runtimeFilters.exists {
+        case EqualTo(a, _) => a == GraftDataSource.BucketCol
+        case org.apache.spark.sql.sources.In(a, _) =>
+          a == GraftDataSource.BucketCol
+        case _ => false
+      })
 
     // Readers must see the key columns whenever a DV has to be applied,
     // even if the query pruned them away; fetch = required ++ missing keys.
@@ -2246,12 +2345,24 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
         .collect().map(r => Array.tabulate[Any](keyCols.length)(i =>
           keyConverters(i)(r.get(i))))
 
+    // A row-level-operation scan feeds a GROUP REPLACEMENT: Spark pushes
+    // the operation's condition expecting pruning at GROUP granularity
+    // only (the Iceberg copy-on-write contract — a pushed filter may
+    // drop whole groups, never rows within a surviving group, because
+    // every surviving group's NON-matching rows must be read back and
+    // carried over into the rewrite). Bucket-tier pruning above
+    // (chosenLayout: key-hash, bloom, whole-bucket zone refutation) is
+    // exactly group-granular and stays; the finer tiers — zone-map FILE
+    // pruning and parquet row-group skip filters — would silently drop
+    // carryover rows, so they are disabled here and only here.
+    val groupGranular = rowLevelOp != null
     val parts = chosen.toSeq.sortBy(_._1).map { case (b, (dataDir, dvDirs)) =>
       // Zone-map FILE pruning: refuted files never reach the footer
       // probe below — the planning-tier range-skipping tier (whole
       // buckets were already dropped in chosenLayout when every file
       // refuted).
-      val files = zoneFiles(dataDir)
+      val files =
+        if (groupGranular) parquetFiles(dataDir) else zoneFiles(dataDir)
       val resolved = GraftDataSource.parMap(files)(f =>
         resolveFile(f, fetch, aliases, conf))
       GraftInputPartition(b, files.toArray,
@@ -2268,7 +2379,8 @@ final class GraftScan(dir: String, keyCols: Seq[String], tableSchema: StructType
             !tableSchema.fieldNames.contains(GraftDataSource.BucketCol))
             Int.box(b.toInt)
           else defaultValues.get(f.name).orNull),
-        limit = limit, skipFilters = dataFilters)
+        limit = if (groupGranular) Int.MaxValue else limit,
+        skipFilters = if (groupGranular) Array.empty else dataFilters)
     }
     // Columnar is a SCAN-LEVEL decision (Spark refuses mixed partitions):
     // vectorize only when no partition carries a DV, the projection is

@@ -148,6 +148,114 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL INSERT merges by key; OVERWRITE is one atomic commit; row ids stay engine-owned") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      val t = graft.core.TxTable.create(spark,
+        s"$wh/rt", Seq(("A", 1L), ("B", 2L)).toDF("k", "v"),
+        Seq("k"), numBuckets = 2, rowTracking = true)
+      val rid = graft.core.TxTable.RidCol
+      val before = t.snapshot().select(col("k"), col(rid))
+        .as[(String, Long)].collect().toMap
+      // A user-supplied id must be IGNORED (engine-owned): the matched
+      // key keeps its original id, the new key draws a fresh one — never
+      // the forged literal.
+      spark.sql(s"INSERT INTO $cat.rt VALUES ('A', 10, 999999), ('C', 3, 999999)")
+      val after = t.snapshot().select(col("k"), col("v"), col(rid))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(after("A") == ((10L, before("A"))), "matched key must keep id and take the new value")
+      assert(after("C")._2 != 999999L && !before.values.toSet.contains(after("C")._2),
+        "inserted key must draw a fresh engine id, not the forged one")
+      // OVERWRITE: one version, all-new lineage, history travelable.
+      val v1 = t.version
+      spark.sql(s"INSERT OVERWRITE $cat.rt VALUES ('A', 99, NULL), ('Z', 1, NULL)")
+      assert(t.version == v1 + 1, "overwrite must publish exactly one version")
+      val ov = t.snapshot().select(col("k"), col(rid)).as[(String, Long)].collect().toMap
+      assert(ov.keySet == Set("A", "Z") && ov.values.toSeq.distinct.size == 2)
+      assert(ov("A") != before("A"),
+        "overwrite ends every row's lineage — even a re-appearing key is a new row")
+      assert(t.snapshotAt(v1).count() == 3, "pre-overwrite version must stay readable")
+    }
+  }
+
+  test("row-level SQL DML replaces WHOLE buckets: no carryover loss through finer pruning tiers") {
+    import spark.implicits._
+    withCatalog { (cat, wh) =>
+      // Sorted layout + tiny row groups + per-bucket file splits: every
+      // finer-than-bucket skipping tier (zone-map file pruning, parquet
+      // row-group skip) would fire on the pushed UPDATE condition — and
+      // each one would silently DROP carryover rows if the row-level
+      // scan used it (caught live: a 130-row bucket rewrote to 22).
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
+      val maxRecBefore = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+      hconf.setInt("parquet.block.size", 8 * 1024)
+      hconf.setInt("parquet.page.size", 2 * 1024)
+      try {
+        val base = (0 until 4000)
+          .map(i => (f"K$i%04d", i.toLong)).toDF("k", "v")
+        val t = TxTable.create(spark, s"$wh/g", base, Seq("k"),
+          numBuckets = 4, zoneMapCols = Seq("v"))
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", 250)
+        t.compact(0, Seq("v"))
+        val v0 = t.version
+        spark.sql(s"UPDATE $cat.g SET v = v + 1000000 WHERE v = 77")
+        assert(t.snapshot().count() == 4000,
+          "row-level rewrite lost carryover rows — a finer-than-bucket " +
+            "pruning tier fired inside a surviving group")
+        assert(t.snapshot().filter(col("k") === "K0077").head.getLong(1) == 1000077)
+        val untouched = t.dataPointers(v0).toSet
+          .intersect(t.dataPointers(t.version).toSet).size
+        assert(untouched == 3, s"point update must re-point ONE bucket, kept $untouched")
+        // Byte-exact carryover: everything except the updated key.
+        val expect = base.filter(col("k") =!= "K0077")
+          .collect().map(_.mkString("|")).sorted.toSeq
+        val got = t.snapshot().filter(col("k") =!= "K0077")
+          .collect().map(_.mkString("|")).sorted.toSeq
+        assert(got == expect, "carryover rows must be byte-identical")
+        // A NOT-MATCHED insert lands in a bucket the group scan never
+        // planned — the commit must CARRY that bucket's existing rows,
+        // not wipe them with a pointer holding only the insert (caught
+        // live: MERGE dropped 10 rows of the insert key's bucket).
+        Seq(("ZZZZ", -1L)).toDF("k", "v").createOrReplaceTempView("ins_src")
+        spark.sql(s"MERGE INTO $cat.g t USING ins_src s ON t.k = s.k " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        assert(t.snapshot().count() == 4001,
+          "insert-only bucket lost its carried-over rows")
+        assert(t.snapshot().filter(col("k") === "ZZZZ").count() == 1)
+        val expect2 = base.filter(col("k") =!= "K0077")
+          .collect().map(_.mkString("|")).sorted.toSeq
+        assert(t.snapshot().filter(col("k") =!= "K0077" && col("k") =!= "ZZZZ")
+          .collect().map(_.mkString("|")).sorted.toSeq == expect2,
+          "carryover after MERGE insert must stay byte-identical")
+        // MERGE INTO stays refused on row-tracked tables; UPDATE works.
+        val rt = TxTable.create(spark, s"$wh/rt2",
+          Seq(("A", 1L)).toDF("k", "v"), Seq("k"), numBuckets = 2,
+          rowTracking = true)
+        Seq(("A", 5L)).toDF("k", "v").createOrReplaceTempView("rlo_src")
+        val refused = intercept[Exception] {
+          spark.sql(s"MERGE INTO $cat.rt2 t USING rlo_src s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v")
+        }
+        assert(refused.getMessage.contains("row-tracked"))
+        val ridBefore = rt.snapshot().select(TxTable.RidCol).head.getLong(0)
+        spark.sql(s"UPDATE $cat.rt2 SET v = 9 WHERE k = 'A'")
+        val row = rt.snapshot().select(col("v"), col(TxTable.RidCol)).head
+        assert(row.getLong(0) == 9L && row.getLong(1) == ridBefore,
+          "SQL UPDATE on a row-tracked table must preserve the row id")
+      } finally {
+        if (before._1 == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", before._1)
+        if (before._2 == null) hconf.unset("parquet.page.size")
+        else hconf.set("parquet.page.size", before._2)
+        maxRecBefore match {
+          case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+          case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        }
+      }
+    }
+  }
+
   test("storage-partitioned join: co-bucketed tables join with ZERO shuffle") {
     withCatalog { (cat, wh) =>
       val ta = makeTable(wh, "a", even = false)
