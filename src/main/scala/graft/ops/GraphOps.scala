@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Overlap two INDEPENDENT Spark actions from two driver threads
+    * (optimization-guide §2.6): Spark's FIFO scheduler back-fills executor
+    * slots the first job's task tail leaves idle with the second job's
+    * tasks, so two short certificate probes cost ~max instead of ~sum.
+    * Only for actions with no ordering dependency (separate tables /
+    * separate read paths); never for two commits to the SAME table. */
+  private[ops] def par2[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val f = Future(fb)
+    val ra = fa
+    (ra, Await.result(f, 10.minutes))
+  }
+
+  /** Distributed order-independent multiset row-equality for certificate
+    * comparisons: each side folds to (count, Σ xxhash64(all columns)) in
+    * ONE narrow partial aggregate — no row shuffle, no driver data. The
+    * collect-and-sort form this replaces was the single largest measured
+    * term of s54 at sf0.1 (~1 s of a 4.8 s entry: two 600k-row driver
+    * collects + driver sorts) and is impossible at 100 TB, where this
+    * stays O(1) driver bytes (guide §5: the driver should do no data
+    * work). Exact up to a 64-bit hash-sum collision on fixed,
+    * non-adversarial layouts — the same trust level as the oracle's own
+    * hash channel. Column order/names are taken from `a`; `b` is
+    * projected to match, so positional column mismatches fail loudly. */
+  private[ops] def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    def fp(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    val (fa, fb) = par2(fp(a), fp(b.select(cols.map(col): _*)))
+    fa._1 == fb._1 && fa._2.compareTo(fb._2) == 0
+  }
+
   /** J1+P1+P2+A2+T1 — the flagship "Winder" common-neighbors top-k
     * (app.py:206-245): given a friend set, score candidates by shared
     * FRIEND_OF neighbors, exclude the friends themselves, top-k.
@@ -1067,9 +1105,7 @@ object GraphOps {
 
       // Certificate 1: with-skipping == without-skipping, row for row.
       val pred = col("acctbal") > 1000.0
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), t.snapshot().filter(pred))
 
       // Certificate 2: scan-level output shrinks to the one bucket whose
       // footer stats admit the point predicate (vb == bucket id).
@@ -1132,9 +1168,7 @@ object GraphOps {
       val targets = Seq(7, 34, 121).map(k => hex(Graph.fullName(k)))
       def pred = col("token").isin(targets: _*)
 
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), t.snapshot().filter(pred))
 
       def emitted(df: DataFrame): Long = {
         df.collect()
@@ -1223,9 +1257,7 @@ object GraphOps {
 
       def conn = spark.read.format("graft").option("keys", "name").load(dir)
       def pred = col("token").isin(targets: _*)
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), t.snapshot().filter(pred))
 
       conn.filter(pred)
         .select(col("name"), col("house"),
@@ -1316,13 +1348,19 @@ object GraphOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s49").toString
     val hconf = spark.sparkContext.hadoopConfiguration
     val before = (hconf.get("parquet.block.size"), hconf.get("parquet.page.size"))
-    hconf.setInt("parquet.block.size", 32 * 1024)
-    hconf.setInt("parquet.page.size", 8 * 1024)
     try {
       val base = graft.core.Tables.lineitem(spark, sfDir).select(
         (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
         col("l_returnflag").as("flag"))
+      // Row-count-adaptive group size (s51's measured rule, applied here
+      // too): tiny groups only where skip granularity needs them — at
+      // sf0.1 the fixed 32 KB groups meant ~1.5k per-group flush/decode
+      // cycles across the two rewrites while ~45 groups of 256 KB prove
+      // the same ≥2× certificate at a fraction of the cost.
+      val block = if (base.count() < 100000) 32 * 1024 else 256 * 1024
+      hconf.setInt("parquet.block.size", block)
+      hconf.setInt("parquet.page.size", block / 4)
       val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
       def conn = spark.read.format("graft").load(dir)
       val pred = col("price_cents").between(2000000L, 2100000L)
@@ -1332,13 +1370,17 @@ object GraphOps {
         q.queryExecution.executedPlan.collectLeaves()
           .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
       }
-      val Array(b0) = t.snapshot()
-        .agg(count(lit(1)), sum("price_cents")).collect()
-      val unsorted = emitted()
+      // Snapshot band and probe scan are independent reads of the same
+      // frozen layout — overlap each pre/post pair (guide §2.6).
+      val (b0r, unsorted) = par2(
+        t.snapshot().agg(count(lit(1)), sum("price_cents")).collect(),
+        emitted())
+      val Array(b0) = b0r
       t.compact(0, Seq("price_cents"))
-      val sorted = emitted()
-      val Array(b1) = t.snapshot()
-        .agg(count(lit(1)), sum("price_cents")).collect()
+      val (b1r, sorted) = par2(
+        t.snapshot().agg(count(lit(1)), sum("price_cents")).collect(),
+        emitted())
+      val Array(b1) = b1r
       val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
       val effective = sorted * 2 <= unsorted
 
@@ -1398,16 +1440,21 @@ object GraphOps {
       val block = if (base.count() < 100000) 32 * 1024 else 256 * 1024
       hconf.setInt("parquet.block.size", block)
       hconf.setInt("parquet.page.size", block / 4)
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("k"),
-        numBuckets = 1, clusterCols = Seq("price_cents"))
-      val twin = graft.core.TxTable.create(spark, dir2, base, Seq("k"),
-        numBuckets = 1)
+      // Two independent tables: creates (and the two merges below) are
+      // independent jobs — overlap them (guide §2.6) so the pair costs
+      // ~max, not ~sum, of two short write jobs.
+      val (t, twin) = par2(
+        graft.core.TxTable.create(spark, dir, base, Seq("k"),
+          numBuckets = 1, clusterCols = Seq("price_cents")),
+        graft.core.TxTable.create(spark, dir2, base, Seq("k"),
+          numBuckets = 1))
       // The same real update lands on both: every k ≡ 0 (mod 7) flips its
       // flag. One bucket ⇒ the merge rewrites the WHOLE table through the
       // write path — the clustered side comes back fully sorted, the twin
       // in whatever order the rewrite produced.
       val upd = base.filter(col("k") % 7 === 0).withColumn("flag", lit("U"))
-      t.merge(upd); twin.merge(upd)
+        .localCheckpoint()
+      par2(t.merge(upd), twin.merge(upd))
 
       def conn(d: String) = spark.read.format("graft").load(d)
       val pred = col("price_cents").between(2000000L, 2100000L)
@@ -1417,11 +1464,9 @@ object GraphOps {
         q.queryExecution.executedPlan.collectLeaves()
           .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
       }
-      val contentMatch = t.snapshot().collect().map(_.mkString("|")).sorted.toSeq ==
-        twin.snapshot().collect().map(_.mkString("|")).sorted.toSeq
+      val contentMatch = sameRows(t.snapshot(), twin.snapshot())
       val ops = t.history().orderBy("version").collect().map(_.getString(1)).toSeq
-      val clustered = emitted(dir)
-      val unclustered = emitted(dir2)
+      val (clustered, unclustered) = par2(emitted(dir), emitted(dir2))
       val certNoOptimize = ops == Seq("create", "merge") &&
         clustered * 2 <= unclustered
 
@@ -1470,7 +1515,11 @@ object GraphOps {
     // ~2300 groups whose per-group flush/decode overhead dominates the
     // entry (~12 s) while ~50 groups of 256 KB prove the same ≥2×-both-
     // dimensions certificate at a fraction of the cost.
-    val nRows = base0.count()
+    // One scan serves both pre-create probes (count for the group-size
+    // rule, max(part) for the SF-relative Y bound) — the second full
+    // lineitem pass this entry used to pay was pure duplication.
+    val pre = base0.agg(count(lit(1)), max("part")).head()
+    val (nRows, maxPart) = (pre.getLong(0), pre.getLong(1))
     val block = if (nRows < 100000) 16 * 1024 else 256 * 1024
     hconf.setInt("parquet.block.size", block)
     hconf.setInt("parquet.page.size", block / 4)
@@ -1480,8 +1529,8 @@ object GraphOps {
       def conn = spark.read.format("graft").load(dir)
       val predX = col("price_cents").between(2000000L, 2100000L)
       // SF-relative second dimension: a fixed partkey bound would cover
-      // the whole domain at small SFs (part count scales with SF).
-      val maxPart = base.agg(max("part")).head.getLong(0)
+      // the whole domain at small SFs (part count scales with SF);
+      // maxPart comes from the fused pre-create scan above.
       val predY = col("part") <= maxPart / 20
       def emitted(pred: org.apache.spark.sql.Column): Long = {
         val q = conn.filter(pred)
@@ -1489,11 +1538,13 @@ object GraphOps {
         q.queryExecution.executedPlan.collectLeaves()
           .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
       }
+      // The X and Y probes are independent scans of the same frozen
+      // layout — overlap each pair (guide §2.6).
       val Array(b0) = t.snapshot()
         .agg(count(lit(1)), sum("price_cents")).collect()
-      val (ux, uy) = (emitted(predX), emitted(predY))
+      val (ux, uy) = par2(emitted(predX), emitted(predY))
       t.compactZOrder(Seq("price_cents", "part"))
-      val (zx, zy) = (emitted(predX), emitted(predY))
+      val (zx, zy) = par2(emitted(predX), emitted(predY))
       val Array(b1) = t.snapshot()
         .agg(count(lit(1)), sum("price_cents")).collect()
       val unchanged = b0.getLong(0) == b1.getLong(0) && b0.getLong(1) == b1.getLong(1)
@@ -1567,8 +1618,7 @@ object GraphOps {
       def conn = spark.read.format("graft").load(dir)
       val native = t.snapshot()
       val evolutionOk = dayEra.nonEmpty && flatEra.nonEmpty &&
-        conn.collect().map(_.mkString("|")).sorted.toSeq ==
-          native.collect().map(_.mkString("|")).sorted.toSeq
+        sameRows(conn, native)
 
       def plannedFiles(preds: Array[org.apache.spark.sql.sources.Filter]): Int = {
         val provider = new graft.sources.GraftTableProvider
@@ -1594,9 +1644,7 @@ object GraphOps {
 
       val pred = col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-13 00:00:00").cast("timestamp")
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        native.filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), native.filter(pred))
 
       conn.filter(pred)
         .groupBy("event_type")
@@ -1661,14 +1709,18 @@ object GraphOps {
       import scala.jdk.CollectionConverters._
       val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
         .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
-      val backups = files.map { p =>
+      // The poison/restore pass touches every data file (buckets × days of
+      // them) — independent byte I/O, fanned out like the connector's
+      // planning pass instead of a serial driver loop.
+      val backups = graft.core.TxTable.parMap(files) { p =>
         val orig = java.nio.file.Files.readAllBytes(p)
         java.nio.file.Files.write(p, "POISON".getBytes("UTF-8"))
         (p, orig)
       }
       val coveredN =
         try covered.head().getLong(0)
-        finally backups.foreach { case (p, o) => java.nio.file.Files.write(p, o) }
+        finally graft.core.TxTable.parMap(backups) { case (p, o) =>
+          java.nio.file.Files.write(p, o) }
       spark.range(1).select(
         lit(coveredN).as("covered_n"),
         lit(straddleN).as("straddle_n"),
@@ -1822,9 +1874,7 @@ object GraphOps {
       val bucketPrune = noneParts == 0
 
       val pred = col("price_cents").between(lo, hi)
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), t.snapshot().filter(pred))
 
       conn.filter(pred)
         .groupBy("flag")
@@ -1920,9 +1970,7 @@ object GraphOps {
 
       def conn = spark.read.format("graft").load(dir)
       val pred = col("price_cents").between(2000000L, 2100000L)
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), t.snapshot().filter(pred))
 
       conn.filter(pred)
         .groupBy("flag")
@@ -2009,9 +2057,7 @@ object GraphOps {
       val bucketPrune = noneParts == 0
 
       val pred = col("name") >= "c" && col("name") < "h"
-      val hashMatch = conn.filter(pred)
-        .collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().filter(pred).collect().map(_.mkString("|")).sorted.toSeq
+      val hashMatch = sameRows(conn.filter(pred), t.snapshot().filter(pred))
 
       conn.filter(pred)
         .groupBy("name")

@@ -403,7 +403,11 @@ object StreamingOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = TxTable.create(spark, s"$root/table", base, Seq("name"))
+      // 4 buckets (s64's measured rule): a ≤203-row demo pays per-file
+      // create cost, not scan cost — the default 16 buckets meant 4× the
+      // files per commit for the same protocol coverage.
+      val t = TxTable.create(spark, s"$root/table", base, Seq("name"),
+        numBuckets = 4)
       def nameOf(uid: org.apache.spark.sql.Column) =
         when(uid % 3 === 0, concat(lit("Customer#"), lpad(uid.cast("string"), 9, "0")))
           .otherwise(concat(lit("User#"), uid.cast("string")))
