@@ -495,7 +495,7 @@ object GraphOps {
       // 8 buckets: the demo table is tiny; fewer buckets = fewer files per
       // commit across the 5 commits this write-path demo measures. The
       // layout proof (one commit dir after compact) is bucket-count-free.
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       (1 to 3).foreach { i =>
         t.merge(base.filter(substring(col("name"), -1, 1) === i.toString)
           .withColumn("house", lit(s"MERGED$i")))
@@ -526,7 +526,7 @@ object GraphOps {
     try {
       val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
       // 8 buckets, same rationale as s20 (write-path demo on a tiny table).
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val v = t.deleteMergeOnRead(
         base.filter(substring(col("name"), -1, 1) === "7").select("name"))
       val noRewrite = t.dataPointers(0L) == t.dataPointers(v)
@@ -550,7 +550,7 @@ object GraphOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s25").toString
     try {
       val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       t.addCheck("house_known", "house IS NOT NULL")
       t.addCheck("balance_floor", "acctbal >= -1000.0")
       val vOk = t.merge(spark.createDataFrame(
@@ -588,7 +588,7 @@ object GraphOps {
     val dir = java.nio.file.Files.createTempDirectory("graft_tx_s26").toString
     try {
       val base = Graph.nodes(spark, sfDir).select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       t.merge(base.filter(substring(col("name"), -1, 1) === "3")
         .withColumn("house", lit("CORRUPT")))
       val v = t.restore(0L)
@@ -702,7 +702,10 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      // 4 buckets: ≤203-row demo, per-file commit cost dominates (s64's
+      // measured rule); the prune certificate needs layout > 1, which 4
+      // buckets keeps true.
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       t.merge(t.snapshot().filter(col("name").endsWith("7"))
         .withColumn("house", lit("PROMOTED"))
         .withColumn("acctbal", col("acctbal") + 1000))
@@ -710,8 +713,7 @@ object GraphOps {
         Seq(Tuple1("Customer#000000013"))).toDF("name"))
 
       def conn = spark.read.format("graft").option("keys", "name").load(dir)
-      val fullMatch = conn.collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().collect().map(_.mkString("|")).sorted.toSeq
+      val fullMatch = sameRows(conn, t.snapshot())
       // Plan-level probe: the pushed key equality must prune the batch to
       // one bucket of the manifest's eight.
       val provider = new graft.sources.GraftTableProvider
@@ -763,7 +765,10 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      // 4 buckets: ≤203-row demo, per-file commit cost dominates (s64's
+      // measured rule); the feed's contents are commit-level post-images,
+      // independent of the bucket layout.
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       t.merge(t.snapshot().filter(col("name").endsWith("7"))
         .withColumn("house", lit("PROMOTED"))
         .withColumn("acctbal", col("acctbal") + 1000))
@@ -784,9 +789,8 @@ object GraphOps {
         .filter(col("top.d") === 0)
         .select(col("name"), col("top.h").as("house"), col("top.a").as("acctbal"))
 
-      val replayMatches = replay.collect().map(_.mkString("|")).sorted.toSeq ==
-        t.snapshot().select("name", "house", "acctbal")
-          .collect().map(_.mkString("|")).sorted.toSeq
+      val replayMatches = sameRows(replay,
+        t.snapshot().select("name", "house", "acctbal"))
       val versionsOk = feed.select("_commit_version").distinct().collect()
         .map(_.getLong(0)).toSet == Set(0L, 1L, 2L)
       val deleteExact = feed.filter(col("_change_type") === "delete")
@@ -927,7 +931,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       def conn = spark.read.format("graft").option("keys", "name").load(dir)
 
       val clean = conn.groupBy().count()
@@ -976,7 +980,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       def conn = spark.read.format("graft").option("keys", "name").load(dir)
       def scanned(df: org.apache.spark.sql.DataFrame) = {
         val r = df.agg(min("acctbal"), max("acctbal")).head()
@@ -1036,7 +1040,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       def conn = spark.read.format("graft").option("keys", "name").load(dir)
 
       // Fact side past the broadcast threshold: only the graft side can
@@ -2542,7 +2546,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val batch = base.filter(substring(col("name"), -1, 1) === "3")
         .withColumn("house", lit("STAGED"))
       val b = t.branch("audit")
@@ -2675,19 +2679,24 @@ object GraphOps {
         .select("name", "house", "acctbal")
       // 4 buckets: a ≤203-row demo pays per-file create cost, not scan
       // cost — halving the files halves the three commits' wall time
-      // without touching what the certificates prove.
-      val t = graft.core.TxTable.create(spark, s"$wh/facts", base,
-        Seq("name"), numBuckets = 4)
-      val twin = graft.core.TxTable.create(spark, s"$wh/twin", base,
-        Seq("name"), numBuckets = 4)
+      // without touching what the certificates prove. The twin tables are
+      // independent: overlap their creates, and the SQL-vs-native delete
+      // pair, from two driver threads (guide §2.6).
+      val (t, twin) = par2(
+        graft.core.TxTable.create(spark, s"$wh/facts", base,
+          Seq("name"), numBuckets = 4),
+        graft.core.TxTable.create(spark, s"$wh/twin", base,
+          Seq("name"), numBuckets = 4))
       val v0 = t.version
       val predSql = "house = 'BUILDING' OR name = 'Customer#000000019'"
-      spark.sql(s"DELETE FROM $cat.facts WHERE $predSql")
-      twin.deleteWhere(predSql)
+      par2(
+        spark.sql(s"DELETE FROM $cat.facts WHERE $predSql"),
+        twin.deleteWhere(predSql))
       val v1 = t.version
-      val parity =
-        t.snapshot().exceptAll(twin.snapshot()).isEmpty &&
-          twin.snapshot().exceptAll(t.snapshot()).isEmpty
+      // Distributed order-independent parity (sameRows): one narrow
+      // aggregate per side, overlapped — replaces two serial exceptAll
+      // shuffle jobs.
+      val parity = sameRows(t.snapshot(), twin.snapshot())
       val d = t.diff(v0, v1).localCheckpoint()
       val cdcExact =
         d.filter(col("change_type") =!= "delete").isEmpty &&
@@ -2739,28 +2748,31 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, s"$wh/facts", base,
-        Seq("name"), numBuckets = 4)
-      val twin = graft.core.TxTable.create(spark, s"$wh/twin", base,
-        Seq("name"), numBuckets = 4)
+      // Twin tables are independent: overlap the creates and each
+      // SQL-vs-native commit pair from two driver threads (guide §2.6).
+      val (t, twin) = par2(
+        graft.core.TxTable.create(spark, s"$wh/facts", base,
+          Seq("name"), numBuckets = 4),
+        graft.core.TxTable.create(spark, s"$wh/twin", base,
+          Seq("name"), numBuckets = 4))
       val v0 = t.version
       // SQL hop: one matched key (updates in place) + one new key.
-      spark.sql(s"INSERT INTO $cat.facts VALUES " +
-        "('Customer#000000003', 'SQLHOUSE', 1.5), " +
-        "('User#000000001', 'SQLHOUSE', 9.0)")
       val sqlBatch = Seq(
         ("Customer#000000003", "SQLHOUSE", 1.5),
         ("User#000000001", "SQLHOUSE", 9.0)).toDF("name", "house", "acctbal")
-      twin.merge(sqlBatch)
+      par2(
+        spark.sql(s"INSERT INTO $cat.facts VALUES " +
+          "('Customer#000000003', 'SQLHOUSE', 1.5), " +
+          "('User#000000001', 'SQLHOUSE', 9.0)"),
+        twin.merge(sqlBatch))
       val vSql = t.version
       // DataFrameWriterV2 hop: the programmatic append, same verb.
       val dfv2Batch = Seq(("User#000000002", "DFV2", 7.0))
         .toDF("name", "house", "acctbal")
-      dfv2Batch.writeTo(s"$cat.facts").append()
-      twin.merge(dfv2Batch)
-      def rows(df: DataFrame): Seq[String] =
-        df.collect().map(_.mkString("|")).sorted.toSeq
-      val upsertParity = rows(t.snapshot()) == rows(twin.snapshot())
+      par2(
+        dfv2Batch.writeTo(s"$cat.facts").append(),
+        twin.merge(dfv2Batch))
+      val upsertParity = sameRows(t.snapshot(), twin.snapshot())
       val names = t.snapshot().select("name").as[String].collect()
       val oneVersionNoDup = vSql == v0 + 1 && t.version == v0 + 2 &&
         names.length == names.distinct.length
@@ -2811,20 +2823,22 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, s"$wh/facts", base,
-        Seq("name"), numBuckets = 4)
-      val twin = graft.core.TxTable.create(spark, s"$wh/twin", base,
-        Seq("name"), numBuckets = 4)
+      // Twin tables are independent: overlap the creates and each
+      // SQL-vs-native commit pair from two driver threads (guide §2.6).
+      val (t, twin) = par2(
+        graft.core.TxTable.create(spark, s"$wh/facts", base,
+          Seq("name"), numBuckets = 4),
+        graft.core.TxTable.create(spark, s"$wh/twin", base,
+          Seq("name"), numBuckets = 4))
       val v0 = t.version
       // Point UPDATE: the group filter must confine the rewrite to the
       // one bucket the key hashes into.
-      spark.sql(s"UPDATE $cat.facts SET acctbal = acctbal + 100 " +
-        "WHERE name = 'Customer#000000019'")
-      twin.update("name = 'Customer#000000019'",
-        Map("acctbal" -> "acctbal + 100"))
-      def rows(df: DataFrame): Seq[String] =
-        df.collect().map(_.mkString("|")).sorted.toSeq
-      val updParity = rows(t.snapshot()) == rows(twin.snapshot())
+      par2(
+        spark.sql(s"UPDATE $cat.facts SET acctbal = acctbal + 100 " +
+          "WHERE name = 'Customer#000000019'"),
+        twin.update("name = 'Customer#000000019'",
+          Map("acctbal" -> "acctbal + 100")))
+      val updParity = sameRows(t.snapshot(), twin.snapshot())
       val untouched = t.dataPointers(v0).toSet
         .intersect(t.dataPointers(t.version).toSet).size
       val vUpd = t.version
@@ -2834,14 +2848,15 @@ object GraphOps {
         ("Customer#000000003", "MERGED", 50.0),
         ("User#000000042", "MERGED", 60.0)).toDF("name", "house", "acctbal")
       src.createOrReplaceTempView(s"src_$cat")
-      spark.sql(
-        s"""MERGE INTO $cat.facts t USING src_$cat s ON t.name = s.name
-           |WHEN MATCHED AND s.house = 'DELETE_ME' THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      twin.mergeClauses(src, updateWhen = "true",
-        deleteWhen = "new_house = 'DELETE_ME'", insertWhen = "true")
-      val mergeParity = rows(t.snapshot()) == rows(twin.snapshot())
+      par2(
+        spark.sql(
+          s"""MERGE INTO $cat.facts t USING src_$cat s ON t.name = s.name
+             |WHEN MATCHED AND s.house = 'DELETE_ME' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin),
+        twin.mergeClauses(src, updateWhen = "true",
+          deleteWhen = "new_house = 'DELETE_ME'", insertWhen = "true"))
+      val mergeParity = sameRows(t.snapshot(), twin.snapshot())
       val ttIntact = t.snapshotAt(v0).count() == base.count() &&
         t.snapshotAt(vUpd)
           .filter(col("name") === "Customer#000000005").count() == 1
@@ -3001,18 +3016,25 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val bal = graft.core.TxTable.create(spark, dir + "/bal",
-        base.select("name", "acctbal"), Seq("name"), numBuckets = 8)
-      val aud = graft.core.TxTable.create(spark, dir + "/aud",
-        base.select("name", "house"), Seq("name"), numBuckets = 8)
+      // Two INDEPENDENT tables: overlap their creates, and then their
+      // merges, from two driver threads (guide §2.6) — each pair costs
+      // ~max instead of ~sum of two short commit jobs. 4 buckets: the
+      // ≤203-row demo pays per-file create cost, not scan cost (s64's
+      // measured rule).
+      val (bal, aud) = par2(
+        graft.core.TxTable.create(spark, dir + "/bal",
+          base.select("name", "acctbal"), Seq("name"), numBuckets = 4),
+        graft.core.TxTable.create(spark, dir + "/aud",
+          base.select("name", "house"), Seq("name"), numBuckets = 4))
       val cat = graft.core.TxCatalog.create(spark, dir,
         Map("bal" -> 0L, "aud" -> 0L))
       val who = base.filter(substring(col("name"), -1, 1) === "4")
       // The transaction: both tables commit locally first...
-      val vA = bal.merge(who.select(col("name"),
-        (col("acctbal") + lit(1000)).as("acctbal")))
-      val vB = aud.merge(who.select(col("name"),
-        lit("TRANSFERRED").as("house")))
+      val (vA, vB) = par2(
+        bal.merge(who.select(col("name"),
+          (col("acctbal") + lit(1000)).as("acctbal"))),
+        aud.merge(who.select(col("name"),
+          lit("TRANSFERRED").as("house"))))
       // ...and the catalog still serves the OLD world of both.
       val pre = cat.refsHead
       val cv = cat.commit(Map("bal" -> vA, "aud" -> vB))
@@ -3085,7 +3107,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       t.compact() // baseline: every bucket clean and single-file
       val v1 = t.deleteMergeOnRead(
         base.filter(substring(col("name"), -1, 1) === "5"))
@@ -3122,7 +3144,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val vd = t.dropColumn("acctbal")
       val pointersUnchanged = t.dataPointers(0L) == t.dataPointers(vd)
       t.merge(base.filter(substring(col("name"), -1, 1) === "7")
@@ -3154,7 +3176,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val va = t.addColumn("tier", "STRING", "'standard'")
       val pointersUnchanged = t.dataPointers(0L) == t.dataPointers(va)
       t.merge(base.filter(substring(col("name"), -1, 1) === "9")
@@ -3190,7 +3212,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val vr = t.renameColumn("house", "segment")
       val pointersUnchanged = t.dataPointers(0L) == t.dataPointers(vr)
       t.merge(base.filter(substring(col("name"), -1, 1) === "7")
@@ -3230,7 +3252,7 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 8)
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val abType = base.schema("acctbal").dataType
       val users = spark.createDataFrame(Seq(
           ("User#000000001", "NEW", 50.0), ("User#000000002", "NEW", -5.0)))

@@ -2174,9 +2174,15 @@ object RelOps {
     val vals = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag").as("flag"),
         (dec(col("l_extendedprice")) * 100).cast("long").as("v"))
-    val Array(b) = vals.agg(min("v"), max("v")).collect()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val width = math.max(1L, (hi - lo) / 65536L + 1L)
+    // FIXED bucket width instead of a min/max pre-pass: the selection is
+    // EXACT regardless of bucketing (pass 2 ranks inside the chosen
+    // bucket), so the histogram grid only affects cost, never the median.
+    // l_extendedprice is positive and bounded by the price model
+    // independent of SF (qty ≤ 50 × unit retail ≤ ~$2.1k ⇒ v ≲ 11.5M
+    // cents), so a 2¹⁶-cent grid yields ≤ ~180 live buckets per group at
+    // ANY scale and drops the full min/max scan the dynamic width needed
+    // (one of three lineitem passes — measured ~0.3 s of rq75 at sf0.1).
+    val (lo, width) = (0L, 65536L)
     val hist = vals.groupBy(col("flag"), expr(s"(v - $lo) DIV $width").as("b"))
       .agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy("flag").orderBy("b")

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Scratch phase profiler for the s54-style lifecycle entries: time each
   * protocol phase (base build, create, merge, certificate probes) so the
   * optimization targets the measured term, not a guess.
-  * Usage: runMain graft.tools.PhaseProbe [sfDir] [reps] */
+  * Usage: runMain graft.tools.PhaseProbe [sfDir] [reps] [mode]
+  * mode `s54` (default) probes the big clustered-write shape; mode `small`
+  * probes the ~200-row protocol-demo shape (s40/s64/s65 class) where the
+  * commit PROTOCOL, not data volume, is the whole cost. */
 object PhaseProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 2
+    val mode = if (args.length > 2) args(2) else "s54"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +28,46 @@ object PhaseProbe {
       val r = f
       println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
+    }
+    if (mode == "small") {
+      import org.apache.spark.sql.functions._
+      (1 to reps).foreach { rep =>
+        println(s"=== rep $rep (small lifecycle shape) ===")
+        val dir = java.nio.file.Files.createTempDirectory("graft_pp_s").toString
+        try {
+          val base = t("base build (nodes filter)") {
+            graft.core.Graph.nodes(spark, sfDir)
+              .filter(col("name") <= "Customer#000000199")
+              .select("name", "house", "acctbal")
+          }
+          val tt = t("create 4-bucket") {
+            graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
+          }
+          t("merge ~20 rows") {
+            tt.merge(tt.snapshot().filter(col("name").endsWith("7"))
+              .withColumn("house", lit("PROMOTED")))
+          }
+          t("deleteMergeOnRead 1 key") {
+            tt.deleteMergeOnRead(spark.createDataFrame(
+              Seq(Tuple1("Customer#000000013"))).toDF("name"))
+          }
+          t("snapshot.count")(tt.snapshot().count())
+          t("conn read collect") {
+            spark.read.format("graft").option("keys", "name").load(dir).collect()
+          }
+          t("snapshot collect")(tt.snapshot().collect())
+          t("update where") {
+            tt.update("house = 'BUILDING'", Map("acctbal" -> "acctbal + 1.0"))
+          }
+          t("compact")(tt.compact(0))
+          t("history collect")(tt.history().orderBy("version").collect())
+        } finally {
+          graft.core.TxTable.drop(dir)
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
+      }
+      spark.stop(); return
     }
     (1 to reps).foreach { rep =>
       println(s"=== rep $rep (s54 shape) ===")
