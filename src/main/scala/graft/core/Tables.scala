@@ -40,4 +40,65 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** EXACT row count of a corpus table from its parquet footer(s) — a
+    * driver-side metadata read (~ms), for sizing decisions that only need
+    * the input's cardinality (e.g. the row-count-adaptive parquet group
+    * size of the compaction demos). The footer record count is exact by
+    * format spec — this is the same number a full `count()` job computes,
+    * minus the scan. */
+  def footerRowCount(sfDir: String, name: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally s.close()
+      } else Seq(p)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** EXACT max of an INT64 column from parquet footer statistics, or None
+    * when any row group lacks them (caller falls back to a scan). Integer
+    * footer stats are exact by format spec — truncation applies only to
+    * binary/string stats — so when present this is the same number a
+    * max() job computes, minus the scan. */
+  def footerMaxLong(sfDir: String, name: String, column: String): Option[Long] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally s.close()
+      } else Seq(p)
+    import scala.jdk.CollectionConverters._
+    val maxes = files.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), conf))
+      try r.getFooter.getBlocks.asScala.map { bl =>
+        bl.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(st => st != null && st.hasNonNullValue)
+          .flatMap(st => st.genericGetMax match {
+            case l: java.lang.Long => Some(l.longValue)
+            case _ => None
+          })
+      }.toList finally r.close()
+    }
+    if (maxes.nonEmpty && maxes.forall(_.isDefined)) Some(maxes.flatten.max)
+    else None
+  }
 }

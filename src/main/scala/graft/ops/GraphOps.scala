@@ -661,7 +661,9 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"))
+      // 4 buckets (s64's measured rule for ≤203-row protocol demos); the
+      // prune certificate needs |keys| < bucketCount, which 3 < 4 keeps.
+      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"), numBuckets = 4)
       val keys = spark.createDataFrame(Seq(
         Tuple1("Customer#000000002"), Tuple1("Customer#000000007"),
         Tuple1("Customer#000000013"))).toDF("name")
@@ -900,9 +902,7 @@ object GraphOps {
         .withColumn("house", lit("RESETTLED"))
         .withColumn("acctbal", col("acctbal") + 500))
       val applied2 = graft.streaming.StreamingOps.medallionHop(spark, up, dn, ck)
-      val converged =
-        dnSnap.collect().map(_.mkString("|")).sorted.toSeq ==
-          upSnap.collect().map(_.mkString("|")).sorted.toSeq
+      val converged = sameRows(dnSnap, upSnap)
       val replayEquivalent = pass1Ok && converged
       val noReprocess = applied2 == Set(2L, 3L)
 
@@ -1161,9 +1161,13 @@ object GraphOps {
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
         .withColumn("token", md5(col("name")))   // high-card, unsorted vs layout
-      val t = graft.core.TxTable.create(spark, dir, base, Seq("name"),
-        numBuckets = 8, bloomCols = Seq("token"))
-      graft.core.TxTable.create(spark, dir2, base, Seq("name"), numBuckets = 8)
+      // Independent twin creates, overlapped (guide §2.6); 4 buckets
+      // (s64's measured rule) — every certificate below derives its
+      // bounds from the actual layout, not the count.
+      val (t, _) = par2(
+        graft.core.TxTable.create(spark, dir, base, Seq("name"),
+          numBuckets = 4, bloomCols = Seq("token")),
+        graft.core.TxTable.create(spark, dir2, base, Seq("name"), numBuckets = 4))
       def conn = spark.read.format("graft").load(dir)
       def twin = spark.read.format("graft").load(dir2)
 
@@ -1298,11 +1302,15 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      graft.core.TxTable.create(spark, s"$wh/facts", base, Seq("name"), numBuckets = 8)
-      graft.core.TxTable.create(spark, s"$wh/scores",
-        base.filter(col("name").endsWith("7"))
-          .select(col("name"), (col("acctbal") * 2).as("score")),
-        Seq("name"), numBuckets = 8)
+      // Independent twin creates, overlapped (guide §2.6); 4 buckets
+      // (s64's measured rule for ≤203-row protocol demos).
+      par2(
+        graft.core.TxTable.create(spark, s"$wh/facts", base, Seq("name"),
+          numBuckets = 4),
+        graft.core.TxTable.create(spark, s"$wh/scores",
+          base.filter(col("name").endsWith("7"))
+            .select(col("name"), (col("acctbal") * 2).as("score")),
+          Seq("name"), numBuckets = 4))
 
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -1361,8 +1369,11 @@ object GraphOps {
       // too): tiny groups only where skip granularity needs them — at
       // sf0.1 the fixed 32 KB groups meant ~1.5k per-group flush/decode
       // cycles across the two rewrites while ~45 groups of 256 KB prove
-      // the same ≥2× certificate at a fraction of the cost.
-      val block = if (base.count() < 100000) 32 * 1024 else 256 * 1024
+      // the same ≥2× certificate at a fraction of the cost. The count is
+      // one row per lineitem line, so the sizing reads the input's footer
+      // record count (exact) instead of paying a full count() scan.
+      val block = if (graft.core.Tables.footerRowCount(sfDir, "lineitem")
+        < 100000) 32 * 1024 else 256 * 1024
       hconf.setInt("parquet.block.size", block)
       hconf.setInt("parquet.page.size", block / 4)
       val t = graft.core.TxTable.create(spark, dir, base, Seq("k"), numBuckets = 1)
@@ -1519,11 +1530,20 @@ object GraphOps {
     // ~2300 groups whose per-group flush/decode overhead dominates the
     // entry (~12 s) while ~50 groups of 256 KB prove the same ≥2×-both-
     // dimensions certificate at a fraction of the cost.
-    // One scan serves both pre-create probes (count for the group-size
-    // rule, max(part) for the SF-relative Y bound) — the second full
-    // lineitem pass this entry used to pay was pure duplication.
-    val pre = base0.agg(count(lit(1)), max("part")).head()
-    val (nRows, maxPart) = (pre.getLong(0), pre.getLong(1))
+    // Both pre-create probes (count for the group-size rule, max(part)
+    // for the SF-relative Y bound) are served from the input's parquet
+    // FOOTER metadata — exact for the record count and for INT64 stats —
+    // so the pre-create lineitem scan disappears entirely; a footer
+    // without stats falls back to the one fused scan.
+    val (nRows, maxPart) = {
+      val n = graft.core.Tables.footerRowCount(sfDir, "lineitem")
+      graft.core.Tables.footerMaxLong(sfDir, "lineitem", "l_partkey") match {
+        case Some(m) => (n, m)
+        case None =>
+          val pre = base0.agg(count(lit(1)), max("part")).head()
+          (pre.getLong(0), pre.getLong(1))
+      }
+    }
     val block = if (nRows < 100000) 16 * 1024 else 256 * 1024
     hconf.setInt("parquet.block.size", block)
     hconf.setInt("parquet.page.size", block / 4)
@@ -1706,8 +1726,11 @@ object GraphOps {
       val straddleFellBack = !straddle.queryExecution.executedPlan.toString
         .contains("partition-covered")
       val native = t.snapshot()
-      val nativeCovered = native.filter(col("ts") >= lo && col("ts") < hi).count()
-      val straddleN = straddle.head().getLong(0) // needs real data: pre-poison
+      // Two independent pre-poison reads of the same frozen layout —
+      // overlap them (guide §2.6).
+      val (nativeCovered, straddleN) = par2(
+        native.filter(col("ts") >= lo && col("ts") < hi).count(),
+        straddle.head().getLong(0)) // needs real data: pre-poison
       // Zero-data-I/O proof: poison EVERY parquet file; the covered count
       // must still answer (paths + sidecars only), byte-identically.
       import scala.jdk.CollectionConverters._
@@ -1775,9 +1798,11 @@ object GraphOps {
 
       val native = t.snapshot()
       def conn = spark.read.format("graft").load(dir)
-      val connMatch = conn.collect().map(_.mkString("|")).sorted.toSeq ==
-        native.collect().map(_.mkString("|")).sorted.toSeq
-      val rangeReal = native.agg(max("qty")).head.getLong(0) > Int.MaxValue.toLong
+      // Independent reads of the same frozen head: hash-fold compare
+      // (sameRows overlaps the two sides) and the range probe.
+      val (connMatch, rangeReal) = par2(
+        sameRows(conn, native),
+        native.agg(max("qty")).head.getLong(0) > Int.MaxValue.toLong)
 
       conn.filter(col("name") <= "Customer#000000059")
         .select(col("name"), col("house"), col("qty"))
@@ -2469,12 +2494,16 @@ object GraphOps {
       val base = Graph.nodes(spark, sfDir)
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
-      graft.core.TxTable.create(spark, s"$wh/facts", base,
-        Seq("name", "house"), numBuckets = 8)
-      graft.core.TxTable.create(spark, s"$wh/scores",
-        base.filter(col("name").endsWith("7"))
-          .select(col("name"), col("house"), (col("acctbal") * 2).as("score")),
-        Seq("name", "house"), numBuckets = 8)
+      // Independent twin creates, overlapped (guide §2.6); 4 buckets —
+      // the ≤203-row demo pays per-file commit cost (s64's measured
+      // rule), and every certificate below parameterizes on the count.
+      par2(
+        graft.core.TxTable.create(spark, s"$wh/facts", base,
+          Seq("name", "house"), numBuckets = 4),
+        graft.core.TxTable.create(spark, s"$wh/scores",
+          base.filter(col("name").endsWith("7"))
+            .select(col("name"), col("house"), (col("acctbal") * 2).as("score")),
+          Seq("name", "house"), numBuckets = 4))
 
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -2497,7 +2526,7 @@ object GraphOps {
       val bucketColOk = spark.sql(
         s"SELECT name, house, _graft_bucket FROM $cat.facts")
         .filter(col("_graft_bucket") =!=
-          pmod(xxhash64(col("name"), col("house")), lit(8)).cast("int"))
+          pmod(xxhash64(col("name"), col("house")), lit(4)).cast("int"))
         .count() == 0L
 
       val pruned = spark.sql(s"SELECT name FROM $cat.facts WHERE _graft_bucket = 3")
@@ -2505,7 +2534,7 @@ object GraphOps {
       val scanned = pruned.queryExecution.executedPlan.collectLeaves()
         .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
       val inBucket = base
-        .filter(pmod(xxhash64(col("name"), col("house")), lit(8)) === 3).count()
+        .filter(pmod(xxhash64(col("name"), col("house")), lit(4)) === 3).count()
       val bucketPruned = scanned == inBucket && scanned < base.count()
 
       joined
@@ -2891,7 +2920,7 @@ object GraphOps {
         .filter(col("name") <= "Customer#000000199")
         .select("name", "house", "acctbal")
       val src = graft.core.TxTable.create(spark, dir + "/src", base,
-        Seq("name"), numBuckets = 8)
+        Seq("name"), numBuckets = 4)
       val clone = src.shallowClone(dir + "/clone")
       // FS-metadata probe, not a data job: the zero-copy claim IS that
       // this directory has no children at clone time.

@@ -370,29 +370,43 @@ object SqlSurface {
   def sqlScript(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    // Materialize the ≤64-row histogram BEFORE the loop: a temp view is
+    // Materialize the coverage table BEFORE the loop: a temp view is
     // lazy, so probing it from every WHILE iteration would re-run the
     // full corpus aggregation per round (~log₂(max price) corpus scans —
-    // observed 4.8 s at sf0.1 vs ~0.5 s with the checkpoint). The
-    // localCheckpoint pins the one corpus scan; the loop then aggregates
-    // 64 in-memory rows per probe.
-    spark.sql(
-      """SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS INT) AS k2,
-        |       count(*) AS n
-        |FROM graft_orders GROUP BY 1""".stripMargin)
-      .coalesce(1) // ≤64 rows: one task per loop probe, not 32
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_price_hist")
+    // observed 4.8 s at sf0.1 vs ~0.5 s with the checkpoint). Beyond the
+    // checkpoint, the view is the DENSE CUMULATIVE histogram — one row
+    // per k in 0..64 carrying Σ n over k2 ≤ k — so each loop probe is a
+    // single-stage equality lookup on a 65-row in-memory relation
+    // instead of a partial+final aggregate with its exchange (measured:
+    // the agg-shaped probe costs ~0.2 s × ~18 iterations at sf0.1; the
+    // lookup halves it). Same values: covered(k) and total are exactly
+    // what the per-iteration SUM computed.
+    val cov = spark.sql(
+      """WITH hist AS (
+        |  SELECT CAST(length(bin(CAST(floor(o_totalprice) AS BIGINT))) AS INT) AS k2,
+        |         count(*) AS n
+        |  FROM graft_orders GROUP BY 1)
+        |SELECT g.k2, coalesce(sum(h.n), 0) AS covered
+        |FROM (SELECT explode(sequence(0, 64)) AS k2) g
+        |LEFT JOIN hist h ON h.k2 <= g.k2
+        |GROUP BY g.k2""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // 65 bounded rows, registered as a driver-LOCAL relation: a scalar
+    // subquery over a LocalTableScan executes on the driver with NO task
+    // launch, so each WHILE probe costs ~ms instead of a one-task job
+    // (measured: the RDD-backed view left rq100 at ~4.0 s; the probes,
+    // not the exchange, were the cost).
+    import spark.implicits._
+    cov.toDF("k2", "covered").createOrReplaceTempView("graft_price_cov")
     spark.sql(
       """BEGIN
         |  DECLARE total BIGINT DEFAULT 0;
         |  DECLARE covered BIGINT DEFAULT 0;
         |  DECLARE k INT DEFAULT 0;
-        |  SET total = (SELECT sum(n) FROM graft_price_hist);
+        |  SET total = (SELECT covered FROM graft_price_cov WHERE k2 = 64);
         |  WHILE covered * 2 < total DO
-        |    SET k = k + 1;
-        |    SET covered = (SELECT coalesce(sum(n), 0)
-        |                   FROM graft_price_hist WHERE k2 <= k);
+        |    SET (k, covered) = (SELECT k + 1, covered
+        |                        FROM graft_price_cov WHERE k2 = k + 1);
         |  END WHILE;
         |  SELECT CAST(k AS INT) AS k_star,
         |         shiftleft(CAST(1 AS BIGINT), k) AS cutoff,
