@@ -47,9 +47,13 @@ object Tables {
     * size of the compaction demos). The footer record count is exact by
     * format spec — this is the same number a full `count()` job computes,
     * minus the scan. */
-  def footerRowCount(sfDir: String, name: String): Long = {
+  def footerRowCount(sfDir: String, name: String): Long =
+    footerRowCountAt(s"$sfDir/$name.parquet")
+
+  /** Same, for an arbitrary parquet file or directory path. */
+  def footerRowCountAt(path: String): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    val p = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    val p = java.nio.file.Paths.get(path)
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)

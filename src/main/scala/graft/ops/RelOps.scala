@@ -1812,10 +1812,13 @@ object RelOps {
   def exactKth(spark: SparkSession, sfDir: String): DataFrame = {
     val vals = Tables.lineitem(spark, sfDir)
       .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
-    val Array(bounds) = vals.agg(count(lit(1)).as("n"),
-      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
-    val (n, lo, hi) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val width = math.max(1L, (hi - lo) / 65536L + 1L)
+    // Fixed grid instead of a min/max pre-pass (rq75's rule): the ranks
+    // are EXACT regardless of bucketing (the probe pass ranks inside the
+    // chosen bucket), v is positive and SF-independent-bounded, and the
+    // rank targets' n — which must be exact — is one row per lineitem
+    // line, served by the input's footer record count without a scan.
+    val n = graft.core.Tables.footerRowCount(sfDir, "lineitem")
+    val (lo, width) = (0L, 65536L)
     // Bounded histogram: one shuffle of ≤64k partial-agg rows.
     val hist = vals.groupBy(expr(s"(v - $lo) DIV $width").as("b"))
       .agg(count(lit(1)).as("c"))
@@ -2005,10 +2008,13 @@ object RelOps {
   def percentileCont(spark: SparkSession, sfDir: String): DataFrame = {
     val vals = Tables.lineitem(spark, sfDir)
       .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
-    val Array(bounds) = vals.agg(count(lit(1)).as("n"),
-      min(col("v")).as("lo"), max(col("v")).as("hi")).collect()
-    val (n, lo, hi) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val width = math.max(1L, (hi - lo) / 65536L + 1L)
+    // Fixed grid instead of a min/max pre-pass (rq75's rule): the ranks
+    // are EXACT regardless of bucketing (the probe pass ranks inside the
+    // chosen bucket), v is positive and SF-independent-bounded, and the
+    // rank targets' n — which must be exact — is one row per lineitem
+    // line, served by the input's footer record count without a scan.
+    val n = graft.core.Tables.footerRowCount(sfDir, "lineitem")
+    val (lo, width) = (0L, 65536L)
     val hist = vals.groupBy(expr(s"(v - $lo) DIV $width").as("b"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -444,9 +444,15 @@ object TextOps {
     val Array(tot) = vocab.agg(sum(col("freq")).cast("long").as("t"),
       count(lit(1)).as("d")).collect()
     val (t, d) = (tot.getLong(0), tot.getLong(1))
+    // ONE TakeOrdered of the max cutoff serves every N: the per-N
+    // cumulative sums are prefix sums of the same (freq desc, token)
+    // order, computed on ≤ max(ns) driver rows — one probe job instead
+    // of one per cutoff.
+    val freqs = vocab.orderBy(desc("freq"), asc("token")).limit(ns.max)
+      .select(col("freq")).collect().map(_.getLong(0))
+    val cum = freqs.scanLeft(0L)(_ + _)
     val rows = ns.map { n =>
-      val covered = vocab.orderBy(desc("freq"), asc("token")).limit(n)
-        .agg(coalesce(sum(col("freq")), lit(0L)).cast("long")).head().getLong(0)
+      val covered = cum(math.min(n, freqs.length))
       (n.toLong, covered, t, d, covered * 1000000L / t)
     }
     vocab.unpersist()
@@ -1230,8 +1236,16 @@ object TextOps {
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = bg.agg(countDistinct("w2").as("vsz"))
+    // Unigram counts and vocabulary size derive EXACTLY from the bigram
+    // aggregate (Σ c12 over w2 = count of bigrams with that w1; distinct
+    // w2 sets are identical), and because all three now consume the SAME
+    // (w1, w2) exchange, ReuseExchange collapses them onto one
+    // tokenize+explode pass — the previous independent groupBys re-ran
+    // the corpus explode four times per invocation (train twice, vocab
+    // once, score once); now it runs twice (train + score), the
+    // two-pass floor of any train-then-score LM.
+    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = big.agg(countDistinct("w2").as("vsz"))
     bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
